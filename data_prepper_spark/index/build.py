@@ -1,0 +1,441 @@
+"""Inverted-index build job: scan -> validate -> tokenize -> posting
+blocks -> partitioned index tables. Resumable at work-unit granularity.
+
+Pipeline shape (north_rule):
+  1. `tokenize` stage (unit = corpus data file, mirroring the reference
+     iceberg-source leader's one-task-per-data-file planning,
+     iceberg-source/.../leader/TaskGrouper.java:27-30):
+     read pending files -> assert sha256(content) == content_sha256
+     (per-row invariant; failures -> quarantine table, the DLQ analog,
+     SURVEY.md §2.10) -> vectorized pandas/Arrow tokenizer (mapInPandas,
+     no per-row Python) -> (doc_id, term, tf, dl) rows written
+     partitioned by unit; manifest COMPLETE row per unit.
+  2. `index` stage: global stats (N, avgdl), per-term df/cf
+     (map-side-combined groupBy — no skew risk), then posting-block
+     build via groupBy(term, salt).applyInPandas where `salt` is a
+     doc-id RANGE bucket assigned only to hot terms (df above target):
+     each (term, salt) group covers a disjoint sorted doc-id range, so
+     blocks are independently encodable with NO second merge pass —
+     this is the explicit hot-term skew splitting the reference lacks
+     (SURVEY.md §2.8: AQE skew handling covers joins, not groupBy).
+     Blocks: <=block_size postings, delta+varbyte doc ids, varbyte
+     tf/dl, block-max impact metadata for query-side pruning.
+
+Index layout (parquet; Iceberg jars absent in this sandbox — the
+manifest table supplies the same snapshot/resume semantics):
+  index_dir/tokens/unit=.../        intermediate, lineage-addressable
+  index_dir/postings/bucket=N/      block rows, term-hash partitioned
+  index_dir/terms/                  term dictionary: df, cf, max_impact
+  index_dir/docs/                   doc_id -> dl
+  index_dir/stats.json              N, avgdl, codec params
+  index_dir/manifest/               checkpoint/lineage/metrics rows
+  index_dir/quarantine/             DLQ rows w/ failure metadata
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_series
+from . import manifest as mf
+from .codec import encode_block_docs, varbyte_encode
+
+K1 = 1.2
+B = 0.75
+
+TOKENS_SCHEMA = "unit string, doc_id long, term string, tf int, dl int"
+BLOCKS_SCHEMA = (
+    "term string, bucket int, min_doc long, max_doc long, n int, "
+    "docs binary, tfs binary, dls binary, max_tf int, block_max double"
+)
+
+
+@dataclass
+class BuildConfig:
+    k1: float = K1
+    b: float = B
+    n_buckets: int = 32
+    block_size: int = 128
+    hot_group_target: int = 50_000  # postings per (term, salt) group
+    max_salt_bits: int = 16
+
+
+def corpus_units(corpus_path: str) -> list[str]:
+    """One work unit per corpus data file (sorted for determinism)."""
+    if os.path.isdir(corpus_path):
+        return sorted(
+            os.path.join(corpus_path, f)
+            for f in os.listdir(corpus_path)
+            if f.endswith(".parquet")
+        )
+    return [corpus_path]
+
+
+def _unit_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _tokenize_batches(it):
+    """mapInPandas: (unit, doc_id, content) -> (unit, doc_id, term, tf, dl).
+
+    Emits one sentinel row per doc (term NULL, tf 0) so empty docs still
+    reach the docs table (they count in N / avgdl). All steps are
+    vectorized pandas/numpy — no per-row Python (input_hint mandate).
+    """
+    for pdf in it:
+        toks = tokenize_series(pdf["content"])
+        dl = toks.map(len).to_numpy(dtype=np.int64)
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        units = pdf["unit"].to_numpy(dtype=object)
+        rep_doc = np.repeat(doc_ids, dl)
+        rep_unit = np.repeat(units, dl)
+        terms = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            if dl.sum() > 0
+            else np.empty(0, dtype=object)
+        )
+        tf = (
+            pd.DataFrame({"doc_id": rep_doc, "term": terms, "unit": rep_unit})
+            .groupby(["unit", "doc_id", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        dl_map = pd.DataFrame(
+            {"doc_id": doc_ids, "dl": dl, "unit": units}
+        )
+        tf = tf.merge(dl_map[["doc_id", "dl"]], on="doc_id", how="left")
+        sentinel = dl_map.assign(term=None, tf=0)
+        out = pd.concat(
+            [tf[["unit", "doc_id", "term", "tf", "dl"]],
+             sentinel[["unit", "doc_id", "term", "tf", "dl"]]],
+            ignore_index=True,
+        )
+        out["tf"] = out["tf"].astype("int32")
+        out["dl"] = out["dl"].astype("int32")
+        yield out
+
+
+QUARANTINE_SCHEMA = (
+    "repo string, path string, commit string, plugin_name string, "
+    "pipeline_name string, error_message string, unit string"
+)
+
+
+def read_quarantine(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Quarantine (DLQ) table; explicit schema so an empty DLQ reads
+    as an empty DataFrame instead of failing schema inference."""
+    return spark.read.schema(QUARANTINE_SCHEMA).parquet(
+        os.path.join(index_dir, "quarantine")
+    )
+
+
+def run_tokenize_stage(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    cfg: BuildConfig,
+    max_units: int | None = None,
+) -> list[str]:
+    """Tokenize pending units; returns unit ids processed this call."""
+    units = corpus_units(corpus_path)
+    done = mf.completed(index_dir, "tokenize")
+    pending = [u for u in units if _unit_id(u) not in done]
+    if max_units is not None:
+        pending = pending[:max_units]
+    if not pending:
+        return []
+    started = time.time()
+    prev_attempts = mf.attempts(index_dir, "tokenize")
+
+    df = spark.read.parquet(*pending)
+    # derive the unit id from the input file (lineage column)
+    df = df.withColumn(
+        "unit",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.parquet$", 1),
+    )
+    # spread each file's rows across all cores: tokenization dominates,
+    # the extra exchange is cheap relative to the pandas UDF stage
+    df = df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    computed = F.sha2(F.col("content"), 256)
+    ok = F.col("content").isNotNull() & (computed == F.col("content_sha256"))
+
+    # DLQ: failure-metadata columns mirror the reference's
+    # _failure_metadata {pluginId, pluginName, pipelineName, errorMessage}
+    # (reference model/event/JacksonEvent.java:66-94)
+    quarantine = (
+        df.filter(~ok)
+        .select(
+            "unit", "repo", "path", "commit",
+            F.lit("sha256_validator").alias("plugin_name"),
+            F.lit("index-build").alias("pipeline_name"),
+            F.when(F.col("content").isNull(), "content is null")
+            .otherwise("content sha256 mismatch")
+            .alias("error_message"),
+        )
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        quarantine.write.mode("overwrite")
+        .partitionBy("unit")
+        .parquet(os.path.join(index_dir, "quarantine"))
+    )
+
+    valid = df.filter(ok).select(
+        "unit",
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "content",
+    )
+    tokens = valid.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+    (
+        tokens.write.mode("overwrite")
+        .partitionBy("unit")
+        .parquet(os.path.join(index_dir, "tokens"))
+    )
+
+    # per-unit metrics from the written output (columnar count read)
+    out_stats = (
+        spark.read.parquet(os.path.join(index_dir, "tokens"))
+        .filter(F.col("unit").isin([_unit_id(u) for u in pending]))
+        .groupBy("unit")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).alias("n_docs"),
+        )
+        .collect()
+    )
+    q_stats = {
+        r["unit"]: r["n"]
+        for r in read_quarantine(spark, index_dir)
+        .groupBy("unit")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = []
+    for r in out_stats:
+        uid = r["unit"]
+        nq = int(q_stats.get(uid, 0))
+        rows.append(
+            mf.make_row(
+                uid,
+                "tokenize",
+                rows_in=int(r["n_docs"]) + nq,
+                rows_out=int(r["rows_out"]),
+                sha256_ok=(nq == 0),
+                started_at=started,
+                attempt=int(prev_attempts.get(uid, 0)) + 1,
+                lineage={"n_docs": int(r["n_docs"]), "quarantined": nq},
+            )
+        )
+    mf.append_rows(index_dir, rows)
+    return [_unit_id(u) for u in pending]
+
+
+def _make_block_builder(cfg: BuildConfig, avgdl: float):
+    k1, b, block = cfg.k1, cfg.b, cfg.block_size
+
+    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tf = pdf["tf"].to_numpy(dtype=np.int64)
+        dl = pdf["dl"].to_numpy(dtype=np.int64)
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        impact = (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        out = []
+        for s in range(0, len(doc), block):
+            e = min(s + block, len(doc))
+            out.append(
+                (
+                    term,
+                    bucket,
+                    int(doc[s]),
+                    int(doc[e - 1]),
+                    e - s,
+                    encode_block_docs(doc[s:e]),
+                    varbyte_encode(tf[s:e].astype(np.uint64)),
+                    varbyte_encode(dl[s:e].astype(np.uint64)),
+                    int(tf[s:e].max()),
+                    float(impact[s:e].max()),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "term", "bucket", "min_doc", "max_doc", "n",
+                "docs", "tfs", "dls", "max_tf", "block_max",
+            ],
+        )
+
+    return build_blocks
+
+
+def run_index_stage(
+    spark: SparkSession, index_dir: str, cfg: BuildConfig
+) -> dict:
+    """Build posting blocks + dictionaries from all tokenized units."""
+    units_done = sorted(mf.completed(index_dir, "tokenize"))
+    lineage_key = json.dumps(units_done)
+    m = mf.read_manifest(index_dir)
+    if not m.empty:
+        prior = m[
+            (m["stage"] == "index")
+            & (m["status"] == "COMPLETE")
+            & (m["partition_id"] == "_index_stage")
+        ]
+        if not prior.empty and any(
+            json.loads(lj).get("units") == units_done
+            for lj in prior["lineage_json"]
+        ):
+            with open(os.path.join(index_dir, "stats.json")) as f:
+                return json.load(f)
+    started = time.time()
+
+    tokens = spark.read.parquet(os.path.join(index_dir, "tokens"))
+    docs = tokens.filter(F.col("term").isNull()).select("doc_id", "dl")
+    docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    agg = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
+
+    tok = tokens.filter(F.col("term").isNotNull())
+    term_df = tok.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+    # hot-term detection: terms whose postings exceed one target group;
+    # salt = high bits of the (order-preserved unsigned) doc id, so each
+    # (term, salt) group is a disjoint sorted doc-id RANGE -> no merge
+    hot = (
+        term_df.filter(F.col("df") > cfg.hot_group_target)
+        .select(
+            "term",
+            F.least(
+                F.lit(cfg.max_salt_bits),
+                F.ceil(F.log2(F.col("df") / F.lit(cfg.hot_group_target))),
+            ).cast("int").alias("salt_bits"),
+        )
+    )
+    tok2 = (
+        tok.join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("salt_bits").isNotNull(),
+                F.expr(
+                    "shiftrightunsigned(doc_id ^ -9223372036854775808, "
+                    "64 - salt_bits)"
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
+    )
+    blocks = tok2.groupBy("term", "salt").applyInPandas(
+        _make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA
+    )
+    (
+        blocks.repartition(cfg.n_buckets, "bucket")
+        .sortWithinPartitions("term", "min_doc")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+
+    # term dictionary with per-term max impact (WAND global upper bound),
+    # derived from the written blocks (column-pruned read: no binaries)
+    written = spark.read.parquet(os.path.join(index_dir, "postings"))
+    max_imp = written.groupBy("term").agg(
+        F.max("block_max").alias("max_impact"),
+        F.first("bucket").alias("bucket"),
+    )
+    (
+        term_df.join(max_imp, "term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "terms"))
+    )
+
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_buckets": cfg.n_buckets,
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "units": units_done,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+
+    bucket_stats = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("blocks"),
+            (
+                F.sum(F.length("docs"))
+                + F.sum(F.length("tfs"))
+                + F.sum(F.length("dls"))
+            ).alias("nbytes"),
+        )
+        .collect()
+    )
+    rows = [
+        mf.make_row(
+            f"bucket={int(r['bucket'])}",
+            "index",
+            rows_out=int(r["blocks"]),
+            nbytes=int(r["nbytes"]),
+            started_at=started,
+        )
+        for r in bucket_stats
+    ]
+    rows.append(
+        mf.make_row(
+            "_index_stage",
+            "index",
+            rows_in=n_docs,
+            started_at=started,
+            lineage={"units": units_done},
+        )
+    )
+    mf.append_rows(index_dir, rows)
+    return stats
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    max_units: int | None = None,
+) -> dict:
+    """Full resumable build. Safe to re-run after interruption: completed
+    tokenize units are skipped (manifest anti-join), the index stage is
+    skipped when its input unit-set lineage is unchanged."""
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    run_tokenize_stage(spark, corpus_path, index_dir, cfg, max_units=max_units)
+    if max_units is not None:
+        units = corpus_units(corpus_path)
+        if len(mf.completed(index_dir, "tokenize")) < len(units):
+            return {"partial": True}
+    return run_index_stage(spark, index_dir, cfg)
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)

@@ -1,0 +1,65 @@
+"""The canonical code tokenizer — defined ONCE, expressible three ways.
+
+Semantics (load-bearing for rank-identity, FIXTURES.md §2):
+  1. split CamelCase boundaries:  "HTTPServer" -> "HTTP Server",
+     "getFooBar" -> "get Foo Bar"  (two regex rules, ABBA first)
+  2. lowercase
+  3. split on runs of anything outside [a-z0-9]  (so snake_case and
+     punctuation both separate tokens)
+  4. drop empty tokens
+
+The three implementations (pandas vectorized str ops for the
+Arrow-batched UDF path, Spark-native Column expression for pure-SQL
+plans, and a DuckDB SQL fragment for the driver's oracle) are asserted
+token-identical in tests/test_tokenizer.py.
+
+Reference ancestry: grok-style field extraction + split_string
+(reference grok-processor/.../GrokProcessor.java:63,
+mutate-string-processors/.../SplitStringProcessor.java) done
+vectorized instead of per-event Java.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# rule 1a: ABBA boundary (HTTPServer -> HTTP Server)
+_RE_ABBA = re.compile(r"([A-Z]+)([A-Z][a-z])")
+# rule 1b: lower/digit -> Upper boundary (getFoo -> get Foo)
+_RE_LU = re.compile(r"([a-z0-9])([A-Z])")
+# rule 3: token separator
+_RE_SEP = re.compile(r"[^a-z0-9]+")
+
+
+def tokenize_series(s: pd.Series) -> pd.Series:
+    """pandas Series[str] -> Series[list[str]] (vectorized, no row loop)."""
+    t = s.fillna("")
+    t = t.str.replace(_RE_ABBA, r"\1 \2", regex=True)
+    t = t.str.replace(_RE_LU, r"\1 \2", regex=True)
+    t = t.str.lower()
+    toks = t.str.split(_RE_SEP)
+    # str.split on a regex leaves '' at the ends; strip them without a
+    # python-level per-token loop where possible
+    return toks.map(lambda xs: [x for x in xs if x])
+
+
+def tokenize_col(col: Column) -> Column:
+    """Spark-native expression returning array<string> of tokens."""
+    c = F.regexp_replace(F.coalesce(col, F.lit("")), r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
+    c = F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1 $2")
+    c = F.lower(c)
+    arr = F.split(c, r"[^a-z0-9]+")
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def tokenize_sql(expr: str) -> str:
+    """DuckDB SQL fragment producing the same list<varchar> of tokens."""
+    return (
+        "list_filter(regexp_split_to_array(lower("
+        f"regexp_replace(regexp_replace({expr}, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
+        " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9]+'), x -> x != '')"
+    )

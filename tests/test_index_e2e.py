@@ -1,0 +1,84 @@
+"""Golden end-to-end: Spark engine vs exhaustive numpy oracle.
+
+Rank-identical + score within 1e-6 (FIXTURES.md §3) — mirrors the
+reference's golden e2e index assertions
+(e2e-test/log/.../EndToEndBasicLogTest.java:56-71).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index.query import topk
+from data_prepper_spark.oracle import bm25_topk
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame):
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    m = got.merge(want, on=["query_id", "rank"], suffixes=("_g", "_w"))
+    score_close = np.abs(m["score_g"] - m["score_w"]) < 1e-6
+    assert score_close.all(), m[~score_close].head()
+    doc_eq = m["doc_id_g"] == m["doc_id_w"]
+    # docs may swap only at float-tie boundaries (same score to 1e-9)
+    if not doc_eq.all():
+        bad = m[~doc_eq]
+        assert (np.abs(bad["score_g"] - bad["score_w"]) < 1e-9).all(), bad.head()
+
+
+@pytest.fixture(scope="module")
+def gold(corpus_pdf, queries_pdf):
+    return bm25_topk(corpus_pdf, queries_pdf, k=10)
+
+
+def test_exhaustive_rank_identity(spark, index_dir, queries_pdf, gold):
+    qdf = spark.createDataFrame(queries_pdf)
+    got = topk(spark, index_dir, qdf, k=10).toPandas()
+    _compare(got, gold)
+
+
+def test_blockmax_rank_identity(spark, index_dir, queries_pdf, gold):
+    qdf = spark.createDataFrame(queries_pdf)
+    got = topk(spark, index_dir, qdf, k=10, mode="blockmax").toPandas()
+    _compare(got, gold)
+
+
+def test_index_stats_match_oracle(spark, index_dir, corpus_pdf):
+    from data_prepper_spark.index.build import load_stats
+    from data_prepper_spark.oracle import build_term_stats
+
+    stats = load_stats(index_dir)
+    postings, docs = build_term_stats(corpus_pdf)
+    assert stats["n_docs"] == len(docs)
+    assert abs(stats["avgdl"] - docs["dl"].mean()) < 1e-9
+
+    # per-term document frequencies must match exactly
+    terms = (
+        spark.read.parquet(f"{index_dir}/terms")
+        .select("term", "df")
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    want = (
+        postings.groupby("term")
+        .size()
+        .rename("df")
+        .reset_index()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert len(terms) == len(want)
+    assert (terms["term"] == want["term"]).all()
+    assert (terms["df"] == want["df"]).all()
+
+
+def test_hot_terms_are_salted(spark, index_dir):
+    """Hot terms (df > hot_group_target) must be split across several
+    disjoint-range groups — i.e. more than one block row with
+    non-overlapping [min_doc, max_doc] ranges."""
+    post = spark.read.parquet(f"{index_dir}/postings")
+    hot = post.filter(post.term == "init").orderBy("min_doc").toPandas()
+    assert len(hot) > 1
+    assert (hot["min_doc"].values[1:] > hot["max_doc"].values[:-1]).all()

@@ -1,0 +1,119 @@
+"""DLQ/quarantine + resumable-build semantics (SURVEY.md §2.10,
+FIXTURES.md §4-5): the Data Prepper ack/lease-store contract recast as
+manifest anti-joins and per-row sha256 assertion."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.corpus import write_corrupt_corpus
+from data_prepper_spark.index import manifest as mf
+from data_prepper_spark.index.build import (
+    BuildConfig,
+    build_index,
+    read_quarantine,
+)
+from data_prepper_spark.index.query import topk
+
+CFG = BuildConfig(n_buckets=8, hot_group_target=2_000)
+
+
+def test_corrupt_rows_quarantined_never_indexed(spark, tmp_path):
+    corpus = str(tmp_path / "corrupt.parquet")
+    write_corrupt_corpus(0.001, corpus)
+    idx = str(tmp_path / "idx")
+    build_index(spark, corpus, idx, CFG)
+
+    q = read_quarantine(spark, idx).toPandas()
+    # 1000 docs: i%100==13 -> bad sha (10), i%200==57 & not bad_sha -> null (5)
+    assert len(q) == 15
+    assert set(q["plugin_name"]) == {"sha256_validator"}
+    assert set(q["pipeline_name"]) == {"index-build"}
+    assert {"content sha256 mismatch", "content is null"} == set(
+        q["error_message"]
+    )
+
+    # quarantined docs are not in the docs table
+    from data_prepper_spark.xxh64 import doc_id_of
+
+    bad_ids = {
+        doc_id_of(r, p, c)
+        for r, p, c in zip(q["repo"], q["path"], q["commit"])
+    }
+    docs = spark.read.parquet(os.path.join(idx, "docs")).toPandas()
+    assert not bad_ids & set(docs["doc_id"])
+    assert len(docs) == 1000 - 15
+
+    # manifest records the failure in sha256_ok + lineage
+    m = mf.read_manifest(idx)
+    tok = m[m["stage"] == "tokenize"]
+    assert not tok["sha256_ok"].any()  # single unit, had failures
+    assert tok["rows_in"].sum() == 1000
+
+
+def test_resume_skips_completed_units(spark, multiunit_corpus, fresh_dir):
+    # run 1: tokenize only the first unit, then "crash"
+    out = build_index(spark, multiunit_corpus, fresh_dir, CFG, max_units=1)
+    assert out == {"partial": True}
+    att1 = mf.attempts(fresh_dir, "tokenize")
+    assert len(att1) == 1
+
+    # run 2: full build resumes — completed unit NOT re-tokenized
+    stats = build_index(spark, multiunit_corpus, fresh_dir, CFG)
+    att2 = mf.attempts(fresh_dir, "tokenize")
+    assert len(att2) == 2
+    done_unit = next(iter(att1))
+    assert att2[done_unit] == att1[done_unit] == 1  # attempt unchanged
+    assert stats["n_docs"] == 1000
+
+    # run 3: idempotent — nothing re-runs, same stats returned
+    stats3 = build_index(spark, multiunit_corpus, fresh_dir, CFG)
+    att3 = mf.attempts(fresh_dir, "tokenize")
+    assert att3 == att2
+    assert stats3 == stats
+
+
+def test_resumed_index_identical_to_uninterrupted(
+    spark, multiunit_corpus, tmp_path, queries_pdf
+):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(spark, multiunit_corpus, a, CFG, max_units=1)
+    build_index(spark, multiunit_corpus, a, CFG)  # resume
+    build_index(spark, multiunit_corpus, b, CFG)  # uninterrupted
+
+    qdf = spark.createDataFrame(queries_pdf)
+    ra = topk(spark, a, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    rb = topk(spark, b, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ra, rb)
+
+    # block-level identity: same (term, min_doc, n, payload) everywhere
+    pa_ = (
+        spark.read.parquet(os.path.join(a, "postings"))
+        .select("term", "min_doc", "n", "docs", "tfs")
+        .toPandas()
+        .sort_values(["term", "min_doc"])
+        .reset_index(drop=True)
+    )
+    pb_ = (
+        spark.read.parquet(os.path.join(b, "postings"))
+        .select("term", "min_doc", "n", "docs", "tfs")
+        .toPandas()
+        .sort_values(["term", "min_doc"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pa_, pb_)
+
+
+def test_manifest_lineage_rows_exist(spark, index_dir):
+    m = mf.read_manifest(index_dir)
+    assert set(m["stage"]) >= {"tokenize", "index"}
+    assert (m["status"] == "COMPLETE").all()
+    assert (m[m["stage"] == "tokenize"]["rows_out"] > 0).all()
+    # per-bucket lineage rows for the index stage
+    assert (m["partition_id"].str.startswith("bucket=")).any()
