@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "index_build": {...}, "bm25": {...}}
+
+The index build + BM25 section runs on the synthetic code corpus at
+the matching SF (FIXTURES.md; generated+cached under fixtures/):
+build files/sec and batch BM25 latency are the BASELINE.md metrics.
+
+Scaling-efficiency evidence (north_rule: N vs 4N executors >= 0.8):
+  python bench.py --scaling
+runs the same build at local[8] and local[32] and reports
+(T8 / T32) / 4. Results belong in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from data_prepper_spark.corpus import ensure_fixtures, n_docs_for_sf  # noqa: E402
+from data_prepper_spark.index.build import BuildConfig, build_index  # noqa: E402
+from data_prepper_spark.index.query import topk  # noqa: E402
+from data_prepper_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "bm25_topk",
+    "tpch_q1",
+    "revenue_by_nation",
+    "inverted_index_stats",
+    "token_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "minhash_dedup",
+    "sessionization",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.1
+
+
+def run_build_and_query(spark, sf: float, tag: str) -> dict:
+    fdir = ensure_fixtures(sf, base_dir=os.path.join(REPO, "fixtures"))
+    idx = f"/tmp/bench_idx_{tag}_{sf}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, f"{fdir}/corpus.parquet", idx, BuildConfig())
+    build_sec = time.time() - t0
+    n_docs = n_docs_for_sf(sf)
+
+    queries = spark.read.parquet(f"{fdir}/queries.parquet")
+    t0 = time.time()
+    res = topk(spark, idx, queries, k=10, mode="blockmax")
+    n_res = res.count()
+    query_sec = time.time() - t0
+    nq = queries.count()
+    return {
+        "build_sec": round(build_sec, 2),
+        "files_per_sec": round(n_docs / build_sec, 1),
+        "n_docs": n_docs,
+        "bm25_batch_sec": round(query_sec, 2),
+        "bm25_per_query_ms": round(query_sec / nq * 1000, 1),
+        "n_queries": int(nq),
+        "n_result_rows": int(n_res),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    if "--scaling" in sys.argv:
+        out = {}
+        for n in (8, 32):
+            spark = get_spark(
+                app_name=f"bench_scaling_{n}", master=f"local[{n}]"
+            )
+            out[f"local[{n}]"] = run_build_and_query(spark, sf, f"scal{n}")
+            spark.stop()
+        t8 = out["local[8]"]["files_per_sec"]
+        t32 = out["local[32]"]["files_per_sec"]
+        out["scaling_efficiency"] = round((t32 / t8) / 4, 3)
+        print(json.dumps(out))
+        return
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    engine = run_build_and_query(spark, sf, "main")
+    timings["index_build_and_bm25"] = round(time.time() - t0, 3)
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (operators + index build + BM25)",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "index_build": engine,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""Deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale shapes (the part that must survive 1000 executors):
+* exact        — one groupBy on a 64-bit content hash (map-side combine).
+* minhash LSH  — per-doc signature (vectorized numpy, one pass),
+  explode to (band, band_hash) keys, groupBy bucket -> candidate pairs
+  only within buckets (never all-pairs), exact-verify candidates.
+* simhash      — 64-bit fingerprint; near-dup = hamming distance <= k,
+  found by banding the fingerprint into 4 x 16-bit keys (pigeonhole:
+  any pair within hamming 3 shares at least one exact 16-bit band).
+* ngram jaccard — exact set Jaccard via explode + equi-join on shared
+  shingles (|A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|), candidate-
+  bounded by a df cap on shingles (stop-shingle removal kills the
+  quadratic hot-shingle blowup the same way hot-term salting does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_col, tokenize_series
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one canonical row (lowest id) per exact content hash."""
+    df = df.withColumn(
+        "_min_id", F.min(id_col).over(Window.partitionBy(F.xxhash64(F.col(text_col))))
+    )
+    return df.filter(F.col(id_col) == F.col("_min_id")).drop("_min_id")
+
+
+def _hash_tokens(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hashes for an object array of strings
+    (pandas' C siphash with a fixed key — stable across processes)."""
+    return pd.util.hash_array(arr, hash_key="0123456789123456").astype(np.uint64)
+
+
+def _shingle_hashes(texts: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc token-shingle hash sets. Returns (hashes, doc lengths).
+
+    Shingles are hashed incrementally from token hashes (mix-combine of
+    `shingle` consecutive token hashes) — vectorized, no string concat.
+    """
+    toks = tokenize_series(texts)
+    lens = toks.map(len).to_numpy(np.int64)
+    flat = (
+        np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        if lens.sum()
+        else np.empty(0, dtype=object)
+    )
+    th = _hash_tokens(flat)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_sh = np.maximum(lens - shingle + 1, 0)
+    # rolling combine: h[i] = mix(th[i] .. th[i+shingle-1])
+    out = np.zeros(int(n_sh.sum()), dtype=np.uint64)
+    pos = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    idx = np.arange(int(n_sh.sum()), dtype=np.int64)
+    base = np.repeat(starts, n_sh) + (idx - np.repeat(pos, n_sh))
+    for j in range(shingle):
+        out = out * np.uint64(0x100000001B3) ^ th[base + j]
+    return out, n_sh
+
+
+def minhash_signatures_udf(num_perm: int, shingle: int, text_col: str, id_col: str):
+    """mapInPandas fn: (id, text) -> (id, sig array<long>)."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def fn(it):
+        for pdf in it:
+            sh, n_sh = _shingle_hashes(pdf[text_col], shingle)
+            ids = pdf[id_col].to_numpy(np.int64)
+            sigs = np.full((len(pdf), num_perm), np.iinfo(np.uint64).max, np.uint64)
+            if len(sh):
+                seg = np.repeat(np.arange(len(pdf)), n_sh)
+                x = (sh % _MERSENNE).astype(np.uint64)
+                for p in range(num_perm):
+                    hp = (a[p] * x + b[p]) % np.uint64(_MERSENNE)
+                    np.minimum.at(sigs[:, p], seg, hp)
+            keep = n_sh > 0
+            yield pd.DataFrame(
+                {
+                    id_col: ids[keep],
+                    "sig": [row.astype(np.int64).tolist() for row in sigs[keep]],
+                }
+            )
+
+    return fn
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding, with
+    signature-estimated Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+    """
+    rows = num_perm // bands
+    sig = df.select(id_col, text_col).mapInPandas(
+        minhash_signatures_udf(num_perm, shingle, text_col, id_col),
+        schema=f"{id_col} long, sig array<long>",
+    )
+    sig = sig.cache()
+    band_cols = [
+        F.xxhash64(
+            F.lit(bnd), F.slice("sig", bnd * rows + 1, rows).cast("string")
+        ).alias(f"b{bnd}")
+        for bnd in range(bands)
+    ]
+    buckets = sig.select(
+        id_col,
+        F.explode(F.array(*band_cols)).alias("band_hash"),
+    )
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), "band_hash")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)),"
+                " 0, (acc, v) -> acc + v) / size(sig_a)"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return est
+
+
+def simhash_udf(text_col: str, id_col: str):
+    """mapInPandas fn: 64-bit SimHash of token multiset (tf-weighted)."""
+
+    def fn(it):
+        for pdf in it:
+            toks = tokenize_series(pdf[text_col])
+            lens = toks.map(len).to_numpy(np.int64)
+            flat = (
+                np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+                if lens.sum()
+                else np.empty(0, dtype=object)
+            )
+            th = _hash_tokens(flat)
+            seg = np.repeat(np.arange(len(pdf)), lens)
+            acc = np.zeros((len(pdf), 64), dtype=np.int64)
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            ) * 2 - 1
+            np.add.at(acc, seg, bits)
+            fp = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "simhash": fp.sum(axis=1).view(np.int64),
+                }
+            )
+
+    return fn
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
+    pigeonhole blocking (exact within candidates)."""
+    fp = df.select(id_col, text_col).mapInPandas(
+        simhash_udf(text_col, id_col), schema=f"{id_col} long, simhash long"
+    )
+    fp = fp.cache()
+    bands = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand.select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram-set Jaccard >= threshold, all in native Spark:
+    explode distinct shingles, drop hot shingles (df > max_shingle_df —
+    the skew guard), equi-join on shingle -> intersection counts."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            F.sequence(
+                                F.lit(0),
+                                F.size(tokenize_col(F.col(text_col))) - n,
+                            ),
+                            lambda i: F.slice(
+                                tokenize_col(F.col(text_col)), i + 1, n
+                            ),
+                        ),
+                        lambda s: F.size(s) == n,
+                    ),
+                    lambda s: F.array_join(s, " "),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sh = sh.cache()
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+    sh2 = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh2.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh2.alias("l")
+        .join(sh2.alias("r"), "shingle")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,79 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting. All native Catalyst
+expressions (regexp counts / length ratios) so they stay in
+whole-stage codegen across a 100 TB scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import tokenize_col
+
+# marker stopwords per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def _count_word(c: Column, w: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(rf"\b{w}\b"), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str, dest: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language heuristic: argmax of per-language
+    marker-word counts; 'und' (undetermined) when all are zero."""
+    c = F.lower(F.col(text_col))
+    scores = {
+        lang: sum((_count_word(c, w) for w in ws), F.lit(0))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    for lang, sc in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            cond = sc > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, sc).otherwise(best_score)
+    out = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return df.withColumn(dest, out)
+
+
+def token_count(df: DataFrame, text_col: str, dest: str = "n_tokens") -> DataFrame:
+    """Whitespace+code-aware token count (shared canonical tokenizer)."""
+    return df.withColumn(dest, F.size(tokenize_col(F.col(text_col))))
+
+
+def quality_score(df: DataFrame, text_col: str, dest: str = "quality") -> DataFrame:
+    """Composite [0,1] quality heuristic: length band, alpha ratio,
+    punctuation density, mean word length band — the standard cheap
+    pre-filters of pretraining pipelines (C4/Gopher-style rules)."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    words = F.size(F.split(c, r"\s+")).cast("double")
+    mean_wl = n / F.greatest(words, F.lit(1.0))
+    len_ok = F.when((n >= 200) & (n <= 100_000), 1.0).otherwise(0.5)
+    alpha_ratio = alpha / F.greatest(n, F.lit(1.0))
+    punct_ratio = punct / F.greatest(n, F.lit(1.0))
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.5)
+    score = (
+        len_ok * 0.25
+        + F.least(alpha_ratio * 1.25, F.lit(1.0)) * 0.35
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+        + wl_ok * 0.2
+    )
+    return df.withColumn(dest, F.round(score, 6))
+
+
+def fingerprint(df: DataFrame, text_col: str, dest: str = "fingerprint") -> DataFrame:
+    """Normalization-stable document fingerprint: md5 of the lowercased
+    token stream (whitespace/punct/case-insensitive dedup key)."""
+    norm = F.array_join(tokenize_col(F.col(text_col)), " ")
+    return df.withColumn(dest, F.md5(norm))

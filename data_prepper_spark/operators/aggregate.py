@@ -1,0 +1,138 @@
+"""`aggregate` processor actions as native grouped aggregations
+(SURVEY.md §2.5; reference aggregate-processor/.../AggregateProcessor.java:35
+holds per-key in-memory state flushed on a processing-time window —
+in batch the window collapses to a plain groupBy; streaming variants
+live in data_prepper_spark.streaming).
+
+The reference shuffles by identification_keys before aggregating
+(RequiresPeerForwarding, SURVEY.md §2.8); Spark's groupBy does the
+same hash exchange with map-side partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .expression import dp_expr
+
+
+def aggregate_count(
+    df: DataFrame,
+    identification_keys: list[str],
+    count_key: str = "aggr._count",
+    aggregate_when: str | None = None,
+) -> DataFrame:
+    """count action (CountAggregateAction.java:46)."""
+    if aggregate_when:
+        df = df.filter(dp_expr(aggregate_when))
+    return df.groupBy(*identification_keys).agg(
+        F.count("*").alias(count_key.replace(".", "_"))
+    )
+
+
+def aggregate_histogram(
+    df: DataFrame,
+    identification_keys: list[str],
+    key: str,
+    buckets: list[float],
+) -> DataFrame:
+    """histogram action (HistogramAggregateAction.java:47): explicit
+    bucket boundaries; emits per-group bucket counts + min/max/sum/count.
+    Bucket id = number of boundaries <= value (0 = underflow)."""
+    c = F.col(key)
+    bucket = sum(
+        (F.when(c >= F.lit(b), 1).otherwise(0) for b in buckets),
+        F.lit(0),
+    )
+    per_bucket = (
+        df.withColumn("bucket", bucket)
+        .groupBy(*identification_keys, "bucket")
+        .agg(
+            F.count("*").alias("bucket_count"),
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
+            F.sum(c).alias("sum_value"),
+        )
+    )
+    return per_bucket
+
+
+def aggregate_put_all(
+    df: DataFrame, identification_keys: list[str], value_keys: list[str]
+) -> DataFrame:
+    """put_all action (PutAllAggregateAction.java:31): last-write-wins
+    merge of all events' fields per key. Batch semantics: last non-null
+    value per column (reference merges in arrival order; we define
+    arrival order = max to stay deterministic for the oracle)."""
+    return df.groupBy(*identification_keys).agg(
+        *[F.max(k).alias(k) for k in value_keys]
+    )
+
+
+def aggregate_append(
+    df: DataFrame,
+    identification_keys: list[str],
+    value_key: str,
+    sort: bool = True,
+) -> DataFrame:
+    """append action (AppendAggregateAction.java:37): values -> list per
+    key. `sort=True` makes the list deterministic across partitionings
+    (the reference preserves arrival order, which a parallel engine
+    cannot reproduce; sorted is the canonical form)."""
+    lst = F.collect_list(value_key)
+    if sort:
+        lst = F.sort_array(lst)
+    return df.groupBy(*identification_keys).agg(lst.alias(f"{value_key}_list"))
+
+
+def remove_duplicates(
+    df: DataFrame, identification_keys: list[str], order_by: str | None = None
+) -> DataFrame:
+    """remove_duplicates action (RemoveDuplicatesAggregateAction.java:26):
+    keep the first event per key. Batch determinism: "first" = lowest
+    order_by value (required; arrival order is not defined in a
+    distributed batch)."""
+    if order_by is None:
+        return df.dropDuplicates(identification_keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*identification_keys).orderBy(F.col(order_by))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def percent_sampler(
+    df: DataFrame, percent: float, hash_cols: list[str]
+) -> DataFrame:
+    """percent_sampler action (PercentSamplerAggregateAction.java:25):
+    deterministic hash sampling (stable across runs/parallelism, unlike
+    df.sample) — pass only ~percent% of events."""
+    h = F.pmod(F.xxhash64(*hash_cols), F.lit(10_000))
+    return df.filter(h < F.lit(int(percent * 100)))
+
+
+def tail_sampler(
+    df: DataFrame,
+    trace_key: str,
+    error_condition: str,
+    percent: float,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """tail_sampler action (TailSamplerAggregateAction.java:35): keep
+    ALL events of a trace if any event in it matches the error
+    condition; otherwise keep the trace with probability percent%
+    (deterministic by trace hash). Batch form of the reference's
+    wait-period buffering."""
+    err = (
+        df.groupBy(trace_key)
+        .agg(F.max(F.when(dp_expr(error_condition), 1).otherwise(0)).alias("_err"))
+    )
+    sampled = F.pmod(F.xxhash64(trace_key), F.lit(10_000)) < F.lit(
+        int(percent * 100)
+    )
+    keep = err.filter((F.col("_err") == 1) | sampled).select(trace_key)
+    return df.join(F.broadcast(keep), trace_key, "left_semi")

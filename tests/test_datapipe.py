@@ -1,0 +1,136 @@
+"""Training-data-pipeline ops: dedup / similarity / textstats /
+multimodal — in-repo exactness checks for what the SQL oracle can't
+express (LSH internals, hash signatures)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from data_prepper_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_prepper_spark.datapipe.multimodal import (
+    extract_features,
+    frame_sample,
+    synthesize_media,
+)
+from data_prepper_spark.datapipe.similarity import ann_lsh_topk, cosine_topk
+from data_prepper_spark.tokenizer import tokenize_series
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, t string"
+    )
+    out = exact_dedup(df, "t", "id")
+    assert {r.id for r in out.collect()} == {1, 3}
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two near-identical docs (one token changed) + one unrelated
+    a = " ".join(f"tok{i}" for i in range(200))
+    b = " ".join(f"tok{i}" if i != 100 else "CHANGED" for i in range(200))
+    c = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_perm=64, bands=16, shingle=5, threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] > 0.8
+    assert (1, 3) not in got and (2, 3) not in got
+
+    # estimated jaccard within 0.15 of exact shingle jaccard
+    def shset(t):
+        toks = tokenize_series(pd.Series([t]))[0]
+        return {tuple(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    exact = len(shset(a) & shset(b)) / len(shset(a) | shset(b))
+    assert abs(got[(1, 2)] - exact) < 0.15
+
+
+def test_simhash_flags_near_dups(spark):
+    a = " ".join(f"tok{i}" for i in range(200))
+    b = " ".join(f"tok{i}" if i != 100 else "CHANGED" for i in range(200))
+    c = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in ids and (1, 3) not in ids
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.1, max_shingle_df=10**9
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert got == {(1, 2): pytest.approx(3 / 5)}
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = cosine_topk(emb, q, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in [0, 1]:
+        qv = Mn[ids == qid][0]
+        cos = Mn @ qv
+        order = np.lexsort((ids, -cos))[:5]
+        want_ids = ids[order]
+        got_q = got[got.query_id == qid].sort_values("rank")
+        assert got_q.vec_id.tolist() == want_ids.tolist()
+        assert np.allclose(got_q.cosine.to_numpy(), cos[order], atol=1e-9)
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ann_lsh_topk(emb, q, k=5, nbits=4).toPandas()
+    # recall@5 over 10 queries should be decent for 4-bit LSH (16 buckets)
+    hits = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        hits += len(e & a) / 5
+    assert hits / 10 > 0.5
+    # the query vector itself always collides with its own bucket
+    self_hits = approx[(approx["rank"] == 1)]
+    assert (self_hits.vec_id == self_hits.query_id).all()
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats.feature)
+    assert (feats.n_bytes == 64).all()  # sha256 hex payload
+    # feature is a normalized histogram
+    assert np.allclose([sum(f) for f in feats.feature], 1.0, atol=1e-5)
+    frames = frame_sample(media, every_ms=1000).toPandas()
+    assert (frames.frame_ts_ms % 1000 == 0).all()
+    assert len(frames) > len(feats[feats.kind == "video"])

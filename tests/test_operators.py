@@ -1,0 +1,185 @@
+"""Operator-layer unit tests (reference processor parity shapes)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_prepper_spark.operators import dp_expr, translate_expr
+from data_prepper_spark.operators.aggregate import (
+    aggregate_histogram,
+    remove_duplicates,
+)
+from data_prepper_spark.operators.enrich import translate, translate_regex
+from data_prepper_spark.operators.mutate import (
+    add_entries,
+    convert_type,
+    flatten,
+    list_to_map,
+    split_event,
+    wrap_entries,
+)
+from data_prepper_spark.operators.parse import (
+    COMMON_APACHE_LOG,
+    date_parse,
+    detect_format,
+    dissect,
+    grok,
+    key_value,
+)
+from data_prepper_spark.operators.route import apply_routes, drop_events
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(
+        [
+            (1, "error", 200.0, '{"k": 1}'),
+            (2, "click", 50.0, '{"k": 2}'),
+            (3, "view", 180.0, '{"k": 3}'),
+            (4, "click", 10.0, '{"k": 4}'),
+        ],
+        "event_id long, event_type string, value double, props string",
+    )
+
+
+def test_translate_expr_strings():
+    assert translate_expr('/a/b == "x"') == "a.b == 'x'"
+    assert translate_expr("/v > 10 and /t != null") == "v > 10 and t != null"
+    assert "RLIKE" in translate_expr('/name =~ "^ab.*"')
+    assert translate_expr('/t in {"a", "b"}') == "t in ('a', 'b')"
+    assert "array_contains(_tags, 'x')" in translate_expr('hasTags("x")')
+
+
+def test_dp_expr_evaluates(ev):
+    got = ev.filter(dp_expr('/value > 100.0 and /event_type != "error"'))
+    assert {r.event_id for r in got.collect()} == {3}
+
+
+def test_routes_copy_and_default(ev):
+    routes = apply_routes(
+        ev, {"err": '/event_type == "error"', "big": "/value > 100.0"}
+    )
+    assert {r.event_id for r in routes["err"].collect()} == {1}
+    # event 1 matches BOTH routes -> copied to each (reference
+    # RouterCopyRecordStrategy semantics)
+    assert {r.event_id for r in routes["big"].collect()} == {1, 3}
+    assert {r.event_id for r in routes["_default"].collect()} == {2, 4}
+
+
+def test_drop_events(ev):
+    assert drop_events(ev, '/event_type == "click"').count() == 2
+
+
+def test_grok_apache(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+                '"GET /apache_pb.gif HTTP/1.0" 200 2326',
+            )
+        ],
+        "log string",
+    )
+    out = grok(df, "log", COMMON_APACHE_LOG).collect()[0]
+    assert out.clientip == "127.0.0.1"
+    assert out.verb == "GET"
+    assert out.request == "/apache_pb.gif"
+    assert out.response == "200"
+    assert out.bytes == "2326"
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame([("alice-42@host",)], "s string")
+    out = dissect(df, "s", "%{user}-%{id}@%{host}").collect()[0]
+    assert (out.user, out.id, out.host) == ("alice", "42", "host")
+
+
+def test_key_value_and_detect_format(spark):
+    df = spark.createDataFrame([("a=1&b=2",), ('{"x":1}',)], "msg string")
+    kv = key_value(df, "msg", dest="m").collect()[0]
+    assert kv.m == {"a": "1", "b": "2"}
+    fmts = [r.detected_format for r in detect_format(df, "msg").collect()]
+    assert fmts == ["keyvalue", "json"]
+
+
+def test_date_parse_multi_pattern(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:00",), ("1709287200",)], "t string"
+    )
+    out = date_parse(df, "t", ["yyyy-MM-dd HH:mm:ss", "epoch_second"])
+    vals = [r["@timestamp"] for r in out.collect()]
+    assert all(v is not None for v in vals)
+    assert vals[0].year == 2024 and vals[1].year == 2024
+
+
+def test_add_entries_format_and_expression(ev):
+    out = add_entries(
+        ev,
+        [
+            {"key": "tag", "value": "fixed"},
+            {"key": "label", "format": "${event_type}-${event_id}"},
+            {"key": "double_val", "value_expression": "/value * 2"},
+        ],
+    ).collect()[0]
+    assert out.tag == "fixed"
+    assert out.label == "error-1"
+    assert out.double_val == 400.0
+
+
+def test_convert_type_failure_tags(spark):
+    df = spark.createDataFrame([("12",), ("oops",)], "v string")
+    out = convert_type(df, "v", "integer", tags_on_failure=["cast_fail"])
+    rows = out.collect()
+    assert rows[0].v == 12 and rows[0]._tags == []
+    assert rows[1].v is None and rows[1]._tags == ["cast_fail"]
+
+
+def test_wrap_flatten_roundtrip(ev):
+    wrapped = wrap_entries(ev, ["event_type", "value"], "payload")
+    assert "payload" in wrapped.columns and "value" not in wrapped.columns
+    flat = flatten(wrapped, "payload")
+    assert set(flat.columns) == set(ev.columns)
+
+
+def test_list_to_map(spark):
+    df = spark.createDataFrame(
+        [([{"k": "a", "v": "1"}, {"k": "b", "v": "2"}],)],
+        "lst array<struct<k string, v string>>",
+    )
+    out = list_to_map(df, "lst", "k", "v", "m").collect()[0]
+    assert out.m == {"a": "1", "b": "2"}
+
+
+def test_split_event_multiplies_rows(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "x y")], "id long, s string")
+    out = split_event(df, "s", r"\s+")
+    assert out.count() == 5
+
+
+def test_translate_with_default(ev):
+    out = translate(ev, "event_type", "label", {"click": "c"}, default="d")
+    got = {r.event_id: r.label for r in out.collect()}
+    assert got == {1: "d", 2: "c", 3: "d", 4: "c"}
+
+
+def test_translate_regex_first_match(spark):
+    df = spark.createDataFrame([("abc",), ("axc",), ("zzz",)], "s string")
+    out = translate_regex(
+        df, "s", "m", [("^a.c$", "A"), ("^z", "Z")], default="-"
+    )
+    assert [r.m for r in out.collect()] == ["A", "A", "Z"]
+
+
+def test_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 15.0), ("g", 25.0), ("g", 45.0)], "k string, v double"
+    )
+    out = aggregate_histogram(df, ["k"], "v", [10.0, 20.0, 30.0, 40.0])
+    got = {r.bucket: r.bucket_count for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 4: 1}
+
+
+def test_remove_duplicates_deterministic(ev):
+    df2 = ev.union(ev)
+    out = remove_duplicates(df2, ["event_type"], order_by="event_id")
+    got = {r.event_type: r.event_id for r in out.collect()}
+    assert got == {"error": 1, "click": 2, "view": 3}
