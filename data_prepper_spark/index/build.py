@@ -52,7 +52,10 @@ from .codec import encode_block_docs, varbyte_encode
 K1 = 1.2
 B = 0.75
 
-TOKENS_SCHEMA = "unit string, doc_id long, term string, tf int, dl int"
+TOKENS_SCHEMA = (
+    "unit string, doc_id long, term string, tf int, dl int, "
+    "err string, repo string, path string, commit string"
+)
 BLOCKS_SCHEMA = (
     "term string, bucket int, min_doc long, max_doc long, n int, "
     "docs binary, tfs binary, dls binary, max_tf int, block_max double"
@@ -84,18 +87,56 @@ def _unit_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def _tokenize_batches(it):
-    """mapInPandas: (unit, doc_id, content) -> (unit, doc_id, term, tf, dl).
+_OUT_COLS = ["unit", "doc_id", "term", "tf", "dl", "err", "repo", "path", "commit"]
 
-    Emits one sentinel row per doc (term NULL, tf 0) so empty docs still
-    reach the docs table (they count in N / avgdl). All steps are
-    vectorized pandas/numpy — no per-row Python (input_hint mandate).
+
+def _tokenize_batches(it):
+    """mapInPandas: validate + tokenize in ONE corpus pass.
+
+    Input batches carry (unit, doc_id, repo, path, commit, content,
+    content_sha256). Per row the sha256 invariant is asserted (the
+    reference's end-to-end durability contract, SURVEY.md §2.10);
+    failures emit a quarantine row (term NULL, tf -1, err set) instead
+    of token rows. Valid docs emit (term, tf, dl) rows plus one
+    sentinel row (term NULL, tf 0) so empty docs still reach the docs
+    table (they count in N / avgdl).
+
+    Tokenize/count paths are vectorized pandas/numpy; the only per-row
+    call is hashlib.sha256, whose cost IS the hashing (C code), not
+    Python logic.
     """
+    import hashlib
+
     for pdf in it:
-        toks = tokenize_series(pdf["content"])
-        dl = toks.map(len).to_numpy(dtype=np.int64)
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        units = pdf["unit"].to_numpy(dtype=object)
+        content = pdf["content"]
+        sha = [
+            hashlib.sha256(c.encode()).hexdigest() if c is not None else None
+            for c in content
+        ]
+        ok = pd.Series(sha, index=pdf.index).eq(pdf["content_sha256"]) & content.notna()
+
+        bad = pdf[~ok]
+        quar = pd.DataFrame(
+            {
+                "unit": bad["unit"],
+                "doc_id": bad["doc_id"],
+                "term": None,
+                "tf": -1,
+                "dl": 0,
+                "err": np.where(
+                    bad["content"].isna(), "content is null", "content sha256 mismatch"
+                ),
+                "repo": bad["repo"],
+                "path": bad["path"],
+                "commit": bad["commit"],
+            }
+        )
+
+        good = pdf[ok]
+        toks = tokenize_series(good["content"])
+        dl = toks.map(len).to_numpy(dtype=np.int64) if len(good) else np.zeros(0, np.int64)
+        doc_ids = good["doc_id"].to_numpy(dtype=np.int64)
+        units = good["unit"].to_numpy(dtype=object)
         rep_doc = np.repeat(doc_ids, dl)
         rep_unit = np.repeat(units, dl)
         terms = (
@@ -110,14 +151,17 @@ def _tokenize_batches(it):
             .rename("tf")
             .reset_index()
         )
-        dl_map = pd.DataFrame(
-            {"doc_id": doc_ids, "dl": dl, "unit": units}
-        )
+        dl_map = pd.DataFrame({"doc_id": doc_ids, "dl": dl, "unit": units})
         tf = tf.merge(dl_map[["doc_id", "dl"]], on="doc_id", how="left")
-        sentinel = dl_map.assign(term=None, tf=0)
+        tf["err"] = None
+        tf["repo"] = None
+        tf["path"] = None
+        tf["commit"] = None
+        sentinel = dl_map.assign(
+            term=None, tf=0, err=None, repo=None, path=None, commit=None
+        )
         out = pd.concat(
-            [tf[["unit", "doc_id", "term", "tf", "dl"]],
-             sentinel[["unit", "doc_id", "term", "tf", "dl"]]],
+            [tf[_OUT_COLS], sentinel[_OUT_COLS], quar[_OUT_COLS]],
             ignore_index=True,
         )
         out["tf"] = out["tf"].astype("int32")
@@ -163,69 +207,61 @@ def run_tokenize_stage(
         "unit",
         F.regexp_extract(F.input_file_name(), r"([^/]+)\.parquet$", 1),
     )
-    # spread each file's rows across all cores: tokenization dominates,
-    # the extra exchange is cheap relative to the pandas UDF stage
-    df = df.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
-    computed = F.sha2(F.col("content"), 256)
-    ok = F.col("content").isNotNull() & (computed == F.col("content_sha256"))
-
-    # DLQ: failure-metadata columns mirror the reference's
-    # _failure_metadata {pluginId, pluginName, pipelineName, errorMessage}
-    # (reference model/event/JacksonEvent.java:66-94)
-    quarantine = (
-        df.filter(~ok)
-        .select(
-            "unit", "repo", "path", "commit",
-            F.lit("sha256_validator").alias("plugin_name"),
-            F.lit("index-build").alias("pipeline_name"),
-            F.when(F.col("content").isNull(), "content is null")
-            .otherwise("content sha256 mismatch")
-            .alias("error_message"),
-        )
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        quarantine.write.mode("overwrite")
-        .partitionBy("unit")
-        .parquet(os.path.join(index_dir, "quarantine"))
-    )
-
-    valid = df.filter(ok).select(
+    # NO repartition here: spark.sql.files.maxPartitionBytes (32 MB) gives
+    # the scan enough splits for full-core tokenize parallelism without
+    # shuffling gigabytes of raw content, and each task holds rows of a
+    # single unit so the partitionBy(unit) write does not fan out.
+    # Validation + tokenization happen in ONE pass over the corpus (the
+    # UDF asserts the per-row sha256 invariant and emits quarantine rows
+    # inline); the quarantine table is then derived from the written
+    # tokens with a cheap columnar read.
+    src = df.select(
         "unit",
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
-        "content",
+        "repo", "path", "commit", "content", "content_sha256",
     )
-    tokens = valid.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+    tokens = src.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         tokens.write.mode("overwrite")
         .partitionBy("unit")
         .parquet(os.path.join(index_dir, "tokens"))
     )
 
+    # DLQ: failure-metadata columns mirror the reference's
+    # _failure_metadata {pluginId, pluginName, pipelineName, errorMessage}
+    # (reference model/event/JacksonEvent.java:66-94)
+    written = spark.read.parquet(os.path.join(index_dir, "tokens")).filter(
+        F.col("unit").isin([_unit_id(u) for u in pending])
+    )
+    quarantine = written.filter(F.col("err").isNotNull()).select(
+        "unit", "repo", "path", "commit",
+        F.lit("sha256_validator").alias("plugin_name"),
+        F.lit("index-build").alias("pipeline_name"),
+        F.col("err").alias("error_message"),
+    )
+    (
+        quarantine.write.mode("overwrite")
+        .partitionBy("unit")
+        .parquet(os.path.join(index_dir, "quarantine"))
+    )
+
     # per-unit metrics from the written output (columnar count read)
     out_stats = (
-        spark.read.parquet(os.path.join(index_dir, "tokens"))
-        .filter(F.col("unit").isin([_unit_id(u) for u in pending]))
-        .groupBy("unit")
+        written.groupBy("unit")
         .agg(
-            F.count("*").alias("rows_out"),
-            F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).alias("n_docs"),
+            F.sum(F.when(F.col("err").isNull(), 1).otherwise(0)).alias("rows_out"),
+            F.sum(
+                F.when(F.col("term").isNull() & (F.col("tf") == 0), 1).otherwise(0)
+            ).alias("n_docs"),
+            F.sum(F.when(F.col("err").isNotNull(), 1).otherwise(0)).alias("nq"),
         )
         .collect()
     )
-    q_stats = {
-        r["unit"]: r["n"]
-        for r in read_quarantine(spark, index_dir)
-        .groupBy("unit")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
     rows = []
     for r in out_stats:
         uid = r["unit"]
-        nq = int(q_stats.get(uid, 0))
+        nq = int(r["nq"])
         rows.append(
             mf.make_row(
                 uid,
@@ -305,7 +341,10 @@ def run_index_stage(
     started = time.time()
 
     tokens = spark.read.parquet(os.path.join(index_dir, "tokens"))
-    docs = tokens.filter(F.col("term").isNull()).select("doc_id", "dl")
+    # sentinel doc rows (tf == 0); quarantine rows (tf == -1) excluded
+    docs = tokens.filter(
+        F.col("term").isNull() & (F.col("tf") == 0)
+    ).select("doc_id", "dl")
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     agg = docs.agg(
