@@ -82,8 +82,12 @@ def main():
     if "--scaling" in sys.argv:
         out = {}
         for n in (8, 32):
+            # identical shuffle layout at both parallelism levels (AQE
+            # coalesces at runtime) so the comparison isolates cores
             spark = get_spark(
-                app_name=f"bench_scaling_{n}", master=f"local[{n}]"
+                app_name=f"bench_scaling_{n}",
+                master=f"local[{n}]",
+                shuffle_partitions=64,
             )
             out[f"local[{n}]"] = run_build_and_query(spark, sf, f"scal{n}")
             spark.stop()

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..tokenizer import tokenize_series
 from . import manifest as mf
-from .codec import encode_block_docs, varbyte_encode
+from .codec import to_unsigned, varbyte_encode
 
 K1 = 1.2
 B = 0.75
@@ -278,43 +278,100 @@ def run_tokenize_stage(
     return [_unit_id(u) for u in pending]
 
 
+def _encode_chunk(
+    pdf: pd.DataFrame, k1: float, b: float, block: int, avgdl: float
+) -> pd.DataFrame:
+    """Encode posting blocks for a chunk of rows ALREADY SORTED by
+    (term, salt, doc_id). Vectorized across all groups at once: group
+    boundaries via neighbor comparison, per-block varbyte via one
+    encode pass + byte-offset slicing (no per-group pandas overhead).
+    """
+    n = len(pdf)
+    term = pdf["term"].to_numpy(dtype=object)
+    salt = pdf["salt"].to_numpy(np.int64)
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    bucket = pdf["bucket"].to_numpy(np.int64)
+
+    new_group = np.ones(n, dtype=bool)
+    if n > 1:
+        new_group[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    gid = np.cumsum(new_group) - 1
+    gstart = np.flatnonzero(new_group)
+    pos_in_group = np.arange(n) - gstart[gid]
+    # block boundary: every `block` postings within a group
+    new_block = new_group | (pos_in_group % block == 0)
+    bid = np.cumsum(new_block) - 1
+    bstart = np.flatnonzero(new_block)
+    bend = np.concatenate([bstart[1:], [n]])
+    nb = len(bstart)
+
+    u = to_unsigned(doc)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = u[0]
+    deltas[1:] = u[1:] - u[:-1]
+    deltas[bstart] = u[bstart]  # each block encodes independently
+
+    impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    block_max = np.maximum.reduceat(impact, bstart)
+    max_tf = np.maximum.reduceat(tf, bstart)
+
+    def _sliced(values: np.ndarray) -> list[bytes]:
+        buf = varbyte_encode(values)
+        nbytes = np.ones(n, dtype=np.int64)
+        for k in range(1, 10):
+            nbytes += values >= (np.uint64(1) << np.uint64(7 * k))
+        ends = np.cumsum(nbytes)
+        byte_end = ends[bend - 1]
+        byte_start = np.concatenate([[0], byte_end[:-1]])
+        return [buf[s:e] for s, e in zip(byte_start, byte_end)]
+
+    return pd.DataFrame(
+        {
+            "term": term[bstart],
+            "bucket": bucket[bstart].astype(np.int32),
+            "min_doc": doc[bstart],
+            "max_doc": doc[bend - 1],
+            "n": (bend - bstart).astype(np.int32),
+            "docs": _sliced(deltas),
+            "tfs": _sliced(tf.astype(np.uint64)),
+            "dls": _sliced(dl.astype(np.uint64)),
+            "max_tf": max_tf.astype(np.int32),
+            "block_max": block_max,
+        }
+    )
+
+
 def _make_block_builder(cfg: BuildConfig, avgdl: float):
+    """mapInPandas over partitions sorted by (term, salt, doc_id).
+
+    A (term, salt) group may span Arrow batches; the trailing
+    (possibly incomplete) group of each batch is carried into the next
+    so every group is encoded exactly once, whole."""
     k1, b, block = cfg.k1, cfg.b, cfg.block_size
 
-    def build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tf = pdf["tf"].to_numpy(dtype=np.int64)
-        dl = pdf["dl"].to_numpy(dtype=np.int64)
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        impact = (
-            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        )
-        out = []
-        for s in range(0, len(doc), block):
-            e = min(s + block, len(doc))
-            out.append(
-                (
-                    term,
-                    bucket,
-                    int(doc[s]),
-                    int(doc[e - 1]),
-                    e - s,
-                    encode_block_docs(doc[s:e]),
-                    varbyte_encode(tf[s:e].astype(np.uint64)),
-                    varbyte_encode(dl[s:e].astype(np.uint64)),
-                    int(tf[s:e].max()),
-                    float(impact[s:e].max()),
-                )
-            )
-        return pd.DataFrame(
-            out,
-            columns=[
-                "term", "bucket", "min_doc", "max_doc", "n",
-                "docs", "tfs", "dls", "max_tf", "block_max",
-            ],
-        )
+    def build_blocks(it):
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_salt = pdf["salt"].iloc[-1]
+            tail = (
+                (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            ).to_numpy()
+            # trailing run of the last group (rows are group-contiguous)
+            rev = tail[::-1]
+            tail_len = len(rev) if rev.all() else int(rev.argmin())
+            head = pdf.iloc[: len(pdf) - tail_len]
+            carry = pdf.iloc[len(pdf) - tail_len :]
+            if len(head):
+                yield _encode_chunk(head, k1, b, block, avgdl)
+        if carry is not None and len(carry):
+            yield _encode_chunk(carry, k1, b, block, avgdl)
 
     return build_blocks
 
@@ -384,8 +441,15 @@ def run_index_stage(
         )
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
     )
-    blocks = tok2.groupBy("term", "salt").applyInPandas(
-        _make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA
+    # ONE shuffle: hash-exchange on (term, salt), sort runs inside each
+    # partition, then a batch-vectorized mapInPandas encodes posting
+    # blocks for every group in the partition (no per-group overhead)
+    blocks = (
+        tok2.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "term", "salt"
+        )
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(_make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA)
     )
     (
         blocks.repartition(cfg.n_buckets, "bucket")

@@ -130,8 +130,11 @@ def dissect(df: DataFrame, source: str, pattern: str) -> DataFrame:
         else:
             regex_parts.append(".*?")
         pos = m.end()
-    regex_parts.append(re.escape(pattern[pos:]))
-    regex = "^" + "".join(regex_parts) + "$"
+    # prefix-match semantics: anchor the end only when the pattern ends
+    # with a field (which then captures the rest of the line)
+    trailing = pattern[pos:]
+    regex_parts.append(re.escape(trailing))
+    regex = "^" + "".join(regex_parts) + ("$" if not trailing else "")
     for i, name in enumerate(names, start=1):
         df = df.withColumn(name, F.regexp_extract(F.col(source), regex, i))
     return df

@@ -1,0 +1,282 @@
+"""Pipeline YAML -> composed DataFrame job (the reference's "query
+compiler", SURVEY.md §3.1).
+
+The reference parses pipeline YAML into PipelinesDataFlowModel, builds
+Source -> Buffer -> Processor* -> Router -> Sink+ object graphs, and
+chains pipelines through PipelineConnector
+(data-prepper-pipeline-parser/.../PipelinesDataflowModelParser.java:26-61,
+core/parser/PipelineTransformer.java:143-252, :349-382). Here the same
+YAML shape compiles to chained DataFrame transforms:
+
+    my-pipeline:
+      source:
+        parquet: { path: /data/in }
+      processor:
+        - grok: { source: log, pattern: "%{IP:clientip} ..." }
+        - add_entries: { entries: [{key: tag, value: x}] }
+        - drop_events: { drop_when: '/response == "404"' }
+      route:
+        errors: '/response =~ "^5"'
+      sink:
+        - parquet: { path: /data/out, routes: [errors] }
+
+    second-pipeline:
+      source: { pipeline: my-pipeline }   # PipelineConnector analog
+      ...
+
+No buffer section: Spark's exchange/scheduler is the buffer (SURVEY.md
+§2.3). `workers`/`batch_size` tuning keys are accepted and ignored
+(parallelism comes from partitioning).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import aggregate as agg_ops
+from .operators import codec_ops, enrich, mutate, parse
+from .operators.route import apply_routes, drop_events
+
+# processor name -> adapter(df, config) -> df
+# names match the reference's registered plugin names (SURVEY.md §2.4)
+PROCESSORS: dict[str, Any] = {
+    "grok": lambda df, c: parse.grok(df, c["source"], c["pattern"]),
+    "dissect": lambda df, c: parse.dissect(df, c["source"], c["pattern"]),
+    "key_value": lambda df, c: parse.key_value(
+        df,
+        c["source"],
+        c.get("destination", "parsed"),
+        c.get("field_split_characters", "&"),
+        c.get("value_split_characters", "="),
+    ),
+    "csv": lambda df, c: parse.csv_parse(
+        df, c["source"], c["schema"], c.get("destination", "parsed"),
+        c.get("delimiter", ","), c.get("quote_character", '"'),
+    ),
+    "parse_json": lambda df, c: parse.parse_json(
+        df, c["source"], c["schema"], c.get("destination", "parsed")
+    ),
+    "date": lambda df, c: parse.date_parse(
+        df, c["source"], c["match"], c.get("destination", "@timestamp")
+    ),
+    "detect_format": lambda df, c: parse.detect_format(
+        df, c["source"], c.get("destination", "detected_format")
+    ),
+    "add_entries": lambda df, c: mutate.add_entries(df, c["entries"]),
+    "copy_values": lambda df, c: mutate.copy_values(
+        df, [(e["from_key"], e["to_key"]) for e in c["entries"]]
+    ),
+    "rename_keys": lambda df, c: mutate.rename_keys(
+        df, {e["from_key"]: e["to_key"] for e in c["entries"]}
+    ),
+    "delete_entries": lambda df, c: mutate.delete_entries(df, c["with_keys"]),
+    "select_entries": lambda df, c: mutate.select_entries(df, c["include_keys"]),
+    "convert_type": lambda df, c: mutate.convert_type(
+        df, c["key"], c["type"], c.get("scale"), c.get("tags_on_failure")
+    ),
+    "uppercase_string": lambda df, c: mutate.uppercase_string(df, c["with_keys"]),
+    "lowercase_string": lambda df, c: mutate.lowercase_string(df, c["with_keys"]),
+    "trim_string": lambda df, c: mutate.trim_string(df, c["with_keys"]),
+    "split_string": lambda df, c: _split_many(df, c["entries"]),
+    "substitute_string": lambda df, c: _subst_many(df, c["entries"]),
+    "replace_string": lambda df, c: _replace_many(df, c["entries"]),
+    "truncate": lambda df, c: mutate.truncate(
+        df, c["source"], c.get("start_at", 0), c.get("length")
+    ),
+    "obfuscate": lambda df, c: mutate.obfuscate(
+        df, c["source"], c.get("action", "mask"), c.get("pattern"),
+        c.get("salt", ""), c.get("bits", 512),
+    ),
+    "flatten": lambda df, c: mutate.flatten(df, c["source"]),
+    "write_json": lambda df, c: mutate.write_json(
+        df, c["source"], c.get("target", c["source"] + "_json")
+    ),
+    "split_event": lambda df, c: mutate.split_event(
+        df, c["field"], c.get("delimiter_regex", c.get("delimiter", " "))
+    ),
+    "drop_events": lambda df, c: drop_events(df, c["drop_when"]),
+    "translate": lambda df, c: enrich.translate(
+        df, c["source"], c["target"], c["map"], c.get("default")
+    ),
+    "aggregate_count": lambda df, c: agg_ops.aggregate_count(
+        df, c["identification_keys"], c.get("count_key", "count"),
+        c.get("aggregate_when"),
+    ),
+    "remove_duplicates": lambda df, c: agg_ops.remove_duplicates(
+        df, c["identification_keys"], c.get("order_by")
+    ),
+    "decompress": lambda df, c: codec_ops.decompress(
+        df, c["source"], c.get("destination")
+    ),
+    "user_agent": lambda df, c: codec_ops.user_agent(
+        df, c["source"], c.get("destination", "user_agent")
+    ),
+}
+
+
+def _split_many(df, entries):
+    for e in entries:
+        df = mutate.split_string(df, e["source"], e["delimiter"])
+    return df
+
+
+def _subst_many(df, entries):
+    for e in entries:
+        df = mutate.substitute_string(df, e["source"], e["from"], e["to"])
+    return df
+
+
+def _replace_many(df, entries):
+    for e in entries:
+        df = mutate.replace_string(df, e["source"], e["from"], e["to"])
+    return df
+
+
+class PipelineResult:
+    """What each sink received (DataFrames are lazy until written)."""
+
+    def __init__(self):
+        self.sinks: list[tuple[str, DataFrame]] = []
+        self.output: DataFrame | None = None  # feed for downstream pipelines
+
+
+def _load_source(spark: SparkSession, src: dict, upstream: dict[str, PipelineResult]) -> DataFrame:
+    if "pipeline" in src:
+        name = src["pipeline"] if isinstance(src["pipeline"], str) else src["pipeline"]["name"]
+        if name not in upstream:
+            raise ValueError(f"upstream pipeline {name!r} not built yet")
+        return upstream[name].output
+    if "parquet" in src:
+        return spark.read.parquet(src["parquet"]["path"])
+    if "json" in src:
+        cfg = src["json"]
+        reader = spark.read
+        if "schema" in cfg:
+            reader = reader.schema(cfg["schema"])
+        return reader.json(cfg["path"])
+    if "csv" in src:
+        cfg = src["csv"]
+        return spark.read.csv(cfg["path"], header=cfg.get("header", True))
+    if "log_generator" in src:
+        cfg = src["log_generator"] or {}
+        return apache_log_generator(spark, int(cfg.get("count", 1000)))
+    raise ValueError(f"unsupported source {list(src)}")
+
+
+def apache_log_generator(spark: SparkSession, count: int) -> DataFrame:
+    """Deterministic Apache-common-log generator (the reference's
+    log_generator source / ApacheLogFaker.java:16) — pure SQL, no UDF."""
+    from pyspark.sql import functions as F
+
+    ips = F.concat(
+        F.lit("10."), (F.col("id") % 250).cast("string"),
+        F.lit("."), (F.col("id") * 7 % 250).cast("string"),
+        F.lit("."), (F.col("id") * 13 % 250).cast("string"),
+    )
+    users = F.element_at(
+        F.array(F.lit("alice"), F.lit("bob"), F.lit("carol"), F.lit("-")),
+        (F.col("id") % 4 + 1).cast("int"),
+    )
+    verbs = F.element_at(
+        F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"), F.lit("DELETE")),
+        (F.col("id") % 4 + 1).cast("int"),
+    )
+    paths = F.concat(F.lit("/page/"), (F.col("id") % 97).cast("string"))
+    codes = F.element_at(
+        F.array(F.lit("200"), F.lit("200"), F.lit("404"), F.lit("500")),
+        (F.col("id") % 4 + 1).cast("int"),
+    )
+    ts = F.date_format(
+        F.timestamp_seconds(F.lit(946684800) + F.col("id") * 60),
+        "dd/MMM/yyyy:HH:mm:ss Z",
+    )
+    return spark.range(count).select(
+        F.concat(
+            ips, F.lit(" - "), users, F.lit(" ["), ts, F.lit('] "'),
+            verbs, F.lit(" "), paths, F.lit(' HTTP/1.0" '), codes,
+            F.lit(" "), (F.col("id") % 5000 + 100).cast("string"),
+        ).alias("log")
+    )
+
+
+def _write_sink(sink_cfg: dict, df: DataFrame) -> None:
+    if "parquet" in sink_cfg:
+        cfg = sink_cfg["parquet"]
+        w = df.write.mode(cfg.get("mode", "overwrite"))
+        if cfg.get("partition_by"):
+            w = w.partitionBy(*cfg["partition_by"])
+        w.parquet(cfg["path"])
+    elif "json" in sink_cfg:
+        df.write.mode("overwrite").json(sink_cfg["json"]["path"])
+    elif "stdout" in sink_cfg:
+        df.show(int(sink_cfg["stdout"].get("rows", 20)) if sink_cfg["stdout"] else 20)
+    elif "noop" in sink_cfg:
+        pass
+    else:
+        raise ValueError(f"unsupported sink {list(sink_cfg)}")
+
+
+def build_pipelines(
+    spark: SparkSession, config: dict | str, execute_sinks: bool = True
+) -> dict[str, PipelineResult]:
+    """Compile (and optionally execute) a multi-pipeline YAML config.
+
+    Returns per-pipeline results with the routed DataFrame each sink
+    received. Pipelines are topologically ordered by their
+    `source.pipeline` references (the reference builds connectors the
+    same way, PipelineTransformer.java:349-382)."""
+    if isinstance(config, str):
+        config = yaml.safe_load(config)
+
+    results: dict[str, PipelineResult] = {}
+    pending = dict(config)
+    while pending:
+        progressed = False
+        for name in list(pending):
+            spec = pending[name]
+            src = spec["source"]
+            dep = src.get("pipeline") if isinstance(src, dict) else None
+            if dep is not None:
+                dep_name = dep if isinstance(dep, str) else dep["name"]
+                if dep_name in pending:
+                    continue  # build upstream first
+            df = _load_source(spark, src, results)
+            for proc in spec.get("processor", []) or []:
+                (pname, pcfg), = proc.items()
+                if pname not in PROCESSORS:
+                    raise ValueError(f"unknown processor {pname!r}")
+                df = PROCESSORS[pname](df, pcfg or {})
+            res = PipelineResult()
+            res.output = df
+            routes = spec.get("route") or {}
+            if isinstance(routes, list):  # list of {name: expr}
+                routes = {k: v for d in routes for k, v in d.items()}
+            routed = apply_routes(df, routes) if routes else {}
+            for sink_cfg in spec.get("sink", []) or []:
+                subscribed = sink_cfg.pop("routes", None) if isinstance(sink_cfg, dict) else None
+                if subscribed:
+                    # a sink subscribed to several routes receives the
+                    # union of matching events, deduplicated per event
+                    # copy (reference SinkModel route subscription)
+                    sunk = routed[subscribed[0]]
+                    for r in subscribed[1:]:
+                        sunk = sunk.unionByName(routed[r])
+                    if len(subscribed) > 1:
+                        sunk = sunk.distinct()
+                    res.sinks.append((f"{name}:{'+'.join(subscribed)}", sunk))
+                else:
+                    sunk = df
+                    res.sinks.append((name, sunk))
+                if execute_sinks:
+                    _write_sink(sink_cfg, sunk)
+            results[name] = res
+            del pending[name]
+            progressed = True
+        if not progressed:
+            raise ValueError(
+                f"pipeline cycle or missing upstream among {list(pending)}"
+            )
+    return results

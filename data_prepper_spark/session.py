@@ -53,9 +53,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # small input splits: wide scan parallelism without shuffling raw
-        # content (tokenize is CPU-bound on the scan side)
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # small input splits: wide scan parallelism + good task balance
+        # without shuffling raw content (tokenize is CPU-bound on the
+        # scan side; 8 MB compressed ~= 35 MB of content per task)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,111 @@
+"""Structured-Streaming forms of the reference's stateful semantics
+(SURVEY.md §2.9) + incremental index maintenance.
+
+| reference mechanism                          | here |
+|----------------------------------------------|------|
+| micro-batch read batch_size/read_batch_delay | trigger + maxFilesPerTrigger |
+| aggregate group_duration window              | window() agg + watermark |
+| remove_duplicates keyed state                | dropDuplicatesWithinWatermark |
+| tail/late-data TTL buffering                 | withWatermark allowed lateness |
+| kafka durable buffer                         | checkpointLocation |
+| CDC/iceberg-changelog incremental index      | foreachBatch incremental build |
+
+The reference's windows are all processing-time
+(AggregateProcessor.java:109-126); we expose event-time windows with
+real watermarks — strictly stronger semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.expression import dp_expr
+
+
+def windowed_count(
+    events: DataFrame,
+    time_col: str,
+    keys: list[str],
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    aggregate_when: str | None = None,
+) -> DataFrame:
+    """Streaming `aggregate` count action: per-key tumbling-window
+    counts with late-data handling (the reference's group_duration
+    window, but event-time + watermark instead of processing-time)."""
+    src = events.withWatermark(time_col, watermark)
+    if aggregate_when:
+        src = src.filter(dp_expr(aggregate_when))
+    return src.groupBy(F.window(time_col, window), *keys).agg(
+        F.count("*").alias("count")
+    )
+
+
+def streaming_remove_duplicates(
+    events: DataFrame,
+    keys: list[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming remove_duplicates action: keyed first-wins dedup with
+    bounded state (dropDuplicatesWithinWatermark ~= the reference's
+    in-memory AggregateGroup state + group_duration eviction)."""
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def route_to_sinks(
+    events: DataFrame,
+    routes: dict[str, str],
+    sink_factory,
+):
+    """Streaming router: one filtered writeStream per route (the
+    reference copies events to every matching sink; each branch here
+    re-reads the same source — logical copies).
+
+    sink_factory(name, df) -> DataStreamWriter (caller configures
+    format/checkpoint per sink)."""
+    writers = []
+    for name, expr in routes.items():
+        branch = events.filter(dp_expr(expr))
+        writers.append(sink_factory(name, branch))
+    return writers
+
+
+def incremental_index(
+    spark: SparkSession,
+    corpus_stream: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    cfg=None,
+):
+    """Incremental index maintenance via foreachBatch: every micro-batch
+    becomes one immutable index delta (tokenize -> posting blocks) under
+    index_root/delta=N, committed with the manifest after the batch —
+    the streaming analog of the resumable batch build (a real
+    deployment compacts deltas; queries read the union).
+
+    Mirrors the reference's iceberg-source CDC path (SURVEY.md §2.8)
+    with Spark's exactly-once foreachBatch + checkpointLocation.
+    """
+    from ..index.build import BuildConfig, build_index
+
+    cfg = cfg or BuildConfig(n_buckets=8, hot_group_target=10_000)
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        delta_dir = os.path.join(index_root, f"delta={epoch_id}")
+        staging = os.path.join(delta_dir, "_staging_corpus")
+        batch_df.write.mode("overwrite").parquet(staging)
+        build_index(batch_df.sparkSession, staging, delta_dir, cfg)
+
+    return (
+        corpus_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

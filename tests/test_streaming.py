@@ -1,0 +1,100 @@
+"""Structured-Streaming semantics smoke (SURVEY.md §2.9): windowed
+aggregate action, streaming dedup, router, incremental index via
+foreachBatch — driven synchronously with availableNow/memory sinks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.streaming.pipeline import (
+    incremental_index,
+    streaming_remove_duplicates,
+    windowed_count,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    p = str(tmp_path / "stream_in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.parquet(p)
+    return spark.readStream.schema(SCHEMA).parquet(p)
+
+
+def _run(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_count(spark, stream_src):
+    agg = windowed_count(
+        stream_src, "ts", ["event_type"], window="1 hour", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wc").toPandas()
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert len(got) == want
+    assert got["count"].sum() == 1000
+
+
+def test_streaming_dedup(spark, stream_src):
+    dd = streaming_remove_duplicates(
+        stream_src, ["user_id", "event_type"], "ts", watermark="10 days"
+    )
+    _run(dd, "dedup_out")
+    got = spark.sql("select * from dedup_out").toPandas()
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = batch.dropDuplicates(["user_id", "event_type"]).count()
+    assert len(got) == want
+    assert got.duplicated(["user_id", "event_type"]).sum() == 0
+
+
+def test_incremental_index(spark, tmp_path):
+    from data_prepper_spark.corpus import ensure_fixtures
+    from data_prepper_spark.index.query import topk
+
+    fdir = ensure_fixtures(0.001)
+    src_schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string"
+    )
+    stream = spark.readStream.schema(src_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{fdir}/corpus.parquet")
+    root = str(tmp_path / "inc_index")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_index(spark, stream, root, ckpt).start()
+    q.awaitTermination(600)
+
+    deltas = sorted(d for d in os.listdir(root) if d.startswith("delta="))
+    assert len(deltas) >= 1
+    # every delta is a complete queryable index
+    queries = spark.createDataFrame([(0, "init")], "query_id long, query string")
+    total = 0
+    for d in deltas:
+        res = topk(spark, os.path.join(root, d), queries, k=5).toPandas()
+        total += len(res)
+    assert total >= 5
