@@ -502,6 +502,16 @@ def cosine_topk_bruteforce(spark, sf_dir):
     )
 
 
+def embedding_dup_pairs_q(spark, sf_dir):
+    from data_prepper_spark.datapipe.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def lang_id_markers(spark, sf_dir):
     from data_prepper_spark.datapipe.textstats import lang_id
 
@@ -632,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_fingerprint": exact_dedup_fingerprint,
         "token_jaccard_pairs": token_jaccard_pairs,
         "cosine_topk_bruteforce": cosine_topk_bruteforce,
+        "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_markers": lang_id_markers,
         "quality_token_stats": quality_token_stats,
         # rows-only (non-SQL-expressible internals)
@@ -908,6 +919,20 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rank <= 10
+"""
+
+    sql["embedding_dup_pairs"] = """
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round(
+         list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))),
+         6) AS cosine_r
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[]))))
+      >= 0.35
 """
 
     # lang_id oracle mirrors LANG_MARKERS scoring exactly

@@ -221,6 +221,47 @@ def simhash_pairs(
     return cand.select("id_a", "id_b", "hamming")
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nbits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    nbits=0: exact self-join (quadratic — small inputs / verification).
+    nbits>0: random-hyperplane LSH blocking first (the scale path —
+    candidates only within colliding sign-buckets), exact cosine on
+    candidates; near-identical vectors collide with high probability.
+    """
+    from .similarity import _bucket_col, _dot, _norm, hyperplanes
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if nbits > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, nbits)
+        v = v.withColumn("_bucket", _bucket_col("v", planes))
+        joined = v.alias("l").join(v.alias("r"), "_bucket")
+    else:
+        joined = v.alias("l").crossJoin(v.alias("r"))
+    pairs = (
+        joined.filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                _dot(F.col("l.v"), F.col("r.v"))
+                / (_norm(F.col("l.v")) * _norm(F.col("r.v")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cosine").distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

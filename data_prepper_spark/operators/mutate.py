@@ -238,6 +238,15 @@ def map_to_list(df: DataFrame, source: str, dest: str) -> DataFrame:
     return df.withColumn(dest, F.map_entries(F.col(source)))
 
 
+def filter_list(
+    df: DataFrame, source: str, dest: str, condition
+) -> DataFrame:
+    """filter_list (FilterListProcessor.java:35): keep elements of a
+    list-of-structs matching a per-element condition. `condition` is a
+    lambda Column -> Column (e.g. lambda x: x["status"] == "ok")."""
+    return df.withColumn(dest, F.filter(F.col(source), condition))
+
+
 def split_event(df: DataFrame, key: str, delimiter_regex: str) -> DataFrame:
     """1->N: one row per split part, other columns cloned
     (SplitEventProcessor.java:33 clones metadata/handle per child)."""

@@ -94,6 +94,11 @@ def parse_json(df: DataFrame, source: str, schema: str, dest: str = "parsed") ->
     return df.withColumn(dest, F.from_json(F.col(source), schema))
 
 
+def parse_xml(df: DataFrame, source: str, schema: str, dest: str = "parsed") -> DataFrame:
+    """parse_xml (ParseXmlProcessor.java:24) — native from_xml."""
+    return df.withColumn(dest, F.from_xml(F.col(source), schema))
+
+
 def date_parse(
     df: DataFrame,
     source: str,

@@ -163,6 +163,15 @@ def _load_source(spark: SparkSession, src: dict, upstream: dict[str, PipelineRes
     if "log_generator" in src:
         cfg = src["log_generator"] or {}
         return apache_log_generator(spark, int(cfg.get("count", 1000)))
+    if "random" in src:
+        # reference common/.../RandomStringSource.java:24 (random UUIDs);
+        # deterministic here: uuid derived from the row id
+        from pyspark.sql import functions as F
+
+        cfg = src["random"] or {}
+        return spark.range(int(cfg.get("count", 100))).select(
+            F.md5(F.col("id").cast("string")).alias("message")
+        )
     raise ValueError(f"unsupported source {list(src)}")
 
 

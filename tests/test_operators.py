@@ -169,6 +169,37 @@ def test_translate_regex_first_match(spark):
     assert [r.m for r in out.collect()] == ["A", "A", "Z"]
 
 
+def test_parse_xml(spark):
+    df = spark.createDataFrame(
+        [("<p><a>1</a><b>x</b></p>",)], "x string"
+    )
+    from data_prepper_spark.operators.parse import parse_xml
+
+    out = parse_xml(df, "x", "a int, b string").select("parsed.*").collect()[0]
+    assert (out.a, out.b) == (1, "x")
+
+
+def test_filter_list(spark):
+    from data_prepper_spark.operators.mutate import filter_list
+
+    df = spark.createDataFrame(
+        [([{"s": "ok", "v": 1}, {"s": "bad", "v": 2}],)],
+        "lst array<struct<s string, v int>>",
+    )
+    out = filter_list(df, "lst", "kept", lambda x: x["s"] == "ok").collect()[0]
+    assert len(out.kept) == 1 and out.kept[0].v == 1
+
+
+def test_cidr_contains(spark):
+    from data_prepper_spark.operators import dp_expr
+
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("192.168.0.9",), ("10.255.0.1",)], "ip string"
+    )
+    got = df.filter(dp_expr('cidrContains(/ip, "10.0.0.0/8")')).collect()
+    assert {r.ip for r in got} == {"10.1.2.3", "10.255.0.1"}
+
+
 def test_histogram_buckets(spark):
     df = spark.createDataFrame(
         [("g", 5.0), ("g", 15.0), ("g", 25.0), ("g", 45.0)], "k string, v double"
