@@ -157,8 +157,15 @@ def _tokenize_batches(it):
         tf["repo"] = None
         tf["path"] = None
         tf["commit"] = None
+        # sentinel rows carry the doc identity -> docs table can resolve
+        # doc_id back to (repo, path, commit) for query results
         sentinel = dl_map.assign(
-            term=None, tf=0, err=None, repo=None, path=None, commit=None
+            term=None,
+            tf=0,
+            err=None,
+            repo=good["repo"].to_numpy(dtype=object),
+            path=good["path"].to_numpy(dtype=object),
+            commit=good["commit"].to_numpy(dtype=object),
         )
         out = pd.concat(
             [tf[_OUT_COLS], sentinel[_OUT_COLS], quar[_OUT_COLS]],
@@ -401,7 +408,7 @@ def run_index_stage(
     # sentinel doc rows (tf == 0); quarantine rows (tf == -1) excluded
     docs = tokens.filter(
         F.col("term").isNull() & (F.col("tf") == 0)
-    ).select("doc_id", "dl")
+    ).select("doc_id", "dl", "repo", "path", "commit")
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     agg = docs.agg(

@@ -110,6 +110,25 @@ def _pruned_postings(spark: SparkSession, index_dir: str, qt: DataFrame) -> Data
     return post.filter(F.col("bucket").isin(buckets))
 
 
+def topk_with_docs(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    mode: str = "blockmax",
+) -> DataFrame:
+    """topk + doc identity columns (repo, path, commit) — the
+    user-facing result shape (doc ids resolve via the docs table;
+    broadcast because top-k results are tiny relative to it)."""
+    res = topk(spark, index_dir, queries, k=k, mode=mode)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "doc_id", "repo", "path", "commit"
+    )
+    return res.join(docs, "doc_id", "left").select(
+        "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+    )
+
+
 def topk(
     spark: SparkSession,
     index_dir: str,

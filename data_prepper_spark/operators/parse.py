@@ -44,11 +44,44 @@ def compile_grok(pattern: str) -> tuple[str, list[str]]:
     return _GROK_REF.sub(sub, pattern), names
 
 
-def grok(df: DataFrame, source: str, pattern: str) -> DataFrame:
-    """grok: named-capture extraction into top-level columns."""
-    regex, names = compile_grok(pattern)
-    for i, name in enumerate(names, start=1):
-        df = df.withColumn(name, F.regexp_extract(F.col(source), regex, i))
+def grok(
+    df: DataFrame,
+    source: str,
+    pattern: str | list[str],
+    tags_on_match_failure: list[str] | None = None,
+) -> DataFrame:
+    """grok: named-capture extraction into top-level columns.
+
+    A list of patterns is tried in order with break_on_match semantics
+    (first matching pattern populates its fields; later patterns only
+    apply to rows no earlier pattern matched — GrokProcessor.java:63).
+    Rows matching no pattern get tags_on_match_failure."""
+    patterns = [pattern] if isinstance(pattern, str) else pattern
+    compiled = [compile_grok(p) for p in patterns]
+    matched_prev = F.lit(False)
+    field_exprs: dict[str, object] = {}
+    for regex, names in compiled:
+        m = F.col(source).rlike(regex) & ~matched_prev
+        for i, name in enumerate(names, start=1):
+            ext = F.regexp_extract(F.col(source), regex, i)
+            prev = field_exprs.get(name, F.lit(None).cast("string"))
+            field_exprs[name] = F.when(m, ext).otherwise(prev)
+        matched_prev = matched_prev | F.col(source).rlike(regex)
+    df = df.withColumns(field_exprs)
+    if tags_on_match_failure:
+        from .mutate import TAGS_COL, ensure_tags
+
+        df = ensure_tags(df)
+        df = df.withColumn(
+            TAGS_COL,
+            F.when(
+                ~matched_prev,
+                F.array_union(
+                    F.col(TAGS_COL),
+                    F.array(*[F.lit(t) for t in tags_on_match_failure]),
+                ),
+            ).otherwise(F.col(TAGS_COL)),
+        )
     return df
 
 

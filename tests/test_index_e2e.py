@@ -74,6 +74,19 @@ def test_index_stats_match_oracle(spark, index_dir, corpus_pdf):
     assert (terms["df"] == want["df"]).all()
 
 
+def test_topk_with_docs_resolves_identity(spark, index_dir, queries_pdf, corpus_pdf):
+    from data_prepper_spark.index.query import topk_with_docs
+    from data_prepper_spark.xxh64 import doc_id_of
+
+    qdf = spark.createDataFrame(queries_pdf.head(5))
+    got = topk_with_docs(spark, index_dir, qdf, k=3).toPandas()
+    assert {"repo", "path", "commit"} <= set(got.columns)
+    assert got["repo"].notna().all()
+    # identity round-trips: xxhash64(repo, path, commit) == doc_id
+    for r in got.head(10).itertuples():
+        assert doc_id_of(r.repo, r.path, r.commit) == r.doc_id
+
+
 def test_hot_terms_are_salted(spark, index_dir):
     """Hot terms (df > hot_group_target) must be split across several
     disjoint-range groups — i.e. more than one block row with

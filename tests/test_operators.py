@@ -87,6 +87,25 @@ def test_grok_apache(spark):
     assert out.bytes == "2326"
 
 
+def test_grok_multi_pattern_break_on_match(spark):
+    df = spark.createDataFrame(
+        [("code=42",), ("name=bob",), ("???",)], "msg string"
+    )
+    out = grok(
+        df,
+        "msg",
+        ["code=%{INT:code}", "name=%{WORD:who}", "%{WORD:anything}"],
+        tags_on_match_failure=["_grokparsefailure"],
+    ).collect()
+    assert out[0].code == "42" and out[0].who is None
+    assert out[1].who == "bob" and out[1].code is None
+    # third pattern would match 'code' rows too, but break_on_match
+    # means only unmatched rows reach it; '???' matches nothing
+    assert out[2].anything is None
+    assert out[2]._tags == ["_grokparsefailure"]
+    assert out[0]._tags == [] and out[1]._tags == []
+
+
 def test_dissect(spark):
     df = spark.createDataFrame([("alice-42@host",)], "s string")
     out = dissect(df, "s", "%{user}-%{id}@%{host}").collect()[0]
