@@ -76,6 +76,52 @@ def route_to_sinks(
     return writers
 
 
+def stateful_aggregate_count(
+    events: DataFrame,
+    keys: list[str],
+    timeout_ms: int | None = None,
+):
+    """Custom stateful operator via applyInPandasWithState — the exact
+    shape of the reference's AggregateProcessor: per-key state
+    accumulated across micro-batches (AggregateGroupManager), optionally
+    concluded by a processing-time timeout (group_duration,
+    AggregateProcessor.java:109-126). Emits the running count per key
+    on every batch (update mode); on timeout the group is concluded
+    and its state dropped (forceConclude analog).
+    """
+    import pandas as pd
+
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    out_schema = f"{key_fields}, count long, concluded boolean"
+    state_schema = "count long"
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            (count,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(*key, count, True)],
+                columns=[*keys, "count", "concluded"],
+            )
+            return
+        n = sum(len(pdf) for pdf in pdf_iter)
+        count = (state.get[0] if state.exists else 0) + n
+        state.update((count,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [(*key, count, False)], columns=[*keys, "count", "concluded"]
+        )
+
+    return events.groupBy(*[F.col(k).cast("string").alias(k) for k in keys]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="ProcessingTimeTimeout" if timeout_ms else "NoTimeout",
+    )
+
+
 def incremental_index(
     spark: SparkSession,
     corpus_stream: DataFrame,

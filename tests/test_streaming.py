@@ -72,6 +72,48 @@ def test_streaming_dedup(spark, stream_src):
     assert got.duplicated(["user_id", "event_type"]).sum() == 0
 
 
+def test_stateful_aggregate_count(spark, tmp_path):
+    """State accumulates across micro-batches (maxFilesPerTrigger=1
+    forces several batches; the final running count per key must equal
+    the batch groupBy count)."""
+    from data_prepper_spark.streaming.pipeline import stateful_aggregate_count
+
+    src_dir = str(tmp_path / "multi_batch")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # three separate files -> three micro-batches
+    for i in range(3):
+        batch.filter(F.col("event_id") % 3 == i).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = stateful_aggregate_count(stream, ["event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from state_counts")
+        .groupBy("event_type")
+        .agg(F.max("count").alias("count"))
+        .toPandas()
+        .set_index("event_type")["count"]
+        .to_dict()
+    )
+    want = {
+        r.event_type: r["cnt"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+
 def test_incremental_index(spark, tmp_path):
     from data_prepper_spark.corpus import ensure_fixtures
     from data_prepper_spark.index.query import topk
