@@ -529,6 +529,29 @@ def quality_token_stats(spark, sf_dir):
     return out.select("doc_id", "quality", "n_tokens")
 
 
+def bpe_token_counts(spark, sf_dir):
+    from data_prepper_spark.datapipe.textstats import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_count(docs, "text").select("doc_id", "n_bpe_tokens")
+
+
+def winnow_fingerprint_dups(spark, sf_dir):
+    """Docs sharing >= 5 winnowing fingerprints (partial-overlap dedup)."""
+    from data_prepper_spark.datapipe.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, "doc_id", "text")
+    return (
+        fps.alias("l")
+        .join(fps.alias("r"), "fp")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+
+
 # --------------------------------------------------------------------
 # rows-only entries (hash/LSH internals not expressible in ANSI SQL;
 # exactness asserted in tests/ against in-repo oracles instead)
@@ -645,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_markers": lang_id_markers,
         "quality_token_stats": quality_token_stats,
+        "bpe_token_counts": bpe_token_counts,
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
         # rows-only (non-SQL-expressible internals)
         "minhash_dedup": minhash_dedup,
         "simhash_dedup": simhash_dedup,
@@ -919,6 +944,14 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rank <= 10
+"""
+
+    from data_prepper_spark.datapipe.textstats import BPE_REGEX
+
+    bpe_sql = BPE_REGEX.replace("'", "''")
+    sql["bpe_token_counts"] = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{bpe_sql}')) AS n_bpe_tokens
+FROM documents
 """
 
     sql["embedding_dup_pairs"] = """

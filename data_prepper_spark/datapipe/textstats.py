@@ -72,8 +72,60 @@ def quality_score(df: DataFrame, text_col: str, dest: str = "quality") -> DataFr
     return df.withColumn(dest, F.round(score, 6))
 
 
+# GPT-2-style pretokenizer regex (BPE-ish word/punct/space classes),
+# expressible in both Spark (Java regex) and DuckDB (RE2)
+BPE_REGEX = r"'[a-z]+|[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str, dest: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token count: number of pretokenizer matches (upper bound
+    on BPE tokens; the merge table only splits within matches)."""
+    return df.withColumn(
+        dest,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, dest: str = "fingerprint") -> DataFrame:
     """Normalization-stable document fingerprint: md5 of the lowercased
     token stream (whitespace/punct/case-insensitive dedup key)."""
     norm = F.array_join(tokenize_col(F.col(text_col)), " ")
     return df.withColumn(dest, F.md5(norm))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. local-minimum
+    selection over rolling k-gram hashes): per doc, the set of selected
+    64-bit hashes — robust partial-overlap dedup keys. Vectorized numpy
+    in mapInPandas; returns (id, fp long) exploded rows."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _shingle_hashes
+
+    def fn(it):
+        for pdf in it:
+            sh, n_sh = _shingle_hashes(pdf[text_col], k)
+            ids = pdf[id_col].to_numpy(np.int64)
+            out_ids, out_fps = [], []
+            starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+            for i in range(len(pdf)):
+                h = sh[starts[i] : starts[i] + n_sh[i]]
+                if len(h) == 0:
+                    continue
+                if len(h) <= window:
+                    sel = np.array([h.min()], dtype=np.uint64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = np.unique(win.min(axis=1))
+                out_ids.append(np.full(len(sel), ids[i], dtype=np.int64))
+                out_fps.append(sel.view(np.int64))
+            if out_ids:
+                yield pd.DataFrame(
+                    {"id": np.concatenate(out_ids), "fp": np.concatenate(out_fps)}
+                )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(fn, schema="id long, fp long")
