@@ -123,6 +123,21 @@ def test_ann_lsh_recall(spark, emb):
     assert (self_hits.vec_id == self_hits.query_id).all()
 
 
+def test_winnow_fingerprints_detect_overlap(spark):
+    from data_prepper_spark.datapipe.textstats import winnow_fingerprints
+
+    shared = " ".join(f"common{i}" for i in range(60))
+    a = shared + " " + " ".join(f"lefttok{i}" for i in range(40))
+    b = shared + " " + " ".join(f"righttok{i}" for i in range(40))
+    c = " ".join(f"unrelated{i}" for i in range(100))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text").toPandas()
+    by_doc = {i: set(g.fp) for i, g in fps.groupby("id")}
+    assert len(by_doc[1] & by_doc[2]) >= 5  # shared prefix -> shared fps
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_multimodal_plumbing(spark):
     media = synthesize_media(spark, n=30)
     feats = extract_features(media).toPandas()
