@@ -204,15 +204,27 @@ CHUNKS_PER_FILE = 16  # file = the resumable work unit (reference
 # iceberg-source leader plans one task per data file, TaskGrouper.java:27-30)
 
 
+def _gen_chunk_star(args: tuple[int, int]) -> pd.DataFrame:
+    return gen_chunk(*args)
+
+
 def write_corpus(sf: float, out_dir: str, chunks_per_file: int = CHUNKS_PER_FILE) -> int:
     """Write the corpus as a directory of part files (multi-file layout:
-    each file is one lease/work unit for the resumable build)."""
+    each file is one lease/work unit for the resumable build). Chunks
+    are generated in parallel (fork pool) — per-chunk RNG keys make the
+    output byte-identical to sequential generation."""
+    import multiprocessing as mp
+
     n = n_docs_for_sf(sf)
     n_chunks = (n + CHUNK_DOCS - 1) // CHUNK_DOCS
     os.makedirs(out_dir, exist_ok=True)
+    # warm module caches before fork so workers share them
+    stems(), _zipf_cdf(), _cap_stems()
     w = None
     fidx = 0
-    for c in range(n_chunks):
+
+    def _write(c: int, pdf: pd.DataFrame):
+        nonlocal w, fidx
         if c % chunks_per_file == 0:
             if w is not None:
                 w.close()
@@ -222,8 +234,18 @@ def write_corpus(sf: float, out_dir: str, chunks_per_file: int = CHUNKS_PER_FILE
                 compression="snappy",
             )
             fidx += 1
-        pdf = gen_chunk(c, n)
         w.write_table(pa.Table.from_pandas(pdf, schema=CORPUS_SCHEMA))
+
+    nproc = min(16, os.cpu_count() or 4, n_chunks)
+    if nproc > 1 and n_chunks > 2:
+        with mp.get_context("fork").Pool(nproc) as pool:
+            for c, pdf in enumerate(
+                pool.imap(_gen_chunk_star, [(c, n) for c in range(n_chunks)])
+            ):
+                _write(c, pdf)
+    else:
+        for c in range(n_chunks):
+            _write(c, gen_chunk(c, n))
     if w is not None:
         w.close()
     return n
