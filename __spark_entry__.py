@@ -481,8 +481,10 @@ def token_jaccard_pairs(spark, sf_dir):
     from data_prepper_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # hot-shingle guard ON (the skew path that keeps the self-join
+    # bounded at scale); the oracle mirrors the same df cap
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=1, threshold=0.8, max_shingle_df=10**9
+        docs, "doc_id", "text", n=1, threshold=0.8, max_shingle_df=250
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
@@ -908,9 +910,11 @@ FROM fp GROUP BY 1 HAVING COUNT(*) > 1
 """
 
     sql["token_jaccard_pairs"] = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id AS id, unnest({toks}) AS shingle FROM documents
 ),
+hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > 250),
+sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT l.id AS id_a, r.id AS id_b, COUNT(*) AS i

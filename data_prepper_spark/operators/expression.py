@@ -55,7 +55,8 @@ def translate_expr(expr: str) -> str:
     )
     s = re.sub(
         r"\bsubstringBeforeLast\(([^,]+),([^)]+)\)",
-        r"substring_index(\1,\2, -2)",  # approximation; see docstring
+        r"substr(\1, 1, length(\1) - length(substring_index(\1,\2, -1))"
+        r" - length(\2))",
         s,
     )
     s = re.sub(

@@ -49,6 +49,19 @@ def test_translate_expr_strings():
     assert "array_contains(_tags, 'x')" in translate_expr('hasTags("x")')
 
 
+def test_substring_functions(spark):
+    from data_prepper_spark.operators import dp_expr
+
+    df = spark.createDataFrame([("a.b.c",)], "s string")
+    row = df.select(
+        dp_expr('substringBefore(/s, ".")').alias("b"),
+        dp_expr('substringAfter(/s, ".")').alias("a"),
+        dp_expr('substringBeforeLast(/s, ".")').alias("bl"),
+        dp_expr('substringAfterLast(/s, ".")').alias("al"),
+    ).collect()[0]
+    assert (row.b, row.a, row.bl, row.al) == ("a", "b.c", "a.b", "c")
+
+
 def test_dp_expr_evaluates(ev):
     got = ev.filter(dp_expr('/value > 100.0 and /event_type != "error"'))
     assert {r.event_id for r in got.collect()} == {3}
