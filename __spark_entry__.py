@@ -161,6 +161,45 @@ def topk_orders_per_priority(spark, sf_dir):
     )
 
 
+def tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderpriority").agg(
+        _dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderpriority", "revenue")
+    )
+
+
 def revenue_by_nation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -307,6 +346,22 @@ def dp_expression_filter(spark, sf_dir):
     )
 
 
+def dp_expression_functions(spark, sf_dir):
+    """Expression-language scalar functions as projections
+    (data-prepper-expression *ExpressionFunction.java family)."""
+    from data_prepper_spark.operators import dp_expr
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(dp_expr('/event_type != "error" or /value >= 10.0')).select(
+        "event_id",
+        dp_expr("length(/event_type)").alias("etype_len"),
+        dp_expr('substringBefore(/props, ":")').alias("props_head"),
+        dp_expr('formatDateTime(/ts, "yyyy-MM")').alias("month"),
+        dp_expr('contains(/event_type, "ck")').alias("has_ck"),
+        dp_expr('startsWith(/props, "{")').alias("is_json"),
+    )
+
+
 def range_lookup_value_bands(spark, sf_dir):
     from data_prepper_spark.operators.enrich import range_lookup
 
@@ -317,6 +372,185 @@ def range_lookup_value_bands(spark, sf_dir):
     )
     joined = range_lookup(ev, "value", ranges, "lo", "hi", ["band"])
     return joined.groupBy("band").agg(F.count("*").alias("n"))
+
+
+def csv_parse_roundtrip(spark, sf_dir):
+    """csv processor: string field -> typed columns (CsvProcessor.java:44).
+    The CSV line is synthesized from `customer` so the oracle can state
+    the expected parse result exactly."""
+    from data_prepper_spark.operators.parse import csv_parse
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "line",
+        F.concat_ws(
+            ",",
+            F.col("c_custkey").cast("string"),
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+        ),
+    )
+    p = csv_parse(c, "line", "k long, seg string, nat int")
+    return p.select(
+        F.col("parsed.k").alias("k"),
+        F.col("parsed.seg").alias("seg"),
+        F.col("parsed.nat").alias("nat"),
+    )
+
+
+def parse_json_props(spark, sf_dir):
+    """parse_json: JSON string field -> struct (ParseJsonProcessor.java:30)."""
+    from data_prepper_spark.operators.parse import parse_json
+
+    ev = _t(spark, sf_dir, "events")
+    p = parse_json(ev, "props", "k long")
+    return (
+        p.groupBy(F.pmod(F.col("parsed.k"), F.lit(7)).alias("k_mod"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def convert_type_try_cast(spark, sf_dir):
+    """convert_type with tags_on_failure (ConvertEntryTypeProcessor):
+    malformed values null out and tag the row instead of failing the
+    task (the reference's tag-and-keep contract)."""
+    from data_prepper_spark.operators.mutate import convert_type
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "raw",
+        F.when(
+            F.col("event_id") % 5 == 0, F.concat(F.lit("x"), F.col("value"))
+        ).otherwise(F.col("value").cast("string")),
+    )
+    out = convert_type(ev, "raw", "double", tags_on_failure=["cast_fail"])
+    return out.select(
+        "event_id",
+        F.round("raw", 4).alias("converted_r"),
+        F.array_join("_tags", ",").alias("tags"),
+    )
+
+
+def wrap_flatten_roundtrip(spark, sf_dir):
+    """wrap_entries (struct nesting) then flatten back
+    (WrapEntriesProcessor.java:31, FlattenProcessor.java:28)."""
+    from data_prepper_spark.operators.mutate import flatten, wrap_entries
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    w = wrap_entries(c, ["c_name", "c_mktsegment"], "meta")
+    out = flatten(w, "meta", prefix="m_")
+    return out.select("c_custkey", "c_nationkey", "m_c_name", "m_c_mktsegment")
+
+
+def dissect_log_line(spark, sf_dir):
+    """dissect positional tokenization (DissectProcessor.java:33) over a
+    log line synthesized from `events`."""
+    from data_prepper_spark.operators.parse import dissect
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(" - "),
+            F.col("event_type"),
+            F.lit(" ["),
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.lit("] "),
+            F.col("props"),
+        ),
+    )
+    d = dissect(ev, "line", "%{user} - %{etype} [%{day}] %{rest}")
+    return (
+        d.groupBy("etype", "day")
+        .agg(F.count("*").alias("n"), F.min("user").alias("min_user"))
+    )
+
+
+def detect_format_sniff(spark, sf_dir):
+    """detect_format sniffing (DetectFormatProcessor.java:24) over mixed
+    payload shapes synthesized from `events`."""
+    from data_prepper_spark.operators.parse import detect_format
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload",
+        F.when(F.col("event_id") % 4 == 0, F.col("props"))
+        .when(F.col("event_id") % 4 == 1, F.lit("a=1&b=2"))
+        .when(F.col("event_id") % 4 == 2, F.lit("a,b,c"))
+        .otherwise(F.lit("plain text payload")),
+    )
+    return (
+        detect_format(ev, "payload")
+        .groupBy("detected_format")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def truncate_text(spark, sf_dir):
+    """truncate to a char budget (TruncateProcessor.java:32)."""
+    from data_prepper_spark.operators.mutate import truncate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = truncate(docs, "text", start_at=0, length=40)
+    return out.select("doc_id", F.col("text").alias("head40"))
+
+
+def list_map_filter_chain(spark, sf_dir):
+    """list_to_map + filter_list over per-user event-type count lists
+    (ListToMapProcessor.java:29, FilterListProcessor.java:35)."""
+    from data_prepper_spark.operators.mutate import filter_list, list_to_map
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    lists = per.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "n")).alias("type_counts")
+    )
+    m = list_to_map(lists, "type_counts", "event_type", "n", "type_map")
+    fl = filter_list(m, "type_counts", "big_types", lambda x: x["n"] >= 3)
+    return fl.select(
+        "user_id",
+        F.element_at(F.col("type_map"), "click").alias("n_click"),
+        F.size("big_types").alias("n_big_types"),
+    )
+
+
+def write_json_struct(spark, sf_dir):
+    """write_json: serialize a subtree to a JSON string
+    (WriteJsonProcessor.java:27)."""
+    from data_prepper_spark.operators.mutate import wrap_entries, write_json
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    w = wrap_entries(c, ["c_mktsegment", "c_nationkey"], "payload")
+    out = write_json(w, "payload", "js")
+    return out.select("c_custkey", "js")
+
+
+def add_copy_rename_chain(spark, sf_dir):
+    """add_entries (format + value_expression) -> copy_values ->
+    rename_keys -> delete_entries -> select_entries, chained as one
+    narrow pipeline (mutate-event-processors/*)."""
+    from data_prepper_spark.operators.mutate import (
+        add_entries,
+        copy_values,
+        delete_entries,
+        rename_keys,
+        select_entries,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ev = add_entries(
+        ev,
+        [
+            {"key": "label", "format": "${/event_type}:${/user_id}"},
+            {"key": "value_x2", "value_expression": "/value * 2.0"},
+        ],
+    )
+    ev = copy_values(ev, [("event_id", "eid_copy")])
+    ev = rename_keys(ev, {"eid_copy": "eid"})
+    ev = delete_entries(ev, ["props", "ts"])
+    ev = select_entries(ev, ["eid", "label", "value_x2"])
+    return ev.select(
+        "eid", "label", F.round("value_x2", 4).alias("value_x2_r")
+    )
 
 
 # --------------------------------------------------------------------
@@ -641,8 +875,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
         "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
+        "tpch_q6": tpch_q6,
         "topk_orders_per_priority": topk_orders_per_priority,
         "revenue_by_nation": revenue_by_nation,
+        "csv_parse_roundtrip": csv_parse_roundtrip,
+        "parse_json_props": parse_json_props,
+        "convert_type_try_cast": convert_type_try_cast,
+        "wrap_flatten_roundtrip": wrap_flatten_roundtrip,
+        "dissect_log_line": dissect_log_line,
+        "detect_format_sniff": detect_format_sniff,
+        "truncate_text": truncate_text,
+        "list_map_filter_chain": list_map_filter_chain,
+        "write_json_struct": write_json_struct,
+        "add_copy_rename_chain": add_copy_rename_chain,
         "translate_event_type": translate_event_type,
         "grok_extract_props": grok_extract_props,
         "key_value_parse": key_value_parse,
@@ -652,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_mutations": string_mutations,
         "obfuscate_hash": obfuscate_hash,
         "dp_expression_filter": dp_expression_filter,
+        "dp_expression_functions": dp_expression_functions,
         "range_lookup_value_bands": range_lookup_value_bands,
         "aggregate_count_action": aggregate_count_action,
         "aggregate_histogram_action": aggregate_histogram_action,
@@ -696,6 +943,95 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["tpch_q6"] = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    sql["tpch_q3"] = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+    sql["csv_parse_roundtrip"] = """
+SELECT c_custkey AS k, c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat
+FROM customer
+"""
+
+    sql["parse_json_props"] = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sql["convert_type_try_cast"] = """
+SELECT event_id,
+       round(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END, 4)
+         AS converted_r,
+       CASE WHEN event_id % 5 = 0 THEN 'cast_fail' ELSE '' END AS tags
+FROM events
+"""
+
+    sql["wrap_flatten_roundtrip"] = """
+SELECT c_custkey, c_nationkey, c_name AS m_c_name,
+       c_mktsegment AS m_c_mktsegment
+FROM customer
+"""
+
+    sql["dissect_log_line"] = """
+SELECT event_type AS etype, strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n, MIN(CAST(user_id AS VARCHAR)) AS min_user
+FROM events GROUP BY 1, 2
+"""
+
+    sql["detect_format_sniff"] = """
+SELECT CASE event_id % 4 WHEN 0 THEN 'json' WHEN 1 THEN 'keyvalue'
+            WHEN 2 THEN 'csv' ELSE 'unknown' END AS detected_format,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sql["truncate_text"] = """
+SELECT doc_id, substr(text, 1, 40) AS head40 FROM documents
+"""
+
+    sql["list_map_filter_chain"] = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+       SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS n_big_types
+FROM per GROUP BY 1
+"""
+
+    sql["write_json_struct"] = """
+SELECT c_custkey,
+       to_json(struct_pack(c_mktsegment := c_mktsegment,
+                           c_nationkey := c_nationkey)) AS js
+FROM customer
+"""
+
+    sql["add_copy_rename_chain"] = """
+SELECT event_id AS eid,
+       event_type || ':' || CAST(user_id AS VARCHAR) AS label,
+       round(value * 2.0, 4) AS value_x2_r
+FROM events
 """
 
     sql["topk_orders_per_priority"] = """
@@ -781,6 +1117,17 @@ FROM events
 WHERE value > 100.0 AND event_type != 'error'
   AND event_type IN ('click', 'view', 'purchase')
 GROUP BY 1
+"""
+
+    sql["dp_expression_functions"] = """
+SELECT event_id, length(event_type) AS etype_len,
+       CASE WHEN strpos(props, ':') > 0
+            THEN substr(props, 1, strpos(props, ':') - 1)
+            ELSE props END AS props_head,
+       strftime(ts, '%Y-%m') AS month,
+       contains(event_type, 'ck') AS has_ck,
+       starts_with(props, '{') AS is_json
+FROM events WHERE event_type != 'error' OR value >= 10.0
 """
 
     sql["range_lookup_value_bands"] = """

@@ -546,6 +546,45 @@ def build_index(
     return run_index_stage(spark, index_dir, cfg)
 
 
+def build_routed_indexes(
+    spark: SparkSession,
+    corpus_path: str,
+    out_dir: str,
+    route_col: str = "lang",
+    cfg: BuildConfig | None = None,
+) -> dict[str, dict]:
+    """Multi-sink routing analog (SURVEY.md §2.7 routing + §2.2 dynamic
+    index names, reference index/DynamicIndexManager.java): one pass
+    partitions the corpus by the routing column — a single
+    partitionBy() write, no per-route rescan of the source — then an
+    independent resumable index is built per route value, mirroring
+    `formatString`-templated per-sink indices. Returns route -> stats.
+
+    At cluster scale the partitioned write is the only full-corpus
+    pass; each sub-build reads exactly its own partition directory
+    (directory-level pruning, no filter scan)."""
+    cfg = cfg or BuildConfig()
+    routed = os.path.join(out_dir, "routed_corpus")
+    df = spark.read.parquet(corpus_path)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(route_col)
+        .parquet(routed)
+    )
+    stats: dict[str, dict] = {}
+    for sub in sorted(os.listdir(routed)):
+        if not sub.startswith(f"{route_col}="):
+            continue
+        route_val = sub.split("=", 1)[1]
+        stats[route_val] = build_index(
+            spark,
+            os.path.join(routed, sub),
+            os.path.join(out_dir, f"index_{route_val}"),
+            cfg,
+        )
+    return stats
+
+
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
         return json.load(f)

@@ -95,3 +95,37 @@ def test_hot_terms_are_salted(spark, index_dir):
     hot = post.filter(post.term == "init").orderBy("min_doc").toPandas()
     assert len(hot) > 1
     assert (hot["min_doc"].values[1:] > hot["max_doc"].values[:-1]).all()
+
+
+def test_routed_per_lang_indexes(spark, fixture_dir, corpus_pdf, queries_pdf, tmp_path):
+    """Multi-sink routing analog: one corpus pass -> per-lang
+    sub-indexes (reference ConditionalRoute + DynamicIndexManager);
+    each sub-index is rank-identical to an oracle over its slice."""
+    import os
+
+    from data_prepper_spark.index.build import BuildConfig, build_routed_indexes
+    from data_prepper_spark.oracle import bm25_topk
+
+    out = str(tmp_path / "routed")
+    stats = build_routed_indexes(
+        spark,
+        os.path.join(fixture_dir, "corpus.parquet"),
+        out,
+        route_col="lang",
+        cfg=BuildConfig(n_buckets=4, hot_group_target=5000),
+    )
+    langs = sorted(corpus_pdf["lang"].unique())
+    assert sorted(stats) == langs
+    for lang in langs:
+        sub = corpus_pdf[corpus_pdf["lang"] == lang]
+        assert stats[lang]["n_docs"] == len(sub)
+    # query one sub-index; golden vs oracle restricted to that slice
+    lang = langs[0]
+    sub = corpus_pdf[corpus_pdf["lang"] == lang].reset_index(drop=True)
+    qp = queries_pdf.head(3)
+    gold = bm25_topk(sub, qp, k=5)
+    qdf = spark.createDataFrame(qp)
+    got = topk(
+        spark, os.path.join(out, f"index_{lang}"), qdf, k=5, mode="blockmax"
+    ).toPandas()
+    _compare(got, gold)
