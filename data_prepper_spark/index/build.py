@@ -7,17 +7,22 @@ Pipeline shape (north_rule):
      iceberg-source/.../leader/TaskGrouper.java:27-30):
      read pending files -> assert sha256(content) == content_sha256
      (per-row invariant; failures -> quarantine table, the DLQ analog,
-     SURVEY.md §2.10) -> vectorized pandas/Arrow tokenizer (mapInPandas,
-     no per-row Python) -> (doc_id, term, tf, dl) rows written
-     partitioned by unit; manifest COMPLETE row per unit.
-  2. `index` stage: global stats (N, avgdl), per-term df/cf
-     (map-side-combined groupBy — no skew risk), then posting-block
-     build via groupBy(term, salt).applyInPandas where `salt` is a
-     doc-id RANGE bucket assigned only to hot terms (df above target):
-     each (term, salt) group covers a disjoint sorted doc-id range, so
-     blocks are independently encodable with NO second merge pass —
-     this is the explicit hot-term skew splitting the reference lacks
-     (SURVEY.md §2.8: AQE skew handling covers joins, not groupBy).
+     SURVEY.md §2.10) -> vectorized Arrow tokenizer (mapInArrow +
+     pyarrow.compute RE2 kernels, no per-row Python, no Python string
+     objects) -> RAW (doc_id, term, dl) rows written partitioned by
+     unit; manifest COMPLETE row per unit. tf aggregation deliberately
+     does NOT happen in Python: the sandbox profile showed object-
+     string groupby saturates memory bandwidth (no 8->32-core scaling);
+     JVM hash agg scales and combines map-side.
+  2. `index` stage: global stats (N, avgdl); JVM groupBy -> tf table;
+     per-term df/cf (map-side-combined groupBy — no skew risk); then
+     posting-block build via repartition(term, salt) + sorted
+     mapInArrow where `salt` is a doc-id RANGE bucket assigned only to
+     hot terms (df above target): each (term, salt) group covers a
+     disjoint sorted doc-id range, so blocks are independently
+     encodable with NO second merge pass — this is the explicit
+     hot-term skew splitting the reference lacks (SURVEY.md §2.8: AQE
+     skew handling covers joins, not groupBy).
      Blocks: <=block_size postings, delta+varbyte doc ids, varbyte
      tf/dl, block-max impact metadata for query-side pruning.
 
@@ -41,11 +46,9 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import tokenize_series
 from . import manifest as mf
 from .codec import to_unsigned, varbyte_encode
 
@@ -53,7 +56,7 @@ K1 = 1.2
 B = 0.75
 
 TOKENS_SCHEMA = (
-    "unit string, doc_id long, term string, tf int, dl int, "
+    "unit string, doc_id long, term string, dl int, "
     "err string, repo string, path string, commit string"
 )
 BLOCKS_SCHEMA = (
@@ -87,93 +90,149 @@ def _unit_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-_OUT_COLS = ["unit", "doc_id", "term", "tf", "dl", "err", "repo", "path", "commit"]
+_OUT_COLS = ["unit", "doc_id", "term", "dl", "err", "repo", "path", "commit"]
 
 
-def _tokenize_batches(it):
-    """mapInPandas: validate + tokenize in ONE corpus pass.
+def _sha256_of_string_array(arr) -> list:
+    """sha256 hexdigest per row, hashing the Arrow utf8 buffer slices
+    directly (no Python string/bytes copies; the loop is per DOC, and
+    its body is C hashing)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        idx = np.int64
+    else:
+        idx = np.int32
+    width = np.dtype(idx).itemsize
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=idx, count=len(arr) + 1, offset=arr.offset * width
+    )
+    mv = memoryview(arr.buffers()[2])
+    nulls = arr.is_null().to_numpy(zero_copy_only=False)
+    return [
+        None if nulls[i] else hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest()
+        for i in range(len(arr))
+    ]
+
+
+def _tokenize_batches_arrow(it):
+    """mapInArrow: validate + tokenize in ONE corpus pass, Arrow-native.
 
     Input batches carry (unit, doc_id, repo, path, commit, content,
     content_sha256). Per row the sha256 invariant is asserted (the
     reference's end-to-end durability contract, SURVEY.md §2.10);
-    failures emit a quarantine row (term NULL, tf -1, err set) instead
-    of token rows. Valid docs emit (term, tf, dl) rows plus one
-    sentinel row (term NULL, tf 0) so empty docs still reach the docs
-    table (they count in N / avgdl).
+    failures emit a quarantine row (term NULL, err set) instead of
+    token rows. Valid docs emit one RAW row per token occurrence
+    (term, dl) — tf aggregation happens JVM-side in the index stage
+    (whole-stage codegen scales where Python object churn does not) —
+    plus one sentinel row (term NULL, err NULL) carrying the doc
+    identity so empty docs still reach the docs table.
 
-    Tokenize/count paths are vectorized pandas/numpy; the only per-row
-    call is hashlib.sha256, whose cost IS the hashing (C code), not
-    Python logic.
+    Everything runs on Arrow buffers via pyarrow.compute / numpy; no
+    pandas object strings, no per-row Python over tokens.
     """
-    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    for pdf in it:
-        content = pdf["content"]
-        sha = [
-            hashlib.sha256(c.encode()).hexdigest() if c is not None else None
-            for c in content
+    from ..tokenizer import tokenize_flat_arrow
+
+    out_schema = pa.schema(
+        [
+            ("unit", pa.string()),
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("dl", pa.int32()),
+            ("err", pa.string()),
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
         ]
-        ok = pd.Series(sha, index=pdf.index).eq(pdf["content_sha256"]) & content.notna()
+    )
+    CHUNK = 4 << 20  # max token rows per emitted RecordBatch
 
-        bad = pdf[~ok]
-        quar = pd.DataFrame(
-            {
-                "unit": bad["unit"],
-                "doc_id": bad["doc_id"],
-                "term": None,
-                "tf": -1,
-                "dl": 0,
-                "err": np.where(
-                    bad["content"].isna(), "content is null", "content sha256 mismatch"
-                ),
-                "repo": bad["repo"],
-                "path": bad["path"],
-                "commit": bad["commit"],
-            }
+    def _nulls(n):
+        return pa.nulls(n, pa.string())
+
+    for batch in it:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        content = col["content"]
+        sha = pa.array(_sha256_of_string_array(content), type=pa.string())
+        ok = pc.and_kleene(
+            pc.equal(sha, col["content_sha256"]), content.is_valid()
+        )
+        ok_np = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+        good_idx = np.flatnonzero(ok_np)
+        bad_idx = np.flatnonzero(~ok_np)
+
+        if len(bad_idx):
+            bad_i = pa.array(bad_idx)
+            is_null = content.take(bad_i).is_null().to_numpy(zero_copy_only=False)
+            err = pa.array(
+                np.where(is_null, "content is null", "content sha256 mismatch"),
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col["unit"].take(bad_i),
+                    col["doc_id"].take(bad_i),
+                    _nulls(len(bad_idx)),
+                    pa.array(np.zeros(len(bad_idx), np.int32)),
+                    err,
+                    col["repo"].take(bad_i),
+                    col["path"].take(bad_i),
+                    col["commit"].take(bad_i),
+                ],
+                schema=out_schema,
+            )
+        if not len(good_idx):
+            continue
+
+        good_i = pa.array(good_idx)
+        content_ok = content.take(good_i)
+        unit_ok = col["unit"].take(good_i)
+        doc_ok = col["doc_id"].take(good_i).to_numpy()
+        flat, doc_idx, counts = tokenize_flat_arrow(content_ok)
+
+        # sentinel rows: one per valid doc, with identity + dl
+        yield pa.RecordBatch.from_arrays(
+            [
+                unit_ok,
+                pa.array(doc_ok),
+                _nulls(len(good_idx)),
+                pa.array(counts.astype(np.int32)),
+                _nulls(len(good_idx)),
+                col["repo"].take(good_i),
+                col["path"].take(good_i),
+                col["commit"].take(good_i),
+            ],
+            schema=out_schema,
         )
 
-        good = pdf[ok]
-        toks = tokenize_series(good["content"])
-        dl = toks.map(len).to_numpy(dtype=np.int64) if len(good) else np.zeros(0, np.int64)
-        doc_ids = good["doc_id"].to_numpy(dtype=np.int64)
-        units = good["unit"].to_numpy(dtype=object)
-        rep_doc = np.repeat(doc_ids, dl)
-        rep_unit = np.repeat(units, dl)
-        terms = (
-            np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-            if dl.sum() > 0
-            else np.empty(0, dtype=object)
-        )
-        tf = (
-            pd.DataFrame({"doc_id": rep_doc, "term": terms, "unit": rep_unit})
-            .groupby(["unit", "doc_id", "term"], sort=False)
-            .size()
-            .rename("tf")
-            .reset_index()
-        )
-        dl_map = pd.DataFrame({"doc_id": doc_ids, "dl": dl, "unit": units})
-        tf = tf.merge(dl_map[["doc_id", "dl"]], on="doc_id", how="left")
-        tf["err"] = None
-        tf["repo"] = None
-        tf["path"] = None
-        tf["commit"] = None
-        # sentinel rows carry the doc identity -> docs table can resolve
-        # doc_id back to (repo, path, commit) for query results
-        sentinel = dl_map.assign(
-            term=None,
-            tf=0,
-            err=None,
-            repo=good["repo"].to_numpy(dtype=object),
-            path=good["path"].to_numpy(dtype=object),
-            commit=good["commit"].to_numpy(dtype=object),
-        )
-        out = pd.concat(
-            [tf[_OUT_COLS], sentinel[_OUT_COLS], quar[_OUT_COLS]],
-            ignore_index=True,
-        )
-        out["tf"] = out["tf"].astype("int32")
-        out["dl"] = out["dl"].astype("int32")
-        yield out
+        # raw token rows, chunked to bound RecordBatch size
+        total = len(flat)
+        for s in range(0, total, CHUNK):
+            e = min(s + CHUNK, total)
+            sl = doc_idx[s:e]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    unit_ok.take(pa.array(sl)),
+                    pa.array(doc_ok[sl]),
+                    flat.slice(s, e - s),
+                    pa.array(counts[sl].astype(np.int32)),
+                    _nulls(e - s),
+                    _nulls(e - s),
+                    _nulls(e - s),
+                    _nulls(e - s),
+                ],
+                schema=out_schema,
+            )
 
 
 QUARANTINE_SCHEMA = (
@@ -227,7 +286,7 @@ def run_tokenize_stage(
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
         "repo", "path", "commit", "content", "content_sha256",
     )
-    tokens = src.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+    tokens = src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         tokens.write.mode("overwrite")
@@ -259,7 +318,7 @@ def run_tokenize_stage(
         .agg(
             F.sum(F.when(F.col("err").isNull(), 1).otherwise(0)).alias("rows_out"),
             F.sum(
-                F.when(F.col("term").isNull() & (F.col("tf") == 0), 1).otherwise(0)
+                F.when(F.col("term").isNull() & F.col("err").isNull(), 1).otherwise(0)
             ).alias("n_docs"),
             F.sum(F.when(F.col("err").isNotNull(), 1).otherwise(0)).alias("nq"),
         )
@@ -285,25 +344,51 @@ def run_tokenize_stage(
     return [_unit_id(u) for u in pending]
 
 
-def _encode_chunk(
-    pdf: pd.DataFrame, k1: float, b: float, block: int, avgdl: float
-) -> pd.DataFrame:
-    """Encode posting blocks for a chunk of rows ALREADY SORTED by
+def _blocks_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("bucket", pa.int32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("n", pa.int32()),
+            ("docs", pa.binary()),
+            ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+            ("max_tf", pa.int32()),
+            ("block_max", pa.float64()),
+        ]
+    )
+
+
+def _encode_chunk_arrow(tbl, k1: float, b: float, block: int, avgdl: float):
+    """Encode posting blocks for a pa.Table of rows ALREADY SORTED by
     (term, salt, doc_id). Vectorized across all groups at once: group
-    boundaries via neighbor comparison, per-block varbyte via one
-    encode pass + byte-offset slicing (no per-group pandas overhead).
+    boundaries via Arrow neighbor comparison (C kernels — terms never
+    become Python objects), per-block varbyte via one numpy encode
+    pass + byte-offset slicing (no per-group overhead).
     """
-    n = len(pdf)
-    term = pdf["term"].to_numpy(dtype=object)
-    salt = pdf["salt"].to_numpy(np.int64)
-    doc = pdf["doc_id"].to_numpy(np.int64)
-    tf = pdf["tf"].to_numpy(np.int64)
-    dl = pdf["dl"].to_numpy(np.int64)
-    bucket = pdf["bucket"].to_numpy(np.int64)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    term = tbl.column("term")
+    if isinstance(term, pa.ChunkedArray):
+        term = term.combine_chunks()
+    salt = tbl.column("salt").to_numpy().astype(np.int64)
+    doc = tbl.column("doc_id").to_numpy().astype(np.int64)
+    tf = tbl.column("tf").to_numpy().astype(np.int64)
+    dl = tbl.column("dl").to_numpy().astype(np.int64)
+    bucket = tbl.column("bucket").to_numpy().astype(np.int64)
 
     new_group = np.ones(n, dtype=bool)
     if n > 1:
-        new_group[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+        tneq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_group[1:] = tneq | (salt[1:] != salt[:-1])
     gid = np.cumsum(new_group) - 1
     gstart = np.flatnonzero(new_group)
     pos_in_group = np.arange(n) - gstart[gid]
@@ -334,51 +419,84 @@ def _encode_chunk(
         byte_start = np.concatenate([[0], byte_end[:-1]])
         return [buf[s:e] for s, e in zip(byte_start, byte_end)]
 
-    return pd.DataFrame(
-        {
-            "term": term[bstart],
-            "bucket": bucket[bstart].astype(np.int32),
-            "min_doc": doc[bstart],
-            "max_doc": doc[bend - 1],
-            "n": (bend - bstart).astype(np.int32),
-            "docs": _sliced(deltas),
-            "tfs": _sliced(tf.astype(np.uint64)),
-            "dls": _sliced(dl.astype(np.uint64)),
-            "max_tf": max_tf.astype(np.int32),
-            "block_max": block_max,
-        }
+    import pyarrow as pa
+
+    bstart_pa = pa.array(bstart)
+    return pa.RecordBatch.from_arrays(
+        [
+            term.take(bstart_pa),
+            pa.array(bucket[bstart].astype(np.int32)),
+            pa.array(doc[bstart]),
+            pa.array(doc[bend - 1]),
+            pa.array((bend - bstart).astype(np.int32)),
+            pa.array(_sliced(deltas), type=pa.binary()),
+            pa.array(_sliced(tf.astype(np.uint64)), type=pa.binary()),
+            pa.array(_sliced(dl.astype(np.uint64)), type=pa.binary()),
+            pa.array(max_tf.astype(np.int32)),
+            pa.array(block_max.astype(np.float64)),
+        ],
+        schema=_blocks_pa_schema(),
     )
 
 
 def _make_block_builder(cfg: BuildConfig, avgdl: float):
-    """mapInPandas over partitions sorted by (term, salt, doc_id).
+    """mapInArrow over partitions sorted by (term, salt, doc_id).
 
-    A (term, salt) group may span Arrow batches; the trailing
-    (possibly incomplete) group of each batch is carried into the next
-    so every group is encoded exactly once, whole."""
+    Arrow batches are accumulated to ~2M rows before encoding (Spark
+    feeds small maxRecordsPerBatch batches; amortizing the per-chunk
+    boundary logic matters at 100M+ posting scale). A (term, salt)
+    group may span chunks; the trailing (possibly incomplete) group of
+    each chunk is carried into the next so every group is encoded
+    exactly once, whole."""
     k1, b, block = cfg.k1, cfg.b, cfg.block_size
+    target_rows = 2 << 20
 
     def build_blocks(it):
-        carry: pd.DataFrame | None = None
-        for pdf in it:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
-                continue
-            last_term = pdf["term"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            tail = (
-                (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
-            ).to_numpy()
-            # trailing run of the last group (rows are group-contiguous)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pending: list = []
+        npend = 0
+        carry = None
+
+        def assemble(tbls):
+            nonlocal carry
+            parts = ([carry] if carry is not None else []) + tbls
+            carry = None
+            if not parts:
+                return None
+            tbl = pa.concat_tables(parts).combine_chunks()
+            return tbl if tbl.num_rows else None
+
+        def split_tail(tbl):
+            """Hold back the trailing run of the last (term, salt)
+            group; rows are group-contiguous within the sort order."""
+            nonlocal carry
+            n = tbl.num_rows
+            term = tbl.column("term")
+            salt = tbl.column("salt")
+            tail = pc.and_(
+                pc.equal(term, term[n - 1]), pc.equal(salt, salt[n - 1])
+            ).to_numpy(zero_copy_only=False)
             rev = tail[::-1]
-            tail_len = len(rev) if rev.all() else int(rev.argmin())
-            head = pdf.iloc[: len(pdf) - tail_len]
-            carry = pdf.iloc[len(pdf) - tail_len :]
-            if len(head):
-                yield _encode_chunk(head, k1, b, block, avgdl)
-        if carry is not None and len(carry):
-            yield _encode_chunk(carry, k1, b, block, avgdl)
+            tail_len = n if rev.all() else int(rev.argmin())
+            carry = tbl.slice(n - tail_len)
+            head = tbl.slice(0, n - tail_len)
+            return head if head.num_rows else None
+
+        for batch in it:
+            pending.append(pa.Table.from_batches([batch]))
+            npend += batch.num_rows
+            if npend >= target_rows:
+                tbl = assemble(pending)
+                pending, npend = [], 0
+                if tbl is not None:
+                    head = split_tail(tbl)
+                    if head is not None:
+                        yield _encode_chunk_arrow(head, k1, b, block, avgdl)
+        tbl = assemble(pending)
+        if tbl is not None:
+            yield _encode_chunk_arrow(tbl, k1, b, block, avgdl)
 
     return build_blocks
 
@@ -405,9 +523,9 @@ def run_index_stage(
     started = time.time()
 
     tokens = spark.read.parquet(os.path.join(index_dir, "tokens"))
-    # sentinel doc rows (tf == 0); quarantine rows (tf == -1) excluded
+    # sentinel doc rows (term NULL, err NULL); quarantine rows excluded
     docs = tokens.filter(
-        F.col("term").isNull() & (F.col("tf") == 0)
+        F.col("term").isNull() & F.col("err").isNull()
     ).select("doc_id", "dl", "repo", "path", "commit")
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
@@ -416,7 +534,19 @@ def run_index_stage(
     ).collect()[0]
     n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
 
-    tok = tokens.filter(F.col("term").isNotNull())
+    # tf aggregation runs JVM-side (hash agg + map-side combine: a
+    # doc's tokens are within one task, so the shuffle moves already-
+    # deduplicated (doc, term) rows). Materialized once so the term-
+    # dictionary pass and the encode pass don't re-run the raw scan.
+    raw = tokens.filter(F.col("term").isNotNull())
+    tf_path = os.path.join(index_dir, "tf")
+    (
+        raw.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(tf_path)
+    )
+    tok = spark.read.parquet(tf_path)
     term_df = tok.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
@@ -449,14 +579,15 @@ def run_index_stage(
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
     )
     # ONE shuffle: hash-exchange on (term, salt), sort runs inside each
-    # partition, then a batch-vectorized mapInPandas encodes posting
-    # blocks for every group in the partition (no per-group overhead)
+    # partition, then a batch-vectorized mapInArrow encodes posting
+    # blocks for every group in the partition (no per-group overhead,
+    # no Python string objects)
     blocks = (
         tok2.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")), "term", "salt"
         )
         .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA)
+        .mapInArrow(_make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA)
     )
     (
         blocks.repartition(cfg.n_buckets, "bucket")

@@ -47,6 +47,50 @@ def tokenize_series(s: pd.Series) -> pd.Series:
     return toks.map(lambda xs: [x for x in xs if x])
 
 
+def tokenize_flat_arrow(arr) -> tuple:
+    """Arrow-native tokenize (the hot build path): pyarrow.compute RE2
+    kernels on contiguous Arrow buffers — no Python string objects, far
+    less allocator/bandwidth pressure than pandas object dtype (the
+    sandbox profile showed object-string processing saturates memory
+    bandwidth well below 32 cores; see BASELINE.md §scaling).
+
+    Input: pa.Array/ChunkedArray of non-null strings (one per doc).
+    Returns (flat_tokens: pa.Array[string], doc_idx: np.int64 array
+    mapping each flat token to its input row, counts: np.int64 array of
+    per-doc token counts). Token-identical to tokenize_series
+    (asserted in tests/test_tokenizer.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string()), np.zeros(0, np.int64), np.zeros(
+            0, np.int64
+        )
+    t = pc.replace_substring_regex(
+        arr, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2"
+    )
+    t = pc.replace_substring_regex(
+        t, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2"
+    )
+    t = pc.utf8_lower(t)
+    lists = pc.split_pattern_regex(t, pattern="[^a-z0-9]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()  # honors any array offset, unlike .values
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    per_doc_total = np.diff(offsets - offsets[0])
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), per_doc_total)
+    keep = nonempty
+    counts = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+    flat_f = flat.filter(pa.array(keep))
+    return flat_f, doc_idx[keep], counts
+
+
 def tokenize_col(col: Column) -> Column:
     """Spark-native expression returning array<string> of tokens."""
     c = F.regexp_replace(F.coalesce(col, F.lit("")), r"([A-Z]+)([A-Z][a-z])", r"$1 $2")

@@ -20,7 +20,7 @@ from data_prepper_spark.index.build import (  # noqa: E402
     BuildConfig,
     TOKENS_SCHEMA,
     _make_block_builder,
-    _tokenize_batches,
+    _tokenize_batches_arrow,
 )
 from data_prepper_spark.session import get_spark  # noqa: E402
 
@@ -49,14 +49,21 @@ src = corpus.withColumn("unit", F.lit("u")).select(
 
 timed("scan_only_count", lambda: corpus.count())
 timed(
-    "tokenize_mapInPandas_count",
-    lambda: src.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA).count(),
+    "tokenize_mapInArrow_count",
+    lambda: src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA).count(),
 )
 
 if os.path.isdir(tokens_dir):
+    raw = spark.read.parquet(tokens_dir).filter(F.col("term").isNotNull())
+    timed(
+        "tf_agg_jvm_count",
+        lambda: raw.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .count(),
+    )
     tok = (
-        spark.read.parquet(tokens_dir)
-        .filter(F.col("term").isNotNull())
+        raw.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
         .withColumn("salt", F.lit(0))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(32)).cast("int"))
     )
@@ -65,7 +72,7 @@ if os.path.isdir(tokens_dir):
         "encode_blocks_count",
         lambda: tok.repartition(64, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_make_block_builder(cfg, 1000.0), schema=(
+        .mapInArrow(_make_block_builder(cfg, 1000.0), schema=(
             "term string, bucket int, min_doc long, max_doc long, n int, "
             "docs binary, tfs binary, dls binary, max_tf int, block_max double"
         ))
