@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import manifest as mf
-from .codec import to_unsigned, varbyte_encode
+from .codec import to_unsigned, varbyte_encode, varbyte_lengths
 
 K1 = 1.2
 B = 0.75
@@ -60,7 +60,7 @@ TOKENS_SCHEMA = (
     "err string, repo string, path string, commit string"
 )
 BLOCKS_SCHEMA = (
-    "term string, bucket int, min_doc long, max_doc long, n int, "
+    "term_id long, bucket int, min_doc long, max_doc long, n int, "
     "docs binary, tfs binary, dls binary, max_tf int, block_max double"
 )
 
@@ -286,6 +286,9 @@ def run_tokenize_stage(
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
         "repo", "path", "commit", "content", "content_sha256",
     )
+    # corpus rows are fat (~30 KB content): cap UDF input batches so a
+    # worker holds ~32 MB of content, not gigabytes
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     tokens = src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -349,7 +352,7 @@ def _blocks_pa_schema():
 
     return pa.schema(
         [
-            ("term", pa.string()),
+            ("term_id", pa.int64()),
             ("bucket", pa.int32()),
             ("min_doc", pa.int64()),
             ("max_doc", pa.int64()),
@@ -365,39 +368,39 @@ def _blocks_pa_schema():
 
 def _encode_chunk_arrow(tbl, k1: float, b: float, block: int, avgdl: float):
     """Encode posting blocks for a pa.Table of rows ALREADY SORTED by
-    (term, salt, doc_id). Vectorized across all groups at once: group
-    boundaries via Arrow neighbor comparison (C kernels — terms never
-    become Python objects), per-block varbyte via one numpy encode
+    (term_id, salt, doc_id). Vectorized across all groups at once:
+    group boundaries via numpy neighbor comparison (terms flow as
+    fixed-width int64 ids — strings never cross the JVM/Python
+    boundary on this path), per-block varbyte via one numpy encode
     pass + byte-offset slicing (no per-group overhead).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     n = tbl.num_rows
-    term = tbl.column("term")
-    if isinstance(term, pa.ChunkedArray):
-        term = term.combine_chunks()
-    salt = tbl.column("salt").to_numpy().astype(np.int64)
-    doc = tbl.column("doc_id").to_numpy().astype(np.int64)
-    tf = tbl.column("tf").to_numpy().astype(np.int64)
-    dl = tbl.column("dl").to_numpy().astype(np.int64)
-    bucket = tbl.column("bucket").to_numpy().astype(np.int64)
+    # keep native dtypes: astype copies are fault-dominated in this
+    # sandbox (see codec.varbyte_lengths); math upcasts element-wise
+    term = tbl.column("term_id").to_numpy()
+    salt = tbl.column("salt").to_numpy()
+    doc = tbl.column("doc_id").to_numpy()
+    tf = tbl.column("tf").to_numpy()
+    dl = tbl.column("dl").to_numpy()
+    bucket = tbl.column("bucket").to_numpy()
 
     new_group = np.ones(n, dtype=bool)
     if n > 1:
-        tneq = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        new_group[1:] = tneq | (salt[1:] != salt[:-1])
-    gid = np.cumsum(new_group) - 1
+        new_group[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    gid = np.cumsum(new_group, dtype=np.uint64) - np.uint64(1)
     gstart = np.flatnonzero(new_group)
-    pos_in_group = np.arange(n) - gstart[gid]
+    pos_in_group = np.arange(n, dtype=np.int64)
+    pos_in_group -= gstart[gid]
     # block boundary: every `block` postings within a group
-    new_block = new_group | (pos_in_group % block == 0)
-    bid = np.cumsum(new_block) - 1
+    if block & (block - 1) == 0:
+        pos_in_group &= block - 1  # power-of-two fast path, in place
+    else:
+        pos_in_group %= block
+    new_block = new_group | (pos_in_group == 0)
     bstart = np.flatnonzero(new_block)
     bend = np.concatenate([bstart[1:], [n]])
-    nb = len(bstart)
 
     u = to_unsigned(doc)
     deltas = np.empty(n, dtype=np.uint64)
@@ -405,35 +408,35 @@ def _encode_chunk_arrow(tbl, k1: float, b: float, block: int, avgdl: float):
     deltas[1:] = u[1:] - u[:-1]
     deltas[bstart] = u[bstart]  # each block encodes independently
 
-    impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    # BM25 impact with minimal temporaries (in-place after 2 allocs)
+    denom = dl * (k1 * b / avgdl)
+    denom += k1 * (1.0 - b)
+    denom += tf
+    impact = tf * (k1 + 1.0)
+    impact /= denom
     block_max = np.maximum.reduceat(impact, bstart)
     max_tf = np.maximum.reduceat(tf, bstart)
 
     def _sliced(values: np.ndarray) -> list[bytes]:
-        buf = varbyte_encode(values)
-        nbytes = np.ones(n, dtype=np.int64)
-        for k in range(1, 10):
-            nbytes += values >= (np.uint64(1) << np.uint64(7 * k))
+        nbytes = varbyte_lengths(values)
+        buf = varbyte_encode(values, lengths=nbytes)
         ends = np.cumsum(nbytes)
         byte_end = ends[bend - 1]
-        byte_start = np.concatenate([[0], byte_end[:-1]])
+        byte_start = ends[bstart] - nbytes[bstart]
         return [buf[s:e] for s, e in zip(byte_start, byte_end)]
 
-    import pyarrow as pa
-
-    bstart_pa = pa.array(bstart)
     return pa.RecordBatch.from_arrays(
         [
-            term.take(bstart_pa),
-            pa.array(bucket[bstart].astype(np.int32)),
+            pa.array(term[bstart]),
+            pa.array(bucket[bstart].astype(np.int32, copy=False)),
             pa.array(doc[bstart]),
             pa.array(doc[bend - 1]),
             pa.array((bend - bstart).astype(np.int32)),
             pa.array(_sliced(deltas), type=pa.binary()),
             pa.array(_sliced(tf.astype(np.uint64)), type=pa.binary()),
             pa.array(_sliced(dl.astype(np.uint64)), type=pa.binary()),
-            pa.array(max_tf.astype(np.int32)),
-            pa.array(block_max.astype(np.float64)),
+            pa.array(max_tf.astype(np.int32, copy=False)),
+            pa.array(block_max),
         ],
         schema=_blocks_pa_schema(),
     )
@@ -453,7 +456,6 @@ def _make_block_builder(cfg: BuildConfig, avgdl: float):
 
     def build_blocks(it):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         pending: list = []
         npend = 0
@@ -469,15 +471,13 @@ def _make_block_builder(cfg: BuildConfig, avgdl: float):
             return tbl if tbl.num_rows else None
 
         def split_tail(tbl):
-            """Hold back the trailing run of the last (term, salt)
+            """Hold back the trailing run of the last (term_id, salt)
             group; rows are group-contiguous within the sort order."""
             nonlocal carry
             n = tbl.num_rows
-            term = tbl.column("term")
-            salt = tbl.column("salt")
-            tail = pc.and_(
-                pc.equal(term, term[n - 1]), pc.equal(salt, salt[n - 1])
-            ).to_numpy(zero_copy_only=False)
+            term = tbl.column("term_id").to_numpy()
+            salt = tbl.column("salt").to_numpy()
+            tail = (term == term[n - 1]) & (salt == salt[n - 1])
             rev = tail[::-1]
             tail_len = n if rev.all() else int(rev.argmin())
             carry = tbl.slice(n - tail_len)
@@ -549,7 +549,23 @@ def run_index_stage(
     tok = spark.read.parquet(tf_path)
     term_df = tok.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
+    ).withColumn("term_id", F.xxhash64("term"))
+
+    # Postings are keyed by term_id = xxhash64(term): the encode
+    # shuffle + JVM->Python transfer then move fixed-width ints, not
+    # strings (measured ~40% of the transfer bytes). The dictionary
+    # maps term -> term_id; a collision (two terms, one id) would merge
+    # posting lists, so the build asserts injectivity over the actual
+    # vocabulary and aborts if violated (p < 1e-6 at 1e6-term scale;
+    # the deterministic re-salt escape hatch is documented in README).
+    coll = (
+        term_df.groupBy("term_id").count().filter(F.col("count") > 1).count()
     )
+    if coll:
+        raise RuntimeError(
+            f"xxhash64 term_id collision for {coll} ids; "
+            "rebuild with a salted term hash"
+        )
 
     # hot-term detection: terms whose postings exceed one target group;
     # salt = high bits of the (order-preserved unsigned) doc id, so each
@@ -566,6 +582,7 @@ def run_index_stage(
     )
     tok2 = (
         tok.join(F.broadcast(hot), "term", "left")
+        .withColumn("term_id", F.xxhash64("term"))
         .withColumn(
             "salt",
             F.when(
@@ -576,22 +593,29 @@ def run_index_stage(
                 ),
             ).otherwise(F.lit(0)),
         )
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"))
+        .withColumn(
+            "bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
+        )
+        .select("term_id", "salt", "bucket", "doc_id", "tf", "dl")
     )
-    # ONE shuffle: hash-exchange on (term, salt), sort runs inside each
-    # partition, then a batch-vectorized mapInArrow encodes posting
-    # blocks for every group in the partition (no per-group overhead,
-    # no Python string objects)
+    # ONE shuffle: hash-exchange on (term_id, salt), sort runs inside
+    # each partition, then a batch-vectorized mapInArrow encodes
+    # posting blocks for every group in the partition (no per-group
+    # overhead, no Python string objects). Skinny int rows transfer
+    # fast; 64k Arrow batches amortize IPC flushes.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     blocks = (
         tok2.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "term", "salt"
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "term_id",
+            "salt",
         )
-        .sortWithinPartitions("term", "salt", "doc_id")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInArrow(_make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA)
     )
     (
         blocks.repartition(cfg.n_buckets, "bucket")
-        .sortWithinPartitions("term", "min_doc")
+        .sortWithinPartitions("term_id", "min_doc")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(index_dir, "postings"))
@@ -600,12 +624,12 @@ def run_index_stage(
     # term dictionary with per-term max impact (WAND global upper bound),
     # derived from the written blocks (column-pruned read: no binaries)
     written = spark.read.parquet(os.path.join(index_dir, "postings"))
-    max_imp = written.groupBy("term").agg(
+    max_imp = written.groupBy("term_id").agg(
         F.max("block_max").alias("max_impact"),
         F.first("bucket").alias("bucket"),
     )
     (
-        term_df.join(max_imp, "term")
+        term_df.join(max_imp, "term_id")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "terms"))
     )

@@ -58,7 +58,7 @@ def query_terms(
     return (
         qt.join(terms, "term")
         .withColumn("idf", _idf_col(n_docs))
-        .select("query_id", "term", "df", "idf", "bucket", "max_impact")
+        .select("query_id", "term", "term_id", "df", "idf", "bucket", "max_impact")
     )
 
 
@@ -147,7 +147,7 @@ def topk(
 
     if mode == "exhaustive":
         joined = post.join(
-            F.broadcast(qt.select("query_id", "term", "idf")), "term"
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
         )
         scored = joined.select(
             "query_id", "idf", "docs", "tfs", "dls"
@@ -162,14 +162,14 @@ def topk(
     q_ub = qt.groupBy("query_id").agg(F.sum("ub_term").alias("ub_total"))
     qtb = F.broadcast(
         qt.join(q_ub, "query_id").select(
-            "query_id", "term", "idf", "ub_term", "ub_total"
+            "query_id", "term_id", "idf", "ub_term", "ub_total"
         )
     )
-    joined = post.join(qtb, "term")
+    joined = post.join(qtb, "term_id")
     joined.persist()
     try:
         # phase A: probe the highest-block_max blocks per (query, term)
-        wprobe = Window.partitionBy("query_id", "term").orderBy(
+        wprobe = Window.partitionBy("query_id", "term_id").orderBy(
             F.desc("block_max"), F.asc("min_doc")
         )
         probed = (

@@ -91,8 +91,16 @@ def test_hot_terms_are_salted(spark, index_dir):
     """Hot terms (df > hot_group_target) must be split across several
     disjoint-range groups — i.e. more than one block row with
     non-overlapping [min_doc, max_doc] ranges."""
+    from pyspark.sql import functions as F
+
+    tid = (
+        spark.read.parquet(f"{index_dir}/terms")
+        .filter(F.col("term") == "init")
+        .select("term_id")
+        .collect()[0][0]
+    )
     post = spark.read.parquet(f"{index_dir}/postings")
-    hot = post.filter(post.term == "init").orderBy("min_doc").toPandas()
+    hot = post.filter(post.term_id == tid).orderBy("min_doc").toPandas()
     assert len(hot) > 1
     assert (hot["min_doc"].values[1:] > hot["max_doc"].values[:-1]).all()
 

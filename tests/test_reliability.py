@@ -95,16 +95,16 @@ def test_resumed_index_identical_to_uninterrupted(
     # block-level identity: same (term, min_doc, n, payload) everywhere
     pa_ = (
         spark.read.parquet(os.path.join(a, "postings"))
-        .select("term", "min_doc", "n", "docs", "tfs")
+        .select("term_id", "min_doc", "n", "docs", "tfs")
         .toPandas()
-        .sort_values(["term", "min_doc"])
+        .sort_values(["term_id", "min_doc"])
         .reset_index(drop=True)
     )
     pb_ = (
         spark.read.parquet(os.path.join(b, "postings"))
-        .select("term", "min_doc", "n", "docs", "tfs")
+        .select("term_id", "min_doc", "n", "docs", "tfs")
         .toPandas()
-        .sort_values(["term", "min_doc"])
+        .sort_values(["term_id", "min_doc"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(pa_, pb_)
