@@ -58,20 +58,25 @@ def run_build_and_query(spark, sf: float, tag: str) -> dict:
     n_docs = n_docs_for_sf(sf)
 
     queries = spark.read.parquet(f"{fdir}/queries.parquet")
-    t0 = time.time()
-    res = topk(spark, idx, queries, k=10, mode="blockmax")
-    n_res = res.count()
-    query_sec = time.time() - t0
     nq = queries.count()
-    return {
+    out = {
         "build_sec": round(build_sec, 2),
         "files_per_sec": round(n_docs / build_sec, 1),
         "n_docs": n_docs,
-        "bm25_batch_sec": round(query_sec, 2),
-        "bm25_per_query_ms": round(query_sec / nq * 1000, 1),
         "n_queries": int(nq),
-        "n_result_rows": int(n_res),
     }
+    # exhaustive decode wins at this index size; blockmax pruning is
+    # the large-index path — report both (same results, asserted in
+    # tests)
+    for mode in ("exhaustive", "blockmax"):
+        t0 = time.time()
+        n_res = topk(spark, idx, queries, k=10, mode=mode).count()
+        query_sec = time.time() - t0
+        key = "bm25" if mode == "exhaustive" else "bm25_blockmax"
+        out[f"{key}_batch_sec"] = round(query_sec, 2)
+        out[f"{key}_per_query_ms"] = round(query_sec / nq * 1000, 1)
+        out["n_result_rows"] = int(n_res)
+    return out
 
 
 def main():
@@ -80,8 +85,10 @@ def main():
     sf = _sf_of(sf_dir)
 
     if "--scaling" in sys.argv:
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
+        lo, hi = (int(x) for x in pair.split(","))
         out = {}
-        for n in (8, 32):
+        for n in (lo, hi):
             # identical shuffle layout at both parallelism levels (AQE
             # coalesces at runtime) so the comparison isolates cores
             spark = get_spark(
@@ -91,9 +98,10 @@ def main():
             )
             out[f"local[{n}]"] = run_build_and_query(spark, sf, f"scal{n}")
             spark.stop()
-        t8 = out["local[8]"]["files_per_sec"]
-        t32 = out["local[32]"]["files_per_sec"]
-        out["scaling_efficiency"] = round((t32 / t8) / 4, 3)
+        tlo = out[f"local[{lo}]"]["files_per_sec"]
+        thi = out[f"local[{hi}]"]["files_per_sec"]
+        out["scaling_efficiency"] = round((thi / tlo) / (hi / lo), 3)
+        out["pair"] = f"local[{lo}] vs local[{hi}]"
         print(json.dumps(out))
         return
 

@@ -138,6 +138,11 @@ def topk(
     probe_blocks: int = 2,
 ) -> DataFrame:
     """Top-k BM25 per query: (query_id, rank, doc_id, score)."""
+    # block rows are FAT (≈1.3 KB varbyte payload -> ~70 decode
+    # temporary bytes per encoded byte): cap UDF batches so decode
+    # working sets stay cache-friendly (the build stage sets 64k for
+    # its skinny rows; that setting must not leak into the query path)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
