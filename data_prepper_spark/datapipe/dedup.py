@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import tokenize_col, tokenize_series
+from ..tokenizer import tokenize_col
 
 _MERSENNE = (1 << 61) - 1
 
@@ -46,15 +46,16 @@ def _shingle_hashes(texts: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndar
 
     Shingles are hashed incrementally from token hashes (mix-combine of
     `shingle` consecutive token hashes) — vectorized, no string concat.
+    Tokenization runs on the Arrow path (token-identical to
+    tokenize_series; see tokenizer.py).
     """
-    toks = tokenize_series(texts)
-    lens = toks.map(len).to_numpy(np.int64)
-    flat = (
-        np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-        if lens.sum()
-        else np.empty(0, dtype=object)
-    )
-    th = _hash_tokens(flat)
+    import pyarrow as pa
+
+    from ..tokenizer import tokenize_flat_arrow
+
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    flat_pa, _, lens = tokenize_flat_arrow(arr)
+    th = _hash_tokens(flat_pa.to_numpy(zero_copy_only=False))
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     n_sh = np.maximum(lens - shingle + 1, 0)
     # rolling combine: h[i] = mix(th[i] .. th[i+shingle-1])
@@ -152,15 +153,14 @@ def simhash_udf(text_col: str, id_col: str):
     """mapInPandas fn: 64-bit SimHash of token multiset (tf-weighted)."""
 
     def fn(it):
+        import pyarrow as pa
+
+        from ..tokenizer import tokenize_flat_arrow
+
         for pdf in it:
-            toks = tokenize_series(pdf[text_col])
-            lens = toks.map(len).to_numpy(np.int64)
-            flat = (
-                np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-                if lens.sum()
-                else np.empty(0, dtype=object)
-            )
-            th = _hash_tokens(flat)
+            arr = pa.Array.from_pandas(pdf[text_col].fillna(""))
+            flat_pa, _, lens = tokenize_flat_arrow(arr)
+            th = _hash_tokens(flat_pa.to_numpy(zero_copy_only=False))
             seg = np.repeat(np.arange(len(pdf)), lens)
             acc = np.zeros((len(pdf), 64), dtype=np.int64)
             bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
