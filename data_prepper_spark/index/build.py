@@ -523,10 +523,24 @@ def run_index_stage(
     started = time.time()
 
     tokens = spark.read.parquet(os.path.join(index_dir, "tokens"))
-    # sentinel doc rows (term NULL, err NULL); quarantine rows excluded
-    docs = tokens.filter(
-        F.col("term").isNull() & F.col("err").isNull()
-    ).select("doc_id", "dl", "repo", "path", "commit")
+    # sentinel doc rows (term NULL, err NULL); quarantine rows excluded.
+    # `ord` is the DENSE doc ordinal (rank of doc_id): postings encode
+    # ord deltas, which at N docs average N/df — 1-3 varbyte bytes —
+    # instead of the ~9-byte deltas of sparse 64-bit xxhash ids
+    # (~2.5x smaller postings, faster decode; standard IR practice).
+    # Rank-by-doc_id keeps the (score desc, doc_id asc) tie-break
+    # order identical: ord order == doc_id order by construction.
+    # At 10^12-doc scale the window below becomes repartitionByRange
+    # + per-partition offsets (same determinism, no global window).
+    from pyspark.sql import Window as W
+
+    docs = (
+        tokens.filter(F.col("term").isNull() & F.col("err").isNull())
+        .select("doc_id", "dl", "repo", "path", "commit")
+        .withColumn(
+            "ord", F.row_number().over(W.orderBy("doc_id")).cast("long") - 1
+        )
+    )
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     agg = docs.agg(
@@ -580,23 +594,31 @@ def run_index_stage(
             ).cast("int").alias("salt_bits"),
         )
     )
+    # salt for hot terms = high bits of the dense ordinal: each
+    # (term_id, salt) group is a contiguous, disjoint ord RANGE (the
+    # expression is monotone in ord), so groups stay independently
+    # encodable. ord_map join: broadcast-sized here; at cluster scale
+    # both sides hash-partition on doc_id (no broadcast required).
+    ord_map = docs.select("doc_id", "ord")
     tok2 = (
         tok.join(F.broadcast(hot), "term", "left")
+        .join(ord_map, "doc_id")
         .withColumn("term_id", F.xxhash64("term"))
         .withColumn(
             "salt",
             F.when(
                 F.col("salt_bits").isNotNull(),
-                F.expr(
-                    "shiftrightunsigned(doc_id ^ -9223372036854775808, "
-                    "64 - salt_bits)"
-                ),
+                F.expr(f"(ord * shiftleft(1L, salt_bits)) DIV {n_docs}"),
             ).otherwise(F.lit(0)),
         )
         .withColumn(
             "bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
         )
-        .select("term_id", "salt", "bucket", "doc_id", "tf", "dl")
+        .select(
+            "term_id", "salt", "bucket",
+            F.col("ord").alias("doc_id"),  # postings store dense ords
+            "tf", "dl",
+        )
     )
     # ONE shuffle: hash-exchange on (term_id, salt), sort runs inside
     # each partition, then a batch-vectorized mapInArrow encodes

@@ -89,6 +89,9 @@ def _make_decoder(k1: float, b: float, avgdl: float, with_query: bool = True):
 
 
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Rank on the dense ordinal (column named doc_id inside the
+    decode path). ord order == doc_id order by construction, so the
+    (score desc, doc_id asc) tie-break is preserved exactly."""
     res = scored.groupBy("query_id", "doc_id").agg(
         F.sum("partial").alias("score")
     )
@@ -99,6 +102,22 @@ def _ranked(scored: DataFrame, k: int) -> DataFrame:
         res.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _resolve_ords(spark: SparkSession, index_dir: str, ranked: DataFrame) -> DataFrame:
+    """Map dense ordinals back to real doc ids. The ranked side is
+    tiny (≤ queries × k rows) — broadcast it into the docs scan, so
+    this works unchanged when the docs table has 10^12 rows."""
+    ords = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", F.col("doc_id").alias("_doc_id")
+    )
+    r = ranked.withColumnRenamed("doc_id", "ord")
+    return (
+        ords.join(F.broadcast(r), "ord")
+        .select(
+            "query_id", "rank", F.col("_doc_id").alias("doc_id"), "score"
+        )
     )
 
 
@@ -157,7 +176,7 @@ def topk(
         scored = joined.select(
             "query_id", "idf", "docs", "tfs", "dls"
         ).mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
-        return _ranked(scored, k)
+        return _resolve_ords(spark, index_dir, _ranked(scored, k))
 
     if mode != "blockmax":
         raise ValueError(f"unknown mode {mode!r}")
@@ -210,7 +229,7 @@ def topk(
         scored = survivors.mapInPandas(
             decoder, schema="query_id long, doc_id long, partial double"
         )
-        return _ranked(scored, k)
+        return _resolve_ords(spark, index_dir, _ranked(scored, k))
     finally:
         # the returned (lazy) DataFrame still references the cached
         # join; callers that materialize it benefit from the reuse
