@@ -14,7 +14,8 @@ Pipeline shape (north_rule):
      does NOT happen in Python: the sandbox profile showed object-
      string groupby saturates memory bandwidth (no 8->32-core scaling);
      JVM hash agg scales and combines map-side.
-  2. `index` stage: global stats (N, avgdl); JVM groupBy -> tf table;
+  2. `index` stage: global stats (N, avgdl) + dense doc ordinals;
+     JVM groupBy -> persisted tf;
      per-term df/cf (map-side-combined groupBy — no skew risk); then
      posting-block build via repartition(term, salt) + sorted
      mapInArrow where `salt` is a doc-id RANGE bucket assigned only to
@@ -550,36 +551,26 @@ def run_index_stage(
 
     # tf aggregation runs JVM-side (hash agg + map-side combine: a
     # doc's tokens are within one task, so the shuffle moves already-
-    # deduplicated (doc, term) rows). Materialized once so the term-
-    # dictionary pass and the encode pass don't re-run the raw scan.
+    # deduplicated (doc, term) rows). Persisted once so the term-
+    # dictionary pass and the encode pass don't re-run the raw scan;
+    # MEMORY_AND_DISK behaves like shuffle-file locality on a real
+    # cluster (tf is an intra-stage artifact: an index-stage failure
+    # re-runs the whole stage per the manifest, so durability on the
+    # index path buys nothing).
+    from pyspark import StorageLevel
+
     raw = tokens.filter(F.col("term").isNotNull())
-    tf_path = os.path.join(index_dir, "tf")
-    (
+    tok = (
         raw.groupBy("doc_id", "term")
         .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(tf_path)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tok = spark.read.parquet(tf_path)
-    term_df = tok.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    ).withColumn("term_id", F.xxhash64("term"))
-
-    # Postings are keyed by term_id = xxhash64(term): the encode
-    # shuffle + JVM->Python transfer then move fixed-width ints, not
-    # strings (measured ~40% of the transfer bytes). The dictionary
-    # maps term -> term_id; a collision (two terms, one id) would merge
-    # posting lists, so the build asserts injectivity over the actual
-    # vocabulary and aborts if violated (p < 1e-6 at 1e6-term scale;
-    # the deterministic re-salt escape hatch is documented in README).
-    coll = (
-        term_df.groupBy("term_id").count().filter(F.col("count") > 1).count()
+    term_df = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("term_id", F.xxhash64("term"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if coll:
-        raise RuntimeError(
-            f"xxhash64 term_id collision for {coll} ids; "
-            "rebuild with a salted term hash"
-        )
 
     # hot-term detection: terms whose postings exceed one target group;
     # salt = high bits of the (order-preserved unsigned) doc id, so each
@@ -655,6 +646,28 @@ def run_index_stage(
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "terms"))
     )
+    tok.unpersist()
+    term_df.unpersist()
+
+    # Postings are keyed by term_id = xxhash64(term) so the encode
+    # shuffle + JVM->Python transfer move fixed-width ints, not
+    # strings. A collision (two terms, one id) would merge posting
+    # lists; assert injectivity over the ACTUAL vocabulary from the
+    # written dictionary (one cheap columnar job) and abort before any
+    # query can read the index (p < 1e-6 at 1e6-term scale; the
+    # deterministic re-salt escape hatch is documented in README).
+    coll = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .groupBy("term_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if coll:
+        raise RuntimeError(
+            f"xxhash64 term_id collision for {coll} ids; "
+            "rebuild with a salted term hash"
+        )
 
     stats = {
         "n_docs": n_docs,

@@ -1,0 +1,94 @@
+"""Regenerate PLANS.md: .explain("formatted") evidence for headline
+queries, filtered to the load-bearing lines (scans with PushedFilters /
+pruned ReadSchema, exchanges, broadcast joins, partition filters).
+
+Usage: python tools/capture_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_prepper_spark.session import get_spark  # noqa: E402
+
+NAMES = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "bm25_topk",
+    "cosine_topk_bruteforce",
+]
+
+KEEP = re.compile(
+    r"PushedFilters|ReadSchema|PartitionFilters|BroadcastHashJoin|"
+    r"SortMergeJoin|Exchange|WholeStageCodegen \(|ArrowEvalPython|"
+    r"MapInArrow|HashAggregate"
+)
+
+HEADER = """# PLANS — .explain(\"formatted\") evidence for headline queries
+
+Captured from live plans (tools/capture_plans.py; regenerate any
+time). Load-bearing properties:
+
+- filters + projections reach the parquet scan (PushedFilters /
+  pruned ReadSchema) — nothing reads columns it doesn't use
+- small sides broadcast (BroadcastHashJoin); no SortMergeJoin in
+  the dimension joins
+- index queries scan ONLY the postings partitions their terms hash
+  to: PartitionFilters / bucket IN (...) (directory-level pruning)
+"""
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    lines = [
+        ln
+        for ln in buf.getvalue().splitlines()
+        if KEEP.search(ln)
+    ]
+    return "\n".join(ln.strip()[:110] for ln in lines)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plans", master="local[8]")
+    qs = entrymod.queries()
+    out = [HEADER, "```"]
+    for name in NAMES:
+        out.append(f"\n==== {name} ====")
+        out.append(plan_of(qs[name](spark, sf_dir)))
+
+    # the physical-index query path (build once at sf0.001, explain topk)
+    import shutil
+    import tempfile
+
+    from data_prepper_spark.corpus import ensure_fixtures
+    from data_prepper_spark.index.build import build_index
+    from data_prepper_spark.index.query import topk
+
+    d = ensure_fixtures(0.001, base_dir=os.path.join(REPO, "fixtures"))
+    idx = os.path.join(tempfile.gettempdir(), "plans_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(spark, f"{d}/corpus.parquet", idx)
+    q = spark.read.parquet(f"{d}/queries.parquet").limit(5)
+    out.append("\n==== index_topk_blockmax ====")
+    out.append(plan_of(topk(spark, idx, q, k=10, mode="blockmax")))
+    out.append("```\n")
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
