@@ -374,6 +374,46 @@ def range_lookup_value_bands(spark, sf_dir):
     return joined.groupBy("band").agg(F.count("*").alias("n"))
 
 
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical totals via rollup (nation -> segment) — a
+    relational extension beyond the reference's keyed-state-only
+    aggregations (SURVEY.md §2.5 notes grouping sets are absent
+    there)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def substring_expression_family(spark, sf_dir):
+    """substringBefore/After[Last] expression functions
+    (AbstractSubstringExpressionFunction.java + 4 subclasses) over a
+    2-separator composite key."""
+    from data_prepper_spark.operators import dp_expr
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "s",
+        F.concat_ws(
+            ".", F.col("c_mktsegment"), F.col("c_name"),
+            F.col("c_custkey").cast("string"),
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        dp_expr('substringBefore(/s, ".")').alias("seg"),
+        dp_expr('substringAfter(/s, ".")').alias("name_key"),
+        dp_expr('substringBeforeLast(/s, ".")').alias("seg_name"),
+        dp_expr('substringAfterLast(/s, ".")').alias("key"),
+    )
+
+
 def csv_parse_roundtrip(spark, sf_dir):
     """csv processor: string field -> typed columns (CsvProcessor.java:44).
     The CSV line is synthesized from `customer` so the oracle can state
@@ -879,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": tpch_q6,
         "topk_orders_per_priority": topk_orders_per_priority,
         "revenue_by_nation": revenue_by_nation,
+        "rollup_revenue": rollup_revenue,
+        "substring_expression_family": substring_expression_family,
         "csv_parse_roundtrip": csv_parse_roundtrip,
         "parse_json_props": parse_json_props,
         "convert_type_try_cast": convert_type_try_cast,
@@ -967,6 +1009,29 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+"""
+
+    sql["rollup_revenue"] = """
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+    sql["substring_expression_family"] = """
+SELECT c_custkey,
+       split_part(s, '.', 1) AS seg,
+       c_name || '.' || CAST(c_custkey AS VARCHAR) AS name_key,
+       split_part(s, '.', 1) || '.' || c_name AS seg_name,
+       split_part(s, '.', 3) AS key
+FROM (
+  SELECT c_custkey, c_name,
+         c_mktsegment || '.' || c_name || '.' || CAST(c_custkey AS VARCHAR) AS s
+  FROM customer
+)
 """
 
     sql["csv_parse_roundtrip"] = """
