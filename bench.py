@@ -48,7 +48,7 @@ def _sf_of(sf_dir: str) -> float:
     return float(base[2:]) if base.startswith("sf") else 0.1
 
 
-def run_build_and_query(spark, sf: float, tag: str) -> dict:
+def run_build_and_query(spark, sf: float, tag: str, single_p50: bool = False) -> dict:
     fdir = ensure_fixtures(sf, base_dir=os.path.join(REPO, "fixtures"))
     idx = f"/tmp/bench_idx_{tag}_{sf}"
     shutil.rmtree(idx, ignore_errors=True)
@@ -76,6 +76,22 @@ def run_build_and_query(spark, sf: float, tag: str) -> dict:
         out[f"{key}_batch_sec"] = round(query_sec, 2)
         out[f"{key}_per_query_ms"] = round(query_sec / nq * 1000, 1)
         out["n_result_rows"] = int(n_res)
+
+    if single_p50:
+        # true single-query latency (one Spark job per query, cold
+        # plan each time — includes all fixed scheduling overhead)
+        lats = []
+        singles = queries.limit(15).collect()
+        for r in singles:
+            q1 = spark.createDataFrame(
+                [(r["query_id"], r["query"])], "query_id long, query string"
+            )
+            t0 = time.time()
+            topk(spark, idx, q1, k=10, mode="exhaustive").count()
+            lats.append(time.time() - t0)
+        lats.sort()
+        out["bm25_single_query_p50_ms"] = round(lats[len(lats) // 2] * 1000, 1)
+        out["bm25_single_query_min_ms"] = round(lats[0] * 1000, 1)
     return out
 
 
@@ -117,7 +133,7 @@ def main():
         timings[name] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    engine = run_build_and_query(spark, sf, "main")
+    engine = run_build_and_query(spark, sf, "main", single_p50=True)
     timings["index_build_and_bm25"] = round(time.time() - t0, 3)
 
     total = sum(timings.values())
