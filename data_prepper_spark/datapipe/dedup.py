@@ -149,6 +149,245 @@ def minhash_lsh_pairs(
     return est
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH with the DuckDB-portable hash family
+    h_p(s) = phash60(p || ':' || s): pure Catalyst, oracle-provable.
+
+    Same shape as minhash_lsh_pairs (signature -> banded bucket join ->
+    estimate on candidates, never all-pairs); the per-permutation hash
+    is md5-derived so a DuckDB oracle reproduces it bit-for-bit. Used
+    by the driver entry; the numpy/siphash fast path stays the
+    production default."""
+    from .phash import phash60
+
+    rows = num_perm // bands
+    toks = tokenize_col(F.col(text_col))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (shingle - 1)),
+            lambda i: F.array_join(F.slice(toks, i, shingle), " "),
+        )
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: phash60(F.concat(F.lit(f"{p}:"), s)),
+            )
+        )
+        for p in range(num_perm)
+    ]
+    sig = (
+        df.select(F.col(id_col).alias("id"), shingles.alias("shs"))
+        .filter(F.size(F.col("shs")) >= 1)
+        .select("id", F.array(*sig_cols).alias("sig"))
+    )
+    sig = sig.cache()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat_ws(
+                            ",", F.slice("sig", bnd * rows + 1, rows)
+                        ).alias("key"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)),"
+                " 0, (acc, v) -> acc + v)"
+            )
+            / F.lit(float(num_perm)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return est
+
+
+def minhash_lsh_pairs_portable_sql(
+    toks_expr: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle mirroring minhash_lsh_pairs_portable over
+    `documents` (doc_id/text)."""
+    from .phash import phash60_sql
+
+    rows = num_perm // bands
+    sh = (
+        f"list_distinct(list_transform(range(1, len(toks) - {shingle} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {shingle - 1}), ' ')))"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(shs, s -> {phash60_sql(repr(str(p) + ':') + ' || s')}))"
+        for p in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sig, {bnd} AS band, "
+        f"array_to_string(list_slice(sig, {bnd * rows + 1}, {bnd * rows + rows}), ',') AS key "
+        "FROM sig"
+        for bnd in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT doc_id AS id, {toks_expr} AS toks FROM documents),
+sh AS (
+  SELECT id, {sh} AS shs FROM base WHERE len(toks) >= {shingle}
+),
+sig AS (SELECT id, [{sig_elems}] AS sig FROM sh),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.id < r.id
+),
+est AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, {num_perm} + 1),
+                  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+           / {float(num_perm)} AS jaccard
+  FROM cand
+  JOIN sig a ON a.id = id_a
+  JOIN sig b ON b.id = id_b
+)
+SELECT id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    nbits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """60-bit SimHash with the portable hash — pure Catalyst twin of
+    simhash_pairs (tf-weighted bit votes, pigeonhole banding, exact
+    hamming verify), oracle-provable in DuckDB."""
+    from .phash import phash60
+
+    band_bits = nbits // bands
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize_col(F.col(text_col))).alias("t"),
+    ).withColumn("h", phash60(F.col("t")))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(nbits)
+    ]
+    g = tok.groupBy("id").agg(*votes)
+    fp_expr = None
+    for b in range(nbits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp_expr = bit if fp_expr is None else fp_expr + bit
+    fp = g.select("id", fp_expr.cast("long").alias("simhash")).cache()
+    mask = (1 << band_bits) - 1
+    bands_df = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    return (
+        bands_df.alias("l")
+        .join(bands_df.alias("r"), ["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_portable_sql(
+    toks_expr: str, max_hamming: int = 8, nbits: int = 60, bands: int = 4
+) -> str:
+    """DuckDB oracle mirroring simhash_pairs_portable over `documents`."""
+    from .phash import phash60_sql
+
+    band_bits = nbits // bands
+    mask = (1 << band_bits) - 1
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(nbits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(nbits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS band, (simhash >> {i * band_bits}) & {mask} AS key FROM fp"
+        for i in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({toks_expr}) AS t FROM documents
+),
+h AS (SELECT id, {phash60_sql('t')} AS h FROM tok),
+votes AS (SELECT id, {votes} FROM h GROUP BY id),
+fp AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         l.simhash AS h_a, r.simhash AS h_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.id < r.id
+)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
+
+
 def simhash_udf(text_col: str, id_col: str):
     """mapInPandas fn: 64-bit SimHash of token multiset (tf-weighted)."""
 

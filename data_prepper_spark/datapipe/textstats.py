@@ -94,38 +94,85 @@ def fingerprint(df: DataFrame, text_col: str, dest: str = "fingerprint") -> Data
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 5, window: int = 4) -> DataFrame:
+                        k: int = 5, window: int = 4,
+                        hash_col=None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. local-minimum
-    selection over rolling k-gram hashes): per doc, the set of selected
-    64-bit hashes — robust partial-overlap dedup keys. Vectorized numpy
-    in mapInPandas; returns (id, fp long) exploded rows."""
-    import numpy as np
-    import pandas as pd
+    selection over rolling k-gram hashes): per doc, the set of window
+    minima over consecutive token k-gram hashes — robust partial-overlap
+    dedup keys. Returns distinct (id, fp long) rows.
 
-    from .dedup import _shingle_hashes
+    Pure Catalyst (no Python): k-grams via sequence/slice, hash default
+    F.xxhash64 (JVM-side), rolling minimum via a bounded window frame.
+    The per-doc window partitions by id — shuffle keyed on id, never a
+    global single-partition window, so the op scales with the corpus.
+    Docs shorter than `window` k-grams contribute min(all) (one window),
+    matching the reference winnowing boundary rule. `hash_col` swaps
+    the k-gram hash (e.g. datapipe.phash.phash60 for the DuckDB-portable
+    oracle-checked variant).
+    """
+    from pyspark.sql import Window as W
 
-    def fn(it):
-        for pdf in it:
-            sh, n_sh = _shingle_hashes(pdf[text_col], k)
-            ids = pdf[id_col].to_numpy(np.int64)
-            out_ids, out_fps = [], []
-            starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-            for i in range(len(pdf)):
-                h = sh[starts[i] : starts[i] + n_sh[i]]
-                if len(h) == 0:
-                    continue
-                if len(h) <= window:
-                    sel = np.array([h.min()], dtype=np.uint64)
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = np.unique(win.min(axis=1))
-                out_ids.append(np.full(len(sel), ids[i], dtype=np.int64))
-                out_fps.append(sel.view(np.int64))
-            if out_ids:
-                yield pd.DataFrame(
-                    {"id": np.concatenate(out_ids), "fp": np.concatenate(out_fps)}
-                )
+    if hash_col is None:
+        hash_col = F.xxhash64
+    toks = tokenize_col(F.col(text_col))
+    kgrams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(kgrams).alias("pos", "kgram"),
+    ).withColumn("h", hash_col(F.col("kgram")))
+    wmin = W.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    wcnt = W.partitionBy("id")
+    out = (
+        pos.withColumn("m", F.min("h").over(wmin))
+        .withColumn("n", F.count("*").over(wcnt))
+        # pos is 0-based: the first complete window ends at pos=window-1;
+        # when a doc has fewer than `window` k-grams its single window is
+        # the whole doc (last position, min over all)
+        .filter(F.col("pos") + 1 >= F.least(F.lit(window), F.col("n")))
+        .select("id", F.col("m").alias("fp"))
+        .distinct()
+    )
+    return out
 
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
-    ).mapInPandas(fn, schema="id long, fp long")
+
+def winnow_fingerprints_sql(toks_expr: str, k: int = 5, window: int = 4,
+                            hash_sql=None) -> str:
+    """DuckDB CTE body mirroring winnow_fingerprints over `documents`
+    (doc_id/text): SELECT producing distinct (id, fp)."""
+    from .phash import phash60_sql
+
+    if hash_sql is None:
+        hash_sql = phash60_sql
+    kg = (
+        f"list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks_expr} AS toks FROM documents
+),
+kg AS (
+  SELECT id, {kg} AS kgrams FROM base WHERE len(toks) >= {k}
+),
+pos AS (
+  SELECT id, unnest(range(0, len(kgrams))) AS pos,
+         unnest(list_transform(kgrams, s -> {hash_sql('s')})) AS h
+  FROM kg
+),
+sel AS (
+  SELECT id,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS m,
+         pos,
+         count(*) OVER (PARTITION BY id) AS n
+  FROM pos
+)
+SELECT DISTINCT id, m AS fp FROM sel
+WHERE pos + 1 >= least({window}, n)
+"""

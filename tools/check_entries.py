@@ -37,6 +37,21 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _dtype_class(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime"):
+        return "datetime"
+    if s in ("object", "string"):
+        return "str"
+    if "float" in s:
+        return "float"
+    if "int" in s.lower():  # int64 / Int64 / uint32 ...
+        return "int"
+    if s == "bool":
+        return "bool"
+    return s
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(got.columns) != sorted(want.columns):
@@ -45,6 +60,16 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if len(got) != len(want):
         errs.append(f"rowcount: spark={len(got)} duck={len(want)}")
         return errs
+    # The driver hashes raw values per dtype; an int64-vs-float64 (or
+    # HUGEINT->object) divergence hash-mismatches even when every value
+    # compares equal. Flag dtype-class differences as hard failures.
+    for c in got.columns:
+        gc, wc = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
+        if gc != wc:
+            errs.append(
+                f"dtype col {c}: spark={got[c].dtype} duck={want[c].dtype} "
+                f"(class {gc} vs {wc}) — driver hash would differ"
+            )
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
