@@ -435,11 +435,17 @@ def substring_expression_family(spark, sf_dir):
     2-separator composite key."""
     from data_prepper_spark.operators import dp_expr
 
+    # every third row uses '|' as the separator, so the '.' delimiter is
+    # ABSENT there — exercising the reference's indexOf==-1 -> full
+    # source contract (AbstractSubstringExpressionFunction subclasses)
     c = _t(spark, sf_dir, "customer").withColumn(
+        "sep",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("|")).otherwise(F.lit(".")),
+    ).withColumn(
         "s",
-        F.concat_ws(
-            ".", F.col("c_mktsegment"), F.col("c_name"),
-            F.col("c_custkey").cast("string"),
+        F.concat(
+            F.col("c_mktsegment"), F.col("sep"), F.col("c_name"),
+            F.col("sep"), F.col("c_custkey").cast("string"),
         ),
     )
     return c.select(
@@ -816,10 +822,16 @@ def cosine_topk_bruteforce(spark, sf_dir):
 
 
 def embedding_dup_pairs_q(spark, sf_dir):
+    """Banded-LSH near-dup path (no CartesianProduct in the plan):
+    nbits=2 x bands=40 at this loose threshold gives per-pair miss
+    probability ~6e-9, and the seeded hyperplanes are deterministic, so
+    the exact-verified output equals the all-pairs oracle."""
     from data_prepper_spark.datapipe.dedup import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, nbits=2, bands=40
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine_r")
     )
@@ -1094,16 +1106,24 @@ GROUP BY ROLLUP (n_name, c_mktsegment)
 """
 
     sql["substring_expression_family"] = """
-SELECT c_custkey,
-       split_part(s, '.', 1) AS seg,
-       c_name || '.' || CAST(c_custkey AS VARCHAR) AS name_key,
-       split_part(s, '.', 1) || '.' || c_name AS seg_name,
-       split_part(s, '.', 3) AS key
-FROM (
-  SELECT c_custkey, c_name,
-         c_mktsegment || '.' || c_name || '.' || CAST(c_custkey AS VARCHAR) AS s
-  FROM customer
+WITH b AS (
+  SELECT c_custkey,
+         c_mktsegment || sep || c_name || sep || CAST(c_custkey AS VARCHAR) AS s
+  FROM (
+    SELECT *, CASE WHEN c_custkey % 3 = 0 THEN '|' ELSE '.' END AS sep
+    FROM customer
+  )
 )
+SELECT c_custkey,
+  CASE WHEN strpos(s, '.') = 0 THEN s
+       ELSE substr(s, 1, strpos(s, '.') - 1) END AS seg,
+  CASE WHEN strpos(s, '.') = 0 THEN s
+       ELSE substr(s, strpos(s, '.') + 1) END AS name_key,
+  CASE WHEN strpos(s, '.') = 0 THEN s
+       ELSE substr(s, 1, length(s) - strpos(reverse(s), '.')) END AS seg_name,
+  CASE WHEN strpos(s, '.') = 0 THEN s
+       ELSE substr(s, length(s) - strpos(reverse(s), '.') + 2) END AS key
+FROM b
 """
 
     sql["csv_parse_roundtrip"] = """

@@ -465,14 +465,22 @@ def embedding_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    nbits: int = 0,
+    nbits: int = 8,
+    bands: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
-    nbits=0: exact self-join (quadratic — small inputs / verification).
-    nbits>0: random-hyperplane LSH blocking first (the scale path —
-    candidates only within colliding sign-buckets), exact cosine on
-    candidates; near-identical vectors collide with high probability.
+    Default path (nbits>0): OR-amplified random-hyperplane LSH — `bands`
+    independent signatures of `nbits` sign bits each; candidate pairs
+    share at least one exact band key (equi-join per band, never
+    all-pairs), then exact cosine verifies every candidate. Miss
+    probability per qualifying pair is (1 - p^nbits)^bands with
+    p = 1 - acos(threshold)/pi, so recall is tuned by (nbits, bands):
+    the defaults give ~1e-4 at threshold 0.95; looser thresholds need
+    shorter bands and more of them (the driver entry uses nbits=2,
+    bands=40 at threshold 0.35 -> miss ~6e-9 per pair).
+
+    nbits=0: exact all-pairs self-join — O(n^2), test/oracle mode only.
     """
     from .similarity import _bucket_col, _dot, _norm, hyperplanes
 
@@ -481,11 +489,35 @@ def embedding_dup_pairs(
     )
     if nbits > 0:
         dim = len(df.select(vec_col).first()[0])
-        planes = hyperplanes(dim, nbits)
-        v = v.withColumn("_bucket", _bucket_col("v", planes))
-        joined = v.alias("l").join(v.alias("r"), "_bucket")
-    else:
-        joined = v.alias("l").crossJoin(v.alias("r"))
+        planes = hyperplanes(dim, nbits * bands)
+        keys = F.array(
+            *[
+                _bucket_col("v", planes[b * nbits : (b + 1) * nbits])
+                for b in range(bands)
+            ]
+        )
+        banded = v.select(
+            "id", "v", F.posexplode(keys).alias("band", "key")
+        )
+        joined = (
+            banded.alias("l")
+            .join(banded.alias("r"), ["band", "key"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select("l.id", "l.v", F.col("r.id").alias("rid"), F.col("r.v").alias("rv"))
+            .dropDuplicates(["id", "rid"])
+            .select(
+                F.col("id").alias("id_a"),
+                F.col("rid").alias("id_b"),
+                (
+                    _dot(F.col("v"), F.col("rv"))
+                    / (_norm(F.col("v")) * _norm(F.col("rv")))
+                ).alias("cosine"),
+            )
+        )
+        return joined.filter(F.col("cosine") >= threshold).select(
+            "id_a", "id_b", "cosine"
+        )
+    joined = v.alias("l").crossJoin(v.alias("r"))
     pairs = (
         joined.filter(F.col("l.id") < F.col("r.id"))
         .select(

@@ -44,6 +44,7 @@ import json
 import math
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import numpy as np
@@ -74,6 +75,70 @@ class BuildConfig:
     block_size: int = 128
     hot_group_target: int = 50_000  # postings per (term, salt) group
     max_salt_bits: int = 16
+    # ordinal-assignment fan-out: docs are ranked within 2^ord_group_bits
+    # disjoint doc_id ranges (high bits of the id), so no stage ever
+    # funnels the whole corpus through one task. 64 groups ~ 10^6 docs/
+    # group at 10^8 docs; raise for larger corpora (cost is one tiny
+    # driver-side offsets list of 2^bits entries).
+    ord_group_bits: int = 6
+
+
+# On-disk tokens-table format version. v2 = one row per token
+# occurrence, no tf column (tf is aggregated JVM-side in the index
+# stage). Resuming an index_dir written by a different format would
+# silently corrupt BM25 stats (e.g. pre-aggregated v1 rows would each
+# count as tf=1), so resume refuses on mismatch.
+TOKENS_FORMAT_VERSION = 2
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, **confs):
+    """Set session confs for the duration of a stage's actions and
+    restore the previous values after — per-stage Arrow batch sizing
+    must not leak into later jobs on the shared session (a query
+    DataFrame constructed earlier executes with whatever the session
+    holds at action time)."""
+    saved = {}
+    for k, v in confs.items():
+        key = k.replace("__", ".")
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+def _check_format(index_dir: str, write: bool = False) -> None:
+    """Refuse to touch an index_dir whose on-disk tokens format differs
+    from this code's version (ADVICE: unversioned resume corrupts tf)."""
+    p = os.path.join(index_dir, "format.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            v = json.load(f).get("tokens_format")
+        if v != TOKENS_FORMAT_VERSION:
+            raise RuntimeError(
+                f"index_dir {index_dir} has tokens format v{v}; this build "
+                f"writes v{TOKENS_FORMAT_VERSION}. Rebuild into a fresh "
+                "directory (resuming across formats corrupts tf stats)."
+            )
+    elif mf.completed(index_dir, "tokenize"):
+        raise RuntimeError(
+            f"index_dir {index_dir} has completed tokenize units but no "
+            "format stamp (pre-versioning layout); rebuild into a fresh "
+            "directory."
+        )
+    elif write:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump({"tokens_format": TOKENS_FORMAT_VERSION}, f)
 
 
 def corpus_units(corpus_path: str) -> list[str]:
@@ -258,6 +323,7 @@ def run_tokenize_stage(
     max_units: int | None = None,
 ) -> list[str]:
     """Tokenize pending units; returns unit ids processed this call."""
+    _check_format(index_dir, write=True)
     units = corpus_units(corpus_path)
     done = mf.completed(index_dir, "tokenize")
     pending = [u for u in units if _unit_id(u) not in done]
@@ -288,15 +354,19 @@ def run_tokenize_stage(
         "repo", "path", "commit", "content", "content_sha256",
     )
     # corpus rows are fat (~30 KB content): cap UDF input batches so a
-    # worker holds ~32 MB of content, not gigabytes
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    # worker holds ~32 MB of content, not gigabytes. Scoped: the small
+    # batch size must not leak into later jobs on this session.
     tokens = src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        tokens.write.mode("overwrite")
-        .partitionBy("unit")
-        .parquet(os.path.join(index_dir, "tokens"))
-    )
+    with _scoped_conf(
+        spark,
+        spark__sql__execution__arrow__maxRecordsPerBatch="1024",
+        spark__sql__sources__partitionOverwriteMode="dynamic",
+    ):
+        (
+            tokens.write.mode("overwrite")
+            .partitionBy("unit")
+            .parquet(os.path.join(index_dir, "tokens"))
+        )
 
     # DLQ: failure-metadata columns mirror the reference's
     # _failure_metadata {pluginId, pluginName, pipelineName, errorMessage}
@@ -310,11 +380,14 @@ def run_tokenize_stage(
         F.lit("index-build").alias("pipeline_name"),
         F.col("err").alias("error_message"),
     )
-    (
-        quarantine.write.mode("overwrite")
-        .partitionBy("unit")
-        .parquet(os.path.join(index_dir, "quarantine"))
-    )
+    with _scoped_conf(
+        spark, spark__sql__sources__partitionOverwriteMode="dynamic"
+    ):
+        (
+            quarantine.write.mode("overwrite")
+            .partitionBy("unit")
+            .parquet(os.path.join(index_dir, "quarantine"))
+        )
 
     # per-unit metrics from the written output (columnar count read)
     out_stats = (
@@ -506,6 +579,7 @@ def run_index_stage(
     spark: SparkSession, index_dir: str, cfg: BuildConfig
 ) -> dict:
     """Build posting blocks + dictionaries from all tokenized units."""
+    _check_format(index_dir)
     units_done = sorted(mf.completed(index_dir, "tokenize"))
     lineage_key = json.dumps(units_done)
     m = mf.read_manifest(index_dir)
@@ -531,16 +605,44 @@ def run_index_stage(
     # (~2.5x smaller postings, faster decode; standard IR practice).
     # Rank-by-doc_id keeps the (score desc, doc_id asc) tie-break
     # order identical: ord order == doc_id order by construction.
-    # At 10^12-doc scale the window below becomes repartitionByRange
-    # + per-partition offsets (same determinism, no global window).
+    #
+    # The rank is computed WITHOUT a global single-partition window:
+    # docs are split into 2^ord_group_bits disjoint ranges by the high
+    # bits of doc_id (arithmetic shift — monotone in the signed order,
+    # so range k's ordinals all precede range k+1's), ranked within
+    # each range in parallel, and shifted by cumulative range counts
+    # (a tiny deterministic driver-side list — the lease-store analog
+    # of the reference's per-partition progress offsets). No sampling
+    # (unlike repartitionByRange), so the mapping is bit-stable across
+    # runs and parallelism levels.
     from pyspark.sql import Window as W
 
-    docs = (
+    shift = 64 - cfg.ord_group_bits
+    base = (
         tokens.filter(F.col("term").isNull() & F.col("err").isNull())
         .select("doc_id", "dl", "repo", "path", "commit")
+        .withColumn("_grp", F.shiftright("doc_id", shift))
+    )
+    cnts = sorted(
+        (r["_grp"], r["n"])
+        for r in base.groupBy("_grp").agg(F.count("*").alias("n")).collect()
+    )
+    offs, acc = [], 0
+    for g, n in cnts:
+        offs.append((g, acc))
+        acc += n
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_grp long, _off long")
+    docs = (
+        base.join(F.broadcast(off_df), "_grp")
         .withColumn(
-            "ord", F.row_number().over(W.orderBy("doc_id")).cast("long") - 1
+            "ord",
+            (
+                F.row_number().over(W.partitionBy("_grp").orderBy("doc_id"))
+                + F.col("_off")
+                - 1
+            ).cast("long"),
         )
+        .drop("_grp", "_off")
     )
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
@@ -597,9 +699,16 @@ def run_index_stage(
         .withColumn("term_id", F.xxhash64("term"))
         .withColumn(
             "salt",
+            # salt = ord DIV ceil(n_docs / 2^salt_bits): same contiguous
+            # ord ranges, but no n_docs * 2^salt_bits intermediate, so it
+            # cannot overflow int64 at any (n_docs, salt_bits) whose sum
+            # of bit-widths exceeds 63 (ord*2^bits DIV n would)
             F.when(
                 F.col("salt_bits").isNotNull(),
-                F.expr(f"(ord * shiftleft(1L, salt_bits)) DIV {n_docs}"),
+                F.expr(
+                    f"ord DIV (({n_docs} + shiftleft(1L, salt_bits) - 1)"
+                    " DIV shiftleft(1L, salt_bits))"
+                ),
             ).otherwise(F.lit(0)),
         )
         .withColumn(
@@ -615,8 +724,8 @@ def run_index_stage(
     # each partition, then a batch-vectorized mapInArrow encodes
     # posting blocks for every group in the partition (no per-group
     # overhead, no Python string objects). Skinny int rows transfer
-    # fast; 64k Arrow batches amortize IPC flushes.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    # fast; 64k Arrow batches amortize IPC flushes (scoped so the big
+    # batch size does not leak into the query path's fat block rows).
     blocks = (
         tok2.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
@@ -626,13 +735,16 @@ def run_index_stage(
         .sortWithinPartitions("term_id", "salt", "doc_id")
         .mapInArrow(_make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA)
     )
-    (
-        blocks.repartition(cfg.n_buckets, "bucket")
-        .sortWithinPartitions("term_id", "min_doc")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
+    with _scoped_conf(
+        spark, spark__sql__execution__arrow__maxRecordsPerBatch="65536"
+    ):
+        (
+            blocks.repartition(cfg.n_buckets, "bucket")
+            .sortWithinPartitions("term_id", "min_doc")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
 
     # term dictionary with per-term max impact (WAND global upper bound),
     # derived from the written blocks (column-pruned read: no binaries)

@@ -134,5 +134,8 @@ def tail_sampler(
     sampled = F.pmod(F.xxhash64(trace_key), F.lit(10_000)) < F.lit(
         int(percent * 100)
     )
+    # left_semi WITHOUT a broadcast hint: the keep-set is one row per
+    # sampled trace, which grows with the input — AQE may still choose
+    # broadcast when it is small, but forcing it would OOM at scale
     keep = err.filter((F.col("_err") == 1) | sampled).select(trace_key)
-    return df.join(F.broadcast(keep), trace_key, "left_semi")
+    return df.join(keep, trace_key, "left_semi")

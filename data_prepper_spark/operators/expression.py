@@ -48,15 +48,21 @@ def translate_expr(expr: str) -> str:
         r"substring_index(\1,\2, 1)",
         s,
     )
+    # delimiter-absent contract (reference
+    # AbstractSubstringExpressionFunction subclasses: indexOf == -1 ->
+    # return the full source): substring_index already does this for
+    # Before/AfterLast; After/BeforeLast need an explicit guard
     s = re.sub(
         r"\bsubstringAfter\(([^,]+),([^)]+)\)",
-        r"substr(\1, length(substring_index(\1,\2, 1)) + length(\2) + 1)",
+        r"CASE WHEN instr(\1,\2) = 0 THEN \1 ELSE "
+        r"substr(\1, length(substring_index(\1,\2, 1)) + length(\2) + 1) END",
         s,
     )
     s = re.sub(
         r"\bsubstringBeforeLast\(([^,]+),([^)]+)\)",
+        r"CASE WHEN instr(\1,\2) = 0 THEN \1 ELSE "
         r"substr(\1, 1, length(\1) - length(substring_index(\1,\2, -1))"
-        r" - length(\2))",
+        r" - length(\2)) END",
         s,
     )
     s = re.sub(

@@ -58,8 +58,11 @@ def fill_trace_group(
         spans.filter(F.col(parent_span_id).isNull())
         .select(F.col(trace_id), F.col(name).alias("_root_name"))
     )
+    # plain shuffle join on trace_id: the roots side grows with trace
+    # count (one row per trace), so a broadcast hint would OOM at scale;
+    # AQE still broadcasts it when it is genuinely small
     return (
-        spans.join(F.broadcast(roots), trace_id, "left")
+        spans.join(roots, trace_id, "left")
         .withColumn(trace_group, F.coalesce(F.col("_root_name"), F.col(name)))
         .drop("_root_name")
     )

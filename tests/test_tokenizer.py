@@ -73,3 +73,66 @@ def test_three_way_parity_fuzz(spark):
     assert p == d, next(
         (c, a, b) for c, a, b in zip(cases, p, d) if a != b
     )
+
+
+def test_flat_arrow_matches_series():
+    """The Arrow hot-path tokenizer is token-identical to the pandas
+    reference over edge cases + fuzz (the docstring's promised test)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_prepper_spark.tokenizer import tokenize_flat_arrow
+
+    collected: list[str] = []
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    cases = [c if c is not None else "" for c in CASES] + collected
+    want = tokenize_series(pd.Series(cases)).tolist()
+    flat, doc_idx, counts = tokenize_flat_arrow(pa.array(cases, type=pa.string()))
+    toks = flat.to_pylist()
+    got, j = [], 0
+    for n in counts:
+        got.append(toks[j : j + int(n)])
+        j += int(n)
+    assert got == want, next(
+        (c, a, b) for c, a, b in zip(cases, got, want) if a != b
+    )
+    # doc_idx maps each flat token to its row, consistent with counts
+    import numpy as np
+
+    assert (np.bincount(doc_idx, minlength=len(cases)) == counts).all()
+
+
+def test_varbyte_roundtrip():
+    """varbyte encode/decode round-trip + varbyte_lengths consistency
+    over adversarial values (7-bit boundaries, uint64 extremes)."""
+    import numpy as np
+
+    from data_prepper_spark.index.codec import (
+        varbyte_decode,
+        varbyte_encode,
+        varbyte_lengths,
+    )
+
+    rng = np.random.default_rng(7)
+    boundaries = []
+    for k in range(1, 10):
+        b = 1 << (7 * k)
+        boundaries += [b - 1, b, b + 1]
+    vals = np.array(
+        [0, 1, 127, 128, (1 << 64) - 1, (1 << 63)] + boundaries
+        + rng.integers(0, 1 << 62, size=500).tolist(),
+        dtype=np.uint64,
+    )
+    enc = varbyte_encode(vals)
+    assert len(enc) == int(varbyte_lengths(vals).sum())
+    dec = varbyte_decode(enc)
+    assert (dec == vals).all()
+    assert varbyte_decode(b"").size == 0
+    assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
