@@ -269,6 +269,25 @@ def translate_event_type(spark, sf_dir):
     return mapped.groupBy("label").agg(F.count("*").alias("n"))
 
 
+def translate_ranges(spark, sf_dir):
+    """translate with inclusive numeric range keys + comma-list keys
+    (reference MappingsParser.parseIndividualKeys / Range.between)."""
+    from data_prepper_spark.operators.enrich import translate
+
+    e = _t(spark, sf_dir, "events")
+    out = translate(
+        e, "value", "band",
+        {"0-49": "low", "50-149": "mid", "150-1000000": "high"},
+        default="other",
+    )
+    out = translate(
+        out, "event_type", "label",
+        {"click,view": "interaction", "purchase": "conversion"},
+        default="other",
+    )
+    return out.groupBy("band", "label").agg(F.count("*").alias("n"))
+
+
 def grok_extract_props(spark, sf_dir):
     from data_prepper_spark.operators.parse import grok
 
@@ -296,6 +315,49 @@ def key_value_parse(spark, sf_dir):
         "c_custkey",
         F.element_at(F.col("kv"), "seg").alias("seg"),
         F.element_at(F.col("kv"), "nat").cast("int").alias("nat"),
+    )
+
+
+def grok_apache_log(spark, sf_dir):
+    """COMMONAPACHELOG one-liner (nested grok pattern library,
+    reference grok-patterns/patterns + GrokProcessor.java:63) parses
+    the apache_log_generator output; oracle reproduces the generator's
+    arithmetic directly."""
+    from data_prepper_spark.operators.parse import grok
+    from data_prepper_spark.pipeline import apache_log_generator
+
+    logs = apache_log_generator(spark, 1000)
+    g = grok(logs, "log", "%{COMMONAPACHELOG}")
+    return g.groupBy("verb", "response").agg(
+        F.count("*").alias("n"),
+        F.min("clientip").alias("min_ip"),
+        F.sum(F.col("bytes").cast("bigint")).alias("sum_bytes"),
+    )
+
+
+def key_value_grouped(spark, sf_dir):
+    """key_value with value_grouping: quoted values keep embedded field
+    delimiters (reference KeyValueProcessor.parseWithValueGrouping,
+    KeyValueProcessorTests.getKeyValueGroupingTestdata)."""
+    from data_prepper_spark.operators.parse import key_value
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "line",
+        F.concat(
+            F.lit("seg="), F.col("c_mktsegment"),
+            F.lit('&msg="v& '), F.col("c_name"), F.lit('"'),
+            F.lit("&nat="), F.col("c_nationkey").cast("string"),
+        ),
+    )
+    out = key_value(
+        c, "line", field_split="&", value_split="=",
+        value_grouping=True, string_literal_character='"',
+    )
+    return out.select(
+        "c_custkey",
+        F.col("parsed")["seg"].alias("seg"),
+        F.col("parsed")["msg"].alias("msg"),
+        F.col("parsed")["nat"].alias("nat"),
     )
 
 
@@ -1023,8 +1085,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_json_struct": write_json_struct,
         "add_copy_rename_chain": add_copy_rename_chain,
         "translate_event_type": translate_event_type,
+        "translate_ranges": translate_ranges,
         "grok_extract_props": grok_extract_props,
+        "grok_apache_log": grok_apache_log,
         "key_value_parse": key_value_parse,
+        "key_value_grouped": key_value_grouped,
         "date_histogram_daily": date_histogram_daily,
         "route_events": route_events,
         "split_event_tokens": split_event_tokens,
@@ -1228,6 +1293,39 @@ FROM events GROUP BY 1
 
     sql["key_value_parse"] = """
 SELECT c_custkey, c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat
+FROM customer
+"""
+
+    sql["translate_ranges"] = """
+SELECT CASE WHEN value >= 0 AND value <= 49 THEN 'low'
+            WHEN value >= 50 AND value <= 149 THEN 'mid'
+            WHEN value >= 150 AND value <= 1000000 THEN 'high'
+            ELSE 'other' END AS band,
+       CASE WHEN event_type IN ('click', 'view') THEN 'interaction'
+            WHEN event_type = 'purchase' THEN 'conversion'
+            ELSE 'other' END AS label,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+    sql["grok_apache_log"] = """
+WITH g AS (
+  SELECT '10.' || (id % 250) || '.' || (id * 7 % 250) || '.' || (id * 13 % 250)
+           AS clientip,
+         ['GET', 'POST', 'PUT', 'DELETE'][CAST(id % 4 AS INT) + 1] AS verb,
+         ['200', '200', '404', '500'][CAST(id % 4 AS INT) + 1] AS response,
+         id % 5000 + 100 AS bytes
+  FROM range(1000) t(id)
+)
+SELECT verb, response, COUNT(*) AS n, MIN(clientip) AS min_ip,
+       CAST(SUM(bytes) AS BIGINT) AS sum_bytes
+FROM g GROUP BY 1, 2
+"""
+
+    sql["key_value_grouped"] = """
+SELECT c_custkey, c_mktsegment AS seg,
+       '"v& ' || c_name || '"' AS msg,
+       CAST(c_nationkey AS VARCHAR) AS nat
 FROM customer
 """
 

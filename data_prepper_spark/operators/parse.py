@@ -15,33 +15,127 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# A small built-in grok pattern library (the reference bundles
-# grok-patterns/patterns; we include the ones its perf/e2e suites use)
+# Built-in grok pattern library, mirroring the classic Logstash/Data
+# Prepper base set the reference bundles (grok-patterns/patterns;
+# GrokProcessor.java:63 loads it by default). Patterns are standard
+# public grok definitions, adapted where the originals rely on
+# lookbehind/atomic groups so they stay valid Java regex; every
+# internal group is NON-capturing so compile_grok's numbered capture
+# groups stay aligned with %{X:name} order. `%{NAME}` (no capture) and
+# nested pattern refs are supported.
 GROK_PATTERNS = {
-    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
-    "USER": r"[a-zA-Z0-9._-]+",
-    "WORD": r"\w+",
-    "INT": r"[+-]?\d+",
-    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "INT": r"[+-]?[0-9]+",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "POSINT": r"[1-9][0-9]*",
+    "NONNEGINT": r"[0-9]+",
+    "WORD": r"\b\w+\b",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
     "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\"|'(?:\\.|[^\\'])*')",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    # network
+    "IPV4": (
+        r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    ),
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|%{IPV4})",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": (
+        r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+        r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b"
+    ),
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    # URI
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+\-.]+",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    # dates/times
+    "MONTH": (
+        r"\b(?:[Jj]an(?:uary|uar)?|[Ff]eb(?:ruary|ruar)?|[Mm](?:a|ä)?r(?:ch|z)?"
+        r"|[Aa]pr(?:il)?|[Mm]a(?:y|i)?|[Jj]un(?:e|i)?|[Jj]ul(?:y|i)?"
+        r"|[Aa]ug(?:ust)?|[Ss]ep(?:tember)?|[Oo](?:c|k)?t(?:ober)?"
+        r"|[Nn]ov(?:ember)?|[Dd]e(?:c|z)(?:ember)?)\b"
+    ),
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TIMESTAMP_ISO8601": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}"
+        r"(?::?%{SECOND})?%{ISO8601_TIMEZONE}?"
+    ),
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    # logging
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE"
+        r"|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?"
+        r"|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?"
+        r"|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?"
+        r"|[Ee]merg(?:ency)?)"
+    ),
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    # composites
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": (
+        r"%{COMMONAPACHELOG} %{QUOTEDSTRING:referrer} %{QUOTEDSTRING:agent}"
+    ),
 }
 
-_GROK_REF = re.compile(r"%\{(\w+):(\w+)\}")
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?\}")
+_MAX_GROK_DEPTH = 20
 
 
 def compile_grok(pattern: str) -> tuple[str, list[str]]:
-    """Expand %{SYNTAX:name} refs into a regex with numbered groups;
-    returns (regex, field names in group order)."""
+    """Expand %{SYNTAX:name} / %{SYNTAX} refs (recursively — library
+    entries may reference other patterns) into a regex; captures are
+    numbered in %{X:name} appearance order. Returns (regex, names)."""
     names: list[str] = []
 
-    def sub(m):
-        syntax, name = m.group(1), m.group(2)
-        names.append(name)
-        return "(" + GROK_PATTERNS[syntax] + ")"
+    def expand(p: str, depth: int) -> str:
+        if depth > _MAX_GROK_DEPTH:
+            raise ValueError("grok pattern recursion too deep")
 
-    return _GROK_REF.sub(sub, pattern), names
+        def sub(m):
+            syntax, name = m.group(1), m.group(2)
+            if syntax not in GROK_PATTERNS:
+                raise KeyError(f"unknown grok pattern %{{{syntax}}}")
+            inner = expand(GROK_PATTERNS[syntax], depth + 1)
+            if name:
+                names.append(name)
+                return "(" + inner + ")"
+            return "(?:" + inner + ")"
+
+        return _GROK_REF.sub(sub, p)
+
+    return expand(pattern, 0), names
 
 
 def grok(
@@ -100,11 +194,211 @@ def key_value(
     dest: str = "parsed",
     field_split: str = "&",
     value_split: str = "=",
+    field_delimiter_regex: str | None = None,
+    key_value_delimiter_regex: str | None = None,
+    include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    default_values: dict[str, str] | None = None,
+    prefix: str = "",
+    delete_key_regex: str | None = None,
+    delete_value_regex: str | None = None,
+    transform_key: str | None = None,
+    whitespace: str = "lenient",
+    drop_keys_with_no_value: bool = False,
+    non_match_value: str | None = None,
+    value_grouping: bool = False,
+    remove_brackets: bool = False,
+    string_literal_character: str | None = None,
 ) -> DataFrame:
-    """key_value: string -> map<string,string> (KeyValueProcessor)."""
-    return df.withColumn(
-        dest, F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
-    )
+    """key_value: string -> map<string,string> with the reference's
+    option surface (KeyValueProcessor.java:43 / KeyValueProcessorConfig
+    — field/value split chars or regex, value grouping via quotes and
+    ()/[]/<> brackets, include/exclude keys, defaults, prefix,
+    delete_key/value_regex, transform_key, whitespace strict|lenient,
+    drop_keys_with_no_value, non_match_value, remove_brackets).
+
+    Split + post-processing stay native Catalyst (str_to_map +
+    transform_keys/values + map_filter) whenever value_grouping is off;
+    grouping needs a quote/bracket-aware scanner, done in an
+    Arrow-batched pandas UDF (the reference interprets the same loop
+    per event in Java, KeyValueProcessor.parseWithValueGrouping).
+    `recursive` mode is not supported (nested maps need a fixed schema
+    in Spark; flatten + prefix covers the common uses)."""
+    c = F.col(source)
+    if value_grouping or string_literal_character:
+        parsed = _kv_grouped_udf(
+            field_split, value_split, non_match_value, string_literal_character
+        )(c)
+    else:
+        fd = field_delimiter_regex or "[" + re.escape(field_split) + "]"
+        kvd = key_value_delimiter_regex or "[" + re.escape(value_split) + "]"
+        parsed = F.str_to_map(c, F.lit(fd), F.lit(kvd))
+        if non_match_value is not None:
+            # str_to_map maps non-matching parts to NULL values
+            parsed = F.transform_values(
+                parsed, lambda k, v: F.coalesce(v, F.lit(non_match_value))
+            )
+    if whitespace == "lenient":
+        parsed = F.map_from_entries(
+            F.transform(
+                F.map_entries(parsed),
+                lambda e: F.struct(
+                    F.trim(e["key"]).alias("key"),
+                    F.trim(e["value"]).alias("value"),
+                ),
+            )
+        )
+    if include_keys:
+        inc = F.array(*[F.lit(k) for k in include_keys])
+        parsed = F.map_filter(parsed, lambda k, v: F.array_contains(inc, k))
+    if exclude_keys:
+        exc = F.array(*[F.lit(k) for k in exclude_keys])
+        parsed = F.map_filter(parsed, lambda k, v: ~F.array_contains(exc, k))
+    if delete_key_regex:
+        parsed = F.transform_keys(
+            parsed, lambda k, v: F.regexp_replace(k, delete_key_regex, "")
+        )
+    if delete_value_regex:
+        parsed = F.transform_values(
+            parsed, lambda k, v: F.regexp_replace(v, delete_value_regex, "")
+        )
+    if remove_brackets:
+        parsed = F.transform_values(
+            parsed, lambda k, v: F.regexp_replace(v, r"[\[\]()<>]", "")
+        )
+    if transform_key in ("lowercase", "uppercase", "capitalize"):
+        fn = {
+            "lowercase": F.lower,
+            "uppercase": F.upper,
+            "capitalize": F.initcap,
+        }[transform_key]
+        parsed = F.transform_keys(parsed, lambda k, v: fn(k))
+    if prefix:
+        parsed = F.transform_keys(
+            parsed, lambda k, v: F.concat(F.lit(prefix), k)
+        )
+    if drop_keys_with_no_value:
+        parsed = F.map_filter(parsed, lambda k, v: v.isNotNull())
+    if default_values:
+        dmap = F.create_map(
+            *[F.lit(x) for kv in default_values.items() for x in kv]
+        )
+        parsed = F.map_concat(
+            parsed,
+            F.map_filter(
+                dmap, lambda k, v: ~F.map_contains_key(parsed, k)
+            ),
+        )
+    return df.withColumn(dest, parsed)
+
+
+_KV_BRACKETS = {"(": ")", "[": "]", "<": ">", "{": "}"}
+# multi-char group openers run to the next space (reference
+# startGroupStrings http:// and https:// with ' ' end chars)
+_KV_URL_OPENERS = ("http://", "https://")
+
+
+def _kv_parse_grouped(
+    s: str,
+    field_chars: set,
+    value_chars: set,
+    non_match_value,
+    literal: str | None,
+) -> dict:
+    """Quote/bracket-aware key=value scanner (mechanism-equivalent to
+    reference KeyValueProcessor.parseWithValueGrouping: group openers
+    are honored in VALUES, a group runs to its end char, field
+    delimiters inside a group do not split)."""
+    parts = []
+    i, start, n = 0, 0, len(s)
+    seen_kv = False
+
+    def close_part(end_idx: int) -> None:
+        part = s[start:end_idx].strip()
+        if part:
+            parts.append(part)
+
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n and s[i + 1] in "\"'":
+            i += 2
+            continue
+        end = None
+        if ch in "\"'":
+            end = ch
+        elif ch in _KV_BRACKETS:
+            end = _KV_BRACKETS[ch]
+        elif any(s.startswith(u, i) for u in _KV_URL_OPENERS):
+            end = " "
+        if end is not None and (seen_kv or (literal and ch == literal)):
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and j + 1 < n and s[j + 1] in "\"'":
+                    j += 2
+                    continue
+                if s[j] == end:
+                    break
+                j += 1
+            if j >= n:  # unterminated group: rest of string is the part
+                i = n
+                break
+            if s[j] in field_chars:
+                # group end char doubles as a field delimiter (URL
+                # groups end at space): it closes the part
+                close_part(j + 1)
+                i = j + 1
+                start = i
+                seen_kv = False
+            else:
+                i = j + 1  # quote/bracket stays inside the part
+            continue
+        if ch in value_chars:
+            seen_kv = True
+        if ch in field_chars:
+            close_part(i)
+            i += 1
+            start = i
+            seen_kv = False
+        else:
+            i += 1
+    close_part(n)
+    out = {}
+    for part in parts:
+        if (
+            literal
+            and len(part) > 1
+            and part[0] == literal
+            and part[-1] == literal
+        ):
+            # string-literal part: never split into key=value
+            out[part] = non_match_value
+            continue
+        ki = next(
+            (x for x, ch in enumerate(part) if ch in value_chars), None
+        )
+        if ki is None:
+            out[part] = non_match_value
+        else:
+            out[part[:ki]] = part[ki + 1 :]
+    return out
+
+
+def _kv_grouped_udf(
+    field_split: str,
+    value_split: str,
+    non_match_value,
+    literal: str | None,
+):
+    from pyspark.sql.functions import pandas_udf
+
+    fc, vc = set(field_split), set(value_split)
+
+    def fn(s):
+        return s.fillna("").map(
+            lambda x: _kv_parse_grouped(x, fc, vc, non_match_value, literal)
+        )
+
+    return pandas_udf(fn, "map<string,string>")
 
 
 def csv_parse(

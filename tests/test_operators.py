@@ -246,3 +246,59 @@ def test_remove_duplicates_deterministic(ev):
     out = remove_duplicates(df2, ["event_type"], order_by="event_id")
     got = {r.event_type: r.event_id for r in out.collect()}
     assert got == {"error": 1, "click": 2, "view": 3}
+
+
+def test_translate_range_and_list_keys(spark):
+    from data_prepper_spark.operators.enrich import translate
+
+    df = spark.createDataFrame(
+        [(10.0, "click"), (55.0, "view"), (200.0, "purchase"), (-3.0, "x")],
+        "value double, et string",
+    )
+    out = translate(
+        df, "value", "band",
+        {"0-49": "low", "50-149": "mid", "150-1000": "high"},
+        default="other",
+    )
+    out = translate(
+        out, "et", "label", {"click,view": "i", "purchase": "c"}, default="o"
+    )
+    rows = {(r["value"], r["band"], r["label"]) for r in out.collect()}
+    assert rows == {
+        (10.0, "low", "i"), (55.0, "mid", "i"),
+        (200.0, "high", "c"), (-3.0, "other", "o"),
+    }
+
+
+def test_translate_overlap_validation():
+    import pytest
+
+    from data_prepper_spark.operators.enrich import _parse_translate_keys
+
+    with pytest.raises(ValueError):
+        _parse_translate_keys({"0-10": "a", "5-20": "b"})
+    with pytest.raises(ValueError):
+        _parse_translate_keys({"0-10": "a", "7": "b"})
+    ind, rng = _parse_translate_keys({"a,b": "x", "1-2": "y"})
+    assert ind == {"a": "x", "b": "x"} and rng == [(1.0, 2.0, "y")]
+
+
+def test_translate_file_reference_doc_shape(spark, tmp_path):
+    from data_prepper_spark.operators.enrich import translate_file
+
+    p = tmp_path / "m.yaml"
+    p.write_text(
+        "mappings:\n"
+        "  - source: status\n"
+        "    targets:\n"
+        "      - target: label\n"
+        "        map:\n"
+        "          '200-299': ok\n"
+        "          '500-599': err\n"
+        "        default: other\n"
+    )
+    df = spark.createDataFrame([(200,), (503,), (404,)], "status int")
+    out = translate_file(df, "status", "label", str(p))
+    assert [r["label"] for r in out.orderBy("status").collect()] == [
+        "ok", "other", "err"
+    ]
