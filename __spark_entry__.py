@@ -318,6 +318,116 @@ def key_value_parse(spark, sf_dir):
     )
 
 
+def avro_roundtrip(spark, sf_dir):
+    """Avro input codec (AvroInputCodec.java:41): customer rows written
+    to two deflate/null OCF files by the in-repo writer, read back
+    distributed (binaryFile + mapInPandas decode)."""
+    import tempfile
+
+    from data_prepper_spark.codecs import read_avro, write_avro
+
+    pdf = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+        .toPandas()
+        .sort_values("c_custkey")
+    )
+    schema = {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "c_mktsegment", "type": "string"},
+            {"name": "c_nationkey", "type": ["null", "int"]},
+        ],
+    }
+    rows = pdf.to_dict("records")
+    for r in rows:
+        r["c_custkey"] = int(r["c_custkey"])
+        r["c_nationkey"] = int(r["c_nationkey"])
+    d = tempfile.mkdtemp(prefix="dps_avro_")
+    half = len(rows) // 2
+    write_avro(rows[:half], schema, f"{d}/a.avro", codec="deflate")
+    write_avro(rows[half:], schema, f"{d}/b.avro", codec="null")
+    return read_avro(spark, d).withColumnRenamed("c_nationkey", "nat")
+
+
+def multiline_assembly(spark, sf_dir):
+    """multiline input codec (MultilineInputCodec.java:50): records
+    opened by a start pattern, continuation lines appended; assembled
+    with a per-file window (pure Catalyst)."""
+    import tempfile
+
+    from data_prepper_spark.codecs import read_multiline
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    lines = []
+    for eid, etype in zip(ev["event_id"], ev["event_type"]):
+        lines.append(f"EVT {eid} start")
+        lines.append(f"  type={etype}")
+        if eid % 3 == 0:
+            lines.append("  extra detail")
+    d = tempfile.mkdtemp(prefix="dps_ml_")
+    with open(f"{d}/log.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    recs = read_multiline(spark, f"{d}/log.txt", start_pattern=r"^EVT ")
+    return recs.select(
+        F.regexp_extract("record", r"^EVT (\d+) start", 1)
+        .cast("long")
+        .alias("eid"),
+        F.regexp_extract("record", r"type=(\w+)", 1).alias("etype"),
+        F.size(F.split("record", "\n")).alias("n_lines"),
+    )
+
+
+def parse_ion_props(spark, sf_dir):
+    """parse_ion (ParseIonProcessor.java:30): Ion text with annotations,
+    bare symbols and typed nulls downconverted to JSON, then native
+    from_json."""
+    from data_prepper_spark.operators.parse import parse_ion
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ion",
+        F.concat(
+            F.lit("evt::{etype: "), F.col("event_type"),
+            F.lit(", eid: "), F.col("event_id").cast("string"),
+            F.lit(", ts: 2024-01-02T10:00:00Z, miss: null.int, flag: true}"),
+        ),
+    )
+    out = parse_ion(e, "ion", "etype string, eid bigint, ts string, miss bigint, flag boolean")
+    return out.select(
+        F.col("parsed.eid").alias("eid"),
+        F.col("parsed.etype").alias("etype"),
+        F.col("parsed.ts").alias("ts"),
+        F.col("parsed.miss").alias("miss"),
+        F.col("parsed.flag").alias("flag"),
+    )
+
+
+def event_json_roundtrip(spark, sf_dir):
+    """event_json codec round-trip (EventJsonInputCodec.java:39 /
+    EventJsonOutputCodec): events -> envelope -> events."""
+    import tempfile
+
+    from data_prepper_spark.codecs import read_event_json, write_event_json
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="dps_ej_") + "/env"
+    write_event_json(e, d)
+    back = read_event_json(
+        spark, d, "event_id bigint, event_type string, user_id bigint"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("min_id")
+    )
+
+
 def grok_apache_log(spark, sf_dir):
     """COMMONAPACHELOG one-liner (nested grok pattern library,
     reference grok-patterns/patterns + GrokProcessor.java:63) parses
@@ -1075,6 +1185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "substring_expression_family": substring_expression_family,
         "csv_parse_roundtrip": csv_parse_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
+        "multiline_assembly": multiline_assembly,
+        "parse_ion_props": parse_ion_props,
+        "event_json_roundtrip": event_json_roundtrip,
         "parse_json_props": parse_json_props,
         "convert_type_try_cast": convert_type_try_cast,
         "wrap_flatten_roundtrip": wrap_flatten_roundtrip,
@@ -1294,6 +1408,30 @@ FROM events GROUP BY 1
     sql["key_value_parse"] = """
 SELECT c_custkey, c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat
 FROM customer
+"""
+
+    sql["avro_roundtrip"] = """
+SELECT c_custkey, c_name, c_mktsegment, CAST(c_nationkey AS INT) AS nat
+FROM customer
+"""
+
+    sql["multiline_assembly"] = """
+SELECT event_id AS eid, event_type AS etype,
+       CAST(2 + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_lines
+FROM events
+"""
+
+    sql["parse_ion_props"] = """
+SELECT event_id AS eid, event_type AS etype,
+       '2024-01-02T10:00:00Z' AS ts, CAST(NULL AS BIGINT) AS miss,
+       TRUE AS flag
+FROM events
+"""
+
+    sql["event_json_roundtrip"] = """
+SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id
+FROM events GROUP BY 1
 """
 
     sql["translate_ranges"] = """

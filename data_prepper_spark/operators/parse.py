@@ -426,6 +426,76 @@ def parse_xml(df: DataFrame, source: str, schema: str, dest: str = "parsed") -> 
     return df.withColumn(dest, F.from_xml(F.col(source), schema))
 
 
+_ION_ANNOT = re.compile(r"[A-Za-z_$][A-Za-z0-9_$]*::")
+_ION_TOKEN = re.compile(
+    r"""("(?:[^"\\]|\\.)*")      # double-quoted string
+      | ('(?:[^'\\]|\\.)*')      # single-quoted symbol
+      | ([A-Za-z_$][A-Za-z0-9_$]*\s*:)   # unquoted field name
+      | (null\.\w+)              # typed null
+      | (nan|[+-]inf)            # non-finite
+      | ([A-Za-z_$][A-Za-z0-9_$]*)       # bare symbol value
+      | (\d{4}-\d{2}-\d{2}(?:T[\d:.+Z-]*)?(?=[,\}\]\s]|$))  # timestamp
+      | ([+-]?\d[\d_]*(?:\.[\d_]+)?(?:[eE][+-]?\d+)?d?)     # number
+      | (\S)                     # any other char
+    """,
+    re.VERBOSE,
+)
+
+
+def ion_to_json(text: str) -> str:
+    """Convert (a practical subset of) Ion TEXT to JSON: type
+    annotations dropped, unquoted/quoted symbols -> JSON strings,
+    timestamps -> strings, typed nulls -> null, decimal 'd' suffix and
+    numeric underscores removed, nan/inf -> null. Ion is a JSON
+    superset, so plain JSON passes through unchanged (the reference
+    downconverts through the Ion Java library the same way,
+    ParseIonProcessor.java:30)."""
+    text = _ION_ANNOT.sub("", text)
+    out = []
+
+    def sub(m):
+        dq, sq, field, tnull, nonfin, bare, ts, num, other = m.groups()
+        if dq is not None:
+            return dq
+        if sq is not None:
+            return '"' + sq[1:-1].replace('"', '\\"') + '"'
+        if field is not None:
+            name = field[:-1].strip()
+            return f'"{name}":'
+        if tnull is not None:
+            return "null"
+        if nonfin is not None:
+            return "null"
+        if bare is not None:
+            if bare in ("true", "false", "null"):
+                return bare
+            return f'"{bare}"'
+        if ts is not None:
+            return f'"{ts}"'
+        if num is not None:
+            n = num.replace("_", "")
+            return n[:-1] if n.endswith("d") else n
+        return other
+
+    return _ION_TOKEN.sub(sub, text)
+
+
+def parse_ion(
+    df: DataFrame, source: str, schema: str, dest: str = "parsed"
+) -> DataFrame:
+    """parse_ion (ParseIonProcessor.java:30): Ion text -> JSON
+    downconvert (vectorized pandas UDF; the subset grammar covers
+    structs, lists, annotations, symbols, timestamps, decimals) ->
+    native from_json."""
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(s):
+        return s.map(lambda x: ion_to_json(x) if x is not None else None)
+
+    conv = pandas_udf(fn, "string")
+    return df.withColumn(dest, F.from_json(conv(F.col(source)), schema))
+
+
 def date_parse(
     df: DataFrame,
     source: str,
