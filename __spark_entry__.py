@@ -318,6 +318,98 @@ def key_value_parse(spark, sf_dir):
     )
 
 
+def typeof_dynamic(spark, sf_dir):
+    """Runtime typeof over dynamic JSON payloads (GenericTypeOfOperator
+    / DataPrepperExpression.g4:93-95) via per-row VARIANT schema."""
+    from data_prepper_spark.operators.expression import dp_typeof
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "j",
+        F.element_at(
+            F.array(
+                F.lit('{"v": 7}'),
+                F.lit('{"v": "s"}'),
+                F.lit('{"v": 1.5}'),
+                F.lit('{"v": [1, 2]}'),
+                F.lit('{"v": {"w": 1}}'),
+                F.lit('{"v": 5000000000}'),
+            ),
+            (F.col("event_id") % 6 + 1).cast("int"),
+        ),
+    )
+    return (
+        e.withColumn("t", dp_typeof("j", "/v"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def csv_auto_columns(spark, sf_dir):
+    """csv auto column1..N naming (CsvProcessor.java:181-183) and
+    header-from-event mode (column_names_source_key)."""
+    from data_prepper_spark.operators.parse import csv_parse
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "line",
+        F.concat_ws(
+            ",", F.col("c_custkey").cast("string"), F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+        ),
+    ).withColumn("hdr", F.lit("k,seg,nat"))
+    auto = csv_parse(c, "line", n_columns=3, dest="auto")
+    both = csv_parse(auto, "line", header_source="hdr", dest="named")
+    return both.select(
+        "c_custkey",
+        F.col("auto.column2").alias("col2"),
+        F.element_at(F.col("named"), "nat").alias("nat_from_header"),
+    )
+
+
+def date_output_format(spark, sf_dir):
+    """date with output_format + epoch patterns
+    (DateProcessorConfig.java:61-68 output_format)."""
+    from data_prepper_spark.operators.parse import date_parse
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    out = date_parse(
+        e, "ts_str", ["dd/MMM/yyyy", "yyyy-MM-dd HH:mm:ss"],
+        dest="day", output_format="yyyy/MM/dd",
+    )
+    return out.groupBy("day").agg(F.count("*").alias("n"))
+
+
+def flatten_map_to_list(spark, sf_dir):
+    """Recursive flatten of nested structs (FlattenProcessor.java:28
+    recursive mode) + map_to_list (MapToListProcessor.java:33)."""
+    from data_prepper_spark.operators.mutate import flatten, map_to_list
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.struct(
+                F.col("c_name").alias("b"), F.col("c_nationkey").alias("c")
+            ).alias("a"),
+            F.col("c_mktsegment").alias("d"),
+        ).alias("nested"),
+        F.create_map(
+            F.lit("seg"), F.col("c_mktsegment"),
+            F.lit("name"), F.col("c_name"),
+        ).alias("m"),
+    )
+    flat = flatten(c, "nested", recursive=True)
+    lst = map_to_list(flat, "m", "kv")
+    return lst.select(
+        "c_custkey",
+        F.col("`a.b`").alias("a_b"),
+        F.col("`a.c`").cast("int").alias("a_c"),
+        F.col("d"),
+        F.expr("kv[0].key").alias("k0"),
+        F.expr("kv[1].value").alias("v1"),
+    )
+
+
 def avro_roundtrip(spark, sf_dir):
     """Avro input codec (AvroInputCodec.java:41): customer rows written
     to two deflate/null OCF files by the in-repo writer, read back
@@ -1185,6 +1277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "substring_expression_family": substring_expression_family,
         "csv_parse_roundtrip": csv_parse_roundtrip,
+        "typeof_dynamic": typeof_dynamic,
+        "csv_auto_columns": csv_auto_columns,
+        "date_output_format": date_output_format,
+        "flatten_map_to_list": flatten_map_to_list,
         "avro_roundtrip": avro_roundtrip,
         "multiline_assembly": multiline_assembly,
         "parse_ion_props": parse_ion_props,
@@ -1407,6 +1503,31 @@ FROM events GROUP BY 1
 
     sql["key_value_parse"] = """
 SELECT c_custkey, c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat
+FROM customer
+"""
+
+    sql["typeof_dynamic"] = """
+SELECT CASE CAST(event_id % 6 AS INT)
+         WHEN 0 THEN 'integer' WHEN 1 THEN 'string' WHEN 2 THEN 'double'
+         WHEN 3 THEN 'array' WHEN 4 THEN 'map' ELSE 'long' END AS t,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sql["csv_auto_columns"] = """
+SELECT c_custkey, c_mktsegment AS col2,
+       CAST(c_nationkey AS VARCHAR) AS nat_from_header
+FROM customer
+"""
+
+    sql["date_output_format"] = """
+SELECT strftime(ts, '%Y/%m/%d') AS day, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+    sql["flatten_map_to_list"] = """
+SELECT c_custkey, c_name AS a_b, CAST(c_nationkey AS INT) AS a_c,
+       c_mktsegment AS d, 'seg' AS k0, c_name AS v1
 FROM customer
 """
 

@@ -118,3 +118,30 @@ def _ipv4_int(ip: str) -> int:
 def dp_expr(expr: str) -> Column:
     """Compile a Data Prepper expression to a Spark Column."""
     return F.expr(translate_expr(expr))
+
+
+def dp_typeof(json_col, pointer: str | None = None) -> Column:
+    """Runtime `typeof` over a JSON-string payload column — the one
+    expression operator that is schema-static on declared columns but
+    data-dependent on dynamic payloads (reference
+    GenericTypeOfOperator / DataPrepperExpression.g4:93-95;
+    DataType.java:25-76 names). Uses Spark 4 VARIANT: per-row
+    schema_of_variant, mapped to Data Prepper type names; BIGINT splits
+    into integer/long on the int32 boundary the way Jackson does."""
+    v = F.try_parse_json(F.col(json_col) if isinstance(json_col, str) else json_col)
+    if pointer:
+        path = "$." + pointer.strip("/").replace("/", ".")
+        v = F.try_variant_get(v, path, "variant")
+    sch = F.schema_of_variant(v)
+    as_long = F.try_variant_get(v, "$", "long")
+    int32 = as_long.between(-(1 << 31), (1 << 31) - 1)
+    return (
+        F.when(v.isNull() | (sch == "VOID"), "null")
+        .when(sch == "STRING", "string")
+        .when(sch == "BOOLEAN", "boolean")
+        .when(sch == "BIGINT", F.when(int32, "integer").otherwise("long"))
+        .when(sch.startswith("DECIMAL") | (sch == "DOUBLE") | (sch == "FLOAT"), "double")
+        .when(sch.startswith("OBJECT"), "map")
+        .when(sch.startswith("ARRAY"), "array")
+        .otherwise("unknown")
+    )

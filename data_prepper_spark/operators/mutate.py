@@ -16,6 +16,8 @@ unchanged, matching the reference's per-event conditional semantics.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,23 +173,58 @@ def truncate(
     return df.withColumn(key, F.substring(F.col(key), start_at + 1, n))
 
 
+# Reference predefined PII patterns (obfuscate-processor
+# CommonPattern.java:9-14), referenced as %{NAME} in `patterns`
+OBFUSCATE_PATTERNS = {
+    "EMAIL_ADDRESS": r"[A-Za-z0-9+_.-]+@([\w-]+\.)+[\w-]{2,4}",
+    "IP_ADDRESS_V4": r"((25[0-5]|(2[0-4]|1\d|[1-9]|)\d)\.?\b){4}",
+    "BASE_NUMBER": r"[0-9]*\.?[0-9]+",
+    "CREDIT_CARD_NUMBER": r"(\d[ -]*?){13,16}",
+    "US_PHONE_NUMBER": r"\+?\d?[\s-]?(\(\d{3}\)|\d{3})[\s-]?\d{3}[\s-]?\d{4}",
+    "US_SSN_NUMBER": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+_OBF_REF = _re.compile(r"^%\{(\w+)\}$")
+
+
 def obfuscate(
     df: DataFrame,
     key: str,
     action: str = "mask",
-    pattern: str | None = None,
+    pattern: str | list[str] | None = None,
     salt: str = "",
     bits: int = 512,
+    mask_character: str = "*",
+    mask_character_length: int = 3,
 ) -> DataFrame:
-    """obfuscate: mask (***) or one-way salted hash
+    """obfuscate: mask or one-way salted hash
     (ObfuscationProcessor.java:34, MaskAction.java:16,
     OneWayHashAction.java:28 — the reference uses SHA-512; `bits`
-    selects the SHA-2 width)."""
+    selects the SHA-2 width). `pattern` entries of the form %{NAME}
+    resolve against the predefined PII library (CommonPattern.java);
+    multiple patterns apply in order. Mask replacement is
+    mask_character x mask_character_length (reference MaskAction)."""
     c = F.col(key)
+    patterns = (
+        [pattern] if isinstance(pattern, str) else list(pattern or [])
+    )
+    resolved = []
+    for p in patterns:
+        m = _OBF_REF.match(p)
+        if m:
+            if m.group(1) not in OBFUSCATE_PATTERNS:
+                raise ValueError(f"unknown predefined pattern {p!r}")
+            resolved.append(OBFUSCATE_PATTERNS[m.group(1)])
+        else:
+            resolved.append(p)
     if action == "mask":
-        new = (
-            F.regexp_replace(c, pattern, "***") if pattern else F.lit("***")
-        )
+        mask = mask_character * mask_character_length
+        if not resolved:
+            new = F.lit(mask)
+        else:
+            new = c
+            for rp in resolved:
+                new = F.regexp_replace(new, rp, mask)
     elif action == "hash":
         new = F.sha2(F.concat(c.cast("string"), F.lit(salt)), bits)
     else:
@@ -199,15 +236,72 @@ def write_json(df: DataFrame, key: str, dest: str) -> DataFrame:
     return df.withColumn(dest, F.to_json(F.col(key)))
 
 
-def flatten(df: DataFrame, key: str, prefix: str = "") -> DataFrame:
-    """flatten: promote struct fields to top level dotted-ish columns
-    (FlattenProcessor.java:28)."""
-    fields = [f.name for f in df.schema[key].dataType.fields]
+def flatten(
+    df: DataFrame, key: str, prefix: str = "", recursive: bool = False
+) -> DataFrame:
+    """flatten: promote struct fields to top-level dotted columns
+    (FlattenProcessor.java:28). recursive=True walks nested structs to
+    any depth (a.b.c columns); non-struct leaves keep their type."""
+    from pyspark.sql import types as T
+
     cols = [c for c in df.columns if c != key]
-    return df.select(
-        *cols,
-        *[F.col(f"{key}.{f}").alias(f"{prefix}{f}") for f in fields],
-    )
+
+    def walk(path: str, name: str, dtype) -> list:
+        full = f"{path}.{name}" if path else name
+        label = full if not prefix else prefix + full
+        if recursive and isinstance(dtype, T.StructType):
+            out = []
+            for f in dtype.fields:
+                out.extend(walk(full, f.name, f.dataType))
+            return out
+        return [F.col(f"{key}.{full}").alias(label)]
+
+    flat = []
+    for f in df.schema[key].dataType.fields:
+        flat.extend(walk("", f.name, f.dataType))
+    return df.select(*cols, *flat)
+
+
+def flatten_json_map(
+    df: DataFrame, key: str, dest: str = "flattened",
+    bracket_notation: bool = False,
+) -> DataFrame:
+    """Dynamic flatten for payloads whose nesting is data-dependent
+    (lists included): any column -> map<string,string> of leaf paths.
+    Paths are dotted (a.b.0.c) or bracketed (a.b[0].c) per the
+    reference's flatten list mode. The walk runs in an Arrow-batched
+    pandas UDF over the JSON form (the reference flattens the Jackson
+    tree per event the same way)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _walk(obj, path, out):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                _walk(v, f"{path}.{k}" if path else k, out)
+        elif isinstance(obj, list):
+            for i, v in enumerate(obj):
+                p = f"{path}[{i}]" if bracket_notation else f"{path}.{i}"
+                _walk(v, p if path else str(i), out)
+        else:
+            out[path] = None if obj is None else (
+                _json.dumps(obj) if isinstance(obj, (dict, list)) else
+                (str(obj).lower() if isinstance(obj, bool) else str(obj))
+            )
+
+    def fn(s):
+        def one(x):
+            if x is None:
+                return {}
+            out: dict[str, str] = {}
+            _walk(_json.loads(x), "", out)
+            return out
+
+        return s.map(one)
+
+    conv = pandas_udf(fn, "map<string,string>")
+    return df.withColumn(dest, conv(F.to_json(F.col(key))))
 
 
 def wrap_entries(df: DataFrame, keys: list[str], wrapper: str) -> DataFrame:

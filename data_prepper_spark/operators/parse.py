@@ -404,11 +404,31 @@ def _kv_grouped_udf(
 def csv_parse(
     df: DataFrame,
     source: str,
-    schema: str,
+    schema: str | None = None,
     dest: str = "parsed",
     delimiter: str = ",",
     quote: str = '"',
+    n_columns: int | None = None,
+    header_source: str | None = None,
 ) -> DataFrame:
+    """csv processor (CsvProcessor.java:44). Three column-name modes:
+    explicit `schema` DDL; auto `column1..N` string columns when only
+    `n_columns` is given (CsvProcessor.java:181-183); or
+    `header_source` — a per-row column holding that row's header line
+    (column_names_source_key): names zip against values into a map
+    (the per-row schema the reference builds dynamically)."""
+    if header_source is not None:
+        keys = F.split(F.col(header_source), re.escape(delimiter))
+        vals = F.split(F.col(source), re.escape(delimiter))
+        n = F.least(F.size(keys), F.size(vals))
+        return df.withColumn(
+            dest,
+            F.map_from_arrays(F.slice(keys, 1, n), F.slice(vals, 1, n)),
+        )
+    if schema is None:
+        if n_columns is None:
+            raise ValueError("one of schema / n_columns / header_source")
+        schema = ", ".join(f"column{i + 1} string" for i in range(n_columns))
     return df.withColumn(
         dest,
         F.from_csv(
@@ -498,22 +518,49 @@ def parse_ion(
 
 def date_parse(
     df: DataFrame,
-    source: str,
-    patterns: list[str],
+    source: str | None = None,
+    patterns: list[str] | None = None,
     dest: str = "@timestamp",
+    from_time_received: bool = False,
+    time_received_col: str = "_time_received",
+    source_zone: str | None = None,
+    output_format: str | None = None,
 ) -> DataFrame:
     """date: first-matching pattern wins (DateProcessor match.patterns,
     DateProcessorConfig.java:61-68). Special patterns epoch_second /
-    epoch_milli accept numeric strings."""
-    attempts = []
-    for p in patterns:
-        if p == "epoch_second":
-            attempts.append(F.timestamp_seconds(F.col(source).cast("long")))
-        elif p == "epoch_milli":
-            attempts.append(F.timestamp_millis(F.col(source).cast("long")))
-        else:
-            attempts.append(F.try_to_timestamp(F.col(source), F.lit(p)))
-    return df.withColumn(dest, F.coalesce(*attempts))
+    epoch_milli / epoch_nano accept numeric strings.
+
+    from_time_received copies the ingest-time metadata column instead
+    of parsing (DateProcessorConfig.from_time_received). source_zone
+    interprets pattern-parsed wall-clock values in that zone
+    (DateProcessorConfig source_timezone); output_format renders the
+    result back to a formatted string instead of a timestamp."""
+    if from_time_received:
+        out = F.col(time_received_col).cast("timestamp")
+    else:
+        if source is None or not patterns:
+            raise ValueError("source + patterns required")
+        attempts = []
+        for p in patterns:
+            if p == "epoch_second":
+                attempts.append(F.timestamp_seconds(F.col(source).cast("long")))
+            elif p == "epoch_milli":
+                attempts.append(F.timestamp_millis(F.col(source).cast("long")))
+            elif p == "epoch_nano":
+                attempts.append(
+                    F.timestamp_micros(
+                        (F.col(source).cast("long") / 1000).cast("long")
+                    )
+                )
+            else:
+                parsed = F.try_to_timestamp(F.col(source), F.lit(p))
+                if source_zone:
+                    parsed = F.to_utc_timestamp(parsed, source_zone)
+                attempts.append(parsed)
+        out = F.coalesce(*attempts)
+    if output_format:
+        out = F.date_format(out, output_format)
+    return df.withColumn(dest, out)
 
 
 def dissect(df: DataFrame, source: str, pattern: str) -> DataFrame:

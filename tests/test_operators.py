@@ -302,3 +302,82 @@ def test_translate_file_reference_doc_shape(spark, tmp_path):
     assert [r["label"] for r in out.orderBy("status").collect()] == [
         "ok", "other", "err"
     ]
+
+
+def test_obfuscate_predefined_patterns(spark):
+    from data_prepper_spark.operators.mutate import obfuscate
+
+    df = spark.createDataFrame(
+        [("mail bob@example.com from 10.1.2.3 ssn 123-45-6789",)],
+        "msg string",
+    )
+    out = obfuscate(
+        df, "msg",
+        pattern=["%{EMAIL_ADDRESS}", "%{IP_ADDRESS_V4}", "%{US_SSN_NUMBER}"],
+        mask_character="#", mask_character_length=4,
+    ).collect()[0]["msg"]
+    assert out == "mail #### from #### ssn ####"
+
+
+def test_flatten_recursive_and_json_map(spark):
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.operators.mutate import flatten, flatten_json_map
+
+    df = spark.createDataFrame([(1, ("x", (2, [5, 6])))],
+                               "id long, s struct<a:string, b:struct<c:long, d:array<long>>>")
+    flat = flatten(df, "s", recursive=True)
+    r = flat.collect()[0]
+    assert r["a"] == "x" and r["b.c"] == 2 and r["b.d"] == [5, 6]
+    jm = flatten_json_map(df, "s", bracket_notation=True).collect()[0][
+        "flattened"
+    ]
+    assert jm == {"a": "x", "b.c": "2", "b.d[0]": "5", "b.d[1]": "6"}
+
+
+def test_csv_auto_and_header_modes(spark):
+    from data_prepper_spark.operators.parse import csv_parse
+
+    df = spark.createDataFrame(
+        [("1,two,3", "k,name,n")], "line string, hdr string"
+    )
+    auto = csv_parse(df, "line", n_columns=3).collect()[0]["parsed"]
+    assert (auto["column1"], auto["column2"], auto["column3"]) == (
+        "1", "two", "3",
+    )
+    named = csv_parse(df, "line", header_source="hdr").collect()[0]["parsed"]
+    assert named == {"k": "1", "name": "two", "n": "3"}
+
+
+def test_date_from_time_received_and_output_format(spark):
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.operators.parse import date_parse
+
+    df = spark.createDataFrame(
+        [("ignored", "2024-02-03 04:05:06")],
+        "src string, _time_received string",
+    )
+    out = date_parse(
+        df, from_time_received=True, output_format="yyyy/MM/dd"
+    ).collect()[0]["@timestamp"]
+    assert out == "2024/02/03"
+    df2 = spark.createDataFrame([("1700000000",)], "src string")
+    r = date_parse(df2, "src", ["epoch_second"], output_format="yyyy").collect()
+    assert r[0]["@timestamp"] == "2023"
+
+
+def test_dp_typeof_runtime(spark):
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.operators.expression import dp_typeof
+
+    df = spark.createDataFrame(
+        [('{"v": 1}',), ('{"v": "s"}',), ('{"v": 2.5}',),
+         ('{"v": [1]}',), ('{"v": {"w": 1}}',), ('{"v": 99999999999}',),
+         ('{"v": null}',), ('{"v": true}',)],
+        "j string",
+    )
+    got = [r[0] for r in df.select(dp_typeof("j", "/v")).collect()]
+    assert got == ["integer", "string", "double", "array", "map",
+                   "long", "null", "boolean"]
