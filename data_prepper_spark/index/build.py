@@ -81,6 +81,16 @@ class BuildConfig:
     # group at 10^8 docs; raise for larger corpora (cost is one tiny
     # driver-side offsets list of 2^bits entries).
     ord_group_bits: int = 6
+    # sideband encode (ROADMAP item 2): the JVM writes the sorted
+    # (term_id, salt)-partitioned tf table to parquet, and Python
+    # encode tasks read those files DIRECTLY with pyarrow — bypassing
+    # the JVM->Python Arrow socket stream for the 10^8-row posting
+    # feed. Measured at SF=0.1/local[32]: within run-to-run noise of
+    # the streamed path (the Arrow socket is NOT the bottleneck on
+    # this box), so the default stays False — streamed avoids a full
+    # extra materialization of the tf table, which matters at 100 TB.
+    # Output is bit-identical either way (asserted in tests).
+    sideband_encode: bool = False
 
 
 # On-disk tokens-table format version. v2 = one row per token
@@ -721,20 +731,60 @@ def run_index_stage(
         )
     )
     # ONE shuffle: hash-exchange on (term_id, salt), sort runs inside
-    # each partition, then a batch-vectorized mapInArrow encodes
-    # posting blocks for every group in the partition (no per-group
-    # overhead, no Python string objects). Skinny int rows transfer
-    # fast; 64k Arrow batches amortize IPC flushes (scoped so the big
-    # batch size does not leak into the query path's fat block rows).
-    blocks = (
-        tok2.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            "term_id",
-            "salt",
-        )
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .mapInArrow(_make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA)
+    # each partition. A (term_id, salt) group never spans partitions,
+    # so encode is embarrassingly parallel afterwards. Two feeds into
+    # the batch-vectorized encoder:
+    #   * sideband (default): the JVM writes the sorted tf table as
+    #     parquet (pure-JVM job, columnar-compressed), then one Python
+    #     task per file reads it DIRECTLY with pyarrow and encodes —
+    #     no JVM->Python Arrow socket for the 10^8-row feed. On a real
+    #     cluster the intermediate lives in index_dir (shared storage;
+    #     pyarrow reads object-store URIs via pyarrow.fs).
+    #   * streamed: classic mapInArrow over the shuffled partitions
+    #     (64k Arrow batches, scoped so the big batch size does not
+    #     leak into the query path's fat block rows).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_df = tok2.repartition(n_shuffle, "term_id", "salt").sortWithinPartitions(
+        "term_id", "salt", "doc_id"
     )
+    if cfg.sideband_encode:
+        import shutil as _shutil
+
+        sorted_dir = os.path.join(index_dir, "tf_sorted")
+        spark.sparkContext.setJobDescription("index: write sorted tf sideband")
+        sorted_df.write.mode("overwrite").parquet(sorted_dir)
+        files = sorted(
+            os.path.join(sorted_dir, f)
+            for f in os.listdir(sorted_dir)
+            if f.endswith(".parquet")
+        )
+        fdf = spark.createDataFrame(
+            [(p,) for p in files], "path string"
+        ).repartition(len(files))
+        builder = _make_block_builder(cfg, avgdl)
+
+        def encode_from_files(it):
+            import pyarrow.parquet as pq
+
+            for batch in it:
+                for p in batch.column(0).to_pylist():
+                    pf = pq.ParquetFile(p)
+                    yield from builder(
+                        pf.iter_batches(
+                            batch_size=1 << 20,
+                            columns=[
+                                "term_id", "salt", "bucket",
+                                "doc_id", "tf", "dl",
+                            ],
+                        )
+                    )
+
+        blocks = fdf.mapInArrow(encode_from_files, schema=BLOCKS_SCHEMA)
+    else:
+        blocks = sorted_df.mapInArrow(
+            _make_block_builder(cfg, avgdl), schema=BLOCKS_SCHEMA
+        )
+    spark.sparkContext.setJobDescription("index: encode + write postings")
     with _scoped_conf(
         spark, spark__sql__execution__arrow__maxRecordsPerBatch="65536"
     ):
@@ -745,6 +795,9 @@ def run_index_stage(
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, "postings"))
         )
+    spark.sparkContext.setJobDescription(None)
+    if cfg.sideband_encode:
+        _shutil.rmtree(sorted_dir, ignore_errors=True)
 
     # term dictionary with per-term max impact (WAND global upper bound),
     # derived from the written blocks (column-pruned read: no binaries)

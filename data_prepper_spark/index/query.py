@@ -42,7 +42,11 @@ def _idf_col(n_docs: int):
 
 
 def query_terms(
-    spark: SparkSession, index_dir: str, queries: DataFrame, n_docs: int
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_docs: int,
+    terms_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, query) -> (query_id, term, df, idf, bucket, max_impact).
 
@@ -54,7 +58,11 @@ def query_terms(
         "query_id",
         F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias("term"),
     )
-    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    terms = (
+        terms_df
+        if terms_df is not None
+        else spark.read.parquet(os.path.join(index_dir, "terms"))
+    )
     return (
         qt.join(terms, "term")
         .withColumn("idf", _idf_col(n_docs))
@@ -105,13 +113,20 @@ def _ranked(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _resolve_ords(spark: SparkSession, index_dir: str, ranked: DataFrame) -> DataFrame:
+def _resolve_ords(
+    spark: SparkSession,
+    index_dir: str,
+    ranked: DataFrame,
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
     """Map dense ordinals back to real doc ids. The ranked side is
     tiny (≤ queries × k rows) — broadcast it into the docs scan, so
     this works unchanged when the docs table has 10^12 rows."""
-    ords = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "ord", F.col("doc_id").alias("_doc_id")
-    )
+    ords = (
+        docs_df
+        if docs_df is not None
+        else spark.read.parquet(os.path.join(index_dir, "docs"))
+    ).select("ord", F.col("doc_id").alias("_doc_id"))
     r = ranked.withColumnRenamed("doc_id", "ord")
     return (
         ords.join(F.broadcast(r), "ord")
@@ -121,11 +136,22 @@ def _resolve_ords(spark: SparkSession, index_dir: str, ranked: DataFrame) -> Dat
     )
 
 
-def _pruned_postings(spark: SparkSession, index_dir: str, qt: DataFrame) -> DataFrame:
+def _pruned_postings(
+    spark: SparkSession,
+    index_dir: str,
+    qt: DataFrame,
+    post_df: DataFrame | None = None,
+) -> DataFrame:
     """Scan only the postings partitions any query term hashes to —
-    driver-side partition pruning (buckets list is tiny)."""
+    driver-side partition pruning (buckets list is tiny). With a
+    cached post_df the filter prunes cached partitions instead of
+    directories (same effect warm)."""
     buckets = [int(r["bucket"]) for r in qt.select("bucket").distinct().collect()]
-    post = spark.read.parquet(os.path.join(index_dir, "postings"))
+    post = (
+        post_df
+        if post_df is not None
+        else spark.read.parquet(os.path.join(index_dir, "postings"))
+    )
     return post.filter(F.col("bucket").isin(buckets))
 
 
@@ -148,6 +174,184 @@ def topk_with_docs(
     )
 
 
+class QuerySession:
+    """Keep-alive query executor (reference PitWorker keeps a PIT open
+    across search_after pages the same way): the terms dictionary,
+    posting blocks and doc-ordinal map persist in executor memory
+    across topk() calls, so a warm single query skips parquet
+    listing/footer reads and scans cached columnar blocks. Use for
+    interactive / repeated querying; one-shot batch jobs can keep
+    calling the module-level topk()."""
+
+    # above these sizes the driver-side structures are skipped (a 10^8
+    # -term dictionary / 10^12-row doc map do not belong on one node;
+    # lookups fall back to filtered jobs over the cached tables)
+    DRIVER_DICT_MAX_TERMS = 2_000_000
+    DRIVER_DOCS_MAX = 5_000_000
+    # serving-path cache partition count: single-query jobs are task-
+    # launch bound, so the postings cache holds few fat partitions
+    # (measured: 64 cached partitions -> 0.6 s/decode job, 8 -> 0.22 s
+    # at SF=0.1/local[32]). Batch jobs that need scan parallelism
+    # should use the module-level topk over the parquet instead.
+    CACHE_PARTITIONS = 8
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str,
+        driver_dict: bool | None = None,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).persist()
+        self.post = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .coalesce(self.CACHE_PARTITIONS)
+            .persist()
+        )
+        self.docs = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .select("ord", "doc_id")
+            .coalesce(self.CACHE_PARTITIONS)
+            .persist()
+        )
+        n_terms = self.terms.count()
+        if driver_dict is None:
+            driver_dict = n_terms <= self.DRIVER_DICT_MAX_TERMS
+        self._dict: dict | None = None
+        self._ord_map = None
+        if driver_dict:
+            pdf = self.terms.select(
+                "term", "term_id", "df", "bucket", "max_impact"
+            ).toPandas()
+            self._dict = {
+                t: (int(i), float(d), int(bk), float(mi))
+                for t, i, d, bk, mi in zip(
+                    pdf["term"], pdf["term_id"], pdf["df"],
+                    pdf["bucket"], pdf["max_impact"],
+                )
+            }
+        if self.stats["n_docs"] <= self.DRIVER_DOCS_MAX:
+            dpdf = self.docs.toPandas()
+            self._ord_map = np.zeros(int(self.stats["n_docs"]), np.int64)
+            self._ord_map[dpdf["ord"].to_numpy()] = dpdf["doc_id"].to_numpy()
+
+    def warm(self) -> "QuerySession":
+        """Materialize the caches + Python workers (first call pays
+        the cold cost so later queries don't)."""
+        self.post.count()
+        self.docs.count()
+        q = self.spark.createDataFrame(
+            [(0, "warmup")], "query_id long, query string"
+        )
+        self.topk(q, k=1).collect()
+        self.topk_one("warmup data", k=1)
+        return self
+
+    def topk_one(self, query: str, k: int = 10, query_id: int = 0):
+        """Single-query serving path: tokenization + dictionary lookup
+        + idf run driver-side (micro work), leaving ONE Spark job that
+        filters the cached postings by term_id literals, decodes,
+        scores and ranks. Returns a pandas DataFrame
+        (query_id, rank, doc_id, score). Falls back to the general
+        plan when no driver dictionary is loaded."""
+        import math
+
+        import pandas as pd
+
+        from ..tokenizer import tokenize_series
+
+        if self._dict is None:
+            q = self.spark.createDataFrame(
+                [(query_id, query)], "query_id long, query string"
+            )
+            return self.topk(q, k=k).toPandas()
+        toks = sorted(set(tokenize_series(pd.Series([query])).iloc[0]))
+        entries = [
+            (t, *self._dict[t]) for t in toks if t in self._dict
+        ]
+        if not entries:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "doc_id", "score"]
+            )
+        n = float(self.stats["n_docs"])
+        idf = {
+            tid: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for _, tid, df, _, _ in entries
+        }
+        tids = list(idf)
+        buckets = sorted({bk for _, _, _, bk, _ in entries})
+        idf_map = F.create_map(
+            *[F.lit(x) for tid, v in idf.items() for x in (tid, v)]
+        )
+        decoder = _make_decoder(
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        )
+        scored = (
+            self.post.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term_id").isin(tids))
+            .select(
+                F.lit(query_id).alias("query_id"),
+                F.element_at(idf_map, F.col("term_id")).alias("idf"),
+                "docs", "tfs", "dls",
+            )
+            .mapInPandas(
+                decoder, schema="query_id long, doc_id long, partial double"
+            )
+        )
+        ranked = _ranked(scored, k)
+        # serving-path execution settings, scoped per call: AQE's
+        # per-exchange materialization turns one logical query into 3-4
+        # driver round-trips, and 64 reduce partitions are pure task
+        # overhead at top-k cardinality. The batch path keeps both.
+        conf = self.spark.conf
+        saved = {
+            "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+        }
+        try:
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", "4")
+            if self._ord_map is not None:
+                # ONE Spark job: decode+score+rank+collect; the k-row
+                # ordinal->doc_id resolve is a driver array lookup
+                pdf = ranked.toPandas()
+                pdf["doc_id"] = self._ord_map[pdf["doc_id"].to_numpy()]
+                return pdf
+            res = _resolve_ords(
+                self.spark, self.index_dir, ranked, self.docs
+            )
+            return res.toPandas()
+        finally:
+            for key, v in saved.items():
+                conf.set(key, v)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        mode: str = "exhaustive",
+        probe_blocks: int = 2,
+    ) -> DataFrame:
+        return topk(
+            self.spark,
+            self.index_dir,
+            queries,
+            k=k,
+            mode=mode,
+            probe_blocks=probe_blocks,
+            _stats=self.stats,
+            _terms_df=self.terms,
+            _post_df=self.post,
+            _docs_df=self.docs,
+        )
+
+    def close(self) -> None:
+        for df in (self.terms, self.post, self.docs):
+            df.unpersist()
+
+
 def topk(
     spark: SparkSession,
     index_dir: str,
@@ -155,6 +359,10 @@ def topk(
     k: int = 10,
     mode: str = "exhaustive",
     probe_blocks: int = 2,
+    _stats: dict | None = None,
+    _terms_df: DataFrame | None = None,
+    _post_df: DataFrame | None = None,
+    _docs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 per query: (query_id, rank, doc_id, score)."""
     # block rows are FAT (≈1.3 KB varbyte payload -> ~70 decode
@@ -162,11 +370,11 @@ def topk(
     # working sets stay cache-friendly (the build stage sets 64k for
     # its skinny rows; that setting must not leak into the query path)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-    stats = load_stats(index_dir)
+    stats = _stats if _stats is not None else load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
-    qt = query_terms(spark, index_dir, queries, n_docs)
-    post = _pruned_postings(spark, index_dir, qt)
+    qt = query_terms(spark, index_dir, queries, n_docs, terms_df=_terms_df)
+    post = _pruned_postings(spark, index_dir, qt, post_df=_post_df)
     decoder = _make_decoder(k1, b, avgdl)
 
     if mode == "exhaustive":
@@ -176,7 +384,7 @@ def topk(
         scored = joined.select(
             "query_id", "idf", "docs", "tfs", "dls"
         ).mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
-        return _resolve_ords(spark, index_dir, _ranked(scored, k))
+        return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
 
     if mode != "blockmax":
         raise ValueError(f"unknown mode {mode!r}")
@@ -229,7 +437,7 @@ def topk(
         scored = survivors.mapInPandas(
             decoder, schema="query_id long, doc_id long, partial double"
         )
-        return _resolve_ords(spark, index_dir, _ranked(scored, k))
+        return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
     finally:
         # the returned (lazy) DataFrame still references the cached
         # join; callers that materialize it benefit from the reuse

@@ -5,6 +5,8 @@ reference's golden e2e index assertions
 (e2e-test/log/.../EndToEndBasicLogTest.java:56-71).
 """
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -137,3 +139,71 @@ def test_routed_per_lang_indexes(spark, fixture_dir, corpus_pdf, queries_pdf, tm
         spark, os.path.join(out, f"index_{lang}"), qdf, k=5, mode="blockmax"
     ).toPandas()
     _compare(got, gold)
+
+
+def test_sideband_encode_identical(spark, fixture_dir, tmp_path):
+    """The sideband (JVM-parquet -> pyarrow direct read) and streamed
+    (mapInArrow) encode feeds produce bit-identical posting blocks."""
+    import pandas as pd
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+
+    outs = {}
+    for name, sb in (("side", True), ("stream", False)):
+        idx = str(tmp_path / name)
+        build_index(
+            spark,
+            os.path.join(fixture_dir, "corpus.parquet"),
+            idx,
+            BuildConfig(sideband_encode=sb),
+        )
+        outs[name] = (
+            spark.read.parquet(os.path.join(idx, "postings"))
+            .select(
+                "term_id", "min_doc", "n", "docs", "tfs", "dls",
+                "max_tf", "block_max",
+            )
+            .toPandas()
+            .sort_values(["term_id", "min_doc"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["side"], outs["stream"])
+
+
+def test_query_session_matches_topk(spark, index_dir, queries_pdf):
+    """QuerySession.topk_one (driver dict + single-job serve path) is
+    rank- and score-identical to the module-level topk."""
+    from data_prepper_spark.index.query import QuerySession
+
+    qs = QuerySession(spark, index_dir).warm()
+    try:
+        assert qs._dict is not None and qs._ord_map is not None
+        for _, row in queries_pdf.head(5).iterrows():
+            a = (
+                qs.topk_one(row["query"], k=10, query_id=int(row["query_id"]))
+                .sort_values("rank")
+                .reset_index(drop=True)
+            )
+            q = spark.createDataFrame(
+                [(int(row["query_id"]), row["query"])],
+                "query_id long, query string",
+            )
+            b = (
+                topk(spark, index_dir, q, k=10)
+                .toPandas()
+                .sort_values("rank")
+                .reset_index(drop=True)
+            )
+            assert (a["doc_id"] == b["doc_id"]).all()
+            assert np.allclose(a["score"], b["score"])
+        # batch path through the session matches too
+        qdf = spark.createDataFrame(queries_pdf.head(5))
+        a = qs.topk(qdf, k=10).toPandas().sort_values(
+            ["query_id", "rank"]
+        ).reset_index(drop=True)
+        b = topk(spark, index_dir, qdf, k=10).toPandas().sort_values(
+            ["query_id", "rank"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+    finally:
+        qs.close()
