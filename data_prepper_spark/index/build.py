@@ -51,6 +51,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsio
 from . import manifest as mf
 from .codec import to_unsigned, varbyte_encode, varbyte_lengths
 
@@ -130,9 +131,8 @@ def _check_format(index_dir: str, write: bool = False) -> None:
     """Refuse to touch an index_dir whose on-disk tokens format differs
     from this code's version (ADVICE: unversioned resume corrupts tf)."""
     p = os.path.join(index_dir, "format.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            v = json.load(f).get("tokens_format")
+    if fsio.exists(p):
+        v = json.loads(fsio.read_text(p)).get("tokens_format")
         if v != TOKENS_FORMAT_VERSION:
             raise RuntimeError(
                 f"index_dir {index_dir} has tokens format v{v}; this build "
@@ -146,19 +146,14 @@ def _check_format(index_dir: str, write: bool = False) -> None:
             "directory."
         )
     elif write:
-        os.makedirs(index_dir, exist_ok=True)
-        with open(p, "w") as f:
-            json.dump({"tokens_format": TOKENS_FORMAT_VERSION}, f)
+        fsio.makedirs(index_dir)
+        fsio.write_text(p, json.dumps({"tokens_format": TOKENS_FORMAT_VERSION}))
 
 
 def corpus_units(corpus_path: str) -> list[str]:
     """One work unit per corpus data file (sorted for determinism)."""
-    if os.path.isdir(corpus_path):
-        return sorted(
-            os.path.join(corpus_path, f)
-            for f in os.listdir(corpus_path)
-            if f.endswith(".parquet")
-        )
+    if fsio.isdir(corpus_path):
+        return fsio.listdir(corpus_path, suffix=".parquet")
     return [corpus_path]
 
 
@@ -603,8 +598,9 @@ def run_index_stage(
             json.loads(lj).get("units") == units_done
             for lj in prior["lineage_json"]
         ):
-            with open(os.path.join(index_dir, "stats.json")) as f:
-                return json.load(f)
+            return json.loads(
+                fsio.read_text(os.path.join(index_dir, "stats.json"))
+            )
     started = time.time()
 
     tokens = spark.read.parquet(os.path.join(index_dir, "tokens"))
@@ -753,11 +749,7 @@ def run_index_stage(
         sorted_dir = os.path.join(index_dir, "tf_sorted")
         spark.sparkContext.setJobDescription("index: write sorted tf sideband")
         sorted_df.write.mode("overwrite").parquet(sorted_dir)
-        files = sorted(
-            os.path.join(sorted_dir, f)
-            for f in os.listdir(sorted_dir)
-            if f.endswith(".parquet")
-        )
+        files = fsio.listdir(sorted_dir, suffix=".parquet")
         fdf = spark.createDataFrame(
             [(p,) for p in files], "path string"
         ).repartition(len(files))
@@ -843,8 +835,7 @@ def run_index_stage(
         "b": cfg.b,
         "units": units_done,
     }
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    fsio.write_text(os.path.join(index_dir, "stats.json"), json.dumps(stats))
 
     bucket_stats = (
         written.groupBy("bucket")
@@ -892,7 +883,7 @@ def build_index(
     tokenize units are skipped (manifest anti-join), the index stage is
     skipped when its input unit-set lineage is unchanged."""
     cfg = cfg or BuildConfig()
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.makedirs(index_dir)
     run_tokenize_stage(spark, corpus_path, index_dir, cfg, max_units=max_units)
     if max_units is not None:
         units = corpus_units(corpus_path)
@@ -927,13 +918,14 @@ def build_routed_indexes(
         .parquet(routed)
     )
     stats: dict[str, dict] = {}
-    for sub in sorted(os.listdir(routed)):
+    for sub_path in fsio.listdir(routed):
+        sub = fsio.basename(sub_path)
         if not sub.startswith(f"{route_col}="):
             continue
         route_val = sub.split("=", 1)[1]
         stats[route_val] = build_index(
             spark,
-            os.path.join(routed, sub),
+            sub_path,
             os.path.join(out_dir, f"index_{route_val}"),
             cfg,
         )
@@ -941,5 +933,4 @@ def build_routed_indexes(
 
 
 def load_stats(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(os.path.join(index_dir, "stats.json")))

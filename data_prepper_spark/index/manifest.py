@@ -15,6 +15,7 @@ interrupted build resumes without re-tokenizing completed units.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import time
@@ -23,6 +24,8 @@ import uuid
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from .. import fsio
 
 MANIFEST_COLUMNS = [
     "partition_id",
@@ -61,9 +64,13 @@ def _manifest_dir(index_dir: str) -> str:
 
 def read_manifest(index_dir: str) -> pd.DataFrame:
     d = _manifest_dir(index_dir)
-    if not os.path.isdir(d) or not os.listdir(d):
+    parts = fsio.listdir(d, suffix=".parquet")
+    if not parts:
         return pd.DataFrame(columns=MANIFEST_COLUMNS)
-    return pq.read_table(d).to_pandas()
+    fs, _ = fsio.resolve(d)
+    return pq.read_table(
+        [fsio.resolve(p)[1] for p in parts], filesystem=fs
+    ).to_pandas()
 
 
 def completed(index_dir: str, stage: str) -> set[str]:
@@ -83,21 +90,24 @@ def attempts(index_dir: str, stage: str) -> dict[str, int]:
 
 
 def append_rows(index_dir: str, rows: list[dict]) -> None:
-    """Atomically append manifest rows (one new part file per commit)."""
+    """Atomically append manifest rows (one new part file per commit).
+    Routed through the fsio shim: write-tmp-then-move on any
+    pyarrow.fs filesystem (POSIX rename locally; all-or-nothing PUT
+    semantics on object stores)."""
     if not rows:
         return
     d = _manifest_dir(index_dir)
-    os.makedirs(d, exist_ok=True)
+    fsio.makedirs(d)
     pdf = pd.DataFrame(rows)
     for c in MANIFEST_COLUMNS:
         if c not in pdf.columns:
             pdf[c] = None
     pdf = pdf[MANIFEST_COLUMNS]
     tbl = pa.Table.from_pandas(pdf, schema=_SCHEMA, preserve_index=False)
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
     name = f"commit-{uuid.uuid4().hex}.parquet"
-    tmp = os.path.join(d, "." + name + ".tmp")
-    pq.write_table(tbl, tmp)
-    os.rename(tmp, os.path.join(d, name))
+    fsio.write_bytes_atomic(os.path.join(d, name), buf.getvalue())
 
 
 def make_row(
