@@ -155,3 +155,91 @@ def incremental_index(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def compact_deltas(
+    spark: SparkSession, index_root: str, out_dir: str, cfg=None
+) -> dict:
+    """Merge the delta indexes under index_root into ONE index at
+    out_dir — the compaction job a real deployment runs periodically so
+    query fan-in stays O(1) instead of O(#deltas).
+
+    Compaction happens at the TOKENS level: each delta's already-
+    tokenized rows are re-written (unit ids prefixed with the delta
+    epoch so lineage stays collision-free), manifest rows committed,
+    then the normal index stage runs over the union. No content is
+    re-tokenized, and because doc ordinals / tf / dl depend only on the
+    rows themselves, the compacted index is bit-identical to a one-shot
+    batch build over the same corpus (asserted in tests) — the same
+    guarantee the resumable batch build gives across interruptions.
+    """
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from .. import fsio
+    from ..index import manifest as mf
+    from ..index.build import (
+        TOKENS_FORMAT_VERSION,
+        BuildConfig,
+        run_index_stage,
+    )
+
+    cfg = cfg or BuildConfig(n_buckets=8, hot_group_target=10_000)
+    deltas = [
+        p
+        for p in fsio.listdir(index_root)
+        if fsio.basename(p).startswith("delta=")
+    ]
+    if not deltas:
+        raise ValueError(f"no delta=* indexes under {index_root}")
+    fsio.makedirs(out_dir)
+    fsio.write_text(
+        os.path.join(out_dir, "format.json"),
+        _json.dumps({"tokens_format": TOKENS_FORMAT_VERSION}),
+    )
+    started = _time.time()
+    parts = []
+    for d in deltas:
+        eid = fsio.basename(d).split("=", 1)[1]
+        t = spark.read.parquet(os.path.join(d, "tokens"))
+        parts.append(
+            t.withColumn(
+                "unit", F.concat(F.lit(f"d{eid}_"), F.col("unit"))
+            )
+        )
+    tokens = parts[0]
+    for p in parts[1:]:
+        tokens = tokens.unionByName(p)
+    (
+        tokens.write.mode("overwrite")
+        .partitionBy("unit")
+        .parquet(os.path.join(out_dir, "tokens"))
+    )
+    written = spark.read.parquet(os.path.join(out_dir, "tokens"))
+    per_unit = (
+        written.groupBy("unit")
+        .agg(
+            F.sum(F.when(F.col("err").isNull(), 1).otherwise(0)).alias("rows_out"),
+            F.sum(
+                F.when(F.col("term").isNull() & F.col("err").isNull(), 1).otherwise(0)
+            ).alias("n_docs"),
+        )
+        .collect()
+    )
+    mf.append_rows(
+        out_dir,
+        [
+            mf.make_row(
+                r["unit"],
+                "tokenize",
+                rows_in=int(r["n_docs"]),
+                rows_out=int(r["rows_out"]),
+                started_at=started,
+                lineage={"compacted_from": len(deltas)},
+            )
+            for r in per_unit
+        ],
+    )
+    return run_index_stage(spark, out_dir, cfg)

@@ -140,3 +140,48 @@ def test_incremental_index(spark, tmp_path):
         res = topk(spark, os.path.join(root, d), queries, k=5).toPandas()
         total += len(res)
     assert total >= 5
+
+
+def test_compact_deltas_matches_batch_build(spark, tmp_path):
+    """Compacting streamed delta indexes yields an index bit-identical
+    (block level) to a one-shot batch build over the same corpus."""
+    import pandas as pd
+
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.001, src, chunks_per_file=1)  # 2 work-unit files
+    root = str(tmp_path / "deltas")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(spark, stream, root, ckpt).start()
+    q.awaitTermination(240)
+
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000)
+    stats = compact_deltas(spark, root, str(tmp_path / "compacted"), cfg)
+    batch_idx = str(tmp_path / "batch")
+    bstats = build_index(spark, src, batch_idx, cfg)
+    assert stats["n_docs"] == bstats["n_docs"]
+    assert abs(stats["avgdl"] - bstats["avgdl"]) < 1e-12
+
+    def blocks(idx):
+        return (
+            spark.read.parquet(os.path.join(idx, "postings"))
+            .select("term_id", "min_doc", "n", "docs", "tfs", "dls")
+            .toPandas()
+            .sort_values(["term_id", "min_doc"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(
+        blocks(str(tmp_path / "compacted")), blocks(batch_idx)
+    )
