@@ -629,14 +629,23 @@ def run_index_stage(
         .select("doc_id", "dl", "repo", "path", "commit")
         .withColumn("_grp", F.shiftright("doc_id", shift))
     )
-    cnts = sorted(
-        (r["_grp"], r["n"])
-        for r in base.groupBy("_grp").agg(F.count("*").alias("n")).collect()
-    )
-    offs, acc = [], 0
-    for g, n in cnts:
+    # ONE scan of the sentinel rows (persisted — they are n_docs skinny
+    # rows, tiny next to the token rows sharing the parquet files)
+    # yields the per-range counts for the ordinal offsets AND the
+    # corpus stats: dl values are ints, so the grouped double sums are
+    # exact and avgdl is bit-identical to a direct global average.
+    base = base.persist()
+    grp_rows = base.groupBy("_grp").agg(
+        F.count("*").alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()
+    cnts = sorted((r["_grp"], r["n"], r["dl_sum"]) for r in grp_rows)
+    offs, acc, dl_total = [], 0, 0
+    for g, n, s in cnts:
         offs.append((g, acc))
         acc += n
+        dl_total += int(s)
+    n_docs = acc
+    avgdl = dl_total / n_docs if n_docs else 0.0
     off_df = spark.createDataFrame(offs or [(0, 0)], "_grp long, _off long")
     docs = (
         base.join(F.broadcast(off_df), "_grp")
@@ -651,11 +660,8 @@ def run_index_stage(
         .drop("_grp", "_off")
     )
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+    base.unpersist()
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    agg = docs.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
 
     # tf aggregation runs JVM-side (hash agg + map-side combine: a
     # doc's tokens are within one task, so the shuffle moves already-
