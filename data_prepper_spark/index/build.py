@@ -679,12 +679,44 @@ def run_index_stage(
         .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    term_df = (
-        tok.groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("term_id", F.xxhash64("term"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    term_base = tok.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # term_id = xxhash64(term): injectivity is checked BEFORE any
+    # postings are keyed by it. On the (p < 1e-6 at 10^6 terms)
+    # collision, the colliding terms deterministically re-hash with a
+    # second seed column — xxhash64(term, 1) — instead of aborting
+    # (ROADMAP r01 item 3); the id expression stays identical across
+    # runs, so resume/bit-identity hold.
+    ids0 = term_base.select("term", F.xxhash64("term").alias("term_id"))
+    dup_ids = ids0.groupBy("term_id").count().filter(F.col("count") > 1)
+    colliding = [
+        r["term"]
+        for r in ids0.join(F.broadcast(dup_ids.select("term_id")), "term_id")
+        .select("term")
+        .collect()
+    ]
+
+    def _term_id_expr(col: str = "term"):
+        base = F.xxhash64(col)
+        if not colliding:
+            return base
+        return F.when(
+            F.col(col).isin(colliding), F.xxhash64(col, F.lit(1))
+        ).otherwise(base)
+
+    term_df = term_base.withColumn("term_id", _term_id_expr()).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    if colliding:
+        # the escape hatch itself must produce injective ids
+        still = (
+            term_df.groupBy("term_id").count().filter(F.col("count") > 1).count()
+        )
+        if still:
+            raise RuntimeError(
+                f"term_id collision persists after re-salt for {still} ids"
+            )
 
     # hot-term detection: terms whose postings exceed one target group;
     # salt = high bits of the (order-preserved unsigned) doc id, so each
@@ -708,7 +740,7 @@ def run_index_stage(
     tok2 = (
         tok.join(F.broadcast(hot), "term", "left")
         .join(ord_map, "doc_id")
-        .withColumn("term_id", F.xxhash64("term"))
+        .withColumn("term_id", _term_id_expr())
         .withColumn(
             "salt",
             # salt = ord DIV ceil(n_docs / 2^salt_bits): same contiguous
@@ -810,6 +842,7 @@ def run_index_stage(
         .parquet(os.path.join(index_dir, "terms"))
     )
     tok.unpersist()
+    term_base.unpersist()
     term_df.unpersist()
 
     # Postings are keyed by term_id = xxhash64(term) so the encode

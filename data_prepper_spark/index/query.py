@@ -136,6 +136,22 @@ def _resolve_ords(
     )
 
 
+# blockmax topk persists its postings-join across phases A and B; the
+# returned DataFrame is lazy, so the cache cannot be dropped inside the
+# call. Each new topk() invocation sweeps caches left by earlier ones
+# (ADVICE r01: the leak was acknowledged but never reclaimed).
+_deferred_unpersist: list = []
+
+
+def _sweep_deferred() -> None:
+    while _deferred_unpersist:
+        df = _deferred_unpersist.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 def _pruned_postings(
     spark: SparkSession,
     index_dir: str,
@@ -365,6 +381,7 @@ def topk(
     _docs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 per query: (query_id, rank, doc_id, score)."""
+    _sweep_deferred()
     # block rows are FAT (≈1.3 KB varbyte payload -> ~70 decode
     # temporary bytes per encoded byte): cap UDF batches so decode
     # working sets stay cache-friendly (the build stage sets 64k for
@@ -399,6 +416,7 @@ def topk(
     )
     joined = post.join(qtb, "term_id")
     joined.persist()
+    _deferred_unpersist.append(joined)
     try:
         # phase A: probe the highest-block_max blocks per (query, term)
         wprobe = Window.partitionBy("query_id", "term_id").orderBy(
@@ -440,7 +458,7 @@ def topk(
         return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
     finally:
         # the returned (lazy) DataFrame still references the cached
-        # join; callers that materialize it benefit from the reuse
-        # across phases A and B, and the short-lived session reclaims
-        # the block on stop
+        # join, so it is not unpersisted here; callers that materialize
+        # it benefit from the A/B-phase reuse, and the NEXT topk()
+        # call (or session stop) reclaims the block via _sweep_deferred
         pass
