@@ -302,19 +302,45 @@ class QuerySession:
             *[F.lit(x) for tid, v in idf.items() for x in (tid, v)]
         )
         decoder = _make_decoder(
-            self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"],
+            with_query=False,
         )
         scored = (
             self.post.filter(F.col("bucket").isin(buckets))
             .filter(F.col("term_id").isin(tids))
             .select(
-                F.lit(query_id).alias("query_id"),
                 F.element_at(idf_map, F.col("term_id")).alias("idf"),
                 "docs", "tfs", "dls",
             )
-            .mapInPandas(
-                decoder, schema="query_id long, doc_id long, partial double"
+            .mapInPandas(decoder, schema="doc_id long, partial double")
+        )
+        if self._ord_map is not None:
+            # NO-shuffle serve: one stage decodes + emits per-doc
+            # partials; the per-query merge/rank runs on the driver in
+            # numpy (rows collected = matching postings of this query —
+            # the same hit set any single-node search engine touches;
+            # the whole path is size-gated by DRIVER_DOCS_MAX)
+            partials = scored.toPandas()
+            if partials.empty:
+                return pd.DataFrame(
+                    columns=["query_id", "rank", "doc_id", "score"]
+                )
+            ords = partials["doc_id"].to_numpy()
+            vals = partials["partial"].to_numpy()
+            uniq, inv = np.unique(ords, return_inverse=True)
+            sums = np.zeros(len(uniq))
+            np.add.at(sums, inv, vals)
+            order = np.lexsort((uniq, -sums))[:k]
+            return pd.DataFrame(
+                {
+                    "query_id": query_id,
+                    "rank": np.arange(1, len(order) + 1),
+                    "doc_id": self._ord_map[uniq[order]],
+                    "score": sums[order],
+                }
             )
+        scored = scored.select(
+            F.lit(query_id).alias("query_id"), "doc_id", "partial"
         )
         ranked = _ranked(scored, k)
         # serving-path execution settings, scoped per call: AQE's
@@ -329,12 +355,6 @@ class QuerySession:
         try:
             conf.set("spark.sql.adaptive.enabled", "false")
             conf.set("spark.sql.shuffle.partitions", "4")
-            if self._ord_map is not None:
-                # ONE Spark job: decode+score+rank+collect; the k-row
-                # ordinal->doc_id resolve is a driver array lookup
-                pdf = ranked.toPandas()
-                pdf["doc_id"] = self._ord_map[pdf["doc_id"].to_numpy()]
-                return pdf
             res = _resolve_ords(
                 self.spark, self.index_dir, ranked, self.docs
             )
