@@ -8,9 +8,11 @@ on the same parquet. Column names and value discipline are aligned:
     decimal(18,4) sum then one cast to double -> bit-identical values;
   * transcendental scores (BM25, cosine) are rounded to 6 decimals;
   * timestamps are compared as formatted strings (UTC both sides).
-Entries with no oracle (hash-based dedup, LSH ANN, multimodal stubs)
-are rows-only checked by the driver; their exactness is asserted in
-tests/ instead.
+Every entry has an oracle (64/64): hash-based operators (minhash,
+simhash, winnowing) run DuckDB-portable md5-derived hashes; LSH ANN
+and the multimodal fake decode embed their deterministic constants in
+both engines. The production (xxhash64 / numpy-siphash) twins of the
+portable variants are asserted in tests/ and measured in bench.py.
 """
 
 from __future__ import annotations
@@ -1177,23 +1179,41 @@ def simhash_dedup(spark, sf_dir):
 
 
 def ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN, oracle-checked: the seeded hyperplanes are
+    literal floats embedded in BOTH the Spark plan and the DuckDB SQL,
+    so bucket assignment, multi-probe fan-out and exact rerank are
+    reproduced bit-for-bit (similarity.py::ann_lsh_topk)."""
     from data_prepper_spark.datapipe.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_lsh_topk(emb, q, k=10, nbits=6)
+    out = ann_lsh_topk(emb, q, k=10, nbits=6)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine_r")
+    )
 
 
 def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked: the deterministic fake
+    decode (byte-histogram of the sha256-hex payload) is exactly
+    computable in SQL, so the Arrow binary-batch path and the UDF
+    output shape are verified value-for-value. Feature vector exploded
+    to (dim, fval) scalar rows for clean cross-engine hashing."""
     from data_prepper_spark.datapipe.multimodal import (
         extract_features,
         synthesize_media,
     )
 
     media = synthesize_media(spark, n=128)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("dim", "fval"),
+    ).withColumn("fval_r", F.round(F.col("fval").cast("double"), 6)).drop("fval")
 
 
 def bm25_indexed_engine(spark, sf_dir):
@@ -1881,6 +1901,76 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
 """
 
     sql["bm25_indexed_engine"] = _bm25_indexed_sql()
+
+    # ann_lsh: the seeded hyperplanes are literal doubles shared by the
+    # Spark plan and this SQL, so buckets/probes/rerank reproduce 1:1
+    from data_prepper_spark.datapipe.similarity import hyperplanes
+
+    _planes = hyperplanes(64, 6)
+    _plits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in _planes
+    ]
+    _bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {_plits[i]}) >= 0 "
+        f"THEN {1 << (6 - 1 - i)} ELSE 0 END"
+        for i in range(6)
+    )
+    _probe_list = "[b0, " + ", ".join(
+        f"xor(b0, {1 << i})" for i in range(6)
+    ) + "]"
+    sql["ann_lsh"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({_bucket}) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS b0 FROM b WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qe, unnest({_probe_list}) AS bucket FROM q
+),
+cand AS (
+  SELECT DISTINCT query_id, qe, b.vec_id, b.e
+  FROM probes JOIN b USING (bucket)
+),
+scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(e, qe)
+           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+           AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # multimodal: the deterministic fake decode is a byte-histogram of
+    # the sha256-hex payload — chars '0'..'9' land in bins 0..9,
+    # 'a'..'f' in bins 1..6 (byte % 16), 64 bytes total
+    _mm_feats = []
+    for j in range(16):
+        parts = []
+        if j <= 9:
+            parts.append(f"len(hex) - len(replace(hex, '{chr(48 + j)}', ''))")
+        if 1 <= j <= 6:
+            parts.append(f"len(hex) - len(replace(hex, '{chr(96 + j)}', ''))")
+        expr = " + ".join(parts) if parts else "0"
+        _mm_feats.append(f"round(({expr}) / 64.0, 6)")
+    sql["multimodal_features"] = f"""
+WITH s AS (
+  SELECT CAST(t.range AS BIGINT) AS media_id,
+         sha256(CAST(t.range AS VARCHAR)) AS hex,
+         CASE CAST(t.range % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM range(128) t
+)
+SELECT media_id, kind, CAST(64 AS INT) AS n_bytes,
+       CAST(unnest(range(0, 16)) AS INT) AS dim,
+       unnest([{", ".join(_mm_feats)}]) AS fval_r
+FROM s
+"""
 
     sql["quality_token_stats"] = f"""
 SELECT doc_id,
