@@ -914,6 +914,24 @@ def aggregate_count_action(spark, sf_dir):
     return aggregate_count(ev, ["event_type"], count_key="n")
 
 
+def aggregate_count_otel(spark, sf_dir):
+    """count action with otel_metrics output shape
+    (CountAggregateAction.java:52-54,171-176: Sum metric with
+    name/unit/isMonotonic/value + group window bounds)."""
+    from data_prepper_spark.operators.aggregate import aggregate_count
+
+    e = _t(spark, sf_dir, "events")
+    out = aggregate_count(
+        e, ["event_type"], output_format="otel_metrics",
+        event_time_col="ts",
+    )
+    return out.select(
+        "name", "unit", "isMonotonic", "value", "kind",
+        F.col("attributes.event_type").alias("etype"),
+        "startTime", "time",
+    )
+
+
 def aggregate_histogram_action(spark, sf_dir):
     from data_prepper_spark.operators.aggregate import aggregate_histogram
 
@@ -1329,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_expression_functions": dp_expression_functions,
         "range_lookup_value_bands": range_lookup_value_bands,
         "aggregate_count_action": aggregate_count_action,
+        "aggregate_count_otel": aggregate_count_otel,
         "aggregate_histogram_action": aggregate_histogram_action,
         "aggregate_append_action": aggregate_append_action,
         "remove_duplicates_action": remove_duplicates_action,
@@ -1675,6 +1694,15 @@ FROM events GROUP BY 1
     sql["aggregate_count_action"] = (
         "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"
     )
+
+    sql["aggregate_count_otel"] = """
+SELECT 'count' AS name, '1' AS unit, TRUE AS isMonotonic,
+       CAST(COUNT(*) AS DOUBLE) AS value, 'sum' AS kind,
+       event_type AS etype,
+       strftime(MIN(ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS startTime,
+       strftime(MAX(ts), '%Y-%m-%dT%H:%M:%S.%gZ') AS time
+FROM events GROUP BY event_type
+"""
 
     sql["aggregate_histogram_action"] = """
 SELECT l_returnflag,

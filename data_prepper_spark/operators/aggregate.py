@@ -22,13 +22,47 @@ def aggregate_count(
     identification_keys: list[str],
     count_key: str = "aggr._count",
     aggregate_when: str | None = None,
+    output_format: str = "raw",
+    metric_name: str = "count",
+    event_time_col: str | None = None,
 ) -> DataFrame:
-    """count action (CountAggregateAction.java:46)."""
+    """count action (CountAggregateAction.java:46). output_format
+    'raw' emits the identification keys + count; 'otel_metrics' emits
+    the reference's Sum-metric event shape (name/description/unit/
+    isMonotonic/value/startTime/time — :52-54, :171-176), with the
+    group window bounds from min/max event time when a time column is
+    given."""
     if aggregate_when:
         df = df.filter(dp_expr(aggregate_when))
-    return df.groupBy(*identification_keys).agg(
-        F.count("*").alias(count_key.replace(".", "_"))
-    )
+    key = count_key.replace(".", "_")
+    aggs = [F.count("*").alias(key)]
+    if event_time_col:
+        aggs += [
+            F.date_format(
+                F.min(event_time_col), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+            ).alias("startTime"),
+            F.date_format(
+                F.max(event_time_col), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+            ).alias("time"),
+        ]
+    out = df.groupBy(*identification_keys).agg(*aggs)
+    if output_format == "raw":
+        return out
+    if output_format != "otel_metrics":
+        raise ValueError(output_format)
+    cols = [
+        F.lit(metric_name).alias("name"),
+        F.lit("Number of events").alias("description"),
+        F.lit("1").alias("unit"),
+        F.lit(True).alias("isMonotonic"),
+        F.col(key).cast("double").alias("value"),
+        F.lit("AGGREGATION_TEMPORALITY_DELTA").alias("aggregationTemporality"),
+        F.lit("sum").alias("kind"),
+        F.struct(*identification_keys).alias("attributes"),
+    ]
+    if event_time_col:
+        cols += [F.col("startTime"), F.col("time")]
+    return out.select(*cols)
 
 
 def aggregate_histogram(

@@ -45,18 +45,37 @@ def add_tags(df: DataFrame, tags: list[str], when: str | None = None) -> DataFra
 
 
 def add_entries(df: DataFrame, entries: list[dict]) -> DataFrame:
-    """add_entries: each entry has `key` plus one of `value` (literal),
-    `format` ("${col}-suffix" template), `value_expression`; optional
-    `add_when`, `overwrite_if_key_exists` (default True here)."""
+    """add_entries (AddEntryProcessor.java:39 / config :61-64): each
+    entry has `key` (or `metadata_key` -> `_meta_*` column) plus one of
+    `value` (literal), `format` ("${col}-suffix" template),
+    `value_expression`; optional `add_when`,
+    `overwrite_if_key_exists` (default True here),
+    `append_if_key_exists` (existing value becomes/extends an
+    array<string> — Spark's static schema makes the reference's
+    polymorphic scalar-or-list a typed array)."""
     for e in entries:
-        key = e["key"]
+        if "metadata_key" in e:
+            key = "_meta_" + e["metadata_key"].strip("/").replace("/", "_")
+        else:
+            key = e["key"]
         if "value" in e:
             new = F.lit(e["value"])
         elif "format" in e:
             new = _format_string(e["format"])
         else:
             new = dp_expr(e["value_expression"])
-        if not e.get("overwrite_if_key_exists", True) and key in df.columns:
+        if e.get("append_if_key_exists") and key in df.columns:
+            old = F.col(key)
+            from pyspark.sql import types as T
+
+            if isinstance(df.schema[key].dataType, T.ArrayType):
+                new = F.array_append(old, new.cast("string"))
+            else:
+                new = F.when(
+                    old.isNotNull(),
+                    F.array(old.cast("string"), new.cast("string")),
+                ).otherwise(F.array(new.cast("string")))
+        elif not e.get("overwrite_if_key_exists", True) and key in df.columns:
             new = F.coalesce(F.col(key), new)
         when = e.get("add_when")
         if when is not None:
@@ -93,8 +112,16 @@ def rename_keys(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     return df.withColumnsRenamed(mapping)
 
 
-def delete_entries(df: DataFrame, keys: list[str]) -> DataFrame:
-    return df.drop(*keys)
+def delete_entries(
+    df: DataFrame, keys: list[str] | None = None, regex: str | None = None
+) -> DataFrame:
+    """delete_entries (DeleteEntryProcessor.java:33): explicit
+    `with_keys` and/or a key-matching regex set."""
+    cols = list(keys or [])
+    if regex:
+        pat = _re.compile(regex)
+        cols += [c for c in df.columns if pat.search(c)]
+    return df.drop(*cols)
 
 
 def select_entries(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -381,3 +381,31 @@ def test_dp_typeof_runtime(spark):
     got = [r[0] for r in df.select(dp_typeof("j", "/v")).collect()]
     assert got == ["integer", "string", "double", "array", "map",
                    "long", "null", "boolean"]
+
+
+def test_add_entries_append_and_metadata(spark):
+    from data_prepper_spark.operators.mutate import add_entries
+
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    out = add_entries(
+        df,
+        [
+            {"key": "a", "value": "y", "append_if_key_exists": True},
+            {"key": "b", "value": "z", "append_if_key_exists": True},
+            {"metadata_key": "/origin", "value": "s3"},
+            {"key": "a", "value": "w", "append_if_key_exists": True},
+        ],
+    ).collect()[0]
+    assert out["a"] == ["x", "y", "w"]  # scalar -> list -> extended
+    assert out["b"] == ["z"]            # null -> fresh single-el list
+    assert out["_meta_origin"] == "s3"
+
+
+def test_delete_entries_regex(spark):
+    from data_prepper_spark.operators.mutate import delete_entries
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], "keep long, tmp_a long, tmp_b long, other long"
+    )
+    out = delete_entries(df, keys=["other"], regex=r"^tmp_")
+    assert out.columns == ["keep"]
