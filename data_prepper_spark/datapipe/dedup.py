@@ -104,9 +104,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle: int = 5,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, with
     signature-estimated Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+
+    `max_bucket` drops band buckets holding more than that many docs —
+    the hot-key guard for boilerplate clusters (m identical files
+    produce m^2 candidate pairs per band; a cluster bigger than the cap
+    almost surely collides in several bands, so pair recall within it
+    degrades gracefully rather than quadratically exploding the join).
     """
     rows = num_perm // bands
     sig = df.select(id_col, text_col).mapInPandas(
@@ -124,6 +131,14 @@ def minhash_lsh_pairs(
         id_col,
         F.explode(F.array(*band_cols)).alias("band_hash"),
     )
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band_hash")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band_hash")
+        )
+        buckets = buckets.join(F.broadcast(hot), "band_hash", "left_anti")
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), "band_hash")
@@ -418,10 +433,12 @@ def simhash_udf(text_col: str, id_col: str):
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
-    pigeonhole blocking (exact within candidates)."""
+    pigeonhole blocking (exact within candidates). `max_bucket` is the
+    hot-bucket skew guard (see minhash_lsh_pairs)."""
     fp = df.select(id_col, text_col).mapInPandas(
         simhash_udf(text_col, id_col), schema=f"{id_col} long, simhash long"
     )
@@ -443,6 +460,14 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "key"])
@@ -496,25 +521,34 @@ def embedding_dup_pairs(
                 for b in range(bands)
             ]
         )
+        # band on IDS ONLY: the banded explode is `bands` rows per
+        # vector, so carrying the vector payload through it (and the
+        # candidate dedup) would multiply shuffle bytes by the band
+        # count; instead candidates travel as id pairs and the vectors
+        # join back once each for the exact verify
         banded = v.select(
-            "id", "v", F.posexplode(keys).alias("band", "key")
+            "id", F.posexplode(keys).alias("band", "key")
         )
-        joined = (
+        cand = (
             banded.alias("l")
             .join(banded.alias("r"), ["band", "key"])
             .filter(F.col("l.id") < F.col("r.id"))
-            .select("l.id", "l.v", F.col("r.id").alias("rid"), F.col("r.v").alias("rv"))
-            .dropDuplicates(["id", "rid"])
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = (
+            cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+            .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
             .select(
-                F.col("id").alias("id_a"),
-                F.col("rid").alias("id_b"),
+                "id_a",
+                "id_b",
                 (
-                    _dot(F.col("v"), F.col("rv"))
-                    / (_norm(F.col("v")) * _norm(F.col("rv")))
+                    _dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb")))
                 ).alias("cosine"),
             )
         )
-        return joined.filter(F.col("cosine") >= threshold).select(
+        return pairs.filter(F.col("cosine") >= threshold).select(
             "id_a", "id_b", "cosine"
         )
     joined = v.alias("l").crossJoin(v.alias("r"))
