@@ -51,16 +51,43 @@ PROCESSORS: dict[str, Any] = {
         c.get("destination", "parsed"),
         c.get("field_split_characters", "&"),
         c.get("value_split_characters", "="),
+        field_delimiter_regex=c.get("field_delimiter_regex"),
+        key_value_delimiter_regex=c.get("key_value_delimiter_regex"),
+        include_keys=c.get("include_keys"),
+        exclude_keys=c.get("exclude_keys"),
+        default_values=c.get("default_values"),
+        prefix=c.get("prefix", ""),
+        delete_key_regex=c.get("delete_key_regex"),
+        delete_value_regex=c.get("delete_value_regex"),
+        transform_key=c.get("transform_key"),
+        whitespace=c.get("whitespace", "lenient"),
+        drop_keys_with_no_value=c.get("drop_keys_with_no_value", False),
+        non_match_value=c.get("non_match_value"),
+        value_grouping=c.get("value_grouping", False),
+        remove_brackets=c.get("remove_brackets", False),
+        string_literal_character=c.get("string_literal_character"),
     ),
     "csv": lambda df, c: parse.csv_parse(
-        df, c["source"], c["schema"], c.get("destination", "parsed"),
+        df, c["source"], c.get("schema"), c.get("destination", "parsed"),
         c.get("delimiter", ","), c.get("quote_character", '"'),
+        n_columns=c.get("n_columns"),
+        header_source=c.get("column_names_source_key"),
     ),
     "parse_json": lambda df, c: parse.parse_json(
         df, c["source"], c["schema"], c.get("destination", "parsed")
     ),
+    "parse_xml": lambda df, c: parse.parse_xml(
+        df, c["source"], c["schema"], c.get("destination", "parsed")
+    ),
+    "parse_ion": lambda df, c: parse.parse_ion(
+        df, c["source"], c["schema"], c.get("destination", "parsed")
+    ),
     "date": lambda df, c: parse.date_parse(
-        df, c["source"], c["match"], c.get("destination", "@timestamp")
+        df, c.get("source"), c.get("match"),
+        c.get("destination", "@timestamp"),
+        from_time_received=c.get("from_time_received", False),
+        source_zone=c.get("source_timezone"),
+        output_format=c.get("output_format"),
     ),
     "detect_format": lambda df, c: parse.detect_format(
         df, c["source"], c.get("destination", "detected_format")
@@ -72,7 +99,19 @@ PROCESSORS: dict[str, Any] = {
     "rename_keys": lambda df, c: mutate.rename_keys(
         df, {e["from_key"]: e["to_key"] for e in c["entries"]}
     ),
-    "delete_entries": lambda df, c: mutate.delete_entries(df, c["with_keys"]),
+    "delete_entries": lambda df, c: mutate.delete_entries(
+        df, c.get("with_keys"), c.get("delete_key_regex")
+    ),
+    "list_to_map": lambda df, c: mutate.list_to_map(
+        df, c["source"], c["key"], c.get("value_key", "value"),
+        c.get("target", c["source"] + "_map"),
+    ),
+    "map_to_list": lambda df, c: mutate.map_to_list(
+        df, c["source"], c.get("target", c["source"] + "_list")
+    ),
+    "wrap_entries": lambda df, c: mutate.wrap_entries(
+        df, c["with_keys"], c["wrapper"]
+    ),
     "select_entries": lambda df, c: mutate.select_entries(df, c["include_keys"]),
     "convert_type": lambda df, c: mutate.convert_type(
         df, c["key"], c["type"], c.get("scale"), c.get("tags_on_failure")
@@ -87,10 +126,15 @@ PROCESSORS: dict[str, Any] = {
         df, c["source"], c.get("start_at", 0), c.get("length")
     ),
     "obfuscate": lambda df, c: mutate.obfuscate(
-        df, c["source"], c.get("action", "mask"), c.get("pattern"),
+        df, c["source"], c.get("action", "mask"),
+        c.get("patterns", c.get("pattern")),
         c.get("salt", ""), c.get("bits", 512),
+        mask_character=c.get("mask_character", "*"),
+        mask_character_length=c.get("mask_character_length", 3),
     ),
-    "flatten": lambda df, c: mutate.flatten(df, c["source"]),
+    "flatten": lambda df, c: mutate.flatten(
+        df, c["source"], recursive=c.get("recursive", False)
+    ),
     "write_json": lambda df, c: mutate.write_json(
         df, c["source"], c.get("target", c["source"] + "_json")
     ),
@@ -98,12 +142,36 @@ PROCESSORS: dict[str, Any] = {
         df, c["field"], c.get("delimiter_regex", c.get("delimiter", " "))
     ),
     "drop_events": lambda df, c: drop_events(df, c["drop_when"]),
-    "translate": lambda df, c: enrich.translate(
-        df, c["source"], c["target"], c["map"], c.get("default")
+    "translate": lambda df, c: (
+        enrich.translate_file(
+            df, c["source"], c["target"], c["file"], c.get("default")
+        )
+        if "file" in c
+        else enrich.translate(
+            df, c["source"], c["target"], c["map"], c.get("default")
+        )
     ),
     "aggregate_count": lambda df, c: agg_ops.aggregate_count(
         df, c["identification_keys"], c.get("count_key", "count"),
         c.get("aggregate_when"),
+        output_format=c.get("output_format", "raw"),
+        metric_name=c.get("metric_name", "count"),
+        event_time_col=c.get("event_time_key"),
+    ),
+    "aggregate_histogram": lambda df, c: agg_ops.aggregate_histogram(
+        df, c["identification_keys"], c["key"], c["buckets"]
+    ),
+    "aggregate_put_all": lambda df, c: agg_ops.aggregate_put_all(
+        df, c["identification_keys"], c["value_keys"]
+    ),
+    "aggregate_append": lambda df, c: agg_ops.aggregate_append(
+        df, c["identification_keys"], c["value_key"]
+    ),
+    "percent_sampler": lambda df, c: agg_ops.percent_sampler(
+        df, c["percent"], c["hash_keys"]
+    ),
+    "tail_sampler": lambda df, c: agg_ops.tail_sampler(
+        df, c["identification_key"], c["error_condition"], c["percent"]
     ),
     "remove_duplicates": lambda df, c: agg_ops.remove_duplicates(
         df, c["identification_keys"], c.get("order_by")

@@ -145,3 +145,56 @@ def test_unknown_processor_rejected(spark, log_path):
             {"p": {"source": {"parquet": {"path": log_path}},
                    "processor": [{"bogus": {}}], "sink": [{"noop": {}}]}},
         )
+
+
+def test_yaml_round2_processors(spark, tmp_path):
+    """The YAML layer dispatches the round-2 processor surface:
+    key_value grouping options, csv auto columns, parse_ion, date
+    output_format, flatten recursive, translate file mappings,
+    aggregate actions."""
+    import yaml as _yaml
+
+    from data_prepper_spark.pipeline import build_pipelines
+
+    src = tmp_path / "in.parquet"
+    spark.createDataFrame(
+        [
+            (1, 'k="a&b"&n=1', "1,two,3", "ann::{v: open}",
+             "2024-02-03 04:05:06", 42.0),
+            (2, "n=2", "4,five,6", "{v: closed}",
+             "2024-02-03 05:05:06", 7.0),
+        ],
+        "id long, kv string, line string, ion string, ts string, val double",
+    ).write.mode("overwrite").parquet(str(src))
+    mfile = tmp_path / "m.yaml"
+    mfile.write_text("'0-10': low\n'11-100': high\n")
+    cfg = {
+        "p": {
+            "source": {"parquet": {"path": str(src)}},
+            "processor": [
+                {"key_value": {
+                    "source": "kv", "destination": "kvp",
+                    "value_grouping": True,
+                    "string_literal_character": '"',
+                }},
+                {"csv": {"source": "line", "n_columns": 3,
+                         "destination": "cols"}},
+                {"parse_ion": {"source": "ion", "schema": "v string",
+                               "destination": "ionp"}},
+                {"date": {"source": "ts",
+                          "match": ["yyyy-MM-dd HH:mm:ss"],
+                          "destination": "day",
+                          "output_format": "yyyy/MM/dd"}},
+                {"translate": {"source": "val", "target": "band",
+                               "file": str(mfile), "default": "other"}},
+            ],
+            "sink": [{"noop": None}],
+        }
+    }
+    res = build_pipelines(spark, cfg, execute_sinks=False)
+    out = {r["id"]: r for r in res["p"].sinks[0][1].collect()}
+    assert out[1]["kvp"]["k"] == '"a&b"'
+    assert out[1]["cols"]["column2"] == "two"
+    assert out[1]["ionp"]["v"] == "open" and out[2]["ionp"]["v"] == "closed"
+    assert out[1]["day"] == "2024/02/03"
+    assert out[1]["band"] == "high" and out[2]["band"] == "low"
