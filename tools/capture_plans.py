@@ -24,12 +24,19 @@ NAMES = [
     "revenue_by_nation",
     "bm25_topk",
     "cosine_topk_bruteforce",
+    # scale-audited dedup family: every plan must show hash joins on
+    # band/bucket keys — no CartesianProduct / BroadcastNestedLoopJoin
+    "embedding_dup_pairs",
+    "minhash_dedup",
+    "winnow_fingerprint_dups",
+    "trace_group_fill",
 ]
 
 KEEP = re.compile(
     r"PushedFilters|ReadSchema|PartitionFilters|BroadcastHashJoin|"
     r"SortMergeJoin|Exchange|WholeStageCodegen \(|ArrowEvalPython|"
-    r"MapInArrow|HashAggregate"
+    r"MapInArrow|HashAggregate|CartesianProduct|BroadcastNestedLoop|"
+    r"Window"
 )
 
 HEADER = """# PLANS — .explain(\"formatted\") evidence for headline queries
@@ -43,6 +50,13 @@ time). Load-bearing properties:
   the dimension joins
 - index queries scan ONLY the postings partitions their terms hash
   to: PartitionFilters / bucket IN (...) (directory-level pruning)
+- the dedup/LSH family shows hash joins on band/bucket keys — NO
+  CartesianProduct and no nested-loop join over unbounded sides. The
+  two BroadcastNestedLoopJoin(Cross) occurrences below are deliberate
+  bounded-side crosses: bm25_topk broadcasts the ONE-ROW corpus-stats
+  aggregate, and cosine_topk_bruteforce IS the exact brute-force
+  baseline, broadcasting the (tiny, fixed) query-vector side into the
+  scan — the scan side never shuffles
 """
 
 
