@@ -482,3 +482,108 @@ def topk(
         # it benefit from the A/B-phase reuse, and the NEXT topk()
         # call (or session stop) reclaims the block via _sweep_deferred
         pass
+
+
+def topk_deltas(
+    spark: SparkSession,
+    index_root: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 directly over the streamed delta indexes under
+    index_root (the foreachBatch output of
+    streaming.pipeline.incremental_index) — no compaction required.
+
+    Rank-identical to querying the compacted index (asserted in tests):
+    BM25's corpus statistics are global, so per-term df sums across
+    delta dictionaries, avgdl/N recompute from the delta stats, and
+    every posting's impact uses its stored (tf, dl) with those global
+    stats. Doc identities resolve per delta (ordinals are delta-local),
+    tie-break on the resolved doc_id. Scan cost is a pruned read per
+    delta — the O(#deltas) fan-in this trades away is what
+    compact_deltas exists to reclaim.
+    """
+    import json as _json
+
+    from .. import fsio
+
+    deltas = [
+        p
+        for p in fsio.listdir(index_root)
+        if os.path.basename(p.rstrip("/")).startswith("delta=")
+    ]
+    if not deltas:
+        raise ValueError(f"no delta=* indexes under {index_root}")
+    stats = [
+        _json.loads(fsio.read_text(os.path.join(d, "stats.json")))
+        for d in deltas
+    ]
+    n_docs = sum(s["n_docs"] for s in stats)
+    dl_total = sum(s["avgdl"] * s["n_docs"] for s in stats)
+    avgdl = dl_total / n_docs if n_docs else 0.0
+    k1, b = stats[0]["k1"], stats[0]["b"]
+
+    # global df per term: sum the per-delta dictionaries (term_id is
+    # the same deterministic hash everywhere)
+    terms_parts = [
+        spark.read.parquet(os.path.join(d, "terms")).select(
+            "term", "term_id", "df"
+        )
+        for d in deltas
+    ]
+    terms_all = terms_parts[0]
+    for t in terms_parts[1:]:
+        terms_all = terms_all.unionByName(t)
+    terms_global = terms_all.groupBy("term", "term_id").agg(
+        F.sum("df").alias("df")
+    )
+    qt = (
+        queries.select(
+            "query_id",
+            F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias(
+                "term"
+            ),
+        )
+        .join(terms_global, "term")
+        .withColumn("idf", _idf_col(n_docs))
+        .select("query_id", "term_id", "idf")
+    )
+    qtb = F.broadcast(qt)
+    decoder = _make_decoder(k1, b, avgdl)
+
+    scored_parts = []
+    for di, d in enumerate(deltas):
+        post = spark.read.parquet(os.path.join(d, "postings"))
+        part = (
+            post.join(qtb, "term_id")
+            .select("query_id", "idf", "docs", "tfs", "dls")
+            .mapInPandas(
+                decoder,
+                schema="query_id long, doc_id long, partial double",
+            )
+            # resolve delta-local ordinals to real doc ids BEFORE the
+            # global aggregation (a doc lives in exactly one delta
+            # unless re-ingested, in which case both contribute — the
+            # same union semantics the reference's CDC path has)
+            .withColumnRenamed("doc_id", "ord")
+            .join(
+                spark.read.parquet(os.path.join(d, "docs")).select(
+                    "ord", "doc_id"
+                ),
+                "ord",
+            )
+            .select("query_id", "doc_id", "partial")
+        )
+        scored_parts.append(part)
+    scored = scored_parts[0]
+    for p in scored_parts[1:]:
+        scored = scored.unionByName(p)
+    res = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("partial").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -185,3 +185,51 @@ def test_compact_deltas_matches_batch_build(spark, tmp_path):
     pd.testing.assert_frame_equal(
         blocks(str(tmp_path / "compacted")), blocks(batch_idx)
     )
+
+
+def test_topk_deltas_matches_compacted(spark, tmp_path):
+    """Querying delta indexes directly is rank-identical to querying
+    the compacted index (global BM25 stats recomputed across deltas)."""
+    import pandas as pd
+
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig
+    from data_prepper_spark.index.query import topk, topk_deltas
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.001, src, chunks_per_file=1)
+    root = str(tmp_path / "deltas")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(spark, stream, root, str(tmp_path / "ck")).start()
+    q.awaitTermination(240)
+
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000)
+    compacted = str(tmp_path / "compacted")
+    compact_deltas(spark, root, compacted, cfg)
+
+    queries = spark.createDataFrame(
+        [(0, "def init"), (1, "return value"), (2, "parse data")],
+        "query_id long, query string",
+    )
+    a = (
+        topk_deltas(spark, root, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        topk(spark, compacted, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (abs(a["score"] - b["score"]) < 1e-9).all()
