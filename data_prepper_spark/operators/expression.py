@@ -12,7 +12,9 @@ not in {...}, arithmetic + - * / %, JsonPointer operands (/a/b ->
 nested column a.b), null literal, and the function library
 (length, contains, startsWith, substringBefore/After[Last], join,
 formatDateTime, now, generateUuid, hasTags, getMetadata, toJsonString,
-cidrContains). `typeof` is schema-static in Spark and unsupported.
+cidrContains). `typeof` over declared columns is schema-static in
+Spark; `dp_typeof` below is the runtime variant for dynamic JSON
+payloads (VARIANT schema_of_variant).
 """
 
 from __future__ import annotations
@@ -38,37 +40,87 @@ _IN_SET = re.compile(r"\b(not\s+in|in)\s*\{([^}]*)\}", re.IGNORECASE)
 _REGEX_OP = re.compile(r"(=~|!~)")
 
 
+def _replace_fn_calls(s: str, name: str, build) -> str:
+    """Replace every `name(arg1, arg2, ...)` call in s, matching
+    balanced parentheses and splitting args at TOP-LEVEL commas only
+    (quotes respected) — so nested calls like
+    substringBefore(substringAfter(/a, "x"), "y") translate correctly.
+    Innermost calls are rewritten first (recursion on the argument
+    text). `build(args: list[str]) -> str` emits the replacement."""
+    out = []
+    i, n = 0, len(s)
+    pat = re.compile(r"\b" + name + r"\(")
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i : m.start()])
+        j = m.end()
+        depth = 1
+        args, cur = [], []
+        quote = None
+        while j < n and depth:
+            ch = s[j]
+            if quote:
+                cur.append(ch)
+                if ch == quote and s[j - 1] != "\\":
+                    quote = None
+            elif ch in "\"'":
+                quote = ch
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                if depth:
+                    cur.append(ch)
+            elif ch == "," and depth == 1:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        args.append("".join(cur))
+        # rewrite nested calls inside each argument first
+        args = [_replace_fn_calls(a, name, build).strip() for a in args]
+        out.append(build(args))
+        i = j
+
+
 def translate_expr(expr: str) -> str:
     """Data Prepper expression string -> Spark SQL string."""
     s = expr
 
-    # substringBefore(/k, "x") family -> substring_index
-    s = re.sub(
-        r"\bsubstringBefore\(([^,]+),([^)]+)\)",
-        r"substring_index(\1,\2, 1)",
-        s,
+    # substringBefore/After[Last] family -> substring_index, with the
+    # reference's delimiter-absent contract (indexOf == -1 -> full
+    # source; substring_index already behaves that way for Before /
+    # AfterLast, the other two get an explicit CASE guard). Balanced-
+    # paren matching so nested calls translate correctly.
+    s = _replace_fn_calls(
+        s, "substringBefore", lambda a: f"substring_index({a[0]},{a[1]}, 1)"
     )
-    # delimiter-absent contract (reference
-    # AbstractSubstringExpressionFunction subclasses: indexOf == -1 ->
-    # return the full source): substring_index already does this for
-    # Before/AfterLast; After/BeforeLast need an explicit guard
-    s = re.sub(
-        r"\bsubstringAfter\(([^,]+),([^)]+)\)",
-        r"CASE WHEN instr(\1,\2) = 0 THEN \1 ELSE "
-        r"substr(\1, length(substring_index(\1,\2, 1)) + length(\2) + 1) END",
-        s,
+    s = _replace_fn_calls(
+        s, "substringAfterLast",
+        lambda a: f"substring_index({a[0]},{a[1]}, -1)",
     )
-    s = re.sub(
-        r"\bsubstringBeforeLast\(([^,]+),([^)]+)\)",
-        r"CASE WHEN instr(\1,\2) = 0 THEN \1 ELSE "
-        r"substr(\1, 1, length(\1) - length(substring_index(\1,\2, -1))"
-        r" - length(\2)) END",
-        s,
+    s = _replace_fn_calls(
+        s, "substringAfter",
+        lambda a: (
+            f"CASE WHEN instr({a[0]},{a[1]}) = 0 THEN {a[0]} ELSE "
+            f"substr({a[0]}, length(substring_index({a[0]},{a[1]}, 1))"
+            f" + length({a[1]}) + 1) END"
+        ),
     )
-    s = re.sub(
-        r"\bsubstringAfterLast\(([^,]+),([^)]+)\)",
-        r"substring_index(\1,\2, -1)",
-        s,
+    s = _replace_fn_calls(
+        s, "substringBeforeLast",
+        lambda a: (
+            f"CASE WHEN instr({a[0]},{a[1]}) = 0 THEN {a[0]} ELSE "
+            f"substr({a[0]}, 1, length({a[0]})"
+            f" - length(substring_index({a[0]},{a[1]}, -1))"
+            f" - length({a[1]})) END"
+        ),
     )
     # hasTags("t") -> array_contains(_tags, 't')
     s = re.sub(r"\bhasTags\(([^)]+)\)", r"array_contains(_tags, \1)", s)

@@ -143,14 +143,18 @@ def grok(
     source: str,
     pattern: str | list[str],
     tags_on_match_failure: list[str] | None = None,
+    keys_to_overwrite: list[str] | None = None,
 ) -> DataFrame:
     """grok: named-capture extraction into top-level columns.
 
     A list of patterns is tried in order with break_on_match semantics
     (first matching pattern populates its fields; later patterns only
     apply to rows no earlier pattern matched — GrokProcessor.java:63).
-    Rows matching no pattern get tags_on_match_failure."""
+    Rows matching no pattern get tags_on_match_failure. Captures whose
+    name collides with an EXISTING column keep the existing non-null
+    value unless listed in keys_to_overwrite (reference default)."""
     patterns = [pattern] if isinstance(pattern, str) else pattern
+    overwrite = set(keys_to_overwrite or [])
     compiled = [compile_grok(p) for p in patterns]
     matched_prev = F.lit(False)
     field_exprs: dict[str, object] = {}
@@ -158,7 +162,15 @@ def grok(
         m = F.col(source).rlike(regex) & ~matched_prev
         for i, name in enumerate(names, start=1):
             ext = F.regexp_extract(F.col(source), regex, i)
-            prev = field_exprs.get(name, F.lit(None).cast("string"))
+            if name in df.columns and name not in overwrite:
+                ext = F.coalesce(F.col(name), ext)
+            prev = field_exprs.get(name)
+            if prev is None:
+                prev = (
+                    F.col(name)
+                    if name in df.columns
+                    else F.lit(None).cast("string")
+                )
             field_exprs[name] = F.when(m, ext).otherwise(prev)
         matched_prev = matched_prev | F.col(source).rlike(regex)
     df = df.withColumns(field_exprs)

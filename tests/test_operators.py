@@ -409,3 +409,36 @@ def test_delete_entries_regex(spark):
     )
     out = delete_entries(df, keys=["other"], regex=r"^tmp_")
     assert out.columns == ["keep"]
+
+
+def test_substring_nested_and_absent(spark):
+    from data_prepper_spark.operators import dp_expr
+
+    df = spark.createDataFrame(
+        [("seg:alpha.beta",), ("nodelims",)], "s string"
+    )
+    out = df.select(
+        dp_expr('substringBefore(substringAfter(/s, ":"), ".")').alias("x"),
+        dp_expr('substringAfter(/s, "#")').alias("absent"),
+        dp_expr('substringBeforeLast(/s, "#")').alias("absent2"),
+    ).collect()
+    assert out[0]["x"] == "alpha"
+    # delimiter absent -> full source (reference contract)
+    assert out[0]["absent"] == "seg:alpha.beta"
+    assert out[1]["absent"] == "nodelims"
+    assert out[1]["absent2"] == "nodelims"
+
+
+def test_grok_keys_to_overwrite(spark):
+    from data_prepper_spark.operators.parse import grok
+
+    df = spark.createDataFrame(
+        [("code 42", "keepme", None)],
+        "msg string, num string, other string",
+    )
+    out = grok(df, "msg", "code %{INT:num}").collect()[0]
+    assert out["num"] == "keepme"  # existing value wins by default
+    out2 = grok(
+        df, "msg", "code %{INT:num}", keys_to_overwrite=["num"]
+    ).collect()[0]
+    assert out2["num"] == "42"
