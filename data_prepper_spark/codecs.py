@@ -81,7 +81,9 @@ def _zigzag(n: int) -> bytes:
 
 
 def _decode_value(c: _Cursor, sch):
-    """Decode one value per the (parsed-JSON) Avro schema."""
+    """Decode one value per the (parsed-JSON) Avro schema. Logical
+    types (date / timestamp-millis / timestamp-micros / decimal)
+    convert to the Python objects their Spark types expect."""
     if isinstance(sch, str):
         t = sch
     elif isinstance(sch, list):  # union: long index then value
@@ -89,6 +91,27 @@ def _decode_value(c: _Cursor, sch):
         return _decode_value(c, sch[idx])
     else:
         t = sch["type"]
+        lt = sch.get("logicalType")
+        if lt:
+            import datetime as _dt
+            import decimal as _dec
+
+            if lt == "date" and t == "int":
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=c.read_long())
+            if lt == "timestamp-millis" and t == "long":
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    milliseconds=c.read_long()
+                )
+            if lt == "timestamp-micros" and t == "long":
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=c.read_long()
+                )
+            if lt == "decimal" and t in ("bytes", "fixed"):
+                raw = (
+                    c.read_bytes() if t == "bytes" else c.read(sch["size"])
+                )
+                unscaled = int.from_bytes(raw, "big", signed=True)
+                return _dec.Decimal(unscaled).scaleb(-sch.get("scale", 0))
     if t == "null":
         return None
     if t == "boolean":
@@ -153,6 +176,16 @@ def avro_to_spark_type(sch) -> T.DataType:
             raise ValueError("only [null, X] unions are supported")
         return avro_to_spark_type(non_null[0])
     t = sch["type"]
+    lt = sch.get("logicalType")
+    if lt:
+        # Avro logical types (spec §Logical Types): annotated primitives
+        if lt == "date" and t == "int":
+            return T.DateType()
+        if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+            return T.TimestampType()
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            return T.DecimalType(sch["precision"], sch.get("scale", 0))
+        # unknown logical type: fall through to the raw primitive
     if t == "record":
         return T.StructType(
             [
@@ -264,6 +297,26 @@ def write_avro(
             if v is None:
                 return _zigzag(sch.index("null"))
             return _zigzag(sch.index(non_null[0])) + enc(v, non_null[0])
+        if isinstance(sch, dict) and sch.get("logicalType"):
+            import datetime as _dt
+
+            lt = sch["logicalType"]
+            if lt == "date":
+                return _zigzag((v - _dt.date(1970, 1, 1)).days)
+            if lt == "timestamp-millis":
+                delta = v - _dt.datetime(1970, 1, 1)
+                return _zigzag(round(delta.total_seconds() * 1000))
+            if lt == "timestamp-micros":
+                delta = v - _dt.datetime(1970, 1, 1)
+                return _zigzag(
+                    (delta.days * 86_400 + delta.seconds) * 1_000_000
+                    + delta.microseconds
+                )
+            if lt == "decimal":
+                unscaled = int(v.scaleb(sch.get("scale", 0)))
+                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                raw = unscaled.to_bytes(nbytes, "big", signed=True)
+                return _zigzag(len(raw)) + raw
         t = sch if isinstance(sch, str) else sch["type"]
         if t == "null":
             return b""

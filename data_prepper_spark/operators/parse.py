@@ -113,6 +113,32 @@ _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?\}")
 _MAX_GROK_DEPTH = 20
 
 
+def load_grok_patterns(paths: str | list[str]) -> int:
+    """Merge user pattern files into the library (reference
+    GrokProcessorConfig `patterns_directories` / `patterns_files_glob`):
+    classic grok file format — `NAME regex` per line, '#' comments.
+    Later files win on name clashes. Returns patterns loaded."""
+    import glob as _glob
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        files.extend(sorted(_glob.glob(p)) if any(c in p for c in "*?[") else [p])
+    n = 0
+    for fpath in files:
+        with open(fpath) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, _, rx = line.partition(" ")
+                if name and rx:
+                    GROK_PATTERNS[name] = rx.strip()
+                    n += 1
+    return n
+
+
 def compile_grok(pattern: str) -> tuple[str, list[str]]:
     """Expand %{SYNTAX:name} / %{SYNTAX} refs (recursively — library
     entries may reference other patterns) into a regex; captures are

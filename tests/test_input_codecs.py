@@ -131,3 +131,45 @@ def test_parse_ion(spark):
     assert out[0]["ts"] == "2024-01-02T10:00:00Z"
     assert (out[1]["k"], out[1]["status"], out[1]["n"]) == (2, "json", 9)
     assert out[2]["k"] is None
+
+
+def test_avro_logical_types(spark, tmp_path):
+    """date / timestamp-millis / timestamp-micros / decimal logical
+    types round-trip into proper Spark types."""
+    import datetime as dt
+    from decimal import Decimal
+
+    sch = {
+        "type": "record",
+        "name": "lt",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tm", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "tu", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "amt", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+        ],
+    }
+    rows = [
+        {
+            "d": dt.date(2024, 3, 5),
+            "tm": dt.datetime(2024, 3, 5, 12, 30, 15, 250000),
+            "tu": dt.datetime(2024, 3, 5, 12, 30, 15, 123456),
+            "amt": Decimal("-1234.56"),
+        }
+    ]
+    d = tmp_path / "lt"
+    d.mkdir()
+    write_avro(rows, sch, str(d / "a.avro"))
+    got, _ = decode_avro_file(open(d / "a.avro", "rb").read())
+    assert got == rows
+    df = read_avro(spark, str(d))
+    t = dict(df.dtypes)
+    assert t == {"d": "date", "tm": "timestamp", "tu": "timestamp",
+                 "amt": "decimal(10,2)"}
+    r = df.collect()[0]
+    assert r["d"] == rows[0]["d"] and r["amt"] == Decimal("-1234.56")
+    assert r["tu"].microsecond == 123456

@@ -442,3 +442,24 @@ def test_grok_keys_to_overwrite(spark):
         df, "msg", "code %{INT:num}", keys_to_overwrite=["num"]
     ).collect()[0]
     assert out2["num"] == "42"
+
+
+def test_grok_pattern_file_loading(spark, tmp_path):
+    from data_prepper_spark.operators.parse import (
+        GROK_PATTERNS,
+        compile_grok,
+        load_grok_patterns,
+    )
+
+    p = tmp_path / "custom.patterns"
+    p.write_text("# custom set\nTICKET [A-Z]{2,5}-[0-9]+\n"
+                 "TICKETLINE ticket %{TICKET:tid} by %{USER:who}\n")
+    n = load_grok_patterns(str(p))
+    assert n == 2 and "TICKET" in GROK_PATTERNS
+    import re as _re
+
+    rx, names = compile_grok("%{TICKETLINE}")
+    m = _re.search(rx, "ticket ABC-123 by alice")
+    assert dict(zip(names, m.groups())) == {"tid": "ABC-123", "who": "alice"}
+    for k in ("TICKET", "TICKETLINE"):
+        GROK_PATTERNS.pop(k, None)
