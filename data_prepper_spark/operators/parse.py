@@ -603,16 +603,28 @@ def date_parse(
 
 def dissect(df: DataFrame, source: str, pattern: str) -> DataFrame:
     """dissect: positional %{field}sep%{field} tokenization compiled to
-    one anchored regex (DissectProcessor.java:33)."""
+    one anchored regex (DissectProcessor.java:33). Dissect modifiers
+    (Logstash grammar the reference implements):
+      %{}, %{?name}  — skip field (matched, not captured)
+      %{+name}       — APPEND to an earlier %{name} capture (joined
+                       with a space, appearance order)
+      %{name->}      — ignore right padding (separator may repeat)
+    """
     regex_parts: list[str] = []
-    names: list[str] = []
+    captures: list[str] = []  # raw capture slots, in group order
     pos = 0
-    for m in re.finditer(r"%\{(\w*)\}", pattern):
-        sep = re.escape(pattern[pos : m.start()])
-        regex_parts.append(sep)
-        name = m.group(1)
-        if name:
-            names.append(name)
+    pad_next = False
+    for m in re.finditer(r"%\{([+?]?)(\w*)(->)?\}", pattern):
+        sep = pattern[pos : m.start()]
+        esc = re.escape(sep)
+        if pad_next and sep:
+            # previous field had ->: its trailing separator may repeat
+            esc = esc + f"(?:{re.escape(sep[0])})*"
+        regex_parts.append(esc)
+        mod, name, pad = m.group(1), m.group(2), m.group(3)
+        pad_next = pad is not None
+        if name and mod != "?":
+            captures.append(("+" if mod == "+" else "") + name)
             regex_parts.append("(.*?)" if m.end() < len(pattern) else "(.*)")
         else:
             regex_parts.append(".*?")
@@ -622,8 +634,19 @@ def dissect(df: DataFrame, source: str, pattern: str) -> DataFrame:
     trailing = pattern[pos:]
     regex_parts.append(re.escape(trailing))
     regex = "^" + "".join(regex_parts) + ("$" if not trailing else "")
-    for i, name in enumerate(names, start=1):
-        df = df.withColumn(name, F.regexp_extract(F.col(source), regex, i))
+    exprs: dict[str, object] = {}
+    for i, slot in enumerate(captures, start=1):
+        ext = F.regexp_extract(F.col(source), regex, i)
+        if slot.startswith("+"):
+            name = slot[1:]
+            prev = exprs.get(name)
+            exprs[name] = (
+                F.concat_ws(" ", prev, ext) if prev is not None else ext
+            )
+        else:
+            exprs[slot] = ext
+    for name, e in exprs.items():
+        df = df.withColumn(name, e)
     return df
 
 

@@ -463,3 +463,19 @@ def test_grok_pattern_file_loading(spark, tmp_path):
     assert dict(zip(names, m.groups())) == {"tid": "ABC-123", "who": "alice"}
     for k in ("TICKET", "TICKETLINE"):
         GROK_PATTERNS.pop(k, None)
+
+
+def test_dissect_modifiers(spark):
+    from data_prepper_spark.operators.parse import dissect
+
+    df = spark.createDataFrame(
+        [("alice smith 10.0.0.1 - GET   /idx",)], "line string"
+    )
+    out = dissect(
+        df, "line",
+        "%{+name} %{+name} %{ip} %{?dash} %{verb->} %{path}",
+    ).collect()[0]
+    assert out["name"] == "alice smith"
+    assert out["ip"] == "10.0.0.1"
+    assert "dash" not in out.asDict()
+    assert out["verb"] == "GET" and out["path"] == "/idx"
