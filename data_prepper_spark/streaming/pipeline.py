@@ -157,6 +157,28 @@ def incremental_index(
     )
 
 
+def maybe_compact(
+    spark: SparkSession,
+    index_root: str,
+    out_dir: str,
+    max_deltas: int = 8,
+    cfg=None,
+) -> dict | None:
+    """Size-tiered compaction policy: compact only when the delta count
+    exceeds max_deltas (query fan-in bound); otherwise None. The call
+    the streaming driver makes after each foreachBatch epoch."""
+    from .. import fsio
+
+    deltas = [
+        p
+        for p in fsio.listdir(index_root)
+        if fsio.basename(p).startswith("delta=")
+    ]
+    if len(deltas) <= max_deltas:
+        return None
+    return compact_deltas(spark, index_root, out_dir, cfg)
+
+
 def compact_deltas(
     spark: SparkSession, index_root: str, out_dir: str, cfg=None
 ) -> dict:

@@ -233,3 +233,15 @@ def test_topk_deltas_matches_compacted(spark, tmp_path):
     )
     assert (a["doc_id"] == b["doc_id"]).all()
     assert (abs(a["score"] - b["score"]) < 1e-9).all()
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    from data_prepper_spark.streaming.pipeline import maybe_compact
+
+    root = tmp_path / "r"
+    for i in range(3):
+        (root / f"delta={i}").mkdir(parents=True)
+    # below threshold: no-op, no output dir
+    assert maybe_compact(spark, str(root), str(tmp_path / "o"),
+                         max_deltas=8) is None
+    assert not (tmp_path / "o").exists()
