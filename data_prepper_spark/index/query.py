@@ -252,6 +252,22 @@ class QuerySession:
             dpdf = self.docs.toPandas()
             self._ord_map = np.zeros(int(self.stats["n_docs"]), np.int64)
             self._ord_map[dpdf["ord"].to_numpy()] = dpdf["doc_id"].to_numpy()
+        # doc identity columns for the serving path (repo/path/commit by
+        # doc_id) — loaded lazily on the first with_docs=True call
+        self._identity = None
+
+    def _identity_map(self):
+        if self._identity is None:
+            pdf = (
+                self.spark.read.parquet(
+                    os.path.join(self.index_dir, "docs")
+                )
+                .select("doc_id", "repo", "path", "commit")
+                .toPandas()
+                .set_index("doc_id")
+            )
+            self._identity = pdf
+        return self._identity
 
     def warm(self) -> "QuerySession":
         """Materialize the caches + Python workers (first call pays
@@ -265,13 +281,17 @@ class QuerySession:
         self.topk_one("warmup data", k=1)
         return self
 
-    def topk_one(self, query: str, k: int = 10, query_id: int = 0):
+    def topk_one(
+        self, query: str, k: int = 10, query_id: int = 0,
+        with_docs: bool = False,
+    ):
         """Single-query serving path: tokenization + dictionary lookup
         + idf run driver-side (micro work), leaving ONE Spark job that
         filters the cached postings by term_id literals, decodes,
         scores and ranks. Returns a pandas DataFrame
-        (query_id, rank, doc_id, score). Falls back to the general
-        plan when no driver dictionary is loaded."""
+        (query_id, rank, doc_id, score [, repo, path, commit with
+        with_docs=True]). Falls back to the general plan when no
+        driver dictionary is loaded."""
         import math
 
         import pandas as pd
@@ -331,7 +351,7 @@ class QuerySession:
             sums = np.zeros(len(uniq))
             np.add.at(sums, inv, vals)
             order = np.lexsort((uniq, -sums))[:k]
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "query_id": query_id,
                     "rank": np.arange(1, len(order) + 1),
@@ -339,6 +359,10 @@ class QuerySession:
                     "score": sums[order],
                 }
             )
+            if with_docs:
+                ident = self._identity_map()
+                out = out.join(ident, on="doc_id")
+            return out
         scored = scored.select(
             F.lit(query_id).alias("query_id"), "doc_id", "partial"
         )

@@ -207,3 +207,16 @@ def test_query_session_matches_topk(spark, index_dir, queries_pdf):
         pd.testing.assert_frame_equal(a, b)
     finally:
         qs.close()
+
+
+def test_query_session_with_docs(spark, index_dir, queries_pdf):
+    from data_prepper_spark.index.query import QuerySession
+
+    qs = QuerySession(spark, index_dir).warm()
+    try:
+        row = queries_pdf.iloc[0]
+        out = qs.topk_one(row["query"], k=3, with_docs=True)
+        assert {"repo", "path", "commit"} <= set(out.columns)
+        assert out["path"].notna().all()
+    finally:
+        qs.close()
