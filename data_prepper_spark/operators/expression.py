@@ -35,7 +35,22 @@ _FN_MAP = {
     "toJsonString": "to_json",
 }
 
-_PTR = re.compile(r'(?<![\w"])/([A-Za-z_][\w]*(?:/[A-Za-z_][\w]*)*)')
+_PTR = re.compile(r'(?<![\w"])/([A-Za-z_][\w]*(?:/[\w]+)*)')
+
+
+def _ptr_to_col(path: str) -> str:
+    """JsonPointer path -> Spark column reference. Numeric segments are
+    array indexes (0-based in both JsonPointer and Spark SQL []):
+    logs/2/flag -> logs[2].flag."""
+    out = []
+    for seg in path.split("/"):
+        if seg.isdigit():
+            out.append(f"[{seg}]")
+        else:
+            out.append(("." if out else "") + seg)
+    return "".join(out)
+
+
 _IN_SET = re.compile(r"\b(not\s+in|in)\s*\{([^}]*)\}", re.IGNORECASE)
 _REGEX_OP = re.compile(r"(=~|!~)")
 
@@ -122,8 +137,15 @@ def translate_expr(expr: str) -> str:
             f" - length({a[1]})) END"
         ),
     )
-    # hasTags("t") -> array_contains(_tags, 't')
-    s = re.sub(r"\bhasTags\(([^)]+)\)", r"array_contains(_tags, \1)", s)
+    # hasTags("a", "b", ...) -> event has ALL the tags (reference
+    # HasTagsExpressionFunction): AND-chain of array_contains
+    def _has_tags(m):
+        args = [a.strip() for a in m.group(1).split(",")]
+        return "(" + " AND ".join(
+            f"array_contains(_tags, {a})" for a in args
+        ) + ")"
+
+    s = re.sub(r"\bhasTags\(([^)]+)\)", _has_tags, s)
     # getMetadata("/attr") -> metadata column _meta_attr
     s = re.sub(
         r'\bgetMetadata\("/?([\w/]+)"\)',
@@ -150,13 +172,30 @@ def translate_expr(expr: str) -> str:
         if dp != sql:
             s = re.sub(rf"\b{dp}\s*\(", sql + "(", s)
 
+    # null comparisons: the reference's ==/!= against the null literal
+    # is an existence test (GenericEqualOperator), NOT SQL three-valued
+    # logic — `/x != null` must become IS NOT NULL (plain `!= null`
+    # evaluates to NULL and never passes a filter)
+    s = re.sub(r"(\S+)\s*!=\s*null\b", r"\1 IS NOT NULL", s)
+    s = re.sub(r"(\S+)\s*==\s*null\b", r"\1 IS NULL", s)
+    s = re.sub(r"\bnull\s*!=\s*(\S+)", r"\1 IS NOT NULL", s)
+    s = re.sub(r"\bnull\s*==\s*(\S+)", r"\1 IS NULL", s)
+
     # in {a, b} / not in {a, b} -> IN (a, b)
     s = _IN_SET.sub(lambda m: f"{m.group(1)} ({m.group(2)})", s)
     # =~ / !~ -> RLIKE
     s = re.sub(r"([^\s]+|\([^)]*\))\s*=~\s*", r"\1 RLIKE ", s)
     s = re.sub(r"([^\s]+|\([^)]*\))\s*!~\s*", r"\1 NOT RLIKE ", s)
-    # JsonPointer /a/b -> a.b  (after regex ops so we don't touch "/re/")
-    s = _PTR.sub(lambda m: m.group(1).replace("/", "."), s)
+    # JsonPointer /a/b -> a.b, numeric segments -> [i]. Applied only
+    # OUTSIDE double-quoted string literals, so regex/string literals
+    # containing slashes ("^/path/.*") survive untouched.
+    parts = re.split(r'("(?:[^"\\]|\\.)*")', s)
+    s = "".join(
+        p if p.startswith('"') else _PTR.sub(
+            lambda m: _ptr_to_col(m.group(1)), p
+        )
+        for p in parts
+    )
     # double-quoted literals -> single-quoted SQL strings
     s = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "'" + m.group(1) + "'", s)
     return s

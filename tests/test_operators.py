@@ -43,7 +43,10 @@ def ev(spark):
 
 def test_translate_expr_strings():
     assert translate_expr('/a/b == "x"') == "a.b == 'x'"
-    assert translate_expr("/v > 10 and /t != null") == "v > 10 and t != null"
+    # != null is an existence test in the reference, not SQL 3VL
+    assert (
+        translate_expr("/v > 10 and /t != null") == "v > 10 and t IS NOT NULL"
+    )
     assert "RLIKE" in translate_expr('/name =~ "^ab.*"')
     assert translate_expr('/t in {"a", "b"}') == "t in ('a', 'b')"
     assert "array_contains(_tags, 'x')" in translate_expr('hasTags("x")')
