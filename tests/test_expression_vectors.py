@@ -105,3 +105,26 @@ def test_reference_conditional_vector(event_df, expr, want):
         F.coalesce(dp_expr(expr).cast("boolean"), F.lit(False)).alias("r")
     ).collect()[0]["r"]
     assert got is want, f"{expr!r}: got {got}, want {want}"
+
+
+ARITH = [
+    # reference GenericExpressionEvaluator_ArithmeticIT: / on integers
+    # is true division (Java (double)a/b); +-*% promote numerically;
+    # left-assoc chains
+    ("7 / 2", 3.5),
+    ("/status_code / 3", 200 / 3),
+    ("/status_code + 1 - 2 * 3", 195),
+    ("-/status_code - 1", -201),
+    ("/status_code % 7", 200 % 7),
+    ("-7 % 3", -1),  # Java/Spark % follows the dividend's sign
+    ("/pi * 2", 6.28318),
+    ("/status_code - /durationInNanos", 200 - 6_000_000_000),
+]
+
+
+@pytest.mark.parametrize("expr,want", ARITH)
+def test_reference_arithmetic_vector(event_df, expr, want):
+    got = event_df.select(
+        dp_expr(expr).cast("double").alias("r")
+    ).collect()[0]["r"]
+    assert got == pytest.approx(want, rel=1e-12), expr
