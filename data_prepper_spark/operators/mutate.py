@@ -134,20 +134,44 @@ def convert_type(
     target: str,
     scale: int | None = None,
     tags_on_failure: list[str] | None = None,
+    null_values: list[str] | None = None,
 ) -> DataFrame:
     """convert_type: cast with failure tagging (ConvertEntryTypeProcessor
     TargetType.java:23 — integer/long/double/big_decimal/string/boolean).
     A value that fails to cast becomes NULL and the row gets the failure
-    tags, mirroring tags_on_failure."""
+    tags, mirroring tags_on_failure. `null_values` strings convert to
+    null first (e.g. "-"). Boolean follows the reference's
+    BooleanConverter exactly: strings via Boolean.parseBoolean (only
+    case-insensitive "true" is true — "1"/"yes" are false, nothing
+    fails), numbers via != 0."""
+    from pyspark.sql import types as T
+
+    src = F.col(key)
+    if null_values:
+        src = F.when(
+            src.cast("string").isin(null_values), F.lit(None)
+        ).otherwise(src)
     t = {"integer": "int", "big_decimal": f"decimal(38,{scale or 18})"}.get(
         target, target
     )
-    # try_cast: malformed values become NULL (+ tags) instead of failing
-    # the task under ANSI mode — the reference tags and keeps the event
-    casted = F.col(key).try_cast(t)
+    if target == "boolean":
+        dt = df.schema[key].dataType
+        if isinstance(dt, T.StringType):
+            casted = F.when(src.isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.lower(F.trim(src)) == "true"
+            )
+        elif isinstance(dt, T.NumericType):
+            casted = (src != 0).cast("boolean")
+        else:
+            casted = src.try_cast("boolean")
+    else:
+        # try_cast: malformed values become NULL (+ tags) instead of
+        # failing the task under ANSI mode — the reference tags and
+        # keeps the event
+        casted = src.try_cast(t)
     if tags_on_failure:
         df = ensure_tags(df)
-        fail = F.col(key).isNotNull() & casted.isNull()
+        fail = src.isNotNull() & casted.isNull()
         df = df.withColumn(
             TAGS_COL,
             F.when(

@@ -482,3 +482,27 @@ def test_dissect_modifiers(spark):
     assert out["ip"] == "10.0.0.1"
     assert "dash" not in out.asDict()
     assert out["verb"] == "GET" and out["path"] == "/idx"
+
+
+def test_convert_type_boolean_and_null_values(spark):
+    from data_prepper_spark.operators.mutate import convert_type
+
+    df = spark.createDataFrame(
+        [("TRUE",), ("false",), ("1",), ("yes",), ("-",), (None,)],
+        "v string",
+    )
+    # reference BooleanConverter: parseBoolean — only "true" is true,
+    # everything else false, nothing fails
+    out = [r["v"] for r in convert_type(df, "v", "boolean").collect()]
+    assert out == [True, False, False, False, False, None]
+    df2 = spark.createDataFrame([("5",), ("-",), ("x",)], "v string")
+    out2 = [
+        r["v"]
+        for r in convert_type(
+            df2, "v", "integer", null_values=["-"]
+        ).collect()
+    ]
+    assert out2 == [5, None, None]
+    nums = spark.createDataFrame([(0.0,), (2.5,)], "v double")
+    out3 = [r["v"] for r in convert_type(nums, "v", "boolean").collect()]
+    assert out3 == [False, True]
