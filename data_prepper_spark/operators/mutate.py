@@ -220,8 +220,21 @@ def replace_string(df: DataFrame, key: str, frm: str, to: str) -> DataFrame:
 def truncate(
     df: DataFrame, key: str, start_at: int = 0, length: int | None = None
 ) -> DataFrame:
-    n = F.lit(length) if length is not None else F.length(F.col(key))
-    return df.withColumn(key, F.substring(F.col(key), start_at + 1, n))
+    """truncate (TruncateProcessor.java:32): strings truncate by
+    substring; array columns truncate EACH ELEMENT (the reference maps
+    the truncation over list items)."""
+    from pyspark.sql import types as T
+
+    def _trunc(c):
+        n = F.lit(length) if length is not None else F.length(c)
+        return F.substring(c, start_at + 1, n)
+
+    dt = df.schema[key].dataType
+    if isinstance(dt, T.ArrayType):
+        new = F.transform(F.col(key), _trunc)
+    else:
+        new = _trunc(F.col(key))
+    return df.withColumn(key, new)
 
 
 # Reference predefined PII patterns (obfuscate-processor

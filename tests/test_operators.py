@@ -506,3 +506,15 @@ def test_convert_type_boolean_and_null_values(spark):
     nums = spark.createDataFrame([(0.0,), (2.5,)], "v double")
     out3 = [r["v"] for r in convert_type(nums, "v", "boolean").collect()]
     assert out3 == [False, True]
+
+
+def test_truncate_array_elements(spark):
+    from data_prepper_spark.operators.mutate import truncate
+
+    df = spark.createDataFrame(
+        [(["hello_one", "hello_two", "hello_three"],)], "v array<string>"
+    )
+    out = truncate(df, "v", length=5).collect()[0]["v"]
+    assert out == ["hello", "hello", "hello"]
+    df2 = spark.createDataFrame([("hello_world",)], "v string")
+    assert truncate(df2, "v", start_at=6).collect()[0]["v"] == "world"
