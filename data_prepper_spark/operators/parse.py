@@ -260,8 +260,12 @@ def key_value(
     grouping needs a quote/bracket-aware scanner, done in an
     Arrow-batched pandas UDF (the reference interprets the same loop
     per event in Java, KeyValueProcessor.parseWithValueGrouping).
-    `recursive` mode is not supported (nested maps need a fixed schema
-    in Spark; flatten + prefix covers the common uses)."""
+    Typed-engine divergences (documented, not hidden): `recursive`
+    mode is unsupported (nested maps need a fixed schema; flatten +
+    prefix covers the common uses), and DUPLICATE keys keep the last
+    value (map<string,string>) where the reference promotes them to a
+    list — use split_string on the raw field when list semantics are
+    needed."""
     c = F.col(source)
     if value_grouping or string_literal_character:
         parsed = _kv_grouped_udf(
