@@ -104,7 +104,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle: int = 5,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, with
     signature-estimated Jaccard >= threshold. Returns (id_a, id_b, jaccard).
@@ -172,6 +172,7 @@ def minhash_lsh_pairs_portable(
     bands: int = 4,
     shingle: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash + LSH with the DuckDB-portable hash family
     h_p(s) = phash60(p || ':' || s): pure Catalyst, oracle-provable.
@@ -180,17 +181,25 @@ def minhash_lsh_pairs_portable(
     estimate on candidates, never all-pairs); the per-permutation hash
     is md5-derived so a DuckDB oracle reproduces it bit-for-bit. Used
     by the driver entry; the numpy/siphash fast path stays the
-    production default."""
+    production default. `max_bucket` (default ON) drops band buckets
+    larger than the cap — the boilerplate-cluster skew guard; the SQL
+    oracle mirrors it exactly."""
     from .phash import phash60
 
     rows = num_perm // bands
     toks = tokenize_col(F.col(text_col))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (shingle - 1)),
-            lambda i: F.array_join(F.slice(toks, i, shingle), " "),
-        )
-    )
+    # docs shorter than `shingle` tokens yield NO shingles (sequence()
+    # auto-reverses through 0 and slice() then throws, so guard first;
+    # matches the oracle's len(toks) >= shingle filter)
+    shingles = F.when(
+        F.size(toks) >= shingle,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (shingle - 1)),
+                lambda i: F.array_join(F.slice(toks, i, shingle), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sig_cols = [
         F.array_min(
             F.transform(
@@ -222,6 +231,14 @@ def minhash_lsh_pairs_portable(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -252,6 +269,7 @@ def minhash_lsh_pairs_portable_sql(
     bands: int = 4,
     shingle: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 1000,
 ) -> str:
     """DuckDB oracle mirroring minhash_lsh_pairs_portable over
     `documents` (doc_id/text)."""
@@ -272,13 +290,24 @@ def minhash_lsh_pairs_portable_sql(
         "FROM sig"
         for bnd in range(bands)
     )
+    cap = (
+        f"""banded AS (
+  SELECT b.* FROM banded_all b
+  JOIN (SELECT band, key FROM banded_all
+        GROUP BY band, key HAVING COUNT(*) <= {max_bucket}) ok
+  ON b.band = ok.band AND b.key = ok.key
+),"""
+        if max_bucket is not None
+        else "banded AS (SELECT * FROM banded_all),"
+    )
     return f"""
 WITH base AS (SELECT doc_id AS id, {toks_expr} AS toks FROM documents),
 sh AS (
   SELECT id, {sh} AS shs FROM base WHERE len(toks) >= {shingle}
 ),
 sig AS (SELECT id, [{sig_elems}] AS sig FROM sh),
-banded AS ({band_rows}),
+banded_all AS ({band_rows}),
+{cap}
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
@@ -304,6 +333,7 @@ def simhash_pairs_portable(
     max_hamming: int = 8,
     nbits: int = 60,
     bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """60-bit SimHash with the portable hash — pure Catalyst twin of
     simhash_pairs (tf-weighted bit votes, pigeonhole banding, exact
@@ -347,6 +377,14 @@ def simhash_pairs_portable(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            bands_df.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "key")
+        )
+        bands_df = bands_df.join(F.broadcast(hot), ["band", "key"], "left_anti")
     return (
         bands_df.alias("l")
         .join(bands_df.alias("r"), ["band", "key"])
@@ -365,7 +403,11 @@ def simhash_pairs_portable(
 
 
 def simhash_pairs_portable_sql(
-    toks_expr: str, max_hamming: int = 8, nbits: int = 60, bands: int = 4
+    toks_expr: str,
+    max_hamming: int = 8,
+    nbits: int = 60,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> str:
     """DuckDB oracle mirroring simhash_pairs_portable over `documents`."""
     from .phash import phash60_sql
@@ -384,6 +426,16 @@ def simhash_pairs_portable_sql(
         f"SELECT id, simhash, {i} AS band, (simhash >> {i * band_bits}) & {mask} AS key FROM fp"
         for i in range(bands)
     )
+    cap = (
+        f"""banded AS (
+  SELECT b.* FROM banded_all b
+  JOIN (SELECT band, key FROM banded_all
+        GROUP BY band, key HAVING COUNT(*) <= {max_bucket}) ok
+  ON b.band = ok.band AND b.key = ok.key
+),"""
+        if max_bucket is not None
+        else "banded AS (SELECT * FROM banded_all),"
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id AS id, unnest({toks_expr}) AS t FROM documents
@@ -391,7 +443,8 @@ WITH tok AS (
 h AS (SELECT id, {phash60_sql('t')} AS h FROM tok),
 votes AS (SELECT id, {votes} FROM h GROUP BY id),
 fp AS (SELECT id, CAST({fp} AS BIGINT) AS simhash FROM votes),
-banded AS ({band_rows}),
+banded_all AS ({band_rows}),
+{cap}
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b,
          l.simhash AS h_a, r.simhash AS h_b
@@ -434,7 +487,7 @@ def simhash_udf(text_col: str, id_col: str):
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band
     pigeonhole blocking (exact within candidates). `max_bucket` is the

@@ -70,28 +70,37 @@ def query_terms(
     )
 
 
-def _make_decoder(k1: float, b: float, avgdl: float, with_query: bool = True):
+def _make_decoder(
+    k1: float, b: float, avgdl: float, with_query: bool = True,
+    chunk: int = 2048,
+):
+    # block rows are FAT (≈1.3 KB varbyte payload -> ~70 decode
+    # temporary bytes per encoded byte): sub-chunk each incoming Arrow
+    # batch so decode working sets stay cache-friendly WITHOUT touching
+    # spark.sql.execution.arrow.maxRecordsPerBatch on the shared
+    # session (the old conf.set leaked a 2048-row cap into unrelated
+    # later jobs — ADVICE r02)
     def decode_score(it):
         for pdf in it:
-            if len(pdf) == 0:
-                continue
-            docs_v, counts = decode_many(pdf["docs"].tolist(), deltas=True)
-            tf_v, _ = decode_many(pdf["tfs"].tolist(), deltas=False)
-            dl_v, _ = decode_many(pdf["dls"].tolist(), deltas=False)
-            doc_ids = to_signed(docs_v)
-            tf = tf_v.astype(np.float64)
-            dl = dl_v.astype(np.float64)
-            impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            idf = np.repeat(pdf["idf"].to_numpy(np.float64), counts)
-            out = {
-                "doc_id": doc_ids,
-                "partial": idf * impact,
-            }
-            if with_query:
-                out["query_id"] = np.repeat(
-                    pdf["query_id"].to_numpy(np.int64), counts
-                )
-            yield pd.DataFrame(out)
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo : lo + chunk]
+                docs_v, counts = decode_many(sub["docs"].tolist(), deltas=True)
+                tf_v, _ = decode_many(sub["tfs"].tolist(), deltas=False)
+                dl_v, _ = decode_many(sub["dls"].tolist(), deltas=False)
+                doc_ids = to_signed(docs_v)
+                tf = tf_v.astype(np.float64)
+                dl = dl_v.astype(np.float64)
+                impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                idf = np.repeat(sub["idf"].to_numpy(np.float64), counts)
+                out = {
+                    "doc_id": doc_ids,
+                    "partial": idf * impact,
+                }
+                if with_query:
+                    out["query_id"] = np.repeat(
+                        sub["query_id"].to_numpy(np.int64), counts
+                    )
+                yield pd.DataFrame(out)
 
     return decode_score
 
@@ -171,12 +180,19 @@ def _pruned_postings(
     return post.filter(F.col("bucket").isin(buckets))
 
 
+# auto-mode crossover: blockmax only pays for itself once per-query
+# postings volume is large enough that pruning skips real decode work;
+# measured at local[32]: exhaustive wins at SF=0.1 (100k docs),
+# blockmax wins by SF=0.3 (300k docs)
+AUTO_BLOCKMAX_MIN_DOCS = 250_000
+
+
 def topk_with_docs(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
-    mode: str = "blockmax",
+    mode: str = "auto",
 ) -> DataFrame:
     """topk + doc identity columns (repo, path, commit) — the
     user-facing result shape (doc ids resolve via the docs table;
@@ -256,6 +272,16 @@ class QuerySession:
         # doc_id) — loaded lazily on the first with_docs=True call
         self._identity = None
 
+    def _join_identity(self, res: DataFrame) -> DataFrame:
+        """Attach (repo, path, commit) by broadcasting the tiny top-k
+        result into the docs scan — works unchanged at 10^12 docs."""
+        ident = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docs")
+        ).select("doc_id", "repo", "path", "commit")
+        return ident.join(F.broadcast(res), "doc_id").select(
+            "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+        )
+
     def _identity_map(self):
         if self._identity is None:
             pdf = (
@@ -302,7 +328,10 @@ class QuerySession:
             q = self.spark.createDataFrame(
                 [(query_id, query)], "query_id long, query string"
             )
-            return self.topk(q, k=k).toPandas()
+            res = self.topk(q, k=k)
+            if with_docs:
+                res = self._join_identity(res)
+            return res.toPandas()
         toks = sorted(set(tokenize_series(pd.Series([query])).iloc[0]))
         entries = [
             (t, *self._dict[t]) for t in toks if t in self._dict
@@ -382,6 +411,13 @@ class QuerySession:
             res = _resolve_ords(
                 self.spark, self.index_dir, ranked, self.docs
             )
+            if with_docs:
+                # same (query_id, rank, doc_id, score, repo, path,
+                # commit) shape as the driver-map path — the top-k
+                # result is tiny, so it broadcasts into the docs scan
+                # regardless of docs-table size (the whole reason this
+                # distributed fallback exists)
+                res = self._join_identity(res)
             return res.toPandas()
         finally:
             for key, v in saved.items():
@@ -424,16 +460,22 @@ def topk(
     _post_df: DataFrame | None = None,
     _docs_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k BM25 per query: (query_id, rank, doc_id, score)."""
+    """Top-k BM25 per query: (query_id, rank, doc_id, score).
+
+    mode="auto" picks exhaustive below AUTO_BLOCKMAX_MIN_BLOCKS
+    candidate blocks (small postings volumes pay more for the two-phase
+    probe than the pruning saves — measured crossover at SF≈0.3) and
+    blockmax above it."""
     _sweep_deferred()
-    # block rows are FAT (≈1.3 KB varbyte payload -> ~70 decode
-    # temporary bytes per encoded byte): cap UDF batches so decode
-    # working sets stay cache-friendly (the build stage sets 64k for
-    # its skinny rows; that setting must not leak into the query path)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     stats = _stats if _stats is not None else load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    if mode == "auto":
+        # corpus-size proxy for postings volume: below the crossover
+        # the probe/θ machinery costs more than the decode it saves
+        mode = (
+            "blockmax" if n_docs >= AUTO_BLOCKMAX_MIN_DOCS else "exhaustive"
+        )
     qt = query_terms(spark, index_dir, queries, n_docs, terms_df=_terms_df)
     post = _pruned_postings(spark, index_dir, qt, post_df=_post_df)
     decoder = _make_decoder(k1, b, avgdl)
@@ -450,6 +492,16 @@ def topk(
     if mode != "blockmax":
         raise ValueError(f"unknown mode {mode!r}")
 
+    # The two-phase plan touches ONLY skinny block metadata until a
+    # block is actually decoded: the brank window and the θ-bound
+    # filter run over (term_id, min_doc, block_max) + query columns,
+    # never shuffling the fat varbyte payloads, and each selected
+    # block's payload joins back by its unique (term_id, min_doc) key
+    # via a broadcast of the (tiny) key set. Probed blocks are decoded
+    # ONCE — their partials persist and union into the final scoring
+    # instead of being re-decoded in phase B (the r02 version did both
+    # fat shuffles and the double decode; that made blockmax slower
+    # than exhaustive at small corpora).
     # Σ_t idf·max_impact per query, to bound the "other terms" part
     qt = qt.withColumn("ub_term", F.col("idf") * F.col("max_impact"))
     q_ub = qt.groupBy("query_id").agg(F.sum("ub_term").alias("ub_total"))
@@ -458,54 +510,62 @@ def topk(
             "query_id", "term_id", "idf", "ub_term", "ub_total"
         )
     )
-    joined = post.join(qtb, "term_id")
-    joined.persist()
-    _deferred_unpersist.append(joined)
-    try:
-        # phase A: probe the highest-block_max blocks per (query, term)
-        wprobe = Window.partitionBy("query_id", "term_id").orderBy(
-            F.desc("block_max"), F.asc("min_doc")
+    meta = post.select("term_id", "min_doc", "block_max").join(qtb, "term_id")
+    wprobe = Window.partitionBy("query_id", "term_id").orderBy(
+        F.desc("block_max"), F.asc("min_doc")
+    )
+    meta = meta.withColumn("brank", F.row_number().over(wprobe))
+    meta.persist()
+    _deferred_unpersist.append(meta)
+    # phase A: decode the highest-block_max blocks per (query, term)
+    probe_keys = meta.filter(F.col("brank") <= probe_blocks).select(
+        "query_id", "term_id", "min_doc", "idf"
+    )
+    probed = (
+        post.join(F.broadcast(probe_keys), ["term_id", "min_doc"])
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+    )
+    probed.persist()
+    _deferred_unpersist.append(probed)
+    theta = (
+        _ranked(probed, k)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("cnt"), F.min("score").alias("kth"))
+        .withColumn(
+            "theta",
+            F.when(F.col("cnt") >= k, F.col("kth")).otherwise(F.lit(0.0)),
         )
-        probed = (
-            joined.withColumn("brank", F.row_number().over(wprobe))
-            .filter(F.col("brank") <= probe_blocks)
-            .select("query_id", "idf", "docs", "tfs", "dls")
-            .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .select("query_id", "theta")
+    )
+    # phase B: decode the not-yet-probed blocks whose upper bound can
+    # reach θ (a pruned block provably holds no top-k doc; probed
+    # blocks that fail the bound are already in `probed`, and their
+    # partials only ever score docs that stay below θ)
+    surv_keys = (
+        meta.join(F.broadcast(theta), "query_id", "left")
+        .withColumn(
+            "ub",
+            F.col("idf") * F.col("block_max")
+            + F.col("ub_total")
+            - F.col("ub_term"),
         )
-        theta = (
-            _ranked(probed, k)
-            .groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.min("score").alias("kth"))
-            .withColumn(
-                "theta",
-                F.when(F.col("cnt") >= k, F.col("kth")).otherwise(F.lit(0.0)),
-            )
-            .select("query_id", "theta")
+        .filter(
+            (F.col("brank") > probe_blocks)
+            & (F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
         )
-        # phase B: keep blocks whose upper bound can reach θ
-        survivors = (
-            joined.join(F.broadcast(theta), "query_id", "left")
-            .withColumn(
-                "ub",
-                F.col("idf") * F.col("block_max")
-                + F.col("ub_total")
-                - F.col("ub_term"),
-            )
-            .filter(
-                F.col("theta").isNull() | (F.col("ub") >= F.col("theta"))
-            )
-            .select("query_id", "idf", "docs", "tfs", "dls")
-        )
-        scored = survivors.mapInPandas(
-            decoder, schema="query_id long, doc_id long, partial double"
-        )
-        return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
-    finally:
-        # the returned (lazy) DataFrame still references the cached
-        # join, so it is not unpersisted here; callers that materialize
-        # it benefit from the A/B-phase reuse, and the NEXT topk()
-        # call (or session stop) reclaims the block via _sweep_deferred
-        pass
+        .select("query_id", "term_id", "min_doc", "idf")
+    )
+    rest = (
+        post.join(F.broadcast(surv_keys), ["term_id", "min_doc"])
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+    )
+    scored = probed.unionByName(rest)
+    # the returned (lazy) DataFrame still references the cached meta /
+    # probed frames, so they are not unpersisted here; the NEXT topk()
+    # call (or session stop) reclaims them via _sweep_deferred
+    return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
 
 
 def topk_deltas(

@@ -139,29 +139,82 @@ def load_grok_patterns(paths: str | list[str]) -> int:
     return n
 
 
-def compile_grok(pattern: str) -> tuple[str, list[str]]:
+def compile_grok(
+    pattern: str, capture_unnamed: bool = False
+) -> tuple[str, list[str], list[int]]:
     """Expand %{SYNTAX:name} / %{SYNTAX} refs (recursively — library
-    entries may reference other patterns) into a regex; captures are
-    numbered in %{X:name} appearance order. Returns (regex, names)."""
+    entries may reference other patterns) into a regex. Returns
+    (regex, names, group_idx) where group_idx[i] is the CAPTURE-GROUP
+    NUMBER of names[i] in the expanded regex — tracked by counting
+    left parens in left-to-right order (outer named refs open their
+    group before any nested refs, and raw `(...)` groups inside
+    pattern bodies are counted too), so nested named refs like
+    %{SYSLOGPROG:prog} (whose body contains %{PROG:program} and
+    %{POSINT:pid}) assign every capture to the right group.
+
+    capture_unnamed=True captures unnamed refs under their syntax name
+    (reference GrokProcessorConfig named_captures_only=false)."""
     names: list[str] = []
+    gidx: list[int] = []
+    counter = 0
+
+    def count_raw_groups(text: str) -> None:
+        # raw capturing '(' in literal regex text shift group numbers:
+        # skip escapes, char classes, and '(?' constructs
+        nonlocal counter
+        i, in_class = 0, False
+        while i < len(text):
+            ch = text[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if in_class:
+                if ch == "]":
+                    in_class = False
+            elif ch == "[":
+                in_class = True
+            elif ch == "(" and text[i + 1 : i + 2] != "?":
+                counter += 1
+            i += 1
 
     def expand(p: str, depth: int) -> str:
+        nonlocal counter
         if depth > _MAX_GROK_DEPTH:
             raise ValueError("grok pattern recursion too deep")
-
-        def sub(m):
+        out: list[str] = []
+        pos = 0
+        for m in _GROK_REF.finditer(p):
+            lit = p[pos : m.start()]
+            count_raw_groups(lit)
+            out.append(lit)
             syntax, name = m.group(1), m.group(2)
             if syntax not in GROK_PATTERNS:
                 raise KeyError(f"unknown grok pattern %{{{syntax}}}")
-            inner = expand(GROK_PATTERNS[syntax], depth + 1)
+            if name is None and capture_unnamed:
+                name = syntax
             if name:
+                counter += 1
                 names.append(name)
-                return "(" + inner + ")"
-            return "(?:" + inner + ")"
+                gidx.append(counter)
+                out.append("(")
+                out.append(expand(GROK_PATTERNS[syntax], depth + 1))
+                out.append(")")
+            else:
+                out.append("(?:")
+                out.append(expand(GROK_PATTERNS[syntax], depth + 1))
+                out.append(")")
+            pos = m.end()
+        tail = p[pos:]
+        count_raw_groups(tail)
+        out.append(tail)
+        return "".join(out)
 
-        return _GROK_REF.sub(sub, p)
+    return expand(pattern, 0), names, gidx
 
-    return expand(pattern, 0), names
+
+# separator between captured groups in the single-pass extraction; two
+# control chars never seen adjacent in log/code text
+_GROK_SEP = "\x01\x02"
 
 
 def grok(
@@ -170,6 +223,9 @@ def grok(
     pattern: str | list[str],
     tags_on_match_failure: list[str] | None = None,
     keys_to_overwrite: list[str] | None = None,
+    target_key: str | None = None,
+    tags_on_timeout: list[str] | None = None,
+    named_captures_only: bool = True,
 ) -> DataFrame:
     """grok: named-capture extraction into top-level columns.
 
@@ -178,28 +234,70 @@ def grok(
     apply to rows no earlier pattern matched — GrokProcessor.java:63).
     Rows matching no pattern get tags_on_match_failure. Captures whose
     name collides with an EXISTING column keep the existing non-null
-    value unless listed in keys_to_overwrite (reference default)."""
+    value unless listed in keys_to_overwrite (reference default).
+
+    Each pattern costs exactly TWO regex evaluations per row (one
+    rlike match test + one regexp_replace emitting every capture group
+    in a single pass, split on a control-char separator) — not one
+    evaluation per capture group.
+
+    target_key nests the captures under one struct column instead of
+    top-level columns (GrokProcessorConfig.target_key).
+    named_captures_only=False also captures unnamed %{SYNTAX} refs
+    under their syntax name (GrokProcessorConfig.named_captures_only).
+    tags_on_timeout is accepted for config parity but never fires:
+    Catalyst regex execution has no timeout to hit (the reference's
+    match_timeout interrupts a Java thread; documented divergence)."""
+    del tags_on_timeout  # config parity only — no timeout path exists
     patterns = [pattern] if isinstance(pattern, str) else pattern
     overwrite = set(keys_to_overwrite or [])
-    compiled = [compile_grok(p) for p in patterns]
+    compiled = [
+        compile_grok(p, capture_unnamed=not named_captures_only)
+        for p in patterns
+    ]
+    # one temp match column and one temp capture-parts column per
+    # pattern: guarantees a single rlike + a single regexp_replace
+    # evaluation each, shared by every capture below
+    tmp: dict[str, object] = {}
+    for j, (regex, names, gidx) in enumerate(compiled):
+        tmp[f"__grok_m{j}"] = F.col(source).rlike(regex)
+        if names:
+            # anchor so regexp_replace rewrites the WHOLE string once,
+            # emitting all groups of the first match (find() semantics
+            # via the reluctant prefix); (?s:...) keeps the wrappers
+            # newline-safe without changing the user pattern's flags
+            wrapped = "^(?s:.*?)(?:" + regex + ")(?s:.*)$"
+            repl = _GROK_SEP.join("$" + str(g) for g in gidx)
+            tmp[f"__grok_p{j}"] = F.split(
+                F.regexp_replace(F.col(source), wrapped, repl),
+                _GROK_SEP,
+                -1,
+            )
+    df = df.withColumns(tmp)
     matched_prev = F.lit(False)
     field_exprs: dict[str, object] = {}
-    for regex, names in compiled:
-        m = F.col(source).rlike(regex) & ~matched_prev
-        for i, name in enumerate(names, start=1):
-            ext = F.regexp_extract(F.col(source), regex, i)
+    for j, (regex, names, gidx) in enumerate(compiled):
+        m = F.col(f"__grok_m{j}") & ~matched_prev
+        for i, name in enumerate(names):
+            ext = F.element_at(F.col(f"__grok_p{j}"), i + 1)
             if name in df.columns and name not in overwrite:
                 ext = F.coalesce(F.col(name), ext)
             prev = field_exprs.get(name)
             if prev is None:
                 prev = (
                     F.col(name)
-                    if name in df.columns
+                    if name in df.columns and not target_key
                     else F.lit(None).cast("string")
                 )
             field_exprs[name] = F.when(m, ext).otherwise(prev)
-        matched_prev = matched_prev | F.col(source).rlike(regex)
-    df = df.withColumns(field_exprs)
+        matched_prev = matched_prev | F.col(f"__grok_m{j}")
+    if target_key:
+        df = df.withColumn(
+            target_key,
+            F.struct(*[e.alias(n) for n, e in field_exprs.items()]),
+        )
+    else:
+        df = df.withColumns(field_exprs)
     if tags_on_match_failure:
         from .mutate import TAGS_COL, ensure_tags
 
@@ -214,7 +312,7 @@ def grok(
                 ),
             ).otherwise(F.col(TAGS_COL)),
         )
-    return df
+    return df.drop(*[c for c in tmp])
 
 
 # the 11-processor reference perf pipeline starts with this pattern
@@ -267,14 +365,24 @@ def key_value(
     list — use split_string on the raw field when list semantics are
     needed."""
     c = F.col(source)
+    # no-value keys must be DROPPED before non_match_value fills them
+    # in, or the drop is a no-op (keys with no value_split parse to
+    # NULL values in both paths)
     if value_grouping or string_literal_character:
         parsed = _kv_grouped_udf(
-            field_split, value_split, non_match_value, string_literal_character
+            field_split,
+            value_split,
+            None if drop_keys_with_no_value else non_match_value,
+            string_literal_character,
         )(c)
+        if drop_keys_with_no_value:
+            parsed = F.map_filter(parsed, lambda k, v: v.isNotNull())
     else:
         fd = field_delimiter_regex or "[" + re.escape(field_split) + "]"
         kvd = key_value_delimiter_regex or "[" + re.escape(value_split) + "]"
         parsed = F.str_to_map(c, F.lit(fd), F.lit(kvd))
+        if drop_keys_with_no_value:
+            parsed = F.map_filter(parsed, lambda k, v: v.isNotNull())
         if non_match_value is not None:
             # str_to_map maps non-matching parts to NULL values
             parsed = F.transform_values(
@@ -319,8 +427,6 @@ def key_value(
         parsed = F.transform_keys(
             parsed, lambda k, v: F.concat(F.lit(prefix), k)
         )
-    if drop_keys_with_no_value:
-        parsed = F.map_filter(parsed, lambda k, v: v.isNotNull())
     if default_values:
         dmap = F.create_map(
             *[F.lit(x) for kv in default_values.items() for x in kv]
@@ -589,9 +695,12 @@ def date_parse(
             elif p == "epoch_milli":
                 attempts.append(F.timestamp_millis(F.col(source).cast("long")))
             elif p == "epoch_nano":
+                # integer division — float `/ 1000` would round-trip
+                # ~1.8e18 ns epochs through double's 53-bit mantissa
+                # and drift by up to a microsecond
                 attempts.append(
                     F.timestamp_micros(
-                        (F.col(source).cast("long") / 1000).cast("long")
+                        F.expr(f"CAST(`{source}` AS LONG) DIV 1000")
                     )
                 )
             else:
@@ -638,9 +747,28 @@ def dissect(df: DataFrame, source: str, pattern: str) -> DataFrame:
     trailing = pattern[pos:]
     regex_parts.append(re.escape(trailing))
     regex = "^" + "".join(regex_parts) + ("$" if not trailing else "")
+    # single-pass extraction: ONE rlike + ONE regexp_replace per row
+    # (not one regexp_extract per capture); the wrapped regex consumes
+    # the whole line so every group lands in one replacement, split on
+    # the control-char separator. Non-matching rows keep "" captures
+    # (regexp_extract's contract), gated by the match flag.
+    wrapped = regex if not trailing else regex + "(?s:.*)$"
+    repl = _GROK_SEP.join(f"${i}" for i in range(1, len(captures) + 1))
+    parts = F.split(
+        F.regexp_replace(F.col(source), wrapped, repl), _GROK_SEP, -1
+    )
+    df = df.withColumns(
+        {
+            "__dissect_m": F.col(source).rlike(regex),
+            "__dissect_p": parts,
+        }
+    )
     exprs: dict[str, object] = {}
     for i, slot in enumerate(captures, start=1):
-        ext = F.regexp_extract(F.col(source), regex, i)
+        ext = F.when(
+            F.col("__dissect_m"),
+            F.element_at(F.col("__dissect_p"), i),
+        ).otherwise(F.lit(""))
         if slot.startswith("+"):
             name = slot[1:]
             prev = exprs.get(name)
@@ -649,9 +777,7 @@ def dissect(df: DataFrame, source: str, pattern: str) -> DataFrame:
             )
         else:
             exprs[slot] = ext
-    for name, e in exprs.items():
-        df = df.withColumn(name, e)
-    return df
+    return df.withColumns(exprs).drop("__dissect_m", "__dissect_p")
 
 
 def detect_format(df: DataFrame, source: str, dest: str = "detected_format") -> DataFrame:

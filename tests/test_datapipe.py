@@ -149,3 +149,41 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every_ms=1000).toPandas()
     assert (frames.frame_ts_ms % 1000 == 0).all()
     assert len(frames) > len(feats[feats.kind == "video"])
+
+
+def test_minhash_portable_short_docs(spark):
+    # ADVICE r02: docs with fewer tokens than the shingle width used to
+    # abort the job (sequence() descending through 0 -> slice() throws);
+    # they must simply produce no signature, like the oracle's filter
+    from data_prepper_spark.datapipe.dedup import minhash_lsh_pairs_portable
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon alpha beta gamma"),
+            (2, "alpha beta gamma delta epsilon alpha beta gamma"),
+            (3, "hi"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs_portable(
+        df, "doc_id", "text", num_perm=16, bands=4, shingle=3
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_lsh_hot_bucket_cap_default_on(spark):
+    # a boilerplate cluster larger than max_bucket must NOT explode
+    # into O(m^2) pairs — buckets above the cap are dropped
+    from data_prepper_spark.datapipe.dedup import minhash_lsh_pairs_portable
+
+    rows = [(i, "same tokens everywhere forever and ever") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs_portable(
+        df, "doc_id", "text", num_perm=16, bands=4, shingle=3, max_bucket=5
+    )
+    assert capped.count() == 0
+    uncapped = minhash_lsh_pairs_portable(
+        df, "doc_id", "text", num_perm=16, bands=4, shingle=3, max_bucket=None
+    )
+    assert uncapped.count() == 12 * 11 // 2

@@ -220,3 +220,40 @@ def test_query_session_with_docs(spark, index_dir, queries_pdf):
         assert out["path"].notna().all()
     finally:
         qs.close()
+
+
+def test_query_session_with_docs_distributed_fallback(
+    spark, index_dir, queries_pdf
+):
+    """with_docs must survive the no-driver-structures path (VERDICT
+    r02 #4: the fallback silently dropped identity columns). Force the
+    distributed path by clearing both driver-side maps."""
+    from data_prepper_spark.index.query import QuerySession
+
+    qs = QuerySession(spark, index_dir, driver_dict=True)
+    try:
+        row = queries_pdf.iloc[0]
+        want = qs.topk_one(row["query"], k=3, with_docs=True)
+        # no driver dict at all -> general topk plan + identity join
+        qs2 = QuerySession(spark, index_dir, driver_dict=False)
+        try:
+            got = qs2.topk_one(row["query"], k=3, with_docs=True)
+            assert list(got.columns) == [
+                "query_id", "rank", "doc_id", "score",
+                "repo", "path", "commit",
+            ]
+            g = got.sort_values("rank").reset_index(drop=True)
+            w = want.sort_values("rank").reset_index(drop=True)
+            assert (g["doc_id"] == w["doc_id"]).all()
+            assert (g["path"] == w["path"]).all()
+        finally:
+            qs2.close()
+        # driver dict present but docs map too big -> the _ord_map-None
+        # branch with the scoped-conf Spark ranking + identity join
+        qs._ord_map = None
+        got2 = qs.topk_one(row["query"], k=3, with_docs=True)
+        g2 = got2.sort_values("rank").reset_index(drop=True)
+        assert (g2["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
+        assert (g2["path"].to_numpy() == w["path"].to_numpy()).all()
+    finally:
+        qs.close()

@@ -99,3 +99,18 @@ def test_grouped_spark_path(spark):
     rows = [r[0] for r in out.collect()]
     assert rows[0] == {"k": '"a&b c"', "n": "1"}
     assert rows[1] == {}
+
+
+def test_drop_no_value_with_non_match_value(spark):
+    # ADVICE r02: the drop must run BEFORE non_match_value fills nulls
+    from data_prepper_spark.operators.parse import key_value
+
+    df = spark.createDataFrame([("a=1&b&c=3",)], "msg string")
+    out = key_value(
+        df,
+        "msg",
+        dest="m",
+        drop_keys_with_no_value=True,
+        non_match_value="none",
+    ).collect()[0]
+    assert out.m == {"a": "1", "c": "3"}

@@ -461,9 +461,12 @@ def test_grok_pattern_file_loading(spark, tmp_path):
     assert n == 2 and "TICKET" in GROK_PATTERNS
     import re as _re
 
-    rx, names = compile_grok("%{TICKETLINE}")
+    rx, names, gidx = compile_grok("%{TICKETLINE}")
     m = _re.search(rx, "ticket ABC-123 by alice")
-    assert dict(zip(names, m.groups())) == {"tid": "ABC-123", "who": "alice"}
+    assert {n: m.group(g) for n, g in zip(names, gidx)} == {
+        "tid": "ABC-123",
+        "who": "alice",
+    }
     for k in ("TICKET", "TICKETLINE"):
         GROK_PATTERNS.pop(k, None)
 
@@ -518,3 +521,65 @@ def test_truncate_array_elements(spark):
     assert out == ["hello", "hello", "hello"]
     df2 = spark.createDataFrame([("hello_world",)], "v string")
     assert truncate(df2, "v", start_at=6).collect()[0]["v"] == "world"
+
+
+def test_grok_nested_named_refs(spark):
+    # ADVICE r02: a named ref whose expansion itself contains named
+    # refs (%{SYSLOGPROG:prog} -> %{PROG:program} + %{POSINT:pid})
+    # must align every capture with its group number
+    from data_prepper_spark.operators.parse import grok
+
+    df = spark.createDataFrame([("proc nginx[123] up",)], "msg string")
+    out = grok(df, "msg", "proc %{SYSLOGPROG:prog} %{WORD:state}").collect()[0]
+    assert out.prog == "nginx[123]"
+    assert out.program == "nginx"
+    assert out.pid == "123"
+    assert out.state == "up"
+
+
+def test_grok_raw_group_in_pattern_body(spark):
+    # raw capturing parens inside a pattern body shift Java group
+    # numbers; compile_grok must count them (incl. class/escape forms)
+    from data_prepper_spark.operators.parse import (
+        GROK_PATTERNS,
+        grok,
+    )
+
+    GROK_PATTERNS["RAWGRP"] = r"(x+)y"
+    try:
+        df = spark.createDataFrame([("zz xxy 42",)], "msg string")
+        out = grok(df, "msg", "zz %{RAWGRP:g} %{INT:n}").collect()[0]
+        assert out.g == "xxy" and out.n == "42"
+    finally:
+        GROK_PATTERNS.pop("RAWGRP", None)
+
+
+def test_grok_target_key_and_unnamed_captures(spark):
+    from data_prepper_spark.operators.parse import grok
+
+    df = spark.createDataFrame([("code 42",)], "msg string")
+    out = grok(df, "msg", "code %{INT:num}", target_key="parsed").collect()[0]
+    assert out.parsed.num == "42"
+    # named_captures_only=False captures %{INT} under its syntax name
+    out2 = grok(
+        df, "msg", "code %{INT}", named_captures_only=False
+    ).collect()[0]
+    assert out2.INT == "42"
+    # tags_on_timeout accepted for config parity (never fires)
+    out3 = grok(
+        df, "msg", "code %{INT:num}", tags_on_timeout=["_timeout"]
+    ).collect()[0]
+    assert out3.num == "42"
+
+
+def test_date_epoch_nano_precision(spark):
+    # integer division: 1.8e18 ns epochs exceed double's 53-bit
+    # mantissa; float math drifts by up to ~1 us (ADVICE r02)
+    ns = 1800000000000000123  # -> 1800000000000000 us exactly
+    df = spark.createDataFrame([(str(ns),)], "t string")
+    out = (
+        date_parse(df, "t", ["epoch_nano"])
+        .select(F.unix_micros("@timestamp").alias("us"))
+        .collect()[0]
+    )
+    assert out.us == ns // 1000
