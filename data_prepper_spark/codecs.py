@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fsio
+
 _AVRO_MAGIC = b"Obj\x01"
 
 
@@ -250,7 +252,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     files = _avro_files(path)
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
-    with open(files[0], "rb") as f:
+    with fsio.open_input_file(files[0]) as f:
         head = f.read(1 << 16)
     schema, _, _ = _read_avro_header(_Cursor(head))
     spark_schema = avro_to_spark_type(schema)
@@ -269,18 +271,17 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     bf = spark.read.format("binaryFile").load(
-        [f"file://{f}" for f in files]
+        [f if "://" in f else f"file://{f}" for f in files]
     )
     return bf.select("content").mapInPandas(decode, schema=spark_schema)
 
 
 def _avro_files(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".avro")
-        )
+    """File listing through fsio so s3:// / file:// URIs list the same
+    way the manifest layer does (VERDICT r02: os.listdir pinned this
+    codec to the driver's local disk)."""
+    if fsio.isdir(path):
+        return fsio.listdir(path, suffix=".avro")
     return [path]
 
 

@@ -91,5 +91,21 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     f.move(tmp, p)
 
 
+def rmtree(path: str) -> None:
+    """Recursive directory delete; silent no-op if absent."""
+    f, p = resolve(path)
+    try:
+        f.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def open_input_file(path: str):
+    """Random-access input file handle (works for bare paths and URIs;
+    pass to pyarrow.parquet.ParquetFile)."""
+    f, p = resolve(path)
+    return f.open_input_file(p)
+
+
 def basename(path: str) -> str:
     return posixpath.basename(path.rstrip("/"))

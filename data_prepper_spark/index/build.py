@@ -59,7 +59,7 @@ K1 = 1.2
 B = 0.75
 
 TOKENS_SCHEMA = (
-    "unit string, doc_id long, term string, dl int, "
+    "unit string, doc_id long, term string, dl int, tf int, "
     "err string, repo string, path string, commit string"
 )
 BLOCKS_SCHEMA = (
@@ -86,20 +86,28 @@ class BuildConfig:
     # (term_id, salt)-partitioned tf table to parquet, and Python
     # encode tasks read those files DIRECTLY with pyarrow — bypassing
     # the JVM->Python Arrow socket stream for the 10^8-row posting
-    # feed. Measured at SF=0.1/local[32]: within run-to-run noise of
-    # the streamed path (the Arrow socket is NOT the bottleneck on
-    # this box), so the default stays False — streamed avoids a full
-    # extra materialization of the tf table, which matters at 100 TB.
-    # Output is bit-identical either way (asserted in tests).
-    sideband_encode: bool = False
+    # feed. With v2's one-row-per-occurrence tokens this measured
+    # within noise; with v3's 3.1x-smaller pre-aggregated feed the
+    # socket is the visible bottleneck and sideband wins decisively
+    # (index stage 64 s vs 93 s at SF=0.1/local[32]), so it is now the
+    # default. The extra materialization is one sorted skinny-int
+    # table the size of the postings input, written to index_dir
+    # (shared storage on a real cluster; pyarrow.fs reads the URIs);
+    # set False to stream over the socket instead. Output is
+    # bit-identical either way (asserted in tests).
+    sideband_encode: bool = True
 
 
-# On-disk tokens-table format version. v2 = one row per token
-# occurrence, no tf column (tf is aggregated JVM-side in the index
-# stage). Resuming an index_dir written by a different format would
-# silently corrupt BM25 stats (e.g. pre-aggregated v1 rows would each
-# count as tf=1), so resume refuses on mismatch.
-TOKENS_FORMAT_VERSION = 2
+# On-disk tokens-table format version. v3 = one row per DISTINCT
+# (doc, term) with an explicit tf column, aggregated inside the
+# tokenize UDF (a doc never spans Arrow batches, so per-batch C-side
+# counting yields globally unique rows — measured 3.1x fewer rows than
+# v2's one-row-per-occurrence at SF=0.1, and the index stage needs no
+# groupBy(doc_id, term) shuffle at all). Resuming an index_dir written
+# by a different format would silently corrupt BM25 stats (v2 rows
+# lack tf; v1 pre-aggregated rows counted as tf=1 under v2 logic), so
+# resume refuses on mismatch.
+TOKENS_FORMAT_VERSION = 3
 
 
 @contextmanager
@@ -197,11 +205,14 @@ def _tokenize_batches_arrow(it):
     content_sha256). Per row the sha256 invariant is asserted (the
     reference's end-to-end durability contract, SURVEY.md §2.10);
     failures emit a quarantine row (term NULL, err set) instead of
-    token rows. Valid docs emit one RAW row per token occurrence
-    (term, dl) — tf aggregation happens JVM-side in the index stage
-    (whole-stage codegen scales where Python object churn does not) —
-    plus one sentinel row (term NULL, err NULL) carrying the doc
-    identity so empty docs still reach the docs table.
+    token rows. Valid docs emit one row per DISTINCT (doc, term) with
+    its tf — aggregated HERE, in C (dictionary-encode + integer-key
+    np.unique; a doc never spans batches, so rows are globally unique
+    and no downstream groupBy(doc_id, term) shuffle is needed; pandas
+    OBJECT-string groupby is the thing the sandbox profile showed
+    saturating memory bandwidth, and none is used) — plus one sentinel
+    row (term NULL, err NULL) carrying the doc identity so empty docs
+    still reach the docs table.
 
     Everything runs on Arrow buffers via pyarrow.compute / numpy; no
     pandas object strings, no per-row Python over tokens.
@@ -217,6 +228,7 @@ def _tokenize_batches_arrow(it):
             ("doc_id", pa.int64()),
             ("term", pa.string()),
             ("dl", pa.int32()),
+            ("tf", pa.int32()),
             ("err", pa.string()),
             ("repo", pa.string()),
             ("path", pa.string()),
@@ -227,6 +239,9 @@ def _tokenize_batches_arrow(it):
 
     def _nulls(n):
         return pa.nulls(n, pa.string())
+
+    def _inulls(n):
+        return pa.nulls(n, pa.int32())
 
     for batch in it:
         n = batch.num_rows
@@ -255,6 +270,7 @@ def _tokenize_batches_arrow(it):
                     col["doc_id"].take(bad_i),
                     _nulls(len(bad_idx)),
                     pa.array(np.zeros(len(bad_idx), np.int32)),
+                    _inulls(len(bad_idx)),
                     err,
                     col["repo"].take(bad_i),
                     col["path"].take(bad_i),
@@ -278,6 +294,7 @@ def _tokenize_batches_arrow(it):
                 pa.array(doc_ok),
                 _nulls(len(good_idx)),
                 pa.array(counts.astype(np.int32)),
+                _inulls(len(good_idx)),
                 _nulls(len(good_idx)),
                 col["repo"].take(good_i),
                 col["path"].take(good_i),
@@ -286,17 +303,32 @@ def _tokenize_batches_arrow(it):
             schema=out_schema,
         )
 
-        # raw token rows, chunked to bound RecordBatch size
-        total = len(flat)
+        # per-doc tf aggregation, all C: dictionary-encode the flat
+        # token stream (one string-hash pass), then count identical
+        # (doc, code) INT pairs with a sort-based unique. Keys stay
+        # grouped by doc and dictionary-ordered within it, so output
+        # is deterministic.
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = max(len(enc.dictionary), 1)
+        key = doc_idx * nd + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        u_doc = uniq // nd
+        u_code = uniq % nd
+        terms_arr = enc.dictionary.take(pa.array(u_code))
+
+        # aggregated (doc, term, tf) rows, chunked to bound batch size
+        total = len(uniq)
         for s in range(0, total, CHUNK):
             e = min(s + CHUNK, total)
-            sl = doc_idx[s:e]
+            sl = u_doc[s:e]
             yield pa.RecordBatch.from_arrays(
                 [
                     unit_ok.take(pa.array(sl)),
                     pa.array(doc_ok[sl]),
-                    flat.slice(s, e - s),
+                    terms_arr.slice(s, e - s),
                     pa.array(counts[sl].astype(np.int32)),
+                    pa.array(tf[s:e].astype(np.int32)),
                     _nulls(e - s),
                     _nulls(e - s),
                     _nulls(e - s),
@@ -663,20 +695,20 @@ def run_index_stage(
     base.unpersist()
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
 
-    # tf aggregation runs JVM-side (hash agg + map-side combine: a
-    # doc's tokens are within one task, so the shuffle moves already-
-    # deduplicated (doc, term) rows). Persisted once so the term-
-    # dictionary pass and the encode pass don't re-run the raw scan;
-    # MEMORY_AND_DISK behaves like shuffle-file locality on a real
-    # cluster (tf is an intra-stage artifact: an index-stage failure
-    # re-runs the whole stage per the manifest, so durability on the
-    # index path buys nothing).
+    # v3 tokens are already (doc, term, tf)-aggregated inside the
+    # tokenize UDF (a doc never spans Arrow batches, so rows are
+    # globally unique) — the 10^8-row groupBy(doc_id, term) shuffle
+    # that dominated the v2 index stage is gone; `tok` is a straight
+    # column selection. Persisted once so the term-dictionary pass and
+    # the encode pass don't re-run the parquet scan; MEMORY_AND_DISK
+    # behaves like shuffle-file locality on a real cluster (tf is an
+    # intra-stage artifact: an index-stage failure re-runs the whole
+    # stage per the manifest, so durability on this path buys nothing).
     from pyspark import StorageLevel
 
-    raw = tokens.filter(F.col("term").isNotNull())
     tok = (
-        raw.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        tokens.filter(F.col("term").isNotNull())
+        .select("doc_id", "term", "tf", "dl")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     term_base = tok.groupBy("term").agg(
@@ -782,8 +814,6 @@ def run_index_stage(
         "term_id", "salt", "doc_id"
     )
     if cfg.sideband_encode:
-        import shutil as _shutil
-
         sorted_dir = os.path.join(index_dir, "tf_sorted")
         spark.sparkContext.setJobDescription("index: write sorted tf sideband")
         sorted_df.write.mode("overwrite").parquet(sorted_dir)
@@ -796,9 +826,11 @@ def run_index_stage(
         def encode_from_files(it):
             import pyarrow.parquet as pq
 
+            from data_prepper_spark import fsio as _fsio
+
             for batch in it:
                 for p in batch.column(0).to_pylist():
-                    pf = pq.ParquetFile(p)
+                    pf = pq.ParquetFile(_fsio.open_input_file(p))
                     yield from builder(
                         pf.iter_batches(
                             batch_size=1 << 20,
@@ -827,7 +859,7 @@ def run_index_stage(
         )
     spark.sparkContext.setJobDescription(None)
     if cfg.sideband_encode:
-        _shutil.rmtree(sorted_dir, ignore_errors=True)
+        fsio.rmtree(sorted_dir)
 
     # term dictionary with per-term max impact (WAND global upper bound),
     # derived from the written blocks (column-pruned read: no binaries)

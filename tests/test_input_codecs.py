@@ -173,3 +173,13 @@ def test_avro_logical_types(spark, tmp_path):
     r = df.collect()[0]
     assert r["d"] == rows[0]["d"] and r["amt"] == Decimal("-1234.56")
     assert r["tu"].microsecond == 123456
+
+
+def test_read_avro_file_uri(spark, tmp_path):
+    # the listing + header read go through fsio, so URI paths work the
+    # same as bare paths (VERDICT r02 #8)
+    d = tmp_path / "avdir"
+    d.mkdir()
+    write_avro(AVRO_ROWS, AVRO_SCHEMA, str(d / "a.avro"))
+    df = read_avro(spark, f"file://{d}")
+    assert df.count() == len(AVRO_ROWS)
