@@ -897,6 +897,25 @@ def run_index_stage(
             "rebuild with a salted term hash"
         )
 
+    # prunability statistic for the query side's auto mode: the mean
+    # within-term coefficient of variation of block_max (multi-block
+    # terms only). Block-max pruning only pays when blocks of a term
+    # DIFFER in max impact; a corpus with uniform impacts and
+    # hash-random doc order measures ~0.05 here and no bound can prune
+    # it (measured: 0.7% of candidate blocks pruned at SF=0.1), while
+    # skewed+clustered postings measure >0.5 and prune >90%.
+    disp_row = (
+        written.groupBy("term_id")
+        .agg(
+            F.count("*").alias("nb"),
+            (F.stddev_samp("block_max") / F.avg("block_max")).alias("cv"),
+        )
+        .filter(F.col("nb") >= 8)
+        .agg(F.avg("cv").alias("d"))
+        .collect()[0]
+    )
+    dispersion = float(disp_row["d"]) if disp_row["d"] is not None else 0.0
+
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -904,6 +923,7 @@ def run_index_stage(
         "block_size": cfg.block_size,
         "k1": cfg.k1,
         "b": cfg.b,
+        "blockmax_dispersion": round(dispersion, 4),
         "units": units_done,
     }
     fsio.write_text(os.path.join(index_dir, "stats.json"), json.dumps(stats))

@@ -180,11 +180,18 @@ def _pruned_postings(
     return post.filter(F.col("bucket").isin(buckets))
 
 
-# auto-mode crossover: blockmax only pays for itself once per-query
-# postings volume is large enough that pruning skips real decode work;
-# measured at local[32]: exhaustive wins at SF=0.1 (100k docs),
-# blockmax wins by SF=0.3 (300k docs)
-AUTO_BLOCKMAX_MIN_DOCS = 250_000
+# auto-mode selection: blockmax needs BOTH enough postings volume
+# that pruning skips real decode work AND a corpus whose block-max
+# values actually spread within a term (stats.json's
+# blockmax_dispersion, computed at build). Measured calibration
+# (tools/blockmax_micro.py, local[32]): the fixture corpus measures
+# dispersion ~0.046 (uniform impacts x hash-random doc order — the
+# WAND worst case; 0.7% of candidate blocks pruned at SF=0.1, so
+# blockmax structurally loses there at ANY scale); a clustered-band
+# index measures 0.16 and blockmax wins 1.3x at 2M docs but still
+# loses at 400k where fixed phase overhead dominates.
+AUTO_BLOCKMAX_MIN_DOCS = 1_000_000
+AUTO_BLOCKMAX_MIN_DISPERSION = 0.1
 
 
 def topk_with_docs(
@@ -455,6 +462,7 @@ def topk(
     k: int = 10,
     mode: str = "exhaustive",
     probe_blocks: int = 2,
+    granules: int = 1024,
     _stats: dict | None = None,
     _terms_df: DataFrame | None = None,
     _post_df: DataFrame | None = None,
@@ -462,19 +470,23 @@ def topk(
 ) -> DataFrame:
     """Top-k BM25 per query: (query_id, rank, doc_id, score).
 
-    mode="auto" picks exhaustive below AUTO_BLOCKMAX_MIN_BLOCKS
-    candidate blocks (small postings volumes pay more for the two-phase
-    probe than the pruning saves — measured crossover at SF≈0.3) and
-    blockmax above it."""
+    mode="auto" picks blockmax only when the index is big enough AND
+    its build-time blockmax_dispersion statistic says pruning can pay
+    (see AUTO_BLOCKMAX_MIN_DOCS / AUTO_BLOCKMAX_MIN_DISPERSION);
+    otherwise exhaustive decode wins and is selected."""
     _sweep_deferred()
     stats = _stats if _stats is not None else load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     if mode == "auto":
-        # corpus-size proxy for postings volume: below the crossover
-        # the probe/θ machinery costs more than the decode it saves
+        disp = stats.get("blockmax_dispersion", 0.0) or 0.0
         mode = (
-            "blockmax" if n_docs >= AUTO_BLOCKMAX_MIN_DOCS else "exhaustive"
+            "blockmax"
+            if (
+                n_docs >= AUTO_BLOCKMAX_MIN_DOCS
+                and disp >= AUTO_BLOCKMAX_MIN_DISPERSION
+            )
+            else "exhaustive"
         )
     qt = query_terms(spark, index_dir, queries, n_docs, terms_df=_terms_df)
     post = _pruned_postings(spark, index_dir, qt, post_df=_post_df)
@@ -492,37 +504,47 @@ def topk(
     if mode != "blockmax":
         raise ValueError(f"unknown mode {mode!r}")
 
-    # The two-phase plan touches ONLY skinny block metadata until a
-    # block is actually decoded: the brank window and the θ-bound
-    # filter run over (term_id, min_doc, block_max) + query columns,
-    # never shuffling the fat varbyte payloads, and each selected
-    # block's payload joins back by its unique (term_id, min_doc) key
-    # via a broadcast of the (tiny) key set. Probed blocks are decoded
-    # ONCE — their partials persist and union into the final scoring
-    # instead of being re-decoded in phase B (the r02 version did both
-    # fat shuffles and the double decode; that made blockmax slower
-    # than exhaustive at small corpora).
-    # Σ_t idf·max_impact per query, to bound the "other terms" part
-    qt = qt.withColumn("ub_term", F.col("idf") * F.col("max_impact"))
-    q_ub = qt.groupBy("query_id").agg(F.sum("ub_term").alias("ub_total"))
-    qtb = F.broadcast(
-        qt.join(q_ub, "query_id").select(
-            "query_id", "term_id", "idf", "ub_term", "ub_total"
-        )
+    # One fat postings scan, then skinny everywhere else: the query-
+    # term join materializes ONCE into a cache; the brank window and
+    # the θ-bound filter run over a metadata PROJECTION of that cache
+    # (never shuffling the varbyte payloads), and each selected block's
+    # payload comes back from the cache via a broadcast join on its
+    # (query_id, term_id, min_doc) key. Probed blocks decode ONCE —
+    # their partials persist and union into the final scoring instead
+    # of being re-decoded in phase B (the r02 version shuffled fat
+    # rows through the window AND decoded probed blocks twice; that
+    # made blockmax slower than exhaustive at small corpora).
+    #
+    # The upper bound is RANGE-ALIGNED (the real BMW mechanism, not
+    # the loose Σ global-max-of-other-terms bound): the ord space is
+    # cut into `granules` fixed ranges; per (query, granule g),
+    # UB(g) = Σ_t idf_t · max(block_max of t's blocks overlapping g)
+    # — a doc in g provably scores ≤ UB(g(doc)), so a block prunes
+    # when EVERY granule it spans has UB < θ. A term absent from a
+    # granule contributes 0 there, which is what lets a common term's
+    # background blocks die when the query's rare/high-impact term has
+    # no postings nearby (the global-max bound credits every block
+    # with every other term's best impact and prunes almost nothing).
+    qtb = F.broadcast(qt.select("query_id", "term_id", "idf"))
+    joined = post.join(qtb, "term_id")
+    joined.persist()
+    _deferred_unpersist.append(joined)
+    W = max((n_docs + granules - 1) // granules, 1)
+    meta = joined.select(
+        "query_id", "term_id", "min_doc", "max_doc", "block_max", "idf"
     )
-    meta = post.select("term_id", "min_doc", "block_max").join(qtb, "term_id")
     wprobe = Window.partitionBy("query_id", "term_id").orderBy(
         F.desc("block_max"), F.asc("min_doc")
     )
     meta = meta.withColumn("brank", F.row_number().over(wprobe))
-    meta.persist()
-    _deferred_unpersist.append(meta)
     # phase A: decode the highest-block_max blocks per (query, term)
     probe_keys = meta.filter(F.col("brank") <= probe_blocks).select(
-        "query_id", "term_id", "min_doc", "idf"
+        "query_id", "term_id", "min_doc"
     )
     probed = (
-        post.join(F.broadcast(probe_keys), ["term_id", "min_doc"])
+        joined.join(
+            F.broadcast(probe_keys), ["query_id", "term_id", "min_doc"]
+        )
         .select("query_id", "idf", "docs", "tfs", "dls")
         .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
     )
@@ -538,33 +560,42 @@ def topk(
         )
         .select("query_id", "theta")
     )
-    # phase B: decode the not-yet-probed blocks whose upper bound can
-    # reach θ (a pruned block provably holds no top-k doc; probed
-    # blocks that fail the bound are already in `probed`, and their
-    # partials only ever score docs that stay below θ)
+    # granule-aligned upper bounds; a block's granule span totals
+    # O(granules + nblocks) rows per (query, term) because a term's
+    # blocks tile disjoint ord ranges — metadata-scale throughout
+    spans = meta.withColumn(
+        "g",
+        F.explode(
+            F.expr(f"sequence(min_doc DIV {W}, max_doc DIV {W})")
+        ),
+    )
+    gmax = spans.groupBy("query_id", "g", "term_id").agg(
+        F.max(F.col("idf") * F.col("block_max")).alias("gm")
+    )
+    ub = gmax.groupBy("query_id", "g").agg(F.sum("gm").alias("ub"))
+    # phase B: decode the not-yet-probed blocks where SOME granule can
+    # reach θ (a fully-pruned block provably holds no top-k doc;
+    # probed blocks that fail the bound are already in `probed`, and
+    # their partials only ever score docs that stay below θ)
     surv_keys = (
-        meta.join(F.broadcast(theta), "query_id", "left")
-        .withColumn(
-            "ub",
-            F.col("idf") * F.col("block_max")
-            + F.col("ub_total")
-            - F.col("ub_term"),
-        )
-        .filter(
-            (F.col("brank") > probe_blocks)
-            & (F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
-        )
-        .select("query_id", "term_id", "min_doc", "idf")
+        spans.filter(F.col("brank") > probe_blocks)
+        .join(F.broadcast(ub), ["query_id", "g"])
+        .join(F.broadcast(theta), "query_id", "left")
+        .filter(F.col("theta").isNull() | (F.col("ub") >= F.col("theta")))
+        .select("query_id", "term_id", "min_doc")
+        .distinct()
     )
     rest = (
-        post.join(F.broadcast(surv_keys), ["term_id", "min_doc"])
+        joined.join(
+            F.broadcast(surv_keys), ["query_id", "term_id", "min_doc"]
+        )
         .select("query_id", "idf", "docs", "tfs", "dls")
         .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
     )
     scored = probed.unionByName(rest)
-    # the returned (lazy) DataFrame still references the cached meta /
-    # probed frames, so they are not unpersisted here; the NEXT topk()
-    # call (or session stop) reclaims them via _sweep_deferred
+    # the returned (lazy) DataFrame still references the cached joined
+    # / probed frames, so they are not unpersisted here; the NEXT
+    # topk() call (or session stop) reclaims them via _sweep_deferred
     return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
 
 

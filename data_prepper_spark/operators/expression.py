@@ -146,6 +146,15 @@ def translate_expr(expr: str) -> str:
         ) + ")"
 
     s = re.sub(r"\bhasTags\(([^)]+)\)", _has_tags, s)
+    # getEventType() -> the _event_type metadata column (reference
+    # GetEventTypeExpressionFunction reads JacksonEvent's EventType;
+    # sources set the column via mutate.ensure_event_type, and rows
+    # without one are plain "EVENT")
+    s = re.sub(
+        r"\bgetEventType\(\s*\)",
+        "coalesce(_event_type, 'EVENT')",
+        s,
+    )
     # getMetadata("/attr") -> metadata column _meta_attr
     s = re.sub(
         r'\bgetMetadata\("/?([\w/]+)"\)',

@@ -34,6 +34,19 @@ def ensure_tags(df: DataFrame) -> DataFrame:
     return df.withColumn(TAGS_COL, F.array().cast("array<string>"))
 
 
+EVENT_TYPE_COL = "_event_type"
+
+
+def ensure_event_type(df: DataFrame, event_type: str = "EVENT") -> DataFrame:
+    """Materialize the EventMetadata event type as a string column
+    (reference DefaultEventMetadata eventType; read by the
+    getEventType() expression function). Sources stamp their type —
+    LOG / TRACE / METRIC / DOCUMENT — here."""
+    if EVENT_TYPE_COL in df.columns:
+        return df
+    return df.withColumn(EVENT_TYPE_COL, F.lit(event_type))
+
+
 def add_tags(df: DataFrame, tags: list[str], when: str | None = None) -> DataFrame:
     df = ensure_tags(df)
     new = F.array_union(F.col(TAGS_COL), F.array(*[F.lit(t) for t in tags]))

@@ -362,8 +362,8 @@ def key_value(
     mode is unsupported (nested maps need a fixed schema; flatten +
     prefix covers the common uses), and DUPLICATE keys keep the last
     value (map<string,string>) where the reference promotes them to a
-    list — use split_string on the raw field when list semantics are
-    needed."""
+    list — key_value_list() is the list-promotion twin
+    (map<string,array<string>>)."""
     c = F.col(source)
     # no-value keys must be DROPPED before non_match_value fills them
     # in, or the drop is a no-op (keys with no value_split parse to
@@ -438,6 +438,88 @@ def key_value(
             ),
         )
     return df.withColumn(dest, parsed)
+
+
+def key_value_list(
+    df: DataFrame,
+    source: str,
+    dest: str = "parsed",
+    field_split: str = "&",
+    value_split: str = "=",
+    field_delimiter_regex: str | None = None,
+    key_value_delimiter_regex: str | None = None,
+    include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    prefix: str = "",
+    transform_key: str | None = None,
+    whitespace: str = "lenient",
+    drop_keys_with_no_value: bool = False,
+    non_match_value: str | None = None,
+) -> DataFrame:
+    """key_value with the reference's DUPLICATE-KEY LIST PROMOTION
+    (KeyValueProcessor.java:43 promotes a repeated key's values to a
+    list): output is map<string,array<string>> where each key maps to
+    ALL its values in appearance order. The typed twin of key_value's
+    keep-last map<string,string> (a typed engine cannot produce the
+    reference's heterogeneous scalar-or-list values, so EVERY value is
+    a list here — single-valued keys get one-element lists).
+
+    Pure Catalyst: split -> (k, v) structs -> distinct keys ->
+    per-key filtered value lists. Supports the core option surface
+    (split chars/regex, whitespace, include/exclude, prefix,
+    transform_key, drop_keys_with_no_value, non_match_value);
+    value_grouping needs the scanner UDF and stays keep-last."""
+    fd = field_delimiter_regex or "[" + re.escape(field_split) + "]"
+    kvd = key_value_delimiter_regex or "[" + re.escape(value_split) + "]"
+    parts = F.split(F.col(source), fd)
+    entries = F.transform(
+        parts,
+        lambda p: F.struct(
+            F.element_at(F.split(p, kvd, 2), 1).alias("k"),
+            F.element_at(F.split(p, kvd, 2), 2).alias("v"),
+        ),
+    )
+    if whitespace == "lenient":
+        entries = F.transform(
+            entries,
+            lambda e: F.struct(
+                F.trim(e["k"]).alias("k"), F.trim(e["v"]).alias("v")
+            ),
+        )
+    if drop_keys_with_no_value:
+        entries = F.filter(entries, lambda e: e["v"].isNotNull())
+    elif non_match_value is not None:
+        entries = F.transform(
+            entries,
+            lambda e: F.struct(
+                e["k"].alias("k"),
+                F.coalesce(e["v"], F.lit(non_match_value)).alias("v"),
+            ),
+        )
+    dkeys = F.array_distinct(F.transform(entries, lambda e: e["k"]))
+    if include_keys:
+        inc = F.array(*[F.lit(k) for k in include_keys])
+        dkeys = F.filter(dkeys, lambda k: F.array_contains(inc, k))
+    if exclude_keys:
+        exc = F.array(*[F.lit(k) for k in exclude_keys])
+        dkeys = F.filter(dkeys, lambda k: ~F.array_contains(exc, k))
+    vals = F.transform(
+        dkeys,
+        lambda k: F.transform(
+            F.filter(entries, lambda e: e["k"] == k), lambda e: e["v"]
+        ),
+    )
+    out_keys = dkeys
+    if transform_key in ("lowercase", "uppercase", "capitalize"):
+        fn = {
+            "lowercase": F.lower,
+            "uppercase": F.upper,
+            "capitalize": F.initcap,
+        }[transform_key]
+        out_keys = F.transform(out_keys, fn)
+    if prefix:
+        out_keys = F.transform(out_keys, lambda k: F.concat(F.lit(prefix), k))
+    return df.withColumn(dest, F.map_from_arrays(out_keys, vals))
 
 
 _KV_BRACKETS = {"(": ")", "[": "]", "<": ">", "{": "}"}
@@ -664,6 +746,57 @@ def parse_ion(
     return df.withColumn(dest, F.from_json(conv(F.col(source)), schema))
 
 
+# locale month tables for DateProcessorConfig.locale
+# (DateProcessorConfig.java:61-68 hands the Java Locale to
+# DateTimeFormatter; here localized month names normalize to month
+# NUMBERS — longest name first so e.g. French "juillet" wins over
+# "juil" — and the pattern's M{3,} token drops to numeric MM)
+_LOCALE_MONTHS: dict[str, list[list[str]]] = {
+    "fr": [
+        ["janvier", "janv"], ["février", "fevrier", "févr", "fevr"],
+        ["mars"], ["avril", "avr"], ["mai"], ["juin"],
+        ["juillet", "juil"], ["août", "aout"],
+        ["septembre", "sept"], ["octobre", "oct"],
+        ["novembre", "nov"], ["décembre", "decembre", "déc", "dec"],
+    ],
+    "de": [
+        ["januar", "jan"], ["februar", "feb"], ["märz", "maerz", "mär"],
+        ["april", "apr"], ["mai"], ["juni", "jun"], ["juli", "jul"],
+        ["august", "aug"], ["september", "sep"], ["oktober", "okt"],
+        ["november", "nov"], ["dezember", "dez"],
+    ],
+    "es": [
+        ["enero", "ene"], ["febrero", "feb"], ["marzo", "mar"],
+        ["abril", "abr"], ["mayo", "may"], ["junio", "jun"],
+        ["julio", "jul"], ["agosto", "ago"],
+        ["septiembre", "sept", "sep"], ["octubre", "oct"],
+        ["noviembre", "nov"], ["diciembre", "dic"],
+    ],
+}
+
+
+def _localize_months(col, locale: str):
+    """Rewrite localized month names in a string column to zero-padded
+    month numbers (case-insensitive, optional trailing abbreviation
+    dot), longest name first."""
+    lang = locale.split("_")[0].split("-")[0].lower()
+    if lang == "en":
+        return col, False
+    if lang not in _LOCALE_MONTHS:
+        raise ValueError(f"unsupported date locale {locale!r}")
+    pairs = [
+        (name, month)
+        for month, names in enumerate(_LOCALE_MONTHS[lang], start=1)
+        for name in names
+    ]
+    pairs.sort(key=lambda p: -len(p[0]))
+    for name, month in pairs:
+        col = F.regexp_replace(
+            col, f"(?iu)\\b{re.escape(name)}\\.?", f"{month:02d}"
+        )
+    return col, True
+
+
 def date_parse(
     df: DataFrame,
     source: str | None = None,
@@ -673,6 +806,7 @@ def date_parse(
     time_received_col: str = "_time_received",
     source_zone: str | None = None,
     output_format: str | None = None,
+    locale: str | None = None,
 ) -> DataFrame:
     """date: first-matching pattern wins (DateProcessor match.patterns,
     DateProcessorConfig.java:61-68). Special patterns epoch_second /
@@ -682,14 +816,23 @@ def date_parse(
     of parsing (DateProcessorConfig.from_time_received). source_zone
     interprets pattern-parsed wall-clock values in that zone
     (DateProcessorConfig source_timezone); output_format renders the
-    result back to a formatted string instead of a timestamp."""
+    result back to a formatted string instead of a timestamp. locale
+    ("fr", "de_DE", ...) parses localized month names by normalizing
+    them to month numbers first (built-in tables; English needs no
+    table)."""
     if from_time_received:
         out = F.col(time_received_col).cast("timestamp")
     else:
         if source is None or not patterns:
             raise ValueError("source + patterns required")
+        src_col = F.col(source)
+        localized = False
+        if locale:
+            src_col, localized = _localize_months(src_col, locale)
         attempts = []
         for p in patterns:
+            if localized and "MMM" in p:
+                p = re.sub("M{3,}", "MM", p)
             if p == "epoch_second":
                 attempts.append(F.timestamp_seconds(F.col(source).cast("long")))
             elif p == "epoch_milli":
@@ -704,7 +847,7 @@ def date_parse(
                     )
                 )
             else:
-                parsed = F.try_to_timestamp(F.col(source), F.lit(p))
+                parsed = F.try_to_timestamp(src_col, F.lit(p))
                 if source_zone:
                     parsed = F.to_utc_timestamp(parsed, source_zone)
                 attempts.append(parsed)
