@@ -834,6 +834,142 @@ def detect_format_sniff(spark, sf_dir):
     )
 
 
+def parse_xml_fields(spark, sf_dir):
+    """parse_xml via native from_xml (ParseXmlProcessor.java:24) over
+    XML synthesized from `events` columns."""
+    from data_prepper_spark.operators.parse import parse_xml
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "xml",
+        F.concat(
+            F.lit("<e><t>"), F.col("event_type"), F.lit("</t><u>"),
+            F.col("user_id").cast("string"), F.lit("</u></e>"),
+        ),
+    )
+    p = parse_xml(ev, "xml", "t string, u long")
+    return p.groupBy(F.col("parsed.t").alias("t")).agg(
+        F.count("*").alias("n"), F.sum("parsed.u").alias("u_sum")
+    )
+
+
+def decompress_roundtrip(spark, sf_dir):
+    """decompress (DecompressProcessor.java:32): deflate+base64
+    payloads built from documents.text heads, recovered by the
+    operator; the oracle recomputes the heads directly."""
+    from pyspark.sql.functions import pandas_udf
+
+    from data_prepper_spark.operators.codec_ops import decompress
+
+    def _deflate(s):
+        import base64
+        import zlib
+
+        return s.map(
+            lambda v: base64.b64encode(zlib.compress(v.encode())).decode()
+        )
+
+    comp = pandas_udf(_deflate, "string")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("head")
+    )
+    z = docs.withColumn("payload", comp(F.col("head")))
+    out = decompress(z, "payload", dest="recovered")
+    return out.select("doc_id", "recovered")
+
+
+# UA fixture strings with the exact (browser, version, os, device) the
+# minimal grammar yields (leftmost-match contract: an Android Chrome UA
+# reports os=Linux because "Linux" precedes "Android" in the UA)
+_UA_FIXTURE = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 "
+    "Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
+]
+_UA_EXPECT = [
+    ("Chrome", "Windows NT 10.0", "desktop"),
+    ("Firefox", "Linux", "desktop"),
+    ("Safari", "iPhone OS 16.5", "mobile"),
+    ("Chrome", "Linux", "mobile"),
+]
+
+
+def user_agent_parse(spark, sf_dir):
+    """user_agent parsing (UserAgentProcessor.java:30) over a
+    deterministic UA fixture keyed by event_id."""
+    from data_prepper_spark.operators.codec_ops import user_agent
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ua",
+        F.element_at(
+            F.array(*[F.lit(u) for u in _UA_FIXTURE]),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ),
+    )
+    p = user_agent(ev, "ua")
+    return p.groupBy(
+        F.col("user_agent.browser").alias("browser"),
+        F.col("user_agent.os").alias("os"),
+        F.col("user_agent.device").alias("device"),
+    ).agg(F.count("*").alias("n"))
+
+
+def key_value_dup_list(spark, sf_dir):
+    """key_value duplicate-key LIST promotion
+    (KeyValueProcessor.java:43): repeated keys collect every value, in
+    appearance order, as map<string,array<string>> — surfaced as
+    (event_id, key, values-joined) rows for the oracle."""
+    from data_prepper_spark.operators.parse import key_value_list
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kv",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit("&u="), F.col("user_id").cast("string"),
+            F.lit("&type=T"), (F.col("event_id") % 3).cast("string"),
+        ),
+    )
+    p = key_value_list(ev, "kv", dest="m")
+    e = p.select("event_id", F.explode("m").alias("key", "vals"))
+    return e.select(
+        "event_id", "key", F.array_join("vals", "|").alias("vals")
+    )
+
+
+# French month names indexed by month number, for the locale fixture
+_FR_MONTHS = [
+    "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+    "août", "septembre", "octobre", "novembre", "décembre",
+]
+
+
+def date_locale_parse(spark, sf_dir):
+    """date with locale="fr" (DateProcessorConfig.java:61-68): parses
+    '5 janvier 2024'-style strings synthesized from events.ts."""
+    from data_prepper_spark.operators.parse import date_parse
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "s",
+        F.concat(
+            F.date_format("ts", "d"), F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(m) for m in _FR_MONTHS]), F.month("ts")
+            ),
+            F.lit(" "), F.date_format("ts", "yyyy"),
+        ),
+    )
+    out = date_parse(
+        ev, "s", ["d MMMM yyyy"], locale="fr", output_format="yyyy-MM-dd"
+    )
+    return out.groupBy(F.col("@timestamp").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+
+
 def truncate_text(spark, sf_dir):
     """truncate to a char budget (TruncateProcessor.java:32)."""
     from data_prepper_spark.operators.mutate import truncate
@@ -1328,6 +1464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrap_flatten_roundtrip": wrap_flatten_roundtrip,
         "dissect_log_line": dissect_log_line,
         "detect_format_sniff": detect_format_sniff,
+        "parse_xml_fields": parse_xml_fields,
+        "decompress_roundtrip": decompress_roundtrip,
+        "user_agent_parse": user_agent_parse,
+        "key_value_dup_list": key_value_dup_list,
+        "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
         "write_json_struct": write_json_struct,
@@ -1479,6 +1620,42 @@ FROM events GROUP BY 1
 
     sql["truncate_text"] = """
 SELECT doc_id, substr(text, 1, 40) AS head40 FROM documents
+"""
+
+    sql["parse_xml_fields"] = """
+SELECT event_type AS t, COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS u_sum
+FROM events GROUP BY 1
+"""
+
+    sql["decompress_roundtrip"] = """
+SELECT doc_id, substr(text, 1, 60) AS recovered FROM documents
+"""
+
+    def _ua_case(j: int) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN '{t[j]}'" for i, t in enumerate(_UA_EXPECT)
+        )
+        return f"CASE event_id % 4 {whens} END"
+
+    sql["user_agent_parse"] = f"""
+SELECT {_ua_case(0)} AS browser, {_ua_case(1)} AS os,
+       {_ua_case(2)} AS device, COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+    sql["key_value_dup_list"] = """
+SELECT event_id, 'type' AS key,
+       event_type || '|T' || CAST(event_id % 3 AS VARCHAR) AS vals
+FROM events
+UNION ALL
+SELECT event_id, 'u' AS key, CAST(user_id AS VARCHAR) AS vals
+FROM events
+"""
+
+    sql["date_locale_parse"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+FROM events GROUP BY 1
 """
 
     sql["list_map_filter_chain"] = """

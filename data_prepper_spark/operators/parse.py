@@ -475,8 +475,10 @@ def key_value_list(
     entries = F.transform(
         parts,
         lambda p: F.struct(
-            F.element_at(F.split(p, kvd, 2), 1).alias("k"),
-            F.element_at(F.split(p, kvd, 2), 2).alias("v"),
+            F.try_element_at(F.split(p, kvd, 2), F.lit(1)).alias("k"),
+            # parts with no delimiter have only one split element ->
+            # NULL value (try_element_at, not element_at, which throws)
+            F.try_element_at(F.split(p, kvd, 2), F.lit(2)).alias("v"),
         ),
     )
     if whitespace == "lenient":

@@ -114,3 +114,28 @@ def test_drop_no_value_with_non_match_value(spark):
         non_match_value="none",
     ).collect()[0]
     assert out.m == {"a": "1", "c": "3"}
+
+
+def test_key_value_list_promotion(spark):
+    # reference KeyValueProcessor promotes duplicate keys to a list;
+    # key_value_list is the typed twin (every value a list)
+    from data_prepper_spark.operators.parse import key_value_list
+
+    df = spark.createDataFrame(
+        [("a=1&b=2&a=3&c",)], "msg string"
+    )
+    out = key_value_list(df, "msg", dest="m").collect()[0]
+    assert out.m == {"a": ["1", "3"], "b": ["2"], "c": [None]}
+    out2 = key_value_list(
+        df, "msg", dest="m", drop_keys_with_no_value=True
+    ).collect()[0]
+    assert out2.m == {"a": ["1", "3"], "b": ["2"]}
+    out3 = key_value_list(
+        df, "msg", dest="m", non_match_value="none"
+    ).collect()[0]
+    assert out3.m["c"] == ["none"]
+    out4 = key_value_list(
+        df, "msg", dest="m", include_keys=["a"], prefix="p_",
+        transform_key="uppercase",
+    ).collect()[0]
+    assert out4.m == {"p_A": ["1", "3"]}

@@ -583,3 +583,39 @@ def test_date_epoch_nano_precision(spark):
         .collect()[0]
     )
     assert out.us == ns // 1000
+
+
+def test_date_parse_locale_fr_de(spark):
+    # DateProcessorConfig.locale: localized month names normalize to
+    # month numbers before parsing
+    df = spark.createDataFrame(
+        [("5 janvier 2024",), ("17 août 2023",)], "t string"
+    )
+    out = date_parse(
+        df, "t", ["d MMMM yyyy"], locale="fr",
+        output_format="yyyy-MM-dd",
+    ).collect()
+    assert [r["@timestamp"] for r in out] == ["2024-01-05", "2023-08-17"]
+    df2 = spark.createDataFrame([("3. Dez. 2022",)], "t string")
+    out2 = date_parse(
+        df2, "t", ["d. MMM yyyy"], locale="de_DE",
+        output_format="yyyy-MM-dd",
+    ).collect()
+    assert out2[0]["@timestamp"] == "2022-12-03"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        date_parse(df, "t", ["d MMMM yyyy"], locale="xx")
+
+
+def test_get_event_type_expression(spark):
+    from data_prepper_spark.operators import dp_expr
+    from data_prepper_spark.operators.mutate import ensure_event_type
+
+    df = ensure_event_type(
+        spark.createDataFrame([("a",), ("b",)], "v string"), "LOG"
+    )
+    got = df.filter(dp_expr('getEventType() == "LOG"')).count()
+    assert got == 2
+    df2 = ensure_event_type(spark.createDataFrame([("a",)], "v string"))
+    assert df2.select(dp_expr("getEventType()").alias("t")).first().t == "EVENT"
