@@ -248,7 +248,12 @@ def decode_avro_file(data: bytes) -> tuple[list[dict], dict]:
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro read: schema from one header (driver-side, a
-    few hundred bytes), per-file decode on executors."""
+    few hundred bytes), per-file decode on executors.
+
+    The per-record decode is pure Python — the right call in this
+    jar-less sandbox, and parallel per file, but a real deployment
+    should load the spark-avro package and use
+    spark.read.format("avro") (JVM-side, vectorized) instead."""
     files = _avro_files(path)
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
@@ -453,7 +458,12 @@ def read_event_json(
 
 def write_event_json(df: DataFrame, path: str, version: str = "2.0") -> None:
     """Inverse codec (EventJsonOutputCodec): one envelope per output
-    partition file."""
+    partition file.
+
+    WARNING — debug/interchange codec, not a data path: the envelope
+    format wants ALL events inside one JSON object, so this funnels
+    the whole DataFrame through collect_list + coalesce(1) (one task,
+    driver-scale memory). Use parquet/ndjson sinks for real volumes."""
     data_cols = [c for c in df.columns if not c.startswith("_")]
     ev = df.select(
         F.struct(
