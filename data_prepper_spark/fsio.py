@@ -107,5 +107,21 @@ def open_input_file(path: str):
     return f.open_input_file(p)
 
 
+def open_output_stream(path: str):
+    """Sequential output stream (pass to pyarrow.parquet.ParquetWriter)."""
+    f, p = resolve(path)
+    return f.open_output_stream(p)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename/move within one filesystem. POSIX rename replaces an
+    existing destination atomically; object stores copy+delete — both
+    give the 'never observe a partial file' guarantee the token-commit
+    protocol needs."""
+    f, p = resolve(src)
+    _, q = resolve(dst)
+    f.move(p, q)
+
+
 def basename(path: str) -> str:
     return posixpath.basename(path.rstrip("/"))

@@ -96,6 +96,17 @@ class BuildConfig:
     # set False to stream over the socket instead. Output is
     # bit-identical either way (asserted in tests).
     sideband_encode: bool = True
+    # reverse sideband (ROADMAP r03 item 1): the tokenize UDF writes
+    # its aggregated (doc, term, tf) batches to the partitioned tokens
+    # table DIRECTLY with pyarrow.parquet and returns only per-unit
+    # stat rows through the Arrow socket — the 10^8-row token feed
+    # never crosses Python->JVM and never runs through Spark's write
+    # path. Dynamic-partition-overwrite resume semantics are preserved
+    # by a clear-pending-partitions + hidden-file + rename-on-success
+    # commit protocol (see _make_direct_tokenizer). Tokens on disk are
+    # identical in layout and content either way (asserted in tests);
+    # set False to route the write through the JVM instead.
+    direct_tokens_write: bool = True
 
 
 # On-disk tokens-table format version. v3 = one row per DISTINCT
@@ -338,6 +349,119 @@ def _tokenize_batches_arrow(it):
             )
 
 
+TOKENIZE_STATS_SCHEMA = "unit string, n_docs long, rows_out long, nq long"
+
+
+def _make_direct_tokenizer(tokens_dir: str):
+    """mapInArrow factory: the same single validate+tokenize corpus
+    pass as `_tokenize_batches_arrow`, but each task writes the token
+    batches to `tokens/unit=<u>/part-<pid>.parquet` itself with
+    pyarrow.parquet (C++ encode, snappy — byte-compatible with the
+    JVM-written layout, partition column encoded in the dir name only)
+    and yields nothing but per-unit stat rows. The ~10^8-row token
+    feed at SF=0.1 never crosses the Python->JVM Arrow socket.
+
+    Commit protocol (the dynamic-partition-overwrite / lease analog —
+    reference source coordination holds a lease per work unit and
+    re-does the whole unit on expiry,
+    core/sourcecoordination/LeaseBasedSourceCoordinator.java:157):
+      * the driver clears tokens/unit=<u>/ for every PENDING unit
+        before the job; COMPLETE units are never touched, so resume
+        safety is unchanged;
+      * a task writes `.part-<pid>.parquet.inprogress-<attempt>`
+        (dot-prefixed: invisible to Spark/Hadoop file listings) and
+        renames to `part-<pid>.parquet` only after its input is
+        exhausted — a failed or retried attempt never leaves a
+        visible partial file;
+      * the final name is keyed by partition id alone and the
+        input->output mapping is deterministic, so a retried
+        attempt's rename replaces identical content (idempotent).
+    """
+
+    def run(it):
+        import posixpath
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from data_prepper_spark import fsio as _fsio
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        att = tc.attemptNumber() if tc is not None else 0
+        data_cols = [
+            "doc_id", "term", "dl", "tf", "err", "repo", "path", "commit"
+        ]
+        writers: dict = {}  # unit -> (ParquetWriter, sink)
+        paths: dict = {}  # unit -> (tmp, final)
+        stats: dict = {}  # unit -> [n_docs, rows_out, nq]
+
+        def writer_for(unit, schema):
+            w = writers.get(unit)
+            if w is None:
+                d = posixpath.join(tokens_dir, f"unit={unit}")
+                _fsio.makedirs(d)
+                tmp = posixpath.join(
+                    d, f".part-{pid:05d}.parquet.inprogress-{att}"
+                )
+                final = posixpath.join(d, f"part-{pid:05d}.parquet")
+                sink = _fsio.open_output_stream(tmp)
+                w = (
+                    pq.ParquetWriter(sink, schema, compression="snappy"),
+                    sink,
+                )
+                writers[unit] = w
+                paths[unit] = (tmp, final)
+            return w[0]
+
+        try:
+            for batch in _tokenize_batches_arrow(it):
+                u = batch.column(0)
+                uniq = pc.unique(u).to_pylist()
+                for unit in uniq:
+                    sub = (
+                        batch
+                        if len(uniq) == 1
+                        else batch.filter(pc.equal(u, unit))
+                    )
+                    data = sub.select(data_cols)
+                    errs = data.column(4)
+                    n = data.num_rows
+                    st = stats.setdefault(unit, [0, 0, 0])
+                    st[0] += pc.sum(
+                        pc.and_(
+                            pc.is_null(data.column(1)), pc.is_null(errs)
+                        ).cast(pa.int64())
+                    ).as_py() or 0
+                    st[1] += errs.null_count
+                    st[2] += n - errs.null_count
+                    writer_for(unit, data.schema).write_batch(
+                        data, row_group_size=1 << 20
+                    )
+        finally:
+            for w, sink in writers.values():
+                w.close()
+                sink.close()
+        # commit: reached only when the input was fully consumed
+        for tmp, final in paths.values():
+            _fsio.move(tmp, final)
+        if stats:
+            units = sorted(stats)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(units, pa.string()),
+                    pa.array([stats[x][0] for x in units], pa.int64()),
+                    pa.array([stats[x][1] for x in units], pa.int64()),
+                    pa.array([stats[x][2] for x in units], pa.int64()),
+                ],
+                names=["unit", "n_docs", "rows_out", "nq"],
+            )
+
+    return run
+
+
 QUARANTINE_SCHEMA = (
     "repo string, path string, commit string, plugin_name string, "
     "pipeline_name string, error_message string, unit string"
@@ -393,22 +517,48 @@ def run_tokenize_stage(
     # corpus rows are fat (~30 KB content): cap UDF input batches so a
     # worker holds ~32 MB of content, not gigabytes. Scoped: the small
     # batch size must not leak into later jobs on this session.
-    tokens = src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA)
-    with _scoped_conf(
-        spark,
-        spark__sql__execution__arrow__maxRecordsPerBatch="1024",
-        spark__sql__sources__partitionOverwriteMode="dynamic",
-    ):
-        (
-            tokens.write.mode("overwrite")
-            .partitionBy("unit")
-            .parquet(os.path.join(index_dir, "tokens"))
+    tokens_path = os.path.join(index_dir, "tokens")
+    direct_stats = None
+    if cfg.direct_tokens_write:
+        # reverse sideband: Python workers write the token parquet
+        # themselves; the overwrite-pending-partitions semantics of the
+        # JVM path's dynamic partitionOverwriteMode are reproduced by
+        # clearing each PENDING unit's partition up front (completed
+        # units are untouched — same resume contract).
+        for u in pending:
+            fsio.rmtree(os.path.join(tokens_path, f"unit={_unit_id(u)}"))
+        stats_df = src.mapInArrow(
+            _make_direct_tokenizer(tokens_path), schema=TOKENIZE_STATS_SCHEMA
         )
+        with _scoped_conf(
+            spark, spark__sql__execution__arrow__maxRecordsPerBatch="1024"
+        ):
+            direct_stats = (
+                stats_df.groupBy("unit")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("rows_out").alias("rows_out"),
+                    F.sum("nq").alias("nq"),
+                )
+                .collect()
+            )
+    else:
+        tokens = src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA)
+        with _scoped_conf(
+            spark,
+            spark__sql__execution__arrow__maxRecordsPerBatch="1024",
+            spark__sql__sources__partitionOverwriteMode="dynamic",
+        ):
+            (
+                tokens.write.mode("overwrite")
+                .partitionBy("unit")
+                .parquet(tokens_path)
+            )
 
     # DLQ: failure-metadata columns mirror the reference's
     # _failure_metadata {pluginId, pluginName, pipelineName, errorMessage}
     # (reference model/event/JacksonEvent.java:66-94)
-    written = spark.read.parquet(os.path.join(index_dir, "tokens")).filter(
+    written = spark.read.parquet(tokens_path).filter(
         F.col("unit").isin([_unit_id(u) for u in pending])
     )
     quarantine = written.filter(F.col("err").isNotNull()).select(
@@ -426,18 +576,23 @@ def run_tokenize_stage(
             .parquet(os.path.join(index_dir, "quarantine"))
         )
 
-    # per-unit metrics from the written output (columnar count read)
-    out_stats = (
-        written.groupBy("unit")
-        .agg(
-            F.sum(F.when(F.col("err").isNull(), 1).otherwise(0)).alias("rows_out"),
-            F.sum(
-                F.when(F.col("term").isNull() & F.col("err").isNull(), 1).otherwise(0)
-            ).alias("n_docs"),
-            F.sum(F.when(F.col("err").isNotNull(), 1).otherwise(0)).alias("nq"),
+    # per-unit metrics: the direct path already collected them from the
+    # tokenize tasks (no extra pass over the tokens table); the JVM
+    # path derives them from the written output (columnar count read)
+    if direct_stats is not None:
+        out_stats = direct_stats
+    else:
+        out_stats = (
+            written.groupBy("unit")
+            .agg(
+                F.sum(F.when(F.col("err").isNull(), 1).otherwise(0)).alias("rows_out"),
+                F.sum(
+                    F.when(F.col("term").isNull() & F.col("err").isNull(), 1).otherwise(0)
+                ).alias("n_docs"),
+                F.sum(F.when(F.col("err").isNotNull(), 1).otherwise(0)).alias("nq"),
+            )
+            .collect()
         )
-        .collect()
-    )
     rows = []
     for r in out_stats:
         uid = r["unit"]

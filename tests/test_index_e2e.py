@@ -170,6 +170,43 @@ def test_sideband_encode_identical(spark, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(outs["side"], outs["stream"])
 
 
+def test_direct_tokens_write_identical(spark, fixture_dir, tmp_path):
+    """The direct (pyarrow-written, reverse-sideband) and JVM-written
+    tokens tables are identical in content, and the indexes built from
+    them are bit-identical."""
+    import pandas as pd
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+
+    posts, toks = {}, {}
+    for name, direct in (("direct", True), ("jvm", False)):
+        idx = str(tmp_path / name)
+        build_index(
+            spark,
+            os.path.join(fixture_dir, "corpus.parquet"),
+            idx,
+            BuildConfig(direct_tokens_write=direct),
+        )
+        posts[name] = (
+            spark.read.parquet(os.path.join(idx, "postings"))
+            .select(
+                "term_id", "min_doc", "n", "docs", "tfs", "dls",
+                "max_tf", "block_max",
+            )
+            .toPandas()
+            .sort_values(["term_id", "min_doc"])
+            .reset_index(drop=True)
+        )
+        t = spark.read.parquet(os.path.join(idx, "tokens")).toPandas()
+        toks[name] = (
+            t[sorted(t.columns)]
+            .sort_values(["unit", "doc_id", "term"], na_position="first")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(posts["direct"], posts["jvm"])
+    pd.testing.assert_frame_equal(toks["direct"], toks["jvm"])
+
+
 def test_query_session_matches_topk(spark, index_dir, queries_pdf):
     """QuerySession.topk_one (driver dict + single-job serve path) is
     rank- and score-identical to the module-level topk."""
