@@ -539,6 +539,45 @@ def grok_apache_log(spark, sf_dir):
     )
 
 
+def grok_haproxy_log(spark, sf_dir):
+    """HAPROXYTCP from the bundled ecosystem pattern sets
+    (load_builtin_pattern_sets — the public Logstash-ecosystem files
+    the reference's grok plugin consumes via patterns_directories,
+    GrokProcessorConfig.java): log lines are constructed
+    deterministically from `events`, parsed with %{HAPROXYTCP}, and
+    the oracle reproduces the construction arithmetic directly — any
+    capture misalignment shifts values and fails the hash. The pid is
+    kept >=1: SYSLOGPROG captures it as POSINT, like real pids."""
+    from data_prepper_spark.operators.parse import (
+        grok,
+        load_builtin_pattern_sets,
+    )
+
+    load_builtin_pattern_sets("haproxy")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    lines = ev.select(
+        F.format_string(
+            "Feb  6 12:14:14 lb haproxy[%d]: 10.0.%d.%d:%d "
+            "[06/Feb/2009:12:14:14.655] fnt bck/srv%d 0/0/%d %d -- "
+            "1/1/1/1/0 0/0",
+            (F.col("event_id") % 30000 + 1).cast("int"),
+            (F.col("user_id") % 250).cast("int"),
+            (F.col("event_id") % 250).cast("int"),
+            (F.col("event_id") % 50000 + 10000).cast("int"),
+            (F.col("user_id") % 8).cast("int"),
+            (F.col("event_id") % 9000).cast("int"),
+            (F.col("event_id") % 100000).cast("int"),
+        ).alias("log")
+    )
+    g = grok(lines, "log", "%{HAPROXYTCP}")
+    return g.groupBy("server_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("bytes_read").cast("bigint")).alias("sum_bytes"),
+        F.max(F.col("client_port").cast("bigint")).alias("max_port"),
+        F.min("client_ip").alias("min_ip"),
+    )
+
+
 def key_value_grouped(spark, sf_dir):
     """key_value with value_grouping: quoted values keep embedded field
     delimiters (reference KeyValueProcessor.parseWithValueGrouping,
@@ -1477,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_ranges": translate_ranges,
         "grok_extract_props": grok_extract_props,
         "grok_apache_log": grok_apache_log,
+        "grok_haproxy_log": grok_haproxy_log,
         "key_value_parse": key_value_parse,
         "key_value_grouped": key_value_grouped,
         "date_histogram_daily": date_histogram_daily,
@@ -1795,6 +1835,19 @@ WITH g AS (
 SELECT verb, response, COUNT(*) AS n, MIN(clientip) AS min_ip,
        CAST(SUM(bytes) AS BIGINT) AS sum_bytes
 FROM g GROUP BY 1, 2
+"""
+
+    sql["grok_haproxy_log"] = """
+WITH g AS (
+  SELECT 'srv' || (user_id % 8) AS server_name,
+         event_id % 100000 AS bytes,
+         event_id % 50000 + 10000 AS port,
+         '10.0.' || (user_id % 250) || '.' || (event_id % 250) AS ip
+  FROM events WHERE event_id % 17 = 0
+)
+SELECT server_name, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+       CAST(MAX(port) AS BIGINT) AS max_port, MIN(ip) AS min_ip
+FROM g GROUP BY 1
 """
 
     sql["key_value_grouped"] = """

@@ -107,6 +107,14 @@ class BuildConfig:
     # identical in layout and content either way (asserted in tests);
     # set False to route the write through the JVM instead.
     direct_tokens_write: bool = True
+    # ordinal assignment order: "doc_id" (default — ord order equals
+    # doc_id order, so the (score desc, doc_id asc) tie-break matches
+    # the oracle exactly) or "dl" (impact-ordered: ascending doc
+    # length clusters per-term high-impact postings into early blocks,
+    # raising blockmax_dispersion so block-max pruning actually prunes
+    # — the docid-reordering trade; tie-breaks at EXACT score ties
+    # then follow dl-order, documented divergence).
+    ordinal_order: str = "doc_id"
 
 
 # On-disk tokens-table format version. v3 = one row per DISTINCT
@@ -810,42 +818,99 @@ def run_index_stage(
     # runs and parallelism levels.
     from pyspark.sql import Window as W
 
-    shift = 64 - cfg.ord_group_bits
-    base = (
-        tokens.filter(F.col("term").isNull() & F.col("err").isNull())
-        .select("doc_id", "dl", "repo", "path", "commit")
-        .withColumn("_grp", F.shiftright("doc_id", shift))
-    )
-    # ONE scan of the sentinel rows (persisted — they are n_docs skinny
-    # rows, tiny next to the token rows sharing the parquet files)
-    # yields the per-range counts for the ordinal offsets AND the
-    # corpus stats: dl values are ints, so the grouped double sums are
-    # exact and avgdl is bit-identical to a direct global average.
-    base = base.persist()
-    grp_rows = base.groupBy("_grp").agg(
-        F.count("*").alias("n"), F.sum("dl").alias("dl_sum")
-    ).collect()
-    cnts = sorted((r["_grp"], r["n"], r["dl_sum"]) for r in grp_rows)
-    offs, acc, dl_total = [], 0, 0
-    for g, n, s in cnts:
-        offs.append((g, acc))
-        acc += n
-        dl_total += int(s)
-    n_docs = acc
-    avgdl = dl_total / n_docs if n_docs else 0.0
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_grp long, _off long")
-    docs = (
-        base.join(F.broadcast(off_df), "_grp")
-        .withColumn(
-            "ord",
-            (
-                F.row_number().over(W.partitionBy("_grp").orderBy("doc_id"))
-                + F.col("_off")
-                - 1
-            ).cast("long"),
+    sent = tokens.filter(
+        F.col("term").isNull() & F.col("err").isNull()
+    ).select("doc_id", "dl", "repo", "path", "commit")
+    if cfg.ordinal_order == "dl":
+        # impact-ordered ordinals (ROADMAP r03 item 2, the classic
+        # docid-reordering trade): rank docs by (dl asc, doc_id asc).
+        # BM25 impact is monotone-decreasing in dl for fixed tf, so
+        # ascending-dl ordinals cluster each term's high-impact
+        # postings into its EARLY blocks — within-term block_max then
+        # spreads (high dispersion) and block-max pruning prunes, even
+        # on corpora whose hash-random doc order defeats it. Cost:
+        # tie-break at exact score ties follows dl-order, not doc_id
+        # order (documented; default stays "doc_id").
+        #
+        # Parallel global rank without a single-partition window: an
+        # exact per-dl histogram (distinct dl counts — thousands of
+        # rows, deterministic) is collected once; the driver greedily
+        # packs dl values into ~2^ord_group_bits balanced bands and
+        # computes each band's cumulative offset. Docs are ranked
+        # within bands by (dl, doc_id) and shifted — monotone because
+        # band boundaries never split a dl value. A single pathological
+        # dl shared by most docs bounds the skew of one band (same
+        # bound any order-by on that key has).
+        base = sent.persist()
+        hist = base.groupBy("dl").count().collect()
+        pairs = sorted((int(r["dl"]), int(r["count"])) for r in hist)
+        n_docs = sum(c for _, c in pairs)
+        dl_total = sum(d * c for d, c in pairs)
+        avgdl = dl_total / n_docs if n_docs else 0.0
+        target = max(1, -(-n_docs // (1 << cfg.ord_group_bits)))
+        band_rows, offs = [], [(0, 0)]
+        band, in_band, off = 0, 0, 0
+        for d, c in pairs:
+            if in_band >= target:
+                band += 1
+                offs.append((band, off))
+                in_band = 0
+            band_rows.append((d, band))
+            in_band += c
+            off += c
+        band_df = spark.createDataFrame(
+            band_rows or [(0, 0)], "dl int, _grp int"
         )
-        .drop("_grp", "_off")
-    )
+        off_df = spark.createDataFrame(offs, "_grp int, _off long")
+        docs = (
+            base.join(F.broadcast(band_df), "dl")
+            .join(F.broadcast(off_df), "_grp")
+            .withColumn(
+                "ord",
+                (
+                    F.row_number().over(
+                        W.partitionBy("_grp").orderBy("dl", "doc_id")
+                    )
+                    + F.col("_off")
+                    - 1
+                ).cast("long"),
+            )
+            .select("doc_id", "dl", "repo", "path", "commit", "ord")
+        )
+    else:
+        shift = 64 - cfg.ord_group_bits
+        base = sent.withColumn("_grp", F.shiftright("doc_id", shift))
+        # ONE scan of the sentinel rows (persisted — they are n_docs
+        # skinny rows, tiny next to the token rows sharing the parquet
+        # files) yields the per-range counts for the ordinal offsets
+        # AND the corpus stats: dl values are ints, so the grouped
+        # double sums are exact and avgdl is bit-identical to a direct
+        # global average.
+        base = base.persist()
+        grp_rows = base.groupBy("_grp").agg(
+            F.count("*").alias("n"), F.sum("dl").alias("dl_sum")
+        ).collect()
+        cnts = sorted((r["_grp"], r["n"], r["dl_sum"]) for r in grp_rows)
+        offs, acc, dl_total = [], 0, 0
+        for g, n, s in cnts:
+            offs.append((g, acc))
+            acc += n
+            dl_total += int(s)
+        n_docs = acc
+        avgdl = dl_total / n_docs if n_docs else 0.0
+        off_df = spark.createDataFrame(offs or [(0, 0)], "_grp long, _off long")
+        docs = (
+            base.join(F.broadcast(off_df), "_grp")
+            .withColumn(
+                "ord",
+                (
+                    F.row_number().over(W.partitionBy("_grp").orderBy("doc_id"))
+                    + F.col("_off")
+                    - 1
+                ).cast("long"),
+            )
+            .select("doc_id", "dl", "repo", "path", "commit", "ord")
+        )
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     base.unpersist()
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
@@ -1079,6 +1144,7 @@ def run_index_stage(
         "k1": cfg.k1,
         "b": cfg.b,
         "blockmax_dispersion": round(dispersion, 4),
+        "ordinal_order": cfg.ordinal_order,
         "units": units_done,
     }
     fsio.write_text(os.path.join(index_dir, "stats.json"), json.dumps(stats))

@@ -139,6 +139,30 @@ def load_grok_patterns(paths: str | list[str]) -> int:
     return n
 
 
+def load_builtin_pattern_sets(*sets: str) -> int:
+    """Load bundled ecosystem pattern files into the library
+    (grok_pattern_sets/<name>.grok — the Logstash-ecosystem sets the
+    reference's grok plugin can consume as extra pattern dirs,
+    GrokProcessorConfig `patterns_directories`). Available: extras,
+    java, haproxy, postgresql, nagios, aws. The `extras` set (date/tz
+    helpers several others reference) always loads first. Returns the
+    number of patterns loaded."""
+    import os as _os
+
+    base = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "grok_pattern_sets",
+    )
+    names = ["extras"] + [s for s in sets if s != "extras"]
+    paths = []
+    for s in names:
+        p = _os.path.join(base, f"{s}.grok")
+        if not _os.path.exists(p):
+            raise KeyError(f"unknown bundled grok pattern set {s!r}")
+        paths.append(p)
+    return load_grok_patterns(paths)
+
+
 def compile_grok(
     pattern: str, capture_unnamed: bool = False
 ) -> tuple[str, list[str], list[int]]:
@@ -278,8 +302,27 @@ def grok(
     field_exprs: dict[str, object] = {}
     for j, (regex, names, gidx) in enumerate(compiled):
         m = F.col(f"__grok_m{j}") & ~matched_prev
+        # a name can appear in several alternation branches of one
+        # pattern (e.g. NAGIOSLOGLINE's nagios_state): the branch that
+        # participated is the non-empty capture — first non-empty wins.
+        # Unique names keep the raw capture (empty string when the
+        # group matched empty — established oracle-checked semantics).
+        occs: dict[str, list[int]] = {}
         for i, name in enumerate(names):
-            ext = F.element_at(F.col(f"__grok_p{j}"), i + 1)
+            occs.setdefault(name, []).append(i)
+        for name, idxs in occs.items():
+            if len(idxs) == 1:
+                ext = F.element_at(F.col(f"__grok_p{j}"), idxs[0] + 1)
+            else:
+                ext = F.coalesce(
+                    *[
+                        F.nullif(
+                            F.element_at(F.col(f"__grok_p{j}"), i + 1),
+                            F.lit(""),
+                        )
+                        for i in idxs
+                    ]
+                )
             if name in df.columns and name not in overwrite:
                 ext = F.coalesce(F.col(name), ext)
             prev = field_exprs.get(name)

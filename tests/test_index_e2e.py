@@ -207,6 +207,51 @@ def test_direct_tokens_write_identical(spark, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(toks["direct"], toks["jvm"])
 
 
+def test_impact_ordered_ordinals(
+    spark, fixture_dir, index_dir, queries_pdf, gold, tmp_path
+):
+    """ordinal_order='dl' (docid-reordering for block-max pruning):
+    scores stay oracle-identical (doc swaps only at exact float ties),
+    ordinals follow (dl asc, doc_id asc), and the within-term
+    block_max dispersion rises vs the default hash-random order."""
+    import json
+
+    import pandas as pd
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+
+    idx = str(tmp_path / "dlord")
+    build_index(
+        spark,
+        os.path.join(fixture_dir, "corpus.parquet"),
+        idx,
+        BuildConfig(
+            n_buckets=8, hot_group_target=2_000, ordinal_order="dl"
+        ),
+    )
+    qdf = spark.createDataFrame(queries_pdf)
+    for mode in ("exhaustive", "blockmax"):
+        got = topk(spark, idx, qdf, k=10, mode=mode).toPandas()
+        _compare(got, gold)
+
+    docs = (
+        spark.read.parquet(os.path.join(idx, "docs"))
+        .toPandas()
+        .sort_values("ord")
+        .reset_index(drop=True)
+    )
+    want = docs.sort_values(["dl", "doc_id"]).reset_index(drop=True)
+    assert (docs["doc_id"].values == want["doc_id"].values).all()
+    assert (docs["ord"].values == np.arange(len(docs))).all()
+
+    with open(os.path.join(idx, "stats.json")) as f:
+        dl_stats = json.load(f)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        def_stats = json.load(f)
+    assert dl_stats["ordinal_order"] == "dl"
+    assert dl_stats["blockmax_dispersion"] > def_stats["blockmax_dispersion"]
+
+
 def test_query_session_matches_topk(spark, index_dir, queries_pdf):
     """QuerySession.topk_one (driver dict + single-job serve path) is
     rank- and score-identical to the module-level topk."""

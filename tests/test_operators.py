@@ -122,6 +122,71 @@ def test_grok_multi_pattern_break_on_match(spark):
     assert out[0]._tags == [] and out[1]._tags == []
 
 
+def test_grok_builtin_pattern_sets(spark):
+    """Bundled ecosystem sets (java/haproxy/nagios/aws/postgresql)
+    load into the library and parse representative lines; duplicate
+    capture names across alternation branches coalesce to the
+    participating branch's value."""
+    from data_prepper_spark.operators.parse import load_builtin_pattern_sets
+
+    assert load_builtin_pattern_sets(
+        "java", "haproxy", "postgresql", "nagios", "aws"
+    ) > 40
+    df = spark.createDataFrame(
+        [
+            (
+                "2014-01-09 20:03:28 | ERROR | com.example.service.Main"
+                " - Connection refused",
+            )
+        ],
+        "log string",
+    )
+    out = grok(df, "log", "%{TOMCATLOG}").collect()[0]
+    assert out.level == "ERROR"
+    assert out["class"] == "com.example.service.Main"
+    assert out.logmessage == "Connection refused"
+
+    df = spark.createDataFrame(
+        [
+            (
+                "[1427925600] SERVICE ALERT: varnish;Backend Conns;"
+                "CRITICAL;SOFT;1;anomaly detected",
+            ),
+            (
+                "[1427925700] CURRENT HOST STATE: web01;UP;HARD;1;"
+                "PING OK",
+            ),
+        ],
+        "log string",
+    )
+    rows = grok(df, "log", "%{NAGIOSLOGLINE}").collect()
+    # nagios_state appears in several alternation branches — the
+    # participating branch's capture must win
+    assert rows[0].nagios_type == "SERVICE ALERT"
+    assert rows[0].nagios_state == "CRITICAL"
+    assert rows[0].nagios_service == "Backend Conns"
+    assert rows[1].nagios_type == "CURRENT HOST STATE"
+    assert rows[1].nagios_state == "UP"
+    assert rows[1].nagios_hostname == "web01"
+
+    df = spark.createDataFrame(
+        [
+            (
+                'Dec  9 13:01:26 lb haproxy[23724]: 127.0.0.1:39759 '
+                '[09/Dec/2013:12:59:46.633] lb default/instance8 '
+                '0/51536/1/48082/99627 200 83285 - - ---- 87/87/87/1/0 '
+                '0/67 "GET /index.html HTTP/1.1"',
+            )
+        ],
+        "log string",
+    )
+    out = grok(df, "log", "%{HAPROXYHTTP}").collect()[0]
+    assert out.client_ip == "127.0.0.1"
+    assert out.http_status_code == "200"
+    assert out.http_verb == "GET"
+    assert out.backend_name == "default"
+
+
 def test_dissect(spark):
     df = spark.createDataFrame([("alice-42@host",)], "s string")
     out = dissect(df, "s", "%{user}-%{id}@%{host}").collect()[0]
