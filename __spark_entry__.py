@@ -1461,6 +1461,271 @@ def bm25_indexed_engine(spark, sf_dir):
     )
 
 
+def _otel_frac_ns(eid):
+    """Deterministic sub-second nanos chosen to exercise every ISO-8601
+    fraction group the reference prints (0 / 3 / 6 / 9 digits)."""
+    return (
+        F.when(eid % 4 == 0, 0)
+        .when(eid % 4 == 1, 500000000)
+        .when(eid % 4 == 2, 123456000)
+        .otherwise(123456789)
+    )
+
+
+_OTEL_FRAC_SQL = (
+    "CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN '.500' "
+    "WHEN 2 THEN '.123456' ELSE '.123456789' END"
+)
+
+
+def _otel_iso_sql(secs_expr: str) -> str:
+    return (
+        f"strftime(make_timestamp(({secs_expr}) * 1000000), "
+        f"'%Y-%m-%dT%H:%M:%S') || {_OTEL_FRAC_SQL} || 'Z'"
+    )
+
+
+def otel_traces_decode(spark, sf_dir):
+    """otel_traces source codec (OTelProtoOpensearchCodec.java:330-485)
+    over synthesized OTLP/JSON span payloads: span scalar fields,
+    attribute flattening ('.'->'@', span./resource./scope prefixes),
+    status merge, Instant ISO-8601 rendering (0/3/6/9 fraction
+    digits), root-span traceGroup + traceGroupFields."""
+    from data_prepper_spark.operators.otel import otel_traces
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    eid = F.col("event_id")
+    root = eid % 3 == 0
+    secs = F.lit(1700000000) + eid % 86400
+    start_ns = secs * F.lit(1000000000) + _otel_frac_ns(eid)
+    end_ns = start_ns + (eid % 5) * F.lit(1000000000)
+    hx = lambda c, n: F.lpad(F.lower(F.hex(c)), n, "0")  # noqa: E731
+    verb = F.element_at(
+        F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"), F.lit("DELETE")),
+        (eid % 4 + 1).cast("int"),
+    )
+    payload = F.concat(
+        F.lit(
+            '{"resourceSpans":[{"resource":{"attributes":[{"key":'
+            '"service.name","value":{"stringValue":"svc-'
+        ),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(
+            '"}}]},"scopeSpans":[{"scope":{"name":"io.lib","version":"1.2"},'
+            '"spans":[{"traceId":"'
+        ),
+        hx(eid, 32),
+        F.lit('","spanId":"'),
+        hx(eid + 1, 16),
+        F.lit('","parentSpanId":"'),
+        F.when(root, F.lit("")).otherwise(hx(eid + 2, 16)),
+        F.lit('","name":"'),
+        F.col("event_type"),
+        F.lit('","kind":'),
+        (eid % 6).cast("string"),
+        F.lit(',"startTimeUnixNano":"'),
+        start_ns.cast("string"),
+        F.lit('","endTimeUnixNano":"'),
+        end_ns.cast("string"),
+        F.lit(
+            '","attributes":[{"key":"http.method","value":{"stringValue":"'
+        ),
+        verb,
+        F.lit('"}},{"key":"retries","value":{"intValue":"'),
+        (eid % 7).cast("string"),
+        F.lit('"}}],"status":{"code":'),
+        (eid % 3).cast("string"),
+        F.when(eid % 3 == 2, F.lit(',"message":"boom"')).otherwise(F.lit("")),
+        F.lit("}}]}]}]}"),
+    )
+    out = otel_traces(e.withColumn("message", payload))
+    a = F.col("attributes")
+    return out.select(
+        F.col("event_id").alias("eid"),
+        F.col("traceId").alias("trace_id"),
+        F.col("spanId").alias("span_id"),
+        F.col("parentSpanId").alias("parent"),
+        F.col("name").alias("span_name"),
+        F.col("serviceName").alias("service"),
+        F.col("kind"),
+        F.col("startTime").alias("start_time"),
+        F.col("endTime").alias("end_time"),
+        F.col("durationInNanos").alias("dur_ns"),
+        F.element_at(a, "status.code").cast("int").alias("status_code"),
+        F.element_at(a, "status.message").alias("status_msg"),
+        F.element_at(a, "span.attributes.http@method").alias("http_method"),
+        F.element_at(a, "span.attributes.retries").cast("long").alias("retries"),
+        F.element_at(a, "instrumentationScope.name").alias("scope_name"),
+        F.element_at(a, "resource.attributes.service@name").alias("res_service"),
+        F.col("traceGroup").alias("trace_group"),
+        F.col("traceGroupFields.durationInNanos").alias("tg_dur"),
+        F.col("traceGroupFields.statusCode").alias("tg_code"),
+    )
+
+
+def otel_logs_decode(spark, sf_dir):
+    """otel_logs source codec (OTelProtoOpensearchCodec.java:299-328):
+    LogRecord fields, severity as enum-name or number, anyValue body
+    (string and int branches), log/resource/scope attribute
+    flattening."""
+    from data_prepper_spark.operators.otel import otel_logs
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    eid = F.col("event_id")
+    secs = F.lit(1710000000) + eid % 86400
+    t_ns = secs * F.lit(1000000000) + _otel_frac_ns(eid)
+    sev = F.when(eid % 2 == 0, F.lit('"SEVERITY_NUMBER_INFO"')).otherwise(
+        (eid % 24 + 1).cast("string")
+    )
+    body = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit('{"stringValue":"msg '), eid.cast("string"), F.lit('"}')),
+    ).otherwise(
+        F.concat(F.lit('{"intValue":"'), (eid * 3).cast("string"), F.lit('"}'))
+    )
+    hx = lambda c, n: F.lpad(F.lower(F.hex(c)), n, "0")  # noqa: E731
+    payload = F.concat(
+        F.lit(
+            '{"resourceLogs":[{"resource":{"attributes":[{"key":'
+            '"service.name","value":{"stringValue":"svc-'
+        ),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(
+            '"}}]},"scopeLogs":[{"scope":{"name":"lg"},"schemaUrl":"s1",'
+            '"logRecords":[{"timeUnixNano":"'
+        ),
+        t_ns.cast("string"),
+        F.lit('","observedTimeUnixNano":"'),
+        (t_ns + F.lit(1000000000)).cast("string"),
+        F.lit('","severityNumber":'),
+        sev,
+        F.lit(',"severityText":"sev-'),
+        (eid % 5).cast("string"),
+        F.lit('","body":'),
+        body,
+        F.lit(',"attributes":[{"key":"env","value":{"stringValue":"e-'),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit('"}}],"droppedAttributesCount":'),
+        (eid % 4).cast("string"),
+        F.lit(',"flags":'),
+        (eid % 256).cast("string"),
+        F.lit(',"traceId":"'),
+        hx(eid, 32),
+        F.lit('","spanId":"'),
+        hx(eid + 1, 16),
+        F.lit('"}]}]}]}'),
+    )
+    out = otel_logs(e.withColumn("message", payload))
+    a = F.col("attributes")
+    return out.select(
+        F.col("event_id").alias("eid"),
+        F.col("time"),
+        F.col("observedTime").alias("observed_time"),
+        F.col("serviceName").alias("service"),
+        F.col("severityNumber").alias("severity_num"),
+        F.col("severityText").alias("severity_text"),
+        F.col("body"),
+        F.element_at(a, "log.attributes.env").alias("env"),
+        F.col("schemaUrl").alias("schema_url"),
+        F.col("flags"),
+        F.col("traceId").alias("trace_id"),
+        F.col("spanId").alias("span_id"),
+        F.col("droppedAttributesCount").alias("dropped"),
+    )
+
+
+def otel_metrics_decode(spark, sf_dir):
+    """otel_metrics source codec (OTelProtoOpensearchCodec.java:517-556):
+    one row per data point; GAUGE (asDouble), SUM (asInt +
+    temporality + isMonotonic), HISTOGRAM (count/sum/bucketCounts/
+    explicitBounds with ±Float.MAX_VALUE open-ended buckets)."""
+    from data_prepper_spark.operators.otel import otel_metrics
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    eid = F.col("event_id")
+    secs = F.lit(1720000000) + eid % 86400
+    t_ns = secs * F.lit(1000000000) + _otel_frac_ns(eid)
+    dp_times = F.concat(
+        F.lit('"startTimeUnixNano":"'),
+        (t_ns - F.lit(5000000000)).cast("string"),
+        F.lit('","timeUnixNano":"'),
+        t_ns.cast("string"),
+        F.lit('"'),
+    )
+    host_attr = F.concat(
+        F.lit(',"attributes":[{"key":"host","value":{"stringValue":"h-'),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit('"}}]'),
+    )
+    gauge = F.concat(
+        F.lit('"gauge":{"dataPoints":[{'),
+        dp_times,
+        F.lit(',"asDouble":'),
+        F.col("value").cast("string"),
+        host_attr,
+        F.lit("}]}"),
+    )
+    summ = F.concat(
+        F.lit('"sum":{"dataPoints":[{'),
+        dp_times,
+        F.lit(',"asInt":"'),
+        eid.cast("string"),
+        F.lit('"'),
+        host_attr,
+        F.lit('}],"aggregationTemporality":2,"isMonotonic":true}'),
+    )
+    hist = F.concat(
+        F.lit('"histogram":{"dataPoints":[{'),
+        dp_times,
+        F.lit(',"count":"'),
+        (eid % 10 + 2).cast("string"),
+        F.lit('","sum":'),
+        F.col("value").cast("string"),
+        F.lit(',"bucketCounts":["1","2","3"],"explicitBounds":[0.5,1.5]'),
+        host_attr,
+        F.lit(
+            '}],"aggregationTemporality":"AGGREGATION_TEMPORALITY_DELTA"}'
+        ),
+    )
+    payload = F.concat(
+        F.lit(
+            '{"resourceMetrics":[{"resource":{"attributes":[{"key":'
+            '"service.name","value":{"stringValue":"svc-'
+        ),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(
+            '"}}]},"scopeMetrics":[{"scope":{"name":"mt"},"metrics":[{'
+            '"name":"m'
+        ),
+        (eid % 7).cast("string"),
+        F.lit('","unit":"ms",'),
+        F.when(eid % 3 == 0, gauge).when(eid % 3 == 1, summ).otherwise(hist),
+        F.lit("}]}]}]}"),
+    )
+    out = otel_metrics(e.withColumn("message", payload))
+    return out.select(
+        F.col("event_id").alias("eid"),
+        F.col("kind"),
+        F.col("name").alias("metric_name"),
+        F.col("unit"),
+        F.col("serviceName").alias("service"),
+        F.col("startTime").alias("start_time"),
+        F.col("time"),
+        F.col("value").alias("val"),
+        F.col("aggregationTemporality").alias("temporality"),
+        F.col("isMonotonic").cast("int").alias("monotonic"),
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("hsum"),
+        F.col("explicitBoundsCount").alias("n_bounds"),
+        F.size("buckets").alias("n_buckets"),
+        F.element_at("buckets", 1)["min"].alias("b_first_min"),
+        F.element_at("buckets", 3)["max"].alias("b_last_max"),
+        F.element_at(F.col("attributes"), "metric.attributes.host").alias(
+            "host"
+        ),
+    )
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1507,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decompress_roundtrip": decompress_roundtrip,
         "user_agent_parse": user_agent_parse,
         "key_value_dup_list": key_value_dup_list,
+        "otel_traces_decode": otel_traces_decode,
+        "otel_logs_decode": otel_logs_decode,
+        "otel_metrics_decode": otel_metrics_decode,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -1790,6 +2058,85 @@ FROM customer
     sql["avro_roundtrip"] = """
 SELECT c_custkey, c_name, c_mktsegment, CAST(c_nationkey AS INT) AS nat
 FROM customer
+"""
+
+    iso_start = _otel_iso_sql("1700000000 + event_id % 86400")
+    iso_end = _otel_iso_sql("1700000000 + event_id % 86400 + event_id % 5")
+    sql["otel_traces_decode"] = f"""
+SELECT event_id AS eid,
+       lpad(lower(hex(event_id)), 32, '0') AS trace_id,
+       lpad(lower(hex(event_id + 1)), 16, '0') AS span_id,
+       CASE WHEN event_id % 3 = 0 THEN ''
+            ELSE lpad(lower(hex(event_id + 2)), 16, '0') END AS parent,
+       event_type AS span_name,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+       ['SPAN_KIND_UNSPECIFIED','SPAN_KIND_INTERNAL','SPAN_KIND_SERVER',
+        'SPAN_KIND_CLIENT','SPAN_KIND_PRODUCER','SPAN_KIND_CONSUMER'
+       ][CAST(event_id % 6 AS INT) + 1] AS kind,
+       {iso_start} AS start_time,
+       {iso_end} AS end_time,
+       (event_id % 5) * 1000000000 AS dur_ns,
+       CAST(event_id % 3 AS INT) AS status_code,
+       CASE WHEN event_id % 3 = 2 THEN 'boom' END AS status_msg,
+       ['GET','POST','PUT','DELETE'][CAST(event_id % 4 AS INT) + 1]
+         AS http_method,
+       event_id % 7 AS retries,
+       'io.lib' AS scope_name,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS res_service,
+       CASE WHEN event_id % 3 = 0 THEN event_type END AS trace_group,
+       CASE WHEN event_id % 3 = 0
+            THEN (event_id % 5) * 1000000000 END AS tg_dur,
+       CASE WHEN event_id % 3 = 0 THEN CAST(0 AS INT) END AS tg_code
+FROM events
+"""
+
+    iso_log = _otel_iso_sql("1710000000 + event_id % 86400")
+    iso_obs = _otel_iso_sql("1710000000 + event_id % 86400 + 1")
+    sql["otel_logs_decode"] = f"""
+SELECT event_id AS eid,
+       {iso_log} AS time,
+       {iso_obs} AS observed_time,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 9
+                 ELSE event_id % 24 + 1 END AS INT) AS severity_num,
+       'sev-' || CAST(event_id % 5 AS VARCHAR) AS severity_text,
+       CASE WHEN event_id % 2 = 0 THEN 'msg ' || CAST(event_id AS VARCHAR)
+            ELSE CAST(event_id * 3 AS VARCHAR) END AS body,
+       'e-' || CAST(user_id % 3 AS VARCHAR) AS env,
+       's1' AS schema_url,
+       CAST(event_id % 256 AS INT) AS flags,
+       lpad(lower(hex(event_id)), 32, '0') AS trace_id,
+       lpad(lower(hex(event_id + 1)), 16, '0') AS span_id,
+       CAST(event_id % 4 AS INT) AS dropped
+FROM events
+"""
+
+    iso_mt = _otel_iso_sql("1720000000 + event_id % 86400")
+    iso_ms = _otel_iso_sql("1720000000 + event_id % 86400 - 5")
+    sql["otel_metrics_decode"] = f"""
+SELECT event_id AS eid,
+       ['GAUGE','SUM','HISTOGRAM'][CAST(event_id % 3 AS INT) + 1] AS kind,
+       'm' || CAST(event_id % 7 AS VARCHAR) AS metric_name,
+       'ms' AS unit,
+       'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+       {iso_ms} AS start_time,
+       {iso_mt} AS time,
+       CASE WHEN event_id % 3 = 0 THEN value
+            WHEN event_id % 3 = 1 THEN CAST(event_id AS DOUBLE) END AS val,
+       CASE WHEN event_id % 3 = 1 THEN 'AGGREGATION_TEMPORALITY_CUMULATIVE'
+            WHEN event_id % 3 = 2 THEN 'AGGREGATION_TEMPORALITY_DELTA'
+            END AS temporality,
+       CAST(CASE WHEN event_id % 3 = 1 THEN 1 END AS INT) AS monotonic,
+       CASE WHEN event_id % 3 = 2 THEN event_id % 10 + 2 END AS cnt,
+       CASE WHEN event_id % 3 = 2 THEN value END AS hsum,
+       CAST(CASE WHEN event_id % 3 = 2 THEN 2 ELSE 0 END AS INT) AS n_bounds,
+       CASE WHEN event_id % 3 = 2 THEN CAST(3 AS INT) END AS n_buckets,
+       CASE WHEN event_id % 3 = 2
+            THEN -3.4028234663852886e38 END AS b_first_min,
+       CASE WHEN event_id % 3 = 2
+            THEN 3.4028234663852886e38 END AS b_last_max,
+       'h-' || CAST(user_id % 3 AS VARCHAR) AS host
+FROM events
 """
 
     sql["multiline_assembly"] = """
