@@ -1388,6 +1388,23 @@ def ann_lsh(spark, sf_dir):
     )
 
 
+def ann_ivf(spark, sf_dir):
+    """IVF ANN, oracle-checked: deterministic seed centroids (the 8
+    smallest vec_ids) are recomputed identically by DuckDB from the
+    same table, so coarse assignment, nprobe fan-out and exact rerank
+    reproduce value-for-value (similarity.py::ivf_topk)."""
+    from data_prepper_spark.datapipe.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: the deterministic fake
     decode (byte-histogram of the sha256-hex payload) is exactly
@@ -1745,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": simhash_dedup,
         "winnow_fingerprint_dups": winnow_fingerprint_dups,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "multimodal_features": multimodal_features,
         "bm25_indexed_engine": bm25_indexed_engine,
         "tpch_q1": tpch_q1,
@@ -2539,6 +2557,57 @@ scored AS (
          list_dot_product(e, qe)
            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
            AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # ann_ivf: centroid seeds are table rows (vec_id < 8), so DuckDB
+    # rebuilds the identical centroid set; sim formula + tie-breaks
+    # (sim DESC, cid ASC) mirror _argmax_centroid exactly
+    _ivf_sim = (
+        "list_dot_product({v}, {c}) / "
+        "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c})))"
+    )
+    sql["ann_ivf"] = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+vsim AS (
+  SELECT v.vec_id, v.e, c.cid,
+         {_ivf_sim.format(v="v.e", c="c.ce")} AS sim
+  FROM v CROSS JOIN cent c
+),
+vb AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) AS rn
+    FROM vsim
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+qsim AS (
+  SELECT q.query_id, q.qe, c.cid,
+         {_ivf_sim.format(v="q.qe", c="c.ce")} AS sim
+  FROM q CROSS JOIN cent c
+),
+qprobe AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cid) AS rn
+    FROM qsim
+  ) WHERE rn <= 2
+),
+cand AS (SELECT query_id, qe, vb.vec_id, vb.e FROM qprobe JOIN vb USING (cid)),
+scored AS (
+  SELECT query_id, vec_id,
+         {_ivf_sim.format(v="e", c="qe")} AS cosine
   FROM cand
 ),
 ranked AS (
