@@ -187,3 +187,39 @@ def test_lsh_hot_bucket_cap_default_on(spark):
         df, "doc_id", "text", num_perm=16, bands=4, shingle=3, max_bucket=None
     )
     assert uncapped.count() == 12 * 11 // 2
+
+
+def test_ivf_topk_recall_and_self_hit(spark, emb):
+    from data_prepper_spark.datapipe.similarity import ivf_centroids, ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3).toPandas()
+    hits = 0
+    for qid in range(10):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        hits += len(e & a) / 5
+    assert hits / 10 > 0.5
+    # a query that IS a table row probes its own list -> rank-1 self hit
+    top1 = approx[approx["rank"] == 1]
+    assert (top1.vec_id == top1.query_id).all()
+    assert np.allclose(top1.cosine, 1.0, atol=1e-9)
+
+
+def test_ivf_lloyd_refinement_deterministic(spark, emb):
+    from data_prepper_spark.datapipe.similarity import ivf_centroids, ivf_topk
+
+    c1 = ivf_centroids(emb, n_centroids=4, iters=3)
+    c2 = ivf_centroids(emb, n_centroids=4, iters=3)
+    assert c1 == c2  # same seeds, same sample order -> same refinement
+    seeds = ivf_centroids(emb, n_centroids=4, iters=0)
+    assert c1 != seeds  # refinement actually moved the centroids
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, q, k=5, centroids=c1, nprobe=2).toPandas()
+    assert set(out.columns) == {"query_id", "rank", "vec_id", "cosine"}
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
