@@ -354,35 +354,39 @@ class QuerySession:
         }
         tids = list(idf)
         buckets = sorted({bk for _, _, _, bk, _ in entries})
-        idf_map = F.create_map(
-            *[F.lit(x) for tid, v in idf.items() for x in (tid, v)]
-        )
-        decoder = _make_decoder(
-            self.stats["k1"], self.stats["b"], self.stats["avgdl"],
-            with_query=False,
-        )
-        scored = (
-            self.post.filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term_id").isin(tids))
-            .select(
-                F.element_at(idf_map, F.col("term_id")).alias("idf"),
-                "docs", "tfs", "dls",
-            )
-            .mapInPandas(decoder, schema="doc_id long, partial double")
-        )
         if self._ord_map is not None:
-            # NO-shuffle serve: one stage decodes + emits per-doc
-            # partials; the per-query merge/rank runs on the driver in
-            # numpy (rows collected = matching postings of this query —
-            # the same hit set any single-node search engine touches;
-            # the whole path is size-gated by DRIVER_DOCS_MAX)
-            partials = scored.toPandas()
-            if partials.empty:
+            # DRIVER-DECODE serve: ONE map-only JVM job collects the
+            # query's matching ENCODED blocks (varbyte, ≈3.3 B/posting
+            # — strictly smaller than the decoded per-doc partial rows
+            # this path used to collect), then varbyte decode + BM25 +
+            # merge/rank all run in driver numpy. Rows touched = the
+            # query's hit set, same as any single-node engine; size-
+            # gated by DRIVER_DOCS_MAX exactly like before. Removing
+            # the Python-worker decode stage from the latency path
+            # cut the serve job p50 342 ms -> ~175 ms at SF=0.1
+            # local[32] (see BASELINE.md round-3 serving table).
+            blocks = (
+                self.post.filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term_id").isin(tids))
+                .select("term_id", "docs", "tfs", "dls")
+                .toPandas()
+            )
+            if blocks.empty:
                 return pd.DataFrame(
                     columns=["query_id", "rank", "doc_id", "score"]
                 )
-            ords = partials["doc_id"].to_numpy()
-            vals = partials["partial"].to_numpy()
+            docs_v, counts = decode_many(blocks["docs"].tolist(), deltas=True)
+            tf_v, _ = decode_many(blocks["tfs"].tolist(), deltas=False)
+            dl_v, _ = decode_many(blocks["dls"].tolist(), deltas=False)
+            ords = to_signed(docs_v)
+            tf = tf_v.astype(np.float64)
+            dl = dl_v.astype(np.float64)
+            k1, b = self.stats["k1"], self.stats["b"]
+            avgdl = self.stats["avgdl"]
+            impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            vals = impact * np.repeat(
+                blocks["term_id"].map(idf).to_numpy(np.float64), counts
+            )
             uniq, inv = np.unique(ords, return_inverse=True)
             sums = np.zeros(len(uniq))
             np.add.at(sums, inv, vals)
@@ -399,6 +403,22 @@ class QuerySession:
                 ident = self._identity_map()
                 out = out.join(ident, on="doc_id")
             return out
+        idf_map = F.create_map(
+            *[F.lit(x) for tid, v in idf.items() for x in (tid, v)]
+        )
+        decoder = _make_decoder(
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"],
+            with_query=False,
+        )
+        scored = (
+            self.post.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term_id").isin(tids))
+            .select(
+                F.element_at(idf_map, F.col("term_id")).alias("idf"),
+                "docs", "tfs", "dls",
+            )
+            .mapInPandas(decoder, schema="doc_id long, partial double")
+        )
         scored = scored.select(
             F.lit(query_id).alias("query_id"), "doc_id", "partial"
         )
