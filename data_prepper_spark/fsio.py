@@ -51,6 +51,17 @@ def listdir(path: str, suffix: str | None = None) -> list[str]:
     return sorted(out)
 
 
+def du(path: str) -> int:
+    """Total bytes of all files under path (0 if absent) — one
+    recursive listing, works on any pyarrow filesystem."""
+    f, p = resolve(path)
+    try:
+        infos = f.get_file_info(pafs.FileSelector(p, recursive=True))
+    except (FileNotFoundError, OSError):
+        return 0
+    return sum(i.size or 0 for i in infos if i.is_file)
+
+
 def isdir(path: str) -> bool:
     f, p = resolve(path)
     return f.get_file_info(p).type == pafs.FileType.Directory

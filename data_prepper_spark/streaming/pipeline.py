@@ -163,10 +163,25 @@ def maybe_compact(
     out_dir: str,
     max_deltas: int = 8,
     cfg=None,
+    policy: str = "full",
+    fan_in: int = 4,
 ) -> dict | None:
-    """Size-tiered compaction policy: compact only when the delta count
-    exceeds max_deltas (query fan-in bound); otherwise None. The call
-    the streaming driver makes after each foreachBatch epoch."""
+    """Compaction policy hook the streaming driver calls after each
+    foreachBatch epoch. No-op (None) while the delta count stays
+    within max_deltas (the query fan-in bound); beyond it:
+
+    * policy="full"    — merge EVERY delta into one final index at
+      out_dir (the original size-tiered trigger). O(total) write
+      amplification per trigger, right for low-churn streams.
+    * policy="leveled" — merge only the `fan_in` SMALLEST deltas into
+      one new delta inside index_root (classic leveled/tiered LSM
+      merge). Each trigger rewrites only the small young runs, so a
+      high-churn stream pays O(fan_in·small) per merge instead of
+      re-writing the accumulated index; the big compacted runs are
+      touched only when enough peers reach their tier. The final
+      index stays reachable any time via compact_deltas(out_dir) and
+      is bit-identical to a one-shot batch build regardless of the
+      merge tree (tokens-level merge; asserted in tests)."""
     from .. import fsio
 
     deltas = [
@@ -176,15 +191,34 @@ def maybe_compact(
     ]
     if len(deltas) <= max_deltas:
         return None
-    return compact_deltas(spark, index_root, out_dir, cfg)
+    if policy == "full":
+        return compact_deltas(spark, index_root, out_dir, cfg)
+    if policy != "leveled":
+        raise ValueError(f"unknown compaction policy {policy!r}")
+    by_size = sorted(deltas, key=lambda d: (fsio.du(d), d))
+    victims = by_size[: max(2, fan_in)]
+    seq = 0
+    for d in deltas:
+        name = fsio.basename(d).split("=", 1)[1]
+        if name.startswith("c") and name[1:].isdigit():
+            seq = max(seq, int(name[1:]) + 1)
+    tmp = os.path.join(index_root, "_compacting")
+    fsio.rmtree(tmp)
+    stats = compact_deltas(spark, index_root, tmp, cfg, deltas=victims)
+    for d in victims:
+        fsio.rmtree(d)
+    fsio.move(tmp, os.path.join(index_root, f"delta=c{seq}"))
+    return stats
 
 
 def compact_deltas(
-    spark: SparkSession, index_root: str, out_dir: str, cfg=None
+    spark: SparkSession, index_root: str, out_dir: str, cfg=None,
+    deltas: list[str] | None = None,
 ) -> dict:
-    """Merge the delta indexes under index_root into ONE index at
-    out_dir — the compaction job a real deployment runs periodically so
-    query fan-in stays O(1) instead of O(#deltas).
+    """Merge the delta indexes under index_root (or the explicit
+    `deltas` subset — the leveled policy's partial merge) into ONE
+    index at out_dir — the compaction job a real deployment runs
+    periodically so query fan-in stays O(1) instead of O(#deltas).
 
     Compaction happens at the TOKENS level: each delta's already-
     tokenized rows are re-written (unit ids prefixed with the delta
@@ -209,11 +243,12 @@ def compact_deltas(
     )
 
     cfg = cfg or BuildConfig(n_buckets=8, hot_group_target=10_000)
-    deltas = [
-        p
-        for p in fsio.listdir(index_root)
-        if fsio.basename(p).startswith("delta=")
-    ]
+    if deltas is None:
+        deltas = [
+            p
+            for p in fsio.listdir(index_root)
+            if fsio.basename(p).startswith("delta=")
+        ]
     if not deltas:
         raise ValueError(f"no delta=* indexes under {index_root}")
     fsio.makedirs(out_dir)

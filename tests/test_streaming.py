@@ -245,3 +245,65 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert maybe_compact(spark, str(root), str(tmp_path / "o"),
                          max_deltas=8) is None
     assert not (tmp_path / "o").exists()
+
+
+def test_leveled_compaction_matches_batch_build(spark, tmp_path):
+    """policy='leveled' merges only the smallest fan_in deltas per
+    trigger (LSM-style partial merge); after any sequence of partial
+    merges the final full compaction is still bit-identical to a
+    one-shot batch build — the merge tree does not leak into the
+    index bytes."""
+    import pandas as pd
+
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+        maybe_compact,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.003, src, chunks_per_file=1)  # 6 work-unit files
+    root = str(tmp_path / "deltas")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(spark, stream, root, str(tmp_path / "ck")).start()
+    q.awaitTermination(300)
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000)
+
+    def ndeltas():
+        return sum(d.startswith("delta=") for d in os.listdir(root))
+
+    assert ndeltas() == 6
+    out = str(tmp_path / "unused")
+    assert maybe_compact(spark, root, out, max_deltas=3, cfg=cfg,
+                         policy="leveled", fan_in=3) is not None
+    assert ndeltas() == 4  # 6 - 3 merged + 1 new run
+    assert os.path.isdir(os.path.join(root, "delta=c0"))
+    assert maybe_compact(spark, root, out, max_deltas=3, cfg=cfg,
+                         policy="leveled", fan_in=3) is not None
+    assert ndeltas() == 2
+    # below the fan-in bound now: policy is quiescent
+    assert maybe_compact(spark, root, out, max_deltas=3, cfg=cfg,
+                         policy="leveled", fan_in=3) is None
+    assert not os.path.exists(out)
+
+    compacted = str(tmp_path / "compacted")
+    compact_deltas(spark, root, compacted, cfg)
+    batch_idx = str(tmp_path / "batch")
+    build_index(spark, src, batch_idx, cfg)
+
+    def blocks(idx):
+        return (
+            spark.read.parquet(os.path.join(idx, "postings"))
+            .select("term_id", "min_doc", "n", "docs", "tfs", "dls")
+            .toPandas()
+            .sort_values(["term_id", "min_doc"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(blocks(compacted), blocks(batch_idx))
