@@ -107,6 +107,14 @@ class BuildConfig:
     # identical in layout and content either way (asserted in tests);
     # set False to route the write through the JVM instead.
     direct_tokens_write: bool = True
+    # cache the (doc, term, tf) token table across the index stage's
+    # two scans (term dictionary + encode feed)? False re-reads the
+    # tokens parquet instead — the scale-honest default (a 100-TB
+    # token table is never cached; a second columnar scan beats
+    # materializing a MEMORY_AND_DISK copy). Interleaved A/B at
+    # SF=0.1/local[32]: cached 55.6-105.7 s vs uncached 48.1-57.7 s
+    # per index stage, bit-identical postings either way.
+    cache_tokens: bool = False
     # ordinal assignment order: "doc_id" (default — ord order equals
     # doc_id order, so the (score desc, doc_id asc) tie-break matches
     # the oracle exactly) or "dl" (impact-ordered: ascending doc
@@ -926,11 +934,11 @@ def run_index_stage(
     # stage per the manifest, so durability on this path buys nothing).
     from pyspark import StorageLevel
 
-    tok = (
-        tokens.filter(F.col("term").isNotNull())
-        .select("doc_id", "term", "tf", "dl")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tok = tokens.filter(F.col("term").isNotNull()).select(
+        "doc_id", "term", "tf", "dl"
     )
+    if cfg.cache_tokens:
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
     term_base = tok.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1093,7 +1101,8 @@ def run_index_stage(
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "terms"))
     )
-    tok.unpersist()
+    if cfg.cache_tokens:
+        tok.unpersist()
     term_base.unpersist()
     term_df.unpersist()
 
