@@ -30,6 +30,10 @@ NAMES = [
     "minhash_dedup",
     "winnow_fingerprint_dups",
     "trace_group_fill",
+    # ANN family: assignment must be a map-only pass over the scan
+    # side (no shuffle before the bounded candidate join)
+    "ann_lsh",
+    "ann_ivf",
 ]
 
 KEEP = re.compile(
