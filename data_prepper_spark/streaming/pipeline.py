@@ -202,6 +202,13 @@ def maybe_compact(
         name = fsio.basename(d).split("=", 1)[1]
         if name.startswith("c") and name[1:].isdigit():
             seq = max(seq, int(name[1:]) + 1)
+    # crash ordering: merge into a hidden tmp (sources intact), drop
+    # the sources, THEN publish the merged run. A crash can leave the
+    # merged docs briefly absent from live topk_deltas queries (tmp is
+    # not listed as a delta and can be recovered by renaming), but
+    # never double-counted — the conservative failure for a search
+    # index. Full transactionality would need a manifest commit like
+    # the batch build's; deliberate non-goal for the delta store.
     tmp = os.path.join(index_root, "_compacting")
     fsio.rmtree(tmp)
     stats = compact_deltas(spark, index_root, tmp, cfg, deltas=victims)
