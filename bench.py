@@ -92,6 +92,23 @@ def run_build_and_query(spark, sf: float, tag: str, single_p50: bool = False) ->
         lats.sort()
         out["bm25_single_query_p50_ms"] = round(lats[len(lats) // 2] * 1000, 1)
         out["bm25_single_query_min_ms"] = round(lats[0] * 1000, 1)
+        # cold SERVE path: still no resident state, but the query runs
+        # as pushdown-pruned scans (terms by token, postings by
+        # bucket+term_id, docs by ord) + driver decode instead of the
+        # full batch plan — what an ad-hoc user should actually call
+        from data_prepper_spark.index.query import topk_one_cold
+
+        clats = []
+        for r in singles:
+            t0 = time.time()
+            topk_one_cold(spark, idx, r["query"], k=10,
+                          query_id=r["query_id"])
+            clats.append(time.time() - t0)
+        clats.sort()
+        out["bm25_cold_serve_p50_ms"] = round(
+            clats[len(clats) // 2] * 1000, 1
+        )
+        out["bm25_cold_serve_min_ms"] = round(clats[0] * 1000, 1)
         # warm path: resident QuerySession (cached dictionary /
         # postings / ordinal map) — the serving-shape number
         from data_prepper_spark.index.query import QuerySession

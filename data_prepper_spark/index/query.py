@@ -213,6 +213,125 @@ def topk_with_docs(
     )
 
 
+def _decode_rank_driver(blocks, idf_by_tid, stats, k: int):
+    """Driver-side varbyte decode + BM25 partial merge over the
+    collected encoded blocks of ONE query. Returns the top-k
+    (ord, score) arrays with the engine tie-break (score desc, ord
+    asc — identical to doc_id asc under doc_id-ordered ordinals)."""
+    docs_v, counts = decode_many(blocks["docs"].tolist(), deltas=True)
+    tf_v, _ = decode_many(blocks["tfs"].tolist(), deltas=False)
+    dl_v, _ = decode_many(blocks["dls"].tolist(), deltas=False)
+    ords = to_signed(docs_v)
+    tf = tf_v.astype(np.float64)
+    dl = dl_v.astype(np.float64)
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    vals = impact * np.repeat(
+        blocks["term_id"].map(idf_by_tid).to_numpy(np.float64), counts
+    )
+    uniq, inv = np.unique(ords, return_inverse=True)
+    sums = np.zeros(len(uniq))
+    np.add.at(sums, inv, vals)
+    order = np.lexsort((uniq, -sums))[:k]
+    return uniq[order], sums[order]
+
+
+def topk_one_cold(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    query_id: int = 0,
+    with_docs: bool = False,
+    max_driver_postings: int = 5_000_000,
+):
+    """Ad-hoc single-query serve with NOTHING resident — every byte
+    comes off pushdown-pruned parquet scans. Three bounded jobs:
+
+      1. terms scan filtered to the query's tokens (`term IN (...)`
+         pushed to parquet row groups) → matched dictionary rows;
+      2. postings scan pruned to the matched buckets (partition
+         directories) + term_ids (row-group stats) → the query's
+         encoded blocks, decoded/merged in driver numpy;
+      3. docs scan filtered to the k winning ords → identity resolve.
+
+    Σ df (known from job 1, before any postings are read) gates the
+    driver decode; past max_driver_postings it falls back to the
+    distributed plan. Works at 10^12 docs because every scan is
+    pruned to the query's own rows. Returns the same pandas shape as
+    QuerySession.topk_one; rank-identity asserted in tests."""
+    import math
+
+    from ..tokenizer import tokenize_series
+
+    stats = load_stats(index_dir)
+    empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+    toks = sorted(set(tokenize_series(pd.Series([query])).iloc[0]))
+    if not toks:
+        return empty
+    tpdf = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .filter(F.col("term").isin(toks))
+        .select("term_id", "df", "bucket")
+        .toPandas()
+    )
+    if tpdf.empty:
+        return empty
+    if float(tpdf["df"].sum()) > max_driver_postings:
+        q = spark.createDataFrame(
+            [(query_id, query)], "query_id long, query string"
+        )
+        res = topk(spark, index_dir, q, k=k)
+        if with_docs:
+            docs = spark.read.parquet(
+                os.path.join(index_dir, "docs")
+            ).select("doc_id", "repo", "path", "commit")
+            res = docs.join(F.broadcast(res), "doc_id").select(
+                "query_id", "rank", "doc_id", "score", "repo", "path",
+                "commit",
+            )
+        return (
+            res.toPandas().sort_values("rank").reset_index(drop=True)
+        )
+    n = float(stats["n_docs"])
+    idf = {
+        int(tid): math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for tid, df in zip(tpdf["term_id"], tpdf["df"])
+    }
+    blocks = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("bucket").isin(sorted(set(map(int, tpdf["bucket"])))))
+        .filter(F.col("term_id").isin(list(idf)))
+        .select("term_id", "docs", "tfs", "dls")
+        .toPandas()
+    )
+    if blocks.empty:
+        return empty
+    top_ords, top_scores = _decode_rank_driver(blocks, idf, stats, k)
+    ident_cols = ["doc_id", "repo", "path", "commit"] if with_docs else [
+        "doc_id"
+    ]
+    dmap = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .filter(F.col("ord").isin([int(o) for o in top_ords]))
+        .select("ord", *ident_cols)
+        .toPandas()
+        .set_index("ord")
+    )
+    out = pd.DataFrame(
+        {
+            "query_id": query_id,
+            "rank": np.arange(1, len(top_ords) + 1),
+            "doc_id": dmap["doc_id"].reindex(top_ords).to_numpy(),
+            "score": top_scores,
+        }
+    )
+    if with_docs:
+        for c in ("repo", "path", "commit"):
+            out[c] = dmap[c].reindex(top_ords).to_numpy()
+    return out
+
+
 class QuerySession:
     """Keep-alive query executor (reference PitWorker keeps a PIT open
     across search_after pages the same way): the terms dictionary,
@@ -338,7 +457,9 @@ class QuerySession:
             res = self.topk(q, k=k)
             if with_docs:
                 res = self._join_identity(res)
-            return res.toPandas()
+            return (
+                res.toPandas().sort_values("rank").reset_index(drop=True)
+            )
         toks = sorted(set(tokenize_series(pd.Series([query])).iloc[0]))
         entries = [
             (t, *self._dict[t]) for t in toks if t in self._dict
@@ -375,28 +496,15 @@ class QuerySession:
                 return pd.DataFrame(
                     columns=["query_id", "rank", "doc_id", "score"]
                 )
-            docs_v, counts = decode_many(blocks["docs"].tolist(), deltas=True)
-            tf_v, _ = decode_many(blocks["tfs"].tolist(), deltas=False)
-            dl_v, _ = decode_many(blocks["dls"].tolist(), deltas=False)
-            ords = to_signed(docs_v)
-            tf = tf_v.astype(np.float64)
-            dl = dl_v.astype(np.float64)
-            k1, b = self.stats["k1"], self.stats["b"]
-            avgdl = self.stats["avgdl"]
-            impact = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            vals = impact * np.repeat(
-                blocks["term_id"].map(idf).to_numpy(np.float64), counts
+            top_ords, top_scores = _decode_rank_driver(
+                blocks, idf, self.stats, k
             )
-            uniq, inv = np.unique(ords, return_inverse=True)
-            sums = np.zeros(len(uniq))
-            np.add.at(sums, inv, vals)
-            order = np.lexsort((uniq, -sums))[:k]
             out = pd.DataFrame(
                 {
                     "query_id": query_id,
-                    "rank": np.arange(1, len(order) + 1),
-                    "doc_id": self._ord_map[uniq[order]],
-                    "score": sums[order],
+                    "rank": np.arange(1, len(top_ords) + 1),
+                    "doc_id": self._ord_map[top_ords],
+                    "score": top_scores,
                 }
             )
             if with_docs:
@@ -445,7 +553,9 @@ class QuerySession:
                 # regardless of docs-table size (the whole reason this
                 # distributed fallback exists)
                 res = self._join_identity(res)
-            return res.toPandas()
+            return (
+                res.toPandas().sort_values("rank").reset_index(drop=True)
+            )
         finally:
             for key, v in saved.items():
                 conf.set(key, v)

@@ -339,3 +339,40 @@ def test_query_session_with_docs_distributed_fallback(
         assert (g2["path"].to_numpy() == w["path"].to_numpy()).all()
     finally:
         qs.close()
+
+
+def test_topk_one_cold_matches_topk(spark, index_dir, queries_pdf):
+    """topk_one_cold (no resident state; pushdown-pruned scans +
+    driver decode) is rank/score-identical to the module topk on both
+    the driver-decode path and the Σdf-gated distributed fallback;
+    with_docs resolves identity columns."""
+    from data_prepper_spark.index.query import topk_one_cold
+
+    for _, row in queries_pdf.head(4).iterrows():
+        q = spark.createDataFrame(
+            [(int(row["query_id"]), row["query"])],
+            "query_id long, query string",
+        )
+        b = (
+            topk(spark, index_dir, q, k=10)
+            .toPandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        for gate in (5_000_000, 1):  # driver decode, then fallback
+            a = topk_one_cold(
+                spark, index_dir, row["query"], k=10,
+                query_id=int(row["query_id"]), max_driver_postings=gate,
+            )
+            assert a["doc_id"].tolist() == b["doc_id"].tolist()
+            assert np.allclose(a["score"], b["score"])
+    row = queries_pdf.iloc[0]
+    for gate in (5_000_000, 1):
+        wd = topk_one_cold(
+            spark, index_dir, row["query"], k=3, with_docs=True,
+            max_driver_postings=gate,
+        )
+        assert list(wd.columns) == [
+            "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+        ]
+        assert len(wd) == 3 and wd["repo"].notna().all()
