@@ -1320,6 +1320,37 @@ def bpe_token_counts(spark, sf_dir):
     return bpe_token_count(docs, "text").select("doc_id", "n_bpe_tokens")
 
 
+def doc_chunking(spark, sf_dir):
+    """Token-bounded chunking with overlap — the splitting step of an
+    LLM ingestion pipeline (textstats.py::chunk_documents). Pure
+    Catalyst map-only pass (tokenize -> start grid -> posexplode ->
+    slice); the oracle reproduces the identical chunk grid and texts
+    (compared via md5)."""
+    from data_prepper_spark.datapipe.textstats import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", chunk_tokens=64, overlap=16)
+    return out.select(
+        "id", "chunk_idx", "chunk_len", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+def tfidf_keywords(spark, sf_dir):
+    """Top-5 keywords per document by tf-idf (idf = ln(N/df)) —
+    textstats.py::tfidf_keywords; one (id, term) groupBy with
+    map-side combine + a terms-sized df agg, same shuffle shape as
+    the index build's tf aggregation."""
+    from data_prepper_spark.datapipe.textstats import (
+        tfidf_keywords as _tfidf,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = _tfidf(docs, "text", k=5)
+    return out.select(
+        "id", "rank", "term", F.round("score", 6).alias("score_r")
+    )
+
+
 def winnow_fingerprint_dups(spark, sf_dir):
     """Docs sharing >= 5 winnowing fingerprints (partial-overlap dedup).
 
@@ -1831,6 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_markers": lang_id_markers,
         "quality_token_stats": quality_token_stats,
+        "doc_chunking": doc_chunking,
+        "tfidf_keywords": tfidf_keywords,
         "bpe_token_counts": bpe_token_counts,
     }
 
@@ -2644,6 +2677,32 @@ SELECT media_id, kind, CAST(64 AS INT) AS n_bytes,
        CAST(unnest(range(0, 16)) AS INT) AS dim,
        unnest([{", ".join(_mm_feats)}]) AS fval_r
 FROM s
+"""
+
+    from data_prepper_spark.datapipe.textstats import chunk_documents_sql
+
+    sql["doc_chunking"] = (
+        "SELECT id, chunk_idx, chunk_len, md5(chunk_text) AS chunk_md5 "
+        f"FROM ({chunk_documents_sql(toks, chunk_tokens=64, overlap=16)})"
+    )
+
+    sql["tfidf_keywords"] = f"""
+WITH tok AS (SELECT doc_id AS id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT id, term, tf * ln(CAST(n.n AS DOUBLE) / df) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT id, term, score,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT id, CAST(rank AS INT) AS rank, term, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 5
 """
 
     sql["quality_token_stats"] = f"""

@@ -176,3 +176,106 @@ sel AS (
 SELECT DISTINCT id, m AS fp FROM sel
 WHERE pos + 1 >= least({window}, n)
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Token-bounded chunking with overlap — the splitting step of an
+    LLM training / RAG ingestion pipeline. One output row per chunk:
+    (id, chunk_idx, chunk_len, chunk_text). Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens), stride = chunk_tokens −
+    overlap; a doc emits ceil-wise starts at 0, stride, 2·stride ≤
+    n_tokens−1 (empty docs emit nothing).
+
+    Scale shape: pure Catalyst (tokenize → sequence of starts →
+    posexplode → slice + array_join) — a map-only pass, no shuffle,
+    parallel in input splits across a 100-TB corpus."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize_col(F.col(text_col))
+    d = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1), F.size("_toks"), F.lit(stride)
+    )  # 1-based starts for slice()
+    d = d.select("id", "_toks", F.posexplode(starts).alias("chunk_idx", "_s"))
+    chunk = F.slice(F.col("_toks"), F.col("_s"), chunk_tokens)
+    return d.select(
+        "id",
+        "chunk_idx",
+        F.size(chunk).alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    toks_expr: str, chunk_tokens: int = 256, overlap: int = 32
+) -> str:
+    """DuckDB twin of chunk_documents over the documents table."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {toks_expr} AS toks FROM documents
+),
+nz AS (SELECT id, toks FROM base WHERE len(toks) > 0),
+st AS (
+  SELECT id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {stride}.0) AS BIGINT)))
+           AS chunk_idx
+  FROM nz
+),
+ch AS (
+  SELECT id, chunk_idx,
+         toks[chunk_idx * {stride} + 1 :
+              chunk_idx * {stride} + {chunk_tokens}] AS chunk
+  FROM st
+)
+SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(chunk) AS INT) AS chunk_len,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM ch
+"""
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k keywords per document by tf·idf (idf = ln(N/df), N =
+    rows in the input): (id, rank, term, score). The extraction step
+    of a keyword/tagging pipeline.
+
+    Scale shape: one groupBy (id, term) with map-side combine (the
+    same key shape as the index build's tf aggregation), a
+    terms-sized groupBy for df, a broadcast-sized join of per-term
+    idf back onto the tf rows, and a per-doc window for the top-k —
+    no all-pairs work anywhere."""
+    n_docs = df.count()
+    toks = tokenize_col(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = dfreq.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    scored = tf.join(idf, "term").withColumn(
+        "score", F.col("tf") * F.col("idf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "term", "score")
+    )
