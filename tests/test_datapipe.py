@@ -223,3 +223,48 @@ def test_ivf_lloyd_refinement_deterministic(spark, emb):
     out = ivf_topk(emb, q, k=5, centroids=c1, nprobe=2).toPandas()
     assert set(out.columns) == {"query_id", "rank", "vec_id", "cosine"}
     assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_chunk_documents_grid(spark):
+    from data_prepper_spark.datapipe.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = (
+        chunk_documents(df, "text", chunk_tokens=4, overlap=1)
+        .toPandas()
+        .sort_values(["id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # stride 3: doc 1 (10 toks) -> starts 0,3,6,9; doc 2 -> one chunk;
+    # doc 3 (empty) -> nothing
+    got = list(zip(out["id"], out["chunk_idx"], out["chunk_text"]))
+    assert got == [
+        (1, 0, "t0 t1 t2 t3"),
+        (1, 1, "t3 t4 t5 t6"),
+        (1, 2, "t6 t7 t8 t9"),
+        (1, 3, "t9"),
+        (2, 0, "a b"),
+    ]
+    assert out["chunk_len"].tolist() == [4, 4, 4, 1, 2]
+
+
+def test_tfidf_keywords_manual(spark):
+    import math
+
+    from data_prepper_spark.datapipe.textstats import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, "text", k=2).toPandas()
+    top1 = out[(out.id == 1) & (out["rank"] == 1)].iloc[0]
+    # apple: tf=2, df=1 -> 2*ln(3) beats banana 1*ln(3/2)
+    assert top1.term == "apple"
+    assert abs(top1.score - 2 * math.log(3)) < 1e-9
+    # doc 3: cherry and date tie on tf=1 df... cherry df=2, date df=1
+    d3 = out[out.id == 3].sort_values("rank")
+    assert d3.term.tolist() == ["date", "cherry"]
