@@ -266,7 +266,9 @@ def tfidf_keywords(
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # tf rows are unique per (id, term) by construction, so plain
+    # count == count-distinct-ids without the distinct machinery
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = dfreq.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
     scored = tf.join(idf, "term").withColumn(
         "score", F.col("tf") * F.col("idf")
