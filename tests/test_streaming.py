@@ -284,6 +284,30 @@ def test_leveled_compaction_matches_batch_build(spark, tmp_path):
                          policy="leveled", fan_in=3) is not None
     assert ndeltas() == 4  # 6 - 3 merged + 1 new run
     assert os.path.isdir(os.path.join(root, "delta=c0"))
+    # live querying MID-merge-tree (mixed original + merged runs) is
+    # rank-identical to a one-shot batch index over the same corpus
+    from data_prepper_spark.index.query import topk, topk_deltas
+
+    batch_idx = str(tmp_path / "batch")
+    build_index(spark, src, batch_idx, cfg)
+    queries = spark.createDataFrame(
+        [(0, "def init"), (1, "return value"), (2, "parse data")],
+        "query_id long, query string",
+    )
+    a = (
+        topk_deltas(spark, root, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        topk(spark, batch_idx, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (abs(a["score"] - b["score"]) < 1e-9).all()
     assert maybe_compact(spark, root, out, max_deltas=3, cfg=cfg,
                          policy="leveled", fan_in=3) is not None
     assert ndeltas() == 2
@@ -294,8 +318,6 @@ def test_leveled_compaction_matches_batch_build(spark, tmp_path):
 
     compacted = str(tmp_path / "compacted")
     compact_deltas(spark, root, compacted, cfg)
-    batch_idx = str(tmp_path / "batch")
-    build_index(spark, src, batch_idx, cfg)
 
     def blocks(idx):
         return (
