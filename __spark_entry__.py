@@ -1320,6 +1320,57 @@ def bpe_token_counts(spark, sf_dir):
     return bpe_token_count(docs, "text").select("doc_id", "n_bpe_tokens")
 
 
+PHRASE_QUERIES = ["merge group", "filter sort", "data customer vector"]
+
+
+def phrase_search_engine(spark, sf_dir):
+    """Exact-phrase search through the physical index
+    (index/query.py::phrase_search): conjunctive candidate retrieval
+    from the postings, adjacency verified by ONE instr() over the
+    candidates' tokenized text, BM25-ranked. Oracle recomputes
+    verification + scoring from the raw documents table. Same
+    re-rank-by-original-id trick as bm25_indexed_engine (the engine
+    tie-breaks on its internal ordinal)."""
+    import os
+    import tempfile
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dps_phr_")
+    cpath = os.path.join(tmp, "corpus.parquet")
+    corpus.coalesce(2).write.mode("overwrite").parquet(cpath)
+    idx = os.path.join(tmp, "index")
+    build_index(spark, cpath, idx, BuildConfig(n_buckets=8, hot_group_target=5000))
+    ph = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PHRASE_QUERIES)],
+        "query_id long, phrase string",
+    )
+    res = phrase_search(spark, idx, cpath, ph, k=50)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("path").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
 def doc_chunking(spark, sf_dir):
     """Token-bounded chunking with overlap — the splitting step of an
     LLM ingestion pipeline (textstats.py::chunk_documents). Pure
@@ -1864,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_token_stats": quality_token_stats,
         "doc_chunking": doc_chunking,
         "tfidf_keywords": tfidf_keywords,
+        "phrase_search_engine": phrase_search_engine,
         "bpe_token_counts": bpe_token_counts,
     }
 
@@ -2677,6 +2729,51 @@ SELECT media_id, kind, CAST(64 AS INT) AS n_bytes,
        CAST(unnest(range(0, 16)) AS INT) AS dim,
        unnest([{", ".join(_mm_feats)}]) AS fval_r
 FROM s
+"""
+
+    _phr_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(PHRASE_QUERIES)
+    )
+    sql["phrase_search_engine"] = f"""
+WITH tl AS (SELECT doc_id, {tokenize_sql('text')} AS tl FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, phrase) AS (VALUES {_phr_values}),
+qn AS (SELECT query_id,
+              array_to_string({tokenize_sql('phrase')}, ' ') AS pjoin
+       FROM qraw),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('phrase')}) AS term
+      FROM qraw),
+verified AS (
+  SELECT qn.query_id, t.doc_id
+  FROM qn JOIN tl t
+    ON instr(' ' || array_to_string(t.tl, ' ') || ' ',
+             ' ' || qn.pjoin || ' ') > 0
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+vtot AS (SELECT tot.* FROM tot JOIN verified USING (query_id, doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM vtot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
 
     from data_prepper_spark.datapipe.textstats import chunk_documents_sql

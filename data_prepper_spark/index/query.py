@@ -213,6 +213,91 @@ def topk_with_docs(
     )
 
 
+def phrase_search(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    phrases: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search (the reference stack's match_phrase) via
+    candidate-retrieve-then-verify — no positional index needed:
+
+    1. CANDIDATES from the inverted index: decode only the phrase
+       terms' postings (bucket-pruned scan, same path as topk) and
+       keep docs containing ALL terms — a conjunctive intersection
+       whose size is bounded by the rarest term's df;
+    2. VERIFY adjacency on candidates only: the candidate set
+       broadcast-joins back into the corpus scan and ONE Catalyst
+       instr() over the canonically-tokenized, space-joined content
+       checks the exact token sequence — the corpus is never scanned
+       for text outside the candidate rows;
+    3. SCORE: BM25 partials already decoded in step 1, summed over
+       the phrase's terms, ranked (score desc, doc_id asc) among
+       verified docs.
+
+    phrases: DataFrame (query_id long, phrase string). Returns
+    (query_id, rank, doc_id, score, repo, path, commit). Multi-term
+    conjunctions with zero hits cost one pruned postings scan and no
+    corpus I/O."""
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    ptoks = tokenize_col(F.col("phrase"))
+    qnorm = phrases.select(
+        "query_id",
+        F.array_join(ptoks, " ").alias("_pjoin"),
+        F.array_distinct(ptoks).alias("_terms"),
+    ).withColumn("_nterms", F.size("_terms"))
+    qt = (
+        qnorm.select("query_id", F.explode("_terms").alias("term"))
+        .join(spark.read.parquet(os.path.join(index_dir, "terms")), "term")
+        .withColumn("idf", _idf_col(n_docs))
+        .select("query_id", "term_id", "idf", "bucket")
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], avgdl)
+    scored = (
+        post.join(F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id")
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+    )
+    # each (term, ord) posting decodes to exactly ONE row (an ord
+    # lives in one block of one (term, salt) group), so count(*) per
+    # (query, ord) == how many distinct phrase terms contain the doc
+    cand = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("_nt"))
+        .join(F.broadcast(qnorm.select("query_id", "_nterms", "_pjoin")), "query_id")
+        .filter(F.col("_nt") == F.col("_nterms"))
+        .withColumnRenamed("doc_id", "ord")
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    cand = ident.join(F.broadcast(cand), "ord")
+    corpus = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit",
+        F.array_join(tokenize_col(F.col("content")), " ").alias("_cjoin"),
+    )
+    verified = corpus.join(
+        F.broadcast(cand), ["repo", "path", "commit"]
+    ).filter(
+        F.instr(
+            F.concat(F.lit(" "), F.col("_cjoin"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("_pjoin"), F.lit(" ")),
+        )
+        > 0
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("ord")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "repo", "path", "commit")
+    )
+
+
 def _decode_rank_driver(blocks, idf_by_tid, stats, k: int):
     """Driver-side varbyte decode + BM25 partial merge over the
     collected encoded blocks of ONE query. Returns the top-k

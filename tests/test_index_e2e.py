@@ -376,3 +376,33 @@ def test_topk_one_cold_matches_topk(spark, index_dir, queries_pdf):
             "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
         ]
         assert len(wd) == 3 and wd["repo"].notna().all()
+
+
+def test_phrase_search_exact_hits(spark, index_dir, fixture_dir, corpus_pdf):
+    """phrase_search returns exactly the docs whose canonical token
+    stream contains the phrase contiguously (up to k), never a false
+    positive, and nothing for a phrase absent from the corpus."""
+    from data_prepper_spark.index.query import phrase_search
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    joined = corpus_pdf["content"].map(
+        lambda t: " " + " ".join(tokenize_series(pd.Series([t]))[0]) + " "
+    )
+    toks0 = tokenize_series(pd.Series([corpus_pdf["content"].iloc[0]]))[0]
+    phrase = f"{toks0[5]} {toks0[6]} {toks0[7]}"
+    want = set(
+        corpus_pdf[joined.str.contains(f" {phrase} ", regex=False)]["path"]
+    )
+    assert want, "test phrase must occur in the corpus"
+    ph = spark.createDataFrame(
+        [(0, phrase), (1, "qqq zzz notaword")], "query_id long, phrase string"
+    )
+    out = phrase_search(spark, index_dir, corpus_path, ph, k=1000).toPandas()
+    got = set(out[out.query_id == 0]["path"])
+    assert got == want
+    assert len(out[out.query_id == 1]) == 0
+    # ranks are dense from 1 and scores non-increasing
+    r = out[out.query_id == 0].sort_values("rank")
+    assert r["rank"].tolist() == list(range(1, len(r) + 1))
+    assert (r["score"].diff().dropna() <= 1e-12).all()
