@@ -1402,6 +1402,20 @@ def tfidf_keywords(spark, sf_dir):
     )
 
 
+def more_like_this_docs(spark, sf_dir):
+    """More-like-this (reference/OpenSearch MLT query): each source
+    doc's top-5 tf-idf keywords become a disjunctive BM25 query over
+    the corpus (textstats.py::more_like_this); the oracle recomputes
+    keyword selection AND scoring from the raw table."""
+    from data_prepper_spark.datapipe.textstats import more_like_this
+
+    docs = _t(spark, sf_dir, "documents")
+    out = more_like_this(docs, "text", source_ids=[0, 1, 2], m=5, k=10)
+    return out.select(
+        "src_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
 def winnow_fingerprint_dups(spark, sf_dir):
     """Docs sharing >= 5 winnowing fingerprints (partial-overlap dedup).
 
@@ -1916,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": doc_chunking,
         "tfidf_keywords": tfidf_keywords,
         "phrase_search_engine": phrase_search_engine,
+        "more_like_this_docs": more_like_this_docs,
         "bpe_token_counts": bpe_token_counts,
     }
 
@@ -2773,6 +2788,52 @@ ranked AS (
   FROM vtot
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    sql["more_like_this_docs"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+kwsc AS (
+  SELECT tf.doc_id AS src_id, tf.term,
+         tf.tf * ln(s.n / d.df) AS kscore
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  WHERE tf.doc_id IN (0, 1, 2)
+),
+kw AS (
+  SELECT src_id, term FROM (
+    SELECT src_id, term,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY kscore DESC, term) AS rn
+    FROM kwsc
+  ) WHERE rn <= 5
+),
+scored AS (
+  SELECT kw.src_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM kw
+  JOIN tf ON tf.term = kw.term
+  JOIN dfreq d ON d.term = kw.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id != kw.src_id
+),
+tot AS (SELECT src_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT src_id, doc_id, score,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT src_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
 

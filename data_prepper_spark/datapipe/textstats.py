@@ -281,3 +281,57 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("id", "rank", "term", "score")
     )
+
+
+def more_like_this(
+    df: DataFrame,
+    text_col: str,
+    source_ids: list[int],
+    id_col: str = "doc_id",
+    m: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """More-like-this: each source doc's top-m tf-idf keywords become
+    a disjunctive BM25 query over the corpus; returns (src_id, rank,
+    doc_id, score) of the k most similar OTHER docs.
+
+    Scale shape: keyword selection = tfidf_keywords (bounded source
+    list → its keyword set broadcasts); scoring joins the tiny
+    (src, term, idf) set onto the (doc, term, tf) table — one hash
+    join keyed by term plus a per-source window, no all-pairs work."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    kws = (
+        tfidf_keywords(df, text_col, id_col=id_col, k=m)
+        .filter(F.col("id").isin([int(s) for s in source_ids]))
+        .select(F.col("id").alias("src_id"), "term")
+    )
+    toks = tokenize_col(F.col(text_col))
+    tok = df.select(F.col(id_col).alias("did"), F.explode(toks).alias("term"))
+    tf = tok.groupBy("did", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("did").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    part = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(kws), "term")
+        .join(dfreq, "term")
+        .join(dl, "did")
+        .filter(F.col("did") != F.col("src_id"))
+        .groupBy("src_id", "did")
+        .agg(F.sum(part).alias("score"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("did"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", F.col("did").alias("doc_id"), "score")
+    )

@@ -268,3 +268,25 @@ def test_tfidf_keywords_manual(spark):
     # doc 3: cherry and date tie on tf=1 df... cherry df=2, date df=1
     d3 = out[out.id == 3].sort_values("rank")
     assert d3.term.tolist() == ["date", "cherry"]
+
+
+def test_more_like_this_excludes_source(spark):
+    from data_prepper_spark.datapipe.textstats import more_like_this
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple banana cherry apple apple"),
+            (1, "apple banana cherry apple date"),
+            (2, "dog cat mouse elephant zebra"),
+            (3, "apple banana other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = more_like_this(df, "text", source_ids=[0], m=3, k=3).toPandas()
+    assert (out.doc_id != 0).all()  # self never returned
+    r = out.sort_values("rank")
+    assert r["rank"].tolist() == list(range(1, len(r) + 1))
+    # doc 1 shares the most of doc 0's keywords -> rank 1
+    assert r.iloc[0].doc_id == 1
+    # doc 2 shares nothing with doc 0's keyword set -> absent
+    assert 2 not in set(out.doc_id)
