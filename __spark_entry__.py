@@ -1402,6 +1402,27 @@ def tfidf_keywords(spark, sf_dir):
     )
 
 
+def search_snippets(spark, sf_dir):
+    """Highlighting: the top-10 BM25 results per query with the
+    ±5-token snippet around the earliest query-term hit
+    (textstats.py::snippet_col, pure Catalyst). The oracle reproduces
+    ranking AND the snippet window byte-for-byte."""
+    from data_prepper_spark.datapipe.textstats import snippet_col
+
+    docs = _t(spark, sf_dir, "documents")
+    top = bm25_topk_df(spark, sf_dir)
+    qterms = F.array_distinct(tokenize_col(F.col("query")))
+    return (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "query",
+            "rank",
+            "doc_id",
+            snippet_col(F.col("text"), qterms).alias("snippet"),
+        )
+    )
+
+
 def more_like_this_docs(spark, sf_dir):
     """More-like-this (reference/OpenSearch MLT query): each source
     doc's top-5 tf-idf keywords become a disjunctive BM25 query over
@@ -1931,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": tfidf_keywords,
         "phrase_search_engine": phrase_search_engine,
         "more_like_this_docs": more_like_this_docs,
+        "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
     }
 
@@ -2789,6 +2811,26 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+    sql["search_snippets"] = f"""
+WITH base AS ({_bm25_sql()}),
+d AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+j AS (
+  SELECT base.query, base.rank, base.doc_id, d.toks,
+         list_distinct({tokenize_sql('base.query')}) AS qt
+  FROM base JOIN d USING (doc_id)
+),
+p AS (
+  SELECT query, rank, doc_id, toks,
+         list_min(list_filter(
+           list_transform(qt, t -> list_position(toks, t)),
+           x -> x > 0)) AS pos
+  FROM j
+)
+SELECT query, rank, doc_id,
+       array_to_string(toks[greatest(pos - 5, 1) : pos + 5], ' ') AS snippet
+FROM p
 """
 
     sql["more_like_this_docs"] = f"""

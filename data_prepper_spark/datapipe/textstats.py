@@ -335,3 +335,23 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select("src_id", "rank", F.col("did").alias("doc_id"), "score")
     )
+
+
+def snippet_col(text_col: Column, terms: Column, width: int = 5) -> Column:
+    """Search-hit snippet: the ±width-token window around the earliest
+    occurrence of ANY query term in the canonical token stream (NULL
+    when no term occurs). Pure Catalyst — array_position/slice over
+    the tokenized text, codegen-friendly for highlighting the top-k
+    results of a search without a Python pass."""
+    toks = tokenize_col(text_col)
+    pos = F.array_min(
+        F.filter(
+            F.transform(terms, lambda t: F.array_position(toks, t)),
+            lambda p: p > 0,
+        )
+    )
+    start = F.greatest(pos - width, F.lit(1))
+    return F.when(
+        pos.isNotNull(),
+        F.array_join(F.slice(toks, start, pos + width - start + 1), " "),
+    )

@@ -290,3 +290,19 @@ def test_more_like_this_excludes_source(spark):
     assert r.iloc[0].doc_id == 1
     # doc 2 shares nothing with doc 0's keyword set -> absent
     assert 2 not in set(out.doc_id)
+
+
+def test_snippet_col_window(spark):
+    from data_prepper_spark.datapipe.textstats import snippet_col
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "id long, text string"
+    )
+    terms = F.array(F.lit("t7"), F.lit("t2"))
+    out = df.select(snippet_col(F.col("text"), terms, width=2).alias("s"))
+    # earliest hit is t2 (pos 3); window clamps to [1, 5]
+    assert out.collect()[0]["s"] == "t0 t1 t2 t3 t4"
+    none = df.select(
+        snippet_col(F.col("text"), F.array(F.lit("zz")), width=2).alias("s")
+    )
+    assert none.collect()[0]["s"] is None
