@@ -1371,6 +1371,64 @@ def phrase_search_engine(spark, sf_dir):
     )
 
 
+BOOL_QUERIES = [
+    # (must, should, must_not)
+    ("data query", "spark", ""),
+    ("", "merge filter sort", "data"),
+    ("spark", "slow init", "merge"),
+    ("data zzznotaterm", "spark", ""),  # unknown must term -> zero rows
+]
+
+
+def boolean_search_engine(spark, sf_dir):
+    """Boolean (must/should/must_not) query through the physical
+    index (index/query.py::boolean_search) — the reference stack's
+    opensearch-api `bool` query. One bucket-pruned postings scan
+    covers all three roles; the oracle recomputes Lucene bool
+    semantics (conjunctive must, minimum_should_match=1 when no
+    must, exclusion, unknown-must-term -> empty) plus BM25 scoring
+    from the raw table. Same re-rank-by-original-id trick as the
+    phrase entry (the engine tie-breaks on its internal ordinal)."""
+    import os
+    import tempfile
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import boolean_search
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dps_bool_")
+    cpath = os.path.join(tmp, "corpus.parquet")
+    corpus.coalesce(2).write.mode("overwrite").parquet(cpath)
+    idx = os.path.join(tmp, "index")
+    build_index(spark, cpath, idx, BuildConfig(n_buckets=8, hot_group_target=5000))
+    q = spark.createDataFrame(
+        [(i, m, s, n) for i, (m, s, n) in enumerate(BOOL_QUERIES)],
+        "query_id long, must string, should string, must_not string",
+    )
+    res = boolean_search(spark, idx, q, k=50)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("path").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
 def doc_chunking(spark, sf_dir):
     """Token-bounded chunking with overlap — the splitting step of an
     LLM ingestion pipeline (textstats.py::chunk_documents). Pure
@@ -1951,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": doc_chunking,
         "tfidf_keywords": tfidf_keywords,
         "phrase_search_engine": phrase_search_engine,
+        "boolean_search_engine": boolean_search_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -2808,6 +2867,59 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM vtot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    _bool_values = ", ".join(
+        f"(CAST({i} AS BIGINT), {role}, '{clause}')"
+        for i, (m, s, n) in enumerate(BOOL_QUERIES)
+        for role, clause in ((0, m), (1, s), (2, n))
+    )
+    sql["boolean_search_engine"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, role, clause) AS (VALUES {_bool_values}),
+q AS (SELECT DISTINCT query_id, role, unnest({tokenize_sql('clause')}) AS term
+      FROM qraw),
+nmust AS (SELECT query_id, count(*) AS n_must FROM q WHERE role = 0 GROUP BY 1),
+scored AS (
+  SELECT q.query_id, q.role, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         sum(CASE WHEN role <= 1 THEN part ELSE 0 END) AS score,
+         sum(CASE WHEN role = 0 THEN 1 ELSE 0 END) AS must_hit,
+         sum(CASE WHEN role = 1 THEN 1 ELSE 0 END) AS should_hit,
+         max(CASE WHEN role = 2 THEN 1 ELSE 0 END) AS excl
+  FROM scored GROUP BY 1, 2
+),
+m AS (
+  SELECT a.query_id, a.doc_id, a.score
+  FROM agg a LEFT JOIN nmust n USING (query_id)
+  WHERE a.excl = 0
+    AND a.must_hit = coalesce(n.n_must, 0)
+    AND (coalesce(n.n_must, 0) > 0 OR a.should_hit > 0)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM m
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10

@@ -406,3 +406,42 @@ def test_phrase_search_exact_hits(spark, index_dir, fixture_dir, corpus_pdf):
     r = out[out.query_id == 0].sort_values("rank")
     assert r["rank"].tolist() == list(range(1, len(r) + 1))
     assert (r["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_boolean_search_semantics(spark, index_dir, corpus_pdf):
+    """Lucene bool-query contract: conjunctive must, must_not
+    exclusion, minimum_should_match=1 when no must clause, and an
+    unknown must term matches nothing. Match sets verified against a
+    pandas recomputation over the canonical token stream."""
+    from collections import Counter
+
+    from data_prepper_spark.index.query import boolean_search
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toksets = [
+        set(tokenize_series(pd.Series([t]))[0]) for t in corpus_pdf["content"]
+    ]
+    cnt = Counter(t for s in toksets for t in s)
+    common = [t for t, _ in cnt.most_common()]
+    a, b = common[0], common[1]
+    c = common[len(common) // 3]  # mid-frequency -> exclusion bites
+    paths = corpus_pdf["path"].tolist()
+    want_bool = {
+        p for p, s in zip(paths, toksets) if a in s and b in s and c not in s
+    }
+    want_should = {p for p, s in zip(paths, toksets) if a in s or b in s}
+    q = spark.createDataFrame(
+        [
+            (0, f"{a} {b}", "", c),
+            (1, f"zzznotaword {a}", b, ""),
+            (2, "", f"{a} {b}", ""),
+        ],
+        "query_id long, must string, should string, must_not string",
+    )
+    out = boolean_search(spark, index_dir, q, k=1_000_000).toPandas()
+    assert want_bool and set(out[out.query_id == 0]["path"]) == want_bool
+    assert len(out[out.query_id == 1]) == 0
+    assert set(out[out.query_id == 2]["path"]) == want_should
+    r = out[out.query_id == 0].sort_values("rank")
+    assert r["rank"].tolist() == list(range(1, len(r) + 1))
+    assert (r["score"].diff().dropna() <= 1e-12).all()
