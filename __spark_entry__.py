@@ -1331,12 +1331,34 @@ def phrase_search_engine(spark, sf_dir):
     verification + scoring from the raw documents table. Same
     re-rank-by-original-id trick as bm25_indexed_engine (the engine
     tie-breaks on its internal ordinal)."""
+    from data_prepper_spark.index.query import phrase_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    ph = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PHRASE_QUERIES)],
+        "query_id long, phrase string",
+    )
+    return _rerank_engine_results(phrase_search(spark, idx, cpath, ph, k=50))
+
+
+_DOCS_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _docs_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per sf_dir per process) a physical index over the
+    `documents` table shaped as the engine's corpus; returns
+    (corpus_path, index_dir). Shared by every *_search_engine entry so
+    a full entry sweep pays for ONE index build, not one per entry.
+    The build is deterministic (bit-identical across runs), so
+    sharing cannot couple entries."""
     import os
     import tempfile
 
     from data_prepper_spark.index.build import BuildConfig, build_index
-    from data_prepper_spark.index.query import phrase_search
 
+    hit = _DOCS_INDEX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.select(
         F.lit("docs").alias("repo"),
@@ -1346,16 +1368,23 @@ def phrase_search_engine(spark, sf_dir):
         F.col("text").alias("content"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
     )
-    tmp = tempfile.mkdtemp(prefix="dps_phr_")
+    tmp = tempfile.mkdtemp(prefix="dps_docsidx_")
     cpath = os.path.join(tmp, "corpus.parquet")
     corpus.coalesce(2).write.mode("overwrite").parquet(cpath)
     idx = os.path.join(tmp, "index")
     build_index(spark, cpath, idx, BuildConfig(n_buckets=8, hot_group_target=5000))
-    ph = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(PHRASE_QUERIES)],
-        "query_id long, phrase string",
-    )
-    res = phrase_search(spark, idx, cpath, ph, k=50)
+    _DOCS_INDEX_CACHE[sf_dir] = (cpath, idx)
+    return cpath, idx
+
+
+PREFIX_QUERIES = ["s", "qu", "gro", "da"]
+FUZZY_QUERIES = ["spork", "dava", "querry", "hash", "zzzzz"]
+
+
+def _rerank_engine_results(res: DataFrame) -> DataFrame:
+    """Re-rank engine output by the original numeric doc_id (the
+    engine tie-breaks on its internal ordinal, which orders by the
+    STRING path) so ties match the doc_id-ordered oracle."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(F.col("path").cast("long"))
     )
@@ -1368,6 +1397,43 @@ def phrase_search_engine(spark, sf_dir):
             F.col("path").cast("long").alias("doc_id"),
             F.round("score", 6).alias("score_r"),
         )
+    )
+
+
+def prefix_search_engine(spark, sf_dir):
+    """Prefix query with scoring_boolean rewrite
+    (index/query.py::expanded_search, match="prefix") — the reference
+    stack's opensearch-api `prefix` query: patterns expand against
+    the term DICTIONARY (df-descending, capped at max_expansions=50),
+    expanded terms score as a disjunctive BM25 bag. The oracle
+    reproduces expansion (same cap + tie-break) and scoring."""
+    from data_prepper_spark.index.query import expanded_search
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PREFIX_QUERIES)],
+        "query_id long, pattern string",
+    )
+    return _rerank_engine_results(
+        expanded_search(spark, idx, q, match="prefix", k=50)
+    )
+
+
+def fuzzy_search_engine(spark, sf_dir):
+    """Fuzzy query (fuzziness=1) with scoring_boolean rewrite
+    (expanded_search, match="fuzzy"): dictionary terms within edit
+    distance 1 of the pattern (±1 length band prefilter), then the
+    same disjunctive BM25 bag; unknown patterns return zero rows.
+    Oracle mirrors DuckDB's levenshtein."""
+    from data_prepper_spark.index.query import expanded_search
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(FUZZY_QUERIES)],
+        "query_id long, pattern string",
+    )
+    return _rerank_engine_results(
+        expanded_search(spark, idx, q, match="fuzzy", k=50)
     )
 
 
@@ -1389,44 +1455,14 @@ def boolean_search_engine(spark, sf_dir):
     must, exclusion, unknown-must-term -> empty) plus BM25 scoring
     from the raw table. Same re-rank-by-original-id trick as the
     phrase entry (the engine tie-breaks on its internal ordinal)."""
-    import os
-    import tempfile
-
-    from data_prepper_spark.index.build import BuildConfig, build_index
     from data_prepper_spark.index.query import boolean_search
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("docs").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("c0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-        F.sha2(F.col("text"), 256).alias("content_sha256"),
-    )
-    tmp = tempfile.mkdtemp(prefix="dps_bool_")
-    cpath = os.path.join(tmp, "corpus.parquet")
-    corpus.coalesce(2).write.mode("overwrite").parquet(cpath)
-    idx = os.path.join(tmp, "index")
-    build_index(spark, cpath, idx, BuildConfig(n_buckets=8, hot_group_target=5000))
+    _, idx = _docs_index(spark, sf_dir)
     q = spark.createDataFrame(
         [(i, m, s, n) for i, (m, s, n) in enumerate(BOOL_QUERIES)],
         "query_id long, must string, should string, must_not string",
     )
-    res = boolean_search(spark, idx, q, k=50)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc(F.col("path").cast("long"))
-    )
-    return (
-        res.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "query_id",
-            "rank",
-            F.col("path").cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score_r"),
-        )
-    )
+    return _rerank_engine_results(boolean_search(spark, idx, q, k=50))
 
 
 def doc_chunking(spark, sf_dir):
@@ -1614,42 +1650,14 @@ def bm25_indexed_engine(spark, sf_dir):
     order independent of that internal order unless a single tie group
     spans ranks 10..50 (impossible here; duplicate-text groups are
     small)."""
-    import os
-    import tempfile
-
-    from data_prepper_spark.index.build import BuildConfig, build_index
     from data_prepper_spark.index.query import topk_with_docs
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.lit("docs").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.lit("c0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-        F.sha2(F.col("text"), 256).alias("content_sha256"),
-    )
-    tmp = tempfile.mkdtemp(prefix="dps_idx_")
-    cpath = os.path.join(tmp, "corpus.parquet")
-    corpus.coalesce(2).write.mode("overwrite").parquet(cpath)
-    idx = os.path.join(tmp, "index")
-    build_index(spark, cpath, idx, BuildConfig(n_buckets=8, hot_group_target=5000))
+    _, idx = _docs_index(spark, sf_dir)
     q = spark.createDataFrame(
         [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)], "query_id long, query string"
     )
-    res = topk_with_docs(spark, idx, q, k=50, mode="blockmax")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc(F.col("path").cast("long"))
-    )
-    return (
-        res.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "query_id",
-            "rank",
-            F.col("path").cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score_r"),
-        )
+    return _rerank_engine_results(
+        topk_with_docs(spark, idx, q, k=50, mode="blockmax")
     )
 
 
@@ -2010,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": tfidf_keywords,
         "phrase_search_engine": phrase_search_engine,
         "boolean_search_engine": boolean_search_engine,
+        "prefix_search_engine": prefix_search_engine,
+        "fuzzy_search_engine": fuzzy_search_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -2871,6 +2881,60 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+
+    _expand_bm25 = f"""
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT query_id, term, df FROM (
+    SELECT p.query_id, d.term, d.df,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY d.df DESC, d.term) AS x
+    FROM pats p JOIN dfreq d ON {{cond}}
+  ) WHERE x <= 50
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    _pfx_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(PREFIX_QUERIES)
+    )
+    sql["prefix_search_engine"] = (
+        f"WITH pats(query_id, pattern) AS (VALUES {_pfx_values}),\n"
+        + _expand_bm25.format(cond="starts_with(d.term, p.pattern)")
+    )
+    _fz_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(FUZZY_QUERIES)
+    )
+    sql["fuzzy_search_engine"] = (
+        f"WITH pats(query_id, pattern) AS (VALUES {_fz_values}),\n"
+        + _expand_bm25.format(
+            cond="abs(length(d.term) - length(p.pattern)) <= 1 "
+            "AND levenshtein(d.term, p.pattern) <= 1"
+        )
+    )
 
     _bool_values = ", ".join(
         f"(CAST({i} AS BIGINT), {role}, '{clause}')"

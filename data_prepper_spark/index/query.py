@@ -400,6 +400,81 @@ def boolean_search(
     )
 
 
+def expanded_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    match: str = "prefix",
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Multi-term-expansion query (the reference stack's
+    opensearch-api `prefix` / `fuzzy` queries) with the
+    `scoring_boolean` rewrite: the pattern expands against the term
+    DICTIONARY (never the corpus), the expanded terms form a
+    disjunctive BM25 bag, and expansion is capped at
+    `max_expansions` picking the highest-df terms first
+    (deterministic tie-break on the term string).
+
+    match="prefix": dictionary terms starting with the pattern.
+    match="fuzzy":  terms within Damerau-free edit distance 1 of the
+                    pattern (Lucene fuzziness=1), prefiltered by the
+                    +/-1 length band so the scan stays cheap.
+
+    queries: DataFrame (query_id long, pattern string) — pattern must
+    be a single canonical (lowercased) term. Returns (query_id, rank,
+    doc_id, score, repo, path, commit).
+
+    Scale shape: expansion is a broadcast-nested-loop of the tiny
+    pattern set against the terms dictionary — the dictionary is
+    vocabulary-sized (millions of rows at 100 TB, not corpus-sized),
+    exactly the structure Lucene walks for the same rewrite; scoring
+    reuses the bucket-pruned postings scan + shared decoder."""
+    if match not in ("prefix", "fuzzy"):
+        raise ValueError(f"unknown match mode: {match}")
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    pats = F.broadcast(queries.select("query_id", "pattern"))
+    if match == "prefix":
+        cond = F.col("term").startswith(F.col("pattern"))
+    else:
+        cond = (
+            (
+                F.abs(F.length("term") - F.length("pattern")) <= F.lit(1)
+            )
+            & (F.levenshtein(F.col("term"), F.col("pattern")) <= F.lit(1))
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    qt = (
+        terms.join(pats, cond)
+        .withColumn("_x", F.row_number().over(w))
+        .filter(F.col("_x") <= max_expansions)
+        .withColumn("idf", _idf_col(n_docs))
+        .select("query_id", "term_id", "idf", "bucket")
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], avgdl)
+    scored = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+    )
+    topped = (
+        _ranked(scored, k)
+        .withColumnRenamed("doc_id", "ord")
+        .select("query_id", "rank", "ord", "score")
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    return ident.join(F.broadcast(topped), "ord").select(
+        "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+    )
+
+
 def _decode_rank_driver(blocks, idf_by_tid, stats, k: int):
     """Driver-side varbyte decode + BM25 partial merge over the
     collected encoded blocks of ONE query. Returns the top-k

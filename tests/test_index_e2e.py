@@ -445,3 +445,69 @@ def test_boolean_search_semantics(spark, index_dir, corpus_pdf):
     r = out[out.query_id == 0].sort_values("rank")
     assert r["rank"].tolist() == list(range(1, len(r) + 1))
     assert (r["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_expanded_search_prefix_and_fuzzy(spark, index_dir, corpus_pdf):
+    """Multi-term expansion: prefix match set equals a pandas
+    recomputation; fuzzy (distance 1) hits exactly the
+    edit-distance-neighborhood of a real term; unknown patterns
+    return nothing; max_expansions caps the expansion by df."""
+    from collections import Counter
+
+    from data_prepper_spark.index.query import expanded_search
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toksets = [
+        set(tokenize_series(pd.Series([t]))[0]) for t in corpus_pdf["content"]
+    ]
+    cnt = Counter(t for s in toksets for t in s)
+    base = max((t for t in cnt if len(t) >= 4), key=lambda t: cnt[t])
+    pfx = base[:3]
+    paths = corpus_pdf["path"].tolist()
+    want_pfx = {
+        p
+        for p, s in zip(paths, toksets)
+        if any(t.startswith(pfx) for t in s)
+    }
+    q = spark.createDataFrame(
+        [(0, pfx), (1, "zzzzznotaprefix")], "query_id long, pattern string"
+    )
+    out = expanded_search(
+        spark, index_dir, q, match="prefix", k=1_000_000, max_expansions=10_000
+    ).toPandas()
+    assert set(out[out.query_id == 0]["path"]) == want_pfx and want_pfx
+    assert len(out[out.query_id == 1]) == 0
+    # fuzzy: pattern = base with first char replaced -> distance 1
+    fz = ("z" if base[0] != "z" else "q") + base[1:]
+
+    def _d1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, l = (a, b) if la < lb else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1 :] == s:
+                return True
+        return False
+
+    want_fz = {
+        p for p, s in zip(paths, toksets) if any(_d1(t, fz) for t in s)
+    }
+    qf = spark.createDataFrame([(0, fz)], "query_id long, pattern string")
+    outf = expanded_search(
+        spark, index_dir, qf, match="fuzzy", k=1_000_000, max_expansions=10_000
+    ).toPandas()
+    assert set(outf[outf.query_id == 0]["path"]) == want_fz and want_fz
+    # max_expansions=1 keeps only the highest-df expansion
+    out1 = expanded_search(
+        spark, index_dir, q, match="prefix", k=1_000_000, max_expansions=1
+    ).toPandas()
+    top_term = sorted(
+        (t for t in cnt if t.startswith(pfx)), key=lambda t: (-cnt[t], t)
+    )[0]
+    want_one = {p for p, s in zip(paths, toksets) if top_term in s}
+    assert set(out1[out1.query_id == 0]["path"]) == want_one
