@@ -1465,6 +1465,22 @@ def boolean_search_engine(spark, sf_dir):
     return _rerank_engine_results(boolean_search(spark, idx, q, k=50))
 
 
+def faceted_search_engine(spark, sf_dir):
+    """Terms aggregation alongside a query (opensearch-api `aggs`):
+    per-query facet buckets by `lang` over the FULL disjunctive match
+    set from the physical index (index/query.py::faceted_search).
+    The oracle recomputes match + bucket ordering (doc_count desc,
+    value asc) from the raw table."""
+    from data_prepper_spark.index.query import faceted_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    return faceted_search(spark, idx, cpath, q, facet_col="lang")
+
+
 def doc_chunking(spark, sf_dir):
     """Token-bounded chunking with overlap — the splitting step of an
     LLM ingestion pipeline (textstats.py::chunk_documents). Pure
@@ -2020,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search_engine": boolean_search_engine,
         "prefix_search_engine": prefix_search_engine,
         "fuzzy_search_engine": fuzzy_search_engine,
+        "faceted_search_engine": faceted_search_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -2880,6 +2897,34 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+    _fac_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    sql["faceted_search_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_fac_values}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang
+  FROM q JOIN tok USING (term)
+),
+fac AS (
+  SELECT query_id, lang AS facet, count(*) AS doc_count
+  FROM matched GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, facet, doc_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_count DESC, facet) AS bucket_rank
+  FROM fac
+)
+SELECT query_id, bucket_rank, facet, doc_count
+FROM ranked WHERE bucket_rank <= 10
 """
 
     _expand_bm25 = f"""

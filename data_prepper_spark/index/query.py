@@ -475,6 +475,71 @@ def expanded_search(
     )
 
 
+def faceted_search(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    facet_col: str = "lang",
+    n_buckets_out: int = 10,
+) -> DataFrame:
+    """Terms aggregation over the FULL match set (the reference
+    stack's opensearch-api `aggs: {terms: {field: ...}}` alongside a
+    query) — buckets are (facet value, doc_count) per query, ordered
+    by (doc_count desc, value asc), top `n_buckets_out`, computed
+    over EVERY matching doc, not just the top-k hits.
+
+    Match semantics: the standard disjunctive free-text match (a doc
+    matches if it contains >=1 query term), i.e. exactly the match
+    set topk() scores. queries: (query_id long, query string).
+    Returns (query_id, bucket_rank, facet, doc_count).
+
+    Scale shape: the match set comes off the bucket-pruned postings
+    scan (ids only — scores are never materialized); the facet value
+    is a stored-field join ord -> docs -> corpus on the identity key,
+    then ONE (query, facet) aggregation with map-side combine. On a
+    100-TB corpus the identity join is the cost — a production build
+    would store doc-values (the facet columns) in the docs table at
+    build time to skip the corpus entirely (ROADMAP); the plan is
+    otherwise facet-cardinality-bound, never corpus-bound, after the
+    join."""
+    stats = load_stats(index_dir)
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    matched = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .select("query_id", F.col("doc_id").alias("ord"))
+        .distinct()
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "repo", "path", "commit"
+    )
+    attrs = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit", F.col(facet_col).alias("facet")
+    )
+    fac = (
+        matched.join(ident, "ord")
+        .join(attrs, ["repo", "path", "commit"])
+        .groupBy("query_id", "facet")
+        .agg(F.count("*").alias("doc_count"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("facet")
+    )
+    return (
+        fac.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= n_buckets_out)
+        .select("query_id", "bucket_rank", "facet", "doc_count")
+    )
+
+
 def _decode_rank_driver(blocks, idf_by_tid, stats, k: int):
     """Driver-side varbyte decode + BM25 partial merge over the
     collected encoded blocks of ONE query. Returns the top-k

@@ -511,3 +511,37 @@ def test_expanded_search_prefix_and_fuzzy(spark, index_dir, corpus_pdf):
     )[0]
     want_one = {p for p, s in zip(paths, toksets) if top_term in s}
     assert set(out1[out1.query_id == 0]["path"]) == want_one
+
+
+def test_faceted_search_full_match_set(spark, index_dir, fixture_dir, corpus_pdf):
+    """Facet buckets count EVERY matching doc (not just top-k) per
+    lang, ordered (doc_count desc, value asc); verified against a
+    pandas recomputation of the disjunctive match set."""
+    from collections import Counter
+
+    from data_prepper_spark.index.query import faceted_search
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    toksets = [
+        set(tokenize_series(pd.Series([t]))[0]) for t in corpus_pdf["content"]
+    ]
+    cnt = Counter(t for s in toksets for t in s)
+    a, b = [t for t, _ in cnt.most_common(2)]
+    want = Counter(
+        lang
+        for lang, s in zip(corpus_pdf["lang"], toksets)
+        if a in s or b in s
+    )
+    q = spark.createDataFrame(
+        [(0, f"{a} {b}")], "query_id long, query string"
+    )
+    out = (
+        faceted_search(spark, index_dir, corpus_path, q, facet_col="lang",
+                       n_buckets_out=1_000_000)
+        .toPandas()
+        .sort_values("bucket_rank")
+    )
+    assert dict(zip(out["facet"], out["doc_count"])) == dict(want)
+    counts = out["doc_count"].tolist()
+    assert counts == sorted(counts, reverse=True)
