@@ -1481,6 +1481,30 @@ def faceted_search_engine(spark, sf_dir):
     return faceted_search(spark, idx, cpath, q, facet_col="lang")
 
 
+def significant_terms_engine(spark, sf_dir):
+    """Significant-terms aggregation (opensearch-api default JLH
+    heuristic) per query over the disjunctive match set, computed
+    index-side from the index's own tokens + terms tables
+    (index/query.py::significant_terms). Oracle recomputes
+    foreground/background frequencies and the JLH score from the raw
+    table."""
+    from data_prepper_spark.index.query import significant_terms
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    out = significant_terms(spark, idx, q, size=10, min_doc_count=3)
+    return out.select(
+        "query_id",
+        "bucket_rank",
+        "term",
+        "fg_count",
+        F.round("score", 6).alias("score_r"),
+    )
+
+
 def doc_chunking(spark, sf_dir):
     """Token-bounded chunking with overlap — the splitting step of an
     LLM ingestion pipeline (textstats.py::chunk_documents). Pure
@@ -2037,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search_engine": prefix_search_engine,
         "fuzzy_search_engine": fuzzy_search_engine,
         "faceted_search_engine": faceted_search_engine,
+        "significant_terms_engine": significant_terms_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -2924,6 +2949,45 @@ ranked AS (
   FROM fac
 )
 SELECT query_id, bucket_rank, facet, doc_count
+FROM ranked WHERE bucket_rank <= 10
+"""
+
+    sql["significant_terms_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_fac_values}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+fgsz AS (SELECT query_id, count(*)::DOUBLE AS fg_size FROM matched GROUP BY 1),
+fg AS (
+  SELECT m.query_id, t.term, count(*) AS fg_count
+  FROM matched m JOIN tok t USING (doc_id)
+  GROUP BY 1, 2
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bg_count FROM tok GROUP BY 1),
+scored AS (
+  SELECT fg.query_id, fg.term, fg.fg_count,
+         (fg.fg_count / s.fg_size - bg.bg_count / n.n_docs)
+           * ((fg.fg_count / s.fg_size) / (bg.bg_count / n.n_docs)) AS score,
+         fg.fg_count / s.fg_size AS fg_pct,
+         bg.bg_count / n.n_docs AS bg_pct
+  FROM fg
+  JOIN bg USING (term)
+  JOIN fgsz s USING (query_id)
+  CROSS JOIN n
+  WHERE fg.fg_count >= 3
+),
+ranked AS (
+  SELECT query_id, term, fg_count, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term) AS bucket_rank
+  FROM scored WHERE fg_pct > bg_pct
+)
+SELECT query_id, bucket_rank, term, fg_count, round(score, 6) AS score_r
 FROM ranked WHERE bucket_rank <= 10
 """
 

@@ -540,6 +540,88 @@ def faceted_search(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """Significant-terms aggregation (opensearch-api
+    `aggs: {significant_terms: ...}}`): for each query, the terms
+    OVERREPRESENTED in the disjunctive match set (foreground) vs the
+    whole corpus (background), scored with the JLH heuristic the
+    reference stack defaults to:
+
+        jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    keeping only positively significant terms (fg_pct > bg_pct) seen
+    in >= `min_doc_count` foreground docs; buckets ordered
+    (score desc, term asc), top `size`.
+
+    Runs entirely index-side: foreground doc-term pairs come from the
+    index's own tokens table (one join on the internal doc id — both
+    sides carry it natively), background df from the term dictionary,
+    so the raw corpus is never re-tokenized. Scale shape: ONE
+    (query, term) aggregation with map-side combine over
+    |match set| x dl rows; the per-query fg_size aggregate is
+    bucket-count-sized and broadcast."""
+    stats = load_stats(index_dir)
+    n_docs = stats["n_docs"]
+    qt = query_terms(spark, index_dir, queries, n_docs).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    matched = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .select("query_id", F.col("doc_id").alias("ord"))
+        .distinct()
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id"
+    )
+    mdocs = matched.join(ident, "ord").select("query_id", "doc_id")
+    fg_size = mdocs.groupBy("query_id").agg(F.count("*").alias("fg_size"))
+    toks = (
+        spark.read.parquet(os.path.join(index_dir, "tokens"))
+        .filter(F.col("term").isNotNull())
+        .select("doc_id", "term")
+    )
+    # tokens rows are unique per (doc, term) by construction (v3
+    # format aggregates tf inside the tokenize UDF), so a plain count
+    # IS the foreground document frequency
+    fg = mdocs.join(toks, "doc_id").groupBy("query_id", "term").agg(
+        F.count("*").alias("fg_count")
+    )
+    bg = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "term", F.col("df").alias("bg_count")
+    )
+    scored = (
+        fg.filter(F.col("fg_count") >= min_doc_count)
+        .join(bg, "term")
+        .join(F.broadcast(fg_size), "query_id")
+        .withColumn("fg_pct", F.col("fg_count") / F.col("fg_size"))
+        .withColumn("bg_pct", F.col("bg_count") / F.lit(float(n_docs)))
+        .filter(F.col("fg_pct") > F.col("bg_pct"))
+        .withColumn(
+            "score",
+            (F.col("fg_pct") - F.col("bg_pct"))
+            * (F.col("fg_pct") / F.col("bg_pct")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= size)
+        .select("query_id", "bucket_rank", "term", "fg_count", "score")
+    )
+
+
 def _decode_rank_driver(blocks, idf_by_tid, stats, k: int):
     """Driver-side varbyte decode + BM25 partial merge over the
     collected encoded blocks of ONE query. Returns the top-k
