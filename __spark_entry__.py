@@ -1471,9 +1471,10 @@ def faceted_search_engine(spark, sf_dir):
     set from the physical index (index/query.py::faceted_search).
     The oracle recomputes match + bucket ordering (doc_count desc,
     value asc) from the raw table."""
-    from data_prepper_spark.index.query import faceted_search
+    from data_prepper_spark.index.query import attach_doc_values, faceted_search
 
     cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang",))
     q = spark.createDataFrame(
         [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
         "query_id long, query string",

@@ -496,13 +496,12 @@ def faceted_search(
 
     Scale shape: the match set comes off the bucket-pruned postings
     scan (ids only — scores are never materialized); the facet value
-    is a stored-field join ord -> docs -> corpus on the identity key,
-    then ONE (query, facet) aggregation with map-side combine. On a
-    100-TB corpus the identity join is the cost — a production build
-    would store doc-values (the facet columns) in the docs table at
-    build time to skip the corpus entirely (ROADMAP); the plan is
-    otherwise facet-cardinality-bound, never corpus-bound, after the
-    join."""
+    is one join for the facet value — against the doc-values sidecar
+    (attach_doc_values) when one holds `facet_col` (ord -> value,
+    corpus never touched), else ord -> docs -> corpus on the identity
+    key — then ONE (query, facet) aggregation with map-side combine.
+    With the sidecar the plan is facet-cardinality-bound, never
+    corpus-bound."""
     stats = load_stats(index_dir)
     qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
         "query_id", "term_id", "idf", "bucket"
@@ -518,17 +517,23 @@ def faceted_search(
         .select("query_id", F.col("doc_id").alias("ord"))
         .distinct()
     )
-    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "ord", "repo", "path", "commit"
-    )
-    attrs = spark.read.parquet(corpus_path).select(
-        "repo", "path", "commit", F.col(facet_col).alias("facet")
-    )
-    fac = (
-        matched.join(ident, "ord")
-        .join(attrs, ["repo", "path", "commit"])
-        .groupBy("query_id", "facet")
-        .agg(F.count("*").alias("doc_count"))
+    dv = _doc_values(spark, index_dir, facet_col)
+    if dv is not None:
+        attributed = matched.join(
+            dv.select("ord", F.col(facet_col).alias("facet")), "ord"
+        )
+    else:
+        ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "ord", "repo", "path", "commit"
+        )
+        attrs = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", F.col(facet_col).alias("facet")
+        )
+        attributed = matched.join(ident, "ord").join(
+            attrs, ["repo", "path", "commit"]
+        )
+    fac = attributed.groupBy("query_id", "facet").agg(
+        F.count("*").alias("doc_count")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("doc_count"), F.asc("facet")
@@ -538,6 +543,39 @@ def faceted_search(
         .filter(F.col("bucket_rank") <= n_buckets_out)
         .select("query_id", "bucket_rank", "facet", "doc_count")
     )
+
+
+def attach_doc_values(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    cols: tuple[str, ...] = ("lang",),
+) -> None:
+    """Write a doc-values sidecar (Lucene DocValues analog): a
+    column-striped parquet keyed by the dense ordinal holding the
+    given stored fields, produced by ONE identity join against the
+    corpus at attach time. Queries that aggregate over stored fields
+    (faceted_search) then join match ords against this
+    vocabulary-thin table instead of re-scanning the corpus — at
+    100 TB that turns faceting from corpus-bound into
+    index-bound."""
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "repo", "path", "commit"
+    )
+    corpus = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit", *cols
+    )
+    ident.join(corpus, ["repo", "path", "commit"]).select(
+        "ord", *cols
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "docvalues"))
+
+
+def _doc_values(spark: SparkSession, index_dir: str, col: str) -> DataFrame | None:
+    try:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    except Exception:
+        return None
+    return dv.select("ord", col) if col in dv.columns else None
 
 
 def significant_terms(

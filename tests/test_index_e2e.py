@@ -545,3 +545,16 @@ def test_faceted_search_full_match_set(spark, index_dir, fixture_dir, corpus_pdf
     assert dict(zip(out["facet"], out["doc_count"])) == dict(want)
     counts = out["doc_count"].tolist()
     assert counts == sorted(counts, reverse=True)
+    # doc-values sidecar path (corpus join skipped) gives identical
+    # buckets — it is the scale path for 100-TB corpora
+    from data_prepper_spark.index.query import attach_doc_values
+
+    attach_doc_values(spark, index_dir, corpus_path, cols=("lang",))
+    out_dv = (
+        faceted_search(spark, index_dir, corpus_path, q, facet_col="lang",
+                       n_buckets_out=1_000_000)
+        .toPandas()
+        .sort_values("bucket_rank")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out_dv)
