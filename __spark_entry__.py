@@ -1437,6 +1437,96 @@ def fuzzy_search_engine(spark, sf_dir):
     )
 
 
+_BOOL_SQL_TEMPLATE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, role, clause) AS (VALUES {{values}}),
+q AS (SELECT DISTINCT query_id, role, unnest({tokenize_sql('clause')}) AS term
+      FROM qraw),
+nmust AS (SELECT query_id, count(*) AS n_must FROM q WHERE role = 0 GROUP BY 1),
+scored AS (
+  SELECT q.query_id, q.role, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         sum(CASE WHEN role <= 1 THEN part ELSE 0 END) AS score,
+         sum(CASE WHEN role = 0 THEN 1 ELSE 0 END) AS must_hit,
+         sum(CASE WHEN role = 1 THEN 1 ELSE 0 END) AS should_hit,
+         max(CASE WHEN role = 2 THEN 1 ELSE 0 END) AS excl
+  FROM scored GROUP BY 1, 2
+),
+m AS (
+  SELECT a.query_id, a.doc_id, a.score
+  FROM agg a LEFT JOIN nmust n USING (query_id)
+  WHERE a.excl = 0
+    AND a.must_hit = coalesce(n.n_must, 0)
+    AND (coalesce(n.n_must, 0) > 0 OR a.should_hit > 0)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM m
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+
+SQS_QUERIES = [
+    "+data +query spark",
+    "spark -slow",
+    "batch scan",
+    "+zzznotaterm data",
+    "-merge filter sort",
+]
+
+
+def _parse_sqs(q: str) -> tuple[str, str, str]:
+    """Reference parse of the simple_query_string operators (+must,
+    -must_not, bare should) — mirrors the Catalyst split in
+    index/query.py::simple_query_string exactly; used only to build
+    the DuckDB oracle."""
+    must, should, must_not = [], [], []
+    for tok in q.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            must_not.append(tok[1:])
+        else:
+            should.append(tok)
+    return " ".join(must), " ".join(should), " ".join(must_not)
+
+
+def simple_query_string_engine(spark, sf_dir):
+    """simple_query_string (+term / -term / bare) parsed pure-Catalyst
+    and executed as a bool query over the physical index
+    (index/query.py::simple_query_string). The oracle applies the
+    identical operator split in Python and runs the shared bool-query
+    SQL template."""
+    from data_prepper_spark.index.query import simple_query_string
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SQS_QUERIES)],
+        "query_id long, query string",
+    )
+    return _rerank_engine_results(simple_query_string(spark, idx, q, k=50))
+
+
 BOOL_QUERIES = [
     # (must, should, must_not)
     ("data query", "spark", ""),
@@ -2063,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_engine": fuzzy_search_engine,
         "faceted_search_engine": faceted_search_engine,
         "significant_terms_engine": significant_terms_engine,
+        "simple_query_string_engine": simple_query_string_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3046,58 +3137,18 @@ FROM ranked WHERE rank <= 10
         )
     )
 
-    _bool_values = ", ".join(
-        f"(CAST({i} AS BIGINT), {role}, '{clause}')"
-        for i, (m, s, n) in enumerate(BOOL_QUERIES)
-        for role, clause in ((0, m), (1, s), (2, n))
+    def _bool_oracle_sql(triples: list[tuple[str, str, str]]) -> str:
+        values = ", ".join(
+            f"(CAST({i} AS BIGINT), {role}, '{clause}')"
+            for i, (m, s, n) in enumerate(triples)
+            for role, clause in ((0, m), (1, s), (2, n))
+        )
+        return _BOOL_SQL_TEMPLATE.format(values=values)
+
+    sql["boolean_search_engine"] = _bool_oracle_sql(BOOL_QUERIES)
+    sql["simple_query_string_engine"] = _bool_oracle_sql(
+        [_parse_sqs(q) for q in SQS_QUERIES]
     )
-    sql["boolean_search_engine"] = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-qraw(query_id, role, clause) AS (VALUES {_bool_values}),
-q AS (SELECT DISTINCT query_id, role, unnest({tokenize_sql('clause')}) AS term
-      FROM qraw),
-nmust AS (SELECT query_id, count(*) AS n_must FROM q WHERE role = 0 GROUP BY 1),
-scored AS (
-  SELECT q.query_id, q.role, tf.doc_id,
-         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-           * tf.tf * ({K1} + 1)
-           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
-  FROM q
-  JOIN dfreq d USING (term)
-  JOIN tf ON tf.term = q.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats s
-),
-agg AS (
-  SELECT query_id, doc_id,
-         sum(CASE WHEN role <= 1 THEN part ELSE 0 END) AS score,
-         sum(CASE WHEN role = 0 THEN 1 ELSE 0 END) AS must_hit,
-         sum(CASE WHEN role = 1 THEN 1 ELSE 0 END) AS should_hit,
-         max(CASE WHEN role = 2 THEN 1 ELSE 0 END) AS excl
-  FROM scored GROUP BY 1, 2
-),
-m AS (
-  SELECT a.query_id, a.doc_id, a.score
-  FROM agg a LEFT JOIN nmust n USING (query_id)
-  WHERE a.excl = 0
-    AND a.must_hit = coalesce(n.n_must, 0)
-    AND (coalesce(n.n_must, 0) > 0 OR a.should_hit > 0)
-),
-ranked AS (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rank
-  FROM m
-)
-SELECT query_id, rank, doc_id, round(score, 6) AS score_r
-FROM ranked WHERE rank <= 10
-"""
 
     sql["search_snippets"] = f"""
 WITH base AS ({_bm25_sql()}),

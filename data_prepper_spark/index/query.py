@@ -545,6 +545,50 @@ def faceted_search(
     )
 
 
+def simple_query_string(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """simple_query_string lite (the reference stack's opensearch-api
+    `simple_query_string` default operators): whitespace-separated
+    tokens where `+term` is a must clause, `-term` a must_not clause,
+    and bare terms are should clauses (minimum_should_match=1 when no
+    must); delegates to boolean_search. The operator split is pure
+    Catalyst (filter/transform over the split array) so a
+    million-row query workload table parses distributed, no driver
+    round-trip.
+
+    queries: (query_id long, query string). Returns the
+    boolean_search shape."""
+    return boolean_search(spark, index_dir, parse_simple_queries(queries), k=k)
+
+
+def parse_simple_queries(queries: DataFrame) -> DataFrame:
+    """(query_id, query) -> (query_id, must, should, must_not) by the
+    simple_query_string operator rules: `+tok` must, `-tok` must_not,
+    bare tok should; a lone '+'/'-' counts as a bare token."""
+    toks = F.split(F.col("query"), " +")
+
+    def _clause(pred, strip):
+        kept = F.filter(toks, pred)
+        if strip:
+            kept = F.transform(
+                kept, lambda t: t.substr(F.lit(2), F.length(t))
+            )
+        return F.array_join(kept, " ")
+
+    is_must = lambda t: t.startswith("+") & (F.length(t) > 1)  # noqa: E731
+    is_not = lambda t: t.startswith("-") & (F.length(t) > 1)  # noqa: E731
+    return queries.select(
+        "query_id",
+        _clause(is_must, True).alias("must"),
+        _clause(lambda t: ~is_must(t) & ~is_not(t), False).alias("should"),
+        _clause(is_not, True).alias("must_not"),
+    )
+
+
 def attach_doc_values(
     spark: SparkSession,
     index_dir: str,

@@ -558,3 +558,36 @@ def test_faceted_search_full_match_set(spark, index_dir, fixture_dir, corpus_pdf
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out.reset_index(drop=True), out_dv)
+
+
+def test_simple_query_string_parse(spark):
+    """Catalyst operator split matches the reference Python parse on
+    edge cases (lone +/-, repeated spaces, all-must, all-bare)."""
+    from data_prepper_spark.index.query import parse_simple_queries
+
+    def ref(q):
+        must, should, must_not = [], [], []
+        for tok in q.split():
+            if tok.startswith("+") and len(tok) > 1:
+                must.append(tok[1:])
+            elif tok.startswith("-") and len(tok) > 1:
+                must_not.append(tok[1:])
+            else:
+                should.append(tok)
+        return " ".join(must), " ".join(should), " ".join(must_not)
+
+    cases = [
+        "+a b -c",
+        "+ a -",
+        "a  b",
+        "+x +y",
+        "-only",
+        "",
+        "+data query -slow spark",
+    ]
+    q = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "query_id long, query string"
+    )
+    got = parse_simple_queries(q).toPandas().sort_values("query_id")
+    for row, c in zip(got.itertuples(), cases):
+        assert (row.must, row.should, row.must_not) == ref(c), c
