@@ -1596,6 +1596,24 @@ def significant_terms_engine(spark, sf_dir):
     )
 
 
+def index_stats_report(spark, sf_dir):
+    """The _stats / _cat/indices analog: one-row index statistics
+    (docs, vocabulary size, total postings, total tokens, avgdl)
+    from the index's own tables (index/query.py::index_stats); the
+    oracle recomputes every number from the raw documents table."""
+    from data_prepper_spark.index.query import index_stats
+
+    _, idx = _docs_index(spark, sf_dir)
+    out = index_stats(spark, idx)
+    return out.select(
+        "n_docs",
+        "n_terms",
+        "total_postings",
+        "total_tokens",
+        F.round("avgdl", 6).alias("avgdl_r"),
+    )
+
+
 def doc_chunking(spark, sf_dir):
     """Token-bounded chunking with overlap — the splitting step of an
     LLM ingestion pipeline (textstats.py::chunk_documents). Pure
@@ -2154,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "faceted_search_engine": faceted_search_engine,
         "significant_terms_engine": significant_terms_engine,
         "simple_query_string_engine": simple_query_string_engine,
+        "index_stats_report": index_stats_report,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3149,6 +3168,20 @@ FROM ranked WHERE rank <= 10
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]
     )
+
+    sql["index_stats_report"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))::BIGINT
+         AS total_postings,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tokens,
+       round((SELECT sum(dl) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl_r
+"""
 
     sql["search_snippets"] = f"""
 WITH base AS ({_bm25_sql()}),

@@ -589,6 +589,43 @@ def parse_simple_queries(queries: DataFrame) -> DataFrame:
     )
 
 
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Index statistics (the reference stack's opensearch-api
+    `_stats` / `_cat/indices` analog) computed from the index's own
+    tables — corpus never touched: doc count + avgdl from stats.json
+    (recorded at build), term count + total postings from the term
+    dictionary (sum of df == doc-term pairs), total tokens from the
+    docs table's dl column (exact int sum). One row; the two source
+    aggregates are dictionary-/docs-table-sized jobs."""
+    stats = load_stats(index_dir)
+    trow = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+        )
+        .collect()[0]
+    )
+    drow = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .agg(F.sum("dl").cast("long").alias("total_tokens"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_docs"]),
+                int(trow["n_terms"]),
+                int(trow["total_postings"]),
+                int(drow["total_tokens"]),
+                float(stats["avgdl"]),
+            )
+        ],
+        "n_docs long, n_terms long, total_postings long, "
+        "total_tokens long, avgdl double",
+    )
+
+
 def attach_doc_values(
     spark: SparkSession,
     index_dir: str,
