@@ -1596,6 +1596,33 @@ def significant_terms_engine(spark, sf_dir):
     )
 
 
+DELETE_QUERY = "customer"
+
+
+def delete_by_query_engine(spark, sf_dir):
+    """_delete_by_query + Lucene delete semantics: docs matching the
+    delete query are tombstoned (postings/stats untouched), then the
+    standard BM25 top-10 runs over the survivors — remaining docs
+    keep their PRE-delete scores (index/query.py::delete_by_query +
+    the tombstone anti-join in topk). The oracle scores with
+    full-corpus statistics and excludes the deleted docs. Runs on a
+    throwaway copy of the shared entry index (tombstones mutate)."""
+    import shutil
+    import tempfile
+
+    from data_prepper_spark.index.query import delete_by_query, topk_with_docs
+
+    _, idx = _docs_index(spark, sf_dir)
+    idx2 = tempfile.mkdtemp(prefix="dps_delq_") + "/index"
+    shutil.copytree(idx, idx2)
+    delete_by_query(spark, idx2, DELETE_QUERY)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    return _rerank_engine_results(topk_with_docs(spark, idx2, q, k=50))
+
+
 def index_stats_report(spark, sf_dir):
     """The _stats / _cat/indices analog: one-row index statistics
     (docs, vocabulary size, total postings, total tokens, avgdl)
@@ -2173,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_engine": significant_terms_engine,
         "simple_query_string_engine": simple_query_string_engine,
         "index_stats_report": index_stats_report,
+        "delete_by_query_engine": delete_by_query_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3168,6 +3196,47 @@ FROM ranked WHERE rank <= 10
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]
     )
+
+    sql["delete_by_query_engine"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+dead AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (SELECT unnest({tokenize_sql("'" + DELETE_QUERY + "'")}))
+),
+qraw(query_id, query) AS (VALUES {_fac_values}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (
+  SELECT query_id, doc_id, sum(part) AS score FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
 
     sql["index_stats_report"] = f"""
 WITH tok AS (

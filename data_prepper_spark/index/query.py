@@ -589,6 +589,85 @@ def parse_simple_queries(queries: DataFrame) -> DataFrame:
     )
 
 
+def _tombstone_ords(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    try:
+        ts = spark.read.parquet(os.path.join(index_dir, "tombstones"))
+    except Exception:
+        return None
+    return ts.select("ord").distinct()
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> int:
+    """Delete-by-query (the reference stack's opensearch-api
+    `_delete_by_query` with a match query): every doc matching the
+    disjunctive free-text query is TOMBSTONED — appended as an ord to
+    the index's `tombstones/` parquet — and the postings, term
+    dictionary, and corpus stats stay untouched, exactly Lucene's
+    delete semantics: remaining docs keep their pre-delete BM25
+    scores until a merge expunges. Readers distinct() the tombstone
+    set, so re-deleting is idempotent. Returns the number of docs the
+    query matched.
+
+    Scale shape: the match set comes off the bucket-pruned postings
+    scan (ids only); the append is a tombstone-set-sized write, never
+    an index rewrite — deleting 1% of a 10^12-doc index writes ~10^10
+    skinny rows and zero postings bytes."""
+    stats = load_stats(index_dir)
+    q = spark.createDataFrame([(0, query)], "query_id long, query string")
+    qt = query_terms(spark, index_dir, q, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    matched = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .select(F.col("doc_id").alias("ord"))
+        .distinct()
+    )
+    matched.persist()
+    n = matched.count()
+    matched.write.mode("append").parquet(os.path.join(index_dir, "tombstones"))
+    matched.unpersist()
+    return n
+
+
+def expunge_deletes(
+    spark: SparkSession,
+    corpus_path: str,
+    index_dir: str,
+    out_dir: str,
+    cfg=None,
+) -> None:
+    """Merge-with-expunge (Lucene forceMergeDeletes): rebuild the
+    index at `out_dir` from the corpus MINUS tombstoned docs — df,
+    avgdl, and n_docs are recomputed over the survivors, matching
+    what a Lucene segment merge does to deleted docs' statistics.
+    One identity anti-join + the standard build pipeline."""
+    from .build import build_index
+
+    ts = _tombstone_ords(spark, index_dir)
+    corpus = spark.read.parquet(corpus_path)
+    if ts is not None:
+        dead = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .join(ts, "ord")
+            .select("repo", "path", "commit")
+        )
+        corpus = corpus.join(dead, ["repo", "path", "commit"], "left_anti")
+    # sibling path, never inside out_dir: the builder owns out_dir's
+    # layout (manifest/resume scans it)
+    tmp_corpus = out_dir.rstrip("/") + "_expunged_corpus.parquet"
+    corpus.write.mode("overwrite").parquet(tmp_corpus)
+    if cfg is not None:
+        build_index(spark, tmp_corpus, out_dir, cfg)
+    else:
+        build_index(spark, tmp_corpus, out_dir)
+
+
 def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """Index statistics (the reference stack's opensearch-api
     `_stats` / `_cat/indices` analog) computed from the index's own
@@ -1136,6 +1215,15 @@ def topk(
     stats = _stats if _stats is not None else load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    tombs = _tombstone_ords(spark, index_dir)
+    if tombs is not None:
+        # Lucene delete semantics: tombstoned docs drop out of results
+        # while postings/stats stay pre-delete. Blockmax must not run
+        # here: a tombstoned top scorer would set θ too high and prune
+        # live docs that belong in the top-k. Exhaustive decode +
+        # anti-join is always correct; expunge_deletes() restores the
+        # pruned path.
+        mode = "exhaustive"
     if mode == "auto":
         disp = stats.get("blockmax_dispersion", 0.0) or 0.0
         mode = (
@@ -1157,6 +1245,13 @@ def topk(
         scored = joined.select(
             "query_id", "idf", "docs", "tfs", "dls"
         ).mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        if tombs is not None:
+            # no broadcast hint: tombstone sets are unbounded (a
+            # delete-by-query can match most of the corpus); AQE
+            # promotes small ones to broadcast on its own
+            scored = scored.join(
+                tombs.withColumnRenamed("ord", "doc_id"), "doc_id", "left_anti"
+            )
         return _resolve_ords(spark, index_dir, _ranked(scored, k), _docs_df)
 
     if mode != "blockmax":

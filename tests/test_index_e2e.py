@@ -591,3 +591,73 @@ def test_simple_query_string_parse(spark):
     got = parse_simple_queries(q).toPandas().sort_values("query_id")
     for row, c in zip(got.itertuples(), cases):
         assert (row.must, row.should, row.must_not) == ref(c), c
+
+
+def test_delete_by_query_and_expunge(spark, index_dir, fixture_dir, corpus_pdf,
+                                     queries_pdf, tmp_path):
+    """Lucene delete semantics: tombstoned docs vanish from results
+    while survivors keep their PRE-delete scores (stats untouched);
+    expunge_deletes rebuilds minus tombstones and is rank-identical
+    to the numpy oracle over the filtered corpus."""
+    import shutil as sh
+
+    from collections import Counter
+
+    from data_prepper_spark.index.query import delete_by_query, expunge_deletes
+    from data_prepper_spark.oracle import bm25_topk
+    from data_prepper_spark.tokenizer import tokenize_series
+    from data_prepper_spark.xxh64 import doc_id_of
+
+    idx = str(tmp_path / "idx")
+    sh.copytree(index_dir, idx)
+    toksets = [
+        set(tokenize_series(pd.Series([t]))[0]) for t in corpus_pdf["content"]
+    ]
+    # doc frequency per term; pick one present in ~1/4 of the docs so
+    # both the deleted and surviving sets are substantial
+    dfreq = Counter(t for s in toksets for t in s)
+    target = len(toksets) // 4
+    term = min(dfreq, key=lambda t: (abs(dfreq[t] - target), t))
+    dead_mask = pd.Series([term in s for s in toksets])
+    dead_ids = {
+        doc_id_of(r.repo, r.path, r.commit)
+        for r, d in zip(corpus_pdf.itertuples(), dead_mask)
+        if d
+    }
+    n = delete_by_query(spark, idx, term)
+    assert n == int(dead_mask.sum()) and n > 0
+    qp = queries_pdf.head(8)
+    qdf = spark.createDataFrame(qp)
+    full = topk(spark, index_dir, qdf, k=100_000).toPandas()
+    got = topk(spark, idx, qdf, k=10).toPandas()
+    assert not (set(got["doc_id"]) & dead_ids)
+    # expected = full ranking minus dead docs, re-ranked, top 10 —
+    # scores must be BIT-identical (postings/stats untouched)
+    live = (
+        full[~full["doc_id"].isin(dead_ids)]
+        .sort_values(["query_id", "rank"])
+        .copy()
+    )
+    live["rank"] = live.groupby("query_id").cumcount() + 1
+    exp = live[live["rank"] <= 10].reset_index(drop=True)
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert (got["score"].to_numpy() == exp["score"].to_numpy()).all()
+    # re-delete is idempotent
+    assert delete_by_query(spark, idx, term) == n
+    got_again = (
+        topk(spark, idx, qdf, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got_again["doc_id"].tolist() == got["doc_id"].tolist()
+    # merge-with-expunge: survivors' stats recomputed
+    out = str(tmp_path / "merged")
+    expunge_deletes(
+        spark, os.path.join(fixture_dir, "corpus.parquet"), idx, out
+    )
+    sub = corpus_pdf[~dead_mask.to_numpy()].reset_index(drop=True)
+    gold = bm25_topk(sub, qp.head(5), k=5)
+    got2 = topk(spark, out, spark.createDataFrame(qp.head(5)), k=5).toPandas()
+    _compare(got2, gold)
