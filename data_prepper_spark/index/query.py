@@ -590,9 +590,18 @@ def parse_simple_queries(queries: DataFrame) -> DataFrame:
 
 
 def _tombstone_ords(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    # cheap pyarrow-fs stat, not a JVM read attempt: this runs on
+    # EVERY topk() call and indexes without deletes (the common case,
+    # and the benched path) must not pay an AnalysisException round
+    # trip for it
+    from .. import fsio
+
+    p = os.path.join(index_dir, "tombstones")
+    if not fsio.isdir(p):
+        return None
     try:
-        ts = spark.read.parquet(os.path.join(index_dir, "tombstones"))
-    except Exception:
+        ts = spark.read.parquet(p)
+    except Exception:  # dir exists but holds no readable parquet
         return None
     return ts.select("ord").distinct()
 
