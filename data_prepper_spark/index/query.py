@@ -620,7 +620,12 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> int:
     Scale shape: the match set comes off the bucket-pruned postings
     scan (ids only); the append is a tombstone-set-sized write, never
     an index rewrite — deleting 1% of a 10^12-doc index writes ~10^10
-    skinny rows and zero postings bytes."""
+    skinny rows and zero postings bytes.
+
+    Visibility: the batch topk() path honors tombstones immediately;
+    warm QuerySession / topk_one_cold / topk_deltas read a snapshot
+    taken before the delete (re-warm to see it) — the same
+    reader-snapshot contract Lucene gives open IndexReaders."""
     stats = load_stats(index_dir)
     q = spark.createDataFrame([(0, query)], "query_id long, query string")
     qt = query_terms(spark, index_dir, q, stats["n_docs"]).select(
