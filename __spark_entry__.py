@@ -1596,6 +1596,65 @@ def significant_terms_engine(spark, sf_dir):
     )
 
 
+def search_after_page2(spark, sf_dir):
+    """Deep pagination (opensearch-api search_after,
+    index/query.py::topk_after): page 1's last hit becomes a
+    stateless (score, doc) cursor and page 2 is the next 10 strictly
+    after it. The cursor is taken at the LAST rank <=10 that closes
+    its score-tie group, so the page boundary is identical under the
+    engine's ordinal tie-break and the oracle's doc_id tie-break
+    (scores are bit-identical across engines on this corpus: <=2
+    partials per doc, IEEE-commutative); the oracle derives the same
+    boundary with a lead() window."""
+    from data_prepper_spark.index.query import topk, topk_after
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    p1 = (
+        topk(spark, idx, q, k=11)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+    )
+    cursors = []
+    for qid, grp in p1.groupby("query_id"):
+        scores = grp["score"].to_numpy()
+        ranks = grp["rank"].to_numpy()
+        r = max(
+            int(ranks[i])
+            for i in range(len(grp))
+            if ranks[i] <= 10
+            and (i + 1 >= len(grp) or scores[i] != scores[i + 1])
+        )
+        row = grp[grp["rank"] == r].iloc[0]
+        cursors.append(
+            (int(qid), BM25_QUERY_TERMS[int(qid)], float(row["score"]),
+             int(row["doc_id"]))
+        )
+    cur = spark.createDataFrame(
+        cursors,
+        "query_id long, query string, after_score double, after_doc long",
+    )
+    p2 = topk_after(spark, idx, cur, k=50)
+    ident = spark.read.parquet(f"{idx}/docs").select("doc_id", "path")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    return (
+        p2.join(ident, "doc_id")
+        .withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= 10)
+        .select(
+            "query_id",
+            F.col("prank").alias("rank"),
+            F.col("path").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
 DELETE_QUERY = "customer"
 
 
@@ -2201,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_string_engine": simple_query_string_engine,
         "index_stats_report": index_stats_report,
         "delete_by_query_engine": delete_by_query_engine,
+        "search_after_page2": search_after_page2,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3196,6 +3256,53 @@ FROM ranked WHERE rank <= 10
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]
     )
+
+    sql["search_after_page2"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (VALUES {_fac_values}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank,
+         lead(score) OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS nxt
+  FROM tot
+),
+bnd AS (
+  SELECT query_id, max(rank) AS r FROM ranked
+  WHERE rank <= 10 AND (nxt IS NULL OR score <> nxt)
+  GROUP BY 1
+),
+page2 AS (
+  SELECT rk.query_id, rk.doc_id, rk.score,
+         row_number() OVER (PARTITION BY rk.query_id
+                            ORDER BY rk.rank) AS prank
+  FROM ranked rk JOIN bnd USING (query_id)
+  WHERE rk.rank > bnd.r
+)
+SELECT query_id, prank AS rank, doc_id, round(score, 6) AS score_r
+FROM page2 WHERE prank <= 10
+"""
 
     sql["delete_by_query_engine"] = f"""
 WITH toks AS (

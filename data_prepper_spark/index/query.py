@@ -545,6 +545,75 @@ def faceted_search(
     )
 
 
+def topk_after(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Deep pagination (the reference stack's opensearch-api
+    `search_after`): each query carries the (score, doc_id) sort key
+    of the last hit already seen, and the next page is the k docs
+    strictly AFTER that cursor in (score desc, doc_id asc within the
+    engine's ordinal order) — stateless, no scroll context to hold
+    server-side, every page costs one topk-shaped job. Page N never
+    re-ranks pages 1..N-1: the cursor filter runs before the window,
+    so the row_number heap only sees the remainder.
+
+    queries: (query_id long, query string, after_score double,
+    after_doc long) — after_doc is the engine doc_id of the cursor
+    row; NULL after_score means page 1 (no cursor). Returns
+    (query_id, rank, doc_id, score) with rank restarting at 1 per
+    page."""
+    _sweep_deferred()
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    qt = query_terms(
+        spark, index_dir, queries.select("query_id", "query"), n_docs
+    ).select("query_id", "term_id", "idf", "bucket")
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], avgdl)
+    scored = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+    )
+    tombs = _tombstone_ords(spark, index_dir)
+    if tombs is not None:
+        scored = scored.join(
+            tombs.withColumnRenamed("ord", "doc_id"), "doc_id", "left_anti"
+        )
+    totals = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("partial").alias("score")
+    )
+    # cursor coordinates: the engine ranks on the dense ordinal, and
+    # the cursor's after_doc is an engine doc_id — map it to its ord
+    # once (cursor set is query-sized, broadcast)
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        F.col("doc_id").alias("after_doc"), F.col("ord").alias("_after_ord")
+    )
+    cur = queries.select("query_id", "after_score", "after_doc").join(
+        ident, "after_doc", "left"
+    )
+    filt = totals.join(F.broadcast(cur), "query_id", "left").filter(
+        F.col("after_score").isNull()
+        | (F.col("score") < F.col("after_score"))
+        | (
+            (F.col("score") == F.col("after_score"))
+            & (F.col("doc_id") > F.col("_after_ord"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    page = (
+        filt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    return _resolve_ords(spark, index_dir, page, None)
+
+
 def simple_query_string(
     spark: SparkSession,
     index_dir: str,

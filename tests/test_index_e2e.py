@@ -661,3 +661,35 @@ def test_delete_by_query_and_expunge(spark, index_dir, fixture_dir, corpus_pdf,
     gold = bm25_topk(sub, qp.head(5), k=5)
     got2 = topk(spark, out, spark.createDataFrame(qp.head(5)), k=5).toPandas()
     _compare(got2, gold)
+
+
+def test_search_after_pages_tile(spark, index_dir, queries_pdf):
+    """search_after pages tile the ranking: page1 (k=10) + page2
+    (next 10 after page1's last hit) == topk k=20, in order, with no
+    overlap — for every fixture query."""
+    from data_prepper_spark.index.query import topk_after
+
+    qp = queries_pdf.head(6)
+    qdf = spark.createDataFrame(qp)
+    p1 = topk(spark, index_dir, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    p20 = topk(spark, index_dir, qdf, k=20).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    cursors = []
+    for r in p1[p1["rank"] == 10].itertuples():
+        qtext = qp[qp["query_id"] == r.query_id]["query"].iloc[0]
+        cursors.append((int(r.query_id), qtext, float(r.score), int(r.doc_id)))
+    cur = spark.createDataFrame(
+        cursors,
+        "query_id long, query string, after_score double, after_doc long",
+    )
+    p2 = topk_after(spark, index_dir, cur, k=10).toPandas().sort_values(
+        ["query_id", "rank"]
+    )
+    for qid in p1["query_id"].unique():
+        a = p1[p1.query_id == qid]["doc_id"].tolist()
+        b = p2[p2.query_id == qid]["doc_id"].tolist()
+        want = p20[p20.query_id == qid]["doc_id"].tolist()
+        assert a + b == want
