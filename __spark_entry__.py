@@ -1365,6 +1365,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         F.col("doc_id").cast("string").alias("path"),
         F.lit("c0").alias("commit"),
         F.col("lang"),
+        F.col("n_chars"),
         F.col("text").alias("content"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
     )
@@ -1564,12 +1565,31 @@ def faceted_search_engine(spark, sf_dir):
     from data_prepper_spark.index.query import attach_doc_values, faceted_search
 
     cpath, idx = _docs_index(spark, sf_dir)
-    attach_doc_values(spark, idx, cpath, cols=("lang",))
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
     q = spark.createDataFrame(
         [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
         "query_id long, query string",
     )
     return faceted_search(spark, idx, cpath, q, facet_col="lang")
+
+
+def range_facets_engine(spark, sf_dir):
+    """Range aggregation alongside a query (opensearch-api `range`
+    agg): doc counts of the FULL match set bucketed by n_chars bands
+    with OpenSearch bucket labels ("*-200", "200-400", ...), via the
+    doc-values sidecar (index/query.py::range_facets). Oracle
+    recomputes match + CASE bucketing."""
+    from data_prepper_spark.index.query import attach_doc_values, range_facets
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    return range_facets(
+        spark, idx, cpath, q, field="n_chars", bounds=[200, 400, 800]
+    )
 
 
 def significant_terms_engine(spark, sf_dir):
@@ -2261,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats_report": index_stats_report,
         "delete_by_query_engine": delete_by_query_engine,
         "search_after_page2": search_after_page2,
+        "range_facets_engine": range_facets_engine,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3256,6 +3277,28 @@ FROM ranked WHERE rank <= 10
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]
     )
+
+    sql["range_facets_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_fac_values}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+)
+SELECT query_id,
+       CASE WHEN n_chars < 200 THEN '*-200'
+            WHEN n_chars < 400 THEN '200-400'
+            WHEN n_chars < 800 THEN '400-800'
+            ELSE '800-*' END AS bucket,
+       count(*) AS doc_count
+FROM matched
+GROUP BY 1, 2
+"""
 
     sql["search_after_page2"] = f"""
 WITH toks AS (

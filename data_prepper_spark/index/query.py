@@ -821,6 +821,65 @@ def _doc_values(spark: SparkSession, index_dir: str, col: str) -> DataFrame | No
     return dv.select("ord", col) if col in dv.columns else None
 
 
+def range_facets(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    bounds: list[float],
+) -> DataFrame:
+    """Range aggregation alongside a query (opensearch-api
+    `aggs: {range: {field, ranges}}`): per query, doc counts of the
+    FULL match set bucketed by half-open ranges [bounds[i],
+    bounds[i+1]) with unbounded head/tail buckets, labelled the
+    OpenSearch way ("*-b", "a-b", "a-*"). Same ids-only match set and
+    stored-field resolution as faceted_search (doc-values sidecar
+    when it holds `field`, else the corpus identity join); one
+    (query, bucket) aggregation. Buckets with zero matches are
+    omitted (sparse form). Returns (query_id, bucket, doc_count)."""
+    stats = load_stats(index_dir)
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    matched = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .select("query_id", F.col("doc_id").alias("ord"))
+        .distinct()
+    )
+    dv = _doc_values(spark, index_dir, field)
+    if dv is not None:
+        attributed = matched.join(dv.select("ord", field), "ord")
+    else:
+        ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "ord", "repo", "path", "commit"
+        )
+        attrs = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", field
+        )
+        attributed = matched.join(ident, "ord").join(
+            attrs, ["repo", "path", "commit"]
+        )
+    v = F.col(field)
+    lbl = F.when(v < bounds[0], F.lit(f"*-{bounds[0]:g}"))
+    for lo, hi in zip(bounds, bounds[1:]):
+        lbl = lbl.when(
+            (v >= lo) & (v < hi), F.lit(f"{lo:g}-{hi:g}")
+        )
+    lbl = lbl.otherwise(F.lit(f"{bounds[-1]:g}-*"))
+    return (
+        attributed.withColumn("bucket", lbl)
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,
