@@ -1821,6 +1821,21 @@ def minhash_dedup(spark, sf_dir):
     )
 
 
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash near-dup pair graph
+    (datapipe/dedup.py::dup_clusters, min-label propagation with
+    per-round localCheckpoint): cluster = min reachable id, min
+    member flagged canonical — the 'keep one per cluster' step of a
+    training-data dedup pipeline. Oracle = recursive CTE reachability
+    over the SAME pair SQL."""
+    from data_prepper_spark.datapipe.dedup import dup_clusters
+
+    pairs = minhash_dedup(spark, sf_dir)
+    return dup_clusters(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "cluster", "is_canonical"
+    )
+
+
 def simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs, portable-hash variant (oracle-provable)."""
     from data_prepper_spark.datapipe.dedup import simhash_pairs_portable
@@ -2282,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_query_engine": delete_by_query_engine,
         "search_after_page2": search_after_page2,
         "range_facets_engine": range_facets_engine,
+        "dedup_clusters": dedup_clusters,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -2966,6 +2982,25 @@ WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE
         toks, num_perm=16, bands=4, shingle=3, threshold=0.5
     )
     sql["simhash_dedup"] = simhash_pairs_portable_sql(toks, max_hamming=8)
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({sql["minhash_dedup"]})
+),
+edges AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT x AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.x, r.lbl FROM edges e JOIN reach r ON r.id = e.y
+)
+SELECT id AS doc_id, min(lbl) AS cluster, (min(lbl) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
 
     sql["winnow_fingerprint_dups"] = f"""
 WITH fps AS ({winnow_fingerprints_sql(toks)}),

@@ -674,3 +674,61 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the
+    'keep one per cluster' completion of the dedup family: every
+    node gets cluster = min id reachable through dup edges, and the
+    min member is flagged canonical (the survivor a training-data
+    pipeline keeps).
+
+    Min-label propagation: each round every node takes the min label
+    among itself and its neighbors; converges in <= graph-diameter
+    rounds (near-dup clusters are shallow: boilerplate groups are
+    near-cliques). Each round is ONE edge-list join + ONE groupBy —
+    never an all-pairs product — and the frame is localCheckpoint-ed
+    per round so lineage (and the plan Catalyst must optimize) stays
+    flat at 100-TB edge counts. Deterministic for any input.
+
+    Returns (id, cluster, is_canonical)."""
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    edges = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "y"), "y"
+        ).select(F.col("x").alias("id"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "nl")
+            .join(labels, "id")
+            .filter(F.col("nl") != F.col("lbl"))
+            .count()
+        )
+        labels = new.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        F.col("lbl").alias("cluster"),
+        (F.col("id") == F.col("lbl")).alias("is_canonical"),
+    )

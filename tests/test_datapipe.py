@@ -306,3 +306,23 @@ def test_snippet_col_window(spark):
         snippet_col(F.col("text"), F.array(F.lit("zz")), width=2).alias("s")
     )
     assert none.collect()[0]["s"] is None
+
+
+def test_dup_clusters_components(spark):
+    """Connected components: a 6-node chain (diameter forces several
+    propagation rounds), a triangle, and an isolated pair each get
+    cluster = min member id with exactly one canonical node."""
+    from data_prepper_spark.datapipe.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = dup_clusters(pairs).toPandas().sort_values("id")
+    got = dict(zip(out["id"], out["cluster"]))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    canon = set(out[out["is_canonical"]]["id"])
+    assert canon == {10, 20, 30}
