@@ -1821,6 +1821,24 @@ def minhash_dedup(spark, sf_dir):
     )
 
 
+def train_eval_split(spark, sf_dir):
+    """Deterministic train/eval/test split by salted md5 id-hash
+    (textstats.py::hash_split) — reproducible membership that
+    survives reruns and appends; map-only, no shuffle. Output is the
+    per-split doc count + an id checksum so the oracle verifies the
+    exact membership, not just the proportions."""
+    from data_prepper_spark.datapipe.textstats import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash near-dup pair graph
     (datapipe/dedup.py::dup_clusters, min-label propagation with
@@ -2298,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": search_after_page2,
         "range_facets_engine": range_facets_engine,
         "dedup_clusters": dedup_clusters,
+        "train_eval_split": train_eval_split,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -2982,6 +3001,25 @@ WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE
         toks, num_perm=16, bands=4, shingle=3, threshold=0.5
     )
     sql["simhash_dedup"] = simhash_pairs_portable_sql(toks, max_hamming=8)
+
+    sql["train_eval_split"] = """
+WITH f AS (
+  SELECT doc_id,
+         TRY_CAST(concat('0x',
+           substr(md5(doc_id::VARCHAR || 'split'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS frac
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN frac < 0.8 THEN 'train'
+              WHEN frac < 0.9 THEN 'eval'
+              ELSE 'test' END AS split
+  FROM f
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM s GROUP BY 1
+"""
 
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS (

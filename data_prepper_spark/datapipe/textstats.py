@@ -355,3 +355,53 @@ def snippet_col(text_col: Column, terms: Column, width: int = 5) -> Column:
         pos.isNotNull(),
         F.array_join(F.slice(toks, start, pos + width - start + 1), " "),
     )
+
+
+def hash_split(
+    df,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+):
+    """Deterministic dataset split (train/eval/test) by a salted
+    content-free id hash — the reproducible-split primitive of a
+    training-data pipeline: membership depends only on (id, salt),
+    so reruns, re-shards, and incremental appends never move a doc
+    across splits. Portable: fraction = first 8 md5 hex digits /
+    16^8, reproducible bit-for-bit in any engine with md5 (the
+    DuckDB oracle mirrors it). Pure Catalyst map-only — no shuffle,
+    no RNG, no per-row Python.
+
+    weights: split name -> weight (normalized internally); assignment
+    walks cumulative boundaries in dict order. Adds a `split`
+    column."""
+    if weights is None:
+        weights = {"train": 0.9, "eval": 0.1}
+    total = float(sum(weights.values()))
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    acc = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)
