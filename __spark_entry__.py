@@ -1821,6 +1821,79 @@ def minhash_dedup(spark, sf_dir):
     )
 
 
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid search via reciprocal-rank fusion (the reference
+    stack's hybrid-search normalization; index/query.py::rrf_fuse):
+    BM25 top-50 and tf-idf dot-product top-50 (saturating+dl-normed
+    vs linear tf — genuinely different rankings) fused by
+    rrf = Σ 1/(60+rank), top-10. Both sub-scores are <=2-term sums,
+    so every number is bit-identical across engines; the oracle
+    reproduces both rankings and the fusion."""
+    from data_prepper_spark.index.query import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    ).select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias("term"),
+    )
+    base = (
+        q.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    def _rank50(scored):
+        ww = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(ww))
+            .filter(F.col("rank") <= 50)
+            .select("query_id", "rank", "doc_id")
+        )
+
+    bm25 = _rank50(
+        base.withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    tfidf = _rank50(
+        base.withColumn("part", F.col("idf") * F.col("idf") * F.col("tf"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    return rrf_fuse(bm25, tfidf, k=60, topk=10).select(
+        "query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf_r")
+    )
+
+
 def train_eval_split(spark, sf_dir):
     """Deterministic train/eval/test split by salted md5 id-hash
     (textstats.py::hash_split) — reproducible membership that
@@ -2317,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facets_engine": range_facets_engine,
         "dedup_clusters": dedup_clusters,
         "train_eval_split": train_eval_split,
+        "hybrid_rrf_search": hybrid_rrf_search,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3001,6 +3075,66 @@ WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE
         toks, num_perm=16, bands=4, shingle=3, threshold=0.5
     )
     sql["simhash_dedup"] = simhash_pairs_portable_sql(toks, max_hamming=8)
+
+    _rrf_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    sql["hybrid_rrf_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (VALUES {_rrf_values}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+base AS (
+  SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, s.n, s.avgdl,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM (
+    SELECT query_id, doc_id,
+           sum(idf * tf * ({K1} + 1)
+               / (tf + {K1} * (1 - {B} + {B} * dl / avgdl))) AS score
+    FROM base GROUP BY 1, 2
+  ) QUALIFY rank <= 50
+),
+tfidf AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM (
+    SELECT query_id, doc_id, sum(idf * idf * tf) AS score
+    FROM base GROUP BY 1, 2
+  ) QUALIFY rank <= 50
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + a.rank), 0)
+           + coalesce(1.0 / (60.0 + b.rank), 0) AS rrf
+  FROM bm25 a FULL OUTER JOIN tfidf b USING (query_id, doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
+FROM ranked WHERE rank <= 10
+"""
 
     sql["train_eval_split"] = """
 WITH f AS (

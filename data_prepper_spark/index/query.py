@@ -788,6 +788,37 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF — the
+    technique behind the reference stack's hybrid-search score
+    normalization): fuse two rankings of the same doc space into
+    rrf = Σ 1/(k+rank_i) over the rankings a doc appears in, ranked
+    (rrf desc, doc_id asc). Rank-only fusion — incomparable score
+    scales (BM25 vs cosine vs anything) never need calibrating.
+
+    a, b: DataFrames (query_id, rank, doc_id[, ...]). One outer join
+    on (query, doc) + one window — fusion cost is bounded by the
+    retrieved candidate lists, never the corpus."""
+    fa = a.select("query_id", "doc_id", F.col("rank").alias("_ra"))
+    fb = b.select("query_id", "doc_id", F.col("rank").alias("_rb"))
+    j = fa.join(fb, ["query_id", "doc_id"], "outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("_ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col("_rb")), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )
+
+
 def attach_doc_values(
     spark: SparkSession,
     index_dir: str,
