@@ -8,11 +8,17 @@ on the same parquet. Column names and value discipline are aligned:
     decimal(18,4) sum then one cast to double -> bit-identical values;
   * transcendental scores (BM25, cosine) are rounded to 6 decimals;
   * timestamps are compared as formatted strings (UTC both sides).
-Every entry has an oracle (64/64): hash-based operators (minhash,
-simhash, winnowing) run DuckDB-portable md5-derived hashes; LSH ANN
-and the multimodal fake decode embed their deterministic constants in
-both engines. The production (xxhash64 / numpy-siphash) twins of the
-portable variants are asserted in tests/ and measured in bench.py.
+Every entry has an oracle (94/94): hash-based operators (minhash,
+simhash, winnowing, hash_split) run DuckDB-portable md5-derived
+hashes; LSH ANN and the multimodal fake decode embed their
+deterministic constants in both engines; iterative ops (dedup
+clustering) are oracled with recursive CTEs. The production
+(xxhash64 / numpy-siphash) twins of the portable variants are
+asserted in tests/ and measured in bench.py. The *_engine entries
+(bm25_indexed, phrase, boolean, prefix, fuzzy, simple_query_string,
+faceted, significant_terms, range, search_after, delete_by_query,
+index_stats) run through the physical index, sharing ONE cached
+build per sweep (_docs_index).
 """
 
 from __future__ import annotations
