@@ -100,6 +100,32 @@ def main():
     q = spark.read.parquet(f"{d}/queries.parquet").limit(5)
     out.append("\n==== index_topk_blockmax ====")
     out.append(plan_of(topk(spark, idx, q, k=10, mode="blockmax")))
+
+    # search-API family: all must show the same bucket-pruned postings
+    # scan + broadcast query side; faceting on the doc-values path must
+    # NOT touch the corpus scan at all
+    from data_prepper_spark.index.query import (
+        attach_doc_values,
+        boolean_search,
+        expanded_search,
+        faceted_search,
+    )
+
+    bq = spark.createDataFrame(
+        [(0, "data query", "spark", "slow")],
+        "query_id long, must string, should string, must_not string",
+    )
+    out.append("\n==== index_boolean_search ====")
+    out.append(plan_of(boolean_search(spark, idx, bq, k=10)))
+    pq = spark.createDataFrame([(0, "da")], "query_id long, pattern string")
+    out.append("\n==== index_prefix_expansion ====")
+    out.append(plan_of(expanded_search(spark, idx, pq, match="prefix", k=10)))
+    attach_doc_values(spark, idx, f"{d}/corpus.parquet", cols=("lang",))
+    fq = spark.createDataFrame([(0, "data")], "query_id long, query string")
+    out.append("\n==== index_faceted_docvalues ====")
+    out.append(
+        plan_of(faceted_search(spark, idx, f"{d}/corpus.parquet", fq))
+    )
     out.append("```\n")
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
