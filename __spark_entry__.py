@@ -1827,6 +1827,47 @@ def minhash_dedup(spark, sf_dir):
     )
 
 
+SUGGEST_INPUTS = ["spork", "qeury", "custmer", "zzzzzzzz"]
+COMPLETE_INPUTS = ["s", "qu", "cust", "zzz"]
+
+
+def term_suggester(spark, sf_dir):
+    """Did-you-mean (opensearch-api term suggester,
+    index/query.py::suggest mode="term"): dictionary corrections
+    within edit distance 2 ranked (distance, df desc, term) — the
+    DirectSpellChecker ordering. Oracle mirrors DuckDB levenshtein
+    over the same dictionary."""
+    from data_prepper_spark.index.query import suggest
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(SUGGEST_INPUTS)],
+        "input_id long, text string",
+    )
+    return suggest(spark, idx, q, mode="term", size=3).select(
+        "input_id", "suggest_rank", "suggestion",
+        F.col("df").cast("long").alias("df"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+def completion_suggester(spark, sf_dir):
+    """Prefix completion (opensearch-api completion suggester,
+    suggest mode="completion"): dictionary terms by (df desc, term)
+    under each prefix."""
+    from data_prepper_spark.index.query import suggest
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(COMPLETE_INPUTS)],
+        "input_id long, text string",
+    )
+    return suggest(spark, idx, q, mode="completion", size=5).select(
+        "input_id", "suggest_rank", "suggestion",
+        F.col("df").cast("long").alias("df"),
+    )
+
+
 def hybrid_rrf_search(spark, sf_dir):
     """Hybrid search via reciprocal-rank fusion (the reference
     stack's hybrid-search normalization; index/query.py::rrf_fuse):
@@ -2397,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "train_eval_split": train_eval_split,
         "hybrid_rrf_search": hybrid_rrf_search,
+        "term_suggester": term_suggester,
+        "completion_suggester": completion_suggester,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3081,6 +3124,57 @@ WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE
         toks, num_perm=16, bands=4, shingle=3, threshold=0.5
     )
     sql["simhash_dedup"] = simhash_pairs_portable_sql(toks, max_hamming=8)
+
+    _sug_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(SUGGEST_INPUTS)
+    )
+    sql["term_suggester"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+inp(input_id, text) AS (VALUES {_sug_values}),
+j AS (
+  SELECT i.input_id, d.term, d.df,
+         levenshtein(d.term, i.text)::BIGINT AS distance
+  FROM inp i JOIN dict d
+    ON abs(length(d.term) - length(i.text)) <= 2 AND d.term <> i.text
+),
+ranked AS (
+  SELECT input_id, term, df, distance,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY distance, df DESC, term)
+           AS suggest_rank
+  FROM j WHERE distance <= 2
+)
+SELECT input_id, suggest_rank, term AS suggestion, df, distance
+FROM ranked WHERE suggest_rank <= 3
+"""
+
+    _cmp_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(COMPLETE_INPUTS)
+    )
+    sql["completion_suggester"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+inp(input_id, text) AS (VALUES {_cmp_values}),
+j AS (
+  SELECT i.input_id, d.term, d.df
+  FROM inp i JOIN dict d ON starts_with(d.term, i.text)
+),
+ranked AS (
+  SELECT input_id, term, df,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY df DESC, term) AS suggest_rank
+  FROM j
+)
+SELECT input_id, suggest_rank, term AS suggestion, df
+FROM ranked WHERE suggest_rank <= 5
+"""
 
     _rrf_values = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)

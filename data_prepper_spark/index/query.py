@@ -788,6 +788,59 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def suggest(
+    spark: SparkSession,
+    index_dir: str,
+    inputs: DataFrame,
+    mode: str = "term",
+    size: int = 3,
+) -> DataFrame:
+    """Suggesters (the reference stack's opensearch-api `suggest`
+    block) over the term DICTIONARY:
+
+    mode="term": did-you-mean — dictionary terms within edit
+      distance <=2 of the input (±2 length band prefilter), the
+      input itself excluded, ranked (distance asc, df desc, term
+      asc) — the Lucene DirectSpellChecker ordering;
+    mode="completion": prefix completion — terms starting with the
+      input, ranked (df desc, term asc).
+
+    inputs: (input_id long, text string). Returns (input_id,
+    suggest_rank, suggestion, df[, distance]). Dictionary-sized scan
+    with a broadcast input side — never touches postings or corpus;
+    at 10^12 docs the dictionary is still only vocabulary-sized."""
+    terms = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "term", "df"
+    )
+    pats = F.broadcast(inputs.select("input_id", "text"))
+    if mode == "term":
+        joined = (
+            terms.join(
+                pats,
+                (F.abs(F.length("term") - F.length("text")) <= F.lit(2))
+                & (F.col("term") != F.col("text")),
+            )
+            .withColumn("distance", F.levenshtein(F.col("term"), F.col("text")))
+            .filter(F.col("distance") <= 2)
+        )
+        w = Window.partitionBy("input_id").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("term")
+        )
+        cols = ["input_id", "suggest_rank", "suggestion", "df", "distance"]
+    elif mode == "completion":
+        joined = terms.join(pats, F.col("term").startswith(F.col("text")))
+        w = Window.partitionBy("input_id").orderBy(F.desc("df"), F.asc("term"))
+        cols = ["input_id", "suggest_rank", "suggestion", "df"]
+    else:
+        raise ValueError(f"unknown suggest mode: {mode}")
+    return (
+        joined.withColumn("suggest_rank", F.row_number().over(w))
+        .filter(F.col("suggest_rank") <= size)
+        .withColumnRenamed("term", "suggestion")
+        .select(*cols)
+    )
+
+
 def rrf_fuse(
     a: DataFrame,
     b: DataFrame,
