@@ -1226,6 +1226,36 @@ def sessionization(spark, sf_dir):
     )
 
 
+def anomaly_detector_grades(spark, sf_dir):
+    """anomaly_detector processor (reference
+    AnomalyDetectorProcessor.java:38 / RandomCutForestMode.java:37,
+    mechanism-equivalent trailing-window scorer — see
+    operators/anomaly.py): per-user anomalies in `value`, non-verbose
+    (leading edge of each run only). The oracle reproduces the
+    trailing mean/stddev window, the grade formula, the warmup and
+    the run-suppression lag exactly."""
+    from data_prepper_spark.operators.anomaly import anomaly_detector
+
+    ev = _t(spark, sf_dir, "events")
+    out = anomaly_detector(
+        ev, ["value"], identification_keys=["user_id"],
+        order_by=["event_id"], sample_size=64, output_after=16,
+        threshold=2.5, verbose=False,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        # deviations are exact rationals m/(100*n) (2-decimal inputs,
+        # trailing-mean window of n<=64 rows): a 6-decimal rounding
+        # can land exactly ON a half boundary (engines' 1e-13 float
+        # noise then flips it), while an 8-decimal tie would need
+        # 2*10^6*m/n odd, i.e. 128 | n — impossible at n<=64. Round
+        # to 8 in BOTH engines.
+        F.round(F.col("deviation_from_expected")[0], 8).alias("deviation"),
+        F.round("grade", 6).alias("grade_r"),
+    )
+
+
 # --------------------------------------------------------------------
 # datapipe: dedup / similarity / text stats
 # --------------------------------------------------------------------
@@ -2415,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "service_map_edges": service_map_edges_q,
         "trace_group_fill": trace_group_fill_q,
         "sessionization": sessionization,
+        "anomaly_detector_grades": anomaly_detector_grades,
         "inverted_index_stats": inverted_index_stats,
         "exact_dedup_fingerprint": exact_dedup_fingerprint,
         "token_jaccard_pairs": token_jaccard_pairs,
@@ -2979,6 +3010,38 @@ SELECT s.span_id,
 FROM spans s
 LEFT JOIN (SELECT trace_id, name FROM spans WHERE parent_span_id IS NULL) r
   ON s.trace_id = r.trace_id
+"""
+
+    sql["anomaly_detector_grades"] = """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING)
+),
+g AS (
+  SELECT user_id, event_id, value - mu AS dev,
+         CASE WHEN sd > 0
+              THEN least(1.0, greatest(0.0, abs(value - mu) / sd / 2.5 - 1.0))
+              END AS grade,
+         rn
+  FROM s
+),
+a AS (
+  SELECT user_id, event_id, dev, grade,
+         (grade > 0 AND rn > 16) AS anom,
+         coalesce(lag(grade > 0 AND rn > 16)
+                  OVER (PARTITION BY user_id ORDER BY event_id),
+                  false) AS prev
+  FROM g
+)
+SELECT user_id, event_id, round(dev, 8) AS deviation,
+       round(grade, 6) AS grade_r
+FROM a WHERE anom AND NOT prev
 """
 
     sql["sessionization"] = """

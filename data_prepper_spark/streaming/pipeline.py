@@ -307,3 +307,86 @@ def compact_deltas(
         ],
     )
     return run_index_stage(spark, out_dir, cfg)
+
+
+def streaming_anomaly_detector(
+    events: DataFrame,
+    key: str,
+    value_col: str,
+    order_col: str,
+    identification_keys: list[str] | None = None,
+    sample_size: int = 256,
+    output_after: int = 32,
+    threshold: float = 3.0,
+    verbose: bool = False,
+):
+    """Streaming form of operators.anomaly.anomaly_detector — the true
+    analog of the reference's per-group mutable RCF state
+    (AnomalyDetectorProcessor.java:85-100 keeps one forest per
+    identification-key hash; here applyInPandasWithState keeps one
+    trailing-window deque per group, carried across micro-batches).
+    Same math as the batch operator: z against the trailing
+    `sample_size` values, grade = min(1, max(0, z/threshold - 1)),
+    non-verbose suppresses all but the leading edge of an anomaly run.
+    Single scored key (`key`); `value_col`/`order_col` name the output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_keys = list(identification_keys or [])
+    out_schema = (
+        ", ".join(f"{k} string" for k in id_keys)
+        + (", " if id_keys else "")
+        + f"{order_col} long, {value_col} double, "
+        "deviation_from_expected double, grade double"
+    )
+    state_schema = "vals array<double>, n long, prev_anom boolean"
+
+    def fn(kt, pdf_iter, state):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        kt = kt if id_keys else ()  # the lit(31) group key is synthetic
+        vals, n, prev_anom = (
+            (list(state.get[0]), int(state.get[1]), bool(state.get[2]))
+            if state.exists
+            else ([], 0, False)
+        )
+        out = []
+        for oid, v in zip(
+            pdf[order_col].to_numpy(), pdf[key].to_numpy(dtype="float64")
+        ):
+            if not np.isnan(v):
+                win = vals[-sample_size:]
+                anom = False
+                if n >= output_after and len(win) >= 2:
+                    mu = float(np.mean(win))
+                    sd = float(np.std(win, ddof=1))
+                    if sd > 0:
+                        z = abs(v - mu) / sd
+                        grade = min(1.0, max(0.0, z / threshold - 1.0))
+                        anom = grade > 0
+                        if anom and (verbose or not prev_anom):
+                            out.append((*kt, int(oid), float(v), v - mu, grade))
+                vals.append(float(v))
+                if len(vals) > sample_size:
+                    vals = vals[-sample_size:]
+                n += 1
+                prev_anom = anom
+        state.update((vals, n, prev_anom))
+        cols = [*id_keys, order_col, value_col,
+                "deviation_from_expected", "grade"]
+        yield pd.DataFrame(out, columns=cols)
+
+    grp = [F.col(k).cast("string").alias(k) for k in id_keys] or [
+        F.lit("31").alias("__g")
+    ]
+    return events.groupBy(*grp).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
