@@ -1898,6 +1898,120 @@ def completion_suggester(spark, sf_dir):
     )
 
 
+def explain_scores_engine(spark, sf_dir):
+    """_explain analog (index/query.py::explain_score): per-term BM25
+    breakdown (tf, df, idf, contribution) for the top-10 hits of each
+    query, read from the physical index's own tokens/terms tables with
+    a term-IN pushdown. Hit set fixed by the oracle-identical
+    (score desc, original doc_id) re-rank; the oracle reproduces the
+    ranking AND every sub-score."""
+    from data_prepper_spark.index.query import explain_score, topk_with_docs
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    res = topk_with_docs(spark, idx, q, k=50).select(
+        "query_id", "doc_id", "score", "path"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    hits = (
+        res.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "path")
+    )
+    exp = explain_score(
+        spark, idx, q, hits=hits.select("query_id", "doc_id")
+    )
+    return exp.join(hits, ["query_id", "doc_id"]).select(
+        "query_id",
+        F.col("path").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf_r"),
+        F.round("contribution", 6).alias("contribution_r"),
+    )
+
+
+def term_vectors_engine(spark, sf_dir):
+    """_termvectors analog (index/query.py::term_vectors): the
+    requested docs' terms with field tf + collection df/ttf from the
+    index's tokens (doc-IN pushdown) and term dictionary; the oracle
+    recounts all three from the raw documents table."""
+    from data_prepper_spark.index.query import term_vectors
+
+    _, idx = _docs_index(spark, sf_dir)
+    docs_tbl = (
+        spark.read.parquet(f"{idx}/docs")
+        .filter(F.col("path").isin([str(i) for i in range(5)]))
+        .select("doc_id", "path")
+    )
+    ids = [r["doc_id"] for r in docs_tbl.collect()]
+    tv = term_vectors(spark, idx, ids)
+    return tv.join(docs_tbl, "doc_id").select(
+        F.col("path").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("ttf").cast("long").alias("ttf"),
+    )
+
+
+PERCOLATE_QUERIES = [
+    (0, "spark data"),
+    (1, "merge"),
+    (2, "slow init"),
+    (3, "query merge data"),
+    (4, "zzzqqq absent"),
+]
+
+
+def percolate_matches(spark, sf_dir):
+    """Percolator (reversed search, index/query.py::percolate):
+    stored queries match incoming docs containing ALL their terms
+    (conjunctive match). One term join + grouped count — never a
+    queries × docs product."""
+    from data_prepper_spark.index.query import percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        PERCOLATE_QUERIES, "query_id long, query string"
+    )
+    return percolate(q, docs)
+
+
+def rank_eval_metrics(spark, sf_dir):
+    """_rank_eval analog (index/query.py::rank_eval): per-query
+    precision@10 / recall@10 / MRR / NDCG@10 of the BM25 ranking
+    against deterministic ratings (a doc is relevant to a query iff
+    it contains ALL the query's terms). The oracle reproduces the
+    ranking, the rating rule and the metric math."""
+    from data_prepper_spark.index.query import percolate, rank_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    results = bm25_topk_df(spark, sf_dir).select(
+        F.col("query").alias("query_id"), "rank", "doc_id"
+    )
+    q = spark.createDataFrame(
+        [(t, t) for t in BM25_QUERY_TERMS], "query_id string, query string"
+    )
+    ratings = percolate(q, docs).select(
+        "query_id", "doc_id", F.lit(1.0).alias("rating")
+    )
+    out = rank_eval(results, ratings, k=10)
+    return out.select(
+        F.col("query_id").alias("query"),
+        F.round("precision_at_k", 6).alias("precision_r"),
+        F.round("recall_at_k", 6).alias("recall_r"),
+        F.round("mrr", 6).alias("mrr_r"),
+        F.round("ndcg_at_k", 6).alias("ndcg_r"),
+    )
+
+
 def hybrid_rrf_search(spark, sf_dir):
     """Hybrid search via reciprocal-rank fusion (the reference
     stack's hybrid-search normalization; index/query.py::rrf_fuse):
@@ -2471,6 +2585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": hybrid_rrf_search,
         "term_suggester": term_suggester,
         "completion_suggester": completion_suggester,
+        "explain_scores_engine": explain_scores_engine,
+        "term_vectors_engine": term_vectors_engine,
+        "percolate_matches": percolate_matches,
+        "rank_eval_metrics": rank_eval_metrics,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
@@ -3242,6 +3360,122 @@ FROM ranked WHERE suggest_rank <= 5
     _rrf_values = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)
     )
+    _qid_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    sql["explain_scores_engine"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf, d.df,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+),
+top AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 10)
+SELECT s.query_id, s.doc_id, s.term, CAST(s.tf AS BIGINT) AS tf,
+       CAST(s.df AS BIGINT) AS df, round(s.idf, 6) AS idf_r,
+       round(s.part, 6) AS contribution_r
+FROM scored s JOIN top USING (query_id, doc_id)
+"""
+
+    sql["term_vectors_engine"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         FROM tf GROUP BY 1)
+SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, d.df, d.ttf
+FROM tf t JOIN dict d USING (term)
+WHERE t.doc_id IN (0, 1, 2, 3, 4)
+"""
+
+    _perc_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in PERCOLATE_QUERIES
+    )
+    sql["percolate_matches"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+qraw(query_id, query) AS (VALUES {_perc_vals}),
+qt AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+qn AS (SELECT query_id, count(*) AS n FROM qt GROUP BY 1)
+SELECT d.doc_id, q.query_id
+FROM dt d
+JOIN qt q USING (term)
+JOIN qn ON qn.query_id = q.query_id
+GROUP BY d.doc_id, q.query_id, qn.n
+HAVING count(*) = qn.n
+"""
+
+    _rq_vals = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    sql["rank_eval_metrics"] = f"""
+WITH base AS ({_bm25_sql()}),
+dt AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+qraw(query) AS (VALUES {_rq_vals}),
+qt AS (SELECT DISTINCT query, unnest({tokenize_sql('query')}) AS term FROM qraw),
+qn AS (SELECT query, count(*) AS n FROM qt GROUP BY 1),
+ratings AS (
+  SELECT d.doc_id, q.query, CAST(1.0 AS DOUBLE) AS rating
+  FROM dt d
+  JOIN qt q USING (term)
+  JOIN qn ON qn.query = q.query
+  GROUP BY d.doc_id, q.query, qn.n
+  HAVING count(*) = qn.n
+),
+j AS (
+  SELECT b.query, b.rank, b.doc_id, coalesce(r.rating, 0.0) AS rel
+  FROM base b
+  LEFT JOIN ratings r ON r.query = b.query AND r.doc_id = b.doc_id
+),
+got AS (
+  SELECT query,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0 AS prec,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+         max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         sum(rel / (ln(rank + 1.0) / ln(2.0))) AS dcg
+  FROM j GROUP BY 1
+),
+idl AS (
+  SELECT query, rating,
+         row_number() OVER (PARTITION BY query ORDER BY rating DESC, doc_id) AS irank
+  FROM ratings
+),
+ideal AS (
+  SELECT query,
+         sum(CASE WHEN irank <= 10
+                  THEN rating / (ln(irank + 1.0) / ln(2.0)) ELSE 0.0 END) AS idcg,
+         count(*) AS n_relevant
+  FROM idl GROUP BY 1
+)
+SELECT g.query, round(g.prec, 6) AS precision_r,
+       round(CAST(g.n_hits AS DOUBLE) / CAST(i.n_relevant AS DOUBLE), 6) AS recall_r,
+       round(g.mrr, 6) AS mrr_r,
+       round(g.dcg / i.idcg, 6) AS ndcg_r
+FROM got g JOIN ideal i USING (query)
+"""
+
     sql["hybrid_rrf_search"] = f"""
 WITH toks AS (
   SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents

@@ -841,6 +841,189 @@ def suggest(
     )
 
 
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    hits: DataFrame | None = None,
+    k: int = 10,
+    mode: str = "auto",
+) -> DataFrame:
+    """The reference stack's opensearch-api `_explain` analog: one row
+    per (query, hit, matching term) with the BM25 sub-scores — tf, df,
+    idf, the saturation factor tf_norm, and the term's contribution
+    (idf·tf_norm); contributions sum to the hit's score (asserted in
+    tests). `hits` (query_id, doc_id) limits the breakdown to given
+    hits; default = this index's top-k.
+
+    Per-doc tf comes from the index's own tokens table, filtered by a
+    driver-collected `term IN (...)` predicate so the parquet scan
+    prunes row groups on the term column's min/max stats — the scan
+    reads postings-for-the-query-vocabulary, not the corpus."""
+    stats = load_stats(index_dir)
+    if hits is None:
+        hits = topk(spark, index_dir, queries, k=k, mode=mode).select(
+            "query_id", "doc_id"
+        )
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term", "df", "idf"
+    )
+    qterms = [r["term"] for r in qt.select("term").distinct().collect()]
+    toks = (
+        spark.read.parquet(os.path.join(index_dir, "tokens"))
+        .filter(F.col("term").isin(qterms))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    want = F.broadcast(hits.join(qt, "query_id"))
+    tf_norm = (
+        F.col("tf").cast("double")
+        * (k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    return (
+        toks.join(want, ["doc_id", "term"])
+        .withColumn("tf_norm", tf_norm)
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+            "idf",
+            "tf_norm",
+            (F.col("idf") * F.col("tf_norm")).alias("contribution"),
+        )
+    )
+
+
+def term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: list[int],
+) -> DataFrame:
+    """The reference stack's opensearch-api `_termvectors` analog:
+    per requested doc, its terms with field-local tf and the
+    collection-wide df / ttf (cf) from the term dictionary. The
+    tokens scan prunes on a `doc_id IN (...)` pushdown; the dictionary
+    join is driven by the pruned (small) doc side."""
+    toks = (
+        spark.read.parquet(os.path.join(index_dir, "tokens"))
+        .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .filter(F.col("term").isNotNull())
+        .select("doc_id", "term", "tf")
+    )
+    terms = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "term", "df", "cf"
+    )
+    return toks.join(terms, "term").select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"), "df",
+        F.col("cf").alias("ttf"),
+    )
+
+
+def percolate(
+    stored_queries: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Percolator (the reference stack's opensearch-api `percolate`
+    query, reversed search): stored queries are registered as term
+    sets; an incoming document matches a stored query when it contains
+    ALL the query's terms (conjunctive `match`, the percolator's
+    default AND semantics). Pure Catalyst: explode both sides to
+    (term) rows, one hash join on term, count distinct matched terms
+    per (query, doc) == the query's term count. Cost is bounded by
+    the term-match fan-out, never |queries| × |docs|.
+
+    stored_queries: (query_id, query); docs: (doc_id, text).
+    Returns (doc_id, query_id) matches."""
+    q = stored_queries.select(
+        "query_id",
+        F.array_distinct(tokenize_col(F.col("query"))).alias("qterms"),
+    ).withColumn("n_qterms", F.size("qterms"))
+    qt = q.select(
+        "query_id", "n_qterms", F.explode("qterms").alias("term")
+    )
+    dt = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokenize_col(F.col(text_col)))
+        ).alias("term"),
+    )
+    return (
+        dt.join(qt, "term")
+        .groupBy("doc_id", "query_id", "n_qterms")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_qterms"))
+        .select("doc_id", "query_id")
+    )
+
+
+def rank_eval(
+    results: DataFrame,
+    ratings: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The reference stack's opensearch-api `_rank_eval` analog:
+    per-query retrieval quality of a ranking against rated documents.
+    Emits precision@k, recall@k, MRR and NDCG@k per query in one
+    pass: a left join of the top-k onto the ratings plus two windows
+    (rank order for DCG, rating order for the ideal DCG). Queries with
+    no rated docs drop out (as _rank_eval reports them separately).
+
+    results: (query_id, rank, doc_id); ratings: (query_id, doc_id,
+    rating) with rating > 0 meaning relevant (graded ratings feed
+    DCG)."""
+    res = results.filter(F.col("rank") <= k)
+    j = res.join(ratings, ["query_id", "doc_id"], "left").withColumn(
+        "rel", F.coalesce(F.col("rating"), F.lit(0.0)).cast("double")
+    )
+    log2 = F.log(F.lit(2.0))
+    got = j.groupBy("query_id").agg(
+        (F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)) / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).alias("n_hits"),
+        F.max(
+            F.when(F.col("rel") > 0, 1.0 / F.col("rank")).otherwise(0.0)
+        ).alias("mrr"),
+        F.sum(
+            F.col("rel") / (F.log(F.col("rank") + 1.0) / log2)
+        ).alias("dcg"),
+    )
+    # ideal DCG: ratings sorted by rating desc (doc_id asc tie), top-k
+    widl = Window.partitionBy("query_id").orderBy(
+        F.desc("rating"), F.asc("doc_id")
+    )
+    ideal = (
+        ratings.filter(F.col("rating") > 0)
+        .withColumn("irank", F.row_number().over(widl))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("irank") <= k,
+                    F.col("rating").cast("double")
+                    / (F.log(F.col("irank") + 1.0) / log2),
+                ).otherwise(0.0)
+            ).alias("idcg"),
+            F.count("*").alias("n_relevant"),
+        )
+    )
+    return got.join(ideal, "query_id").select(
+        "query_id",
+        "precision_at_k",
+        (F.col("n_hits") / F.col("n_relevant")).alias("recall_at_k"),
+        "mrr",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg_at_k"),
+    )
+
+
 def rrf_fuse(
     a: DataFrame,
     b: DataFrame,

@@ -1,0 +1,94 @@
+"""_explain / _termvectors / percolate / _rank_eval analogs
+(index/query.py) — contributions sum to the hit score, term vectors
+match a hand count, percolation is conjunctive, rank metrics match
+hand-computed values."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index.query import (
+    explain_score,
+    percolate,
+    rank_eval,
+    term_vectors,
+    topk,
+)
+
+
+def test_explain_contributions_sum_to_score(spark, index_dir, queries_pdf):
+    qdf = spark.createDataFrame(queries_pdf.head(5))
+    res = topk(spark, index_dir, qdf, k=5).toPandas()
+    exp = explain_score(spark, index_dir, qdf, k=5).toPandas()
+    # every hit is explained, and per-term contributions sum to score
+    summed = (
+        exp.groupby(["query_id", "doc_id"])["contribution"].sum().reset_index()
+    )
+    m = res.merge(summed, on=["query_id", "doc_id"], how="left")
+    assert m.contribution.notna().all()
+    assert np.abs(m.score - m.contribution).max() < 1e-9
+    # df/idf are per-term constants; tf >= 1 on matching rows
+    assert (exp.tf >= 1).all()
+    assert (exp.df >= 1).all()
+
+
+def test_term_vectors_match_tokens(spark, index_dir, corpus_pdf):
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    doc = corpus_pdf.iloc[0]
+    docs_tbl = pd.read_parquet(os.path.join(index_dir, "docs"))
+    did = docs_tbl[docs_tbl.path == doc.path].doc_id.iloc[0]
+    tv = term_vectors(spark, index_dir, [int(did)]).toPandas()
+    toks = tokenize_series(pd.Series([doc.content])).iloc[0]
+    want = pd.Series(toks).value_counts()
+    got = tv.set_index("term")["tf"]
+    assert len(got) == len(want)
+    assert (got.reindex(want.index) == want).all()
+    # df is at least 1 (the doc itself) and ttf >= df
+    assert (tv.df >= 1).all() and (tv.ttf >= tv.df).all()
+
+
+def test_percolate_conjunctive(spark):
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha"), (2, "gamma delta")],
+        "query_id long, query string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),
+            (11, "alpha zeta"),
+            (12, "beta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.query_id)
+        for r in percolate(queries, docs).collect()
+    }
+    # doc 10 has alpha+beta -> q0, q1; doc 11 only alpha -> q1;
+    # doc 12 lacks gamma -> no q2 match
+    assert got == {(10, 0), (10, 1), (11, 1)}
+
+
+def test_rank_eval_hand_values(spark):
+    results = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 101), (0, 3, 102)],
+        "query_id long, rank int, doc_id long",
+    )
+    ratings = spark.createDataFrame(
+        [(0, 101, 1.0), (0, 200, 1.0)],
+        "query_id long, doc_id long, rating double",
+    )
+    out = rank_eval(results, ratings, k=3).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.precision_at_k == pytest.approx(1 / 3)
+    assert r.recall_at_k == pytest.approx(1 / 2)  # 1 of 2 relevant found
+    assert r.mrr == pytest.approx(1 / 2)  # first hit at rank 2
+    # dcg = 1/log2(3); idcg = 1/log2(2) + 1/log2(3)
+    dcg = 1 / np.log2(3)
+    idcg = 1.0 + 1 / np.log2(3)
+    assert r.ndcg_at_k == pytest.approx(dcg / idcg)
