@@ -1898,6 +1898,36 @@ def completion_suggester(spark, sf_dir):
     )
 
 
+_REINDEX_CACHE: dict[str, str] = {}
+
+
+def reindex_engine(spark, sf_dir):
+    """_reindex analog (index/build.py::reindex): rebuild the shared
+    docs index from its own tokens table under a DIFFERENT physical
+    layout (4 buckets instead of 8) without re-reading or
+    re-tokenizing the corpus — results must stay rank- and
+    score-identical, so the oracle is the same BM25 SQL the source
+    index answers."""
+    from data_prepper_spark.index.build import BuildConfig, reindex
+    from data_prepper_spark.index.query import topk_with_docs
+
+    _, idx = _docs_index(spark, sf_dir)
+    dst = _REINDEX_CACHE.get(sf_dir)
+    if dst is None:
+        import tempfile
+
+        dst = tempfile.mkdtemp(prefix="dps_reidx_") + "/index"
+        reindex(
+            spark, idx, dst, BuildConfig(n_buckets=4, hot_group_target=5000)
+        )
+        _REINDEX_CACHE[sf_dir] = dst
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    return _rerank_engine_results(topk_with_docs(spark, dst, q, k=50))
+
+
 def explain_scores_engine(spark, sf_dir):
     """_explain analog (index/query.py::explain_score): per-term BM25
     breakdown (tf, df, idf, contribution) for the top-10 hits of each
@@ -2585,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": hybrid_rrf_search,
         "term_suggester": term_suggester,
         "completion_suggester": completion_suggester,
+        "reindex_engine": reindex_engine,
         "explain_scores_engine": explain_scores_engine,
         "term_vectors_engine": term_vectors_engine,
         "percolate_matches": percolate_matches,
@@ -3581,6 +3612,9 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
 """
 
     sql["bm25_indexed_engine"] = _bm25_indexed_sql()
+    # reindex must be result-identical to the source index, so it
+    # shares the source's oracle verbatim
+    sql["reindex_engine"] = _bm25_indexed_sql()
 
     # ann_lsh: the seeded hyperplanes are literal doubles shared by the
     # Spark plan and this SQL, so buckets/probes/rerank reproduce 1:1

@@ -1253,5 +1253,91 @@ def build_routed_indexes(
     return stats
 
 
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    dst_index_dir: str,
+    cfg: BuildConfig | None = None,
+    doc_filter: str | None = None,
+) -> dict:
+    """The reference stack's opensearch-api `_reindex` analog: build a
+    NEW physical index from an EXISTING index's tokens table. The
+    tokenize stage — the corpus scan, sha256 validation and
+    tokenization that dominate build cost — is never repeated; only
+    the index stage runs, under the new BuildConfig (different
+    bucketing, block size, ordinal order or BM25 params).
+
+    `doc_filter` is an optional SQL predicate over the doc identity
+    columns (repo, path, commit) — the reindex-with-query form. The
+    predicate is evaluated on the per-doc sentinel rows (the only rows
+    carrying identity columns) and the surviving doc_ids semi-join the
+    token rows — whole docs are kept or dropped atomically. Docs
+    tombstoned in the source
+    (`_delete_by_query`) are dropped, as a real _reindex drops
+    deleted docs; df/avgdl/n_docs are recomputed over survivors.
+
+    Scale shape: one columnar distributed read→write of the skinny
+    tokens table (unit partitioning preserved) + the standard index
+    stage. Manifest rows mark every copied unit tokenize-COMPLETE
+    with lineage naming the source index, so the new index is itself
+    resumable and can take further incremental units."""
+    cfg = cfg or BuildConfig()
+    _check_format(src_index_dir)
+    _check_format(dst_index_dir, write=True)
+    tokens = spark.read.parquet(os.path.join(src_index_dir, "tokens"))
+    if doc_filter:
+        keep = (
+            tokens.filter(F.col("term").isNull() & F.col("err").isNull())
+            .filter(F.expr(doc_filter))
+            .select("doc_id")
+        )
+        tokens = tokens.join(keep, "doc_id", "left_semi")
+    ts_dir = os.path.join(src_index_dir, "tombstones")
+    if fsio.isdir(ts_dir):
+        dead = (
+            spark.read.parquet(os.path.join(src_index_dir, "docs"))
+            .join(spark.read.parquet(ts_dir).select("ord").distinct(), "ord")
+            .select("doc_id")
+        )
+        tokens = tokens.join(dead, "doc_id", "left_anti")
+    (
+        tokens.write.mode("overwrite")
+        .partitionBy("unit")
+        .parquet(os.path.join(dst_index_dir, "tokens"))
+    )
+    started = time.time()
+    per_unit = (
+        spark.read.parquet(os.path.join(dst_index_dir, "tokens"))
+        .groupBy("unit")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum(
+                F.when(
+                    F.col("term").isNull() & F.col("err").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_docs"),
+        )
+        .collect()
+    )
+    mf.append_rows(
+        dst_index_dir,
+        [
+            mf.make_row(
+                r["unit"],
+                "tokenize",
+                rows_in=int(r["n_docs"]),
+                rows_out=int(r["rows_out"]),
+                started_at=started,
+                lineage={
+                    "reindexed_from": src_index_dir,
+                    "doc_filter": doc_filter or "",
+                },
+            )
+            for r in per_unit
+        ],
+    )
+    return run_index_stage(spark, dst_index_dir, cfg)
+
+
 def load_stats(index_dir: str) -> dict:
     return json.loads(fsio.read_text(os.path.join(index_dir, "stats.json")))

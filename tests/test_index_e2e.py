@@ -661,6 +661,13 @@ def test_delete_by_query_and_expunge(spark, index_dir, fixture_dir, corpus_pdf,
     gold = bm25_topk(sub, qp.head(5), k=5)
     got2 = topk(spark, out, spark.createDataFrame(qp.head(5)), k=5).toPandas()
     _compare(got2, gold)
+    # reindex drops tombstoned docs WITHOUT re-tokenizing — same gold
+    from data_prepper_spark.index.build import reindex
+
+    out2 = str(tmp_path / "reindexed")
+    reindex(spark, idx, out2)
+    got3 = topk(spark, out2, spark.createDataFrame(qp.head(5)), k=5).toPandas()
+    _compare(got3, gold)
 
 
 def test_search_after_pages_tile(spark, index_dir, queries_pdf):
@@ -693,3 +700,38 @@ def test_search_after_pages_tile(spark, index_dir, queries_pdf):
         b = p2[p2.query_id == qid]["doc_id"].tolist()
         want = p20[p20.query_id == qid]["doc_id"].tolist()
         assert a + b == want
+
+
+def test_reindex_from_tokens(spark, index_dir, queries_pdf, tmp_path):
+    """_reindex analog: rebuild from the source index's tokens under a
+    different bucketing — rank-identical results, no corpus re-read;
+    doc_filter drops whole docs and stats are recomputed."""
+    from data_prepper_spark.index.build import BuildConfig, load_stats, reindex
+    from data_prepper_spark.index.query import topk as _topk
+
+    dst = str(tmp_path / "reidx")
+    stats = reindex(
+        spark, index_dir, dst, BuildConfig(n_buckets=4, hot_group_target=500)
+    )
+    src_stats = load_stats(index_dir)
+    assert stats["n_docs"] == src_stats["n_docs"]
+    assert stats["avgdl"] == src_stats["avgdl"]
+    assert stats["n_buckets"] == 4
+    qdf = spark.createDataFrame(queries_pdf)
+    a = _topk(spark, index_dir, qdf, k=10).toPandas()
+    b = _topk(spark, dst, qdf, k=10).toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a.doc_id == b.doc_id).all()
+    assert (a.score - b.score).abs().max() < 1e-9
+
+    # reindex-with-query: keep only repo org0/* docs
+    flt = str(tmp_path / "reidx_flt")
+    fstats = reindex(
+        spark, index_dir, flt,
+        BuildConfig(n_buckets=4, hot_group_target=500),
+        doc_filter="repo LIKE 'org0/%'",
+    )
+    docs = spark.read.parquet(f"{flt}/docs").toPandas()
+    assert len(docs) == fstats["n_docs"] < src_stats["n_docs"]
+    assert docs.repo.str.startswith("org0/").all()
