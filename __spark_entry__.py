@@ -1474,6 +1474,28 @@ def fuzzy_search_engine(spark, sf_dir):
     )
 
 
+WILDCARD_QUERIES = ["sp*k", "d?ta", "*ery", "qu*r?", "z*z"]
+
+
+def wildcard_search_engine(spark, sf_dir):
+    """Wildcard query (opensearch-api `wildcard`, scoring_boolean
+    rewrite; index/query.py::expanded_search match="wildcard"):
+    Lucene `*`/`?` patterns expand against the term dictionary via
+    SQL LIKE, capped at max_expansions by df; the expanded bag scores
+    as disjunctive BM25. Oracle translates the same patterns to LIKE
+    and reproduces expansion + scoring."""
+    from data_prepper_spark.index.query import expanded_search
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(WILDCARD_QUERIES)],
+        "query_id long, pattern string",
+    )
+    return _rerank_engine_results(
+        expanded_search(spark, idx, q, match="wildcard", k=50)
+    )
+
+
 _BOOL_SQL_TEMPLATE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
@@ -1895,6 +1917,34 @@ def completion_suggester(spark, sf_dir):
     return suggest(spark, idx, q, mode="completion", size=5).select(
         "input_id", "suggest_rank", "suggestion",
         F.col("df").cast("long").alias("df"),
+    )
+
+
+def multi_match_fields(spark, sf_dir):
+    """multi_match query (opensearch-api; textstats.py::multi_match,
+    mode=most_fields): one query scored against two fields — `title`
+    (the first 10 tokens, boost 2) and `body` (full text, boost 1) —
+    each with its OWN BM25 statistics, summed per doc. The oracle
+    reproduces both per-field pipelines, the boosts and the outer-join
+    combine."""
+    from data_prepper_spark.datapipe.textstats import multi_match
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.slice(tokenize_col(F.col("text")), 1, 10), " "
+        ).alias("title"),
+        F.col("text").alias("body"),
+    )
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    out = multi_match(
+        docs, q, {"title": 2.0, "body": 1.0}, k=10, mode="most_fields"
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
     )
 
 
@@ -2603,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_search_engine": boolean_search_engine,
         "prefix_search_engine": prefix_search_engine,
         "fuzzy_search_engine": fuzzy_search_engine,
+        "wildcard_search_engine": wildcard_search_engine,
         "faceted_search_engine": faceted_search_engine,
         "significant_terms_engine": significant_terms_engine,
         "simple_query_string_engine": simple_query_string_engine,
@@ -2616,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggester": term_suggester,
         "completion_suggester": completion_suggester,
         "reindex_engine": reindex_engine,
+        "multi_match_fields": multi_match_fields,
         "explain_scores_engine": explain_scores_engine,
         "term_vectors_engine": term_vectors_engine,
         "percolate_matches": percolate_matches,
@@ -3900,6 +3952,70 @@ FROM ranked WHERE rank <= 10
         + _expand_bm25.format(
             cond="abs(length(d.term) - length(p.pattern)) <= 1 "
             "AND levenshtein(d.term, p.pattern) <= 1"
+        )
+    )
+    sql["multi_match_fields"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+tokb AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tokt AS (
+  SELECT doc_id, unnest(list_slice({tokenize_sql('text')}, 1, 10)) AS term
+  FROM documents
+),
+tfb AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokb GROUP BY 1, 2),
+dlb AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokb GROUP BY 1),
+stb AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dlb),
+dfb AS (SELECT term, count(*)::DOUBLE AS df FROM tfb GROUP BY 1),
+tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokt GROUP BY 1, 2),
+dlt AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokt GROUP BY 1),
+stt AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dlt),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tft GROUP BY 1),
+sb AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q JOIN dfb d USING (term) JOIN tfb tf ON tf.term = q.term
+  JOIN dlb dl ON dl.doc_id = tf.doc_id CROSS JOIN stb s
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q JOIN dft d USING (term) JOIN tft tf ON tf.term = q.term
+  JOIN dlt dl ON dl.doc_id = tf.doc_id CROSS JOIN stt s
+  GROUP BY 1, 2
+),
+comb AS (
+  SELECT coalesce(sb.query_id, st.query_id) AS query_id,
+         coalesce(sb.doc_id, st.doc_id) AS doc_id,
+         coalesce(sb.score * 1.0, 0.0) + coalesce(st.score * 2.0, 0.0) AS score
+  FROM sb FULL OUTER JOIN st
+    ON sb.query_id = st.query_id AND sb.doc_id = st.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    _wc_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(WILDCARD_QUERIES)
+    )
+    # canonical terms are [a-z0-9]+ so the LIKE metachars %/_ cannot
+    # occur in patterns; a bare translate matches the engine's escape
+    sql["wildcard_search_engine"] = (
+        f"WITH pats(query_id, pattern) AS (VALUES {_wc_values}),\n"
+        + _expand_bm25.format(
+            cond="d.term LIKE replace(replace(p.pattern, '*', '%'), '?', '_')"
         )
     )
 

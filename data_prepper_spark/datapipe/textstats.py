@@ -405,3 +405,110 @@ def hash_split(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def _bm25_field_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Full-match-set BM25 of `queries` (query_id, query) against one
+    text column: (query_id, doc_id, score) for every matching doc.
+    Stats (df, dl, avgdl, N) are computed over THIS field only, as a
+    per-field Lucene index would."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias(
+            "term"
+        ),
+    )
+    part = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        q.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+def multi_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: dict[str, float],
+    k: int = 10,
+    mode: str = "most_fields",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The reference stack's opensearch-api `multi_match` query:
+    one query scored against several text fields, each with its own
+    BM25 statistics and boost. mode="most_fields" sums the boosted
+    per-field scores (a doc matching in every field wins);
+    mode="best_fields" takes the max (Lucene's dis_max with
+    tie_breaker=0, the multi_match default). Per-field scoring is the
+    same shuffle shape as single-field BM25 run per field; the
+    combiner is one outer join on (query, doc) — cost bounded by the
+    union of per-field match sets, never |docs| x |fields|.
+
+    docs: (doc_id, <field columns>); queries: (query_id, query);
+    fields: {column: boost}. Returns (query_id, rank, doc_id, score).
+    """
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(mode)
+    from pyspark.sql import Window
+
+    combined = None
+    for i, (col, boost) in enumerate(sorted(fields.items())):
+        s = _bm25_field_scores(docs, queries, col, k1=k1, b=b).select(
+            "query_id",
+            "doc_id",
+            (F.col("score") * F.lit(float(boost))).alias(f"_s{i}"),
+        )
+        combined = (
+            s
+            if combined is None
+            else combined.join(s, ["query_id", "doc_id"], "outer")
+        )
+    parts = [
+        F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        for i in range(len(fields))
+    ]
+    if mode == "most_fields":
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+    else:
+        total = F.greatest(*parts) if len(parts) > 1 else parts[0]
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        combined.withColumn("score", total)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -416,10 +416,14 @@ def expanded_search(
     `max_expansions` picking the highest-df terms first
     (deterministic tie-break on the term string).
 
-    match="prefix": dictionary terms starting with the pattern.
-    match="fuzzy":  terms within Damerau-free edit distance 1 of the
-                    pattern (Lucene fuzziness=1), prefiltered by the
-                    +/-1 length band so the scan stays cheap.
+    match="prefix":   dictionary terms starting with the pattern.
+    match="fuzzy":    terms within Damerau-free edit distance 1 of the
+                      pattern (Lucene fuzziness=1), prefiltered by the
+                      +/-1 length band so the scan stays cheap.
+    match="wildcard": Lucene wildcard pattern (`*` = any run, `?` =
+                      one char), evaluated as a SQL LIKE over the
+                      dictionary (`*`→`%`, `?`→`_`; LIKE meta chars
+                      escaped).
 
     queries: DataFrame (query_id long, pattern string) — pattern must
     be a single canonical (lowercased) term. Returns (query_id, rank,
@@ -430,14 +434,24 @@ def expanded_search(
     vocabulary-sized (millions of rows at 100 TB, not corpus-sized),
     exactly the structure Lucene walks for the same rewrite; scoring
     reuses the bucket-pruned postings scan + shared decoder."""
-    if match not in ("prefix", "fuzzy"):
+    if match not in ("prefix", "fuzzy", "wildcard"):
         raise ValueError(f"unknown match mode: {match}")
     stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     terms = spark.read.parquet(os.path.join(index_dir, "terms"))
-    pats = F.broadcast(queries.select("query_id", "pattern"))
+    pats = queries.select("query_id", "pattern")
+    if match == "wildcard":
+        pats = pats.withColumn(
+            "pattern",
+            F.translate(
+                F.regexp_replace("pattern", r"([%_])", r"\\$1"), "*?", "%_"
+            ),
+        )
+    pats = F.broadcast(pats)
     if match == "prefix":
         cond = F.col("term").startswith(F.col("pattern"))
+    elif match == "wildcard":
+        cond = F.expr("term LIKE pattern")
     else:
         cond = (
             (

@@ -326,3 +326,33 @@ def test_dup_clusters_components(spark):
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
     canon = set(out[out["is_canonical"]]["id"])
     assert canon == {10, 20, 30}
+
+
+def test_multi_match_modes(spark):
+    from data_prepper_spark.datapipe.textstats import multi_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "alpha gamma delta"),
+            (2, "zeta eta", "alpha alpha alpha"),
+            (3, "alpha alpha", "omega psi"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    q = spark.createDataFrame([(0, "alpha")], "query_id long, query string")
+    most = multi_match(
+        docs, q, {"title": 2.0, "body": 1.0}, k=3, mode="most_fields"
+    ).toPandas()
+    best = multi_match(
+        docs, q, {"title": 2.0, "body": 1.0}, k=3, mode="best_fields"
+    ).toPandas()
+    # all three docs match in SOME field
+    assert set(most.doc_id) == {1, 2, 3} == set(best.doc_id)
+    # doc 3: alpha only in title (boost 2) -> its most == best
+    m3 = most.set_index("doc_id").score[3]
+    b3 = best.set_index("doc_id").score[3]
+    assert m3 == b3 > 0
+    # doc 1 matches title AND body: most strictly exceeds best
+    assert (
+        most.set_index("doc_id").score[1] > best.set_index("doc_id").score[1]
+    )
