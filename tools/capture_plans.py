@@ -126,6 +126,63 @@ def main():
     out.append(
         plan_of(faceted_search(spark, idx, f"{d}/corpus.parquet", fq))
     )
+
+    # explain/termvectors: tokens scans must show the pushed IN filters
+    from data_prepper_spark.index.query import (
+        explain_score,
+        percolate,
+        term_vectors,
+    )
+
+    out.append("\n==== index_explain_score ====")
+    out.append(plan_of(explain_score(spark, idx, q.limit(2), k=5)))
+    docs_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/docs").limit(3).collect()
+    ]
+    out.append("\n==== index_term_vectors ====")
+    out.append(plan_of(term_vectors(spark, idx, docs_ids)))
+    # percolate: one hash join on term, grouped count — no cross join
+    sq = spark.createDataFrame(
+        [(0, "data query"), (1, "spark")], "query_id long, query string"
+    )
+    docs_df = spark.read.parquet(f"{d}/corpus.parquet").select(
+        "path", "content"
+    ).withColumnRenamed("path", "doc_id").limit(100)
+    out.append("\n==== percolate ====")
+    out.append(
+        plan_of(percolate(sq, docs_df, text_col="content", doc_id_col="doc_id"))
+    )
+    # multi_match: two per-field pipelines + one outer join combiner
+    from data_prepper_spark.datapipe.textstats import multi_match
+    from data_prepper_spark.tokenizer import tokenize_col
+
+    import pyspark.sql.functions as F
+
+    mdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(F.slice(tokenize_col(F.col("text")), 1, 10), " ").alias(
+            "title"
+        ),
+        F.col("text").alias("body"),
+    )
+    out.append("\n==== multi_match_most_fields ====")
+    out.append(plan_of(multi_match(mdocs, sq, {"title": 2.0, "body": 1.0})))
+    # anomaly detector: ONE hash exchange on the identification keys,
+    # window functions stacked on it, no Python
+    from data_prepper_spark.operators.anomaly import anomaly_detector
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out.append("\n==== anomaly_detector ====")
+    out.append(
+        plan_of(
+            anomaly_detector(
+                ev, ["value"], identification_keys=["user_id"],
+                order_by=["event_id"], sample_size=64, output_after=16,
+                threshold=2.5,
+            )
+        )
+    )
     out.append("```\n")
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
