@@ -1,0 +1,130 @@
+"""Index snapshot / restore (the reference stack's opensearch-api
+`_snapshot` repository analog; reference opensearch sink's bulk-index
+durability + the s3 sink's object layout, SURVEY.md §2.2/§2.10).
+
+A snapshot is a self-describing copy of a physical index into a
+repository directory:
+
+  repo_dir/<name>/files/...        every index file, same layout
+  repo_dir/<name>/SNAPSHOT.json    manifest: per-file size + count,
+                                   tokens format version, stats.json
+                                   echo, created_at
+
+The manifest is written LAST (write_bytes_atomic), so an interrupted
+snapshot is never restorable — the same commit-protocol shape the
+build's manifest layer uses. `restore` verifies the manifest against
+the copied bytes (per-file existence + size) before declaring the
+restored index usable, then `verify_snapshot` can be run standalone
+(the `_snapshot/_verify` analog).
+
+All operations are metadata-plus-byte-copy through fsio (pyarrow.fs),
+so they work identically over file:// and object-store URIs; nothing
+here touches a Spark job — snapshots copy an already-built artifact,
+exactly like the reference's repository plugins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .. import fsio
+from .build import TOKENS_FORMAT_VERSION, load_stats
+
+MANIFEST_NAME = "SNAPSHOT.json"
+
+
+def _walk_files(root: str) -> list[str]:
+    """All file paths under root, relative, deterministic order."""
+    out: list[str] = []
+    stack = [""]
+    while stack:
+        rel = stack.pop()
+        cur = os.path.join(root, rel) if rel else root
+        for p in sorted(fsio.listdir(cur)):
+            r = os.path.join(rel, fsio.basename(p)) if rel else fsio.basename(p)
+            if fsio.isdir(p):
+                stack.append(r)
+            else:
+                out.append(r)
+    return sorted(out)
+
+
+def _copy_file(src: str, dst: str) -> int:
+    n = 0
+    with fsio.open_input_file(src) as fi, fsio.open_output_stream(dst) as fo:
+        while True:
+            chunk = fi.read(1 << 22)
+            if not chunk:
+                break
+            fo.write(chunk)
+            n += len(chunk)
+    return n
+
+
+def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Copy the index into `repo_dir/name`; returns the manifest. The
+    snapshot refuses to overwrite an existing completed snapshot of
+    the same name (snapshots are immutable, as in the reference
+    stack)."""
+    snap = os.path.join(repo_dir, name)
+    mpath = os.path.join(snap, MANIFEST_NAME)
+    if fsio.exists(mpath):
+        raise RuntimeError(f"snapshot {name} already exists in {repo_dir}")
+    files_dir = os.path.join(snap, "files")
+    fsio.makedirs(files_dir)
+    entries = {}
+    for rel in _walk_files(index_dir):
+        dst = os.path.join(files_dir, rel)
+        fsio.makedirs(os.path.dirname(dst))
+        entries[rel] = _copy_file(os.path.join(index_dir, rel), dst)
+    manifest = {
+        "name": name,
+        "n_files": len(entries),
+        "files": entries,
+        "tokens_format": TOKENS_FORMAT_VERSION,
+        "stats": load_stats(index_dir),
+    }
+    # manifest LAST: its presence marks the snapshot complete
+    fsio.write_bytes_atomic(
+        mpath, json.dumps(manifest, sort_keys=True).encode()
+    )
+    return manifest
+
+
+def verify_snapshot(repo_dir: str, name: str) -> dict:
+    """`_snapshot/_verify` analog: every manifest file must exist with
+    the recorded size. Returns the manifest; raises on any gap."""
+    snap = os.path.join(repo_dir, name)
+    mpath = os.path.join(snap, MANIFEST_NAME)
+    if not fsio.exists(mpath):
+        raise RuntimeError(f"snapshot {name} has no manifest (incomplete?)")
+    manifest = json.loads(fsio.read_text(mpath))
+    files_dir = os.path.join(snap, "files")
+    bad = []
+    for rel, size in manifest["files"].items():
+        p = os.path.join(files_dir, rel)
+        fs, inner = fsio.resolve(p)
+        info = fs.get_file_info(inner)
+        if not info.is_file:
+            bad.append(f"missing: {rel}")
+        elif (info.size or 0) != size:
+            bad.append(f"size {rel}: {info.size} != {size}")
+    if bad:
+        raise RuntimeError(
+            f"snapshot {name} failed verification: " + "; ".join(bad[:5])
+        )
+    return manifest
+
+
+def restore_index(repo_dir: str, name: str, index_dir: str) -> dict:
+    """Restore a verified snapshot into `index_dir` (must not already
+    hold an index). Returns the snapshot's stats."""
+    manifest = verify_snapshot(repo_dir, name)
+    if fsio.exists(os.path.join(index_dir, "stats.json")):
+        raise RuntimeError(f"{index_dir} already holds an index")
+    files_dir = os.path.join(repo_dir, name, "files")
+    for rel in manifest["files"]:
+        dst = os.path.join(index_dir, rel)
+        fsio.makedirs(os.path.dirname(dst))
+        _copy_file(os.path.join(files_dir, rel), dst)
+    return manifest["stats"]

@@ -138,3 +138,59 @@ def test_build_and_resume_with_file_uri(spark, multiunit_corpus, tmp_path):
         [(0, "def main")], "query_id long, query string"
     )
     assert topk(spark, idx, q, k=5).count() >= 0
+
+
+def test_snapshot_restore_roundtrip(spark, index_dir, queries_pdf, tmp_path):
+    """_snapshot analog: snapshot -> verify -> restore yields an index
+    answering queries identically; incomplete snapshots (no manifest)
+    refuse to restore; tampered bytes fail verification."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from data_prepper_spark.index.query import topk
+    from data_prepper_spark.index.snapshot import (
+        restore_index,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    repo = str(tmp_path / "snaprepo")
+    man = snapshot_index(index_dir, repo, "snap1")
+    assert man["n_files"] > 0
+    verify_snapshot(repo, "snap1")
+    # immutable: same name refuses
+    with _pytest.raises(RuntimeError):
+        snapshot_index(index_dir, repo, "snap1")
+
+    restored = str(tmp_path / "restored")
+    stats = restore_index(repo, "snap1", restored)
+    assert stats["n_docs"] > 0
+    qdf = spark.createDataFrame(queries_pdf.head(5))
+    a = topk(spark, index_dir, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = topk(spark, restored, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert (a.doc_id == b.doc_id).all()
+    assert (a.score == b.score).all()
+
+    # tamper: truncate one postings file -> verify fails
+    snapfiles = os.path.join(repo, "snap1", "files")
+    victim = None
+    for root, _, files in os.walk(snapfiles):
+        for f in files:
+            if f.endswith(".parquet") and "postings" in root:
+                victim = os.path.join(root, f)
+                break
+        if victim:
+            break
+    with open(victim, "ab") as fh:
+        fh.write(b"x")
+    with _pytest.raises(RuntimeError, match="size"):
+        verify_snapshot(repo, "snap1")
+
+    # incomplete snapshot (manifest missing) refuses restore
+    os.remove(os.path.join(repo, "snap1", "SNAPSHOT.json"))
+    with _pytest.raises(RuntimeError, match="manifest"):
+        restore_index(repo, "snap1", str(tmp_path / "nope"))
