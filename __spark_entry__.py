@@ -1920,6 +1920,61 @@ def completion_suggester(spark, sf_dir):
     )
 
 
+def extended_stats_engine(spark, sf_dir):
+    """extended_stats aggregation (opensearch-api) over the FULL
+    match set via the doc-values sidecar
+    (index/query.py::stats_facets). Variance derives from exact
+    integer sums — (n·Σx² − (Σx)²)/n² with ONE double division — so
+    every number is bit-identical to the oracle's identical integer
+    form."""
+    from data_prepper_spark.index.query import attach_doc_values, stats_facets
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    out = stats_facets(spark, idx, cpath, q, field="n_chars")
+    return out.select(
+        "query_id",
+        "n",
+        "min_v",
+        "max_v",
+        "sum_v",
+        F.round("avg_v", 6).alias("avg_r"),
+        F.round("variance", 6).alias("var_r"),
+        F.round("std_dev", 6).alias("std_r"),
+    )
+
+
+def collapse_search_engine(spark, sf_dir):
+    """Field collapsing (opensearch-api `collapse`): per query the
+    best hit per `lang` (score desc, original doc_id asc — passed as
+    tie_expr so equal-score picks match the oracle), collapsed hits
+    ranked top-5 (index/query.py::collapse_search). Oracle reproduces
+    full scoring, the per-group pick and the final rank."""
+    from data_prepper_spark.index.query import attach_doc_values, collapse_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    out = collapse_search(
+        spark, idx, cpath, q, field="lang", k=5,
+        tie_expr=F.col("path").cast("long"),
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "lang",
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
 def multi_match_fields(spark, sf_dir):
     """multi_match query (opensearch-api; textstats.py::multi_match,
     mode=most_fields): one query scored against two fields — `title`
@@ -2668,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggester": completion_suggester,
         "reindex_engine": reindex_engine,
         "multi_match_fields": multi_match_fields,
+        "extended_stats_engine": extended_stats_engine,
+        "collapse_search_engine": collapse_search_engine,
         "explain_scores_engine": explain_scores_engine,
         "term_vectors_engine": term_vectors_engine,
         "percolate_matches": percolate_matches,
@@ -3954,6 +4011,72 @@ FROM ranked WHERE rank <= 10
             "AND levenshtein(d.term, p.pattern) <= 1"
         )
     )
+    sql["extended_stats_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+vals AS (
+  SELECT m.query_id, CAST(d.n_chars AS BIGINT) AS v
+  FROM matched m JOIN documents d USING (doc_id)
+),
+agg AS (
+  SELECT query_id, count(*) AS n,
+         min(v) AS min_v, max(v) AS max_v,
+         CAST(sum(v) AS BIGINT) AS sum_v,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq
+  FROM vals GROUP BY 1
+)
+SELECT query_id, n, min_v, max_v, sum_v,
+       round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_r,
+       round(CAST(n * sum_sq - sum_v * sum_v AS DOUBLE)
+             / CAST(n * n AS DOUBLE), 6) AS var_r,
+       round(sqrt(CAST(n * sum_sq - sum_v * sum_v AS DOUBLE)
+                  / CAST(n * n AS DOUBLE)), 6) AS std_r
+FROM agg
+"""
+
+    sql["collapse_search_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q JOIN dfreq d USING (term) JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+attributed AS (
+  SELECT t.query_id, t.doc_id, t.score, d.lang
+  FROM tot t JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT query_id, doc_id, score, lang,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score DESC, doc_id) AS g
+  FROM attributed
+),
+ranked AS (
+  SELECT query_id, lang, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM best WHERE g = 1
+)
+SELECT query_id, rank, lang, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 5
+"""
+
     sql["multi_match_fields"] = f"""
 WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
 q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),

@@ -1161,6 +1161,149 @@ def range_facets(
     )
 
 
+def stats_facets(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+) -> DataFrame:
+    """extended_stats aggregation alongside a query (opensearch-api
+    `aggs: {extended_stats: {field}}`): count / min / max / sum / avg /
+    population variance / stddev of a numeric stored field over the
+    FULL match set. Same ids-only match set + doc-values resolution as
+    range_facets; one grouped aggregation.
+
+    Numeric discipline: sum and sum-of-squares accumulate as exact
+    int64 (the field is integral), and variance derives as
+    (n·Σx² − (Σx)²) / n² — exact integer arithmetic until ONE double
+    division, so the result is bit-identical across engines (no
+    float-accumulation order sensitivity), matching how the oracle
+    computes it."""
+    stats = load_stats(index_dir)
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    matched = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .select("query_id", F.col("doc_id").alias("ord"))
+        .distinct()
+    )
+    dv = _doc_values(spark, index_dir, field)
+    if dv is not None:
+        attributed = matched.join(dv.select("ord", field), "ord")
+    else:
+        ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "ord", "repo", "path", "commit"
+        )
+        attrs = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", field
+        )
+        attributed = matched.join(ident, "ord").join(
+            attrs, ["repo", "path", "commit"]
+        )
+    v = F.col(field).cast("long")
+    agg = attributed.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sum_sq"),
+    )
+    var = (
+        F.col("n") * F.col("sum_sq") - F.col("sum_v") * F.col("sum_v")
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return agg.select(
+        "query_id",
+        "n",
+        "min_v",
+        "max_v",
+        "sum_v",
+        (F.col("sum_v").cast("double") / F.col("n").cast("double")).alias(
+            "avg_v"
+        ),
+        var.alias("variance"),
+        F.sqrt(var).alias("std_dev"),
+    )
+
+
+def collapse_search(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    k: int = 10,
+    tie_expr=None,
+) -> DataFrame:
+    """Field collapsing (opensearch-api `collapse: {field}`): the
+    ranking keeps only the BEST hit per distinct value of `field`
+    (score desc, doc identity asc within the group — Lucene's
+    collapse tie-break), then the collapsed hits rank normally.
+    `tie_expr` (Column, default the internal doc_id) sets the
+    ascending identity tie-break for BOTH windows — pass the original
+    corpus key when equal-score picks must match an external oracle. The
+    FULL match set is scored (a collapsed top-k cannot be cut off at
+    k pre-collapse: the k-th group's best hit may rank arbitrarily
+    deep), attribution uses the doc-values sidecar when it holds
+    `field`, and both windows partition on bounded keys — (query,
+    field value) then (query) — so no single-partition stage appears.
+
+    Returns (query_id, rank, field value, doc_id, score)."""
+    stats = load_stats(index_dir)
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    scored = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .groupBy("query_id", F.col("doc_id").alias("ord"))
+        .agg(F.sum("partial").alias("score"))
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    dv = _doc_values(spark, index_dir, field)
+    if dv is not None:
+        attributed = scored.join(dv.select("ord", field), "ord").join(
+            ident, "ord"
+        )
+    else:
+        attrs = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", field
+        )
+        attributed = scored.join(ident, "ord").join(
+            attrs, ["repo", "path", "commit"]
+        )
+    tie = F.col("doc_id") if tie_expr is None else tie_expr
+    wg = Window.partitionBy("query_id", field).orderBy(
+        F.desc("score"), F.asc(tie)
+    )
+    best = attributed.withColumn("_g", F.row_number().over(wg)).filter(
+        F.col("_g") == 1
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(tie))
+    return (
+        best.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", field, "doc_id", "score",
+            "repo", "path", "commit",
+        )
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

@@ -92,3 +92,57 @@ def test_rank_eval_hand_values(spark):
     dcg = 1 / np.log2(3)
     idcg = 1.0 + 1 / np.log2(3)
     assert r.ndcg_at_k == pytest.approx(dcg / idcg)
+
+
+def test_collapse_one_hit_per_group(spark, index_dir, fixture_dir, queries_pdf):
+    from data_prepper_spark.index.query import collapse_search, topk
+
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    qdf = spark.createDataFrame(queries_pdf.head(4))
+    out = collapse_search(
+        spark, index_dir, corpus_path, qdf, field="lang", k=5
+    ).toPandas()
+    # at most one hit per (query, lang), ranks contiguous from 1
+    assert out.groupby(["query_id", "lang"]).size().max() == 1
+    for qid, grp in out.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    # each collapsed hit is the best-scoring doc of its lang group:
+    # its score must equal the max score of that lang in the full set
+    full = topk(spark, index_dir, qdf, k=100_000).toPandas()
+    docs = pd.read_parquet(os.path.join(index_dir, "docs"))
+    corpus = pd.read_parquet(corpus_path)[["repo", "path", "commit", "lang"]]
+    ident = docs.merge(corpus, on=["repo", "path", "commit"])
+    fl = full.merge(ident[["doc_id", "lang"]], on="doc_id")
+    best = fl.groupby(["query_id", "lang"]).score.max().reset_index()
+    m = out.merge(best, on=["query_id", "lang"], suffixes=("", "_max"))
+    assert np.abs(m.score - m.score_max).max() < 1e-9
+
+
+def test_stats_facets_integer_exactness(
+    spark, index_dir, fixture_dir, queries_pdf, tmp_path
+):
+    from data_prepper_spark.index.query import stats_facets, topk
+
+    # the fixture corpus has no numeric stored field: derive one
+    # (n_chars = content length) into an attribute-side copy; the
+    # index itself is untouched (stats_facets only joins identity)
+    corpus_path = str(tmp_path / "corpus_nchars.parquet")
+    spark.read.parquet(os.path.join(fixture_dir, "corpus.parquet")).withColumn(
+        "n_chars", F.length("content")
+    ).write.parquet(corpus_path)
+    qdf = spark.createDataFrame(queries_pdf.head(3))
+    out = stats_facets(
+        spark, index_dir, corpus_path, qdf, field="n_chars"
+    ).toPandas()
+    # recompute from the full match set in pandas (exact ints)
+    full = topk(spark, index_dir, qdf, k=100_000).toPandas()
+    docs = pd.read_parquet(os.path.join(index_dir, "docs"))
+    corpus = pd.read_parquet(corpus_path)[["repo", "path", "commit", "n_chars"]]
+    ident = docs.merge(corpus, on=["repo", "path", "commit"])
+    fl = full.merge(ident[["doc_id", "n_chars"]], on="doc_id")
+    for qid, grp in fl.groupby("query_id"):
+        v = grp.n_chars.astype("int64")
+        row = out[out.query_id == qid].iloc[0]
+        assert row.n == len(v) and row.sum_v == v.sum()
+        n, sx, sxx = len(v), int(v.sum()), int((v * v).sum())
+        assert row.variance == (n * sxx - sx * sx) / (n * n)
