@@ -2238,6 +2238,43 @@ def train_eval_split(spark, sf_dir):
     )
 
 
+def decontaminate_train(spark, sf_dir):
+    """Train/eval decontamination (GPT-3/Pile-style n-gram overlap;
+    textstats.py::decontaminate): docs split by the salted md5 hash
+    (hash_split), train docs sharing ANY 8-token shingle with the
+    eval split are flagged with their contaminated-shingle count.
+    Entry runs the string-key variant (hashed=False) so the oracle
+    join is exact; the default xxhash64-key scale path is asserted
+    equivalent in tests."""
+    from data_prepper_spark.datapipe.textstats import decontaminate, hash_split
+
+    docs = hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        {"train": 0.9, "eval": 0.1},
+    )
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "eval")
+    return decontaminate(train, ev, "doc_id", "text", ngram=8, hashed=False)
+
+
+def repetition_signals(spark, sf_dir):
+    """Within-doc repetition signals (the Gopher/MassiveText
+    quality-filter family; textstats.py::repetition_stats): per doc
+    the exact token / distinct-token / 3-gram / distinct-3-gram
+    counts the duplicate-fraction filters derive from. Integer-only
+    output (the fractions are int/int rationals that can land exactly
+    on rounding boundaries — see the anomaly entry's tie analysis)."""
+    from data_prepper_spark.datapipe.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "doc_id", "text", ngram=3)
+    return out.select(
+        "id", "n_tokens", "n_distinct_tokens", "n_ngrams",
+        "n_distinct_ngrams",
+    )
+
+
 def dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash near-dup pair graph
     (datapipe/dedup.py::dup_clusters, min-label propagation with
@@ -2718,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facets_engine": range_facets_engine,
         "dedup_clusters": dedup_clusters,
         "train_eval_split": train_eval_split,
+        "decontaminate_train": decontaminate_train,
+        "repetition_signals": repetition_signals,
         "hybrid_rrf_search": hybrid_rrf_search,
         "term_suggester": term_suggester,
         "completion_suggester": completion_suggester,
@@ -3690,6 +3729,59 @@ s AS (
 )
 SELECT split, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
 FROM s GROUP BY 1
+"""
+
+    sql["decontaminate_train"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN TRY_CAST(concat('0x',
+                substr(md5(doc_id::VARCHAR || 'split'), 1, 8)) AS BIGINT)
+              / 4294967296.0 < 0.9
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+tr AS (
+  SELECT doc_id AS id, {tokenize_sql('text')} AS toks
+  FROM s WHERE split = 'train'
+),
+ev AS (
+  SELECT {tokenize_sql('text')} AS toks FROM s WHERE split = 'eval'
+),
+trsh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - 6),
+           i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS sh
+  FROM tr WHERE len(toks) >= 8
+),
+evsh AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, len(toks) - 6),
+           i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS sh
+  FROM ev WHERE len(toks) >= 8
+)
+SELECT t.id, count(*)::BIGINT AS n_contaminated
+FROM trsh t JOIN evsh e USING (sh)
+GROUP BY 1
+"""
+
+    sql["repetition_signals"] = f"""
+WITH base AS (
+  SELECT doc_id AS id, {tokenize_sql('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT id, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [] END AS grams
+  FROM base
+)
+SELECT id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(len(grams) AS INT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_ngrams
+FROM sh
 """
 
     sql["dedup_clusters"] = f"""

@@ -512,3 +512,107 @@ def multi_match(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def _shingle_arr(text_col: Column, ngram: int) -> Column:
+    """Distinct space-joined `ngram`-token shingles of a text column
+    (empty array for docs shorter than ngram — guarded, since
+    F.sequence auto-reverses when size < ngram and slice then
+    throws)."""
+    toks = tokenize_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+        lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+    )
+    return F.when(F.size(toks) >= ngram, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination — the GPT-3/Pile-style overlap
+    filter of a training-data pipeline: a train doc is contaminated
+    when it shares ANY `ngram`-token shingle with the eval set.
+    Returns (id, n_contaminated) for flagged train docs; anti-join
+    the result to clean the train split.
+
+    Scale shape: both sides reduce to DISTINCT shingles before the
+    join (the eval side is benchmark-sized, typically broadcastable;
+    the train side explodes to shingle rows, one hash join, one
+    count). With hashed=True (default) the join key is
+    xxhash64(shingle) — 8-byte keys through the shuffle instead of
+    ~60-byte strings; a 64-bit collision can only over-flag one doc,
+    never miss contamination... it can also merge two distinct
+    shingles in the count, so the oracle-checked entry runs
+    hashed=False (string keys) and tests assert both modes flag the
+    identical doc set."""
+    key = (
+        (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    )
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_arr(F.col(text_col), ngram)).alias("sh"),
+    ).select("id", key(F.col("sh")).alias("k"))
+    ev = (
+        eval_docs.select(
+            F.explode(_shingle_arr(F.col(text_col), ngram)).alias("sh")
+        )
+        .select(key(F.col("sh")).alias("k"))
+        .distinct()
+    )
+    return (
+        tr.join(ev, "k")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family): token and n-gram duplication counts per
+    doc, from which the standard "fraction of duplicate n-grams"
+    filters derive. Counts are exact integers (the fractions are
+    int/int rationals that can land exactly on rounding boundaries,
+    so cross-engine comparison happens on the integers); pure
+    Catalyst map-only pass, no shuffle.
+
+    Returns (id, n_tokens, n_distinct_tokens, n_ngrams,
+    n_distinct_ngrams, dup_token_frac, dup_ngram_frac)."""
+    toks = tokenize_col(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+        lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+    )
+    sh = F.when(F.size(toks) >= ngram, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(sh).alias("n_ngrams"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_ngrams"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_tokens") > 0,
+            1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"),
+        ).otherwise(0.0).alias("dup_token_frac"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            1.0 - F.col("n_distinct_ngrams") / F.col("n_ngrams"),
+        ).otherwise(0.0).alias("dup_ngram_frac"),
+    )

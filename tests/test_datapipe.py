@@ -356,3 +356,50 @@ def test_multi_match_modes(spark):
     assert (
         most.set_index("doc_id").score[1] > best.set_index("doc_id").score[1]
     )
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    from data_prepper_spark.datapipe.textstats import decontaminate
+
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix tokens {shared} suffix tokens here"),
+            (2, "totally unrelated text with its own token stream kept"),
+            (3, "short doc"),  # < ngram tokens: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question {shared} benchmark answer")],
+        "doc_id long, text string",
+    )
+    for hashed in (True, False):
+        out = decontaminate(
+            train, ev, "doc_id", "text", ngram=8, hashed=hashed
+        ).toPandas()
+        assert set(out.id) == {1}
+        assert out.n_contaminated.iloc[0] >= 1
+
+
+def test_repetition_stats_hand_counts(spark):
+    from data_prepper_spark.datapipe.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = (
+        repetition_stats(df, "doc_id", "text", ngram=3)
+        .toPandas()
+        .set_index("id")
+    )
+    # doc 1: 6 tokens (2 distinct), 4 trigrams ("a b a","b a b" x2 each)
+    assert out.loc[1, "n_tokens"] == 6 and out.loc[1, "n_distinct_tokens"] == 2
+    assert out.loc[1, "n_ngrams"] == 4 and out.loc[1, "n_distinct_ngrams"] == 2
+    assert out.loc[1, "dup_ngram_frac"] == 0.5
+    # doc 2: all distinct
+    assert out.loc[2, "dup_token_frac"] == 0.0
+    assert out.loc[2, "n_ngrams"] == 2 and out.loc[2, "n_distinct_ngrams"] == 2
+    # doc 3: shorter than ngram -> zero ngrams, zero fractions
+    assert out.loc[3, "n_ngrams"] == 0 and out.loc[3, "dup_ngram_frac"] == 0.0
