@@ -1920,6 +1920,37 @@ def completion_suggester(spark, sf_dir):
     )
 
 
+def phrase_positional_engine(spark, sf_dir):
+    """Positional phrase search (match_phrase with stored positions;
+    index/positions.py): the opt-in positions sidecar answers phrase
+    queries with NO corpus I/O — position-list intersection ranks hits
+    by phrase frequency. Oracle counts occurrences by token-slice
+    equality over the raw table and reproduces the (freq desc,
+    doc_id asc) ranking."""
+    from data_prepper_spark import fsio
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        phrase_topk_positional,
+    )
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    if not fsio.isdir(f"{idx}/positions"):
+        build_positions(spark, cpath, idx)
+    ph = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PHRASE_QUERIES)],
+        "query_id long, phrase string",
+    )
+    out = phrase_topk_positional(
+        spark, idx, ph, k=10, tie_expr=F.col("path").cast("long")
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        F.col("path").cast("long").alias("doc_id"),
+        "phrase_freq",
+    )
+
+
 def extended_stats_engine(spark, sf_dir):
     """extended_stats aggregation (opensearch-api) over the FULL
     match set via the doc-values sidecar
@@ -2763,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_engine": reindex_engine,
         "multi_match_fields": multi_match_fields,
         "extended_stats_engine": extended_stats_engine,
+        "phrase_positional_engine": phrase_positional_engine,
         "collapse_search_engine": collapse_search_engine,
         "explain_scores_engine": explain_scores_engine,
         "term_vectors_engine": term_vectors_engine,
@@ -4103,6 +4135,31 @@ FROM ranked WHERE rank <= 10
             "AND levenshtein(d.term, p.pattern) <= 1"
         )
     )
+    _ph_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(PHRASE_QUERIES)
+    )
+    sql["phrase_positional_engine"] = f"""
+WITH qraw(query_id, phrase) AS (VALUES {_ph_vals}),
+q AS (SELECT query_id, {tokenize_sql('phrase')} AS pt FROM qraw),
+base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+occ AS (
+  SELECT q.query_id, b.doc_id,
+         len(list_filter(range(1, len(b.toks) - len(q.pt) + 2),
+             i -> list_slice(b.toks, i, i + len(q.pt) - 1) = q.pt))
+           AS phrase_freq
+  FROM q CROSS JOIN base b
+  WHERE len(b.toks) >= len(q.pt)
+),
+ranked AS (
+  SELECT query_id, doc_id, phrase_freq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY phrase_freq DESC, doc_id) AS rank
+  FROM occ WHERE phrase_freq > 0
+)
+SELECT query_id, rank, doc_id, CAST(phrase_freq AS INT) AS phrase_freq
+FROM ranked WHERE rank <= 10
+"""
+
     sql["extended_stats_engine"] = f"""
 WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
 q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),

@@ -384,6 +384,7 @@ def test_phrase_search_exact_hits(spark, index_dir, fixture_dir, corpus_pdf):
     positive, and nothing for a phrase absent from the corpus."""
     from data_prepper_spark.index.query import phrase_search
     from data_prepper_spark.tokenizer import tokenize_series
+    from pyspark.sql import functions as F
 
     corpus_path = os.path.join(fixture_dir, "corpus.parquet")
     joined = corpus_pdf["content"].map(
@@ -735,3 +736,86 @@ def test_reindex_from_tokens(spark, index_dir, queries_pdf, tmp_path):
     docs = spark.read.parquet(f"{flt}/docs").toPandas()
     assert len(docs) == fstats["n_docs"] < src_stats["n_docs"]
     assert docs.repo.str.startswith("org0/").all()
+
+
+def test_positions_sidecar_and_positional_phrase(
+    spark, index_dir, fixture_dir, corpus_pdf
+):
+    """Positions sidecar matches the tokenizer ground truth; the
+    positional phrase path returns the SAME match set as the
+    retrieve-then-verify phrase path; ordered slop admits gaps."""
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        phrase_topk_positional,
+    )
+    from data_prepper_spark.index.query import phrase_search
+    from data_prepper_spark.tokenizer import tokenize_series
+    from pyspark.sql import functions as F
+
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    build_positions(spark, corpus_path, index_dir)
+
+    # ground truth for one doc
+    doc = corpus_pdf.iloc[0]
+    toks = tokenize_series(pd.Series([doc.content])).iloc[0]
+    docs_tbl = pd.read_parquet(os.path.join(index_dir, "docs"))
+    did = int(docs_tbl[docs_tbl.path == doc.path].doc_id.iloc[0])
+    got = (
+        spark.read.parquet(os.path.join(index_dir, "positions"))
+        .filter(F.col("doc_id") == did)
+        .toPandas()
+        .set_index("term")["positions"]
+    )
+    import collections
+
+    want = collections.defaultdict(list)
+    for i, t in enumerate(toks):
+        want[t].append(i)
+    assert len(got) == len(want)
+    for t, ps in want.items():
+        assert list(got[t]) == ps
+
+    # same match set as retrieve-then-verify (ranking keys differ:
+    # phrase_freq vs BM25 — so compare SETS per query, exhaustively);
+    # phrases drawn from the corpus itself so the match sets are
+    # non-empty
+    phrases = [" ".join(toks[10:12]), " ".join(toks[30:33])]
+    ph = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(phrases)],
+        "query_id long, phrase string",
+    )
+    a = phrase_search(spark, index_dir, corpus_path, ph, k=100_000).toPandas()
+    b = phrase_topk_positional(spark, index_dir, ph, k=100_000).toPandas()
+    for qid in range(len(phrases)):
+        sa = set(a[a.query_id == qid].doc_id)
+        sb = set(b[b.query_id == qid].doc_id)
+        assert sa == sb and sb
+
+    # ordered slop: "alpha gamma" with slop=1 matches "alpha beta gamma"
+    import shutil as sh
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="posidx_")
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 2,
+            "path": ["1", "2"],
+            "commit": ["c"] * 2,
+            "content": ["alpha beta gamma end", "alpha gamma end"],
+        }
+    )
+    cp = os.path.join(tmp, "c.parquet")
+    pdf.to_parquet(cp)
+    spark.createDataFrame(pdf).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "repo", "path", "commit",
+    ).write.parquet(os.path.join(tmp, "docs"))
+    build_positions(spark, cp, tmp)
+    phq = spark.createDataFrame(
+        [(0, "alpha gamma")], "query_id long, phrase string"
+    )
+    exact = phrase_topk_positional(spark, tmp, phq, slop=0).toPandas()
+    sloppy = phrase_topk_positional(spark, tmp, phq, slop=1).toPandas()
+    assert set(exact.path) == {"2"}
+    assert set(sloppy.path) == {"1", "2"}
+    sh.rmtree(tmp)
