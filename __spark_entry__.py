@@ -2150,6 +2150,25 @@ def percolate_matches(spark, sf_dir):
     return percolate(q, docs)
 
 
+def percolate_pruned_matches(spark, sf_dir):
+    """Percolator with rarest-term registration
+    (index/query.py::percolate_pruned — the Lucene percolator's
+    scale trick): stored queries register under their lowest-df term
+    from the index's own dictionary, so candidate pairs flow through
+    ONE term per query instead of every shared term; containment then
+    verifies on candidates only. Results are identical to the plain
+    percolator, so the oracle is shared verbatim."""
+    from data_prepper_spark.index.query import percolate_pruned
+
+    _, idx = _docs_index(spark, sf_dir)
+    dfreq = spark.read.parquet(f"{idx}/terms").select("term", "df")
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        PERCOLATE_QUERIES, "query_id long, query string"
+    )
+    return percolate_pruned(q, docs, dfreq)
+
+
 def rank_eval_metrics(spark, sf_dir):
     """_rank_eval analog (index/query.py::rank_eval): per-query
     precision@10 / recall@10 / MRR / NDCG@10 of the BM25 ranking
@@ -2799,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_scores_engine": explain_scores_engine,
         "term_vectors_engine": term_vectors_engine,
         "percolate_matches": percolate_matches,
+        "percolate_pruned_matches": percolate_pruned_matches,
         "rank_eval_metrics": rank_eval_metrics,
         "more_like_this_docs": more_like_this_docs,
         "search_snippets": search_snippets,
@@ -3637,6 +3657,9 @@ JOIN qn ON qn.query_id = q.query_id
 GROUP BY d.doc_id, q.query_id, qn.n
 HAVING count(*) = qn.n
 """
+
+    # pruned percolation must be result-identical -> shared oracle
+    sql["percolate_pruned_matches"] = sql["percolate_matches"]
 
     _rq_vals = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     sql["rank_eval_metrics"] = f"""

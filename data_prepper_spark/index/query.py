@@ -978,6 +978,57 @@ def percolate(
     )
 
 
+def percolate_pruned(
+    stored_queries: DataFrame,
+    docs: DataFrame,
+    dfreq: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Percolator with rarest-term pruning — the registration trick
+    Lucene's percolator uses at scale: each stored query registers
+    under its RAREST term (lowest collection df, term string
+    tie-break), so an incoming doc generates candidate (doc, query)
+    pairs only through that one term instead of through every term it
+    shares with any query. Verification then checks full containment
+    on the candidate pairs (array_except of the query's terms against
+    the doc's token set).
+
+    Candidate volume drops from Σ_q Σ_t df(t) to Σ_q df(rarest_t) —
+    for selective queries orders of magnitude fewer pairs through the
+    shuffle; results are identical to `percolate` (asserted in
+    tests). `dfreq`: (term, df) — the index's term dictionary, or any
+    df table over the expected corpus; query terms absent from it get
+    df 0 (rarest possible, correct for pruning: unseen terms can't
+    occur in in-distribution docs, and containment still verifies).
+
+    stored_queries: (query_id, query); docs: (doc_id, text).
+    Returns (doc_id, query_id)."""
+    q = stored_queries.select(
+        "query_id",
+        F.array_distinct(tokenize_col(F.col("query"))).alias("qterms"),
+    )
+    qt = q.select("query_id", "qterms", F.explode("qterms").alias("term"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_df"), F.asc("term"))
+    reg = (
+        qt.join(dfreq.select("term", F.col("df").alias("_df")), "term", "left")
+        .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "qterms", "term")
+    )
+    dt = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.array_distinct(tokenize_col(F.col(text_col))).alias("dtoks"),
+    ).select("doc_id", "dtoks", F.explode("dtoks").alias("term"))
+    return (
+        dt.join(F.broadcast(reg), "term")
+        .filter(F.size(F.array_except(F.col("qterms"), F.col("dtoks"))) == 0)
+        .select("doc_id", "query_id")
+        .distinct()
+    )
+
+
 def rank_eval(
     results: DataFrame,
     ratings: DataFrame,

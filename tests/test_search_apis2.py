@@ -146,3 +146,36 @@ def test_stats_facets_integer_exactness(
         assert row.n == len(v) and row.sum_v == v.sum()
         n, sx, sxx = len(v), int(v.sum()), int((v * v).sum())
         assert row.variance == (n * sxx - sx * sx) / (n * n)
+
+
+def test_percolate_pruned_matches_plain(spark, index_dir):
+    """Rarest-term-pruned percolation returns the identical match set
+    as the plain term-join percolator, including queries whose rarest
+    term is absent from the df table."""
+    from data_prepper_spark.index.query import percolate, percolate_pruned
+
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha"), (2, "gamma delta"),
+         (3, "unseen alpha")],
+        "query_id long, query string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),
+            (11, "alpha zeta"),
+            (12, "beta delta"),
+            (13, "unseen alpha here"),
+        ],
+        "doc_id long, text string",
+    )
+    dfreq = spark.createDataFrame(
+        [("alpha", 3), ("beta", 2), ("gamma", 1), ("delta", 1), ("zeta", 1)],
+        "term string, df long",
+    )
+    plain = {(r.doc_id, r.query_id) for r in percolate(queries, docs).collect()}
+    pruned = {
+        (r.doc_id, r.query_id)
+        for r in percolate_pruned(queries, docs, dfreq).collect()
+    }
+    assert pruned == plain
+    assert (13, 3) in pruned  # rarest term 'unseen' (df 0) still matches
