@@ -1021,11 +1021,15 @@ def percolate_pruned(
         F.col(doc_id_col).alias("doc_id"),
         F.array_distinct(tokenize_col(F.col(text_col))).alias("dtoks"),
     ).select("doc_id", "dtoks", F.explode("dtoks").alias("term"))
+    # no distinct needed: reg holds exactly ONE row per query, and dt
+    # explodes DISTINCT doc tokens, so each (doc, query) candidate
+    # appears at most once — the pipeline is a stateless broadcast
+    # join + filter (which is what makes the streaming form possible
+    # in append mode with zero state)
     return (
         dt.join(F.broadcast(reg), "term")
         .filter(F.size(F.array_except(F.col("qterms"), F.col("dtoks"))) == 0)
         .select("doc_id", "query_id")
-        .distinct()
     )
 
 

@@ -390,3 +390,33 @@ def streaming_anomaly_detector(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_percolate(
+    docs_stream: DataFrame,
+    stored_queries: DataFrame,
+    dfreq: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming percolation — the alerting shape of the reference's
+    pipeline (stored queries continuously matched against an incoming
+    document stream; reference opensearch-api percolate + Data
+    Prepper's route/alert semantics). Reuses the rarest-term-pruned
+    percolator (index.query.percolate_pruned): because each stored
+    query registers exactly ONE dictionary term and document tokens
+    are distinct, the whole pipeline is a STATELESS broadcast join +
+    containment filter — it runs in append mode with no state store,
+    no watermark, and exact batch-parity (asserted in tests).
+
+    stored_queries/dfreq are static (batch) DataFrames; docs_stream
+    is a readStream. Returns a streaming (doc_id, query_id) frame."""
+    from ..index.query import percolate_pruned
+
+    return percolate_pruned(
+        stored_queries=stored_queries,
+        docs=docs_stream,
+        dfreq=dfreq,
+        text_col=text_col,
+        doc_id_col=doc_id_col,
+    )

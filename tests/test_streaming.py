@@ -329,3 +329,50 @@ def test_leveled_compaction_matches_batch_build(spark, tmp_path):
         )
 
     pd.testing.assert_frame_equal(blocks(compacted), blocks(batch_idx))
+
+
+def test_streaming_percolate_matches_batch(spark, tmp_path):
+    """Stateless streaming percolation (append mode, no state store)
+    emits exactly the batch percolator's match set."""
+    from data_prepper_spark.index.query import percolate
+    from data_prepper_spark.streaming.pipeline import streaming_percolate
+
+    docs_pdf = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),
+            (11, "alpha zeta"),
+            (12, "beta delta"),
+            (13, "unseen alpha here"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "perc_src")
+    docs_pdf.write.parquet(src)
+    queries = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha"), (2, "gamma delta"),
+         (3, "unseen alpha")],
+        "query_id long, query string",
+    )
+    dfreq = spark.createDataFrame(
+        [("alpha", 3), ("beta", 2), ("gamma", 1), ("delta", 1), ("zeta", 1)],
+        "term string, df long",
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = streaming_percolate(stream, queries, dfreq)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("perc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.query_id)
+        for r in spark.sql("select * from perc_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.query_id)
+        for r in percolate(queries, docs_pdf).collect()
+    }
+    assert got == want and got
