@@ -168,6 +168,47 @@ def main():
     )
     out.append("\n==== multi_match_most_fields ====")
     out.append(plan_of(multi_match(mdocs, sq, {"title": 2.0, "body": 1.0})))
+    # positional phrase: term-IN pushdown into the positions scan,
+    # no corpus access anywhere in the plan
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        phrase_topk_positional,
+    )
+
+    build_positions(spark, f"{d}/corpus.parquet", idx)
+    import pandas as _pd
+
+    from data_prepper_spark.tokenizer import tokenize_series as _ts
+
+    _toks = _ts(
+        _pd.read_parquet(f"{d}/corpus.parquet").head(1).content
+    ).iloc[0]
+    php = spark.createDataFrame(
+        [(0, " ".join(_toks[5:7]))], "query_id long, phrase string"
+    )
+    out.append("\n==== index_phrase_positional ====")
+    out.append(plan_of(phrase_topk_positional(spark, idx, php, k=10)))
+    # collapse: two bounded-key windows over the scored match set
+    from data_prepper_spark.index.query import collapse_search
+
+    out.append("\n==== index_collapse ====")
+    out.append(
+        plan_of(
+            collapse_search(spark, idx, f"{d}/corpus.parquet", fq, field="lang")
+        )
+    )
+    # pruned percolate: ONE broadcast join, no aggregation at all
+    from data_prepper_spark.index.query import percolate_pruned
+
+    dfreq_df = spark.read.parquet(f"{idx}/terms").select("term", "df")
+    out.append("\n==== percolate_pruned ====")
+    out.append(
+        plan_of(
+            percolate_pruned(
+                sq, docs_df, dfreq_df, text_col="content", doc_id_col="doc_id"
+            )
+        )
+    )
     # anomaly detector: ONE hash exchange on the identification keys,
     # window functions stacked on it, no Python
     from data_prepper_spark.operators.anomaly import anomaly_detector
