@@ -8,7 +8,7 @@ on the same parquet. Column names and value discipline are aligned:
     decimal(18,4) sum then one cast to double -> bit-identical values;
   * transcendental scores (BM25, cosine) are rounded to 6 decimals;
   * timestamps are compared as formatted strings (UTC both sides).
-Every entry has an oracle (107/107): hash-based operators (minhash,
+Every entry has an oracle (109/109): hash-based operators (minhash,
 simhash, winnowing, hash_split) run DuckDB-portable md5-derived
 hashes; LSH ANN and the multimodal fake decode embed their
 deterministic constants in both engines; iterative ops (dedup
