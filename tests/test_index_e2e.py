@@ -753,7 +753,7 @@ def test_positions_sidecar_and_positional_phrase(
     from pyspark.sql import functions as F
 
     corpus_path = os.path.join(fixture_dir, "corpus.parquet")
-    build_positions(spark, corpus_path, index_dir)
+    build_positions(spark, corpus_path, index_dir, encoding="plain")
 
     # ground truth for one doc
     doc = corpus_pdf.iloc[0]
@@ -780,6 +780,30 @@ def test_positions_sidecar_and_positional_phrase(
     # phrases drawn from the corpus itself so the match sets are
     # non-empty
     phrases = [" ".join(toks[10:12]), " ".join(toks[30:33])]
+    ph_all = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(phrases)],
+        "query_id long, phrase string",
+    )
+    plain_out = (
+        phrase_topk_positional(spark, index_dir, ph_all, k=100_000)
+        .toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    from data_prepper_spark import fsio
+
+    plain_bytes = fsio.du(os.path.join(index_dir, "positions"))
+    # varbyte layout: identical results; on parquet it is measurably
+    # LARGER than plain int lists (parquet RLE+snappy beats varbyte
+    # blobs — why plain is the default; see build_positions docstring)
+    build_positions(spark, corpus_path, index_dir, encoding="varbyte")
+    vb_bytes = fsio.du(os.path.join(index_dir, "positions"))
+    assert 0.5 < vb_bytes / plain_bytes < 2.0  # same order; layout choice documented
+    vb_out = (
+        phrase_topk_positional(spark, index_dir, ph_all, k=100_000)
+        .toPandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    assert plain_out.doc_id.tolist() == vb_out.doc_id.tolist()
+    assert plain_out.phrase_freq.tolist() == vb_out.phrase_freq.tolist()
+    build_positions(spark, corpus_path, index_dir)  # leave default layout
     ph = spark.createDataFrame(
         [(i, p) for i, p in enumerate(phrases)],
         "query_id long, phrase string",
