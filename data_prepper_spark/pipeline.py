@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import aggregate as agg_ops
 from .operators import codec_ops, enrich, mutate, parse
+from .operators.anomaly import anomaly_detector as _anomaly_detector
 from .operators.route import apply_routes, drop_events
 
 # processor name -> adapter(df, config) -> df
@@ -172,6 +173,21 @@ PROCESSORS: dict[str, Any] = {
     ),
     "tail_sampler": lambda df, c: agg_ops.tail_sampler(
         df, c["identification_key"], c["error_condition"], c["percent"]
+    ),
+    # reference anomaly-detector-processor config surface: keys, mode
+    # (sample_size/output_after from random_cut_forest mode config),
+    # identification_keys, verbose, cardinality_limit; batch needs an
+    # explicit order_by (arrival order has no batch analog)
+    "anomaly_detector": lambda df, c: _anomaly_detector(
+        df,
+        c["keys"],
+        identification_keys=c.get("identification_keys"),
+        order_by=c["order_by"],
+        sample_size=c.get("mode", {}).get("sample_size", 256),
+        output_after=c.get("mode", {}).get("output_after", 32),
+        threshold=c.get("threshold", 3.0),
+        verbose=c.get("verbose", False),
+        cardinality_limit=c.get("cardinality_limit"),
     ),
     "remove_duplicates": lambda df, c: agg_ops.remove_duplicates(
         df, c["identification_keys"], c.get("order_by")

@@ -198,3 +198,38 @@ def test_yaml_round2_processors(spark, tmp_path):
     assert out[1]["ionp"]["v"] == "open" and out[2]["ionp"]["v"] == "closed"
     assert out[1]["day"] == "2024/02/03"
     assert out[1]["band"] == "high" and out[2]["band"] == "low"
+
+
+def test_anomaly_detector_pipeline(spark, tmp_path):
+    """anomaly_detector declared in a pipeline config (reference
+    pipelines.yaml surface: keys / mode / identification_keys /
+    verbose) emits only anomalous events with deviation + grade."""
+    import pandas as pd
+
+    src = str(tmp_path / "anom_events")
+    vals = [10.0, 11.0] * 10 + [100.0] + [10.0] * 5
+    pd.DataFrame(
+        {"g": "a", "event_id": range(len(vals)), "value": vals}
+    ).to_parquet(src + ".parquet")
+    out = str(tmp_path / "anom_out")
+    cfg = {
+        "anomaly-pipeline": {
+            "source": {"parquet": {"path": src + ".parquet"}},
+            "processor": [
+                {"anomaly_detector": {
+                    "keys": ["value"],
+                    "identification_keys": ["g"],
+                    "order_by": ["event_id"],
+                    "mode": {"sample_size": 16, "output_after": 8},
+                    "threshold": 2.0,
+                    "verbose": True,
+                }},
+            ],
+            "sink": [{"parquet": {"path": out}}],
+        }
+    }
+    build_pipelines(spark, cfg)
+    got = spark.read.parquet(out).toPandas()
+    assert list(got.event_id) == [20]
+    assert got.grade.iloc[0] == 1.0
+    assert "deviation_from_expected" in got.columns
