@@ -489,33 +489,16 @@ def expanded_search(
     )
 
 
-def faceted_search(
+def _facet_counts(
     spark: SparkSession,
     index_dir: str,
     corpus_path: str,
     queries: DataFrame,
-    facet_col: str = "lang",
-    n_buckets_out: int = 10,
+    facet_col: str,
 ) -> DataFrame:
-    """Terms aggregation over the FULL match set (the reference
-    stack's opensearch-api `aggs: {terms: {field: ...}}` alongside a
-    query) — buckets are (facet value, doc_count) per query, ordered
-    by (doc_count desc, value asc), top `n_buckets_out`, computed
-    over EVERY matching doc, not just the top-k hits.
-
-    Match semantics: the standard disjunctive free-text match (a doc
-    matches if it contains >=1 query term), i.e. exactly the match
-    set topk() scores. queries: (query_id long, query string).
-    Returns (query_id, bucket_rank, facet, doc_count).
-
-    Scale shape: the match set comes off the bucket-pruned postings
-    scan (ids only — scores are never materialized); the facet value
-    is one join for the facet value — against the doc-values sidecar
-    (attach_doc_values) when one holds `facet_col` (ord -> value,
-    corpus never touched), else ord -> docs -> corpus on the identity
-    key — then ONE (query, facet) aggregation with map-side combine.
-    With the sidecar the plan is facet-cardinality-bound, never
-    corpus-bound."""
+    """Uncapped (query_id, facet, doc_count) over ONE index's full
+    match set — the shared core of faceted_search (which ranks it)
+    and faceted_search_deltas (which sums it across deltas)."""
     stats = load_stats(index_dir)
     qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
         "query_id", "term_id", "idf", "bucket"
@@ -546,9 +529,109 @@ def faceted_search(
         attributed = matched.join(ident, "ord").join(
             attrs, ["repo", "path", "commit"]
         )
-    fac = attributed.groupBy("query_id", "facet").agg(
+    return attributed.groupBy("query_id", "facet").agg(
         F.count("*").alias("doc_count")
     )
+
+
+def attach_doc_values_deltas(
+    spark: SparkSession,
+    index_root: str,
+    corpus_path: str,
+    cols: tuple[str, ...] = ("lang",),
+) -> int:
+    """Incremental doc-values maintenance over a streamed delta tree
+    (streaming.pipeline.incremental_index output): attach a sidecar to
+    every delta that does not have one yet — old deltas are never
+    touched, so the cost of keeping doc-values current is proportional
+    to NEW data only (call it after each foreachBatch epoch, like
+    maybe_compact). Returns the number of deltas attached."""
+    from .. import fsio
+
+    done = 0
+    for d in sorted(fsio.listdir(index_root)):
+        if not fsio.basename(d.rstrip("/")).startswith("delta="):
+            continue
+        if fsio.isdir(os.path.join(d, "docvalues")):
+            continue
+        attach_doc_values(spark, d, corpus_path, cols=cols)
+        done += 1
+    return done
+
+
+def faceted_search_deltas(
+    spark: SparkSession,
+    index_root: str,
+    corpus_path: str,
+    queries: DataFrame,
+    facet_col: str = "lang",
+    n_buckets_out: int = 10,
+) -> DataFrame:
+    """Terms aggregation over a LIVE delta tree, no compaction needed:
+    each delta aggregates its own full match set locally (through its
+    own incrementally-attached doc-values sidecar when present), and
+    the merge is one groupBy sum over (query, facet) — counts are
+    additive because delta doc sets are disjoint. Bucket ordering
+    (doc_count desc, value asc) applies after the merge, so the result
+    is identical to faceting the compacted index (asserted in tests).
+    Same O(#deltas) fan-in trade as topk_deltas."""
+    from .. import fsio
+
+    deltas = [
+        p
+        for p in fsio.listdir(index_root)
+        if fsio.basename(p.rstrip("/")).startswith("delta=")
+    ]
+    if not deltas:
+        raise ValueError(f"no delta=* indexes under {index_root}")
+    parts = [
+        _facet_counts(spark, d, corpus_path, queries, facet_col)
+        for d in deltas
+    ]
+    fac = parts[0]
+    for p in parts[1:]:
+        fac = fac.unionByName(p)
+    fac = fac.groupBy("query_id", "facet").agg(
+        F.sum("doc_count").alias("doc_count")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("facet")
+    )
+    return (
+        fac.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= n_buckets_out)
+        .select("query_id", "bucket_rank", "facet", "doc_count")
+    )
+
+
+def faceted_search(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    facet_col: str = "lang",
+    n_buckets_out: int = 10,
+) -> DataFrame:
+    """Terms aggregation over the FULL match set (the reference
+    stack's opensearch-api `aggs: {terms: {field: ...}}` alongside a
+    query) — buckets are (facet value, doc_count) per query, ordered
+    by (doc_count desc, value asc), top `n_buckets_out`, computed
+    over EVERY matching doc, not just the top-k hits.
+
+    Match semantics: the standard disjunctive free-text match (a doc
+    matches if it contains >=1 query term), i.e. exactly the match
+    set topk() scores. queries: (query_id long, query string).
+    Returns (query_id, bucket_rank, facet, doc_count).
+
+    Scale shape: the match set comes off the bucket-pruned postings
+    scan (ids only — scores are never materialized); the facet value
+    is one join for the facet value — against the doc-values sidecar
+    (attach_doc_values) when one holds `facet_col` (ord -> value,
+    corpus never touched), else ord -> docs -> corpus on the identity
+    key — then ONE (query, facet) aggregation with map-side combine.
+    With the sidecar the plan is facet-cardinality-bound, never
+    corpus-bound."""
+    fac = _facet_counts(spark, index_dir, corpus_path, queries, facet_col)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("doc_count"), F.asc("facet")
     )

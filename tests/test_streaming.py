@@ -376,3 +376,60 @@ def test_streaming_percolate_matches_batch(spark, tmp_path):
         for r in percolate(queries, docs_pdf).collect()
     }
     assert got == want and got
+
+
+def test_faceted_deltas_matches_compacted(spark, tmp_path):
+    """Incremental doc-values + faceting over the live delta tree:
+    attach_doc_values_deltas touches only deltas lacking a sidecar
+    (second call is a no-op), and faceted_search_deltas returns
+    bucket-identical results to faceting the compacted index."""
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig
+    from data_prepper_spark.index.query import (
+        attach_doc_values,
+        attach_doc_values_deltas,
+        faceted_search,
+        faceted_search_deltas,
+    )
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.001, src, chunks_per_file=1)
+    root = str(tmp_path / "deltas")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(spark, stream, root, str(tmp_path / "ck")).start()
+    q.awaitTermination(240)
+
+    # incremental attach: N deltas first time, 0 the second
+    n1 = attach_doc_values_deltas(spark, root, src, cols=("lang",))
+    assert n1 >= 2
+    assert attach_doc_values_deltas(spark, root, src, cols=("lang",)) == 0
+
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000)
+    compacted = str(tmp_path / "compacted")
+    compact_deltas(spark, root, compacted, cfg)
+    attach_doc_values(spark, compacted, src, cols=("lang",))
+
+    queries = spark.createDataFrame(
+        [(0, "def init"), (1, "return value")],
+        "query_id long, query string",
+    )
+    a = (
+        faceted_search_deltas(spark, root, src, queries, facet_col="lang")
+        .toPandas().sort_values(["query_id", "bucket_rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        faceted_search(spark, compacted, src, queries, facet_col="lang")
+        .toPandas().sort_values(["query_id", "bucket_rank"])
+        .reset_index(drop=True)
+    )
+    assert a.facet.tolist() == b.facet.tolist()
+    assert a.doc_count.tolist() == b.doc_count.tolist()
