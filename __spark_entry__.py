@@ -8,7 +8,7 @@ on the same parquet. Column names and value discipline are aligned:
     decimal(18,4) sum then one cast to double -> bit-identical values;
   * transcendental scores (BM25, cosine) are rounded to 6 decimals;
   * timestamps are compared as formatted strings (UTC both sides).
-Every entry has an oracle (109/109): hash-based operators (minhash,
+Every entry has an oracle (110/110): hash-based operators (minhash,
 simhash, winnowing, hash_split) run DuckDB-portable md5-derived
 hashes; LSH ANN and the multimodal fake decode embed their
 deterministic constants in both engines; iterative ops (dedup
@@ -2006,6 +2006,67 @@ def collapse_search_engine(spark, sf_dir):
     )
 
 
+ANALYZER_STOPWORDS = ("the", "a", "data")
+
+
+def bm25_stopword_analyzer(spark, sf_dir):
+    """Stopped analyzer (the analyzer `stop` token filter /
+    BuildConfig.stopwords): BM25 where the stop list never reaches the
+    index — df, dl and avgdl all count surviving tokens, and a query
+    term on the stop list contributes nothing ('data' is stopped here,
+    so that query drops out entirely). The oracle applies the same
+    list_filter before every statistic."""
+    docs = _t(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in ANALYZER_STOPWORDS])
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(
+            tokenize_col(F.col("text")),
+            lambda t: ~F.array_contains(sw, t),
+        )).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "query string"
+    ).select(
+        "query",
+        F.explode(
+            F.array_except(
+                F.array_distinct(tokenize_col(F.col("query"))), sw
+            )
+        ).alias("term"),
+    )
+    scored = (
+        q.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    tot = scored.groupBy("query", "doc_id").agg(F.sum("part").alias("score"))
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        tot.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
 def multi_match_fields(spark, sf_dir):
     """multi_match query (opensearch-api; textstats.py::multi_match,
     mode=most_fields): one query scored against two fields — `title`
@@ -2812,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggester": completion_suggester,
         "reindex_engine": reindex_engine,
         "multi_match_fields": multi_match_fields,
+        "bm25_stopword_analyzer": bm25_stopword_analyzer,
         "extended_stats_engine": extended_stats_engine,
         "phrase_positional_engine": phrase_positional_engine,
         "collapse_search_engine": collapse_search_engine,
@@ -4247,6 +4309,44 @@ ranked AS (
 )
 SELECT query_id, rank, lang, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 5
+"""
+
+    _sw_sql = ", ".join(f"'{w}'" for w in ANALYZER_STOPWORDS)
+    sql["bm25_stopword_analyzer"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter({tokenize_sql('text')},
+                            t -> t NOT IN ({_sw_sql}))) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+q AS (
+  SELECT DISTINCT query, unnest(list_filter({tokenize_sql('query')},
+                                 t -> t NOT IN ({_sw_sql}))) AS term
+  FROM qraw
+),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
 
     sql["multi_match_fields"] = f"""

@@ -115,6 +115,16 @@ class BuildConfig:
     # SF=0.1/local[32]: cached 55.6-105.7 s vs uncached 48.1-57.7 s
     # per index stage, bit-identical postings either way.
     cache_tokens: bool = False
+    # analyzer stop filter (the reference stack's analyzer `stop`
+    # token filter / OpenSearch stopwords setting): tokens in this set
+    # never reach the index — postings, df, dl, and avgdl are all
+    # computed over the SURVIVING tokens (length norm over indexed
+    # tokens, the Lucene contract). The query side needs no switch:
+    # stopped terms are absent from the dictionary, so a query
+    # containing one simply gets zero contribution from it — the
+    # standard stopped-analyzer behavior. None (default) = the
+    # code-aware analyzer with no stop list.
+    stopwords: tuple[str, ...] | None = None
     # ordinal assignment order: "doc_id" (default — ord order equals
     # doc_id order, so the (score desc, doc_id asc) tie-break matches
     # the oracle exactly) or "dl" (impact-ordered: ascending doc
@@ -225,7 +235,7 @@ def _sha256_of_string_array(arr) -> list:
     ]
 
 
-def _tokenize_batches_arrow(it):
+def _tokenize_batches_arrow(it, stopwords=None):
     """mapInArrow: validate + tokenize in ONE corpus pass, Arrow-native.
 
     Input batches carry (unit, doc_id, repo, path, commit, content,
@@ -313,6 +323,18 @@ def _tokenize_batches_arrow(it):
         unit_ok = col["unit"].take(good_i)
         doc_ok = col["doc_id"].take(good_i).to_numpy()
         flat, doc_idx, counts = tokenize_flat_arrow(content_ok)
+        if stopwords:
+            # analyzer stop filter (BuildConfig.stopwords): drop the
+            # stopped tokens BEFORE any stats — dl (sentinel), tf and
+            # df all see only surviving tokens
+            keep = pc.invert(
+                pc.is_in(flat, value_set=pa.array(list(stopwords)))
+            ).to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            counts = np.bincount(doc_idx, minlength=len(counts)).astype(
+                np.int64
+            )
 
         # sentinel rows: one per valid doc, with identity + dl
         yield pa.RecordBatch.from_arrays(
@@ -368,7 +390,7 @@ def _tokenize_batches_arrow(it):
 TOKENIZE_STATS_SCHEMA = "unit string, n_docs long, rows_out long, nq long"
 
 
-def _make_direct_tokenizer(tokens_dir: str):
+def _make_direct_tokenizer(tokens_dir: str, stopwords=None):
     """mapInArrow factory: the same single validate+tokenize corpus
     pass as `_tokenize_batches_arrow`, but each task writes the token
     batches to `tokens/unit=<u>/part-<pid>.parquet` itself with
@@ -433,7 +455,7 @@ def _make_direct_tokenizer(tokens_dir: str):
             return w[0]
 
         try:
-            for batch in _tokenize_batches_arrow(it):
+            for batch in _tokenize_batches_arrow(it, stopwords=stopwords):
                 u = batch.column(0)
                 uniq = pc.unique(u).to_pylist()
                 for unit in uniq:
@@ -544,7 +566,8 @@ def run_tokenize_stage(
         for u in pending:
             fsio.rmtree(os.path.join(tokens_path, f"unit={_unit_id(u)}"))
         stats_df = src.mapInArrow(
-            _make_direct_tokenizer(tokens_path), schema=TOKENIZE_STATS_SCHEMA
+            _make_direct_tokenizer(tokens_path, cfg.stopwords),
+            schema=TOKENIZE_STATS_SCHEMA,
         )
         with _scoped_conf(
             spark, spark__sql__execution__arrow__maxRecordsPerBatch="1024"
@@ -559,7 +582,12 @@ def run_tokenize_stage(
                 .collect()
             )
     else:
-        tokens = src.mapInArrow(_tokenize_batches_arrow, schema=TOKENS_SCHEMA)
+        _sw = cfg.stopwords
+
+        def _tok(it):
+            return _tokenize_batches_arrow(it, stopwords=_sw)
+
+        tokens = src.mapInArrow(_tok, schema=TOKENS_SCHEMA)
         with _scoped_conf(
             spark,
             spark__sql__execution__arrow__maxRecordsPerBatch="1024",

@@ -29,10 +29,17 @@ def corpus_doc_ids(corpus: pd.DataFrame) -> pd.Series:
     )
 
 
-def build_term_stats(corpus: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Return (postings_df[doc_id, term, tf], docs_df[doc_id, dl])."""
+def build_term_stats(
+    corpus: pd.DataFrame, stopwords: tuple[str, ...] | None = None
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Return (postings_df[doc_id, term, tf], docs_df[doc_id, dl]).
+    `stopwords` mirrors the build's analyzer option: filtered tokens
+    never reach postings and dl counts indexed tokens only."""
     doc_ids = corpus_doc_ids(corpus)
     toks = tokenize_series(corpus["content"])
+    if stopwords:
+        sw = set(stopwords)
+        toks = toks.map(lambda ts: [t for t in ts if t not in sw])
     dl = toks.map(len).astype("int64")
     docs = pd.DataFrame({"doc_id": doc_ids.values, "dl": dl.values})
     ex = pd.DataFrame(
@@ -51,9 +58,10 @@ def bm25_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    stopwords: tuple[str, ...] | None = None,
 ) -> pd.DataFrame:
     """Exhaustive top-k: returns (query_id, rank, doc_id, score)."""
-    postings, docs = build_term_stats(corpus)
+    postings, docs = build_term_stats(corpus, stopwords=stopwords)
     n_docs = len(docs)
     avgdl = float(docs["dl"].mean())
     df_per_term = postings.groupby("term", sort=False).size()

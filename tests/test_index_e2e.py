@@ -843,3 +843,64 @@ def test_positions_sidecar_and_positional_phrase(
     assert set(exact.path) == {"2"}
     assert set(sloppy.path) == {"1", "2"}
     sh.rmtree(tmp)
+
+
+def test_stopword_analyzer_build(spark, fixture_dir, corpus_pdf, queries_pdf, tmp_path):
+    """BuildConfig.stopwords (the analyzer stop filter): stopped terms
+    never reach the dictionary, dl/avgdl count surviving tokens only,
+    and the engine stays rank-identical to the numpy oracle running
+    the same filtered analyzer. A query made only of stopwords simply
+    matches nothing (standard stopped-analyzer contract)."""
+    from data_prepper_spark.index.build import BuildConfig, build_index, load_stats
+
+    sw = ("init", "main")  # both exist in the fixture vocabulary
+    idx = str(tmp_path / "stopidx")
+    build_index(
+        spark,
+        os.path.join(fixture_dir, "corpus.parquet"),
+        idx,
+        BuildConfig(n_buckets=4, hot_group_target=5000, stopwords=sw),
+    )
+    terms = spark.read.parquet(os.path.join(idx, "terms")).toPandas()
+    assert not (terms.term.isin(sw)).any()
+
+    from data_prepper_spark.oracle import bm25_topk, build_term_stats
+
+    postings, docs = build_term_stats(corpus_pdf, stopwords=sw)
+    stats = load_stats(idx)
+    assert stats["n_docs"] == len(docs)
+    assert abs(stats["avgdl"] - docs["dl"].mean()) < 1e-9
+    # avgdl must actually have changed vs the unfiltered analyzer
+    _, docs_unfiltered = build_term_stats(corpus_pdf)
+    assert docs["dl"].sum() < docs_unfiltered["dl"].sum()
+
+    qp = queries_pdf.head(6)
+    gold = bm25_topk(corpus_pdf, qp, k=10, stopwords=sw)
+    got = topk(spark, idx, spark.createDataFrame(qp), k=10).toPandas()
+    _compare(got, gold)
+
+    # stopword-only query: zero hits
+    swq = spark.createDataFrame([(99, "init main")], "query_id long, query string")
+    assert topk(spark, idx, swq, k=10).count() == 0
+
+    # the JVM tokens path applies the same filter (bit-identical index)
+    from data_prepper_spark.index.build import BuildConfig as _BC
+
+    idx2 = str(tmp_path / "stopidx_jvm")
+    build_index(
+        spark,
+        os.path.join(fixture_dir, "corpus.parquet"),
+        idx2,
+        _BC(n_buckets=4, hot_group_target=5000, stopwords=sw,
+            direct_tokens_write=False),
+    )
+    cols = ["term_id", "min_doc", "n", "docs", "tfs", "dls"]
+    a = (
+        spark.read.parquet(os.path.join(idx, "postings")).select(cols)
+        .toPandas().sort_values(["term_id", "min_doc"]).reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(os.path.join(idx2, "postings")).select(cols)
+        .toPandas().sort_values(["term_id", "min_doc"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
