@@ -8,7 +8,7 @@ on the same parquet. Column names and value discipline are aligned:
     decimal(18,4) sum then one cast to double -> bit-identical values;
   * transcendental scores (BM25, cosine) are rounded to 6 decimals;
   * timestamps are compared as formatted strings (UTC both sides).
-Every entry has an oracle (110/110): hash-based operators (minhash,
+Every entry has an oracle (111/111): hash-based operators (minhash,
 simhash, winnowing, hash_split) run DuckDB-portable md5-derived
 hashes; LSH ANN and the multimodal fake decode embed their
 deterministic constants in both engines; iterative ops (dedup
@@ -2098,6 +2098,28 @@ def multi_match_fields(spark, sf_dir):
 _REINDEX_CACHE: dict[str, str] = {}
 
 
+SYNONYMS = [("spark", "stream"), ("merge", "join")]
+
+
+def synonym_search_engine(spark, sf_dir):
+    """Query-time synonym expansion (analyzer `synonym` filter at
+    search time; index/query.py::expand_synonyms): each query term
+    expands to itself + its synonyms, the expanded bag scores as a
+    disjunctive BM25 query through the physical index. The oracle
+    reproduces the expansion (same left join + union) AND the
+    retrieval."""
+    from data_prepper_spark.index.query import expand_synonyms, topk_with_docs
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    syn = spark.createDataFrame(SYNONYMS, "term string, synonym string")
+    expanded = expand_synonyms(q, syn)
+    return _rerank_engine_results(topk_with_docs(spark, idx, expanded, k=50))
+
+
 def reindex_engine(spark, sf_dir):
     """_reindex analog (index/build.py::reindex): rebuild the shared
     docs index from its own tokens table under a DIFFERENT physical
@@ -2872,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggester": term_suggester,
         "completion_suggester": completion_suggester,
         "reindex_engine": reindex_engine,
+        "synonym_search_engine": synonym_search_engine,
         "multi_match_fields": multi_match_fields,
         "bm25_stopword_analyzer": bm25_stopword_analyzer,
         "extended_stats_engine": extended_stats_engine,
@@ -4309,6 +4332,45 @@ ranked AS (
 )
 SELECT query_id, rank, lang, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 5
+"""
+
+    _syn_vals = ", ".join(f"('{a}', '{b}')" for a, b in SYNONYMS)
+    sql["synonym_search_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+syn(term, synonym) AS (VALUES {_syn_vals}),
+qt AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+q AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qt
+    UNION ALL
+    SELECT qt.query_id, s.synonym AS term FROM qt JOIN syn s USING (term)
+  )
+),
+toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
 
     _sw_sql = ", ".join(f"'{w}'" for w in ANALYZER_STOPWORDS)

@@ -1061,6 +1061,42 @@ def percolate(
     )
 
 
+def expand_synonyms(queries: DataFrame, synonyms: DataFrame) -> DataFrame:
+    """Query-time synonym expansion (the analyzer `synonym` filter
+    applied at search time — Lucene synonym_graph's query-side mode):
+    each query term expands to itself plus its synonym set, and the
+    expanded bag scores as a plain disjunctive query downstream.
+    Pure Catalyst: tokenize → one left join on the synonym table →
+    re-assemble the expanded term bag as query text (the canonical
+    tokenizer is idempotent on its own output, so the reconstructed
+    text re-tokenizes to exactly the expanded bag). Feed the result to
+    topk()/topk_with_docs() unchanged.
+
+    queries: (query_id, query); synonyms: (term, synonym) rows, one
+    per direction to apply (supply both directions for symmetric
+    sets). Returns (query_id, query) with expanded text."""
+    qt = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias(
+            "term"
+        ),
+    )
+    exp = qt.join(F.broadcast(synonyms), "term", "left").select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.array(F.col("term"), F.col("synonym")),
+                    lambda t: t.isNotNull(),
+                )
+            )
+        ).alias("term"),
+    )
+    return exp.groupBy("query_id").agg(
+        F.array_join(F.array_sort(F.collect_set("term")), " ").alias("query")
+    )
+
+
 def percolate_pruned(
     stored_queries: DataFrame,
     docs: DataFrame,

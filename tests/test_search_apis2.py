@@ -179,3 +179,42 @@ def test_percolate_pruned_matches_plain(spark, index_dir):
     }
     assert pruned == plain
     assert (13, 3) in pruned  # rarest term 'unseen' (df 0) still matches
+
+
+def test_synonym_expansion_query_time(spark, index_dir, corpus_pdf, queries_pdf):
+    """Query-time synonyms: the expanded query is term-set-equal to
+    original + synonyms, and topk over the expanded text equals topk
+    over a hand-expanded query."""
+    from data_prepper_spark.index.query import expand_synonyms
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    q = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma")], "query_id long, query string"
+    )
+    syn = spark.createDataFrame(
+        [("alpha", "omega"), ("alpha", "psi"), ("zzz", "yyy")],
+        "term string, synonym string",
+    )
+    out = {r.query_id: r.query for r in expand_synonyms(q, syn).collect()}
+    assert set(out[0].split()) == {"alpha", "beta", "omega", "psi"}
+    assert set(out[1].split()) == {"gamma"}
+
+    # end-to-end: expansion + topk == topk of the hand-expanded text
+    toks = tokenize_series(pd.Series([corpus_pdf.iloc[0].content])).iloc[0]
+    a_term, b_term = toks[3], toks[40]
+    q2 = spark.createDataFrame([(0, a_term)], "query_id long, query string")
+    syn2 = spark.createDataFrame(
+        [(a_term, b_term)], "term string, synonym string"
+    )
+    expanded = expand_synonyms(q2, syn2)
+    got = topk(spark, index_dir, expanded, k=10).toPandas()
+    want = topk(
+        spark,
+        index_dir,
+        spark.createDataFrame(
+            [(0, f"{a_term} {b_term}")], "query_id long, query string"
+        ),
+        k=10,
+    ).toPandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert (got.score - want.score).abs().max() < 1e-12
