@@ -8,7 +8,7 @@ on the same parquet. Column names and value discipline are aligned:
     decimal(18,4) sum then one cast to double -> bit-identical values;
   * transcendental scores (BM25, cosine) are rounded to 6 decimals;
   * timestamps are compared as formatted strings (UTC both sides).
-Every entry has an oracle (111/111): hash-based operators (minhash,
+Every entry has an oracle (112/112): hash-based operators (minhash,
 simhash, winnowing, hash_split) run DuckDB-portable md5-derived
 hashes; LSH ANN and the multimodal fake decode embed their
 deterministic constants in both engines; iterative ops (dedup
@@ -2009,6 +2009,81 @@ def collapse_search_engine(spark, sf_dir):
 ANALYZER_STOPWORDS = ("the", "a", "data")
 
 
+def _s_stem(t):
+    """Minimal English s-stemmer (the Lucene minimal_english stem
+    filter's core rule, simplified): strip one trailing 's' from
+    tokens longer than 3 chars unless they end in ss/us/is. Expressed
+    with when/substring so the DuckDB oracle mirrors it exactly (RE2
+    has no lookbehind)."""
+    keep = (
+        (F.length(t) <= 3)
+        | ~t.endswith("s")
+        | t.endswith("ss")
+        | t.endswith("us")
+        | t.endswith("is")
+    )
+    return F.when(keep, t).otherwise(
+        F.substring(t, 1, F.length(t) - 1)
+    )
+
+
+def bm25_stemmed_analyzer(spark, sf_dir):
+    """Stemmed analyzer (minimal_english stem filter): both the
+    indexed tokens and the query terms pass through the s-stemmer, so
+    'columns' and 'column' share one term and df/dl/avgdl are computed
+    over stemmed tokens — the analyzer-chain contract (the third
+    classic filter next to stop and synonym). Oracle applies the
+    identical CASE rule on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_col(F.col("text"))).alias("t")
+    ).select("doc_id", _s_stem(F.col("t")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "query string"
+    ).select(
+        "query",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(tokenize_col(F.col("query"))),
+                    _s_stem,
+                )
+            )
+        ).alias("term"),
+    )
+    scored = (
+        q.join(dfreq, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    tot = scored.groupBy("query", "doc_id").agg(F.sum("part").alias("score"))
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        tot.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
 def bm25_stopword_analyzer(spark, sf_dir):
     """Stopped analyzer (the analyzer `stop` token filter /
     BuildConfig.stopwords): BM25 where the stop list never reaches the
@@ -2897,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search_engine": synonym_search_engine,
         "multi_match_fields": multi_match_fields,
         "bm25_stopword_analyzer": bm25_stopword_analyzer,
+        "bm25_stemmed_analyzer": bm25_stemmed_analyzer,
         "extended_stats_engine": extended_stats_engine,
         "phrase_positional_engine": phrase_positional_engine,
         "collapse_search_engine": collapse_search_engine,
@@ -4370,6 +4446,43 @@ ranked AS (
   FROM tot
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    _stem = (
+        "CASE WHEN length({t}) <= 3 OR NOT {t} LIKE '%s' "
+        "OR {t} LIKE '%ss' OR {t} LIKE '%us' OR {t} LIKE '%is' "
+        "THEN {t} ELSE substr({t}, 1, length({t}) - 1) END"
+    )
+    sql["bm25_stemmed_analyzer"] = f"""
+WITH raw AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS t FROM documents
+),
+toks AS (SELECT doc_id, {_stem.format(t='t')} AS term FROM raw),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+qr AS (SELECT DISTINCT query, unnest({tokenize_sql('query')}) AS t FROM qraw),
+q AS (SELECT DISTINCT query, {_stem.format(t='t')} AS term FROM qr),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
 
