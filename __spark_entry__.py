@@ -2593,6 +2593,40 @@ def bm25_indexed_engine(spark, sf_dir):
     )
 
 
+_DOCS_INDEX_STEM_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def bm25_stemmed_engine(spark, sf_dir):
+    """BuildConfig.stemmer='minimal_english' on the PHYSICAL index
+    path (index/build.py tokenize pass stems in Arrow; stats.json
+    persists the chain; query side stems via query._query_analyzer) —
+    the third analyzer filter wired into the engine proper, not just
+    the SQL-form entry. Oracle rebuilds tf/df/dl/avgdl over stemmed
+    tokens and stems the query terms with the identical CASE rule."""
+    import os as _os
+    import tempfile as _tf
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import topk_with_docs
+
+    hit = _DOCS_INDEX_STEM_CACHE.get(sf_dir)
+    if hit is None:
+        cpath, _ = _docs_index(spark, sf_dir)  # reuse the written corpus
+        idx = _os.path.join(_tf.mkdtemp(prefix="dps_stemidx_"), "index")
+        build_index(
+            spark, cpath, idx,
+            BuildConfig(n_buckets=8, hot_group_target=5000,
+                        stemmer="minimal_english"),
+        )
+        _DOCS_INDEX_STEM_CACHE[sf_dir] = (cpath, idx)
+    _, idx = _DOCS_INDEX_STEM_CACHE[sf_dir]
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    return _rerank_engine_results(topk_with_docs(spark, idx, q, k=50))
+
+
 def _otel_frac_ns(eid):
     """Deterministic sub-second nanos chosen to exercise every ISO-8601
     fraction group the reference prints (0 / 3 / 6 / 9 digits)."""
@@ -2973,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_fields": multi_match_fields,
         "bm25_stopword_analyzer": bm25_stopword_analyzer,
         "bm25_stemmed_analyzer": bm25_stemmed_analyzer,
+        "bm25_stemmed_engine": bm25_stemmed_engine,
         "extended_stats_engine": extended_stats_engine,
         "phrase_positional_engine": phrase_positional_engine,
         "collapse_search_engine": collapse_search_engine,
@@ -4483,6 +4518,41 @@ ranked AS (
   FROM tot
 )
 SELECT query, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    _stem_qid_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    sql["bm25_stemmed_engine"] = f"""
+WITH raw AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS t FROM documents
+),
+toks AS (SELECT doc_id, {_stem.format(t='t')} AS term FROM raw),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (VALUES {_stem_qid_vals}),
+qr AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS t FROM qraw),
+q AS (SELECT DISTINCT query_id, {_stem.format(t='t')} AS term FROM qr),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
 

@@ -119,12 +119,23 @@ class BuildConfig:
     # token filter / OpenSearch stopwords setting): tokens in this set
     # never reach the index — postings, df, dl, and avgdl are all
     # computed over the SURVIVING tokens (length norm over indexed
-    # tokens, the Lucene contract). The query side needs no switch:
-    # stopped terms are absent from the dictionary, so a query
-    # containing one simply gets zero contribution from it — the
-    # standard stopped-analyzer behavior. None (default) = the
-    # code-aware analyzer with no stop list.
+    # tokens, the Lucene contract). The list is persisted to
+    # stats.json and the QUERY side re-applies it: disjunctive topk
+    # would be safe without it (stopped terms just miss the
+    # dictionary), but must-clause and phrase arity are counted over
+    # ANALYZED query tokens, so a stopword inside a bool/phrase query
+    # behaves like OpenSearch's stopped analyzer instead of returning
+    # zero rows forever. None (default) = no stop list.
     stopwords: tuple[str, ...] | None = None
+    # analyzer stem filter (the reference stack's analyzer `stemmer`
+    # token filter, language=minimal_english): applied AFTER the stop
+    # filter in the build's tokenize pass, so tf/df/dl/avgdl are all
+    # computed over stemmed tokens and variants share one dictionary
+    # term. The query side mirrors the chain (stop -> stem) by reading
+    # this setting back from stats.json — see query._query_analyzer.
+    # None (default) = no stemming; "minimal_english" = the s-stemmer
+    # in tokenizer.stem_minimal_english_*.
+    stemmer: str | None = None
     # ordinal assignment order: "doc_id" (default — ord order equals
     # doc_id order, so the (score desc, doc_id asc) tie-break matches
     # the oracle exactly) or "dl" (impact-ordered: ascending doc
@@ -235,7 +246,7 @@ def _sha256_of_string_array(arr) -> list:
     ]
 
 
-def _tokenize_batches_arrow(it, stopwords=None):
+def _tokenize_batches_arrow(it, stopwords=None, stemmer=None):
     """mapInArrow: validate + tokenize in ONE corpus pass, Arrow-native.
 
     Input batches carry (unit, doc_id, repo, path, commit, content,
@@ -335,6 +346,15 @@ def _tokenize_batches_arrow(it, stopwords=None):
             counts = np.bincount(doc_idx, minlength=len(counts)).astype(
                 np.int64
             )
+        if stemmer:
+            # analyzer stem filter (BuildConfig.stemmer): merge
+            # variants BEFORE the tf aggregation below — dl is
+            # unchanged (stemming never drops a token) but stemmed
+            # variants of one doc collapse into a single (doc, term)
+            # row with summed tf
+            from ..tokenizer import stem_minimal_english_arrow
+
+            flat = stem_minimal_english_arrow(flat)
 
         # sentinel rows: one per valid doc, with identity + dl
         yield pa.RecordBatch.from_arrays(
@@ -390,7 +410,7 @@ def _tokenize_batches_arrow(it, stopwords=None):
 TOKENIZE_STATS_SCHEMA = "unit string, n_docs long, rows_out long, nq long"
 
 
-def _make_direct_tokenizer(tokens_dir: str, stopwords=None):
+def _make_direct_tokenizer(tokens_dir: str, stopwords=None, stemmer=None):
     """mapInArrow factory: the same single validate+tokenize corpus
     pass as `_tokenize_batches_arrow`, but each task writes the token
     batches to `tokens/unit=<u>/part-<pid>.parquet` itself with
@@ -455,7 +475,9 @@ def _make_direct_tokenizer(tokens_dir: str, stopwords=None):
             return w[0]
 
         try:
-            for batch in _tokenize_batches_arrow(it, stopwords=stopwords):
+            for batch in _tokenize_batches_arrow(
+                it, stopwords=stopwords, stemmer=stemmer
+            ):
                 u = batch.column(0)
                 uniq = pc.unique(u).to_pylist()
                 for unit in uniq:
@@ -566,7 +588,7 @@ def run_tokenize_stage(
         for u in pending:
             fsio.rmtree(os.path.join(tokens_path, f"unit={_unit_id(u)}"))
         stats_df = src.mapInArrow(
-            _make_direct_tokenizer(tokens_path, cfg.stopwords),
+            _make_direct_tokenizer(tokens_path, cfg.stopwords, cfg.stemmer),
             schema=TOKENIZE_STATS_SCHEMA,
         )
         with _scoped_conf(
@@ -582,10 +604,10 @@ def run_tokenize_stage(
                 .collect()
             )
     else:
-        _sw = cfg.stopwords
+        _sw, _st = cfg.stopwords, cfg.stemmer
 
         def _tok(it):
-            return _tokenize_batches_arrow(it, stopwords=_sw)
+            return _tokenize_batches_arrow(it, stopwords=_sw, stemmer=_st)
 
         tokens = src.mapInArrow(_tok, schema=TOKENS_SCHEMA)
         with _scoped_conf(
@@ -1182,6 +1204,12 @@ def run_index_stage(
         "b": cfg.b,
         "blockmax_dispersion": round(dispersion, 4),
         "ordinal_order": cfg.ordinal_order,
+        # analyzer chain, persisted so the QUERY side can mirror it
+        # (ADVICE r03: without this, conjunctive queries containing a
+        # build-time stopword computed must/phrase arity over raw
+        # tokens and permanently returned zero rows)
+        "stopwords": sorted(cfg.stopwords) if cfg.stopwords else [],
+        "stemmer": cfg.stemmer,
         "units": units_done,
     }
     fsio.write_text(os.path.join(index_dir, "stats.json"), json.dumps(stats))

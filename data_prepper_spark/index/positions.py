@@ -40,25 +40,55 @@ import pandas as pd  # module-level: pandas_udf resolves the PEP-563
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import tokenize_col
+def _stats_or_empty(index_dir: str) -> dict:
+    """Main-index stats.json if present (the sidecar normally lives
+    inside a built index_dir and inherits its analyzer chain), else
+    the identity chain — the sidecar is independently buildable over
+    a bare directory (tests do)."""
+    from .build import load_stats
+
+    try:
+        return load_stats(index_dir)
+    except FileNotFoundError:
+        return {}
+
 
 POSITIONS_SCHEMA = "doc_id long, term string, positions array<int>"
 POSITIONS_VB_SCHEMA = "doc_id long, term string, pos_vb binary"
 
 
-def _make_positions_batches(encoding: str):
+def _make_positions_batches(encoding: str, stopwords=None, stemmer=None):
     import numpy as np
     import pyarrow as pa
 
-    from ..tokenizer import tokenize_flat_arrow
+    from ..tokenizer import stem_minimal_english_arrow, tokenize_flat_arrow
     from .codec import varbyte_encode, varbyte_lengths
 
     def run(it):
+        import pyarrow.compute as pc
+
         for batch in it:
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             flat, doc_idx, counts = tokenize_flat_arrow(
                 batch.column("content")
             )
+            if stopwords and len(flat):
+                # same analyzer chain as the main index (stats.json):
+                # positions are recorded over the SURVIVING token
+                # stream with consecutive numbering — a documented
+                # divergence from Lucene's position-gap behavior, and
+                # self-consistent with phrase_topk_positional, which
+                # analyzes the query phrase through the same chain
+                keep = pc.invert(
+                    pc.is_in(flat, value_set=pa.array(list(stopwords)))
+                ).to_numpy(zero_copy_only=False)
+                flat = flat.filter(pa.array(keep))
+                doc_idx = doc_idx[keep]
+                counts = np.bincount(
+                    doc_idx, minlength=len(counts)
+                ).astype(np.int64)
+            if stemmer and len(flat):
+                flat = stem_minimal_english_arrow(flat)
             if len(flat) == 0:
                 continue
             # position of each kept token within its doc (0-based)
@@ -139,13 +169,19 @@ def build_positions(
     either way (asserted in tests)."""
     if encoding not in ("varbyte", "plain"):
         raise ValueError(encoding)
+    stats = _stats_or_empty(index_dir)
+    sw = tuple(stats.get("stopwords") or ()) or None
+    stem = stats.get("stemmer")
     src = spark.read.parquet(corpus_path).select(
         F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
     )
     schema = (
         POSITIONS_SCHEMA if encoding == "plain" else POSITIONS_VB_SCHEMA
     )
-    out = src.mapInArrow(_make_positions_batches(encoding), schema=schema)
+    out = src.mapInArrow(
+        _make_positions_batches(encoding, stopwords=sw, stemmer=stem),
+        schema=schema,
+    )
     out.write.mode("overwrite").parquet(os.path.join(index_dir, "positions"))
 
 
@@ -161,7 +197,9 @@ def phrase_topk_positional(
     phrase frequency ranks the hits (freq desc, identity asc).
     phrases: (query_id, phrase). Returns (query_id, rank, doc_id,
     phrase_freq, repo, path, commit)."""
-    ptoks = tokenize_col(F.col("phrase"))
+    from .query import _query_analyzer
+
+    ptoks = _query_analyzer(_stats_or_empty(index_dir))(F.col("phrase"))
     q = phrases.select(
         "query_id", F.posexplode(ptoks).alias("ti", "term")
     )

@@ -28,9 +28,49 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tokenizer import tokenize_col
+from ..tokenizer import (
+    stem_minimal_english_elem,
+    stem_minimal_english_py,
+    tokenize_col,
+)
 from .build import load_stats
 from .codec import decode_many, to_signed
+
+
+def _query_analyzer(stats: dict):
+    """Query-side analyzer chain mirroring the build config persisted
+    in stats.json (stop filter, then stem filter — same order as the
+    build's tokenize pass). Returns a function mapping a string Column
+    to an array<string> Column of analyzed tokens, order- and
+    duplicate-preserving so phrase joins stay exact. Indexes built
+    before the analyzer fields were persisted (or with no analyzer
+    options) get the identity chain — plain tokenize_col."""
+    sw = tuple(stats.get("stopwords") or ())
+    stem = stats.get("stemmer")
+
+    def fn(col):
+        arr = tokenize_col(col)
+        if sw:
+            arr = F.filter(arr, lambda x: ~x.isin(*[F.lit(s) for s in sw]))
+        if stem == "minimal_english":
+            arr = F.transform(arr, stem_minimal_english_elem)
+        return arr
+
+    return fn
+
+
+def analyze_query_py(stats: dict, text: str) -> list[str]:
+    """Driver-side twin of _query_analyzer for the single-query
+    serving paths (topk_one_cold / QuerySession.topk_one)."""
+    from ..tokenizer import tokenize_series
+
+    toks = tokenize_series(pd.Series([text])).iloc[0]
+    sw = set(stats.get("stopwords") or ())
+    if sw:
+        toks = [t for t in toks if t not in sw]
+    if stats.get("stemmer") == "minimal_english":
+        toks = [stem_minimal_english_py(t) for t in toks]
+    return toks
 
 
 def _idf_col(n_docs: int):
@@ -47,16 +87,20 @@ def query_terms(
     queries: DataFrame,
     n_docs: int,
     terms_df: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(query_id, query) -> (query_id, term, df, idf, bucket, max_impact).
 
     Terms absent from the dictionary drop out (they contribute 0 to
     every score). Duplicate terms within a query count once (standard
     bag-of-words query with binary query-term weights, matching the
-    oracle)."""
+    oracle). Query text runs through the index's persisted analyzer
+    chain (stop/stem from stats.json) so e.g. a stemmed index matches
+    'columns' against the 'column' dictionary term."""
+    analyze = _query_analyzer(stats if stats is not None else load_stats(index_dir))
     qt = queries.select(
         "query_id",
-        F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias("term"),
+        F.explode(F.array_distinct(analyze(F.col("query")))).alias("term"),
     )
     terms = (
         terms_df
@@ -242,7 +286,14 @@ def phrase_search(
     corpus I/O."""
     stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    ptoks = tokenize_col(F.col("phrase"))
+    # phrase tokens AND the verify-side content both run through the
+    # index's analyzer chain (stop/stem from stats.json): arity is
+    # counted over surviving tokens, and adjacency is checked in the
+    # analyzed token stream (documented divergence from Lucene's
+    # position-gap behavior — a stopped token inside a phrase matches
+    # as if absent rather than as a one-token gap)
+    analyze = _query_analyzer(stats)
+    ptoks = analyze(F.col("phrase"))
     qnorm = phrases.select(
         "query_id",
         F.array_join(ptoks, " ").alias("_pjoin"),
@@ -277,7 +328,7 @@ def phrase_search(
     cand = ident.join(F.broadcast(cand), "ord")
     corpus = spark.read.parquet(corpus_path).select(
         "repo", "path", "commit",
-        F.array_join(tokenize_col(F.col("content")), " ").alias("_cjoin"),
+        F.array_join(analyze(F.col("content")), " ").alias("_cjoin"),
     )
     verified = corpus.join(
         F.broadcast(cand), ["repo", "path", "commit"]
@@ -330,18 +381,22 @@ def boolean_search(
     single groupBy."""
     stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    analyze = _query_analyzer(stats)
     clauses = None
     for role, coln in ((0, "must"), (1, "should"), (2, "must_not")):
         part = queries.select(
             "query_id",
             F.lit(role).alias("role"),
             F.explode(
-                F.array_distinct(tokenize_col(F.coalesce(F.col(coln), F.lit(""))))
+                F.array_distinct(analyze(F.coalesce(F.col(coln), F.lit(""))))
             ).alias("term"),
         )
         clauses = part if clauses is None else clauses.unionByName(part)
-    # must arity counts raw tokens (pre-dictionary): an unknown must
-    # term keeps _must_hit < _n_must forever -> empty result set
+    # must arity counts ANALYZED tokens (post stop/stem, pre-
+    # dictionary): an out-of-vocabulary must term keeps _must_hit <
+    # _n_must forever -> empty result set (Lucene contract), while a
+    # build-time stopword inside a must clause is removed by the
+    # analyzer exactly as the reference's stopped analyzer removes it
     n_must = (
         clauses.filter(F.col("role") == 0)
         .groupBy("query_id")
@@ -1609,11 +1664,9 @@ def topk_one_cold(
     QuerySession.topk_one; rank-identity asserted in tests."""
     import math
 
-    from ..tokenizer import tokenize_series
-
     stats = load_stats(index_dir)
     empty = pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
-    toks = sorted(set(tokenize_series(pd.Series([query])).iloc[0]))
+    toks = sorted(set(analyze_query_py(stats, query)))
     if not toks:
         return empty
     tpdf = (
@@ -1795,8 +1848,6 @@ class QuerySession:
 
         import pandas as pd
 
-        from ..tokenizer import tokenize_series
-
         if self._dict is None:
             q = self.spark.createDataFrame(
                 [(query_id, query)], "query_id long, query string"
@@ -1807,7 +1858,7 @@ class QuerySession:
             return (
                 res.toPandas().sort_values("rank").reset_index(drop=True)
             )
-        toks = sorted(set(tokenize_series(pd.Series([query])).iloc[0]))
+        toks = sorted(set(analyze_query_py(self.stats, query)))
         entries = [
             (t, *self._dict[t]) for t in toks if t in self._dict
         ]
@@ -2145,10 +2196,13 @@ def topk_deltas(
     terms_global = terms_all.groupBy("term", "term_id").agg(
         F.sum("df").alias("df")
     )
+    # all deltas share one BuildConfig (the streaming writer), so the
+    # first delta's persisted analyzer chain applies to the query text
+    analyze = _query_analyzer(stats[0])
     qt = (
         queries.select(
             "query_id",
-            F.explode(F.array_distinct(tokenize_col(F.col("query")))).alias(
+            F.explode(F.array_distinct(analyze(F.col("query")))).alias(
                 "term"
             ),
         )

@@ -30,16 +30,24 @@ def corpus_doc_ids(corpus: pd.DataFrame) -> pd.Series:
 
 
 def build_term_stats(
-    corpus: pd.DataFrame, stopwords: tuple[str, ...] | None = None
+    corpus: pd.DataFrame,
+    stopwords: tuple[str, ...] | None = None,
+    stemmer: str | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Return (postings_df[doc_id, term, tf], docs_df[doc_id, dl]).
-    `stopwords` mirrors the build's analyzer option: filtered tokens
-    never reach postings and dl counts indexed tokens only."""
+    `stopwords`/`stemmer` mirror the build's analyzer chain: filtered
+    tokens never reach postings, dl counts indexed tokens only, and
+    stemmed variants merge into one term (same order as the build:
+    stop filter, then stem)."""
     doc_ids = corpus_doc_ids(corpus)
     toks = tokenize_series(corpus["content"])
     if stopwords:
         sw = set(stopwords)
         toks = toks.map(lambda ts: [t for t in ts if t not in sw])
+    if stemmer == "minimal_english":
+        from .tokenizer import stem_minimal_english_py
+
+        toks = toks.map(lambda ts: [stem_minimal_english_py(t) for t in ts])
     dl = toks.map(len).astype("int64")
     docs = pd.DataFrame({"doc_id": doc_ids.values, "dl": dl.values})
     ex = pd.DataFrame(
@@ -59,15 +67,25 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     stopwords: tuple[str, ...] | None = None,
+    stemmer: str | None = None,
 ) -> pd.DataFrame:
     """Exhaustive top-k: returns (query_id, rank, doc_id, score)."""
-    postings, docs = build_term_stats(corpus, stopwords=stopwords)
+    postings, docs = build_term_stats(
+        corpus, stopwords=stopwords, stemmer=stemmer
+    )
     n_docs = len(docs)
     avgdl = float(docs["dl"].mean())
     df_per_term = postings.groupby("term", sort=False).size()
 
     postings = postings.merge(docs, on="doc_id")
     qtok = tokenize_series(queries["query"])
+    if stopwords:
+        _sw = set(stopwords)
+        qtok = qtok.map(lambda ts: [t for t in ts if t not in _sw])
+    if stemmer == "minimal_english":
+        from .tokenizer import stem_minimal_english_py
+
+        qtok = qtok.map(lambda ts: [stem_minimal_english_py(t) for t in ts])
     out_rows = []
     for qid, terms in zip(queries["query_id"], qtok):
         terms = sorted(set(terms))

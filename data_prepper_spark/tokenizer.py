@@ -100,6 +100,62 @@ def tokenize_col(col: Column) -> Column:
     return F.filter(arr, lambda x: x != F.lit(""))
 
 
+# ---------------------------------------------------------------------------
+# Minimal-english s-stemmer (the Lucene `minimal_english` stem filter's
+# core rule, simplified): strip one trailing 's' from tokens longer
+# than 3 chars unless they end in ss/us/is. Like the tokenizer itself
+# it is defined once and expressed four ways (Column, Arrow, Python,
+# DuckDB SQL) asserted identical in tests/test_tokenizer.py. Used by
+# the analyzer chain when BuildConfig.stemmer == "minimal_english"
+# (reference ancestry: OpenSearch analysis-common `stemmer` token
+# filter with language=minimal_english).
+# ---------------------------------------------------------------------------
+
+_STEM_EXEMPT = ("ss", "us", "is")
+
+
+def stem_minimal_english_elem(t: Column) -> Column:
+    """Element-level Column form: token string -> stemmed token."""
+    keep = (
+        (F.length(t) <= 3)
+        | ~t.endswith("s")
+        | t.endswith("ss")
+        | t.endswith("us")
+        | t.endswith("is")
+    )
+    return F.when(keep, t).otherwise(F.substring(t, 1, F.length(t) - 1))
+
+
+def stem_minimal_english_arrow(flat):
+    """Arrow form: pa.Array[string] -> pa.Array[string] (vectorized,
+    RE2 strip + boolean mask — no Python per token)."""
+    import pyarrow.compute as pc
+
+    ln = pc.utf8_length(flat)
+    mask = pc.and_(pc.greater(ln, 3), pc.ends_with(flat, pattern="s"))
+    for suf in _STEM_EXEMPT:
+        mask = pc.and_(mask, pc.invert(pc.ends_with(flat, pattern=suf)))
+    stripped = pc.replace_substring_regex(flat, pattern="s$", replacement="")
+    return pc.if_else(mask, stripped, flat)
+
+
+def stem_minimal_english_py(tok: str) -> str:
+    """Plain-Python form (driver-side query analysis)."""
+    if len(tok) > 3 and tok.endswith("s") and not tok.endswith(_STEM_EXEMPT):
+        return tok[:-1]
+    return tok
+
+
+def stem_minimal_english_sql(expr: str) -> str:
+    """DuckDB SQL fragment: element expression -> stemmed element."""
+    return (
+        f"CASE WHEN length({expr}) > 3 AND {expr} LIKE '%s' "
+        f"AND {expr} NOT LIKE '%ss' AND {expr} NOT LIKE '%us' "
+        f"AND {expr} NOT LIKE '%is' "
+        f"THEN substring({expr}, 1, length({expr}) - 1) ELSE {expr} END"
+    )
+
+
 def tokenize_sql(expr: str) -> str:
     """DuckDB SQL fragment producing the same list<varchar> of tokens."""
     return (

@@ -904,3 +904,118 @@ def test_stopword_analyzer_build(spark, fixture_dir, corpus_pdf, queries_pdf, tm
         .toPandas().sort_values(["term_id", "min_doc"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stemmed_analyzer_build(spark, fixture_dir, corpus_pdf, queries_pdf,
+                                tmp_path):
+    """BuildConfig.stemmer='minimal_english' on the physical path:
+    tf/df/dl over stemmed tokens, query side stems through the
+    persisted stats.json chain, rank/score-identical to the oracle
+    with the same analyzer."""
+    import os as _os
+
+    from data_prepper_spark.index.build import (
+        BuildConfig, build_index, load_stats,
+    )
+    from data_prepper_spark.oracle import bm25_topk as _gold_topk
+
+    idx = str(tmp_path / "stemidx")
+    build_index(
+        spark,
+        _os.path.join(fixture_dir, "corpus.parquet"),
+        idx,
+        BuildConfig(n_buckets=4, hot_group_target=5000,
+                    stemmer="minimal_english"),
+    )
+    st = load_stats(idx)
+    assert st["stemmer"] == "minimal_english"
+    terms = spark.read.parquet(_os.path.join(idx, "terms")).toPandas()
+    bad = terms[
+        terms.term.str.len().gt(3)
+        & terms.term.str.endswith("s")
+        & ~terms.term.str.endswith(("ss", "us", "is"))
+    ]
+    assert bad.empty  # dictionary fully stemmed
+
+    qp = queries_pdf.head(6)
+    gold = _gold_topk(corpus_pdf, qp, k=10, stemmer="minimal_english")
+    got = topk(spark, idx, spark.createDataFrame(qp), k=10).toPandas()
+    _compare(got, gold)
+
+    # a PLURAL query form must reach the singular dictionary term:
+    # pick a stemmable dictionary term and query its 's' form
+    t = terms[terms.term.str.len() > 4].sort_values(
+        "df", ascending=False
+    ).term.iloc[0]
+    plural = spark.createDataFrame(
+        [(7, t + "s")], "query_id long, query string"
+    )
+    singular = spark.createDataFrame(
+        [(7, t)], "query_id long, query string"
+    )
+    a = topk(spark, idx, plural, k=10).toPandas()
+    b = topk(spark, idx, singular, k=10).toPandas()
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a.sort_values("rank").reset_index(drop=True),
+        b.sort_values("rank").reset_index(drop=True),
+    )
+
+
+def test_stopword_conjunctive_queries(spark, fixture_dir, tmp_path):
+    """ADVICE r03 regression: on a stopword-built index, must clauses
+    and phrases CONTAINING a stopword behave like the reference's
+    stopped analyzer (token removed query-side) instead of returning
+    zero rows forever."""
+    import os as _os
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.positions import (
+        build_positions, phrase_topk_positional,
+    )
+    from data_prepper_spark.index.query import (
+        analyze_query_py, boolean_search, load_stats, phrase_search,
+    )
+
+    sw = ("init", "main")
+    cp = _os.path.join(fixture_dir, "corpus.parquet")
+    idx = str(tmp_path / "stopidx2")
+    build_index(
+        spark, cp, idx,
+        BuildConfig(n_buckets=4, hot_group_target=5000, stopwords=sw),
+    )
+    st = load_stats(idx)
+    assert st["stopwords"] == ["init", "main"]
+    terms = spark.read.parquet(_os.path.join(idx, "terms")).toPandas()
+    t = terms[terms.term.str.len() > 4].sort_values(
+        "df", ascending=False
+    ).term.iloc[0]
+
+    # boolean: "t init" as must == "t" as must (stopword removed)
+    mk = lambda m: spark.createDataFrame(
+        [(1, m, None, None)],
+        "query_id long, must string, should string, must_not string",
+    )
+    with_sw = boolean_search(spark, idx, mk(f"{t} init"), k=10).toPandas()
+    without = boolean_search(spark, idx, mk(t), k=10).toPandas()
+    assert len(with_sw) > 0
+    pd.testing.assert_frame_equal(
+        with_sw.sort_values("rank").reset_index(drop=True),
+        without.sort_values("rank").reset_index(drop=True),
+    )
+
+    # phrase: two adjacent analyzed tokens with a stopword wedged in
+    # still match (analyzer drops it on both sides)
+    doc = pd.read_parquet(cp)
+    doc = doc[doc.content.str.contains(t, case=False)].iloc[0]
+    toks = analyze_query_py(st, doc.content)
+    ph = f"{toks[0]} init {toks[1]}"
+    pq = spark.createDataFrame([(1, ph)], "query_id long, phrase string")
+    pres = phrase_search(spark, idx, cp, pq, k=10).toPandas()
+    assert len(pres) > 0
+
+    # positional sidecar records the analyzed stream -> same hit
+    build_positions(spark, cp, idx)
+    ppres = phrase_topk_positional(spark, idx, pq, k=10).toPandas()
+    assert len(ppres) > 0
+    assert set(pres.doc_id) & set(ppres.doc_id)

@@ -136,3 +136,48 @@ def test_varbyte_roundtrip():
     assert (dec == vals).all()
     assert varbyte_decode(b"").size == 0
     assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+
+
+def test_stemmer_four_way_parity(spark):
+    """The minimal-english s-stemmer's four forms (Column, Arrow,
+    Python, DuckDB SQL) agree on edge cases + fuzz."""
+    import duckdb
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_prepper_spark.tokenizer import (
+        stem_minimal_english_arrow,
+        stem_minimal_english_elem,
+        stem_minimal_english_py,
+        stem_minimal_english_sql,
+    )
+
+    toks = [
+        "columns", "class", "bus", "axis", "as", "is", "us", "ss",
+        "does", "miss", "gas", "files", "tests", "strings", "s", "",
+        "boss", "virus", "basis", "atlas", "yes", "its", "posts",
+    ]
+
+    @given(st.text(alphabet="abcdefgsiu0123456789", max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def gather(s):
+        toks.append(s)
+
+    gather()
+    want = [stem_minimal_english_py(t) for t in toks]
+    a = stem_minimal_english_arrow(pa.array(toks, type=pa.string())).to_pylist()
+    sdf = spark.createDataFrame([(t,) for t in toks], "t string")
+    s = [
+        r[0]
+        for r in sdf.select(stem_minimal_english_elem(F.col("t"))).collect()
+    ]
+    d = [
+        r[0]
+        for r in duckdb.sql(
+            f"select {stem_minimal_english_sql('t')} "
+            "from (select unnest($1) as t)",
+            params=[toks],
+        ).fetchall()
+    ]
+    assert want == a == s == d
