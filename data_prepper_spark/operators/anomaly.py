@@ -93,24 +93,20 @@ def anomaly_detector(
         )
         df = df.join(F.broadcast(first_seen), id_keys, "left_semi")
 
-    part = [F.col(k) for k in id_keys] if id_keys else [F.lit(31)]
-    w = Window.partitionBy(*part).orderBy(*order_by)
+    if not id_keys:
+        # GLOBAL trailing stats without a single-partition window (the
+        # r03 scale defect: Window.partitionBy(lit) pushed the whole
+        # dataset through one task) — see _global_anomaly.
+        return _global_anomaly(
+            df, keys, order_by, sample_size, output_after, threshold,
+            verbose,
+        )
+
+    w = Window.partitionBy(*[F.col(k) for k in id_keys]).orderBy(*order_by)
     trail = w.rowsBetween(-sample_size, -1)
 
-    devs: list[Column] = []
-    zs: list[Column] = []
-    for k in keys:
-        mu = F.avg(F.col(k).cast("double")).over(trail)
-        sd = F.stddev_samp(F.col(k).cast("double")).over(trail)
-        dev = F.col(k).cast("double") - mu
-        devs.append(dev)
-        zs.append(
-            F.when(sd > 0, F.abs(dev) / sd).otherwise(F.lit(None))
-        )
-    z = zs[0] if len(zs) == 1 else F.greatest(*zs)
-    grade = F.least(
-        F.lit(1.0), F.greatest(F.lit(0.0), z / F.lit(threshold) - 1.0)
-    )
+    devs, zs = _dev_z_cols(keys, trail)
+    grade = _grade_col(zs, threshold)
     scored = df.select(
         "*",
         F.array(*devs).alias(DEVIATION_KEY),
@@ -128,3 +124,161 @@ def anomaly_detector(
     else:
         scored = scored.filter(F.col("__anom"))
     return scored.drop("__rn", "__anom")
+
+
+def _dev_z_cols(keys: list[str], trail) -> tuple[list[Column], list[Column]]:
+    devs: list[Column] = []
+    zs: list[Column] = []
+    for k in keys:
+        mu = F.avg(F.col(k).cast("double")).over(trail)
+        sd = F.stddev_samp(F.col(k).cast("double")).over(trail)
+        dev = F.col(k).cast("double") - mu
+        devs.append(dev)
+        zs.append(F.when(sd > 0, F.abs(dev) / sd).otherwise(F.lit(None)))
+    return devs, zs
+
+
+def _grade_col(zs: list[Column], threshold: float) -> Column:
+    z = zs[0] if len(zs) == 1 else F.greatest(*zs)
+    return F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), z / F.lit(threshold) - 1.0)
+    )
+
+
+def _global_anomaly(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    sample_size: int,
+    output_after: int,
+    threshold: float,
+    verbose: bool,
+) -> DataFrame:
+    """No-identification-keys batch mode as CHUNKED two-phase trailing
+    stats: the stream is range-bucketed on the first order key into P
+    value-monotone chunks (approxQuantile cut points — equal key
+    values share a chunk, so (chunk, order_by) ordering equals global
+    order_by ordering), each chunk's last `sample_size` rows are
+    duplicated into the NEXT chunk as carry rows, and every window
+    below partitions by chunk — P-way parallel, never one task. A
+    real row's trailing frame then sees exactly its true global
+    predecessors (carries supply the cross-boundary depth; chunking
+    retries at P/2 until every chunk holds >= sample_size rows, so one
+    carry hop always suffices). Global row numbers for the
+    output_after warmup come from within-chunk row numbers plus a
+    P-row broadcast offset map; the non-verbose leading-edge lag is
+    filled across boundaries from each chunk's last real row (another
+    P-row broadcast). The first order key must be numeric/temporal
+    (it is range-bucketed by VALUE); the reference's arrival sequence
+    maps to an event id, which is."""
+    spark = df.sparkSession
+    first = order_by[0]
+    dtype = dict(df.dtypes).get(first, "")
+    if not any(
+        t in dtype
+        for t in ("int", "long", "short", "byte", "float", "double",
+                  "decimal", "date", "timestamp")
+    ):
+        raise ValueError(
+            "global (no identification_keys) anomaly_detector needs a "
+            f"numeric/temporal first order_by column; got {first}:{dtype}"
+        )
+    d = df.withColumn("__ord0", F.col(first).cast("double"))
+    total = d.count()
+    if total == 0:
+        sizes = [0]
+        dd = d.drop("__ord0").withColumn("__chunk", F.lit(0))
+    else:
+        p0 = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        P = max(1, min(p0, total // max(4 * sample_size, 1)))
+        dd, sizes = None, [total]
+        while P > 1:
+            cuts = d.approxQuantile(
+                "__ord0", [i / P for i in range(1, P)], 0.001
+            )
+            chunk = F.lit(0)
+            for c in cuts:
+                chunk = chunk + F.when(
+                    F.col("__ord0") > F.lit(float(c)), 1
+                ).otherwise(0)
+            cand = d.withColumn("__chunk", chunk.cast("int"))
+            got = {
+                r["__chunk"]: r["n"]
+                for r in cand.groupBy("__chunk")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            szs = [int(got.get(i, 0)) for i in range(P)]
+            if min(szs) >= sample_size:
+                dd, sizes = cand.drop("__ord0"), szs
+                break
+            P //= 2  # skewed cuts -> coarser chunks
+        if dd is None:
+            dd = d.drop("__ord0").withColumn("__chunk", F.lit(0))
+    P = len(sizes)
+
+    wc = Window.partitionBy("__chunk").orderBy(*order_by)
+    if P > 1:
+        wrev = Window.partitionBy("__chunk").orderBy(
+            *[F.desc(o) for o in order_by]
+        )
+        carries = (
+            dd.withColumn("__rrn", F.row_number().over(wrev))
+            .filter(
+                (F.col("__rrn") <= sample_size)
+                & (F.col("__chunk") < P - 1)
+            )
+            .drop("__rrn")
+            .withColumn("__chunk", F.col("__chunk") + 1)
+            .withColumn("__carry", F.lit(True))
+        )
+        union = dd.withColumn("__carry", F.lit(False)).unionByName(carries)
+    else:
+        union = dd.withColumn("__carry", F.lit(False))
+
+    trail = wc.rowsBetween(-sample_size, -1)
+    devs, zs = _dev_z_cols(keys, trail)
+    grade = _grade_col(zs, threshold)
+    scored = union.select(
+        "*",
+        F.array(*devs).alias(DEVIATION_KEY),
+        grade.alias(GRADE_KEY),
+        F.row_number().over(wc).alias("__crn"),
+    ).filter(~F.col("__carry"))
+    meta = spark.createDataFrame(
+        [
+            (c, sum(sizes[:c]), 0 if c == 0 else sample_size)
+            for c in range(P)
+        ],
+        "__chunk int, __off long, __nc int",
+    )
+    scored = scored.join(F.broadcast(meta), "__chunk").withColumn(
+        "__rn", F.col("__off") + F.col("__crn") - F.col("__nc")
+    )
+    is_anom = (F.col(GRADE_KEY) > 0) & (F.col("__rn") > output_after)
+    scored = scored.withColumn("__anom", is_anom)
+    if verbose:
+        out = scored.filter(F.col("__anom"))
+    else:
+        wr = Window.partitionBy("__chunk").orderBy(*order_by)
+        scored = scored.withColumn("__lag", F.lag("__anom").over(wr))
+        if P > 1:
+            wrev2 = Window.partitionBy("__chunk").orderBy(
+                *[F.desc(o) for o in order_by]
+            )
+            last = (
+                scored.withColumn("__rr", F.row_number().over(wrev2))
+                .filter(F.col("__rr") == 1)
+                .select(
+                    (F.col("__chunk") + 1).alias("__chunk"),
+                    F.col("__anom").alias("__bprev"),
+                )
+            )
+            scored = scored.join(F.broadcast(last), "__chunk", "left")
+        else:
+            scored = scored.withColumn("__bprev", F.lit(None).cast("boolean"))
+        prev = F.coalesce(F.col("__lag"), F.col("__bprev"), F.lit(False))
+        out = scored.filter(F.col("__anom") & ~prev).drop("__lag", "__bprev")
+    return out.drop(
+        "__chunk", "__carry", "__crn", "__off", "__nc", "__rn", "__anom"
+    )

@@ -208,6 +208,23 @@ def _prefixed_entries(attrs: Column, prefix: str, depth: int = 2) -> Column:
     )
 
 
+def _entries_last_wins(arr: Column) -> Column:
+    """Keep only the LAST entry per key before map_from_entries — the
+    reference codec overwrites duplicates last-wins, while Spark's
+    default mapKeyDedupPolicy=EXCEPTION would fail the whole decode
+    job on ONE malformed record carrying duplicate attribute keys (or
+    keys that collide after the '.'→'@' rewrite, e.g. 'a.b' vs 'a@b')
+    — ADVICE r03. O(n²) in the per-record attribute count (tiny):
+    entry i survives iff no later entry shares its key."""
+    return F.filter(
+        arr,
+        lambda x, i: ~F.exists(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: y["key"] == x["key"],
+        ),
+    )
+
+
 def _scope_entries(scope: Column) -> Column:
     """instrumentationScope.name / .version (only when non-empty) +
     instrumentationScope.attributes.<key@> (:1104-1122; the
@@ -429,13 +446,15 @@ def otel_traces(df: DataFrame, source: str = "message") -> DataFrame:
         ).otherwise(F.array().cast(ent)),
     )
     attrs = F.map_from_entries(
-        F.concat(
-            _prefixed_entries(sp["attributes"], "span.attributes."),
-            _prefixed_entries(
-                rs["resource"]["attributes"], "resource.attributes."
-            ),
-            _scope_entries(ss["scope"]),
-            status_entries,
+        _entries_last_wins(
+            F.concat(
+                _prefixed_entries(sp["attributes"], "span.attributes."),
+                _prefixed_entries(
+                    rs["resource"]["attributes"], "resource.attributes."
+                ),
+                _scope_entries(ss["scope"]),
+                status_entries,
+            )
         )
     )
     start_n = _nanos(sp["startTimeUnixNano"])
@@ -544,12 +563,14 @@ def otel_logs(df: DataFrame, source: str = "message") -> DataFrame:
     df = df.withColumn("_lr", F.explode(F.col("_sl")["logRecords"]))
     lr, rl, sl = F.col("_lr"), F.col("_rl"), F.col("_sl")
     attrs = F.map_from_entries(
-        F.concat(
-            _prefixed_entries(lr["attributes"], "log.attributes."),
-            _prefixed_entries(
-                rl["resource"]["attributes"], "resource.attributes."
-            ),
-            _scope_entries(sl["scope"]),
+        _entries_last_wins(
+            F.concat(
+                _prefixed_entries(lr["attributes"], "log.attributes."),
+                _prefixed_entries(
+                    rl["resource"]["attributes"], "resource.attributes."
+                ),
+                _scope_entries(sl["scope"]),
+            )
         )
     )
     return (
@@ -762,12 +783,16 @@ def otel_metrics(df: DataFrame, source: str = "message") -> DataFrame:
     )
     dp = F.col("_dp")
     attrs = F.map_from_entries(
-        F.concat(
-            _prefixed_entries(dp["attributes"], "metric.attributes.", depth=0),
-            _prefixed_entries(
-                rm["resource"]["attributes"], "resource.attributes."
-            ),
-            _scope_entries(sm["scope"]),
+        _entries_last_wins(
+            F.concat(
+                _prefixed_entries(
+                    dp["attributes"], "metric.attributes.", depth=0
+                ),
+                _prefixed_entries(
+                    rm["resource"]["attributes"], "resource.attributes."
+                ),
+                _scope_entries(sm["scope"]),
+            )
         )
     )
     bounds = dp["explicitBounds"]

@@ -184,7 +184,13 @@ def compile_grok(
 
     def count_raw_groups(text: str) -> None:
         # raw capturing '(' in literal regex text shift group numbers:
-        # skip escapes, char classes, and '(?' constructs
+        # skip escapes, char classes, and '(?' constructs — EXCEPT
+        # Java named groups '(?<name>...)', which DO consume a group
+        # number (ADVICE r03: treating them as non-capturing silently
+        # shifted every later capture index). A named group is also
+        # surfaced as a capture (the reference's Java grok emits
+        # inline named groups); '(?<=' / '(?<!' lookbehinds stay
+        # non-capturing.
         nonlocal counter
         i, in_class = 0, False
         while i < len(text):
@@ -197,8 +203,18 @@ def compile_grok(
                     in_class = False
             elif ch == "[":
                 in_class = True
-            elif ch == "(" and text[i + 1 : i + 2] != "?":
-                counter += 1
+            elif ch == "(":
+                if text[i + 1 : i + 2] != "?":
+                    counter += 1
+                elif (
+                    text[i + 2 : i + 3] == "<"
+                    and text[i + 3 : i + 4] not in ("=", "!", "")
+                ):
+                    counter += 1
+                    end = text.find(">", i + 3)
+                    if end != -1:
+                        names.append(text[i + 3 : end])
+                        gidx.append(counter)
             i += 1
 
     def expand(p: str, depth: int) -> str:

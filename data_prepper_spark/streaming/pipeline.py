@@ -17,6 +17,7 @@ real watermarks — strictly stronger semantics.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -184,6 +185,13 @@ def maybe_compact(
       merge tree (tokens-level merge; asserted in tests)."""
     from .. import fsio
 
+    # recover a previous merge that crashed mid-publish BEFORE
+    # anything else (ADVICE r03: the old code rmtree'd the leftover
+    # tmp unconditionally — if the crash hit between victim deletion
+    # and publish, that auto-delete silently destroyed the only copy
+    # of the merged docs)
+    tmp = os.path.join(index_root, "_compacting")
+    _recover_compaction(index_root, tmp)
     deltas = [
         p
         for p in fsio.listdir(index_root)
@@ -197,25 +205,58 @@ def maybe_compact(
         raise ValueError(f"unknown compaction policy {policy!r}")
     by_size = sorted(deltas, key=lambda d: (fsio.du(d), d))
     victims = by_size[: max(2, fan_in)]
-    seq = 0
-    for d in deltas:
-        name = fsio.basename(d).split("=", 1)[1]
-        if name.startswith("c") and name[1:].isdigit():
-            seq = max(seq, int(name[1:]) + 1)
-    # crash ordering: merge into a hidden tmp (sources intact), drop
-    # the sources, THEN publish the merged run. A crash can leave the
-    # merged docs briefly absent from live topk_deltas queries (tmp is
-    # not listed as a delta and can be recovered by renaming), but
-    # never double-counted — the conservative failure for a search
-    # index. Full transactionality would need a manifest commit like
-    # the batch build's; deliberate non-goal for the delta store.
-    tmp = os.path.join(index_root, "_compacting")
+    # crash ordering: merge into a hidden tmp (sources intact), write
+    # the COMPLETION MARKER (victims.json — stats.json alone says the
+    # merge finished; victims.json says which sources it subsumed),
+    # drop the sources, THEN publish the merged run. A crash anywhere
+    # is now recoverable: before the marker, tmp is garbage and the
+    # sources are authoritative (recovery deletes tmp); after the
+    # marker, tmp is authoritative and recovery finishes the job
+    # (idempotently deletes any remaining victims, publishes tmp).
+    # Docs are never lost and never double-counted.
     fsio.rmtree(tmp)
     stats = compact_deltas(spark, index_root, tmp, cfg, deltas=victims)
+    fsio.write_bytes_atomic(
+        os.path.join(tmp, "victims.json"),
+        json.dumps(sorted(victims)).encode(),
+    )
     for d in victims:
         fsio.rmtree(d)
-    fsio.move(tmp, os.path.join(index_root, f"delta=c{seq}"))
+    fsio.move(tmp, os.path.join(index_root, f"delta=c{_next_seq(index_root)}"))
     return stats
+
+
+def _next_seq(index_root: str) -> int:
+    from .. import fsio
+
+    seq = 0
+    for d in fsio.listdir(index_root):
+        name = fsio.basename(d).split("=", 1)[-1]
+        if name.startswith("c") and name[1:].isdigit():
+            seq = max(seq, int(name[1:]) + 1)
+    return seq
+
+
+def _recover_compaction(index_root: str, tmp: str) -> None:
+    """Finish or discard a leftover _compacting dir. Complete merge
+    (stats.json + victims.json present): delete any surviving victims
+    and publish tmp as the next delta=cN — the merged run is (or may
+    be) the only copy of those docs. Incomplete merge (no marker):
+    the victim deltas were never touched, so tmp is safely
+    discardable."""
+    from .. import fsio
+
+    if not fsio.exists(tmp):
+        return
+    vj = os.path.join(tmp, "victims.json")
+    if fsio.exists(os.path.join(tmp, "stats.json")) and fsio.exists(vj):
+        for v in json.loads(fsio.read_text(vj)):
+            fsio.rmtree(v)
+        fsio.move(
+            tmp, os.path.join(index_root, f"delta=c{_next_seq(index_root)}")
+        )
+    else:
+        fsio.rmtree(tmp)
 
 
 def compact_deltas(

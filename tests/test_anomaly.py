@@ -128,3 +128,55 @@ def test_streaming_matches_batch_across_microbatches(spark, tmp_path):
     assert list(got.i) == list(want.i)
     assert got.grade.round(9).tolist() == want.grade.round(9).tolist()
     assert got.deviation_from_expected.round(9).tolist() == want.dev.round(9).tolist()
+
+
+def test_global_no_id_keys_chunked_matches_keyed(spark):
+    """VERDICT r03 item 6: the no-identification-keys batch path must
+    not route the dataset through one partition. The chunked global
+    implementation must be row-identical to the (ground-truth) keyed
+    path run with a constant group, for both verbose modes, at a size
+    that actually chunks (several thousand rows >> sample_size)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = (10.0 + rng.randn(3000) * 0.5).tolist()
+    for spike_at in (500, 501, 1500, 2900):
+        vals[spike_at] = 100.0
+    df = _series(spark, vals)
+
+    for verbose in (True, False):
+        keyed = anomaly_detector(
+            df, ["value"], identification_keys=["g"], order_by=["i"],
+            sample_size=16, output_after=8, threshold=2.0, verbose=verbose,
+        ).toPandas().sort_values("i").reset_index(drop=True)
+        glob = anomaly_detector(
+            df, ["value"], identification_keys=None, order_by=["i"],
+            sample_size=16, output_after=8, threshold=2.0, verbose=verbose,
+        ).toPandas().sort_values("i").reset_index(drop=True)
+        assert list(glob.i) == list(keyed.i), (verbose, list(glob.i)[:20])
+        pd.testing.assert_series_equal(
+            glob.grade, keyed.grade, check_exact=False, atol=1e-9
+        )
+    # spikes were found at all
+    assert len(keyed) > 0
+
+    # and the chunking really happened (plan partitions by __chunk,
+    # not by a literal): internal check via the helper
+    from data_prepper_spark.operators.anomaly import _global_anomaly
+
+    out = _global_anomaly(
+        df, ["value"], ["i"], 16, 8, 2.0, True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
+
+
+def test_global_no_id_keys_rejects_non_numeric_order(spark):
+    df = spark.createDataFrame(
+        [("a", "x1", 1.0)], "g string, i string, value double"
+    )
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        anomaly_detector(
+            df, ["value"], identification_keys=None, order_by=["i"],
+            sample_size=16, output_after=8, threshold=2.0,
+        )

@@ -1019,3 +1019,95 @@ def test_stopword_conjunctive_queries(spark, fixture_dir, tmp_path):
     ppres = phrase_topk_positional(spark, idx, pq, k=10).toPandas()
     assert len(ppres) > 0
     assert set(pres.doc_id) & set(ppres.doc_id)
+
+
+def test_tombstones_visible_across_all_apis(spark, index_dir, fixture_dir,
+                                            corpus_pdf, tmp_path):
+    """ADVICE r03: delete_by_query must be honored by EVERY
+    index-backed match path — not just topk. Tombstone a doc set,
+    then assert phrase/boolean/expanded search, facets,
+    significant_terms, collapse, topk_one_cold exclude it, and that
+    QuerySession sees it after refresh()."""
+    import shutil as sh
+
+    from collections import Counter
+
+    from data_prepper_spark.index.query import (
+        QuerySession,
+        attach_doc_values,
+        boolean_search,
+        collapse_search,
+        delete_by_query,
+        expanded_search,
+        faceted_search,
+        phrase_search,
+        significant_terms,
+        topk_one_cold,
+    )
+    from data_prepper_spark.tokenizer import tokenize_series
+    from data_prepper_spark.xxh64 import doc_id_of
+
+    idx = str(tmp_path / "idx")
+    sh.copytree(index_dir, idx)
+    cpath = os.path.join(fixture_dir, "corpus.parquet")
+
+    # session opened BEFORE the delete: snapshot contract
+    sess = QuerySession(spark, idx).warm()
+
+    toksets = [
+        set(tokenize_series(pd.Series([t]))[0]) for t in corpus_pdf["content"]
+    ]
+    dfreq = Counter(t for s in toksets for t in s)
+    target = len(toksets) // 4
+    term = min(dfreq, key=lambda t: (abs(dfreq[t] - target), t))
+    dead_ids = {
+        doc_id_of(r.repo, r.path, r.commit)
+        for r, s in zip(corpus_pdf.itertuples(), toksets)
+        if term in s
+    }
+    pre = sess.topk_one(term, k=10)
+    assert set(pre.doc_id) <= dead_ids  # querying the term itself
+
+    n = delete_by_query(spark, idx, term)
+    assert n == len(dead_ids) > 0
+
+    # snapshot: warm session still returns the dead docs...
+    still = sess.topk_one(term, k=10)
+    assert list(still.doc_id) == list(pre.doc_id)
+    # ...until refresh
+    sess.refresh()
+    assert len(sess.topk_one(term, k=10)) == 0
+    sess.close()
+
+    # stateless paths see the delete immediately
+    assert len(topk_one_cold(spark, idx, term, k=10)) == 0
+
+    q1 = spark.createDataFrame([(0, term)], "query_id long, query string")
+    assert topk(spark, idx, q1, k=10).count() == 0
+
+    bq = spark.createDataFrame(
+        [(0, term, None, None)],
+        "query_id long, must string, should string, must_not string",
+    )
+    assert boolean_search(spark, idx, bq, k=10).count() == 0
+
+    ph = spark.createDataFrame([(0, term)], "query_id long, phrase string")
+    assert phrase_search(spark, idx, cpath, ph, k=10).count() == 0
+
+    pq = spark.createDataFrame(
+        [(0, term[:3])], "query_id long, pattern string"
+    )
+    got = expanded_search(spark, idx, pq, match="prefix", k=100_000).toPandas()
+    assert not (set(got.doc_id) & dead_ids)
+
+    attach_doc_values(spark, idx, cpath, cols=("lang",))
+    fc = faceted_search(
+        spark, idx, cpath, q1, facet_col="lang"
+    ).toPandas()
+    assert fc.doc_count.sum() == 0 if len(fc) else True
+
+    st = significant_terms(spark, idx, q1, size=5).toPandas()
+    assert len(st) == 0  # empty foreground
+
+    cl = collapse_search(spark, idx, cpath, q1, field="lang", k=5).toPandas()
+    assert len(cl) == 0

@@ -684,3 +684,27 @@ def test_get_event_type_expression(spark):
     assert got == 2
     df2 = ensure_event_type(spark.createDataFrame([("a",)], "v string"))
     assert df2.select(dp_expr("getEventType()").alias("t")).first().t == "EVENT"
+
+
+def test_grok_java_named_group_counts_and_captures(spark):
+    """ADVICE r03: a Java named group '(?<name>...)' inside a pattern
+    body consumes a regex group number — compile_grok must count it
+    (later captures would silently shift otherwise) AND surface it as
+    a named capture, like the reference's Java grok. Lookbehinds
+    '(?<=' / '(?<!' stay non-capturing."""
+    from data_prepper_spark.operators.parse import GROK_PATTERNS, grok
+
+    GROK_PATTERNS["NAMEDGRP"] = r"(?<inner>x+)y"
+    GROK_PATTERNS["LOOKBEHIND"] = r"(?<=@)\w+"
+    try:
+        df = spark.createDataFrame([("zz xxy 42",)], "msg string")
+        out = grok(df, "msg", "zz %{NAMEDGRP:g} %{INT:n}").collect()[0]
+        assert out.g == "xxy" and out.n == "42"  # no index shift
+        assert out.inner == "xx"  # named group surfaced
+
+        df2 = spark.createDataFrame([("hi @bob 7",)], "msg string")
+        out2 = grok(df2, "msg", "hi @%{LOOKBEHIND:who} %{INT:n}").collect()[0]
+        assert out2.who == "bob" and out2.n == "7"
+    finally:
+        GROK_PATTERNS.pop("NAMEDGRP", None)
+        GROK_PATTERNS.pop("LOOKBEHIND", None)

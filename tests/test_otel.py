@@ -328,3 +328,49 @@ def test_malformed_and_empty_payloads(spark):
     assert otel_traces(df, "message").count() == 0
     assert otel_logs(df, "message").count() == 0
     assert otel_metrics(df, "message").count() == 0
+
+
+def test_duplicate_attribute_keys_last_wins(spark):
+    """ADVICE r03: duplicate attribute keys (including keys that
+    collide only after the '.'→'@' rewrite) must decode last-wins,
+    like the reference codec — not throw DUPLICATED_MAP_KEY and fail
+    the whole job on one malformed record."""
+    payload = {
+        "resourceSpans": [
+            {
+                "resource": {"attributes": []},
+                "scopeSpans": [
+                    {
+                        "scope": {"name": "s", "version": "1"},
+                        "spans": [
+                            {
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "b7ad6b7169203331",
+                                "parentSpanId": "",
+                                "name": "op",
+                                "kind": 1,
+                                "startTimeUnixNano": "1",
+                                "endTimeUnixNano": "2",
+                                "attributes": [
+                                    {"key": "dup",
+                                     "value": {"stringValue": "first"}},
+                                    {"key": "dup",
+                                     "value": {"stringValue": "second"}},
+                                    # collides with 'a@b' after rewrite
+                                    {"key": "a.b",
+                                     "value": {"stringValue": "dotted"}},
+                                    {"key": "a@b",
+                                     "value": {"stringValue": "atted"}},
+                                ],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    rows = _one(spark, payload, otel_traces)
+    assert len(rows) == 1
+    a = dict(rows[0].attributes)
+    assert a["span.attributes.dup"] == "second"
+    assert a["span.attributes.a@b"] == "atted"

@@ -194,3 +194,33 @@ def test_snapshot_restore_roundtrip(spark, index_dir, queries_pdf, tmp_path):
     os.remove(os.path.join(repo, "snap1", "SNAPSHOT.json"))
     with _pytest.raises(RuntimeError, match="manifest"):
         restore_index(repo, "snap1", str(tmp_path / "nope"))
+
+
+def test_snapshot_restore_distributed(spark, index_dir, queries_pdf,
+                                      tmp_path):
+    """Distributed byte copy (spark passed): manifest and restored
+    query results identical to the driver-loop path, including the
+    per-file size map."""
+    from data_prepper_spark.index.query import topk
+    from data_prepper_spark.index.snapshot import (
+        restore_index,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    repo = str(tmp_path / "snaprepo_dist")
+    man_d = snapshot_index(index_dir, repo, "sd", spark=spark)
+    man_l = snapshot_index(index_dir, repo, "sl")  # driver loop
+    assert man_d["files"] == man_l["files"]
+    verify_snapshot(repo, "sd")
+
+    restored = str(tmp_path / "restored_dist")
+    stats = restore_index(repo, "sd", restored, spark=spark)
+    assert stats["n_docs"] > 0
+    qdf = spark.createDataFrame(queries_pdf.head(5))
+    a = topk(spark, index_dir, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = topk(spark, restored, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert (a.doc_id == b.doc_id).all()
+    assert (a.score == b.score).all()

@@ -218,3 +218,45 @@ def test_synonym_expansion_query_time(spark, index_dir, corpus_pdf, queries_pdf)
     ).toPandas()
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert (got.score - want.score).abs().max() < 1e-12
+
+
+def test_percolate_pruned_big_registry_no_forced_broadcast(spark):
+    """VERDICT r03 item 7: above the registry-size cap the percolator
+    must NOT force-broadcast the stored-query registry (a millions-of-
+    queries alerting registry would OOM); the plan falls back to a
+    shuffle join and the match set is unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.query import percolate, percolate_pruned
+
+    queries = spark.range(2000).select(
+        F.col("id").alias("query_id"),
+        F.concat(
+            F.lit("term"), (F.col("id") % 50).cast("string"),
+            F.lit(" common"),
+        ).alias("query"),
+    )
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common filler term"), (F.col("id") % 50).cast("string")
+        ).alias("text"),
+    )
+    dfreq = spark.range(50).select(
+        F.concat(F.lit("term"), F.col("id").cast("string")).alias("term"),
+        F.lit(1).alias("df"),
+    ).union(
+        spark.createDataFrame([("common", 1000)], "term string, df long")
+    )
+
+    big = percolate_pruned(
+        queries, docs, dfreq, broadcast_registry=False
+    )
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    # the registry join must not be a broadcast-hash over reg
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    got = {(r.doc_id, r.query_id) for r in big.collect()}
+    want = {
+        (r.doc_id, r.query_id) for r in percolate(queries, docs).collect()
+    }
+    assert got == want and len(got) > 0

@@ -433,3 +433,103 @@ def test_faceted_deltas_matches_compacted(spark, tmp_path):
     )
     assert a.facet.tolist() == b.facet.tolist()
     assert a.doc_count.tolist() == b.doc_count.tolist()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """ADVICE r03: a merge that crashed AFTER deleting its victim
+    deltas but BEFORE publishing _compacting must be recovered (the
+    merged run is the only copy of those docs), and an INCOMPLETE
+    _compacting (no completion marker) must be discarded with the
+    victims untouched. Either way, topk_deltas afterwards matches a
+    one-shot batch build — no docs lost, none double-counted."""
+    import json as _json
+    import shutil
+
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import topk, topk_deltas
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+        maybe_compact,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.003, src, chunks_per_file=1)  # 6 work-unit files
+    root = str(tmp_path / "deltas")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(spark, stream, root, str(tmp_path / "ck")).start()
+    q.awaitTermination(300)
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000)
+
+    def deltas():
+        return sorted(
+            d for d in os.listdir(root) if d.startswith("delta=")
+        )
+
+    assert len(deltas()) == 6
+
+    # --- simulate the fatal crash window: merge complete, marker
+    # written, victims deleted, publish rename NEVER happened ---
+    victims = [os.path.join(root, d) for d in deltas()[:3]]
+    tmp = os.path.join(root, "_compacting")
+    compact_deltas(spark, root, tmp, cfg, deltas=victims)
+    with open(os.path.join(tmp, "victims.json"), "w") as fh:
+        _json.dump(sorted(victims), fh)
+    for v in victims:
+        shutil.rmtree(v)
+    # old behavior would rmtree(tmp) here and lose the docs forever;
+    # the recovery path must publish it instead
+    out = str(tmp_path / "unused")
+    maybe_compact(spark, root, out, max_deltas=99, cfg=cfg,
+                  policy="leveled", fan_in=3)
+    assert os.path.isdir(os.path.join(root, "delta=c0"))
+    assert not os.path.exists(tmp)
+
+    batch_idx = str(tmp_path / "batch")
+    build_index(spark, src, batch_idx, cfg)
+    queries = spark.createDataFrame(
+        [(0, "def init"), (1, "return value")],
+        "query_id long, query string",
+    )
+    a = (
+        topk_deltas(spark, root, queries, k=10).toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        topk(spark, batch_idx, queries, k=10).toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (abs(a["score"] - b["score"]) < 1e-9).all()
+
+    # --- incomplete merge (no marker): discarded, victims intact ---
+    before = deltas()
+    os.makedirs(os.path.join(tmp, "tokens"), exist_ok=True)
+    with open(os.path.join(tmp, "tokens", "junk"), "w") as fh:
+        fh.write("partial")
+    assert maybe_compact(spark, root, out, max_deltas=99, cfg=cfg,
+                         policy="leveled", fan_in=3) is None
+    assert not os.path.exists(tmp)
+    assert deltas() == before
+
+    # --- crash BETWEEN marker write and any victim deletion: the
+    # recovery finishes the job (deletes victims, publishes) ---
+    victims2 = [os.path.join(root, d) for d in deltas()[:2]]
+    compact_deltas(spark, root, tmp, cfg, deltas=victims2)
+    with open(os.path.join(tmp, "victims.json"), "w") as fh:
+        _json.dump(sorted(victims2), fh)
+    maybe_compact(spark, root, out, max_deltas=99, cfg=cfg,
+                  policy="leveled", fan_in=3)
+    assert not os.path.exists(tmp)
+    for v in victims2:
+        assert not os.path.exists(v)
+    a2 = (
+        topk_deltas(spark, root, queries, k=10).toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (a2["doc_id"] == b["doc_id"]).all()
