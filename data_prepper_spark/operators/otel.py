@@ -41,9 +41,15 @@ Divergence (documented): event attribute values are a Spark
 map<string,string> (Catalyst maps are homogeneous) — scalars render
 via CAST AS STRING ('true'/'false', digits, Java double form),
 nested structures as the same JSON strings the reference stores.
-Span events/links lists are dropped (their dropped-counts are kept);
-exponential histograms and summaries are not decoded (no
-protobuf descriptors in-sandbox either way).
+Span events/links lists are dropped (their dropped-counts are kept).
+Exponential histograms and summaries ARE decoded (round 4):
+EXPONENTIAL_HISTOGRAM points carry scale / zeroCount / offsets /
+count lists plus computed positiveBuckets/negativeBuckets with
+base-2^(2^-scale) bounds (JacksonExponentialHistogram.java,
+OTelProtoOpensearchCodec createExponentialBuckets); SUMMARY points
+carry quantiles + quantileValuesCount (JacksonSummary.java). Binary
+protobuf wire payloads decode through operators/otel_pb.py into this
+same pipeline.
 """
 
 from __future__ import annotations
@@ -628,6 +634,45 @@ _HIST_DP_T = T.StructType(
         T.StructField("attributes", _kvlist(0)),
     ]
 )
+_EXP_BUCKETS_T = T.StructType(
+    [
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+    ]
+)
+_EXP_DP_T = T.StructType(
+    [
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("zeroCount", T.StringType()),
+        T.StructField("positive", _EXP_BUCKETS_T),
+        T.StructField("negative", _EXP_BUCKETS_T),
+        T.StructField("attributes", _kvlist(0)),
+    ]
+)
+_SUMM_DP_T = T.StructType(
+    [
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField(
+            "quantileValues",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("quantile", T.DoubleType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("attributes", _kvlist(0)),
+    ]
+)
 _METRIC_T = T.StructType(
     [
         T.StructField("name", T.StringType()),
@@ -658,6 +703,54 @@ _METRIC_T = T.StructType(
                 ]
             ),
         ),
+        T.StructField(
+            "exponentialHistogram",
+            T.StructType(
+                [
+                    T.StructField("dataPoints", T.ArrayType(_EXP_DP_T)),
+                    T.StructField("aggregationTemporality", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "summary",
+            T.StructType(
+                [T.StructField("dataPoints", T.ArrayType(_SUMM_DP_T))]
+            ),
+        ),
+    ]
+)
+
+# union shape every data-point kind is normalized into before the
+# single explode (a metric sets exactly one dataPoints array)
+_DP_UNION_T = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+        T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
+        T.StructField("scale", T.IntegerType()),
+        T.StructField("zeroCount", T.StringType()),
+        T.StructField("posOffset", T.IntegerType()),
+        T.StructField("posCounts", T.ArrayType(T.StringType())),
+        T.StructField("negOffset", T.IntegerType()),
+        T.StructField("negCounts", T.ArrayType(T.StringType())),
+        T.StructField(
+            "quantiles",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("quantile", T.DoubleType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("attributes", _kvlist(0)),
     ]
 )
 
@@ -706,8 +799,11 @@ def otel_metrics(df: DataFrame, source: str = "message") -> DataFrame:
     isMonotonic. HISTOGRAM: count, sum, bucketCountsList,
     explicitBounds, explicitBoundsCount, aggregationTemporality and
     buckets [(min, max, count)] with ±Float.MAX_VALUE open ends
-    (createBuckets). Summary / exponential-histogram points are
-    skipped (documented)."""
+    (createBuckets). EXPONENTIAL_HISTOGRAM: scale, zeroCount,
+    positive/negative count lists + offsets and computed
+    positiveBuckets/negativeBuckets (base = 2^(2^-scale); bucket i in
+    [base^(offset+i), base^(offset+i+1)), negatives sign-mirrored).
+    SUMMARY: quantiles [(quantile, value)] + quantileValuesCount."""
     parsed = F.from_json(F.col(source), METRICS_SCHEMA)
     df = df.withColumn("_rm", F.explode(parsed["resourceMetrics"]))
     df = df.withColumn("_sm", F.explode(F.col("_rm")["scopeMetrics"]))
@@ -715,69 +811,71 @@ def otel_metrics(df: DataFrame, source: str = "message") -> DataFrame:
     m, rm, sm = F.col("_m"), F.col("_rm"), F.col("_sm")
 
     # one row per data point: tag each with its kind, then explode the
-    # union of the three dataPoint arrays (a metric sets exactly one)
-    num_dp = lambda kind, dps: F.coalesce(  # noqa: E731
-        F.transform(
-            dps,
-            lambda dp: F.struct(
-                F.lit(kind).alias("kind"),
-                dp["startTimeUnixNano"].alias("startTimeUnixNano"),
-                dp["timeUnixNano"].alias("timeUnixNano"),
-                F.coalesce(
-                    dp["asDouble"], dp["asInt"].cast("double")
-                ).alias("value"),
-                dp["attributes"].alias("attributes"),
-                F.lit(None).cast("string").alias("count"),
-                F.lit(None).cast("double").alias("sum"),
-                F.lit(None).cast("array<string>").alias("bucketCounts"),
-                F.lit(None).cast("array<double>").alias("explicitBounds"),
-            ),
-        ),
-        F.array().cast(
-            "array<struct<kind string, startTimeUnixNano string, "
-            "timeUnixNano string, value double, "
-            "attributes array<struct<key string, value struct<"
-            "stringValue string, boolValue boolean, intValue string, "
-            "doubleValue double>>>, count string, sum double, "
-            "bucketCounts array<string>, explicitBounds array<double>>>"
-        ),
+    # union of the five dataPoint arrays (a metric sets exactly one).
+    # Numeric points carry no bucket fields, histogram points no
+    # scalar value, etc. — the union struct (_DP_UNION_T) holds every
+    # shape, nulled where a kind doesn't set it. Attribute structs are
+    # unified to scalar depth (nested array/kvlist attr values on
+    # METRIC data points render as ""); span/log attrs keep full depth.
+    _scalar = lambda dp: F.coalesce(  # noqa: E731
+        dp["asDouble"], dp["asInt"].cast("double")
     )
-    # histogram points carry no scalar value; numeric points carry no
-    # bucket fields — the union struct holds both shapes. Attribute
-    # structs are unified to scalar depth for the union (nested
-    # array/kvlist attr values on METRIC data points render as "");
-    # span/log attributes keep full depth.
-    hist_dp = F.coalesce(
-        F.transform(
-            m["histogram"]["dataPoints"],
-            lambda dp: F.struct(
-                F.lit("HISTOGRAM").alias("kind"),
-                dp["startTimeUnixNano"].alias("startTimeUnixNano"),
-                dp["timeUnixNano"].alias("timeUnixNano"),
-                F.lit(None).cast("double").alias("value"),
-                dp["attributes"].alias("attributes"),
-                dp["count"].alias("count"),
-                dp["sum"].alias("sum"),
-                dp["bucketCounts"].alias("bucketCounts"),
-                dp["explicitBounds"].alias("explicitBounds"),
-            ),
-        ),
-        F.array().cast(
-            "array<struct<kind string, startTimeUnixNano string, "
-            "timeUnixNano string, value double, "
-            "attributes array<struct<key string, value struct<"
-            "stringValue string, boolValue boolean, intValue string, "
-            "doubleValue double>>>, count string, sum double, "
-            "bucketCounts array<string>, explicitBounds array<double>>>"
-        ),
-    )
+
+    def dps(kind, arr, **over):
+        def build(dp):
+            fields = []
+            for f in _DP_UNION_T.fields:
+                if f.name == "kind":
+                    fields.append(F.lit(kind).alias("kind"))
+                elif f.name in (
+                    "startTimeUnixNano", "timeUnixNano", "attributes"
+                ):
+                    fields.append(dp[f.name].alias(f.name))
+                elif f.name in over:
+                    fields.append(over[f.name](dp).alias(f.name))
+                else:
+                    fields.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+            return F.struct(*fields)
+
+        return F.coalesce(
+            F.transform(arr, build), F.array().cast(T.ArrayType(_DP_UNION_T))
+        )
+
     df = df.withColumn(
         "_dp",
         F.explode(
             F.concat(
-                num_dp("GAUGE", m["gauge"]["dataPoints"]),
-                num_dp("SUM", m["sum"]["dataPoints"]),
-                hist_dp,
+                dps("GAUGE", m["gauge"]["dataPoints"], value=_scalar),
+                dps("SUM", m["sum"]["dataPoints"], value=_scalar),
+                dps(
+                    "HISTOGRAM",
+                    m["histogram"]["dataPoints"],
+                    count=lambda dp: dp["count"],
+                    sum=lambda dp: dp["sum"],
+                    bucketCounts=lambda dp: dp["bucketCounts"],
+                    explicitBounds=lambda dp: dp["explicitBounds"],
+                ),
+                dps(
+                    "EXPONENTIAL_HISTOGRAM",
+                    m["exponentialHistogram"]["dataPoints"],
+                    count=lambda dp: dp["count"],
+                    sum=lambda dp: dp["sum"],
+                    scale=lambda dp: dp["scale"],
+                    zeroCount=lambda dp: dp["zeroCount"],
+                    posOffset=lambda dp: dp["positive"]["offset"],
+                    posCounts=lambda dp: dp["positive"]["bucketCounts"],
+                    negOffset=lambda dp: dp["negative"]["offset"],
+                    negCounts=lambda dp: dp["negative"]["bucketCounts"],
+                ),
+                dps(
+                    "SUMMARY",
+                    m["summary"]["dataPoints"],
+                    count=lambda dp: dp["count"],
+                    sum=lambda dp: dp["sum"],
+                    quantiles=lambda dp: dp["quantileValues"],
+                ),
             )
         ),
     )
@@ -820,11 +918,40 @@ def otel_metrics(df: DataFrame, source: str = "message") -> DataFrame:
             .when(
                 dp["kind"] == "HISTOGRAM",
                 m["histogram"]["aggregationTemporality"],
+            )
+            .when(
+                dp["kind"] == "EXPONENTIAL_HISTOGRAM",
+                m["exponentialHistogram"]["aggregationTemporality"],
             ),
             F.lit("0"),
         ),
         _TEMPORALITY_NAMES,
     )
+    # exponential-histogram bucket bounds (reference
+    # JacksonExponentialHistogram.java + OTelProtoOpensearchCodec
+    # createExponentialBuckets): base = 2^(2^-scale); positive bucket
+    # i spans [base^(offset+i), base^(offset+i+1)), negative buckets
+    # mirror with the sign flipped
+    _base = F.pow(
+        F.lit(2.0), F.pow(F.lit(2.0), -dp["scale"].cast("double"))
+    )
+
+    def _exp_buckets(offset, counts, negative: bool):
+        def mk(c, i):
+            lo = F.pow(_base, (offset + i).cast("double"))
+            hi = F.pow(_base, (offset + i + 1).cast("double"))
+            if negative:
+                return F.struct(
+                    (-hi).alias("min"),
+                    (-lo).alias("max"),
+                    c.cast("long").alias("count"),
+                )
+            return F.struct(
+                lo.alias("min"), hi.alias("max"),
+                c.cast("long").alias("count"),
+            )
+
+        return F.transform(counts, mk)
     return (
         df.withColumn("name", m["name"])
         .withColumn("description", F.coalesce(m["description"], F.lit("")))
@@ -839,7 +966,7 @@ def otel_metrics(df: DataFrame, source: str = "message") -> DataFrame:
         .withColumn("value", dp["value"])
         .withColumn(
             "aggregationTemporality",
-            F.when(dp["kind"] != "GAUGE", temporality),
+            F.when(~dp["kind"].isin("GAUGE", "SUMMARY"), temporality),
         )
         .withColumn(
             "isMonotonic",
@@ -860,5 +987,33 @@ def otel_metrics(df: DataFrame, source: str = "message") -> DataFrame:
             F.coalesce(F.size(bounds), F.lit(0)),
         )
         .withColumn("buckets", buckets)
+        .withColumn("scale", dp["scale"])
+        .withColumn("zeroCount", dp["zeroCount"].cast("long"))
+        .withColumn("positiveOffset", dp["posOffset"])
+        .withColumn("negativeOffset", dp["negOffset"])
+        .withColumn(
+            "positive",
+            F.transform(dp["posCounts"], lambda c: c.cast("long")),
+        )
+        .withColumn(
+            "negative",
+            F.transform(dp["negCounts"], lambda c: c.cast("long")),
+        )
+        .withColumn(
+            "positiveBuckets",
+            _exp_buckets(dp["posOffset"], dp["posCounts"], False),
+        )
+        .withColumn(
+            "negativeBuckets",
+            _exp_buckets(dp["negOffset"], dp["negCounts"], True),
+        )
+        .withColumn("quantiles", dp["quantiles"])
+        .withColumn(
+            "quantileValuesCount",
+            F.when(
+                dp["kind"] == "SUMMARY",
+                F.coalesce(F.size(dp["quantiles"]), F.lit(0)),
+            ),
+        )
         .drop("_rm", "_sm", "_m", "_dp")
     )

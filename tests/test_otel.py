@@ -374,3 +374,104 @@ def test_duplicate_attribute_keys_last_wins(spark):
     a = dict(rows[0].attributes)
     assert a["span.attributes.dup"] == "second"
     assert a["span.attributes.a@b"] == "atted"
+
+
+def test_metrics_exponential_histogram_and_summary(spark):
+    """Round-4 completion of the metric type family (reference
+    JacksonExponentialHistogram.java / JacksonSummary.java):
+    EXPONENTIAL_HISTOGRAM points decode scale/zeroCount/offsets/count
+    lists plus computed base-2^(2^-scale) bucket bounds; SUMMARY
+    points decode quantiles. GAUGE rows keep nulls in the new cols."""
+    import math
+
+    payload = {
+        "resourceMetrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name",
+                         "value": {"stringValue": "m"}}
+                    ]
+                },
+                "scopeMetrics": [
+                    {
+                        "scope": {"name": "io.lib", "version": "1"},
+                        "metrics": [
+                            {
+                                "name": "lat",
+                                "unit": "ms",
+                                "exponentialHistogram": {
+                                    "aggregationTemporality": 2,
+                                    "dataPoints": [
+                                        {
+                                            "startTimeUnixNano": "1000000000",
+                                            "timeUnixNano": "2000000000",
+                                            "count": "7",
+                                            "sum": 31.5,
+                                            "scale": 1,
+                                            "zeroCount": "2",
+                                            "positive": {
+                                                "offset": 3,
+                                                "bucketCounts": ["1", "4"],
+                                            },
+                                            "negative": {
+                                                "offset": 0,
+                                                "bucketCounts": ["2"],
+                                            },
+                                            "attributes": [],
+                                        }
+                                    ],
+                                },
+                            },
+                            {
+                                "name": "size",
+                                "summary": {
+                                    "dataPoints": [
+                                        {
+                                            "startTimeUnixNano": "1000000000",
+                                            "timeUnixNano": "3000000000",
+                                            "count": "10",
+                                            "sum": 99.0,
+                                            "quantileValues": [
+                                                {"quantile": 0.5,
+                                                 "value": 4.0},
+                                                {"quantile": 0.99,
+                                                 "value": 12.5},
+                                            ],
+                                            "attributes": [],
+                                        }
+                                    ]
+                                },
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    rows = {r.kind: r for r in _one(spark, payload, otel_metrics)}
+    assert set(rows) == {"EXPONENTIAL_HISTOGRAM", "SUMMARY"}
+
+    eh = rows["EXPONENTIAL_HISTOGRAM"]
+    assert eh.scale == 1 and eh.zeroCount == 2
+    assert eh["count"] == 7 and eh["sum"] == 31.5
+    assert eh.positiveOffset == 3 and eh.negativeOffset == 0
+    assert list(eh.positive) == [1, 4] and list(eh.negative) == [2]
+    assert eh.aggregationTemporality == "AGGREGATION_TEMPORALITY_CUMULATIVE"
+    base = 2 ** (2 ** -1.0)
+    pb = eh.positiveBuckets
+    assert pb[0]["count"] == 1 and pb[1]["count"] == 4
+    assert math.isclose(pb[0]["min"], base ** 3)
+    assert math.isclose(pb[0]["max"], base ** 4)
+    assert math.isclose(pb[1]["max"], base ** 5)
+    nb = eh.negativeBuckets
+    assert nb[0]["count"] == 2
+    assert math.isclose(nb[0]["min"], -(base ** 1))
+    assert math.isclose(nb[0]["max"], -(base ** 0))
+
+    sm = rows["SUMMARY"]
+    assert sm["count"] == 10 and sm["sum"] == 99.0
+    assert sm.aggregationTemporality is None
+    assert sm.quantileValuesCount == 2
+    assert [q["quantile"] for q in sm.quantiles] == [0.5, 0.99]
+    assert [q["value"] for q in sm.quantiles] == [4.0, 12.5]
