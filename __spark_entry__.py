@@ -3088,6 +3088,53 @@ def otel_metrics_decode(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
+def http_ingest_roundtrip(spark, sf_dir):
+    """http source end-to-end (reference http-source
+    LogHTTPService.java:131-151 json-array contract): POST a sample of
+    the events table into a LIVE HttpSource listener as JSON arrays
+    (5 requests x 100 events), let the listener land atomic ndjson
+    spool files, read the spool back with spark.read.json, and return
+    the rows — value-identical to selecting them straight from the
+    parquet table (the oracle). The driver-side POST loop is the
+    point: this source IS the push edge; Spark consumes the spool."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from data_prepper_spark.sources.http import HttpSource
+
+    sample = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+            "props",
+        )
+        .collect()
+    )
+    events = [r.asDict() for r in sample]
+    spool = tempfile.mkdtemp(prefix="http_spool_")
+    with HttpSource(spool) as src:
+        for i in range(0, len(events), 100):
+            body = _json.dumps(events[i : i + 100]).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{src.port}/log/ingest",
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            assert urllib.request.urlopen(req, timeout=30).status == 200
+        schema = (
+            "event_id long, user_id long, event_type string, "
+            "ts_s string, value double, props string"
+        )
+        return src.read_logs(spark, schema=schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -3133,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_traces_decode": otel_traces_decode,
         "otel_traces_decode_pb": otel_traces_decode_pb,
         "otel_metrics_exp_summary": otel_metrics_exp_summary,
+        "http_ingest_roundtrip": http_ingest_roundtrip,
         "otel_logs_decode": otel_logs_decode,
         "otel_metrics_decode": otel_metrics_decode,
         "date_locale_parse": date_locale_parse,
@@ -3490,6 +3538,14 @@ FROM events
 
     # protobuf wire form decodes to the identical rows: same oracle
     sql["otel_traces_decode_pb"] = sql["otel_traces_decode"]
+
+    sql["http_ingest_roundtrip"] = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value, props
+FROM events
+WHERE event_id % 20 = 0
+"""
 
     sql["otel_metrics_exp_summary"] = """
 WITH e AS (
