@@ -373,30 +373,524 @@ def encode_traces_request(payload: dict) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# logs wire decode (ExportLogsServiceRequest — field numbers from the
+# public opentelemetry-proto logs/v1/logs.proto)
+# ---------------------------------------------------------------------------
+
+
+def _log_record(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if fno == 1:
+            out["timeUnixNano"] = str(_fixed64_u(v))
+        elif fno == 2:
+            out["severityNumber"] = v
+        elif fno == 3:
+            out["severityText"] = _s(b, v)
+        elif fno == 5:
+            out["body"] = _any_value(b, v[0], v[1])
+        elif fno == 6:
+            attrs.append(v)
+        elif fno == 7:
+            out["droppedAttributesCount"] = v
+        elif fno == 8:
+            out["flags"] = struct.unpack("<I", v)[0]
+        elif fno == 9:
+            out["traceId"] = _hexs(b, v)
+        elif fno == 10:
+            out["spanId"] = _hexs(b, v)
+        elif fno == 11:
+            out["observedTimeUnixNano"] = str(_fixed64_u(v))
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
+def decode_logs_request(b: bytes) -> dict:
+    """ExportLogsServiceRequest wire bytes -> OTLP/JSON-form dict."""
+    rls = []
+    for fno, wt, v in _fields(b, 0, len(b)):
+        if fno != 1:
+            continue
+        rl: dict = {}
+        sls = []
+        for f2, _, v2 in _fields(b, v[0], v[1]):
+            if f2 == 1:
+                rl["resource"] = _resource(b, v2[0], v2[1])
+            elif f2 == 2:
+                sl: dict = {}
+                recs = []
+                for f3, _, v3 in _fields(b, v2[0], v2[1]):
+                    if f3 == 1:
+                        sl["scope"] = _scope(b, v3[0], v3[1])
+                    elif f3 == 2:
+                        recs.append(_log_record(b, v3[0], v3[1]))
+                    elif f3 == 3:
+                        sl["schemaUrl"] = _s(b, v3)
+                sl["logRecords"] = recs
+                sls.append(sl)
+        rl["scopeLogs"] = sls
+        rls.append(rl)
+    return {"resourceLogs": rls}
+
+
+def encode_logs_request(payload: dict) -> bytes:
+    """OTLP/JSON-form dict -> ExportLogsServiceRequest wire bytes."""
+    out = bytearray()
+    for rl in payload.get("resourceLogs", []):
+        body = bytearray()
+        res = rl.get("resource")
+        if res is not None:
+            body += _ld(1, _enc_attrs(1, res.get("attributes")))
+        for sl in rl.get("scopeLogs", []):
+            sbody = bytearray()
+            sc = sl.get("scope")
+            if sc is not None:
+                scb = (
+                    _enc_str(1, sc.get("name", ""))
+                    + _enc_str(2, sc.get("version", ""))
+                    + _enc_attrs(3, sc.get("attributes"))
+                )
+                sbody += _ld(1, scb)
+            for lr in sl.get("logRecords", []):
+                pb = bytearray()
+                if lr.get("timeUnixNano") is not None:
+                    pb += _tag(1, 1) + struct.pack(
+                        "<Q", int(lr["timeUnixNano"])
+                    )
+                sev = lr.get("severityNumber")
+                if sev:
+                    if isinstance(sev, str) and not sev.isdigit():
+                        from .otel import _SEVERITY_VALUES
+
+                        sev = _SEVERITY_VALUES[sev]
+                    pb += _tag(2, 0) + _enc_varint(int(sev))
+                if lr.get("severityText"):
+                    pb += _enc_str(3, lr["severityText"])
+                if lr.get("body") is not None:
+                    pb += _ld(5, _enc_any(lr["body"]))
+                pb += _enc_attrs(6, lr.get("attributes"))
+                if lr.get("droppedAttributesCount"):
+                    pb += _tag(7, 0) + _enc_varint(
+                        int(lr["droppedAttributesCount"])
+                    )
+                if lr.get("flags"):
+                    pb += _tag(8, 5) + struct.pack("<I", int(lr["flags"]))
+                for fno, key in ((9, "traceId"), (10, "spanId")):
+                    hx = lr.get(key)
+                    if hx:
+                        pb += _ld(fno, bytes.fromhex(hx))
+                if lr.get("observedTimeUnixNano") is not None:
+                    pb += _tag(11, 1) + struct.pack(
+                        "<Q", int(lr["observedTimeUnixNano"])
+                    )
+                sbody += _ld(2, bytes(pb))
+            if sl.get("schemaUrl"):
+                sbody += _enc_str(3, sl["schemaUrl"])
+            body += _ld(2, bytes(sbody))
+        out += _ld(1, bytes(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# metrics wire decode (ExportMetricsServiceRequest — field numbers
+# from the public opentelemetry-proto metrics/v1/metrics.proto).
+# Packed repeated scalars (bucket_counts, explicit_bounds) arrive as
+# ONE length-delimited blob; sint32 fields (scale, offset) zigzag.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_dec(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _zigzag_enc(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _packed_fixed64(b: bytes, wt, v) -> list:
+    """repeated fixed64/uint64: packed blob or a single unpacked rec."""
+    if wt == 1:
+        return [_fixed64_u(v)]
+    lo, hi = v
+    return [
+        struct.unpack_from("<Q", b, i)[0] for i in range(lo, hi, 8)
+    ]
+
+
+def _packed_double(b: bytes, wt, v) -> list:
+    if wt == 1:
+        return [_fixed64_d(v)]
+    lo, hi = v
+    return [
+        struct.unpack_from("<d", b, i)[0] for i in range(lo, hi, 8)
+    ]
+
+
+def _packed_varint(b: bytes, wt, v) -> list:
+    if wt == 0:
+        return [v]
+    lo, hi = v
+    out, i = [], lo
+    while i < hi:
+        n, i = _varint(b, i)
+        out.append(n)
+    return out
+
+
+def _dp_common(out: dict, fno: int, wt, v, b: bytes) -> bool:
+    """start/time fields shared by every data-point shape."""
+    if fno == 2:
+        out["startTimeUnixNano"] = str(_fixed64_u(v))
+        return True
+    if fno == 3:
+        out["timeUnixNano"] = str(_fixed64_u(v))
+        return True
+    return False
+
+
+def _num_dp(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if _dp_common(out, fno, wt, v, b):
+            continue
+        if fno == 4:
+            out["asDouble"] = _fixed64_d(v)
+        elif fno == 6:  # sfixed64 as_int
+            out["asInt"] = str(struct.unpack("<q", v)[0])
+        elif fno == 7:
+            attrs.append(v)
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
+def _hist_dp(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    buckets: list = []
+    bounds: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if _dp_common(out, fno, wt, v, b):
+            continue
+        if fno == 4:
+            out["count"] = str(_fixed64_u(v))
+        elif fno == 5:
+            out["sum"] = _fixed64_d(v)
+        elif fno == 6:
+            buckets.extend(_packed_fixed64(b, wt, v))
+        elif fno == 7:
+            bounds.extend(_packed_double(b, wt, v))
+        elif fno == 9:
+            attrs.append(v)
+    if buckets:
+        out["bucketCounts"] = [str(c) for c in buckets]
+    if bounds:
+        out["explicitBounds"] = bounds
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
+def _exp_buckets_pb(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {"offset": 0}
+    counts: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if fno == 1:
+            out["offset"] = _zigzag_dec(v)
+        elif fno == 2:
+            counts.extend(_packed_varint(b, wt, v))
+    out["bucketCounts"] = [str(c) for c in counts]
+    return out
+
+
+def _exp_dp(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if _dp_common(out, fno, wt, v, b):
+            continue
+        if fno == 1:
+            attrs.append(v)
+        elif fno == 4:
+            out["count"] = str(_fixed64_u(v))
+        elif fno == 5:
+            out["sum"] = _fixed64_d(v)
+        elif fno == 6:
+            out["scale"] = _zigzag_dec(v)
+        elif fno == 7:
+            out["zeroCount"] = str(_fixed64_u(v))
+        elif fno == 8:
+            out["positive"] = _exp_buckets_pb(b, v[0], v[1])
+        elif fno == 9:
+            out["negative"] = _exp_buckets_pb(b, v[0], v[1])
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
+def _summ_dp(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    qvs: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if _dp_common(out, fno, wt, v, b):
+            continue
+        if fno == 4:
+            out["count"] = str(_fixed64_u(v))
+        elif fno == 5:
+            out["sum"] = _fixed64_d(v)
+        elif fno == 6:
+            qv = {"quantile": 0.0, "value": 0.0}
+            for f2, _, v2 in _fields(b, v[0], v[1]):
+                if f2 == 1:
+                    qv["quantile"] = _fixed64_d(v2)
+                elif f2 == 2:
+                    qv["value"] = _fixed64_d(v2)
+            qvs.append(qv)
+        elif fno == 7:
+            attrs.append(v)
+    if qvs:
+        out["quantileValues"] = qvs
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
+def _metric(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    for fno, wt, v in _fields(b, lo, hi):
+        if fno == 1:
+            out["name"] = _s(b, v)
+        elif fno == 2:
+            out["description"] = _s(b, v)
+        elif fno == 3:
+            out["unit"] = _s(b, v)
+        elif fno in (5, 7, 9, 10, 11):
+            kind = {5: "gauge", 7: "sum", 9: "histogram",
+                    10: "exponentialHistogram", 11: "summary"}[fno]
+            dp_dec = {5: _num_dp, 7: _num_dp, 9: _hist_dp,
+                      10: _exp_dp, 11: _summ_dp}[fno]
+            body: dict = {"dataPoints": []}
+            for f2, _, v2 in _fields(b, v[0], v[1]):
+                if f2 == 1:
+                    body["dataPoints"].append(dp_dec(b, v2[0], v2[1]))
+                elif f2 == 2 and fno in (7, 9, 10):
+                    body["aggregationTemporality"] = v2
+                elif f2 == 3 and fno == 7:
+                    body["isMonotonic"] = bool(v2)
+            out[kind] = body
+    return out
+
+
+def decode_metrics_request(b: bytes) -> dict:
+    """ExportMetricsServiceRequest wire bytes -> OTLP/JSON-form dict."""
+    rms = []
+    for fno, wt, v in _fields(b, 0, len(b)):
+        if fno != 1:
+            continue
+        rm: dict = {}
+        sms = []
+        for f2, _, v2 in _fields(b, v[0], v[1]):
+            if f2 == 1:
+                rm["resource"] = _resource(b, v2[0], v2[1])
+            elif f2 == 2:
+                sm: dict = {}
+                mets = []
+                for f3, _, v3 in _fields(b, v2[0], v2[1]):
+                    if f3 == 1:
+                        sm["scope"] = _scope(b, v3[0], v3[1])
+                    elif f3 == 2:
+                        mets.append(_metric(b, v3[0], v3[1]))
+                sm["metrics"] = mets
+                sms.append(sm)
+        rm["scopeMetrics"] = sms
+        rms.append(rm)
+    return {"resourceMetrics": rms}
+
+
+def _enc_num_dp(dp: dict) -> bytes:
+    pb = bytearray()
+    if dp.get("startTimeUnixNano") is not None:
+        pb += _tag(2, 1) + struct.pack("<Q", int(dp["startTimeUnixNano"]))
+    if dp.get("timeUnixNano") is not None:
+        pb += _tag(3, 1) + struct.pack("<Q", int(dp["timeUnixNano"]))
+    if dp.get("asDouble") is not None:
+        pb += _tag(4, 1) + struct.pack("<d", float(dp["asDouble"]))
+    if dp.get("asInt") is not None:
+        pb += _tag(6, 1) + struct.pack("<q", int(dp["asInt"]))
+    pb += _enc_attrs(7, dp.get("attributes"))
+    return bytes(pb)
+
+
+def _enc_hist_dp(dp: dict) -> bytes:
+    pb = bytearray()
+    if dp.get("startTimeUnixNano") is not None:
+        pb += _tag(2, 1) + struct.pack("<Q", int(dp["startTimeUnixNano"]))
+    if dp.get("timeUnixNano") is not None:
+        pb += _tag(3, 1) + struct.pack("<Q", int(dp["timeUnixNano"]))
+    if dp.get("count") is not None:
+        pb += _tag(4, 1) + struct.pack("<Q", int(dp["count"]))
+    if dp.get("sum") is not None:
+        pb += _tag(5, 1) + struct.pack("<d", float(dp["sum"]))
+    if dp.get("bucketCounts"):
+        blob = b"".join(
+            struct.pack("<Q", int(c)) for c in dp["bucketCounts"]
+        )
+        pb += _ld(6, blob)
+    if dp.get("explicitBounds"):
+        blob = b"".join(
+            struct.pack("<d", float(x)) for x in dp["explicitBounds"]
+        )
+        pb += _ld(7, blob)
+    pb += _enc_attrs(9, dp.get("attributes"))
+    return bytes(pb)
+
+
+def _enc_exp_dp(dp: dict) -> bytes:
+    pb = bytearray()
+    pb += _enc_attrs(1, dp.get("attributes"))
+    if dp.get("startTimeUnixNano") is not None:
+        pb += _tag(2, 1) + struct.pack("<Q", int(dp["startTimeUnixNano"]))
+    if dp.get("timeUnixNano") is not None:
+        pb += _tag(3, 1) + struct.pack("<Q", int(dp["timeUnixNano"]))
+    if dp.get("count") is not None:
+        pb += _tag(4, 1) + struct.pack("<Q", int(dp["count"]))
+    if dp.get("sum") is not None:
+        pb += _tag(5, 1) + struct.pack("<d", float(dp["sum"]))
+    if dp.get("scale") is not None:
+        pb += _tag(6, 0) + _enc_varint(_zigzag_enc(int(dp["scale"])))
+    if dp.get("zeroCount") is not None:
+        pb += _tag(7, 1) + struct.pack("<Q", int(dp["zeroCount"]))
+    for fno, key in ((8, "positive"), (9, "negative")):
+        bk = dp.get(key)
+        if bk is not None:
+            bb = _tag(1, 0) + _enc_varint(
+                _zigzag_enc(int(bk.get("offset", 0)))
+            )
+            counts = bk.get("bucketCounts") or []
+            if counts:
+                blob = b"".join(_enc_varint(int(c)) for c in counts)
+                bb += _ld(2, blob)
+            pb += _ld(fno, bb)
+    return bytes(pb)
+
+
+def _enc_summ_dp(dp: dict) -> bytes:
+    pb = bytearray()
+    if dp.get("startTimeUnixNano") is not None:
+        pb += _tag(2, 1) + struct.pack("<Q", int(dp["startTimeUnixNano"]))
+    if dp.get("timeUnixNano") is not None:
+        pb += _tag(3, 1) + struct.pack("<Q", int(dp["timeUnixNano"]))
+    if dp.get("count") is not None:
+        pb += _tag(4, 1) + struct.pack("<Q", int(dp["count"]))
+    if dp.get("sum") is not None:
+        pb += _tag(5, 1) + struct.pack("<d", float(dp["sum"]))
+    for qv in dp.get("quantileValues", []):
+        qb = (
+            _tag(1, 1) + struct.pack("<d", float(qv.get("quantile", 0.0)))
+            + _tag(2, 1) + struct.pack("<d", float(qv.get("value", 0.0)))
+        )
+        pb += _ld(6, qb)
+    return bytes(pb)
+
+
+def encode_metrics_request(payload: dict) -> bytes:
+    """OTLP/JSON-form dict -> ExportMetricsServiceRequest wire bytes."""
+    kind_enc = {
+        "gauge": (5, _enc_num_dp), "sum": (7, _enc_num_dp),
+        "histogram": (9, _enc_hist_dp),
+        "exponentialHistogram": (10, _enc_exp_dp),
+        "summary": (11, _enc_summ_dp),
+    }
+    out = bytearray()
+    for rm in payload.get("resourceMetrics", []):
+        body = bytearray()
+        res = rm.get("resource")
+        if res is not None:
+            body += _ld(1, _enc_attrs(1, res.get("attributes")))
+        for sm in rm.get("scopeMetrics", []):
+            sbody = bytearray()
+            sc = sm.get("scope")
+            if sc is not None:
+                scb = (
+                    _enc_str(1, sc.get("name", ""))
+                    + _enc_str(2, sc.get("version", ""))
+                    + _enc_attrs(3, sc.get("attributes"))
+                )
+                sbody += _ld(1, scb)
+            for m in sm.get("metrics", []):
+                mb = bytearray()
+                mb += _enc_str(1, m.get("name", ""))
+                if m.get("description"):
+                    mb += _enc_str(2, m["description"])
+                if m.get("unit"):
+                    mb += _enc_str(3, m["unit"])
+                for kind, (fno, enc) in kind_enc.items():
+                    k = m.get(kind)
+                    if k is None:
+                        continue
+                    kb = bytearray()
+                    for dp in k.get("dataPoints", []):
+                        kb += _ld(1, enc(dp))
+                    at = k.get("aggregationTemporality")
+                    if at is not None:
+                        if isinstance(at, str) and not at.isdigit():
+                            at = {
+                                "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+                                "AGGREGATION_TEMPORALITY_DELTA": 1,
+                                "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+                            }[at]
+                        kb += _tag(2, 0) + _enc_varint(int(at))
+                    if k.get("isMonotonic"):
+                        kb += _tag(3, 0) + _enc_varint(1)
+                    mb += _ld(fno, bytes(kb))
+                sbody += _ld(2, bytes(mb))
+            body += _ld(2, bytes(sbody))
+        out += _ld(1, bytes(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
 
 
-def otlp_pb_traces_to_json(df: DataFrame, source: str = "body",
-                           out_col: str = "message") -> DataFrame:
+def _pb_to_json_col(df: DataFrame, decoder, source: str,
+                    out_col: str) -> DataFrame:
     """binary protobuf column -> OTLP/JSON string column. Malformed
     payloads yield NULL (the downstream from_json then produces no
-    spans — the same tolerant posture as the JSON decode path)."""
+    records — the same tolerant posture as the JSON decode path)."""
     @F.pandas_udf("string")
     def _conv(s: pd.Series) -> pd.Series:
         def one(b):
             if b is None:
                 return None
             try:
-                return json.dumps(
-                    decode_traces_request(bytes(b)), separators=(",", ":")
-                )
+                return json.dumps(decoder(bytes(b)), separators=(",", ":"))
             except Exception:
                 return None
 
         return s.map(one)
 
     return df.withColumn(out_col, _conv(F.col(source)))
+
+
+def otlp_pb_traces_to_json(df: DataFrame, source: str = "body",
+                           out_col: str = "message") -> DataFrame:
+    return _pb_to_json_col(df, decode_traces_request, source, out_col)
+
+
+def otlp_pb_logs_to_json(df: DataFrame, source: str = "body",
+                         out_col: str = "message") -> DataFrame:
+    return _pb_to_json_col(df, decode_logs_request, source, out_col)
+
+
+def otlp_pb_metrics_to_json(df: DataFrame, source: str = "body",
+                            out_col: str = "message") -> DataFrame:
+    return _pb_to_json_col(df, decode_metrics_request, source, out_col)
 
 
 def otel_traces_pb(df: DataFrame, source: str = "body") -> DataFrame:
@@ -409,5 +903,29 @@ def otel_traces_pb(df: DataFrame, source: str = "body") -> DataFrame:
 
     return otel_traces(
         otlp_pb_traces_to_json(df, source, out_col="__otlp_json"),
+        source="__otlp_json",
+    ).drop("__otlp_json")
+
+
+def otel_logs_pb(df: DataFrame, source: str = "body") -> DataFrame:
+    """Binary-protobuf twin of operators.otel.otel_logs (reference
+    otel-logs-source/.../OTelLogsSource.java receives this wire form
+    over gRPC; decode semantics OTelProtoOpensearchCodec.java)."""
+    from .otel import otel_logs
+
+    return otel_logs(
+        otlp_pb_logs_to_json(df, source, out_col="__otlp_json"),
+        source="__otlp_json",
+    ).drop("__otlp_json")
+
+
+def otel_metrics_pb(df: DataFrame, source: str = "body") -> DataFrame:
+    """Binary-protobuf twin of operators.otel.otel_metrics — all five
+    metric shapes (gauge/sum/histogram/exponential-histogram/summary)
+    through the same Catalyst decode."""
+    from .otel import otel_metrics
+
+    return otel_metrics(
+        otlp_pb_metrics_to_json(df, source, out_col="__otlp_json"),
         source="__otlp_json",
     ).drop("__otlp_json")

@@ -131,3 +131,263 @@ def test_pb_malformed_tolerant(spark):
     rows = [(b"\xff\xff\xff\xff",), (None,), (b"",)]
     df = spark.createDataFrame(rows, "body binary")
     assert otel_traces_pb(df, "body").count() == 0
+
+
+LOGS_PAYLOAD = {
+    "resourceLogs": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name",
+                     "value": {"stringValue": "auth"}}
+                ]
+            },
+            "scopeLogs": [
+                {
+                    "scope": {"name": "lg"},
+                    "schemaUrl": "https://s",
+                    "logRecords": [
+                        {
+                            "timeUnixNano": "1544712660300000000",
+                            "observedTimeUnixNano": "1544712660400000000",
+                            "severityNumber": "SEVERITY_NUMBER_ERROR",
+                            "severityText": "ERROR",
+                            "body": {"stringValue": "oops"},
+                            "attributes": [
+                                {"key": "req.id",
+                                 "value": {"intValue": "42"}}
+                            ],
+                            "flags": 1,
+                            "traceId": "aa",
+                            "spanId": "bb",
+                        },
+                        {
+                            "timeUnixNano": "0",
+                            "observedTimeUnixNano": "0",
+                            "severityNumber": 13,
+                            "body": {"doubleValue": 2.5},
+                        },
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+METRICS_PAYLOAD = {
+    "resourceMetrics": [
+        {
+            "resource": {
+                "attributes": [
+                    {"key": "service.name", "value": {"stringValue": "db"}}
+                ]
+            },
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "m"},
+                    "metrics": [
+                        {
+                            "name": "latency", "unit": "ms",
+                            "histogram": {
+                                "aggregationTemporality": 2,
+                                "dataPoints": [
+                                    {
+                                        "timeUnixNano": "0",
+                                        "count": "7",
+                                        "sum": 12.5,
+                                        "bucketCounts": ["1", "2", "4"],
+                                        "explicitBounds": [5.0, 10.0],
+                                        "attributes": [
+                                            {"key": "route",
+                                             "value": {"stringValue": "/x"}}
+                                        ],
+                                    }
+                                ],
+                            },
+                        },
+                        {
+                            "name": "reqs",
+                            "sum": {
+                                "aggregationTemporality":
+                                    "AGGREGATION_TEMPORALITY_DELTA",
+                                "isMonotonic": True,
+                                "dataPoints": [
+                                    {"timeUnixNano": "0", "asInt": "9"}
+                                ],
+                            },
+                        },
+                        {
+                            "name": "cpu",
+                            "gauge": {
+                                "dataPoints": [
+                                    {"timeUnixNano": "0", "asDouble": 0.5}
+                                ]
+                            },
+                        },
+                        {
+                            "name": "lat_exp",
+                            "exponentialHistogram": {
+                                "aggregationTemporality": 2,
+                                "dataPoints": [
+                                    {
+                                        "startTimeUnixNano": "1000000000",
+                                        "timeUnixNano": "2000000000",
+                                        "count": "7",
+                                        "sum": 31.5,
+                                        "scale": -1,
+                                        "zeroCount": "2",
+                                        "positive": {
+                                            "offset": 3,
+                                            "bucketCounts": ["1", "4"],
+                                        },
+                                        "negative": {
+                                            "offset": -2,
+                                            "bucketCounts": ["2"],
+                                        },
+                                    }
+                                ],
+                            },
+                        },
+                        {
+                            "name": "size",
+                            "summary": {
+                                "dataPoints": [
+                                    {
+                                        "startTimeUnixNano": "1000000000",
+                                        "timeUnixNano": "3000000000",
+                                        "count": "10",
+                                        "sum": 99.0,
+                                        "quantileValues": [
+                                            {"quantile": 0.5, "value": 4.0},
+                                            {"quantile": 0.99,
+                                             "value": 12.5},
+                                        ],
+                                    }
+                                ]
+                            },
+                        },
+                    ],
+                }
+            ],
+        }
+    ]
+}
+
+
+def test_logs_wire_roundtrip():
+    from data_prepper_spark.operators.otel_pb import (
+        decode_logs_request,
+        encode_logs_request,
+    )
+
+    back = decode_logs_request(encode_logs_request(LOGS_PAYLOAD))
+    sl = back["resourceLogs"][0]["scopeLogs"][0]
+    assert sl["schemaUrl"] == "https://s"
+    r0, r1 = sl["logRecords"]
+    assert r0["timeUnixNano"] == "1544712660300000000"
+    assert r0["observedTimeUnixNano"] == "1544712660400000000"
+    assert r0["severityNumber"] == 17  # name encoded to wire value
+    assert r0["severityText"] == "ERROR"
+    assert r0["body"] == {"stringValue": "oops"}
+    assert r0["flags"] == 1
+    assert r0["traceId"] == "aa" and r0["spanId"] == "bb"
+    assert r1["severityNumber"] == 13
+    assert r1["body"] == {"doubleValue": 2.5}
+
+
+def test_metrics_wire_roundtrip():
+    from data_prepper_spark.operators.otel_pb import (
+        decode_metrics_request,
+        encode_metrics_request,
+    )
+
+    back = decode_metrics_request(encode_metrics_request(METRICS_PAYLOAD))
+    ms = {m["name"]: m
+          for m in back["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]}
+    h = ms["latency"]["histogram"]
+    assert h["aggregationTemporality"] == 2
+    dp = h["dataPoints"][0]
+    assert dp["count"] == "7" and dp["sum"] == 12.5
+    assert dp["bucketCounts"] == ["1", "2", "4"]  # packed fixed64
+    assert dp["explicitBounds"] == [5.0, 10.0]  # packed double
+    s = ms["reqs"]["sum"]
+    assert s["aggregationTemporality"] == 1  # DELTA name -> wire 1
+    assert s["isMonotonic"] is True
+    assert s["dataPoints"][0]["asInt"] == "9"  # sfixed64
+    assert ms["cpu"]["gauge"]["dataPoints"][0]["asDouble"] == 0.5
+    e = ms["lat_exp"]["exponentialHistogram"]["dataPoints"][0]
+    assert e["scale"] == -1  # sint32 zigzag survives negatives
+    assert e["zeroCount"] == "2"
+    assert e["positive"] == {"offset": 3, "bucketCounts": ["1", "4"]}
+    assert e["negative"] == {"offset": -2, "bucketCounts": ["2"]}
+    q = ms["size"]["summary"]["dataPoints"][0]
+    assert q["quantileValues"] == [
+        {"quantile": 0.5, "value": 4.0},
+        {"quantile": 0.99, "value": 12.5},
+    ]
+
+
+def test_logs_pb_path_matches_json_path(spark):
+    from data_prepper_spark.operators.otel import otel_logs
+    from data_prepper_spark.operators.otel_pb import (
+        encode_logs_request,
+        otel_logs_pb,
+    )
+
+    wire = encode_logs_request(LOGS_PAYLOAD)
+    pb_df = spark.createDataFrame([(wire,)], "body binary")
+    js_df = spark.createDataFrame(
+        [(json.dumps(LOGS_PAYLOAD),)], "message string"
+    )
+
+    def norm(df):
+        import pyspark.sql.functions as F
+
+        return (
+            df.withColumn("attrs", F.to_json(F.col("attributes")))
+            .select("time", "observedTime", "serviceName",
+                    "severityNumber", "severityText", "body",
+                    "schemaUrl", "flags", "traceId", "spanId", "attrs")
+            .orderBy("time")
+            .collect()
+        )
+
+    a = norm(otel_logs_pb(pb_df, "body"))
+    b = norm(otel_logs(js_df, "message"))
+    assert a == b and len(a) == 2
+
+
+def test_metrics_pb_path_matches_json_path(spark):
+    from data_prepper_spark.operators.otel import otel_metrics
+    from data_prepper_spark.operators.otel_pb import (
+        encode_metrics_request,
+        otel_metrics_pb,
+    )
+
+    wire = encode_metrics_request(METRICS_PAYLOAD)
+    pb_df = spark.createDataFrame([(wire,)], "body binary")
+    js_df = spark.createDataFrame(
+        [(json.dumps(METRICS_PAYLOAD),)], "message string"
+    )
+
+    def norm(df):
+        import pyspark.sql.functions as F
+
+        return (
+            df.withColumn("attrs", F.to_json(F.col("attributes")))
+            .withColumn("pbkts", F.to_json(F.col("positiveBuckets")))
+            .withColumn("nbkts", F.to_json(F.col("negativeBuckets")))
+            .withColumn("qs", F.to_json(F.col("quantiles")))
+            .select("name", "kind", "unit", "serviceName", "time",
+                    "value", "count", "sum", "bucketCountsList",
+                    "explicitBounds", "aggregationTemporality",
+                    "isMonotonic", "scale", "zeroCount",
+                    "positiveOffset", "negativeOffset", "pbkts",
+                    "nbkts", "qs", "attrs")
+            .orderBy("name")
+            .collect()
+        )
+
+    a = norm(otel_metrics_pb(pb_df, "body"))
+    b = norm(otel_metrics(js_df, "message"))
+    assert a == b and len(a) == 5
