@@ -1,0 +1,200 @@
+"""Prometheus remote-write decode (operators/prometheus.py).
+
+Parity targets: RemoteWriteProtobufParser.java type inference +
+two-pass grouping, PrometheusMetricUtils service-name/le/quantile
+parsing, snappy transport decompression.
+"""
+
+from __future__ import annotations
+
+import math
+
+from data_prepper_spark.operators.prometheus import (
+    decode_write_request,
+    encode_write_request,
+    prometheus_remote_write,
+    snappy_compress,
+    snappy_decompress,
+)
+
+NOW = "2026-01-01T00:00:00Z"
+TS1 = 1544712660300  # ms
+TS2 = 1544712661000
+
+FIXTURE = [
+    # histogram: cumulative buckets at two timestamps + count/sum
+    {"labels": {"__name__": "http_req_bucket", "le": "0.5",
+                "job": "api", "instance": "i1"},
+     "samples": [(1.0, TS1), (3.0, TS2)]},
+    {"labels": {"__name__": "http_req_bucket", "le": "1",
+                "job": "api", "instance": "i1"},
+     "samples": [(4.0, TS1), (7.0, TS2)]},
+    {"labels": {"__name__": "http_req_bucket", "le": "+Inf",
+                "job": "api", "instance": "i1"},
+     "samples": [(6.0, TS1), (9.0, TS2)]},
+    {"labels": {"__name__": "http_req_bucket", "le": "bogus",
+                "job": "api", "instance": "i1"},
+     "samples": [(99.0, TS1)]},  # unparseable le: skipped
+    {"labels": {"__name__": "http_req_count", "job": "api",
+                "instance": "i1"},
+     "samples": [(6.0, TS1), (9.0, TS2)]},
+    {"labels": {"__name__": "http_req_sum", "job": "api",
+                "instance": "i1"},
+     "samples": [(3.25, TS1), (5.5, TS2)]},
+    # summary: quantiles + count/sum
+    {"labels": {"__name__": "rpc_lat", "quantile": "0.5",
+                "service.name": "billing"},
+     "samples": [(0.12, TS1)]},
+    {"labels": {"__name__": "rpc_lat", "quantile": "0.99",
+                "service.name": "billing"},
+     "samples": [(0.87, TS1)]},
+    {"labels": {"__name__": "rpc_lat_count", "service.name": "billing"},
+     "samples": [(40.0, TS1)]},
+    {"labels": {"__name__": "rpc_lat_sum", "service.name": "billing"},
+     "samples": [(7.5, TS1)]},
+    # standalone counter (_total stripped, monotonic cumulative SUM)
+    {"labels": {"__name__": "errors_total", "service_name": "auth"},
+     "samples": [(12.0, TS1)]},
+    # plain gauge
+    {"labels": {"__name__": "mem_bytes", "host": "h1"},
+     "samples": [(512.0, TS1), (640.0, 0)]},  # ts 0 -> now
+    # _count with no histogram/summary base -> standalone gauge
+    {"labels": {"__name__": "orphan_count"}, "samples": [(5.0, TS1)]},
+    # no __name__ label -> unknown_metric gauge
+    {"labels": {"x": "y"}, "samples": [(1.5, TS1)]},
+]
+
+
+def test_wire_and_snappy_roundtrip():
+    wire = encode_write_request(FIXTURE)
+    assert decode_write_request(wire) == [
+        {"labels": t["labels"],
+         "samples": [(v, ts) for v, ts in t["samples"]]}
+        for t in FIXTURE
+    ]
+    assert snappy_decompress(snappy_compress(wire)) == wire
+
+
+def _decode(spark, compressed: bool):
+    wire = encode_write_request(FIXTURE)
+    body = snappy_compress(wire) if compressed else wire
+    df = spark.createDataFrame([(body,)], "body binary")
+    return prometheus_remote_write(
+        df, compressed=compressed, now_iso=NOW
+    ).collect()
+
+
+def test_full_inference(spark):
+    rows = _decode(spark, compressed=True)
+    by = {}
+    for r in rows:
+        by.setdefault((r["name"], r["kind"]), []).append(r)
+
+    # histogram: one event per timestamp; cumulative -> per-bucket
+    hs = sorted(by[("http_req", "HISTOGRAM")], key=lambda r: r["time"])
+    assert len(hs) == 2
+    h1 = hs[0]
+    assert h1["time"] == "2018-12-13T14:51:00.300Z"
+    assert h1["bucketCountsList"] == [1, 3, 2]  # diffs of 1,4,6
+    assert h1["explicitBounds"] == [0.5, 1.0]  # +Inf excluded
+    assert h1["bucketCount"] == 3 and h1["explicitBoundsCount"] == 2
+    assert h1["count"] == 6 and h1["sum"] == 3.25
+    assert h1["aggregationTemporality"] == (
+        "AGGREGATION_TEMPORALITY_CUMULATIVE"
+    )
+    assert h1["serviceName"] == "api"  # job fallback
+    assert h1["attributes"] == {"job": "api", "instance": "i1"}
+    h2 = hs[1]
+    assert h2["bucketCountsList"] == [3, 4, 2]
+    assert h2["count"] == 9 and h2["sum"] == 5.5
+
+    # summary: quantiles in series order, count/sum attached
+    (s1,) = by[("rpc_lat", "SUMMARY")]
+    assert [(q["quantile"], q["value"]) for q in s1["quantiles"]] == [
+        (0.5, 0.12), (0.99, 0.87)
+    ]
+    assert s1["quantileValuesCount"] == 2
+    assert s1["count"] == 40 and s1["sum"] == 7.5
+    assert s1["serviceName"] == "billing"
+
+    # counter: suffix stripped, monotonic cumulative
+    (c,) = by[("errors", "SUM")]
+    assert c["value"] == 12.0 and c["isMonotonic"] is True
+    assert c["serviceName"] == "auth"  # service_name fallback
+
+    # gauge with ts 0 -> injected now
+    gs = sorted(by[("mem_bytes", "GAUGE")], key=lambda r: r["value"])
+    assert gs[0]["time"] == "2018-12-13T14:51:00.300Z"
+    assert gs[1]["time"] == NOW and gs[1]["value"] == 640.0
+
+    # orphan _count falls through to gauge with UNSTRIPPED name
+    (o,) = by[("orphan_count", "GAUGE")]
+    assert o["value"] == 5.0
+
+    # missing __name__
+    (u,) = by[("unknown_metric", "GAUGE")]
+    assert u["value"] == 1.5 and u["attributes"] == {"x": "y"}
+
+    # nothing leaked: 2 hist + 1 summ + 1 ctr + 2 gauge + orphan + unk
+    assert len(rows) == 8
+
+
+def test_uncompressed_payload(spark):
+    rows = _decode(spark, compressed=False)
+    assert len(rows) == 8
+
+
+def test_malformed_tolerant(spark):
+    df = spark.createDataFrame(
+        [(b"\xff\xff",), (None,), (b"",)], "body binary"
+    )
+    assert prometheus_remote_write(df, compressed=False).count() == 0
+
+
+def test_negative_bucket_clamp(spark):
+    # decreasing cumulative counts clamp per-bucket to 0 (:306-311)
+    fix = [
+        {"labels": {"__name__": "x_bucket", "le": "1"},
+         "samples": [(5.0, TS1)]},
+        {"labels": {"__name__": "x_bucket", "le": "2"},
+         "samples": [(3.0, TS1)]},
+    ]
+    df = spark.createDataFrame(
+        [(encode_write_request(fix),)], "body binary"
+    )
+    (r,) = prometheus_remote_write(
+        df, compressed=False, now_iso=NOW
+    ).collect()
+    assert r["bucketCountsList"] == [5, 0]
+    assert r["count"] == 0 and r["sum"] == 0.0  # no count/sum series
+
+
+def test_inf_bounds_parse():
+    assert math.isinf(float("inf"))  # sanity for the le mapping below
+    fix = [
+        {"labels": {"__name__": "y_bucket", "le": "-Inf"},
+         "samples": [(0.0, TS1)]},
+        {"labels": {"__name__": "y_bucket", "le": "+Inf"},
+         "samples": [(2.0, TS1)]},
+    ]
+    wire = encode_write_request(fix)
+    assert decode_write_request(wire)[0]["labels"]["le"] == "-Inf"
+
+
+def test_neg_inf_excluded_from_bounds(spark):
+    fix = [
+        {"labels": {"__name__": "y_bucket", "le": "-Inf"},
+         "samples": [(0.0, TS1)]},
+        {"labels": {"__name__": "y_bucket", "le": "3"},
+         "samples": [(2.0, TS1)]},
+        {"labels": {"__name__": "y_bucket", "le": "+Inf"},
+         "samples": [(4.0, TS1)]},
+    ]
+    df = spark.createDataFrame(
+        [(encode_write_request(fix),)], "body binary"
+    )
+    (r,) = prometheus_remote_write(
+        df, compressed=False, now_iso=NOW
+    ).collect()
+    assert r["explicitBounds"] == [3.0]  # Double.isInfinite: both ends
+    assert r["bucketCountsList"] == [0, 2, 2]
