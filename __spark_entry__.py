@@ -3140,6 +3140,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return bm25_topk_df(spark, SF001)
 
 
+def prometheus_remote_write_decode(spark, sf_dir):
+    """Prometheus remote-write source (reference prometheus-source,
+    RemoteWriteProtobufParser.java): per-event WriteRequest payloads —
+    snappy + protobuf wire — carrying a cumulative-bucket histogram
+    with count/sum series, a two-quantile summary with count/sum, a
+    _total counter, and a plain gauge; decoded by
+    operators/prometheus.py with its name-convention type inference.
+    Oracle recomputes every inferred row (per-bucket diffs, suffix
+    strips, service-name fallback, Instant ISO rendering) in SQL."""
+    from data_prepper_spark.operators.prometheus import (
+        encode_write_request,
+        prometheus_remote_write,
+        snappy_compress,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+
+    def _payload(eid: int, uid: int) -> bytes:
+        ts = (1700000000 + eid % 86400) * 1000 + (eid % 4) * 250
+        lbl = {"eid": str(eid), "job": f"api-{uid % 3}"}
+        c1, d2, d3 = eid % 5, eid % 3, eid % 2
+        tss = [
+            {"labels": {"__name__": "lat_bucket", "le": "0.5", **lbl},
+             "samples": [(float(c1), ts)]},
+            {"labels": {"__name__": "lat_bucket", "le": "2", **lbl},
+             "samples": [(float(c1 + d2), ts)]},
+            {"labels": {"__name__": "lat_bucket", "le": "+Inf", **lbl},
+             "samples": [(float(c1 + d2 + d3), ts)]},
+            {"labels": {"__name__": "lat_count", **lbl},
+             "samples": [(float(c1 + d2 + d3), ts)]},
+            {"labels": {"__name__": "lat_sum", **lbl},
+             "samples": [((eid % 7) * 0.25, ts)]},
+            {"labels": {"__name__": "rpc", "quantile": "0.5", **lbl},
+             "samples": [((eid % 8) * 0.125, ts)]},
+            {"labels": {"__name__": "rpc", "quantile": "0.99", **lbl},
+             "samples": [((eid % 8) * 0.25, ts)]},
+            {"labels": {"__name__": "rpc_count", **lbl},
+             "samples": [(float(10 + eid % 5), ts)]},
+            {"labels": {"__name__": "rpc_sum", **lbl},
+             "samples": [((eid % 9) * 0.5, ts)]},
+            {"labels": {"__name__": "errors_total", **lbl},
+             "samples": [(float(eid % 11), ts)]},
+            {"labels": {"__name__": "mem", **lbl},
+             "samples": [((eid % 13) * 1.5, ts)]},
+        ]
+        return snappy_compress(encode_write_request(tss))
+
+    @F.pandas_udf("binary")
+    def _enc(eid: pd.Series, uid: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_payload(int(a), int(b)) for a, b in zip(eid, uid)]
+        )
+
+    out = prometheus_remote_write(
+        e.withColumn("body", _enc("event_id", "user_id")).select("body"),
+        source="body",
+    )
+    q = F.col("quantiles")
+    return out.select(
+        F.element_at(F.col("attributes"), "eid").cast("long").alias("eid"),
+        F.col("name"),
+        F.col("kind"),
+        F.col("time"),
+        F.col("value"),
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("total"),
+        F.array_join(
+            F.transform(
+                F.col("bucketCountsList"), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("buckets"),
+        F.array_join(
+            F.transform(
+                F.col("explicitBounds"), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("bounds"),
+        F.element_at(q, 1)["value"].alias("q50"),
+        F.element_at(q, 2)["value"].alias("q99"),
+        F.col("aggregationTemporality").alias("temporality"),
+        F.col("isMonotonic").cast("int").alias("monotonic"),
+        F.col("serviceName").alias("service"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3183,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "otel_logs_decode": otel_logs_decode,
         "otel_metrics_decode": otel_metrics_decode,
+        "prometheus_remote_write_decode": prometheus_remote_write_decode,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -3630,6 +3717,55 @@ SELECT event_id AS eid,
             THEN 3.4028234663852886e38 END AS b_last_max,
        'h-' || CAST(user_id % 3 AS VARCHAR) AS host
 FROM events
+"""
+
+    sql["prometheus_remote_write_decode"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    strftime(make_timestamp((1700000000 + event_id % 86400) * 1000000),
+             '%Y-%m-%dT%H:%M:%S')
+    || CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN '.250'
+       WHEN 2 THEN '.500' ELSE '.750' END || 'Z' AS t,
+    'api-' || CAST(user_id % 3 AS VARCHAR) AS svc
+  FROM events
+)
+SELECT eid, 'lat' AS name, 'HISTOGRAM' AS kind, t AS time,
+  CAST(NULL AS DOUBLE) AS value,
+  CAST(eid % 5 + eid % 3 + eid % 2 AS BIGINT) AS cnt,
+  CAST(eid % 7 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS total,
+  CAST(eid % 5 AS VARCHAR) || ',' || CAST(eid % 3 AS VARCHAR)
+    || ',' || CAST(eid % 2 AS VARCHAR) AS buckets,
+  '0.5,2.0' AS bounds,
+  CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q99,
+  'AGGREGATION_TEMPORALITY_CUMULATIVE' AS temporality,
+  CAST(NULL AS INT) AS monotonic, svc AS service
+FROM e
+UNION ALL
+SELECT eid, 'rpc', 'SUMMARY', t,
+  CAST(NULL AS DOUBLE),
+  CAST(10 + eid % 5 AS BIGINT),
+  CAST(eid % 9 AS DOUBLE) * CAST(0.5 AS DOUBLE),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  CAST(eid % 8 AS DOUBLE) * CAST(0.125 AS DOUBLE),
+  CAST(eid % 8 AS DOUBLE) * CAST(0.25 AS DOUBLE),
+  CAST(NULL AS VARCHAR), CAST(NULL AS INT), svc
+FROM e
+UNION ALL
+SELECT eid, 'errors', 'SUM', t,
+  CAST(eid % 11 AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  'AGGREGATION_TEMPORALITY_CUMULATIVE', CAST(1 AS INT), svc
+FROM e
+UNION ALL
+SELECT eid, 'mem', 'GAUGE', t,
+  CAST(eid % 13 AS DOUBLE) * CAST(1.5 AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS VARCHAR), CAST(NULL AS INT), svc
+FROM e
 """
 
     sql["multiline_assembly"] = """
