@@ -3226,6 +3226,82 @@ def prometheus_remote_write_decode(spark, sf_dir):
     )
 
 
+def rss_items_extract(spark, sf_dir):
+    """rss source (RssReaderTask.java:44-67: every feed <item> becomes
+    one Document event). Synthesizes one RSS 2.0 document per event
+    carrying TWO items (exercising the fragment explode, entity
+    decode, RFC-822 pubDate normalization to UTC, optional-field
+    NULLs, category lists, channel carry-through), then extracts via
+    sources/rss.py pure-Catalyst xpath."""
+    from data_prepper_spark.sources.rss import rss_items
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+
+    def hms(secs):
+        return F.concat(
+            F.lpad((secs / 3600).cast("int").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((secs / 60) % 60).cast("int").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((secs % 60).cast("string"), 2, "0"),
+        )
+
+    def item(i: int):
+        secs = (eid * 7 + i) % 86400
+        parts = [
+            F.lit("<item><guid>g-"),
+            eid.cast("string"),
+            F.lit(f"-{i}</guid><title>"),
+            F.col("event_type"),
+            F.lit(f" &amp; co #{i}</title><link>https://ex.com/"),
+            eid.cast("string"),
+            F.lit(f"/{i}</link><pubDate>Mon, 01 Jan 2025 "),
+            hms(secs),
+            F.lit(" +0000</pubDate>"),
+        ]
+        if i == 1:
+            parts += [
+                F.lit("<description>d"),
+                (eid % 10).cast("string"),
+                F.lit("</description><author>u"),
+                (uid % 5).cast("string"),
+                F.lit("@ex.com</author><category>c"),
+                (eid % 4).cast("string"),
+                F.lit("</category><category>d"),
+                (eid % 3).cast("string"),
+                F.lit("</category>"),
+            ]
+        parts.append(F.lit("</item>"))
+        return F.concat(*parts)
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>'),
+        F.lit("feed-"), (uid % 3).cast("string"),
+        F.lit("</title><link>https://ex.com/f"),
+        (uid % 3).cast("string"),
+        F.lit("</link>"),
+        item(1), item(2),
+        F.lit("</channel></rss>"),
+    )
+    out = rss_items(e.select(xml.alias("xml")))
+    return out.select(
+        F.col("guid"),
+        F.col("title"),
+        F.col("link"),
+        F.col("description").alias("descr"),
+        F.col("pub_date"),
+        F.col("pub_time"),
+        F.col("author"),
+        F.array_join(F.col("categories"), ",").alias("cats"),
+        F.col("channel_title").alias("ch_title"),
+        F.col("channel_link").alias("ch_link"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3270,6 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_logs_decode": otel_logs_decode,
         "otel_metrics_decode": otel_metrics_decode,
         "prometheus_remote_write_decode": prometheus_remote_write_decode,
+        "rss_items_extract": rss_items_extract,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -3766,6 +3843,36 @@ SELECT eid, 'mem', 'GAUGE', t,
   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
   CAST(NULL AS VARCHAR), CAST(NULL AS INT), svc
 FROM e
+"""
+
+    sql["rss_items_extract"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid, event_type AS et FROM events
+), t AS (
+  SELECT eid, uid, et, i,
+    lpad(CAST(((eid * 7 + i) % 86400) // 3600 AS VARCHAR), 2, '0')
+      || ':' ||
+    lpad(CAST(((eid * 7 + i) % 86400) // 60 % 60 AS VARCHAR), 2, '0')
+      || ':' ||
+    lpad(CAST((eid * 7 + i) % 60 AS VARCHAR), 2, '0') AS hms
+  FROM e, (SELECT UNNEST([1, 2]) AS i)
+)
+SELECT
+  'g-' || CAST(eid AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS guid,
+  et || ' & co #' || CAST(i AS VARCHAR) AS title,
+  'https://ex.com/' || CAST(eid AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+    AS link,
+  CASE WHEN i = 1 THEN 'd' || CAST(eid % 10 AS VARCHAR) END AS descr,
+  'Mon, 01 Jan 2025 ' || hms || ' +0000' AS pub_date,
+  '2025-01-01T' || hms || 'Z' AS pub_time,
+  CASE WHEN i = 1 THEN 'u' || CAST(uid % 5 AS VARCHAR) || '@ex.com'
+    END AS author,
+  CASE WHEN i = 1
+    THEN 'c' || CAST(eid % 4 AS VARCHAR) || ',d' || CAST(eid % 3 AS VARCHAR)
+    ELSE '' END AS cats,
+  'feed-' || CAST(uid % 3 AS VARCHAR) AS ch_title,
+  'https://ex.com/f' || CAST(uid % 3 AS VARCHAR) AS ch_link
+FROM t
 """
 
     sql["multiline_assembly"] = """
