@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # module-level: pandas_udf resolves the PEP-563
+# string annotations of decorated functions from these globals
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -257,6 +260,39 @@ def compile_grok(
 _GROK_SEP = "\x01\x02"
 
 
+def _grok_match_udf(regex_src: str, gidx: list, timeout_s: float):
+    """Arrow-batched match with a REAL per-match budget (the
+    reference's match_timeout_ms, GrokProcessor.java runWithTimeout):
+    the `regex` module enforces a deadline inside the engine, which
+    Catalyst's rlike cannot. Emits the same (matched, parts) shape as
+    the fast path plus a timed-out flag. Java grok syntax — (?<name>)
+    groups, possessive quantifiers — compiles under `regex` as-is."""
+    @F.pandas_udf("m boolean, t boolean, p array<string>")
+    def fn(s: pd.Series) -> pd.DataFrame:
+        import regex as _rx
+
+        rx = _rx.compile(regex_src)
+        ms, ts, ps = [], [], []
+        for v in s:
+            if v is None:
+                ms.append(False), ts.append(False), ps.append(None)
+                continue
+            try:
+                m = rx.search(v, timeout=timeout_s)
+            except TimeoutError:
+                ms.append(False), ts.append(True), ps.append(None)
+                continue
+            if m is None:
+                ms.append(False), ts.append(False), ps.append(None)
+            else:
+                ms.append(True), ts.append(False)
+                # non-participating group -> "" (regexp_replace parity)
+                ps.append([m.group(g) or "" for g in gidx])
+        return pd.DataFrame({"m": ms, "t": ts, "p": ps})
+
+    return fn
+
+
 def grok(
     df: DataFrame,
     source: str,
@@ -266,6 +302,7 @@ def grok(
     target_key: str | None = None,
     tags_on_timeout: list[str] | None = None,
     named_captures_only: bool = True,
+    match_timeout_ms: int | None = None,
 ) -> DataFrame:
     """grok: named-capture extraction into top-level columns.
 
@@ -285,10 +322,15 @@ def grok(
     top-level columns (GrokProcessorConfig.target_key).
     named_captures_only=False also captures unnamed %{SYNTAX} refs
     under their syntax name (GrokProcessorConfig.named_captures_only).
-    tags_on_timeout is accepted for config parity but never fires:
-    Catalyst regex execution has no timeout to hit (the reference's
-    match_timeout interrupts a Java thread; documented divergence)."""
-    del tags_on_timeout  # config parity only — no timeout path exists
+
+    match_timeout_ms enables the reference's per-match budget
+    (GrokProcessorConfig.match_timeout_ms, default 30000 there;
+    default None HERE because the Catalyst fast path — which cannot
+    time out but is JVM-vectorized — is the right default at scale).
+    When set, matching runs through an Arrow-batched `regex`-module
+    UDF with a hard deadline per match; rows that blow the budget
+    get tags_on_timeout, no captures, and later patterns skipped
+    (the reference aborts the whole match loop on timeout)."""
     patterns = [pattern] if isinstance(pattern, str) else pattern
     overwrite = set(keys_to_overwrite or [])
     compiled = [
@@ -299,25 +341,41 @@ def grok(
     # pattern: guarantees a single rlike + a single regexp_replace
     # evaluation each, shared by every capture below
     tmp: dict[str, object] = {}
-    for j, (regex, names, gidx) in enumerate(compiled):
-        tmp[f"__grok_m{j}"] = F.col(source).rlike(regex)
-        if names:
-            # anchor so regexp_replace rewrites the WHOLE string once,
-            # emitting all groups of the first match (find() semantics
-            # via the reluctant prefix); (?s:...) keeps the wrappers
-            # newline-safe without changing the user pattern's flags
-            wrapped = "^(?s:.*?)(?:" + regex + ")(?s:.*)$"
-            repl = _GROK_SEP.join("$" + str(g) for g in gidx)
-            tmp[f"__grok_p{j}"] = F.split(
-                F.regexp_replace(F.col(source), wrapped, repl),
-                _GROK_SEP,
-                -1,
+    if match_timeout_ms:
+        for j, (regex, names, gidx) in enumerate(compiled):
+            st = _grok_match_udf(regex, gidx, match_timeout_ms / 1000.0)(
+                F.col(source)
             )
+            tmp[f"__grok_s{j}"] = st
+        df = df.withColumns(tmp)
+        tmp = {}
+        for j in range(len(compiled)):
+            st = F.col(f"__grok_s{j}")
+            tmp[f"__grok_m{j}"] = st["m"]
+            tmp[f"__grok_t{j}"] = st["t"]
+            tmp[f"__grok_p{j}"] = st["p"]
+    else:
+        for j, (regex, names, gidx) in enumerate(compiled):
+            tmp[f"__grok_m{j}"] = F.col(source).rlike(regex)
+            if names:
+                # anchor so regexp_replace rewrites the WHOLE string
+                # once, emitting all groups of the first match (find()
+                # semantics via the reluctant prefix); (?s:...) keeps
+                # the wrappers newline-safe without changing the user
+                # pattern's flags
+                wrapped = "^(?s:.*?)(?:" + regex + ")(?s:.*)$"
+                repl = _GROK_SEP.join("$" + str(g) for g in gidx)
+                tmp[f"__grok_p{j}"] = F.split(
+                    F.regexp_replace(F.col(source), wrapped, repl),
+                    _GROK_SEP,
+                    -1,
+                )
     df = df.withColumns(tmp)
     matched_prev = F.lit(False)
+    timed_any = F.lit(False)
     field_exprs: dict[str, object] = {}
     for j, (regex, names, gidx) in enumerate(compiled):
-        m = F.col(f"__grok_m{j}") & ~matched_prev
+        m = F.col(f"__grok_m{j}") & ~matched_prev & ~timed_any
         # a name can appear in several alternation branches of one
         # pattern (e.g. NAGIOSLOGLINE's nagios_state): the branch that
         # participated is the non-empty capture — first non-empty wins.
@@ -350,6 +408,8 @@ def grok(
                 )
             field_exprs[name] = F.when(m, ext).otherwise(prev)
         matched_prev = matched_prev | F.col(f"__grok_m{j}")
+        if match_timeout_ms:
+            timed_any = timed_any | F.col(f"__grok_t{j}")
     if target_key:
         df = df.withColumn(
             target_key,
@@ -357,21 +417,32 @@ def grok(
         )
     else:
         df = df.withColumns(field_exprs)
-    if tags_on_match_failure:
+    if tags_on_match_failure or (tags_on_timeout and match_timeout_ms):
         from .mutate import TAGS_COL, ensure_tags
 
         df = ensure_tags(df)
-        df = df.withColumn(
-            TAGS_COL,
-            F.when(
-                ~matched_prev,
+        tags = F.col(TAGS_COL)
+        if tags_on_match_failure:
+            tags = F.when(
+                ~matched_prev & ~timed_any,
                 F.array_union(
-                    F.col(TAGS_COL),
+                    tags,
                     F.array(*[F.lit(t) for t in tags_on_match_failure]),
                 ),
-            ).otherwise(F.col(TAGS_COL)),
-        )
-    return df.drop(*[c for c in tmp])
+            ).otherwise(tags)
+        if tags_on_timeout and match_timeout_ms:
+            tags = F.when(
+                timed_any,
+                F.array_union(
+                    tags,
+                    F.array(*[F.lit(t) for t in tags_on_timeout]),
+                ),
+            ).otherwise(tags)
+        df = df.withColumn(TAGS_COL, tags)
+    drops = [c for c in tmp]
+    if match_timeout_ms:
+        drops += [f"__grok_s{j}" for j in range(len(compiled))]
+    return df.drop(*drops)
 
 
 # the 11-processor reference perf pipeline starts with this pattern

@@ -708,3 +708,46 @@ def test_grok_java_named_group_counts_and_captures(spark):
     finally:
         GROK_PATTERNS.pop("NAMEDGRP", None)
         GROK_PATTERNS.pop("LOOKBEHIND", None)
+
+
+def test_grok_match_timeout_parity_and_budget(spark):
+    """match_timeout_ms routes through the regex-module UDF: same
+    captures as the Catalyst fast path on benign input, and a REAL
+    per-match budget on catastrophic patterns (GrokProcessor.java
+    match_timeout_ms + tags_on_timeout)."""
+    from data_prepper_spark.operators.parse import COMMON_APACHE_LOG, grok
+
+    line = (
+        '10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /x.gif HTTP/1.0" 200 2326'
+    )
+    df = spark.createDataFrame([(line,)], "message string")
+    cols = ["clientip", "verb", "request", "response", "bytes"]
+    fast = grok(df, "message", COMMON_APACHE_LOG).select(*cols).collect()
+    slow = grok(
+        df, "message", COMMON_APACHE_LOG, match_timeout_ms=30000
+    ).select(*cols).collect()
+    assert fast == slow
+    assert slow[0]["clientip"] == "10.1.2.3"
+
+    # catastrophic backtracking: (a|aa)+$ against a^n + z is
+    # exponential; the budget must fire instead of hanging
+    evil = spark.createDataFrame(
+        [("a" * 40 + "z",), ("hello 7",)], "message string"
+    )
+    out = grok(
+        evil,
+        "message",
+        ["(?<pfx>(?:a|aa)+)$", "%{WORD:w} %{INT:n}"],
+        match_timeout_ms=200,
+        tags_on_timeout=["_groktimeout"],
+        tags_on_match_failure=["_grokparsefailure"],
+    ).collect()
+    by = {r["message"][:8]: r for r in out}
+    timed = by["aaaaaaaa"]
+    assert "_groktimeout" in timed["_tags"]
+    assert "_grokparsefailure" not in timed["_tags"]  # abort, not fail
+    assert timed["pfx"] is None and timed["w"] is None  # later skipped
+    ok = by["hello 7"]
+    assert ok["w"] == "hello" and ok["n"] == "7"
+    assert ok["_tags"] == []
