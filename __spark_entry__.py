@@ -3302,6 +3302,32 @@ def rss_items_extract(spark, sf_dir):
     )
 
 
+def key_value_recursive_parse(spark, sf_dir):
+    """key_value recursive:true (KeyValueProcessor.java:420-487) over
+    synthesized bracket-nested pairs; output is the nested parse as a
+    canonical JSON string (data-dependent depth cannot be a static
+    Spark type). Oracle rebuilds the exact JSON text in SQL."""
+    from data_prepper_spark.operators.parse import key_value_recursive
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    eid = F.col("event_id")
+    msg = F.concat(
+        F.lit("a="), (eid % 10).cast("string"),
+        F.lit("&b=(c="), (eid % 7).cast("string"),
+        F.lit("&d=[e="), (eid % 5).cast("string"),
+        F.lit("])&t="), F.col("event_type"),
+    )
+    out = key_value_recursive(
+        e.withColumn("message", msg), "message", dest="parsed"
+    )
+    return out.select(
+        eid.alias("eid"), F.col("event_type").alias("etype"),
+        F.col("parsed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3347,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_metrics_decode": otel_metrics_decode,
         "prometheus_remote_write_decode": prometheus_remote_write_decode,
         "rss_items_extract": rss_items_extract,
+        "key_value_recursive_parse": key_value_recursive_parse,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -3873,6 +3900,15 @@ SELECT
   'feed-' || CAST(uid % 3 AS VARCHAR) AS ch_title,
   'https://ex.com/f' || CAST(uid % 3 AS VARCHAR) AS ch_link
 FROM t
+"""
+
+    sql["key_value_recursive_parse"] = """
+SELECT event_id AS eid, event_type AS etype,
+  '{"a":"' || CAST(event_id % 10 AS VARCHAR)
+  || '","b":{"c":"' || CAST(event_id % 7 AS VARCHAR)
+  || '","d":{"e":"' || CAST(event_id % 5 AS VARCHAR)
+  || '"}},"t":"' || event_type || '"}' AS parsed
+FROM events
 """
 
     sql["multiline_assembly"] = """

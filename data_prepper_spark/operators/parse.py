@@ -570,6 +570,98 @@ def key_value(
     return df.withColumn(dest, parsed)
 
 
+_KV_BRACKETS = {"[": "]", "(": ")", "<": ">"}
+
+
+def _kv_recurse(
+    text: str, field_split: str, value_split: str, non_match: str | None
+) -> dict:
+    """Faithful port of the reference's bracket-aware recursive parse
+    (KeyValueProcessor.java:420-487 recurse): pairs split at
+    bracket-depth-0 field delimiters; a value wholly enclosed in
+    [] / () / <> recurses into a nested object; blank key -> the raw
+    pair keyed to non_match_value; keys strip trailing and values
+    leading whitespace."""
+    pairs, depth, start = [], [], 0
+    for i, c in enumerate(text):
+        if c in _KV_BRACKETS:
+            depth.append(c)
+        elif depth and c == _KV_BRACKETS[depth[-1]]:
+            depth.pop()
+        elif not depth and c == field_split:
+            pairs.append(text[start:i])
+            start = i + 1
+    pairs.append(text[start:])
+
+    out: dict = {}
+    for pair in pairs:
+        key, vstart, depth = "", -1, []
+        for i, c in enumerate(pair):
+            if c in _KV_BRACKETS:
+                depth.append(c)
+            elif depth and c == _KV_BRACKETS[depth[-1]]:
+                depth.pop()
+            elif not depth and c == value_split:
+                key = pair[:i].rstrip()
+                vstart = i + 1
+                while vstart < len(pair) and pair[vstart] == " ":
+                    vstart += 1
+                break
+        if not key.strip():
+            out[pair] = non_match
+        elif vstart < len(pair) and pair[vstart] in _KV_BRACKETS:
+            if pair and pair[-1] == _KV_BRACKETS[pair[vstart]]:
+                out[key] = _kv_recurse(
+                    pair[vstart + 1:-1].lstrip(),
+                    field_split, value_split, non_match,
+                )
+            # unbalanced bracket value: dropped (reference :474-481
+            # falls through without a put)
+        else:
+            out[key] = pair[vstart:].lstrip() if vstart >= 0 else non_match
+    return out
+
+
+def key_value_recursive(
+    df: DataFrame,
+    source: str,
+    dest: str = "parsed",
+    field_split: str = "&",
+    value_split: str = "=",
+    non_match_value: str | None = None,
+) -> DataFrame:
+    """key_value with `recursive: true` (KeyValueProcessorConfig —
+    single-char delimiters enforced there too). The result nesting
+    depth is data-dependent, which no static Spark map/struct type can
+    carry, so `dest` is the parse as a JSON STRING — feed it to
+    F.parse_json for a VARIANT or F.from_json with a known schema.
+    Arrow-batched UDF: a recursive bracket grammar is inherently
+    per-record (the reference walks it per event in Java too); at
+    scale this is a narrow map, no shuffle."""
+    if len(field_split) != 1 or len(value_split) != 1:
+        raise ValueError(
+            "recursive key_value requires single-char delimiters "
+            "(KeyValueProcessor.java:103-105)"
+        )
+    if field_split in "[]()<>" or value_split in "[]()<>":
+        raise ValueError(
+            "recursive key_value delimiters cannot be brackets "
+            "(KeyValueProcessor.java:112-115)"
+        )
+    import json as _json
+
+    @F.pandas_udf("string")
+    def _parse(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else _json.dumps(
+                _kv_recurse(v, field_split, value_split, non_match_value),
+                separators=(",", ":"),
+            )
+        )
+
+    return df.withColumn(dest, _parse(F.col(source)))
+
+
 def key_value_list(
     df: DataFrame,
     source: str,

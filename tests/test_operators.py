@@ -751,3 +751,56 @@ def test_grok_match_timeout_parity_and_budget(spark):
     ok = by["hello 7"]
     assert ok["w"] == "hello" and ok["n"] == "7"
     assert ok["_tags"] == []
+
+
+def test_key_value_recursive(spark):
+    """recursive: true (KeyValueProcessor.java:420-487): bracket-aware
+    pair split, nested-object recursion for [], (), <>, blank-key
+    non_match, unbalanced-bracket drop."""
+    import json
+
+    from data_prepper_spark.operators.parse import key_value_recursive
+
+    rows = [
+        ("a=1&b=(c=2&d=[e=3&f=4])&g=<h=5>",),
+        ("plain=v&noval",),
+        ("bad=[x=1&done=ok",),  # unbalanced bracket swallows the rest
+    ]
+    df = spark.createDataFrame(rows, "message string")
+    out = {
+        r["message"]: json.loads(r["parsed"])
+        for r in key_value_recursive(
+            df, "message", non_match_value="miss"
+        ).collect()
+    }
+    assert out[rows[0][0]] == {
+        "a": "1",
+        "b": {"c": "2", "d": {"e": "3", "f": "4"}},
+        "g": {"h": "5"},
+    }
+    assert out[rows[1][0]] == {"plain": "v", "noval": "miss"}
+    # depth never returns to 0, so no field split happens and the
+    # single unbalanced pair is dropped (reference :474-481)
+    assert out[rows[2][0]] == {}
+
+    # single-char + non-bracket delimiter guards (reference :103-115)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        key_value_recursive(df, "message", field_split="&&")
+    with _pytest.raises(ValueError):
+        key_value_recursive(df, "message", value_split="[")
+
+    # VARIANT interop: the JSON lands in parse_json cleanly
+    from pyspark.sql import functions as F
+
+    v = (
+        key_value_recursive(df.limit(1), "message")
+        .select(
+            F.try_variant_get(
+                F.parse_json("parsed"), "$.b.d.e", "string"
+            ).alias("e")
+        )
+        .collect()
+    )
+    assert v[0]["e"] == "3"
