@@ -3328,6 +3328,38 @@ def key_value_recursive_parse(spark, sf_dir):
     )
 
 
+SLOPPY_PHRASES = ["merge group", "group merge", "filter sort"]
+
+
+def sloppy_phrase_engine(spark, sf_dir):
+    """Lucene sloppy-phrase (unordered slop with transpositions;
+    index/positions.py::sloppy_phrase_topk): match cost = range of
+    offset-adjusted positions, one pick per term — 'group merge'
+    matches docs with adjacent 'merge group' at cost 2, the Lucene
+    transposition rule. Emits the FULL match set with min_cost at
+    slop=2; the oracle recomputes the 2-term minimum |pa - pb + 1|
+    over all position pairs in SQL."""
+    from data_prepper_spark import fsio
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        sloppy_phrase_topk,
+    )
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    if not fsio.isdir(f"{idx}/positions"):
+        build_positions(spark, cpath, idx)
+    ph = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(SLOPPY_PHRASES)],
+        "query_id long, phrase string",
+    )
+    out = sloppy_phrase_topk(spark, idx, ph, k=10_000_000, slop=2)
+    return out.select(
+        "query_id",
+        F.col("path").cast("long").alias("doc_id"),
+        "min_cost",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3374,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prometheus_remote_write_decode": prometheus_remote_write_decode,
         "rss_items_extract": rss_items_extract,
         "key_value_recursive_parse": key_value_recursive_parse,
+        "sloppy_phrase_engine": sloppy_phrase_engine,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -4924,6 +4957,28 @@ FROM ranked WHERE rank <= 10
     _ph_vals = ", ".join(
         f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(PHRASE_QUERIES)
     )
+    _sl_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p.split()[0]}', '{p.split()[1]}')"
+        for i, p in enumerate(SLOPPY_PHRASES)
+    )
+    sql["sloppy_phrase_engine"] = f"""
+WITH qraw(query_id, t1, t2) AS (VALUES {_sl_vals}),
+base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(len(toks))) AS pos
+  FROM base
+),
+pairs AS (
+  SELECT q.query_id, a.doc_id,
+         CAST(MIN(abs(a.pos - b.pos + 1)) AS INT) AS min_cost
+  FROM qraw q
+  JOIN tok a ON a.term = q.t1
+  JOIN tok b ON b.term = q.t2 AND b.doc_id = a.doc_id
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, min_cost FROM pairs WHERE min_cost <= 2
+"""
     sql["phrase_positional_engine"] = f"""
 WITH qraw(query_id, phrase) AS (VALUES {_ph_vals}),
 q AS (SELECT query_id, {tokenize_sql('phrase')} AS pt FROM qraw),

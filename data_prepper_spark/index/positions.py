@@ -25,9 +25,15 @@ join, and a per-doc fold intersects successive terms' position lists
 algorithm, expressed in Catalyst array functions (no Python in the
 query path).
 
-Documented divergence: slop here is ORDERED slop (terms must appear
-in phrase order, gaps up to `slop` tokens); Lucene's sloppy phrase
-also permits transpositions with an edit-cost budget.
+`phrase_topk_positional` slop is ORDERED slop (terms in phrase order,
+gaps up to `slop` tokens). `sloppy_phrase_topk` adds Lucene's
+UNORDERED sloppy semantics (SloppyPhraseMatcher): pick one position
+per phrase term, adjust by the term's phrase offset, and the match
+cost is the RANGE of the adjusted positions — a transposition of two
+adjacent terms costs 2, so "b a" matches the phrase "a b" at slop>=2,
+exactly Lucene's behavior. Divergence: phrase frequency counts
+greedily non-overlapping minimal match windows (Lucene's repeat-term
+bookkeeping can count certain pathological repeats differently).
 """
 
 from __future__ import annotations
@@ -270,6 +276,122 @@ def phrase_topk_positional(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "rank", "doc_id", "phrase_freq",
+            "repo", "path", "commit",
+        )
+    )
+
+
+def _sloppy_stats_udf(slop: int):
+    """(ti, positions) rows -> (min_cost, freq) per candidate doc.
+    Smallest-range-over-k-lists two-pointer on the merged adjusted
+    positions (pos - phrase offset): every time the window covers all
+    k phrase slots, its range is a candidate cost. min_cost is the
+    global minimum (match iff <= slop); freq counts left-to-right
+    non-overlapping minimal windows whose cost <= slop (windows over
+    budget are skipped without consuming their span)."""
+
+    @F.pandas_udf("min_cost int, freq int")
+    def fn(arrs: pd.Series) -> pd.DataFrame:
+        out_cost, out_freq = [], []
+        for arr in arrs:
+            k = len(arr)
+            items = sorted(
+                (int(p) - int(e["ti"]), int(e["ti"]))
+                for e in arr
+                for p in e["positions"]
+            )
+            counts: dict = {}
+            have = 0
+            left = 0
+            min_cost = None
+            freq = 0
+            last_r = -1
+            for r, (a, t) in enumerate(items):
+                counts[t] = counts.get(t, 0) + 1
+                if counts[t] == 1:
+                    have += 1
+                while have == k:
+                    cost = a - items[left][0]
+                    if min_cost is None or cost < min_cost:
+                        min_cost = cost
+                    if cost <= slop and left > last_r:
+                        freq += 1
+                        last_r = r
+                    lt = items[left][1]
+                    counts[lt] -= 1
+                    if counts[lt] == 0:
+                        have -= 1
+                    left += 1
+            out_cost.append(min_cost)
+            out_freq.append(freq)
+        return pd.DataFrame({"min_cost": out_cost, "freq": out_freq})
+
+    return fn
+
+
+def sloppy_phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: DataFrame,
+    k: int = 10,
+    slop: int = 0,
+    tie_expr=None,
+) -> DataFrame:
+    """Lucene sloppy-phrase top-k (unordered, transpositions allowed)
+    from the positions sidecar: match cost = range of offset-adjusted
+    positions across one pick per term; a doc matches iff its minimal
+    cost <= slop; rank by sloppy phrase_freq (greedy non-overlapping
+    windows within slop) desc, doc_id asc. Same pruned scan + counted
+    join as phrase_topk_positional; the merge scan is an Arrow-batched
+    UDF over the already-grouped candidates (no extra shuffle)."""
+    from .query import _query_analyzer
+
+    ptoks = _query_analyzer(_stats_or_empty(index_dir))(F.col("phrase"))
+    q = phrases.select(
+        "query_id", F.posexplode(ptoks).alias("ti", "term")
+    )
+    qn = q.groupBy("query_id").agg(
+        F.count_distinct("term").alias("_n")
+    )
+    terms = [r["term"] for r in q.select("term").distinct().collect()]
+    pos = (
+        spark.read.parquet(os.path.join(index_dir, "positions"))
+        .filter(F.col("term").isin(terms))
+    )
+    j = q.join(pos, "term").select(
+        "query_id", "ti", "term", "doc_id", "positions"
+    )
+    grouped = (
+        j.groupBy("query_id", "doc_id")
+        .agg(
+            F.count_distinct("term").alias("_nt"),
+            F.array_sort(
+                F.collect_list(F.struct("ti", "positions"))
+            ).alias("_arr"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_nt") == F.col("_n"))
+    )
+    st = _sloppy_stats_udf(slop)(F.col("_arr"))
+    scored = (
+        grouped.withColumn("_st", st)
+        .withColumn("min_cost", F.col("_st")["min_cost"])
+        .withColumn("phrase_freq", F.col("_st")["freq"])
+        .filter(F.col("min_cost") <= F.lit(slop))
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "doc_id", "repo", "path", "commit"
+    )
+    out = scored.join(ident, "doc_id")
+    tie = F.col("doc_id") if tie_expr is None else tie_expr
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("phrase_freq"), F.asc(tie)
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "phrase_freq", "min_cost",
             "repo", "path", "commit",
         )
     )

@@ -1111,3 +1111,63 @@ def test_tombstones_visible_across_all_apis(spark, index_dir, fixture_dir,
 
     cl = collapse_search(spark, idx, cpath, q1, field="lang", k=5).toPandas()
     assert len(cl) == 0
+
+
+def test_sloppy_phrase_transpositions(spark):
+    """Lucene sloppy-phrase semantics (SloppyPhraseMatcher): cost =
+    range of offset-adjusted positions. Transposition costs 2; ordered
+    gaps cost their width; freq counts non-overlapping windows."""
+    import shutil as sh
+    import tempfile
+
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        phrase_topk_positional,
+        sloppy_phrase_topk,
+    )
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="slopidx_")
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 4,
+            "path": ["exact", "gap", "swap", "double"],
+            "commit": ["c"] * 4,
+            "content": [
+                "alpha beta end",            # exact match
+                "alpha filler beta end",     # ordered gap 1
+                "beta alpha end",            # transposition (cost 2)
+                "alpha beta mid alpha beta", # two windows
+            ],
+        }
+    )
+    cp = os.path.join(tmp, "c.parquet")
+    pdf.to_parquet(cp)
+    spark.createDataFrame(pdf).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "repo", "path", "commit",
+    ).write.parquet(os.path.join(tmp, "docs"))
+    build_positions(spark, cp, tmp)
+    phq = spark.createDataFrame(
+        [(0, "alpha beta")], "query_id long, phrase string"
+    )
+
+    def paths(df):
+        return dict(zip(df.path, zip(df.min_cost, df.phrase_freq)))
+
+    s0 = paths(sloppy_phrase_topk(spark, tmp, phq, slop=0).toPandas())
+    assert set(s0) == {"exact", "double"}
+    assert s0["double"] == (0, 2)  # two non-overlapping exact windows
+    s1 = paths(sloppy_phrase_topk(spark, tmp, phq, slop=1).toPandas())
+    assert set(s1) == {"exact", "gap", "double"}  # swap costs 2: out
+    assert s1["gap"] == (1, 1)
+    s2 = paths(sloppy_phrase_topk(spark, tmp, phq, slop=2).toPandas())
+    assert set(s2) == {"exact", "gap", "swap", "double"}
+    assert s2["swap"] == (2, 1)  # the Lucene transposition rule
+
+    # ordered path rejects the swap even at slop=2 (ordered semantics)
+    ordered = phrase_topk_positional(
+        spark, tmp, phq, slop=2, k=10
+    ).toPandas()
+    assert "swap" not in set(ordered.path)
+    sh.rmtree(tmp)
