@@ -3226,6 +3226,80 @@ def prometheus_remote_write_decode(spark, sf_dir):
     )
 
 
+def prometheus_scrape_decode(spark, sf_dir):
+    """Prometheus scrape-path decode (TextExpositionParser.java):
+    per-event text exposition bodies — histogram family with # TYPE
+    declaration, summary with quantiles, counter with _total strip +
+    _created drop, gauge — through operators/prometheus.py
+    prometheus_scrape. Oracle rebuilds each inferred row in SQL."""
+    from data_prepper_spark.operators.prometheus import prometheus_scrape
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    ts = (F.lit(1700000000) + eid % 86400) * 1000 + (eid % 4) * 250
+    tss = ts.cast("string")
+    c1 = (eid % 5).cast("string")
+    c2 = (eid % 5 + eid % 3).cast("string")
+    c3 = (eid % 5 + eid % 3 + eid % 2).cast("string")
+    lbl = F.concat(
+        F.lit('eid="'), eid.cast("string"),
+        F.lit('",job="api-'), (uid % 3).cast("string"), F.lit('"'),
+    )
+    body = F.concat(
+        F.lit("# TYPE lat histogram\n"),
+        F.lit('lat_bucket{le="0.5",'), lbl, F.lit("} "), c1,
+        F.lit(" "), tss, F.lit("\n"),
+        F.lit('lat_bucket{le="2",'), lbl, F.lit("} "), c2,
+        F.lit(" "), tss, F.lit("\n"),
+        F.lit('lat_bucket{le="+Inf",'), lbl, F.lit("} "), c3,
+        F.lit(" "), tss, F.lit("\n"),
+        F.lit("lat_count{"), lbl, F.lit("} "), c3,
+        F.lit(" "), tss, F.lit("\n"),
+        F.lit("lat_sum{"), lbl, F.lit("} "),
+        ((eid % 7) * F.lit(0.25)).cast("string"),
+        F.lit(" "), tss, F.lit("\n"),
+        F.lit("# TYPE rpc summary\n"),
+        F.lit('rpc{quantile="0.5",'), lbl, F.lit("} "),
+        ((eid % 8) * F.lit(0.125)).cast("string"), F.lit("\n"),
+        F.lit('rpc{quantile="0.99",'), lbl, F.lit("} "),
+        ((eid % 8) * F.lit(0.25)).cast("string"), F.lit("\n"),
+        F.lit("rpc_count{"), lbl, F.lit("} "),
+        (10 + eid % 5).cast("string"), F.lit("\n"),
+        F.lit("rpc_sum{"), lbl, F.lit("} "),
+        ((eid % 9) * F.lit(0.5)).cast("string"), F.lit("\n"),
+        F.lit("# TYPE errors counter\n"),
+        F.lit("errors_total{"), lbl, F.lit("} "),
+        (eid % 11).cast("string"), F.lit(" "), tss, F.lit("\n"),
+        F.lit("errors_created{"), lbl, F.lit("} 99\n"),
+        F.lit("mem{"), lbl, F.lit("} "),
+        ((eid % 13) * F.lit(1.5)).cast("string"),
+        F.lit(" "), tss, F.lit("\n"),
+    )
+    out = prometheus_scrape(
+        e.select(body.alias("body")), now_iso="2026-01-01T00:00:00Z"
+    )
+    return out.select(
+        F.element_at(F.col("attributes"), "eid").cast("long").alias("eid"),
+        F.col("name"),
+        F.col("kind"),
+        F.col("time"),
+        F.col("value"),
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("total"),
+        F.array_join(
+            F.transform(
+                F.col("bucketCountsList"), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("buckets"),
+        F.element_at(F.col("quantiles"), 1)["value"].alias("q50"),
+        F.element_at(F.col("quantiles"), 2)["value"].alias("q99"),
+        F.col("isMonotonic").cast("int").alias("monotonic"),
+        F.col("serviceName").alias("service"),
+    )
+
+
 def rss_items_extract(spark, sf_dir):
     """rss source (RssReaderTask.java:44-67: every feed <item> becomes
     one Document event). Synthesizes one RSS 2.0 document per event
@@ -3404,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_logs_decode": otel_logs_decode,
         "otel_metrics_decode": otel_metrics_decode,
         "prometheus_remote_write_decode": prometheus_remote_write_decode,
+        "prometheus_scrape_decode": prometheus_scrape_decode,
         "rss_items_extract": rss_items_extract,
         "key_value_recursive_parse": key_value_recursive_parse,
         "sloppy_phrase_engine": sloppy_phrase_engine,
@@ -3902,6 +3977,53 @@ SELECT eid, 'mem', 'GAUGE', t,
   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
   CAST(NULL AS VARCHAR), CAST(NULL AS INT), svc
+FROM e
+"""
+
+    sql["prometheus_scrape_decode"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS uid,
+    strftime(make_timestamp((1700000000 + event_id % 86400) * 1000000),
+             '%Y-%m-%dT%H:%M:%S')
+    || CASE event_id % 4 WHEN 0 THEN '' WHEN 1 THEN '.250'
+       WHEN 2 THEN '.500' ELSE '.750' END || 'Z' AS t,
+    'api-' || CAST(user_id % 3 AS VARCHAR) AS svc
+  FROM events
+)
+SELECT eid, 'lat' AS name, 'HISTOGRAM' AS kind, t AS time,
+  CAST(NULL AS DOUBLE) AS value,
+  CAST(eid % 5 + eid % 3 + eid % 2 AS BIGINT) AS cnt,
+  CAST(eid % 7 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS total,
+  CAST(eid % 5 AS VARCHAR) || ',' || CAST(eid % 3 AS VARCHAR)
+    || ',' || CAST(eid % 2 AS VARCHAR) AS buckets,
+  CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q99,
+  CAST(NULL AS INT) AS monotonic, svc AS service
+FROM e
+UNION ALL
+SELECT eid, 'rpc', 'SUMMARY', '2026-01-01T00:00:00Z',
+  CAST(NULL AS DOUBLE),
+  CAST(10 + eid % 5 AS BIGINT),
+  CAST(eid % 9 AS DOUBLE) * CAST(0.5 AS DOUBLE),
+  CAST(NULL AS VARCHAR),
+  CAST(eid % 8 AS DOUBLE) * CAST(0.125 AS DOUBLE),
+  CAST(eid % 8 AS DOUBLE) * CAST(0.25 AS DOUBLE),
+  CAST(NULL AS INT), svc
+FROM e
+UNION ALL
+SELECT eid, 'errors', 'SUM', t,
+  CAST(eid % 11 AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS VARCHAR),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(1 AS INT), svc
+FROM e
+UNION ALL
+SELECT eid, 'mem', 'GAUGE', t,
+  CAST(eid % 13 AS DOUBLE) * CAST(1.5 AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS VARCHAR),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS INT), svc
 FROM e
 """
 

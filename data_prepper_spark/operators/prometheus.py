@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .otel import _iso8601
+from .otel import _entries_last_wins, _iso8601
 from .otel_pb import _enc_varint, _fields, _ld, _s, _tag
 
 # ---------------------------------------------------------------------------
@@ -463,3 +463,354 @@ def prometheus_remote_write(
     )
 
     return hist.unionByName(summ).unionByName(lone)
+
+
+# ---------------------------------------------------------------------------
+# scrape path: text exposition format (TextExpositionParser.java)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RE = r"^([^\s{]+)(\{.*\})?\s+(\S+)(?:\s+(\S+))?\s*$"
+_LABEL_RE = r'([^=,{}\s]+)\s*=\s*"((?:\\.|[^"\\])*)"'
+_TYPE_SUFFIXES = ["_bucket", "_count", "_sum", "_total", "_created"]
+
+
+def _unescape_label(v):
+    """Exposition label escapes \\\\ \\\" \\n (parseLabels, :188-213):
+    placeholder two-step so '\\\\n' stays a literal backslash + n."""
+    v = F.regexp_replace(v, r"\\\\", "\x00")
+    v = F.regexp_replace(v, r'\\"', '"')
+    v = F.regexp_replace(v, r"\\n", "\n")
+    return F.regexp_replace(v, "\x00", r"\\")
+
+
+def _parse_num(col):
+    """NaN / +Inf / -Inf / decimal (parseValue, :449-460)."""
+    return (
+        F.when(F.lower(col) == "nan", F.lit(float("nan")))
+        .when(col == "+Inf", F.lit(_INF))
+        .when(col == "-Inf", F.lit(-_INF))
+        .otherwise(col.try_cast("double"))
+    )
+
+
+def prometheus_scrape(
+    df: DataFrame,
+    source: str = "body",
+    *,
+    now_iso: str = "1970-01-01T00:00:00Z",
+) -> DataFrame:
+    """Prometheus scrape-path decode: text exposition bodies in
+    `df[source]` -> the same metric-event rows as the remote-write
+    path, but with `# TYPE` declarations resolving the metric type
+    (resolveType: exact name first, then each known suffix stripped —
+    TextExpositionParser.java:268-283; undeclared -> gauge). Histogram
+    and summary samples accumulate per (base, label-set) — ONE event
+    per group stamped with the group's FIRST sample timestamp — with
+    the cumulative->per-bucket conversion, `_created` counter drop,
+    counter suffix strip, NaN-bucket skip, and all-zero-group drop
+    mirrored. Pure Catalyst end to end: line explode, one regex per
+    field family, broadcast type-table join, hash-aggregated groups."""
+    df = df.withColumn("__req_id", F.monotonically_increasing_id())
+    lines = df.select(
+        F.col("__req_id").alias("req_id"),
+        F.posexplode(F.split(F.col(source), "\n")).alias("ln", "raw"),
+    ).select("req_id", "ln", F.trim(F.col("raw")).alias("line"))
+
+    types = F.broadcast(
+        lines.where(F.col("line").startswith("# TYPE "))
+        .select(
+            "req_id",
+            "ln",
+            F.regexp_extract("line", r"^# TYPE\s+(\S+)\s+(\S+)", 1).alias(
+                "tname"
+            ),
+            F.lower(
+                F.regexp_extract("line", r"^# TYPE\s+(\S+)\s+(\S+)", 2)
+            ).alias("ttype"),
+        )
+        .where(F.col("tname") != "")
+        .groupBy("req_id", "tname")
+        .agg(F.max_by("ttype", "ln").alias("ttype"))
+    )
+
+    m = lambda i: F.regexp_extract("line", _SAMPLE_RE, i)  # noqa: E731
+    samples = (
+        lines.where(
+            (F.col("line") != "") & ~F.col("line").startswith("#")
+        )
+        .select(
+            "req_id", "ln",
+            m(1).alias("name"),
+            m(2).alias("lbl_blk"),
+            _parse_num(m(3)).alias("value"),
+            m(4).alias("ts_str"),
+        )
+        .where((F.col("name") != "") & F.col("value").isNotNull())
+        .withColumn(
+            "labels",
+            F.map_from_entries(
+                _entries_last_wins(F.transform(
+                    F.regexp_extract_all(
+                        F.col("lbl_blk"), F.lit(_LABEL_RE), 0
+                    ),
+                    lambda kv: F.struct(
+                        F.trim(
+                            F.regexp_extract(kv, _LABEL_RE, 1)
+                        ).alias("key"),
+                        _unescape_label(
+                            F.regexp_extract(kv, _LABEL_RE, 2)
+                        ).alias("value"),
+                    ),
+                ))
+            ),
+        )
+        .withColumn(
+            "ts_ms",
+            F.when(
+                F.col("ts_str").contains("."),
+                (F.col("ts_str").try_cast("double") * 1000).cast("long"),
+            ).otherwise(F.col("ts_str").try_cast("long")),
+        )
+    )
+
+    # type resolution: exact name, then each suffix-stripped base, in
+    # order; first declared wins; default gauge
+    cand = samples.select(
+        "req_id", "ln",
+        F.posexplode(
+            F.array_compact(
+                F.array(
+                    F.col("name"),
+                    *[
+                        F.when(
+                            F.col("name").endswith(sfx),
+                            F.expr(
+                                f"substring(name, 1, length(name) - {len(sfx)})"
+                            ),
+                        )
+                        for sfx in _TYPE_SUFFIXES
+                    ],
+                )
+            )
+        ).alias("prio", "tname"),
+    )
+    resolved = (
+        cand.join(types, ["req_id", "tname"])
+        .groupBy("req_id", "ln")
+        .agg(F.min_by("ttype", "prio").alias("mtype"))
+    )
+    s = (
+        samples.join(resolved, ["req_id", "ln"], "left")
+        .withColumn("mtype", F.coalesce(F.col("mtype"), F.lit("gauge")))
+    )
+
+    # -- counters / gauges / untyped ---------------------------------------
+    is_ctr = F.col("mtype") == "counter"
+    lone = _pad(
+        s.where(
+            (is_ctr & ~F.col("name").endswith("_created"))
+            | (~is_ctr & ~F.col("mtype").isin("histogram", "summary"))
+        ).select(
+            "req_id",
+            F.when(
+                is_ctr,
+                F.regexp_replace(
+                    F.col("name"), "(_total|_created)$", ""
+                ),
+            ).otherwise(F.col("name")).alias("name"),
+            F.when(is_ctr, F.lit("SUM")).otherwise(
+                F.lit("GAUGE")
+            ).alias("kind"),
+            F.when(
+                F.col("ts_ms").isNotNull(),
+                _iso8601(F.col("ts_ms") * F.lit(1000000)),
+            ).otherwise(F.lit(now_iso)).alias("time"),
+            F.col("value"),
+            F.when(is_ctr, F.lit(_CUMULATIVE)).alias(
+                "aggregationTemporality"
+            ),
+            F.when(is_ctr, F.lit(True)).alias("isMonotonic"),
+            _service_name(F.col("labels")).alias("serviceName"),
+            F.col("labels").alias("attributes"),
+        )
+    )
+
+    # -- histogram / summary accumulators ----------------------------------
+    def _acc(kind: str, drop_label: str, base_expr):
+        rows = s.where(F.col("mtype") == kind).select(
+            "req_id", "ln", "name", "value", "ts_ms", "labels",
+            base_expr.alias("base"),
+            F.map_filter(
+                F.col("labels"), lambda k, v: k != drop_label
+            ).alias("common"),
+        )
+        return rows.withColumn("ckey", _common_key(F.col("common")))
+
+    hsfx = F.col("name")
+    hist_base = (
+        F.when(hsfx.endswith("_bucket"),
+               F.expr("substring(name, 1, length(name) - 7)"))
+        .when(hsfx.endswith("_count"),
+              F.expr("substring(name, 1, length(name) - 6)"))
+        .when(hsfx.endswith("_sum"),
+              F.expr("substring(name, 1, length(name) - 4)"))
+        .otherwise(F.col("name"))
+    )
+    summ_base = (
+        F.when(hsfx.endswith("_count"),
+               F.expr("substring(name, 1, length(name) - 6)"))
+        .when(hsfx.endswith("_sum"),
+              F.expr("substring(name, 1, length(name) - 4)"))
+        .otherwise(F.col("name"))
+    )
+
+    hr = _acc("histogram", "le", hist_base).withColumn(
+        "le",
+        F.when(
+            F.col("name").endswith("_bucket"),
+            _parse_special_scrape(F.element_at(F.col("labels"), "le")),
+        ),
+    )
+    hg = (
+        hr.groupBy("req_id", "base", "ckey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("le").isNotNull() & ~F.isnan("value"),
+                        F.struct(F.col("le"), F.col("value").alias("v")),
+                    )
+                )
+            ).alias("bk"),
+            F.max(
+                F.when(
+                    F.col("name").endswith("_count") & ~F.isnan("value"),
+                    F.col("value"),
+                )
+            ).alias("cnt_v"),
+            F.max(
+                F.when(F.col("name").endswith("_sum"), F.col("value"))
+            ).alias("sum_v"),
+            F.min_by("ts_ms", "ln").alias("ts_ms"),
+            F.first("common").alias("attributes"),
+        )
+        # all-zero accumulator drop (buildHistogramRecord :374-376)
+        .where(
+            (F.size("bk") > 0)
+            | (F.coalesce(F.col("cnt_v"), F.lit(0.0)) != 0)
+            | (F.coalesce(F.col("sum_v"), F.lit(0.0)) != 0.0)
+        )
+    )
+    bk = F.col("bk")
+    # prevCum = max(prev, cur) is the scrape-path clamp rule (:389-391)
+    run_max = F.transform(
+        bk,
+        lambda x, i: F.array_max(
+            F.transform(
+                F.slice(bk, 1, i + 1), lambda y: y["v"]
+            )
+        ),
+    )
+    per_bucket = F.transform(
+        bk,
+        lambda x, i: F.greatest(
+            F.lit(0.0),
+            x["v"] - F.when(i == 0, F.lit(0.0)).otherwise(
+                F.element_at(run_max, i)
+            ),
+        ).cast("long"),
+    )
+    bounds = F.transform(
+        F.filter(bk, lambda x: F.abs(x["le"]) != _INF), lambda x: x["le"]
+    )
+    hist = _pad(
+        hg.select(
+            "req_id",
+            F.col("base").alias("name"),
+            F.lit("HISTOGRAM").alias("kind"),
+            F.when(
+                F.col("ts_ms").isNotNull(),
+                _iso8601(F.col("ts_ms") * F.lit(1000000)),
+            ).otherwise(F.lit(now_iso)).alias("time"),
+            F.coalesce(F.col("cnt_v").cast("long"), F.lit(0)).alias(
+                "count"
+            ),
+            F.coalesce(F.col("sum_v"), F.lit(0.0)).alias("sum"),
+            per_bucket.alias("bucketCountsList"),
+            bounds.alias("explicitBounds"),
+            F.size(bk).alias("bucketCount"),
+            F.size(bounds).alias("explicitBoundsCount"),
+            F.lit(_CUMULATIVE).alias("aggregationTemporality"),
+            _service_name(F.col("attributes")).alias("serviceName"),
+            "attributes",
+        )
+    )
+
+    sr = _acc("summary", "quantile", summ_base).withColumn(
+        "q",
+        _parse_special_scrape(F.element_at(F.col("labels"), "quantile")),
+    )
+    sg = (
+        sr.groupBy("req_id", "base", "ckey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("q").isNotNull(),
+                        F.struct("ln", F.col("q"), F.col("value").alias("v")),
+                    )
+                )
+            ).alias("qs"),
+            F.max(
+                F.when(
+                    F.col("name").endswith("_count") & ~F.isnan("value"),
+                    F.col("value"),
+                )
+            ).alias("cnt_v"),
+            F.max(
+                F.when(F.col("name").endswith("_sum"), F.col("value"))
+            ).alias("sum_v"),
+            F.min_by("ts_ms", "ln").alias("ts_ms"),
+            F.first("common").alias("attributes"),
+        )
+        .where(
+            (F.size("qs") > 0)
+            | (F.coalesce(F.col("cnt_v"), F.lit(0.0)) != 0)
+            | (F.coalesce(F.col("sum_v"), F.lit(0.0)) != 0.0)
+        )
+    )
+    quantiles = F.transform(
+        F.col("qs"),
+        lambda x: F.struct(
+            x["q"].alias("quantile"), x["v"].alias("value")
+        ),
+    )
+    summ = _pad(
+        sg.select(
+            "req_id",
+            F.col("base").alias("name"),
+            F.lit("SUMMARY").alias("kind"),
+            F.when(
+                F.col("ts_ms").isNotNull(),
+                _iso8601(F.col("ts_ms") * F.lit(1000000)),
+            ).otherwise(F.lit(now_iso)).alias("time"),
+            F.coalesce(F.col("cnt_v").cast("long"), F.lit(0)).alias(
+                "count"
+            ),
+            F.coalesce(F.col("sum_v"), F.lit(0.0)).alias("sum"),
+            quantiles.alias("quantiles"),
+            F.size(F.col("qs")).alias("quantileValuesCount"),
+            _service_name(F.col("attributes")).alias("serviceName"),
+            "attributes",
+        )
+    )
+
+    return hist.unionByName(summ).unionByName(lone)
+
+
+def _parse_special_scrape(col):
+    return (
+        F.when(col == "+Inf", F.lit(_INF))
+        .when(col == "-Inf", F.lit(-_INF))
+        .otherwise(col.try_cast("double"))
+    )

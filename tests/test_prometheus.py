@@ -198,3 +198,118 @@ def test_neg_inf_excluded_from_bounds(spark):
     ).collect()
     assert r["explicitBounds"] == [3.0]  # Double.isInfinite: both ends
     assert r["bucketCountsList"] == [0, 2, 2]
+
+
+SCRAPE = """\
+# HELP http_req request latency
+# TYPE http_req histogram
+http_req_bucket{le="0.5",job="api"} 1 1544712660300
+http_req_bucket{le="1",job="api"} 4 1544712660300
+http_req_bucket{le="+Inf",job="api"} 6 1544712660300
+http_req_count{job="api"} 6 1544712660300
+http_req_sum{job="api"} 3.25 1544712660300
+# TYPE rpc_lat summary
+rpc_lat{quantile="0.5",service_name="billing"} 0.12
+rpc_lat{quantile="0.99",service_name="billing"} 0.87
+rpc_lat_count{service_name="billing"} 40
+rpc_lat_sum{service_name="billing"} 7.5
+# TYPE errors counter
+errors_total{svc="auth"} 12 1544712660.3
+errors_created{svc="auth"} 99
+# TYPE mem_bytes gauge
+mem_bytes{host="h1",msg="a\\"b\\\\c\\nd"} 512
+untyped_metric 1.5
+bad_value_metric notanumber
+nan_bucket_metric 3
+"""
+
+
+def test_scrape_full(spark):
+    from data_prepper_spark.operators.prometheus import prometheus_scrape
+
+    df = spark.createDataFrame([(SCRAPE,)], "body string")
+    rows = prometheus_scrape(df, now_iso=NOW).collect()
+    by = {(r["name"], r["kind"]): r for r in rows}
+
+    h = by[("http_req", "HISTOGRAM")]
+    assert h["time"] == "2018-12-13T14:51:00.300Z"
+    assert h["bucketCountsList"] == [1, 3, 2]
+    assert h["explicitBounds"] == [0.5, 1.0]
+    assert h["count"] == 6 and h["sum"] == 3.25
+    assert h["serviceName"] == "api"
+
+    s = by[("rpc_lat", "SUMMARY")]
+    assert [(q["quantile"], q["value"]) for q in s["quantiles"]] == [
+        (0.5, 0.12), (0.99, 0.87)
+    ]
+    assert s["count"] == 40 and s["sum"] == 7.5
+    assert s["time"] == NOW  # no timestamps anywhere in the group
+
+    c = by[("errors", "SUM")]  # _total stripped; _created DROPPED
+    assert c["value"] == 12.0 and c["isMonotonic"] is True
+    # float timestamp is seconds -> ms (parse :139-141)
+    assert c["time"] == "2018-12-13T14:51:00.300Z"
+    assert ("errors_created", "SUM") not in by
+    assert ("errors_created", "GAUGE") not in by
+
+    g = by[("mem_bytes", "GAUGE")]
+    assert g["value"] == 512.0
+    # label escape handling: \" -> ", \\ -> \, \n -> newline
+    assert g["attributes"]["msg"] == 'a"b\\c\nd'
+
+    u = by[("untyped_metric", "GAUGE")]  # undeclared -> gauge
+    assert u["value"] == 1.5 and u["attributes"] == {}
+
+    # unparseable value line silently skipped
+    assert not any(r["name"] == "bad_value_metric" for r in rows)
+    assert by[("nan_bucket_metric", "GAUGE")]["value"] == 3.0
+    assert len(rows) == 6
+
+
+def test_scrape_type_resolution_via_suffix(spark):
+    """_count/_sum/_bucket resolve through the declared BASE type;
+    declared-but-bucketless histogram _count still groups."""
+    from data_prepper_spark.operators.prometheus import prometheus_scrape
+
+    body = (
+        "# TYPE lat histogram\n"
+        "lat_count{j=\"x\"} 5\n"
+        "lat_sum{j=\"x\"} 2.5\n"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    (r,) = prometheus_scrape(df, now_iso=NOW).collect()
+    assert r["kind"] == "HISTOGRAM" and r["name"] == "lat"
+    assert r["count"] == 5 and r["sum"] == 2.5
+    assert r["bucketCountsList"] == []
+
+
+def test_scrape_all_zero_group_dropped(spark):
+    from data_prepper_spark.operators.prometheus import prometheus_scrape
+
+    body = (
+        "# TYPE lat histogram\n"
+        "lat_count 0\n"
+        "lat_sum 0.0\n"
+        "# TYPE ok gauge\n"
+        "ok 1\n"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = prometheus_scrape(df, now_iso=NOW).collect()
+    assert [r["name"] for r in rows] == ["ok"]
+
+
+def test_scrape_decreasing_cumulative_clamp(spark):
+    """Scrape clamp uses a RUNNING MAX as previous (:389-391), unlike
+    the remote-write path."""
+    from data_prepper_spark.operators.prometheus import prometheus_scrape
+
+    body = (
+        "# TYPE x histogram\n"
+        'x_bucket{le="1"} 5\n'
+        'x_bucket{le="2"} 3\n'
+        'x_bucket{le="3"} 6\n'
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    (r,) = prometheus_scrape(df, now_iso=NOW).collect()
+    # per-bucket: 5, max(0, 3-5)=0, 6-max(5,3)=1
+    assert r["bucketCountsList"] == [5, 0, 1]
