@@ -46,9 +46,14 @@ RESULT_SCHEMA = (
 )
 
 
-def _flush(url, payload, headers, max_retries, retry_interval_ms):
+def _flush(url, payload, headers, max_retries, retry_interval_ms,
+           retryable=RETRYABLE_STATUS_CODES, no_retry=AUTH_ERROR_CODES):
     """One buffered batch -> one POST, reference retry policy.
-    Returns (status, attempts). status 0 = transport failure."""
+    Returns (status, attempts). status 0 = transport failure. The
+    status sets are parameters because the push sinks disagree:
+    http-sink retries {408,429,500,502,503,504} and never retries
+    auth {401,403}; otlp-sink retries {429,502,503,504} per the OTel
+    spec (OtlpHttpSender.java:49)."""
     import urllib.error
     import urllib.request
 
@@ -68,9 +73,9 @@ def _flush(url, payload, headers, max_retries, retry_interval_ms):
             status = 0  # transport error: retryable
         if 200 <= status < 300:
             return status, attempt
-        if status in AUTH_ERROR_CODES:
+        if status in no_retry:
             return status, attempt  # never retried (HttpSinkSender.java:89)
-        if status != 0 and status not in RETRYABLE_STATUS_CODES:
+        if status != 0 and status not in retryable:
             return status, attempt
         if attempt <= max_retries:
             time.sleep(retry_interval_ms / 1000.0)

@@ -108,7 +108,8 @@ class HttpSource:
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
-        for sub in ("_tmp", "logs", *_OTLP_PATHS.values(), "otlp_traces_pb"):
+        for sub in ("_tmp", "logs", *_OTLP_PATHS.values(),
+                    *[f"{v}_pb" for v in _OTLP_PATHS.values()]):
             os.makedirs(os.path.join(spool_dir, sub), exist_ok=True)
 
     # -- spool ------------------------------------------------------------
@@ -168,8 +169,6 @@ class HttpSource:
 
     def _handle_otlp(self, sub: str, body: bytes, content_type: str):
         if "protobuf" in content_type:
-            if sub != "otlp_traces":
-                return 415, b"protobuf decode implemented for traces only"
             self._spool(sub + "_pb", body, "pb")
             return 200, b"OK"
         try:
@@ -199,6 +198,16 @@ class HttpSource:
                     self._reply(413, b"Payload Too Large")
                     return
                 body = self.rfile.read(n)
+                enc = (self.headers.get("Content-Encoding") or "").lower()
+                if enc == "gzip":
+                    import gzip as _gz
+
+                    try:
+                        body = _gz.decompress(body)
+                    except OSError:
+                        src.metrics["badRequests"] += 1
+                        self._reply(400, b"Bad gzip payload")
+                        return
                 ctype = (self.headers.get("Content-Type") or "").lower()
                 if self.path == src.log_uri:
                     code, msg = src._handle_logs(body, self.headers, ctype)
@@ -300,10 +309,34 @@ class HttpSource:
         return out
 
     def read_otlp(self, spark, signal: str):
-        """Decoded OTLP rows for 'logs' or 'metrics' (JSON wire)."""
-        from data_prepper_spark.operators import otel
+        """Decoded OTLP rows for 'logs' or 'metrics', BOTH wire forms
+        (JSON ndjson spool + protobuf .pb spool), unioned by name."""
+        from pyspark.sql import functions as F
+
+        from data_prepper_spark.operators import otel, otel_pb
 
         fn = {"logs": otel.otel_logs, "metrics": otel.otel_metrics}[signal]
+        fn_pb = {
+            "logs": otel_pb.otel_logs_pb,
+            "metrics": otel_pb.otel_metrics_pb,
+        }[signal]
+        parts = []
         d = os.path.join(self.spool_dir, f"otlp_{signal}")
-        df = spark.read.text(d).withColumnRenamed("value", "message")
-        return fn(df, source="message")
+        if any(f.endswith(".ndjson") for f in os.listdir(d)):
+            df = spark.read.text(d).withColumnRenamed("value", "message")
+            parts.append(fn(df, source="message").drop("message"))
+        pdir = os.path.join(self.spool_dir, f"otlp_{signal}_pb")
+        if any(f.endswith(".pb") for f in os.listdir(pdir)):
+            bdf = (
+                spark.read.format("binaryFile")
+                .load(pdir)
+                # NOT "body": log records decode their own body column
+                .select(F.col("content").alias("__pb_body"))
+            )
+            parts.append(fn_pb(bdf, source="__pb_body").drop("__pb_body"))
+        if not parts:
+            raise ValueError(f"no OTLP {signal} payloads spooled yet")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out

@@ -144,11 +144,31 @@ def test_otlp_json_and_protobuf_union(spark, src):
     assert rows[0]["traceId"] == rows[1]["traceId"]
 
 
-def test_otlp_pb_non_trace_415(src):
-    assert (
-        _post(src.port, "/v1/metrics", b"\x00", "application/x-protobuf")
-        == 415
+def test_otlp_pb_all_signals_spool(src):
+    """All three signals accept protobuf now (decoders exist for
+    traces, logs AND metrics since r4); payloads land in the _pb
+    spool verbatim."""
+    import os
+
+    from data_prepper_spark.operators.otel_pb import (
+        encode_metrics_request,
     )
+
+    wire = encode_metrics_request(
+        {"resourceMetrics": [{"scopeMetrics": [{"metrics": [
+            {"name": "m", "gauge": {"dataPoints": [
+                {"timeUnixNano": "0", "asDouble": 1.0}
+            ]}}
+        ]}]}]}
+    )
+    assert (
+        _post(src.port, "/v1/metrics", wire, "application/x-protobuf")
+        == 200
+    )
+    pdir = os.path.join(src.spool_dir, "otlp_metrics_pb")
+    names = [f for f in os.listdir(pdir) if f.endswith(".pb")]
+    assert len(names) == 1
+    assert open(os.path.join(pdir, names[0]), "rb").read() == wire
 
 
 def test_streaming_spool_pickup(spark, src, tmp_path):
