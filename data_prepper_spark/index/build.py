@@ -136,6 +136,14 @@ class BuildConfig:
     # None (default) = no stemming; "minimal_english" = the s-stemmer
     # in tokenizer.stem_minimal_english_*.
     stemmer: str | None = None
+    # fold the positions sidecar into THE SAME tokenize pass (ROADMAP
+    # r03 item 4 remainder): the tokenize UDF already holds the flat
+    # token stream + per-doc offsets, so recording per-(doc, term)
+    # position lists costs one extra lexsort + parquet writer per
+    # task, not a second corpus scan (build_positions stays available
+    # for retrofitting an existing index). Direct-write path only —
+    # the JVM write path has a single fixed output schema.
+    positions: bool = False
     # ordinal assignment order: "doc_id" (default — ord order equals
     # doc_id order, so the (score desc, doc_id asc) tie-break matches
     # the oracle exactly) or "dl" (impact-ordered: ascending doc
@@ -246,7 +254,43 @@ def _sha256_of_string_array(arr) -> list:
     ]
 
 
-def _tokenize_batches_arrow(it, stopwords=None, stemmer=None):
+def _positions_batch(flat, doc_idx, counts, doc_np, unit_ok):
+    """(unit, doc_id, term, positions) RecordBatch from one tokenize
+    batch's flat token stream — the same grouping the sidecar pass
+    produces (positions number the SURVIVING post-stop stream,
+    consecutive; terms post-stem), computed here so cfg.positions
+    costs no second corpus scan."""
+    import pyarrow as pa
+
+    if len(flat) == 0:
+        return None
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(len(doc_idx), dtype=np.int64) - starts[doc_idx]
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, codes, doc_idx))
+    d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+    boundary = np.empty(len(order), bool)
+    boundary[0] = True
+    np.not_equal(d_s[1:], d_s[:-1], out=boundary[1:])
+    np.logical_or(boundary[1:], c_s[1:] != c_s[:-1], out=boundary[1:])
+    group_start = np.flatnonzero(boundary)
+    terms = dic.dictionary.take(pa.array(c_s[group_start]))
+    out_docs = pa.array(doc_np[d_s[group_start]], type=pa.int64())
+    out_units = unit_ok.take(pa.array(d_s[group_start]))
+    offsets = np.append(group_start, len(order)).astype(np.int32)
+    positions = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(p_s.astype(np.int32))
+    )
+    return pa.RecordBatch.from_arrays(
+        [out_units, out_docs, terms, positions],
+        ["unit", "doc_id", "term", "positions"],
+    )
+
+
+def _tokenize_batches_arrow(it, stopwords=None, stemmer=None,
+                            on_positions=None):
     """mapInArrow: validate + tokenize in ONE corpus pass, Arrow-native.
 
     Input batches carry (unit, doc_id, repo, path, commit, content,
@@ -356,6 +400,11 @@ def _tokenize_batches_arrow(it, stopwords=None, stemmer=None):
 
             flat = stem_minimal_english_arrow(flat)
 
+        if on_positions is not None:
+            pb = _positions_batch(flat, doc_idx, counts, doc_ok, unit_ok)
+            if pb is not None:
+                on_positions(pb)
+
         # sentinel rows: one per valid doc, with identity + dl
         yield pa.RecordBatch.from_arrays(
             [
@@ -410,7 +459,8 @@ def _tokenize_batches_arrow(it, stopwords=None, stemmer=None):
 TOKENIZE_STATS_SCHEMA = "unit string, n_docs long, rows_out long, nq long"
 
 
-def _make_direct_tokenizer(tokens_dir: str, stopwords=None, stemmer=None):
+def _make_direct_tokenizer(tokens_dir: str, stopwords=None, stemmer=None,
+                           positions_dir: str | None = None):
     """mapInArrow factory: the same single validate+tokenize corpus
     pass as `_tokenize_batches_arrow`, but each task writes the token
     batches to `tokens/unit=<u>/part-<pid>.parquet` itself with
@@ -452,14 +502,15 @@ def _make_direct_tokenizer(tokens_dir: str, stopwords=None, stemmer=None):
         data_cols = [
             "doc_id", "term", "dl", "tf", "err", "repo", "path", "commit"
         ]
-        writers: dict = {}  # unit -> (ParquetWriter, sink)
-        paths: dict = {}  # unit -> (tmp, final)
+        writers: dict = {}  # (root, unit) -> (ParquetWriter, sink)
+        paths: dict = {}  # (root, unit) -> (tmp, final)
         stats: dict = {}  # unit -> [n_docs, rows_out, nq]
 
-        def writer_for(unit, schema):
-            w = writers.get(unit)
+        def writer_for(unit, schema, root=tokens_dir):
+            key = (root, unit)
+            w = writers.get(key)
             if w is None:
-                d = posixpath.join(tokens_dir, f"unit={unit}")
+                d = posixpath.join(root, f"unit={unit}")
                 _fsio.makedirs(d)
                 tmp = posixpath.join(
                     d, f".part-{pid:05d}.parquet.inprogress-{att}"
@@ -470,13 +521,33 @@ def _make_direct_tokenizer(tokens_dir: str, stopwords=None, stemmer=None):
                     pq.ParquetWriter(sink, schema, compression="snappy"),
                     sink,
                 )
-                writers[unit] = w
-                paths[unit] = (tmp, final)
+                writers[key] = w
+                paths[key] = (tmp, final)
             return w[0]
+
+        on_positions = None
+        if positions_dir is not None:
+            # same single-pass commit protocol, second artifact: the
+            # positions sidecar written by the SAME task from the SAME
+            # flat token stream (cfg.positions)
+            def on_positions(pb):
+                u = pb.column(0)
+                uniq = pc.unique(u).to_pylist()
+                for unit in uniq:
+                    sub = (
+                        pb
+                        if len(uniq) == 1
+                        else pb.filter(pc.equal(u, unit))
+                    )
+                    data = sub.select(["doc_id", "term", "positions"])
+                    writer_for(
+                        unit, data.schema, root=positions_dir
+                    ).write_batch(data, row_group_size=1 << 20)
 
         try:
             for batch in _tokenize_batches_arrow(
-                it, stopwords=stopwords, stemmer=stemmer
+                it, stopwords=stopwords, stemmer=stemmer,
+                on_positions=on_positions,
             ):
                 u = batch.column(0)
                 uniq = pc.unique(u).to_pylist()
@@ -585,10 +656,18 @@ def run_tokenize_stage(
         # JVM path's dynamic partitionOverwriteMode are reproduced by
         # clearing each PENDING unit's partition up front (completed
         # units are untouched — same resume contract).
+        positions_path = (
+            os.path.join(index_dir, "positions") if cfg.positions else None
+        )
         for u in pending:
             fsio.rmtree(os.path.join(tokens_path, f"unit={_unit_id(u)}"))
+            if positions_path:
+                fsio.rmtree(
+                    os.path.join(positions_path, f"unit={_unit_id(u)}")
+                )
         stats_df = src.mapInArrow(
-            _make_direct_tokenizer(tokens_path, cfg.stopwords, cfg.stemmer),
+            _make_direct_tokenizer(tokens_path, cfg.stopwords, cfg.stemmer,
+                                   positions_dir=positions_path),
             schema=TOKENIZE_STATS_SCHEMA,
         )
         with _scoped_conf(
@@ -604,6 +683,12 @@ def run_tokenize_stage(
                 .collect()
             )
     else:
+        if cfg.positions:
+            raise ValueError(
+                "BuildConfig.positions requires direct_tokens_write "
+                "(the JVM write path has one fixed output schema); "
+                "use build_positions() for a separate pass instead"
+            )
         _sw, _st = cfg.stopwords, cfg.stemmer
 
         def _tok(it):

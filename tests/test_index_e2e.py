@@ -1171,3 +1171,66 @@ def test_sloppy_phrase_transpositions(spark):
     ).toPandas()
     assert "swap" not in set(ordered.path)
     sh.rmtree(tmp)
+
+
+def test_positions_folded_into_build(spark, fixture_dir, tmp_path):
+    """BuildConfig.positions=True records the positions sidecar inside
+    the single tokenize pass — content-identical to the separate
+    build_positions pass, phrase queries identical, resume contract
+    intact (pending-unit partitions cleared for BOTH artifacts)."""
+    import pytest as _pytest
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        phrase_topk_positional,
+    )
+    from data_prepper_spark.tokenizer import tokenize_series
+    from pyspark.sql import functions as F
+
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    idx = str(tmp_path / "idx_folded")
+    build_index(
+        spark, corpus_path, idx,
+        BuildConfig(n_buckets=8, hot_group_target=5000, positions=True),
+    )
+    folded = (
+        spark.read.parquet(os.path.join(idx, "positions"))
+        .select("doc_id", "term", "positions")
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    idx2 = str(tmp_path / "idx_sidecar")
+    os.makedirs(idx2)
+    # separate-pass sidecar over the same corpus (bare dir: no stats)
+    build_positions(spark, corpus_path, idx2)
+    sidecar = (
+        spark.read.parquet(os.path.join(idx2, "positions"))
+        .select("doc_id", "term", "positions")
+        .toPandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert len(folded) == len(sidecar) > 0
+    assert folded.doc_id.tolist() == sidecar.doc_id.tolist()
+    assert folded.term.tolist() == sidecar.term.tolist()
+    assert [list(x) for x in folded.positions] == [
+        list(x) for x in sidecar.positions
+    ]
+
+    # phrase query through the folded sidecar
+    doc = pd.read_parquet(corpus_path).iloc[0]
+    toks = tokenize_series(pd.Series([doc.content])).iloc[0]
+    ph = spark.createDataFrame(
+        [(0, " ".join(toks[5:7]))], "query_id long, phrase string"
+    )
+    out = phrase_topk_positional(spark, idx, ph, k=10).toPandas()
+    assert len(out) > 0
+
+    # JVM write path refuses the flag loudly
+    with _pytest.raises(ValueError, match="direct_tokens_write"):
+        build_index(
+            spark, corpus_path, str(tmp_path / "idx_bad"),
+            BuildConfig(positions=True, direct_tokens_write=False),
+        )
