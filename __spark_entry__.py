@@ -3434,6 +3434,35 @@ def sloppy_phrase_engine(spark, sf_dir):
     )
 
 
+def paragraph_dedup_scrub(spark, sf_dir):
+    """Corpus-level repeated-passage removal
+    (datapipe/dedup.py::paragraph_dedup — the RefinedWeb/C4-style
+    boilerplate scrub a pretraining pipeline runs before training):
+    docs carry two unique paragraphs plus one shared boiler paragraph
+    (and every 5th doc a second one); any paragraph text appearing in
+    >= 2 distinct docs is dropped corpus-wide, text rebuilt in order.
+    Oracle reconstructs the expected survivors by construction."""
+    from data_prepper_spark.datapipe.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("unique-"), did.cast("string"), F.lit("-a\n\n"),
+        F.lit("boiler-"), (did % 7).cast("string"), F.lit("\n\n"),
+        F.lit("unique-"), did.cast("string"), F.lit("-b"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("\n\npromo-"), (did % 3).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    out = paragraph_dedup(
+        d.withColumn("text", text), id_col="doc_id", text_col="text"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "text", "n_paragraphs", "n_removed"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3482,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rss_items_extract": rss_items_extract,
         "key_value_recursive_parse": key_value_recursive_parse,
         "sloppy_phrase_engine": sloppy_phrase_engine,
+        "paragraph_dedup_scrub": paragraph_dedup_scrub,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -4025,6 +4055,17 @@ SELECT eid, 'mem', 'GAUGE', t,
   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
   CAST(NULL AS INT), svc
 FROM e
+"""
+
+    sql["paragraph_dedup_scrub"] = """
+SELECT doc_id,
+  'unique-' || CAST(doc_id AS VARCHAR) || '-a'
+    || chr(10) || chr(10)
+    || 'unique-' || CAST(doc_id AS VARCHAR) || '-b' AS text,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS BIGINT)
+    AS n_paragraphs,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT) AS n_removed
+FROM documents
 """
 
     sql["rss_items_extract"] = """

@@ -732,3 +732,66 @@ def dup_clusters(
         F.col("lbl").alias("cluster"),
         (F.col("id") == F.col("lbl")).alias("is_canonical"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    sep: str = "\n\n",
+    min_count: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level repeated-passage removal (the RefinedWeb /
+    C4-style boilerplate scrub): any paragraph whose EXACT text
+    appears in >= `min_count` documents is dropped from every doc.
+
+    Returns (id, text, n_paragraphs, n_removed) with `text` rebuilt
+    from the surviving paragraphs in original order.
+
+    Plan shape: paragraph explode -> one hash aggregation on the
+    64-bit paragraph fingerprint (df-style count of DISTINCT docs, so
+    a passage repeated only inside one doc survives) -> broadcast-able
+    dup set joined back -> per-doc ordered rebuild. The only wide
+    exchange is the fingerprint count; the dup set is tiny relative
+    to the corpus (boilerplate cardinality), so the join back
+    broadcasts. No Python in the loop.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("fp", F.xxhash64(F.col("para")))
+    dup = (
+        paras.where(F.length("para") >= min_chars)
+        .groupBy("fp")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .where(F.col("ndocs") >= min_count)
+        .select("fp")
+    )
+    kept = paras.join(F.broadcast(dup).withColumn("__dup", F.lit(True)),
+                      "fp", "left")
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(
+                F.when(F.col("__dup"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("int").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__dup").isNull(),
+                                F.struct("pos", "para"),
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .select("id", "text", "n_paragraphs", "n_removed")
+    )

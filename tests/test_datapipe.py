@@ -403,3 +403,29 @@ def test_repetition_stats_hand_counts(spark):
     assert out.loc[2, "n_ngrams"] == 2 and out.loc[2, "n_distinct_ngrams"] == 2
     # doc 3: shorter than ngram -> zero ngrams, zero fractions
     assert out.loc[3, "n_ngrams"] == 0 and out.loc[3, "dup_ngram_frac"] == 0.0
+
+
+def test_paragraph_dedup(spark):
+    """Repeated-passage scrub: cross-doc repeats drop everywhere; a
+    passage repeated only WITHIN one doc survives (count is over
+    distinct docs); order preserved; min_chars guard."""
+    from data_prepper_spark.datapipe.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nBOILER\n\nbeta"),
+        (2, "gamma\n\nBOILER\n\ndelta"),
+        (3, "self\n\nself\n\nunique3"),  # within-doc repeat only
+        (4, "x\n\nx\n\nBOILER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[1]["text"] == "alpha\n\nbeta"
+    assert out[1]["n_paragraphs"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "gamma\n\ndelta"
+    # 'self' repeats only inside doc 3: kept (distinct-doc count = 1)
+    assert out[3]["text"] == "self\n\nself\n\nunique3"
+    assert out[3]["n_removed"] == 0
+    # 'x' repeats only inside doc 4: kept; BOILER dropped
+    assert out[4]["text"] == "x\n\nx" and out[4]["n_removed"] == 1
