@@ -200,3 +200,19 @@ def test_streaming_spool_pickup(spark, src, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.sql("select * from http_spool").count() == 1
+
+
+def test_stdin_source(spark):
+    """stdin source (StdInSource.java:62-67): lines become message
+    events; the 'exit' sentinel stops the read; max_lines bounds a
+    batch."""
+    import io
+
+    from data_prepper_spark.sources.stdin import read_stdin
+
+    buf = io.StringIO("one\ntwo\nEXIT\nnever\n")
+    rows = read_stdin(spark, buf).collect()
+    assert [r["message"] for r in rows] == ["one", "two"]
+
+    buf = io.StringIO("a\nb\nc\n")
+    assert read_stdin(spark, buf, max_lines=2).count() == 2
