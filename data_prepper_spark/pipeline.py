@@ -44,9 +44,26 @@ from .operators.route import apply_routes, drop_events
 # processor name -> adapter(df, config) -> df
 # names match the reference's registered plugin names (SURVEY.md §2.4)
 PROCESSORS: dict[str, Any] = {
-    "grok": lambda df, c: parse.grok(df, c["source"], c["pattern"]),
+    "grok": lambda df, c: parse.grok(
+        df, c["source"], c["pattern"],
+        tags_on_match_failure=c.get("tags_on_match_failure"),
+        keys_to_overwrite=c.get("keys_to_overwrite"),
+        target_key=c.get("target_key"),
+        tags_on_timeout=c.get("tags_on_timeout"),
+        named_captures_only=c.get("named_captures_only", True),
+        match_timeout_ms=c.get("match_timeout_ms"),
+    ),
     "dissect": lambda df, c: parse.dissect(df, c["source"], c["pattern"]),
-    "key_value": lambda df, c: parse.key_value(
+    "key_value": lambda df, c: parse.key_value_recursive(
+        df,
+        c["source"],
+        c.get("destination", "parsed"),
+        field_split=c.get("field_split_characters", "&"),
+        value_split=c.get("value_split_characters", "="),
+        non_match_value=c.get("non_match_value"),
+    )
+    if c.get("recursive")
+    else parse.key_value(
         df,
         c["source"],
         c.get("destination", "parsed"),
@@ -197,6 +214,21 @@ PROCESSORS: dict[str, Any] = {
     ),
     "user_agent": lambda df, c: codec_ops.user_agent(
         df, c["source"], c.get("destination", "user_agent")
+    ),
+    # remote UDF: url stands in for the function ARN (the transport
+    # here is plain HTTP; SigV4/AWS client is out of scope)
+    "aws_lambda": lambda df, c: __import__(
+        "data_prepper_spark.operators.remote", fromlist=["remote"]
+    ).lambda_processor(
+        df,
+        c["url"],
+        batch_size=c.get("batch", {}).get("threshold", {}).get(
+            "event_count", 100
+        ),
+        response_events_match=c.get("response_events_match", True),
+        tags_on_failure=tuple(
+            c.get("tags_on_failure", ("lambda_failure",))
+        ),
     ),
 }
 

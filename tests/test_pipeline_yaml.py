@@ -233,3 +233,30 @@ def test_anomaly_detector_pipeline(spark, tmp_path):
     assert list(got.event_id) == [20]
     assert got.grade.iloc[0] == 1.0
     assert "deviation_from_expected" in got.columns
+
+
+def test_yaml_recursive_kv_and_grok_options(spark):
+    """Round-4 YAML surface: key_value recursive mode and grok's full
+    option set route through the pipeline compiler."""
+    import json
+
+    from data_prepper_spark.pipeline import PROCESSORS
+
+    df = spark.createDataFrame(
+        [("a=1&b=(c=2)",)], "message string"
+    )
+    out = PROCESSORS["key_value"](
+        df, {"source": "message", "recursive": True}
+    ).collect()
+    assert json.loads(out[0]["parsed"]) == {"a": "1", "b": {"c": "2"}}
+
+    g = PROCESSORS["grok"](
+        df.selectExpr("'x=1' as message"),
+        {
+            "source": "message",
+            "pattern": "%{WORD:k}=%{INT:v}",
+            "target_key": "gk",
+            "match_timeout_ms": 5000,
+        },
+    ).collect()
+    assert g[0]["gk"]["k"] == "x" and g[0]["gk"]["v"] == "1"
