@@ -3463,6 +3463,55 @@ def paragraph_dedup_scrub(spark, sf_dir):
     )
 
 
+def cardinality_facet_engine(spark, sf_dir):
+    """cardinality aggregation over the FULL match set
+    (index/query.py::cardinality_facet — OpenSearch aggs cardinality;
+    HLL++/approx_count_distinct is the 100-TB path, exact here for
+    the value oracle). Distinct `lang` values per query."""
+    from data_prepper_spark.index.query import (
+        attach_doc_values,
+        cardinality_facet,
+    )
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    return cardinality_facet(spark, idx, cpath, q, field="lang")
+
+
+def percentiles_facet_engine(spark, sf_dir):
+    """percentiles aggregation over the FULL match set
+    (index/query.py::percentiles_facet — OpenSearch aggs percentiles;
+    t-digest/approx_percentile is the scale path, exact linear
+    interpolation here so DuckDB quantile_cont is bit-comparable at
+    6 decimals)."""
+    from data_prepper_spark.index.query import (
+        attach_doc_values,
+        percentiles_facet,
+    )
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    out = percentiles_facet(
+        spark, idx, cpath, q, field="n_chars",
+        percents=(25.0, 50.0, 75.0, 99.0),
+    )
+    return out.select(
+        "query_id",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3512,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_value_recursive_parse": key_value_recursive_parse,
         "sloppy_phrase_engine": sloppy_phrase_engine,
         "paragraph_dedup_scrub": paragraph_dedup_scrub,
+        "cardinality_facet_engine": cardinality_facet_engine,
+        "percentiles_facet_engine": percentiles_facet_engine,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -5162,6 +5213,37 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, CAST(phrase_freq AS INT) AS phrase_freq
 FROM ranked WHERE rank <= 10
+"""
+
+    sql["cardinality_facet_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term))
+SELECT m.query_id, CAST(count(DISTINCT d.lang) AS BIGINT) AS value_count
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+    sql["percentiles_facet_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+vals AS (
+  SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT query_id,
+       round(quantile_cont(v, 0.25), 6) AS p25,
+       round(quantile_cont(v, 0.50), 6) AS p50,
+       round(quantile_cont(v, 0.75), 6) AS p75,
+       round(quantile_cont(v, 0.99), 6) AS p99
+FROM vals GROUP BY 1
 """
 
     sql["extended_stats_engine"] = f"""

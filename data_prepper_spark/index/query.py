@@ -1826,6 +1826,96 @@ def stats_facets(
     )
 
 
+def _attributed_match(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+) -> DataFrame:
+    """(query_id, ord, <field>) over the FULL match set — the shared
+    front half of cardinality/percentiles (and the same doc-values-
+    else-corpus resolution range_facets/stats_facets use)."""
+    stats = load_stats(index_dir)
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    matched = _match_set(spark, index_dir, qt)
+    dv = _doc_values(spark, index_dir, field)
+    if dv is not None:
+        return matched.join(dv.select("ord", field), "ord")
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "repo", "path", "commit"
+    )
+    attrs = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit", field
+    )
+    return matched.join(ident, "ord").join(
+        attrs, ["repo", "path", "commit"]
+    )
+
+
+def cardinality_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """cardinality aggregation alongside a query (opensearch-api
+    `aggs: {cardinality: {field}}`). OpenSearch computes this with
+    HLL++; `exact=False` uses Spark's approx_count_distinct — the
+    SAME sketch family and the right call at 100 TB (fixed-size
+    state, one pass, no distinct shuffle). The exact default exists
+    for small-corpus parity with the value oracle. Returns
+    (query_id, value_count)."""
+    attributed = _attributed_match(
+        spark, index_dir, corpus_path, queries, field
+    )
+    agg = (
+        F.count_distinct(F.col(field))
+        if exact
+        else F.approx_count_distinct(F.col(field), rsd)
+    )
+    return attributed.groupBy("query_id").agg(
+        agg.alias("value_count")
+    )
+
+
+def percentiles_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """percentiles aggregation (opensearch-api `aggs: {percentiles:
+    {field, percents}}`). OpenSearch uses t-digest; `exact=False`
+    uses Spark's approx_percentile (KLL-style sketch — fixed-size
+    state, the 100-TB path). Exact default = Spark `percentile`
+    (linear interpolation, matching DuckDB quantile_cont) for oracle
+    parity. Returns (query_id, p<percent> double ...)."""
+    attributed = _attributed_match(
+        spark, index_dir, corpus_path, queries, field
+    )
+    v = F.col(field).cast("double")
+    cols = []
+    for p in percents:
+        frac = F.lit(p / 100.0)
+        c = (
+            F.percentile(v, frac)
+            if exact
+            else F.percentile_approx(v, frac, accuracy)
+        )
+        cols.append(c.alias(f"p{p:g}".replace(".", "_")))
+    return attributed.groupBy("query_id").agg(*cols)
+
+
 def collapse_search(
     spark: SparkSession,
     index_dir: str,
