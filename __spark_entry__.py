@@ -2009,6 +2009,37 @@ def collapse_search_engine(spark, sf_dir):
     )
 
 
+def top_hits_engine(spark, sf_dir):
+    """top_hits under a terms bucket (opensearch-api aggs
+    terms+top_hits; index/query.py::top_hits_facet): per (query,
+    lang) the group doc_count and its top-2 hits by BM25 (score desc,
+    original doc_id asc via tie_expr). Oracle reproduces scoring,
+    group counts and the per-group window."""
+    from data_prepper_spark.index.query import (
+        attach_doc_values,
+        top_hits_facet,
+    )
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    out = top_hits_facet(
+        spark, idx, cpath, q, group_field="lang", size=2,
+        tie_expr=F.col("path").cast("long"),
+    )
+    return out.select(
+        "query_id",
+        "lang",
+        "doc_count",
+        "hit_rank",
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
 ANALYZER_STOPWORDS = ("the", "a", "data")
 
 
@@ -3563,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_scrub": paragraph_dedup_scrub,
         "cardinality_facet_engine": cardinality_facet_engine,
         "percentiles_facet_engine": percentiles_facet_engine,
+        "top_hits_engine": top_hits_engine,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -5310,6 +5342,41 @@ ranked AS (
 )
 SELECT query_id, rank, lang, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 5
+"""
+
+    sql["top_hits_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q JOIN dfreq d USING (term) JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored GROUP BY 1, 2),
+attributed AS (
+  SELECT t.query_id, t.doc_id, t.score, d.lang
+  FROM tot t JOIN documents d USING (doc_id)
+),
+grouped AS (
+  SELECT query_id, lang, doc_id, score,
+         count(*) OVER (PARTITION BY query_id, lang) AS doc_count,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score DESC, doc_id) AS hit_rank
+  FROM attributed
+)
+SELECT query_id, lang, CAST(doc_count AS BIGINT) AS doc_count,
+       hit_rank, doc_id, round(score, 6) AS score_r
+FROM grouped WHERE hit_rank <= 2
 """
 
     _syn_vals = ", ".join(f"('{a}', '{b}')" for a, b in SYNONYMS)

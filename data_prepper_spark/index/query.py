@@ -1916,6 +1916,84 @@ def percentiles_facet(
     return attributed.groupBy("query_id").agg(*cols)
 
 
+def _scored_attributed(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+) -> DataFrame:
+    """(query_id, ord, doc_id, repo, path, commit, <field>, score) —
+    the FULL scored match set with one stored field attached (shared
+    by collapse_search and top_hits_facet): pruned postings scan, BM25
+    decode, tombstone anti-join, doc-values-else-corpus attribution."""
+    stats = load_stats(index_dir)
+    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+        "query_id", "term_id", "idf", "bucket"
+    )
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    scored = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
+        .groupBy("query_id", F.col("doc_id").alias("ord"))
+        .agg(F.sum("partial").alias("score"))
+    )
+    scored = _anti_tombstones(spark, index_dir, scored, col="ord")
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    dv = _doc_values(spark, index_dir, field)
+    if dv is not None:
+        return scored.join(dv.select("ord", field), "ord").join(
+            ident, "ord"
+        )
+    attrs = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit", field
+    )
+    return scored.join(ident, "ord").join(
+        attrs, ["repo", "path", "commit"]
+    )
+
+
+def top_hits_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    group_field: str,
+    size: int = 3,
+    tie_expr=None,
+) -> DataFrame:
+    """top_hits aggregation under a terms bucket (opensearch-api
+    `aggs: {terms: {field}, aggs: {top: {top_hits: {size}}}}`): per
+    (query, group value), the group's doc_count plus its top `size`
+    hits by BM25 score (score desc, identity asc). The window
+    partitions on (query, group) — bounded keys, no single-partition
+    stage. Returns (query_id, <group_field>, doc_count, hit_rank,
+    doc_id, score, repo, path, commit)."""
+    attributed = _scored_attributed(
+        spark, index_dir, corpus_path, queries, group_field
+    )
+    tie = F.col("doc_id") if tie_expr is None else tie_expr
+    wg = Window.partitionBy("query_id", group_field).orderBy(
+        F.desc("score"), F.asc(tie)
+    )
+    wc = Window.partitionBy("query_id", group_field)
+    return (
+        attributed.withColumn("doc_count", F.count("*").over(wc))
+        .withColumn("hit_rank", F.row_number().over(wg))
+        .filter(F.col("hit_rank") <= size)
+        .select(
+            "query_id", group_field, "doc_count", "hit_rank",
+            "doc_id", "score", "repo", "path", "commit",
+        )
+    )
+
+
 def collapse_search(
     spark: SparkSession,
     index_dir: str,
@@ -1939,37 +2017,9 @@ def collapse_search(
     field value) then (query) — so no single-partition stage appears.
 
     Returns (query_id, rank, field value, doc_id, score)."""
-    stats = load_stats(index_dir)
-    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
-        "query_id", "term_id", "idf", "bucket"
+    attributed = _scored_attributed(
+        spark, index_dir, corpus_path, queries, field
     )
-    post = _pruned_postings(spark, index_dir, qt)
-    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
-    scored = (
-        post.join(
-            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
-        )
-        .select("query_id", "idf", "docs", "tfs", "dls")
-        .mapInPandas(decoder, schema="query_id long, doc_id long, partial double")
-        .groupBy("query_id", F.col("doc_id").alias("ord"))
-        .agg(F.sum("partial").alias("score"))
-    )
-    scored = _anti_tombstones(spark, index_dir, scored, col="ord")
-    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "ord", "doc_id", "repo", "path", "commit"
-    )
-    dv = _doc_values(spark, index_dir, field)
-    if dv is not None:
-        attributed = scored.join(dv.select("ord", field), "ord").join(
-            ident, "ord"
-        )
-    else:
-        attrs = spark.read.parquet(corpus_path).select(
-            "repo", "path", "commit", field
-        )
-        attributed = scored.join(ident, "ord").join(
-            attrs, ["repo", "path", "commit"]
-        )
     tie = F.col("doc_id") if tie_expr is None else tie_expr
     wg = Window.partitionBy("query_id", field).orderBy(
         F.desc("score"), F.asc(tie)
