@@ -3543,6 +3543,69 @@ def percentiles_facet_engine(spark, sf_dir):
     )
 
 
+def geoip_mmdb_enrich(spark, sf_dir):
+    """geoip processor over a REAL MaxMind-DB binary
+    (operators/geoip.py — hand-rolled spec v2.0 reader + encoder-twin
+    fixture, GeoIPField extraction): per-event IPs resolve through
+    the mmdb search tree; every 7th event gets an unroutable IP and
+    must yield NULL fields + the no-valid-ip tag. Oracle recomputes
+    the enrichment by construction of the fixture networks."""
+    from data_prepper_spark.operators.geoip import build_mmdb, geoip
+
+    db = build_mmdb(
+        [
+            (
+                f"10.{i}.0.0/16",
+                {
+                    "country": {
+                        "iso_code": f"C{i}",
+                        "names": {"en": f"Country {i}"},
+                        "is_in_european_union": i % 2 == 0,
+                    },
+                    "city": {"names": {"en": f"City {i}"}},
+                    "location": {
+                        "latitude": 10.0 + i,
+                        "longitude": -5.5 * i,
+                    },
+                },
+            )
+            for i in range(4)
+        ]
+    )
+    e = _t(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id")
+    ip = F.when(
+        eid % 7 == 0, F.lit("172.16.9.9")
+    ).otherwise(
+        F.concat(
+            F.lit("10."), (eid % 4).cast("string"), F.lit("."),
+            (eid % 256).cast("string"), F.lit(".7"),
+        )
+    )
+    out = geoip(
+        e.withColumn("client_ip", ip),
+        "client_ip",
+        db,
+        fields=(
+            "country_name", "country_iso_code",
+            "is_country_in_european_union", "city_name",
+            "latitude", "longitude",
+        ),
+        tags_on_no_valid_ip=("_geoip_miss",),
+    )
+    g = F.col("geo")
+    return out.select(
+        eid.alias("eid"),
+        g["country_name"].alias("country"),
+        g["country_iso_code"].alias("iso"),
+        g["is_country_in_european_union"].cast("int").alias("eu"),
+        g["city_name"].alias("city"),
+        g["latitude"].alias("lat"),
+        g["longitude"].alias("lon"),
+        F.array_join(F.col("_tags"), ",").alias("tags"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3595,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_facet_engine": cardinality_facet_engine,
         "percentiles_facet_engine": percentiles_facet_engine,
         "top_hits_engine": top_hits_engine,
+        "geoip_mmdb_enrich": geoip_mmdb_enrich,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -4149,6 +4213,25 @@ SELECT doc_id,
     AS n_paragraphs,
   CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT) AS n_removed
 FROM documents
+"""
+
+    sql["geoip_mmdb_enrich"] = """
+SELECT event_id AS eid,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       ELSE 'Country ' || CAST(event_id % 4 AS VARCHAR) END AS country,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       ELSE 'C' || CAST(event_id % 4 AS VARCHAR) END AS iso,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       WHEN event_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS eu,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       ELSE 'City ' || CAST(event_id % 4 AS VARCHAR) END AS city,
+  CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE CAST(10 + event_id % 4 AS DOUBLE) END AS lat,
+  CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE CAST(event_id % 4 AS DOUBLE) * CAST(-5.5 AS DOUBLE)
+       END AS lon,
+  CASE WHEN event_id % 7 = 0 THEN '_geoip_miss' ELSE '' END AS tags
+FROM events
 """
 
     sql["rss_items_extract"] = """
