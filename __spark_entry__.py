@@ -1617,6 +1617,40 @@ def boolean_search_engine(spark, sf_dir):
     return _rerank_engine_results(boolean_search(spark, idx, q, k=50))
 
 
+def dsl_bool_search(spark, sf_dir):
+    """OpenSearch Query-DSL front end (index/dsl.py): literal
+    `_search` bodies — `bool` with must/should/must_not sub-clauses —
+    compile onto the SAME executors, so this entry must land on the
+    boolean_search oracle bit-for-bit. One body per BOOL_QUERIES row,
+    routed through dsl.search."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    _, idx = _docs_index(spark, sf_dir)
+    parts = []
+    for i, (must, should, must_not) in enumerate(BOOL_QUERIES):
+        body = {
+            "query": {
+                "bool": {
+                    "must": [
+                        {"match": {"text": t}} for t in must.split()
+                    ],
+                    "should": [
+                        {"term": {"text": t}} for t in should.split()
+                    ],
+                    "must_not": [
+                        {"term": {"text": t}} for t in must_not.split()
+                    ],
+                }
+            },
+            "size": 50,
+        }
+        parts.append(dsl_search(spark, idx, body, query_id=i).hits)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 def faceted_search_engine(spark, sf_dir):
     """Terms aggregation alongside a query (opensearch-api `aggs`):
     per-query facet buckets by `lang` over the FULL disjunctive match
@@ -3659,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_facet_engine": percentiles_facet_engine,
         "top_hits_engine": top_hits_engine,
         "geoip_mmdb_enrich": geoip_mmdb_enrich,
+        "dsl_bool_search": dsl_bool_search,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -5685,6 +5720,9 @@ FROM ranked WHERE rank <= 10
         return _BOOL_SQL_TEMPLATE.format(values=values)
 
     sql["boolean_search_engine"] = _bool_oracle_sql(BOOL_QUERIES)
+    # the DSL front end routes to the SAME executor, so the same
+    # oracle must hold bit-for-bit
+    sql["dsl_bool_search"] = _bool_oracle_sql(BOOL_QUERIES)
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]
     )

@@ -1,0 +1,232 @@
+"""OpenSearch Query-DSL compiler: a `_search` request body runs on
+this engine unchanged.
+
+The reference ships events INTO an OpenSearch cluster and users query
+it with the JSON query DSL; "a user of the reference could switch"
+therefore means their existing `_search` bodies must run here. This
+module compiles the DSL surface this engine already implements onto
+the corresponding physical-index functions — a thin, declarative
+front: every clause maps to the SAME oracle-verified executors
+(topk / phrase / boolean / expansion / facets / collapse /
+search_after), so the compiler adds routing, not new semantics.
+
+Supported body keys: `query` (match, match_all, term, match_phrase
+[+slop], prefix, fuzzy, wildcard, bool must/should/must_not/filter,
+simple_query_string), `size`, `search_after` (+ the match query),
+`collapse`, and `aggs` (terms [+nested top_hits], range,
+extended_stats, cardinality, percentiles, significant_terms).
+Unsupported constructs raise NotImplementedError naming the clause —
+loud, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DSLResult:
+    """hits + named aggregation DataFrames (all lazy)."""
+
+    def __init__(self, hits: DataFrame | None, aggregations: dict):
+        self.hits = hits
+        self.aggregations = aggregations
+
+
+def _field_arg(spec):
+    """{'field': 'x'} or {'field': {'query'|'value': 'x', ...}} ->
+    (text, options)."""
+    ((_field, v),) = spec.items()
+    if isinstance(v, dict):
+        text = v.get("query", v.get("value"))
+        return text, v
+    return v, {}
+
+
+def _clause_text(clause: dict) -> str:
+    """query text of a scoring leaf clause (for bool role strings)."""
+    ((kind, spec),) = clause.items()
+    if kind in ("match", "term", "match_phrase"):
+        text, _ = _field_arg(spec)
+        return str(text)
+    raise NotImplementedError(
+        f"bool sub-clause '{kind}' (supported: match, term, "
+        "match_phrase-as-terms)"
+    )
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict,
+    corpus_path: str | None = None,
+    query_id: int = 0,
+) -> DSLResult:
+    """Execute one _search body; returns DSLResult whose frames carry
+    the underlying executors' columns (query_id = `query_id`)."""
+    from . import query as q
+
+    k = int(body.get("size", 10))
+    node = body.get("query", {"match_all": {}})
+    ((kind, spec),) = node.items()
+
+    def qdf(schema: str, row: tuple) -> DataFrame:
+        return spark.createDataFrame([row], schema)
+
+    hits = None
+    match_text = None
+
+    if kind == "match_all":
+        match_text = None
+        if "aggs" not in body:
+            raise NotImplementedError(
+                "match_all without aggs (no scoring scan to run)"
+            )
+    elif kind in ("match", "term"):
+        match_text, _ = _field_arg(spec)
+        match_text = str(match_text)
+    elif kind == "match_phrase":
+        text, opts = _field_arg(spec)
+        slop = int(opts.get("slop", 0))
+        ph = qdf("query_id long, phrase string", (query_id, str(text)))
+        if slop == 0:
+            if corpus_path is None:
+                raise ValueError("match_phrase needs corpus_path")
+            hits = q.phrase_search(spark, index_dir, corpus_path, ph, k=k)
+        else:
+            from .positions import sloppy_phrase_topk
+
+            hits = sloppy_phrase_topk(
+                spark, index_dir, ph, k=k, slop=slop
+            )
+    elif kind in ("prefix", "fuzzy", "wildcard"):
+        text, opts = _field_arg(spec)
+        hits = q.expanded_search(
+            spark,
+            index_dir,
+            qdf("query_id long, pattern string", (query_id, str(text))),
+            match=kind,
+            k=k,
+            max_expansions=int(opts.get("max_expansions", 50)),
+        )
+    elif kind == "bool":
+        roles = {"must": [], "should": [], "must_not": []}
+        for role in ("must", "should", "must_not", "filter"):
+            cl = spec.get(role, [])
+            cl = cl if isinstance(cl, list) else [cl]
+            # filter = unscored must; this engine scores it anyway — a
+            # documented divergence (ranking unchanged when every hit
+            # matches the filter terms)
+            dest = "must" if role == "filter" else role
+            for c in cl:
+                roles[dest].append(_clause_text(c))
+        bq = qdf(
+            "query_id long, must string, should string, must_not string",
+            (
+                query_id,
+                " ".join(roles["must"]),
+                " ".join(roles["should"]),
+                " ".join(roles["must_not"]),
+            ),
+        )
+        hits = q.boolean_search(spark, index_dir, bq, k=k)
+    elif kind == "simple_query_string":
+        text = spec["query"] if isinstance(spec, dict) else str(spec)
+        hits = q.simple_query_string(
+            spark,
+            index_dir,
+            qdf("query_id long, query string", (query_id, str(text))),
+            k=k,
+        )
+    else:
+        raise NotImplementedError(f"query clause '{kind}'")
+
+    if match_text is not None and hits is None:
+        mq = qdf("query_id long, query string", (query_id, match_text))
+        if "search_after" in body:
+            score, doc = body["search_after"]
+            hits = q.topk_after(
+                spark,
+                index_dir,
+                qdf(
+                    "query_id long, query string, after_score double, "
+                    "after_doc long",
+                    (query_id, match_text, float(score), int(doc)),
+                ),
+                k=k,
+            )
+        elif "collapse" in body:
+            if corpus_path is None:
+                raise ValueError("collapse needs corpus_path")
+            hits = q.collapse_search(
+                spark, index_dir, corpus_path, mq,
+                field=body["collapse"]["field"], k=k,
+            )
+        else:
+            hits = q.topk(spark, index_dir, mq, k=k)
+
+    aggs: dict = {}
+    for name, aspec in (body.get("aggs") or {}).items():
+        sub = dict(aspec)
+        nested = sub.pop("aggs", None)
+        ((akind, aconf),) = sub.items()
+        if match_text is None and kind != "match_all":
+            raise NotImplementedError(
+                "aggs under non-match queries (facets share the "
+                "disjunctive match set)"
+            )
+        mq = qdf(
+            "query_id long, query string",
+            (query_id, match_text if match_text is not None else ""),
+        )
+        if corpus_path is None:
+            raise ValueError("aggs need corpus_path")
+        if akind == "terms" and nested and any(
+            "top_hits" in n for n in nested.values()
+        ):
+            th = next(
+                n["top_hits"] for n in nested.values() if "top_hits" in n
+            )
+            aggs[name] = q.top_hits_facet(
+                spark, index_dir, corpus_path, mq,
+                group_field=aconf["field"],
+                size=int(th.get("size", 3)),
+            )
+        elif akind == "terms":
+            aggs[name] = q.faceted_search(
+                spark, index_dir, corpus_path, mq,
+                facet_col=aconf["field"],
+                n_buckets_out=int(aconf.get("size", 10)),
+            )
+        elif akind == "range":
+            bounds = sorted(
+                {b for r in aconf["ranges"] for b in
+                 (r.get("from"), r.get("to")) if b is not None}
+            )
+            aggs[name] = q.range_facets(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], bounds=[float(b) for b in bounds],
+            )
+        elif akind == "extended_stats":
+            aggs[name] = q.stats_facets(
+                spark, index_dir, corpus_path, mq, field=aconf["field"]
+            )
+        elif akind == "cardinality":
+            aggs[name] = q.cardinality_facet(
+                spark, index_dir, corpus_path, mq, field=aconf["field"]
+            )
+        elif akind == "percentiles":
+            aggs[name] = q.percentiles_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                percents=tuple(
+                    aconf.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0))
+                ),
+            )
+        elif akind == "significant_terms":
+            aggs[name] = q.significant_terms(
+                spark, index_dir, mq, size=int(aconf.get("size", 10))
+            )
+        else:
+            raise NotImplementedError(f"aggregation '{akind}'")
+
+    return DSLResult(hits, aggs)

@@ -1,0 +1,204 @@
+"""OpenSearch Query-DSL compiler (index/dsl.py): every routed clause
+must produce IDENTICAL results to the direct executor call."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_prepper_spark.index import query as q
+from data_prepper_spark.index.dsl import search
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def corpus_path(fixture_dir):
+    return os.path.join(fixture_dir, "corpus.parquet")
+
+
+def test_match_routes_to_topk(spark, index_dir):
+    body = {"query": {"match": {"content": "class"}}, "size": 5}
+    got = search(spark, index_dir, body).hits
+    want = q.topk(
+        spark, index_dir,
+        spark.createDataFrame(
+            [(0, "class")], "query_id long, query string"
+        ),
+        k=5,
+    )
+    r = _rows(got)
+    assert r == _rows(want) and len(r) == 5  # non-trivial match set
+
+
+def test_term_and_field_dict_form(spark, index_dir):
+    a = search(
+        spark, index_dir, {"query": {"term": {"content": "def"}}}
+    ).hits
+    b = search(
+        spark, index_dir,
+        {"query": {"match": {"content": {"query": "def"}}}},
+    ).hits
+    ra = _rows(a)
+    assert ra == _rows(b) and ra
+
+
+def test_match_phrase_exact_and_slop(spark, index_dir, corpus_path, corpus_pdf):
+    import pandas as pd
+
+    from data_prepper_spark.index.positions import build_positions
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toks = tokenize_series(pd.Series([corpus_pdf.iloc[0].content])).iloc[0]
+    phrase = " ".join(toks[10:12])
+    body = {
+        "query": {"match_phrase": {"content": phrase}},
+        "size": 5,
+    }
+    got = search(spark, index_dir, body, corpus_path=corpus_path).hits
+    want = q.phrase_search(
+        spark, index_dir, corpus_path,
+        spark.createDataFrame(
+            [(0, phrase)], "query_id long, phrase string"
+        ),
+        k=5,
+    )
+    r = _rows(got)
+    assert r == _rows(want) and r
+
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        build_positions(spark, corpus_path, index_dir)
+    sl = search(
+        spark, index_dir,
+        {"query": {"match_phrase": {"content": {
+            "query": phrase, "slop": 2}}}},
+    ).hits
+    assert "min_cost" in sl.columns  # routed to the sloppy engine
+    assert sl.count() > 0
+
+
+def test_bool_and_sqs(spark, index_dir):
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"content": "class"}}],
+            "should": [{"term": {"content": "def"}}],
+            "must_not": [{"term": {"content": "qqqqnope"}}],
+        }},
+        "size": 5,
+    }
+    got = search(spark, index_dir, body).hits
+    want = q.boolean_search(
+        spark, index_dir,
+        spark.createDataFrame(
+            [(0, "class", "def", "qqqqnope")],
+            "query_id long, must string, should string, must_not string",
+        ),
+        k=5,
+    )
+    r = _rows(got)
+    assert r == _rows(want) and r
+
+    s = search(
+        spark, index_dir,
+        {"query": {"simple_query_string": {"query": "+class -qqqqnope"}}},
+    ).hits
+    assert s.count() > 0
+
+
+def test_expansion_clauses(spark, index_dir):
+    for kind in ("prefix", "fuzzy", "wildcard"):
+        pat = {"prefix": "cla", "fuzzy": "clasx", "wildcard": "cla*"}[kind]
+        got = search(
+            spark, index_dir, {"query": {kind: {"content": pat}}}
+        ).hits
+        want = q.expanded_search(
+            spark, index_dir,
+            spark.createDataFrame(
+                [(0, pat)], "query_id long, pattern string"
+            ),
+            match=kind, k=10,
+        )
+        r = _rows(got)
+        assert r == _rows(want) and r, kind
+
+
+def test_aggs_and_collapse(spark, index_dir, corpus_path):
+    body = {
+        "query": {"match": {"content": "class"}},
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang"}},
+            "nlangs": {"cardinality": {"field": "lang"}},
+            "sig": {"significant_terms": {"size": 5}},
+            "top_by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {"best": {"top_hits": {"size": 2}}},
+            },
+        },
+    }
+    res = search(spark, index_dir, body, corpus_path=corpus_path)
+    assert set(res.aggregations) == {
+        "by_lang", "nlangs", "sig", "top_by_lang"
+    }
+    mq = spark.createDataFrame(
+        [(0, "class")], "query_id long, query string"
+    )
+    assert _rows(res.aggregations["by_lang"]) == _rows(
+        q.faceted_search(spark, index_dir, corpus_path, mq, "lang")
+    )
+    assert _rows(res.aggregations["nlangs"]) == _rows(
+        q.cardinality_facet(spark, index_dir, corpus_path, mq, "lang")
+    )
+    assert res.aggregations["top_by_lang"].columns[1] == "lang"
+
+    col = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}},
+         "collapse": {"field": "lang"}},
+        corpus_path=corpus_path,
+    ).hits
+    assert _rows(col) == _rows(
+        q.collapse_search(
+            spark, index_dir, corpus_path, mq, field="lang", k=10
+        )
+    )
+
+
+def test_search_after_and_errors(spark, index_dir):
+    first = sorted(
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}}, "size": 5},
+        ).hits.collect(),
+        key=lambda r: r["rank"],
+    )
+    # cursor at the last rank that CLOSES its score-tie group (the
+    # topk_after contract: after_doc is an engine-ordinal tie-break,
+    # so a mid-tie cursor is only meaningful in ordinal space)
+    ci = max(
+        i for i in range(len(first) - 1)
+        if first[i]["score"] != first[i + 1]["score"]
+    )
+    cursor = first[ci]
+    page2 = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}}, "size": 3,
+         "search_after": [cursor["score"], cursor["doc_id"]]},
+    ).hits.collect()
+    seen = {r["doc_id"] for r in first[: ci + 1]}
+    assert page2 and all(r["doc_id"] not in seen for r in page2)
+
+    with pytest.raises(NotImplementedError, match="more_like_this"):
+        search(
+            spark, index_dir,
+            {"query": {"more_like_this": {"fields": ["content"]}}},
+        )
+    with pytest.raises(NotImplementedError, match="aggregation 'geo"):
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "x"}},
+             "aggs": {"g": {"geo_grid": {"field": "p"}}}},
+            corpus_path="unused",
+        )
