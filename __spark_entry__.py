@@ -3640,6 +3640,26 @@ def geoip_mmdb_enrich(spark, sf_dir):
     )
 
 
+def sequence_packing_plan(spark, sf_dir):
+    """Pretraining sequence packing (datapipe/textstats.py::
+    sequence_packing — concatenate docs with EOS, cut into fixed
+    2048-token examples): shard-local running-sum offsets with the
+    mod-shard key so the oracle recomputes the identical layout
+    (xxhash sharding is the default; the key is pluggable exactly for
+    external recomputation)."""
+    from data_prepper_spark.datapipe.textstats import sequence_packing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = sequence_packing(
+        d, seq_len=2048, n_shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "shard", "n_tokens",
+        "start_offset", "start_example", "end_example", "n_examples",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3694,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits_engine": top_hits_engine,
         "geoip_mmdb_enrich": geoip_mmdb_enrich,
         "dsl_bool_search": dsl_bool_search,
+        "sequence_packing_plan": sequence_packing_plan,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -4267,6 +4288,29 @@ SELECT event_id AS eid,
        END AS lon,
   CASE WHEN event_id % 7 = 0 THEN '_geoip_miss' ELSE '' END AS tags
 FROM events
+"""
+
+    sql["sequence_packing_plan"] = f"""
+WITH base AS (
+  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+         len({tokenize_sql('text')}) + 1 AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM base
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS start_example,
+       CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT)
+         AS end_example,
+       CAST((start_offset + n_tokens - 1) // 2048
+            - start_offset // 2048 + 1 AS INT) AS n_examples
+FROM off
 """
 
     sql["rss_items_extract"] = """

@@ -616,3 +616,67 @@ def repetition_stats(
             1.0 - F.col("n_distinct_ngrams") / F.col("n_ngrams"),
         ).otherwise(0.0).alias("dup_ngram_frac"),
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_shards: int = 1024,
+    eos_tokens: int = 1,
+    shard_expr=None,
+) -> DataFrame:
+    """GPT-style pretraining packing plan: documents concatenate in a
+    deterministic order (hash shard, then id) with an EOS separator,
+    and the stream cuts into fixed `seq_len` training examples — the
+    concatenate-then-chunk scheme pretraining pipelines actually use
+    (docs span example boundaries; nothing is padded or dropped).
+
+    Returns one row per doc: (id, shard, n_tokens, start_offset,
+    start_example, end_example, n_examples) where offsets/examples are
+    shard-local. A writer joins on (shard, example range) to emit the
+    packed examples; this op is the PLAN — the token-count window —
+    which is the part that needs the engine.
+
+    Scale shape: ONE running-sum window per shard, keyed by
+    xxhash(id) % n_shards — bounded partitions (corpus/n_shards docs
+    each), no global ordering, no single-partition stage; the
+    cross-shard layout is embarrassingly parallel exactly like the
+    build's ordinal ranges. Deterministic: (shard, id) is a total
+    order. `shard_expr` (Column) overrides the hash shard key —
+    e.g. pmod(id, n) when an external system must recompute the
+    layout without xxhash."""
+    from pyspark.sql import Window
+    n_tok = F.size(tokenize_col(F.col(text_col))) + F.lit(eos_tokens)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (
+            shard_expr
+            if shard_expr is not None
+            else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        ).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    end_off = F.col("start_offset") + F.col("n_tokens") - 1
+    return out.select(
+        "id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).alias("start_example"),
+        F.floor(end_off / seq_len).alias("end_example"),
+        (
+            F.floor(end_off / seq_len)
+            - F.floor(F.col("start_offset") / seq_len)
+            + 1
+        ).cast("int").alias("n_examples"),
+    )

@@ -429,3 +429,32 @@ def test_paragraph_dedup(spark):
     assert out[3]["n_removed"] == 0
     # 'x' repeats only inside doc 4: kept; BOILER dropped
     assert out[4]["text"] == "x\n\nx" and out[4]["n_removed"] == 1
+
+
+def test_sequence_packing(spark):
+    """Concatenate-then-chunk packing plan: shard-local running
+    offsets, boundary-spanning docs counted in every example they
+    touch, EOS separator included."""
+    from data_prepper_spark.datapipe.textstats import sequence_packing
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in [(1, 3), (2, 5), (3, 2), (4, 7)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in sequence_packing(
+            df, seq_len=8, n_shards=1,
+            shard_expr=F.lit(0),
+        ).collect()
+    }
+    # +1 EOS each: lens 4,6,3,8; offsets 0,4,10,13
+    assert [out[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 4, 10, 13]
+    assert out[1]["n_examples"] == 1  # tokens 0-3 in example 0
+    assert out[2]["start_example"] == 0 and out[2]["end_example"] == 1
+    assert out[3]["start_example"] == 1 and out[3]["n_examples"] == 1
+    assert out[4]["start_example"] == 1 and out[4]["end_example"] == 2
+    # default hash sharding spreads docs across shards deterministically
+    sharded = sequence_packing(df, seq_len=8, n_shards=4).collect()
+    again = sequence_packing(df, seq_len=8, n_shards=4).collect()
+    assert sorted(map(tuple, sharded)) == sorted(map(tuple, again))
