@@ -230,3 +230,19 @@ def search(
             raise NotImplementedError(f"aggregation '{akind}'")
 
     return DSLResult(hits, aggs)
+
+
+def msearch(
+    spark: SparkSession,
+    index_dir: str,
+    bodies: list,
+    corpus_path: str | None = None,
+) -> list:
+    """_msearch analog: one DSLResult per body, query_id = position.
+    Each body compiles independently (the executors already batch
+    multi-query workloads internally when given multi-row frames —
+    msearch exists for heterogeneous bodies)."""
+    return [
+        search(spark, index_dir, b, corpus_path=corpus_path, query_id=i)
+        for i, b in enumerate(bodies)
+    ]

@@ -191,6 +191,24 @@ def build_positions(
     out.write.mode("overwrite").parquet(os.path.join(index_dir, "positions"))
 
 
+def _anti_tombstones_docids(spark, index_dir: str, df: DataFrame) -> DataFrame:
+    """delete_by_query visibility for the positional paths: tombstones
+    store ENGINE ORDS, the positions sidecar keys by real doc_id, so
+    the dead set maps through the docs table once (broadcast — the
+    tombstone list is ids-only and small relative to the corpus) and
+    anti-joins the match frame. No-op without tombstones."""
+    from .query import _tombstone_ords
+
+    t = _tombstone_ords(spark, index_dir)
+    if t is None:
+        return df
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id"
+    )
+    dead = t.join(docs, "ord").select("doc_id").distinct()
+    return df.join(F.broadcast(dead), "doc_id", "left_anti")
+
+
 def phrase_topk_positional(
     spark: SparkSession,
     index_dir: str,
@@ -266,7 +284,9 @@ def phrase_topk_positional(
     ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
         "doc_id", "repo", "path", "commit"
     )
-    out = folded.join(ident, "doc_id")
+    out = _anti_tombstones_docids(spark, index_dir, folded).join(
+        ident, "doc_id"
+    )
     tie = F.col("doc_id") if tie_expr is None else tie_expr
     w = Window.partitionBy("query_id").orderBy(
         F.desc("phrase_freq"), F.asc(tie)
@@ -382,7 +402,9 @@ def sloppy_phrase_topk(
     ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
         "doc_id", "repo", "path", "commit"
     )
-    out = scored.join(ident, "doc_id")
+    out = _anti_tombstones_docids(spark, index_dir, scored).join(
+        ident, "doc_id"
+    )
     tie = F.col("doc_id") if tie_expr is None else tie_expr
     w = Window.partitionBy("query_id").orderBy(
         F.desc("phrase_freq"), F.asc(tie)

@@ -202,3 +202,20 @@ def test_search_after_and_errors(spark, index_dir):
              "aggs": {"g": {"geo_grid": {"field": "p"}}}},
             corpus_path="unused",
         )
+
+
+def test_msearch(spark, index_dir):
+    from data_prepper_spark.index.dsl import msearch
+
+    res = msearch(
+        spark, index_dir,
+        [
+            {"query": {"match": {"content": "class"}}, "size": 2},
+            {"query": {"prefix": {"content": "de"}}, "size": 2},
+        ],
+    )
+    assert len(res) == 2
+    a, b = res[0].hits.collect(), res[1].hits.collect()
+    assert {r["query_id"] for r in a} == {0}
+    assert {r["query_id"] for r in b} == {1}
+    assert a and b

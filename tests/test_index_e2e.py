@@ -1234,3 +1234,54 @@ def test_positions_folded_into_build(spark, fixture_dir, tmp_path):
             spark, corpus_path, str(tmp_path / "idx_bad"),
             BuildConfig(positions=True, direct_tokens_write=False),
         )
+
+
+def test_positional_paths_honor_tombstones(spark, fixture_dir, tmp_path):
+    """delete_by_query visibility extends to the positions sidecar:
+    a tombstoned doc disappears from exact, ordered-slop AND sloppy
+    phrase results (the ord->doc_id mapping is exercised, since
+    tombstones store engine ords)."""
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.positions import (
+        phrase_topk_positional,
+        sloppy_phrase_topk,
+    )
+    from data_prepper_spark.index.query import delete_by_query
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    idx = str(tmp_path / "tomb_pos_idx")
+    build_index(
+        spark, corpus_path, idx,
+        BuildConfig(n_buckets=8, hot_group_target=5000, positions=True),
+    )
+    doc = pd.read_parquet(corpus_path).iloc[0]
+    toks = tokenize_series(pd.Series([doc.content])).iloc[0]
+    phrase = " ".join(toks[10:12])
+    ph = spark.createDataFrame(
+        [(0, phrase)], "query_id long, phrase string"
+    )
+    docs_tbl = pd.read_parquet(os.path.join(idx, "docs"))
+    did = int(docs_tbl[docs_tbl.path == doc.path].doc_id.iloc[0])
+
+    before = phrase_topk_positional(
+        spark, idx, ph, k=100000
+    ).toPandas()
+    assert did in set(before.doc_id)
+    sl_before = sloppy_phrase_topk(spark, idx, ph, k=100000, slop=2)
+    assert did in set(sl_before.toPandas().doc_id)
+
+    # tombstone every doc matching the phrase terms through the REAL
+    # delete path, then assert our doc is among the invisible ones
+    n_deleted = delete_by_query(spark, idx, phrase)
+    assert n_deleted >= 1
+
+    after = phrase_topk_positional(spark, idx, ph, k=100000).toPandas()
+    assert did not in set(after.doc_id)
+    # every phrase hit matches the delete query (same terms), so the
+    # positional match set empties entirely
+    assert len(after) == 0
+    sl_after = sloppy_phrase_topk(
+        spark, idx, ph, k=100000, slop=2
+    ).toPandas()
+    assert did not in set(sl_after.doc_id)
