@@ -1165,8 +1165,11 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> int:
 
     Visibility: EVERY stateless index-backed path honors tombstones
     immediately — topk/topk_after, phrase/boolean/expanded search,
-    faceted/range/stats facets, collapse, significant_terms, and
-    topk_one_cold (all via _anti_tombstones / the driver exclude set).
+    faceted/range/stats/cardinality/percentiles facets, collapse,
+    top_hits, significant_terms, topk_one_cold (all via
+    _anti_tombstones / the driver exclude set), and the positional
+    phrase paths (ordered + sloppy, via the ord->doc_id mapping in
+    positions._anti_tombstones_docids).
     A warm QuerySession reads a snapshot taken at open; call
     .refresh() to see later deletes (the Lucene open-IndexReader
     contract). topk_deltas is the remaining exception: the delta
