@@ -34,6 +34,13 @@ NAMES = [
     # side (no shuffle before the bounded candidate join)
     "ann_lsh",
     "ann_ivf",
+    # round-4 additions: hash aggregations + broadcast dims only —
+    # no nested-loop joins, no single-partition windows
+    "prometheus_remote_write_decode",
+    "paragraph_dedup_scrub",
+    "sequence_packing_plan",
+    "top_hits_engine",
+    "sloppy_phrase_engine",
 ]
 
 KEEP = re.compile(
