@@ -3660,6 +3660,30 @@ def sequence_packing_plan(spark, sf_dir):
     )
 
 
+def mixture_sample_sources(spark, sf_dir):
+    """Pretraining mixture resampling (datapipe/textstats.py::
+    mixture_sample): documents downsample per source to weighted
+    target proportions via deterministic hash-bucket selection
+    (Knuth multiplicative bucket key here so the oracle recomputes
+    the identical pick; xxhash is the default). Emits the surviving
+    (doc_id, source)."""
+    from data_prepper_spark.datapipe.textstats import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # exact-binary weights: the rate*M boundary lands on an exact
+    # integer in BOTH engines (truncate-vs-round cast parity)
+    weights = {"src0": 0.5, "src1": 0.25,
+               "src2": 0.125, "src3": 0.125}
+    out = mixture_sample(
+        d, "source", weights,
+        bucket_m=10_000,
+        bucket_expr=F.pmod(
+            F.col("doc_id") * F.lit(2654435761), F.lit(10_000)
+        ),
+    )
+    return out.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": bm25_topk_df,
@@ -3715,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_mmdb_enrich": geoip_mmdb_enrich,
         "dsl_bool_search": dsl_bool_search,
         "sequence_packing_plan": sequence_packing_plan,
+        "mixture_sample_sources": mixture_sample_sources,
         "date_locale_parse": date_locale_parse,
         "truncate_text": truncate_text,
         "list_map_filter_chain": list_map_filter_chain,
@@ -4311,6 +4336,26 @@ SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST((start_offset + n_tokens - 1) // 2048
             - start_offset // 2048 + 1 AS INT) AS n_examples
 FROM off
+"""
+
+    sql["mixture_sample_sources"] = """
+WITH w(source, wt) AS (
+  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+         ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))
+),
+c AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents JOIN w USING (source) GROUP BY 1
+),
+t AS (SELECT min(n / wt) AS t FROM c JOIN w USING (source)),
+r AS (
+  SELECT c.source, least(CAST(1 AS DOUBLE), w.wt * t.t / c.n) AS rate
+  FROM c JOIN w USING (source) CROSS JOIN t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE ((d.doc_id * 2654435761) % 10000 + 10000) % 10000
+      < CAST(r.rate * 10000 AS BIGINT)
 """
 
     sql["rss_items_extract"] = """

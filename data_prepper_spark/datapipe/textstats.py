@@ -680,3 +680,53 @@ def sequence_packing(
             + 1
         ).cast("int").alias("n_examples"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+    bucket_m: int = 1_000_000,
+    bucket_expr=None,
+) -> DataFrame:
+    """Deterministic source-mixture resampling — the pretraining-mix
+    step that downsamples each corpus source to hit target
+    proportions. Given target weights w_s, the largest achievable
+    total is T = min_s(n_s / w_s); each source keeps a
+    rate_s = w_s * T / n_s fraction, selected by hash bucket
+    (pmod(xxhash(id), M) < rate_s * M) so the SAME docs survive on
+    every run and on every engine — no RNG, no order dependence.
+    Sources absent from `weights` are dropped.
+
+    Scale shape: one per-source count aggregation (source cardinality
+    is tiny — a driver-side rate map broadcast back as a literal CASE),
+    then a map-only filter; no per-source window, no skewed shuffle.
+    Proportions are exact to 1/M (sampling granularity, not a bug).
+    `bucket_expr` overrides the xxhash bucket key for external
+    recomputation (same pattern as sequence_packing's shard key)."""
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    total_w = sum(weights.values())
+    norm = {s: w / total_w for s, w in weights.items() if s in counts}
+    t = min(counts[s] / w for s, w in norm.items() if w > 0)
+    rate = F.lit(None).cast("double")
+    expr = None
+    for s, w in norm.items():
+        r = min(1.0, w * t / counts[s])
+        cond = F.col(source_col) == s
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(
+            cond, F.lit(r)
+        )
+    rate = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(bucket_m))
+    )
+    return df.where(bucket < (rate * bucket_m).cast("long"))

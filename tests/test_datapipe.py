@@ -458,3 +458,37 @@ def test_sequence_packing(spark):
     sharded = sequence_packing(df, seq_len=8, n_shards=4).collect()
     again = sequence_packing(df, seq_len=8, n_shards=4).collect()
     assert sorted(map(tuple, sharded)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample(spark):
+    """Source-weight resampling: proportions approach the target,
+    selection is deterministic, unweighted sources drop."""
+    from data_prepper_spark.datapipe.textstats import mixture_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(
+        df, "source", {"s0": 0.6, "s1": 0.2}, bucket_m=10_000
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert "s2" not in got  # unweighted source dropped
+    # T = min(2000/0.75, 2000/0.25) = 2666.7 -> s0 keeps ~2000 (all),
+    # s1 ~667; ratio ~3:1 within sampling noise
+    assert got["s0"] == 2000
+    assert 560 <= got["s1"] <= 780
+    # deterministic: same selection every run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "source", {"s0": 0.6, "s1": 0.2}, bucket_m=10_000
+        ).collect()
+    )
+    assert a == b
