@@ -313,3 +313,112 @@ def test_scrape_decreasing_cumulative_clamp(spark):
     (r,) = prometheus_scrape(df, now_iso=NOW).collect()
     # per-bucket: 5, max(0, 3-5)=0, 6-max(5,3)=1
     assert r["bucketCountsList"] == [5, 0, 1]
+
+
+def test_prometheus_sink_roundtrip(spark, tmp_path):
+    """Push-sink parity (PrometheusTimeSeries.java conversion): metric
+    events -> TimeSeries -> snappy WriteRequest; captured wire decodes
+    back through OUR remote-write source primitives."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_prepper_spark.operators.prometheus import (
+        snappy_decompress as _sd,
+    )
+    from data_prepper_spark.sinks.prometheus import prometheus_sink
+
+    bodies = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            assert self.headers["Content-Encoding"] == "snappy"
+            bodies.append(self.rfile.read(n))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rows = [
+            {
+                "name": "cpu.load",  # dot sanitized to _
+                "kind": "GAUGE",
+                "time": "2018-12-13T14:51:00.300Z",
+                "value": 0.5,
+                "attributes": {"host": "h1", "bad key": "x"},
+            },
+            {
+                "name": "lat",
+                "kind": "HISTOGRAM",
+                "time": "2018-12-13T14:51:00Z",
+                "count": 7,
+                "sum": 12.5,
+                "bucketCountsList": [1, 2, 4],
+                "explicitBounds": [5.0, 10.0],
+                "attributes": {"svc": "a"},
+            },
+            {
+                "name": "rpc",
+                "kind": "SUMMARY",
+                "time": "2018-12-13T14:51:00Z",
+                "count": 10,
+                "sum": 9.0,
+                "quantiles": [
+                    {"quantile": 0.5, "value": 1.0},
+                    {"quantile": 0.99, "value": 4.0},
+                ],
+                "attributes": {},
+            },
+        ]
+        schema = (
+            "name string, kind string, time string, value double, "
+            "count long, sum double, bucketCountsList array<long>, "
+            "explicitBounds array<double>, "
+            "quantiles array<struct<quantile double, value double>>, "
+            "attributes map<string,string>"
+        )
+        df = spark.createDataFrame(
+            [tuple(r.get(k) for k in (
+                "name", "kind", "time", "value", "count", "sum",
+                "bucketCountsList", "explicitBounds", "quantiles",
+                "attributes"))
+             for r in rows],
+            schema,
+        ).coalesce(1)
+        audit = prometheus_sink(
+            df, f"http://127.0.0.1:{srv.server_address[1]}/write"
+        ).collect()
+        assert audit[0]["status"] == 200 and audit[0]["n_events"] == 3
+
+        tss = decode_write_request(_sd(bodies[0]))
+        by_name = {}
+        for ts in tss:
+            by_name.setdefault(ts["labels"]["__name__"], []).append(ts)
+        g = by_name["cpu_load"][0]  # sanitized
+        assert g["samples"] == [(0.5, 1544712660300)]
+        assert g["labels"]["host"] == "h1"
+        assert g["labels"]["bad_key"] == "x"  # label sanitized
+        assert by_name["lat_count"][0]["samples"][0][0] == 7.0
+        assert by_name["lat_sum"][0]["samples"][0][0] == 12.5
+        les = {
+            ts["labels"]["le"]: ts["samples"][0][0]
+            for ts in by_name["lat_bucket"]
+        }
+        # reference posts PER-BUCKET counts, last bucket le=+Inf
+        assert les == {"5.0": 1.0, "10.0": 2.0, "+Inf": 4.0}
+        qs = {
+            ts["labels"]["quantile"]: ts["samples"][0][0]
+            for ts in by_name["rpc"]
+        }
+        assert qs == {"0.5": 1.0, "0.99": 4.0}
+        assert by_name["rpc_count"][0]["samples"][0][0] == 10.0
+        json  # quiet linters
+    finally:
+        srv.shutdown()
+        srv.server_close()
