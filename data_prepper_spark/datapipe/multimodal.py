@@ -2,10 +2,11 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, partition sizing, Arrow batch shape,
-UDF signatures) is real and tested; the actual media decode is STUBBED
-(this container has no image/audio libraries) behind
-`decoder_available()` — a deterministic fake decoder keeps the
-pipeline exercisable end-to-end.
+UDF signatures) is real and tested. Since round 4 the decode itself
+is REAL for PNG and WAV (datapipe/media.py — stdlib-only readers for
+the public formats, with encoder twins for fixtures); video and other
+mimes remain stubbed behind the deterministic fake (no codec library
+exists in-sandbox), and `decoder_available(mime)` reports per-mime.
 """
 
 from __future__ import annotations
@@ -23,8 +24,15 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, n_bytes int"
 
 
-def decoder_available() -> bool:
-    """True when a real decode library (PIL / soundfile / av) exists."""
+REAL_DECODE_MIMES = frozenset({"image/png", "audio/wav", "audio/x-wav"})
+
+
+def decoder_available(mime: str | None = None) -> bool:
+    """Per-mime: PNG/WAV decode is stdlib-real (datapipe/media.py);
+    other mimes need PIL/av, absent here. mime=None keeps the old
+    any-external-lib answer for the video/stub paths."""
+    if mime in REAL_DECODE_MIMES:
+        return True
     try:
         import PIL  # noqa: F401
 
@@ -44,24 +52,41 @@ def _fake_feature(payload: np.ndarray, dim: int = 16) -> np.ndarray:
 
 
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads. Arrow moves
-    the bytes in columnar batches; each batch is processed without
-    per-row Python beyond the (stubbed) decode call."""
-    use_real = decoder_available()
+    """mapInPandas feature extraction over binary payloads. Arrow
+    moves the bytes in columnar batches; PNG/WAV payloads decode for
+    REAL (datapipe/media.py), other mimes take the deterministic fake
+    (video: no codec in-sandbox). Malformed payloads fall back to the
+    fake rather than failing the batch (DLQ-style tolerance). Needs a
+    `mime` column when real decode should fire; without one every row
+    takes the fake path (the pre-round-4 behavior)."""
 
     def fn(it):
+        from .media import audio_features, image_features
+
         for pdf in it:
-            if use_real:
-                raise NotImplementedError(
-                    "real media decode not wired yet — container has no "
-                    "image/audio libs; _fake_feature is the test path"
+            mimes = (
+                pdf["mime"] if "mime" in pdf.columns
+                else [None] * len(pdf)
+            )
+            feats = []
+            for p, mime in zip(pdf["payload"], mimes):
+                if p is None:
+                    feats.append([0.0] * dim)
+                    continue
+                try:
+                    if mime == "image/png":
+                        feats.append(image_features(bytes(p), dim))
+                        continue
+                    if mime in ("audio/wav", "audio/x-wav"):
+                        feats.append(audio_features(bytes(p), dim))
+                        continue
+                except Exception:
+                    pass  # malformed media -> deterministic fake
+                feats.append(
+                    _fake_feature(
+                        np.frombuffer(p, dtype=np.uint8), dim
+                    ).tolist()
                 )
-            feats = [
-                _fake_feature(np.frombuffer(p, dtype=np.uint8), dim).tolist()
-                if p is not None
-                else [0.0] * dim
-                for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -71,7 +96,8 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+    keep = [c for c in ("media_id", "kind", "mime", "payload") if c in df.columns]
+    return df.select(*keep).mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
