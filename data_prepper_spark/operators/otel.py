@@ -382,6 +382,37 @@ _SPAN_T = T.StructType(
                 ]
             ),
         ),
+        T.StructField(
+            "events",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("timeUnixNano", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("attributes", _kvlist(0)),
+                        T.StructField(
+                            "droppedAttributesCount", T.IntegerType()
+                        ),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("traceId", T.StringType()),
+                        T.StructField("spanId", T.StringType()),
+                        T.StructField("traceState", T.StringType()),
+                        T.StructField("attributes", _kvlist(0)),
+                        T.StructField(
+                            "droppedAttributesCount", T.IntegerType()
+                        ),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -423,7 +454,8 @@ def otel_traces(df: DataFrame, source: str = "message") -> DataFrame:
     attributes (flattened map — span.attributes.* / resource
     .attributes.* / instrumentationScope.* / status.*),
     droppedAttributesCount, droppedEventsCount, droppedLinksCount,
-    traceGroup, traceGroupFields(endTime, durationInNanos,
+    events / links (full bodies since r4 — ISO times, dot->@ keys:
+    getSpanEvent :404-411, getLink :413-421), traceGroup, traceGroupFields(endTime, durationInNanos,
     statusCode). Original columns are preserved."""
     parsed = F.from_json(F.col(source), TRACES_SCHEMA)
     df = df.withColumn("_rs", F.explode(parsed["resourceSpans"]))
@@ -492,6 +524,63 @@ def otel_traces(df: DataFrame, source: str = "message") -> DataFrame:
         .withColumn(
             "droppedEventsCount",
             F.coalesce(sp["droppedEventsCount"], F.lit(0)),
+        )
+        # span events/links bodies (getSpanEvent :404-411 / getLink
+        # :413-421): ISO times, dot->@ attribute keys, no prefix
+        .withColumn(
+            "events",
+            F.coalesce(
+                F.transform(
+                    sp["events"],
+                    lambda e: F.struct(
+                        _iso8601(_nanos(e["timeUnixNano"])).alias("time"),
+                        F.coalesce(e["name"], F.lit("")).alias("name"),
+                        F.map_from_entries(
+                            _entries_last_wins(
+                                _prefixed_entries(e["attributes"], "", 0)
+                            )
+                        ).alias("attributes"),
+                        F.coalesce(
+                            e["droppedAttributesCount"], F.lit(0)
+                        ).alias("droppedAttributesCount"),
+                    ),
+                ),
+                F.array().cast(
+                    "array<struct<time string, name string, "
+                    "attributes map<string,string>, "
+                    "droppedAttributesCount int>>"
+                ),
+            ),
+        )
+        .withColumn(
+            "links",
+            F.coalesce(
+                F.transform(
+                    sp["links"],
+                    lambda e: F.struct(
+                        F.coalesce(e["traceId"], F.lit("")).alias(
+                            "traceId"
+                        ),
+                        F.coalesce(e["spanId"], F.lit("")).alias("spanId"),
+                        F.coalesce(e["traceState"], F.lit("")).alias(
+                            "traceState"
+                        ),
+                        F.map_from_entries(
+                            _entries_last_wins(
+                                _prefixed_entries(e["attributes"], "", 0)
+                            )
+                        ).alias("attributes"),
+                        F.coalesce(
+                            e["droppedAttributesCount"], F.lit(0)
+                        ).alias("droppedAttributesCount"),
+                    ),
+                ),
+                F.array().cast(
+                    "array<struct<traceId string, spanId string, "
+                    "traceState string, attributes map<string,string>, "
+                    "droppedAttributesCount int>>"
+                ),
+            ),
         )
         .withColumn(
             "droppedLinksCount",

@@ -164,10 +164,47 @@ def _status(b: bytes, lo: int, hi: int) -> dict:
     return out
 
 
+def _span_event(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if fno == 1:
+            out["timeUnixNano"] = str(_fixed64_u(v))
+        elif fno == 2:
+            out["name"] = _s(b, v)
+        elif fno == 3:
+            attrs.append(v)
+        elif fno == 4:
+            out["droppedAttributesCount"] = v
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
+def _span_link(b: bytes, lo: int, hi: int) -> dict:
+    out: dict = {}
+    attrs: list = []
+    for fno, wt, v in _fields(b, lo, hi):
+        if fno == 1:
+            out["traceId"] = _hexs(b, v)
+        elif fno == 2:
+            out["spanId"] = _hexs(b, v)
+        elif fno == 3:
+            out["traceState"] = _s(b, v)
+        elif fno == 4:
+            attrs.append(v)
+        elif fno == 5:
+            out["droppedAttributesCount"] = v
+    if attrs:
+        out["attributes"] = _attrs(b, attrs)
+    return out
+
+
 def _span(b: bytes, lo: int, hi: int) -> dict:
     out: dict = {}
     attrs: list = []
-    n_events = n_links = 0
+    events: list = []
+    links: list = []
     for fno, wt, v in _fields(b, lo, hi):
         if fno == 1:
             out["traceId"] = _hexs(b, v)
@@ -190,23 +227,21 @@ def _span(b: bytes, lo: int, hi: int) -> dict:
         elif fno == 10:
             out["droppedAttributesCount"] = v
         elif fno == 11:
-            n_events += 1
+            events.append(_span_event(b, v[0], v[1]))
         elif fno == 12:
             out["droppedEventsCount"] = v
         elif fno == 13:
-            n_links += 1
+            links.append(_span_link(b, v[0], v[1]))
         elif fno == 14:
             out["droppedLinksCount"] = v
         elif fno == 15:
             out["status"] = _status(b, v[0], v[1])
     if attrs:
         out["attributes"] = _attrs(b, attrs)
-    # events/links bodies are dropped by the Catalyst decoder too; the
-    # wire still has to be WALKED (length-prefixed) — counts retained
-    if n_events:
-        out["eventsCount"] = n_events
-    if n_links:
-        out["linksCount"] = n_links
+    if events:
+        out["events"] = events
+    if links:
+        out["links"] = links
     return out
 
 
@@ -358,6 +393,34 @@ def encode_traces_request(payload: dict) -> bytes:
                             "<Q", int(sp[key])
                         )
                 pb += _enc_attrs(9, sp.get("attributes"))
+                for ev in sp.get("events", []):
+                    eb = bytearray()
+                    if ev.get("timeUnixNano") is not None:
+                        eb += _tag(1, 1) + struct.pack(
+                            "<Q", int(ev["timeUnixNano"])
+                        )
+                    if ev.get("name"):
+                        eb += _enc_str(2, ev["name"])
+                    eb += _enc_attrs(3, ev.get("attributes"))
+                    if ev.get("droppedAttributesCount"):
+                        eb += _tag(4, 0) + _enc_varint(
+                            int(ev["droppedAttributesCount"])
+                        )
+                    pb += _ld(11, bytes(eb))
+                for lk in sp.get("links", []):
+                    lb = bytearray()
+                    for fno, key in ((1, "traceId"), (2, "spanId")):
+                        hx = lk.get(key)
+                        if hx:
+                            lb += _ld(fno, bytes.fromhex(hx))
+                    if lk.get("traceState"):
+                        lb += _enc_str(3, lk["traceState"])
+                    lb += _enc_attrs(4, lk.get("attributes"))
+                    if lk.get("droppedAttributesCount"):
+                        lb += _tag(5, 0) + _enc_varint(
+                            int(lk["droppedAttributesCount"])
+                        )
+                    pb += _ld(13, bytes(lb))
                 st = sp.get("status")
                 if st is not None:
                     stb = bytearray()

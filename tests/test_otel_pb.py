@@ -54,6 +54,29 @@ PAYLOAD = {
                                  ]}}},
                             ],
                             "status": {"code": 2, "message": "boom"},
+                            "events": [
+                                {
+                                    "timeUnixNano": "1544712660500000000",
+                                    "name": "exception",
+                                    "attributes": [
+                                        {"key": "exception.type",
+                                         "value": {"stringValue": "IOError"}}
+                                    ],
+                                    "droppedAttributesCount": 1,
+                                }
+                            ],
+                            "links": [
+                                {
+                                    "traceId": "0af7651916cd43dd"
+                                               "8448eb211c80319c",
+                                    "spanId": "1115151611201111",
+                                    "traceState": "k=v",
+                                    "attributes": [
+                                        {"key": "peer",
+                                         "value": {"stringValue": "b"}}
+                                    ],
+                                }
+                            ],
                         },
                         {
                             "traceId": "0af7651916cd43dd8448eb211c80319c",
@@ -107,7 +130,7 @@ def test_pb_path_matches_json_path(spark):
     cols = [
         "traceId", "spanId", "parentSpanId", "name", "kind",
         "startTime", "endTime", "durationInNanos", "serviceName",
-        "traceGroup", "status_code", "attrs",
+        "traceGroup", "status_code", "attrs", "evs", "lks",
     ]
 
     def norm(df):
@@ -115,6 +138,8 @@ def test_pb_path_matches_json_path(spark):
 
         return (
             df.withColumn("attrs", F.to_json(F.col("attributes")))
+            .withColumn("evs", F.to_json(F.col("events")))
+            .withColumn("lks", F.to_json(F.col("links")))
             .withColumn("status_code", F.col("traceGroupFields")["statusCode"])
             .select(*cols)
             .orderBy("spanId")
@@ -125,6 +150,10 @@ def test_pb_path_matches_json_path(spark):
     b = norm(otel_traces(js_df, "message"))
     assert a == b
     assert len(a) == 2
+    ev = {r["spanId"]: r["evs"] for r in a}["b7ad6b7169203331"]
+    assert "exception" in ev and "exception@type" in ev  # dot->@
+    lk = {r["spanId"]: r["lks"] for r in a}["b7ad6b7169203331"]
+    assert "1115151611201111" in lk and "k=v" in lk
 
 
 def test_pb_malformed_tolerant(spark):
