@@ -215,6 +215,27 @@ PROCESSORS: dict[str, Any] = {
     "user_agent": lambda df, c: codec_ops.user_agent(
         df, c["source"], c.get("destination", "user_agent")
     ),
+    # geoip (EntryConfig source/target/include_fields + the reference's
+    # database file): database_path points at a MaxMind .mmdb on any
+    # fsio-readable path; decode is the hand-rolled spec reader
+    "geoip": lambda df, c: __import__(
+        "data_prepper_spark.operators.geoip", fromlist=["geoip"]
+    ).geoip(
+        df,
+        c["source"],
+        open(c["database_path"], "rb").read(),
+        target=c.get("target", "geo"),
+        fields=tuple(
+            c.get(
+                "include_fields",
+                __import__(
+                    "data_prepper_spark.operators.geoip",
+                    fromlist=["geoip"],
+                ).DEFAULT_FIELDS,
+            )
+        ),
+        tags_on_no_valid_ip=tuple(c.get("tags_on_no_valid_ip", ())),
+    ),
     # remote UDF: url stands in for the function ARN (the transport
     # here is plain HTTP; SigV4/AWS client is out of scope)
     "aws_lambda": lambda df, c: __import__(

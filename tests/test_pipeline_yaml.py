@@ -260,3 +260,34 @@ def test_yaml_recursive_kv_and_grok_options(spark):
         },
     ).collect()
     assert g[0]["gk"]["k"] == "x" and g[0]["gk"]["v"] == "1"
+
+
+def test_yaml_geoip_processor(spark, tmp_path):
+    """geoip routes through the pipeline compiler with a database
+    file on disk (the reference's database_path config)."""
+    from data_prepper_spark.operators.geoip import build_mmdb
+    from data_prepper_spark.pipeline import PROCESSORS
+
+    db_path = tmp_path / "fixture.mmdb"
+    db_path.write_bytes(
+        build_mmdb(
+            [("10.0.0.0/8",
+              {"country": {"iso_code": "DE", "names": {"en": "Germany"}}})]
+        )
+    )
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("8.8.8.8",)], "ip string"
+    )
+    out = PROCESSORS["geoip"](
+        df,
+        {
+            "source": "ip",
+            "database_path": str(db_path),
+            "include_fields": ["country_name", "country_iso_code"],
+            "tags_on_no_valid_ip": ["_miss"],
+        },
+    ).collect()
+    by = {r["ip"]: r for r in out}
+    assert by["10.1.2.3"]["geo"]["country_iso_code"] == "DE"
+    assert by["8.8.8.8"]["geo"] is None
+    assert "_miss" in by["8.8.8.8"]["_tags"]
