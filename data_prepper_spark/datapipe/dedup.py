@@ -708,7 +708,7 @@ def dup_clusters(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("id", "y"), "y"
         ).select(F.col("x").alias("id"), "lbl")
@@ -718,13 +718,19 @@ def dup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
+        prev, labels = labels, new.select("id", "lbl")
+        # convergence check (a driver count()) every SECOND round:
+        # propagation is monotone, so the worst case is one extra
+        # cheap round, and half the driver round-trips disappear
+        # (ADVICE r03 minor)
+        if it % 2 == 0:
+            continue
         changed = (
-            new.withColumnRenamed("lbl", "nl")
-            .join(labels, "id")
+            labels.withColumnRenamed("lbl", "nl")
+            .join(prev, "id")
             .filter(F.col("nl") != F.col("lbl"))
             .count()
         )
-        labels = new.select("id", "lbl")
         if changed == 0:
             break
     return labels.select(
