@@ -775,8 +775,10 @@ def paragraph_dedup(
         .where(F.col("ndocs") >= min_count)
         .select("fp")
     )
-    kept = paras.join(F.broadcast(dup).withColumn("__dup", F.lit(True)),
-                      "fp", "left")
+    # no forced broadcast: the dup set is usually tiny (boilerplate
+    # cardinality) and AQE will broadcast it then, but a pathological
+    # corpus where most paragraphs repeat must not OOM an executor
+    kept = paras.join(dup.withColumn("__dup", F.lit(True)), "fp", "left")
     return (
         kept.groupBy("id")
         .agg(

@@ -206,7 +206,9 @@ def _anti_tombstones_docids(spark, index_dir: str, df: DataFrame) -> DataFrame:
         "ord", "doc_id"
     )
     dead = t.join(docs, "ord").select("doc_id").distinct()
-    return df.join(F.broadcast(dead), "doc_id", "left_anti")
+    # no forced broadcast: deleting 1% of a 10^12-doc index makes the
+    # dead set ~10^10 rows; AQE broadcasts it when it IS small
+    return df.join(dead, "doc_id", "left_anti")
 
 
 def phrase_topk_positional(
