@@ -12,9 +12,11 @@ search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
 [+slop], prefix, fuzzy, wildcard, bool must/should/must_not/filter,
-simple_query_string), `size`, `search_after` (+ the match query),
-`collapse`, and `aggs` (terms [+nested top_hits], range,
-extended_stats, cardinality, percentiles, significant_terms).
+simple_query_string, more_like_this), `size`, `search_after` (+ the
+match query), `collapse`, `highlight` (match/term hits gain a
+`snippet` column around the earliest term hit), and `aggs` (terms
+[+nested top_hits], range, extended_stats, cardinality, percentiles,
+significant_terms).
 Unsupported constructs raise NotImplementedError naming the clause —
 loud, not silent.
 """
@@ -137,6 +139,26 @@ def search(
             qdf("query_id long, query string", (query_id, str(text))),
             k=k,
         )
+    elif kind == "more_like_this":
+        # OpenSearch MLT `like: [{"_id": ...}]` over the corpus; the
+        # executor derives each source doc's tf-idf keyword query
+        from ..datapipe.textstats import more_like_this as _mlt
+
+        if corpus_path is None:
+            raise ValueError("more_like_this needs corpus_path")
+        like = spec.get("like", [])
+        like = like if isinstance(like, list) else [like]
+        ids = [
+            x["_id"] if isinstance(x, dict) else x for x in like
+        ]
+        fields = spec.get("fields", ["content"])
+        docs = spark.read.parquet(corpus_path)
+        id_col = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
+        hits = _mlt(
+            docs, fields[0], source_ids=[int(i) for i in ids],
+            id_col=id_col,
+            m=int(spec.get("max_query_terms", 5)), k=k,
+        )
     else:
         raise NotImplementedError(f"query clause '{kind}'")
 
@@ -160,6 +182,30 @@ def search(
             hits = q.collapse_search(
                 spark, index_dir, corpus_path, mq,
                 field=body["collapse"]["field"], k=k,
+            )
+        elif "highlight" in body:
+            from pyspark.sql import functions as F
+
+            from ..datapipe.textstats import snippet_col
+            from ..tokenizer import tokenize_col
+
+            if corpus_path is None:
+                raise ValueError("highlight needs corpus_path")
+            top = q.topk_with_docs(spark, index_dir, mq, k=k)
+            text_field = next(
+                iter((body["highlight"].get("fields") or {"content": {}}))
+            )
+            corpus = spark.read.parquet(corpus_path).select(
+                "repo", "path", "commit",
+                F.col(text_field).alias("__text"),
+            )
+            qterms = F.array_distinct(tokenize_col(F.lit(match_text)))
+            hits = (
+                top.join(corpus, ["repo", "path", "commit"])
+                .withColumn(
+                    "snippet", snippet_col(F.col("__text"), qterms)
+                )
+                .drop("__text")
             )
         else:
             hits = q.topk(spark, index_dir, mq, k=k)

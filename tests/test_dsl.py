@@ -190,10 +190,10 @@ def test_search_after_and_errors(spark, index_dir):
     seen = {r["doc_id"] for r in first[: ci + 1]}
     assert page2 and all(r["doc_id"] not in seen for r in page2)
 
-    with pytest.raises(NotImplementedError, match="more_like_this"):
+    with pytest.raises(NotImplementedError, match="knn"):
         search(
             spark, index_dir,
-            {"query": {"more_like_this": {"fields": ["content"]}}},
+            {"query": {"knn": {"field": "embedding"}}},
         )
     with pytest.raises(NotImplementedError, match="aggregation 'geo"):
         search(
@@ -219,3 +219,45 @@ def test_msearch(spark, index_dir):
     assert {r["query_id"] for r in a} == {0}
     assert {r["query_id"] for r in b} == {1}
     assert a and b
+
+
+def test_highlight_and_more_like_this(spark, index_dir, corpus_path):
+    hl = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}}, "size": 3,
+         "highlight": {"fields": {"content": {}}}},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert hl and all("class" in r["snippet"] for r in hl)
+
+    # MLT routes over a doc_id-carrying corpus (the documents shape)
+    import pandas as pd
+
+    mdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "content": [
+                "spark engine query plan optimizer",
+                "spark engine query plan catalyst",
+                "totally different words about cooking pasta",
+                "spark query optimizer notes engine",
+                "gardening soil compost seeds water",
+                "engine plan query spark tuning",
+            ],
+        }
+    )
+    mpath = str(corpus_path) + "_mlt.parquet"
+    mdf.to_parquet(mpath)
+    mlt = search(
+        spark, index_dir,
+        {"query": {"more_like_this": {
+            "like": [{"_id": 0}],
+            "fields": ["content"], "max_query_terms": 5}},
+         "size": 3},
+        corpus_path=mpath,
+    ).hits.collect()
+    assert mlt
+    got = [r["doc_id"] for r in mlt]
+    assert 0 not in got  # MLT excludes the source doc itself
+    assert set(got) & {1, 3, 5}  # similar docs rank, not the cooking ones
+    assert 2 not in got[:2] and 4 not in got[:2]
