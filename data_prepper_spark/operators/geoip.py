@@ -113,8 +113,11 @@ class _Decoder:
                 out[k] = v
             return out, off
         if typ == 8:  # int32
-            return int.from_bytes(buf[i:i + size], "big", signed=True), \
-                rel + size
+            # spec: stored bytes are zero-padded to 4 before signed
+            # interpretation, so only full-width (4-byte) encodings can
+            # be negative — a 1-byte 0xC8 is +200, not -56 (ADVICE r04)
+            padded = b"\x00" * (4 - size) + buf[i:i + size]
+            return int.from_bytes(padded, "big", signed=True), rel + size
         if typ == 11:  # array
             out = []
             off = rel

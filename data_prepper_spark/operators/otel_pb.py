@@ -31,6 +31,7 @@ common/v1/common.proto, resource/v1/resource.proto.
 
 from __future__ import annotations
 
+import base64
 import json
 import struct
 
@@ -93,6 +94,13 @@ def _hexs(b: bytes, span) -> str:
     return b[span[0]:span[1]].hex()
 
 
+def _b64s(b: bytes, span) -> str:
+    # OTLP/JSON encodes generic bytes (AnyValue.bytesValue) as base64;
+    # hex is reserved for trace/span ids only — keeping both wire forms
+    # consistent downstream (ADVICE r04)
+    return base64.b64encode(b[span[0]:span[1]]).decode("ascii")
+
+
 def _fixed64_u(v: bytes) -> int:
     return struct.unpack("<Q", v)[0]
 
@@ -136,7 +144,7 @@ def _any_value(b: bytes, lo: int, hi: int) -> dict:
             ]
             return {"kvlistValue": {"values": kvs}}
         if fno == 7:
-            return {"bytesValue": _hexs(b, v)}
+            return {"bytesValue": _b64s(b, v)}
     return {}
 
 
@@ -343,7 +351,7 @@ def _enc_any(v: dict) -> bytes:
         )
         return _ld(6, inner)
     if "bytesValue" in v:
-        return _ld(7, bytes.fromhex(v["bytesValue"]))
+        return _ld(7, base64.b64decode(v["bytesValue"]))
     return b""
 
 

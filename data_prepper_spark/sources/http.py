@@ -200,11 +200,30 @@ class HttpSource:
                 body = self.rfile.read(n)
                 enc = (self.headers.get("Content-Encoding") or "").lower()
                 if enc == "gzip":
-                    import gzip as _gz
+                    # streaming inflate with a DECODED-size cap: the
+                    # Content-Length check above bounds only the wire
+                    # bytes, so a small gzip bomb (10 MB -> ~10 GB)
+                    # would otherwise inflate unbounded before any size
+                    # check applies (ADVICE r04). Cap = the same
+                    # max_request_bytes budget the raw path enforces.
+                    import zlib as _zl
 
+                    d = _zl.decompressobj(16 + _zl.MAX_WBITS)
                     try:
-                        body = _gz.decompress(body)
-                    except OSError:
+                        body = d.decompress(
+                            body, src.max_request_bytes + 1
+                        )
+                    except _zl.error:
+                        src.metrics["badRequests"] += 1
+                        self._reply(400, b"Bad gzip payload")
+                        return
+                    if len(body) > src.max_request_bytes or (
+                        d.unconsumed_tail
+                    ):
+                        src.metrics["requestsOverMaximumSize"] += 1
+                        self._reply(413, b"Payload Too Large")
+                        return
+                    if not d.eof:  # truncated stream / missing trailer
                         src.metrics["badRequests"] += 1
                         self._reply(400, b"Bad gzip payload")
                         return

@@ -220,9 +220,15 @@ def maybe_compact(
         os.path.join(tmp, "victims.json"),
         json.dumps(sorted(victims)).encode(),
     )
+    # sequence from the PRE-deletion listing: if the highest delta=cN
+    # is itself a victim, computing seq after the rmtree would reuse
+    # its just-deleted name and a concurrent topk_deltas reader that
+    # listed before compaction could double-count the merged run under
+    # the old name (ADVICE r04). Pre-delete max keeps names monotonic.
+    seq = _next_seq(index_root)
     for d in victims:
         fsio.rmtree(d)
-    fsio.move(tmp, os.path.join(index_root, f"delta=c{_next_seq(index_root)}"))
+    fsio.move(tmp, os.path.join(index_root, f"delta=c{seq}"))
     return stats
 
 
@@ -250,11 +256,13 @@ def _recover_compaction(index_root: str, tmp: str) -> None:
         return
     vj = os.path.join(tmp, "victims.json")
     if fsio.exists(os.path.join(tmp, "stats.json")) and fsio.exists(vj):
+        # seq BEFORE deleting survivors, same monotonic-name argument
+        # as maybe_compact: a surviving highest-cN victim must never
+        # donate its name to the merged run
+        seq = _next_seq(index_root)
         for v in json.loads(fsio.read_text(vj)):
             fsio.rmtree(v)
-        fsio.move(
-            tmp, os.path.join(index_root, f"delta=c{_next_seq(index_root)}")
-        )
+        fsio.move(tmp, os.path.join(index_root, f"delta=c{seq}"))
     else:
         fsio.rmtree(tmp)
 

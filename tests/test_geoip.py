@@ -204,3 +204,24 @@ def test_record_sizes_24_28():
     r28 = MMDBReader(db28)
     assert r28.get("128.0.0.1") == {"x": "y"}
     assert r28.get("1.0.0.1") is None
+
+
+def test_int32_short_encoding_is_unsigned_padded():
+    """Spec: int32 stored in <4 bytes zero-pads to 4 before signed
+    interpretation — only full-width encodings can be negative. A
+    1-byte 0xC8 is +200, not -56 (ADVICE r04; the in-repo encoder
+    always writes negatives as 4 bytes so round-trips can't catch
+    this, but vendor DBs use short encodings)."""
+    from data_prepper_spark.operators.geoip import _Decoder
+
+    one_byte = bytes([(0 << 5) | 1, 8 - 7, 0xC8])  # int32, size 1
+    val, nxt = _Decoder(one_byte, 0).decode(0)
+    assert (val, nxt) == (200, 3)
+    two_byte = bytes([(0 << 5) | 2, 8 - 7, 0xFF, 0xFE])  # size 2
+    val, _ = _Decoder(two_byte, 0).decode(0)
+    assert val == 0xFFFE
+    import struct as _st
+
+    four = bytes([(0 << 5) | 4, 8 - 7]) + _st.pack(">i", -7)
+    val, _ = _Decoder(four, 0).decode(0)
+    assert val == -7

@@ -216,3 +216,61 @@ def test_stdin_source(spark):
 
     buf = io.StringIO("a\nb\nc\n")
     assert read_stdin(spark, buf, max_lines=2).count() == 2
+
+
+def _post_gz(port: int, path: str, raw: bytes):
+    import gzip as _gz
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=_gz.compress(raw),
+        headers={
+            "Content-Type": "application/json",
+            "Content-Encoding": "gzip",
+        },
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_gzip_body_roundtrip(spark, src):
+    evs = [{"log": f"z{i}"} for i in range(5)]
+    assert _post_gz(src.port, "/log/ingest", json.dumps(evs).encode()) == 200
+    assert src.read_logs(spark).count() == 5
+
+
+def test_gzip_bomb_413_on_decoded_size(src):
+    """max_request_bytes must bound the DECODED payload, not just the
+    wire Content-Length: a tiny gzip of 10 MB of zeros passes the
+    compressed-size check but must 413 during streaming inflate
+    (ADVICE r04)."""
+    src.max_request_bytes = 64 * 1024
+    bomb = b"[" + b" " * (10 * 1024 * 1024) + b"]"  # ~10 KB gzipped
+    assert _post_gz(src.port, "/log/ingest", bomb) == 413
+    assert src.metrics["requestsOverMaximumSize"] == 1
+
+
+def test_truncated_gzip_400(src):
+    import gzip as _gz
+    import urllib.request as _ur
+
+    wire = _gz.compress(b'[{"a":1}]')[:-4]  # drop part of the trailer
+    req = _ur.Request(
+        f"http://127.0.0.1:{src.port}/log/ingest",
+        data=wire,
+        headers={
+            "Content-Type": "application/json",
+            "Content-Encoding": "gzip",
+        },
+        method="POST",
+    )
+    try:
+        with _ur.urlopen(req, timeout=10) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400

@@ -420,3 +420,27 @@ def test_metrics_pb_path_matches_json_path(spark):
     a = norm(otel_metrics_pb(pb_df, "body"))
     b = norm(otel_metrics(js_df, "message"))
     assert a == b and len(a) == 5
+
+
+def test_bytes_value_attribute_is_base64():
+    """OTLP/JSON encodes AnyValue.bytesValue as base64 (hex is only
+    for trace/span ids) — the pb wire path must produce the same
+    string an external JSON client would send (ADVICE r04)."""
+    import base64
+
+    payload = {
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "blob", "value": {"bytesValue":
+                    base64.b64encode(b"\x00\xffhi").decode()}},
+            ]},
+            "scopeSpans": [{"spans": [{
+                "traceId": "0" * 32, "spanId": "0" * 16, "name": "s",
+            }]}],
+        }]
+    }
+    back = decode_traces_request(encode_traces_request(payload))
+    attr = back["resourceSpans"][0]["resource"]["attributes"][0]
+    assert attr["value"]["bytesValue"] == base64.b64encode(
+        b"\x00\xffhi"
+    ).decode()

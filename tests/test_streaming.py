@@ -597,3 +597,67 @@ def test_http_push_to_live_index(spark, tmp_path):
             " pipeline_name string, error_message string, unit string"
         ).parquet(os.path.join(root, d, "quarantine"))
         assert qr.count() == 0
+
+
+def test_compaction_never_reuses_victim_seq(spark, tmp_path):
+    """ADVICE r04: when the highest delta=cN is itself a merge victim,
+    the merged output must get a FRESH sequence number (pre-deletion
+    listing), never the just-deleted name — a concurrent reader that
+    listed deltas before compaction would otherwise read the merged
+    run under the old name and double-count its docs."""
+    import shutil
+
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+        maybe_compact,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.002, src, chunks_per_file=1)
+    root = str(tmp_path / "deltas")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(spark, stream, root, str(tmp_path / "ck")).start()
+    q.awaitTermination(240)
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000)
+
+    def deltas():
+        return sorted(d for d in os.listdir(root) if d.startswith("delta="))
+
+    n0 = len(deltas())
+    assert n0 >= 3
+
+    def du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(root, d))
+            for f in fs
+        )
+
+    # name the deltas so the SMALLEST ones carry the HIGHEST c-numbers
+    # — the smallest-first victim selection then consumes the highest
+    # cN, the exact name-reuse window the fix closes
+    by_size = sorted(deltas(), key=du, reverse=True)  # biggest first
+    for i, d in enumerate(by_size):
+        shutil.move(os.path.join(root, d), os.path.join(root, f"delta=t{i}"))
+    for i in range(n0):
+        shutil.move(
+            os.path.join(root, f"delta=t{i}"),
+            os.path.join(root, f"delta=c{i}"),
+        )
+    stats = maybe_compact(
+        spark, root, str(tmp_path / "unused"), max_deltas=1, cfg=cfg,
+        policy="leveled", fan_in=2,
+    )
+    assert stats is not None
+    after = deltas()
+    # victims are the two smallest; whatever they were, the merged run
+    # must carry a sequence strictly greater than every pre-merge cN
+    merged = [d for d in after if int(d.split("=c")[-1]) >= n0]
+    assert merged, f"merged run reused an old name: {after}"
