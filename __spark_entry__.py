@@ -1651,6 +1651,116 @@ def dsl_bool_search(spark, sf_dir):
     return _rerank_engine_results(out)
 
 
+# _search bodies for the NESTED bool compiler (index/booltree.py):
+# bool-in-bool two deep, a numeric `range` filter leaf on a doc-values
+# field, an unscored `term` filter on the lang sidecar, and an
+# explicit minimum_should_match — none expressible by the flat
+# single-scan executor. Leaf numbering for the oracle: 0='data query',
+# 1='spark', 2='merge', 3='spark', 4='data', 5='merge', 6='filter',
+# 7='sort' (parse order, phrase-free).
+NESTED_BOOL_BODIES = [
+    {  # must(match) + range FILTER (unscored) + should(nested bool)
+        "query": {"bool": {
+            "must": [{"match": {"text": "data query"}}],
+            "filter": [{"range": {"n_chars": {"gte": 100, "lt": 400}}}],
+            "should": [{"bool": {
+                "must": [{"match": {"text": "spark"}}],
+                "must_not": [{"term": {"text": "merge"}}],
+            }}],
+        }},
+        "size": 50,
+    },
+    {  # should-only with explicit minimum_should_match=2
+        "query": {"bool": {
+            "should": [
+                {"match": {"text": "spark"}},
+                {"match": {"text": "data"}},
+                {"match": {"text": "merge"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "size": 50,
+    },
+    {  # nested should-bool under must + unscored term filter on the
+       # lang doc-values sidecar (the engine's keyword-field mapping)
+        "query": {"bool": {
+            "must": [{"bool": {"should": [
+                {"match": {"text": "filter"}},
+                {"match": {"text": "sort"}},
+            ]}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }},
+        "size": 50,
+    },
+]
+
+
+def dsl_nested_bool_search(spark, sf_dir):
+    """Arbitrarily NESTED `bool` _search bodies through the Query-DSL
+    front end (index/dsl.py -> index/booltree.py): bool-in-bool,
+    unscored `filter` leaves (`range` on n_chars, `term` on the lang
+    doc-values sidecar), and `minimum_should_match` — exact Lucene
+    semantics (filter contributes no score; a nested bool's score sums
+    its matching scoring descendants; msm counts distinct should
+    clauses). All text leaves in a tree share ONE bucket-pruned
+    postings scan (booltree.py::_leaf_scores). The oracle recomputes
+    per-leaf BM25 from the raw table and replays the identical set
+    algebra per body. Same re-rank-by-original-id trick as the other
+    *_engine entries."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    parts = [
+        dsl_search(spark, idx, body, corpus_path=cpath, query_id=i).hits
+        for i, body in enumerate(NESTED_BOOL_BODIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
+def dsl_match_all_aggs(spark, sf_dir):
+    """`match_all` + `aggs` (ADVICE r04 high): corpus-wide buckets —
+    the match set is EVERY live doc (query.py::match_all_ords), built
+    once per body and shared by both aggregations (a `terms` over lang
+    and a `range` over n_chars). Previously this compiled to an
+    empty-string text query and silently returned zero buckets; now it
+    routes through the same facet executors as query-scoped aggs. The
+    oracle recomputes both aggregations over the whole table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match_all": {}},
+            "aggs": {
+                "langs": {"terms": {"field": "lang", "size": 10}},
+                "sizes": {"range": {"field": "n_chars", "ranges": [
+                    {"to": 200}, {"from": 200, "to": 400}, {"from": 400},
+                ]}},
+            },
+        },
+        corpus_path=cpath,
+    )
+    langs = res.aggregations["langs"].select(
+        F.lit("langs").alias("agg"),
+        F.col("facet").alias("bucket"),
+        "doc_count",
+    )
+    sizes = res.aggregations["sizes"].select(
+        F.lit("sizes").alias("agg"),
+        F.col("bucket"),
+        "doc_count",
+    )
+    return langs.unionByName(sizes)
+
+
 def faceted_search_engine(spark, sf_dir):
     """Terms aggregation alongside a query (opensearch-api `aggs`):
     per-query facet buckets by `lang` over the FULL disjunctive match
@@ -3748,10 +3858,59 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DICT ORDER IS THE DRIVER-CHECK ORDER (cumulative ~50-entry
+    # budget, first-in-dict wins). Round-5 rotation (VERDICT r04 #3):
+    # the two entries whose only driver history is an r01 hash fail
+    # run first, then the 39 entries never driver-checked in any
+    # round, then the round-5 additions, then everything else.
     return {
+        "sessionization": sessionization,
+        "inverted_index_stats": inverted_index_stats,
+        # -- never driver-checked through r04 --
+        "http_ingest_roundtrip": http_ingest_roundtrip,
+        "anomaly_detector_grades": anomaly_detector_grades,
+        "doc_chunking": doc_chunking,
+        "tfidf_keywords": tfidf_keywords,
+        "phrase_search_engine": phrase_search_engine,
+        "boolean_search_engine": boolean_search_engine,
+        "prefix_search_engine": prefix_search_engine,
+        "fuzzy_search_engine": fuzzy_search_engine,
+        "wildcard_search_engine": wildcard_search_engine,
+        "faceted_search_engine": faceted_search_engine,
+        "significant_terms_engine": significant_terms_engine,
+        "simple_query_string_engine": simple_query_string_engine,
+        "index_stats_report": index_stats_report,
+        "delete_by_query_engine": delete_by_query_engine,
+        "search_after_page2": search_after_page2,
+        "range_facets_engine": range_facets_engine,
+        "dedup_clusters": dedup_clusters,
+        "train_eval_split": train_eval_split,
+        "decontaminate_train": decontaminate_train,
+        "repetition_signals": repetition_signals,
+        "hybrid_rrf_search": hybrid_rrf_search,
+        "term_suggester": term_suggester,
+        "completion_suggester": completion_suggester,
+        "reindex_engine": reindex_engine,
+        "synonym_search_engine": synonym_search_engine,
+        "multi_match_fields": multi_match_fields,
+        "bm25_stopword_analyzer": bm25_stopword_analyzer,
+        "bm25_stemmed_analyzer": bm25_stemmed_analyzer,
+        "bm25_stemmed_engine": bm25_stemmed_engine,
+        "extended_stats_engine": extended_stats_engine,
+        "phrase_positional_engine": phrase_positional_engine,
+        "collapse_search_engine": collapse_search_engine,
+        "explain_scores_engine": explain_scores_engine,
+        "term_vectors_engine": term_vectors_engine,
+        "percolate_matches": percolate_matches,
+        "percolate_pruned_matches": percolate_pruned_matches,
+        "rank_eval_metrics": rank_eval_metrics,
+        "more_like_this_docs": more_like_this_docs,
+        "search_snippets": search_snippets,
+        # -- new in round 5 --
+        "dsl_nested_bool_search": dsl_nested_bool_search,
+        "dsl_match_all_aggs": dsl_match_all_aggs,
+        # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
-        # entries that had no green driver row in round 1 run first so a
-        # cumulative driver timeout can't starve them again
         "minhash_dedup": minhash_dedup,
         "simhash_dedup": simhash_dedup,
         "winnow_fingerprint_dups": winnow_fingerprint_dups,
@@ -3759,8 +3918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "multimodal_features": multimodal_features,
         "bm25_indexed_engine": bm25_indexed_engine,
-        # round-4 entries next: never driver-checked yet (the driver's
-        # cumulative budget covered ~50 rows in r3, first-in-dict wins)
         "prometheus_remote_write_decode": prometheus_remote_write_decode,
         "prometheus_scrape_decode": prometheus_scrape_decode,
         "rss_items_extract": rss_items_extract,
@@ -3803,7 +3960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_value_dup_list": key_value_dup_list,
         "otel_traces_decode": otel_traces_decode,
         "otel_metrics_exp_summary": otel_metrics_exp_summary,
-        "http_ingest_roundtrip": http_ingest_roundtrip,
         "otel_logs_decode": otel_logs_decode,
         "otel_metrics_decode": otel_metrics_decode,
         "date_locale_parse": date_locale_parse,
@@ -3836,52 +3992,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "put_all_action": put_all_action,
         "service_map_edges": service_map_edges_q,
         "trace_group_fill": trace_group_fill_q,
-        "sessionization": sessionization,
-        "anomaly_detector_grades": anomaly_detector_grades,
-        "inverted_index_stats": inverted_index_stats,
         "exact_dedup_fingerprint": exact_dedup_fingerprint,
         "token_jaccard_pairs": token_jaccard_pairs,
         "cosine_topk_bruteforce": cosine_topk_bruteforce,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "lang_id_markers": lang_id_markers,
         "quality_token_stats": quality_token_stats,
-        "doc_chunking": doc_chunking,
-        "tfidf_keywords": tfidf_keywords,
-        "phrase_search_engine": phrase_search_engine,
-        "boolean_search_engine": boolean_search_engine,
-        "prefix_search_engine": prefix_search_engine,
-        "fuzzy_search_engine": fuzzy_search_engine,
-        "wildcard_search_engine": wildcard_search_engine,
-        "faceted_search_engine": faceted_search_engine,
-        "significant_terms_engine": significant_terms_engine,
-        "simple_query_string_engine": simple_query_string_engine,
-        "index_stats_report": index_stats_report,
-        "delete_by_query_engine": delete_by_query_engine,
-        "search_after_page2": search_after_page2,
-        "range_facets_engine": range_facets_engine,
-        "dedup_clusters": dedup_clusters,
-        "train_eval_split": train_eval_split,
-        "decontaminate_train": decontaminate_train,
-        "repetition_signals": repetition_signals,
-        "hybrid_rrf_search": hybrid_rrf_search,
-        "term_suggester": term_suggester,
-        "completion_suggester": completion_suggester,
-        "reindex_engine": reindex_engine,
-        "synonym_search_engine": synonym_search_engine,
-        "multi_match_fields": multi_match_fields,
-        "bm25_stopword_analyzer": bm25_stopword_analyzer,
-        "bm25_stemmed_analyzer": bm25_stemmed_analyzer,
-        "bm25_stemmed_engine": bm25_stemmed_engine,
-        "extended_stats_engine": extended_stats_engine,
-        "phrase_positional_engine": phrase_positional_engine,
-        "collapse_search_engine": collapse_search_engine,
-        "explain_scores_engine": explain_scores_engine,
-        "term_vectors_engine": term_vectors_engine,
-        "percolate_matches": percolate_matches,
-        "percolate_pruned_matches": percolate_pruned_matches,
-        "rank_eval_metrics": rank_eval_metrics,
-        "more_like_this_docs": more_like_this_docs,
-        "search_snippets": search_snippets,
         "bpe_token_counts": bpe_token_counts,
     }
 
@@ -5891,6 +6007,93 @@ FROM ranked WHERE rank <= 10
     # the DSL front end routes to the SAME executor, so the same
     # oracle must hold bit-for-bit
     sql["dsl_bool_search"] = _bool_oracle_sql(BOOL_QUERIES)
+
+    # NESTED bool trees (booltree.py): per-leaf BM25 scores computed
+    # once (ls), then each body's set algebra replayed literally —
+    # q0: must(leaf0) ∧ range-filter(n_chars∈[100,400)) with optional
+    #     nested-should score (leaf1 minus leaf2 docs);
+    # q1: should-only msm=2 over leaves 3,4,5 (≥2 distinct clauses);
+    # q2: nested should-bool (leaves 6∨7, scores sum) ∧ unscored
+    #     term-filter lang='en'.
+    sql["dsl_nested_bool_search"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leafraw(leaf_id, txt) AS (VALUES
+  (0, 'data query'), (1, 'spark'), (2, 'merge'),
+  (3, 'spark'), (4, 'data'), (5, 'merge'),
+  (6, 'filter'), (7, 'sort')),
+leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
+          FROM leafraw),
+ls AS (
+  SELECT lq.leaf_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM leafq lq
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = lq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, m.doc_id,
+         m.score + coalesce(sub.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) m
+  JOIN (SELECT doc_id FROM documents
+        WHERE n_chars >= 100 AND n_chars < 400) f USING (doc_id)
+  LEFT JOIN (
+    SELECT doc_id, score FROM ls WHERE leaf_id = 1
+      AND doc_id NOT IN (SELECT doc_id FROM ls WHERE leaf_id = 2)
+  ) sub USING (doc_id)
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, doc_id, sum(score) AS score
+  FROM ls WHERE leaf_id IN (3, 4, 5)
+  GROUP BY 1, 2
+  HAVING count(DISTINCT leaf_id) >= 2
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id, g.doc_id, g.score
+  FROM (SELECT doc_id, sum(score) AS score FROM ls
+        WHERE leaf_id IN (6, 7) GROUP BY 1) g
+  JOIN (SELECT doc_id FROM documents WHERE lang = 'en') f USING (doc_id)
+),
+allq AS (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # match_all + aggs (ADVICE r04 high): corpus-wide buckets — the
+    # oracle is the whole-table aggregation, no match predicate at all
+    sql["dsl_match_all_aggs"] = """
+WITH langs AS (
+  SELECT 'langs' AS agg, lang AS bucket, count(*) AS doc_count
+  FROM documents GROUP BY 2
+),
+sizes AS (
+  SELECT 'sizes' AS agg,
+         CASE WHEN n_chars < 200 THEN '*-200'
+              WHEN n_chars < 400 THEN '200-400'
+              ELSE '400-*' END AS bucket,
+         count(*) AS doc_count
+  FROM documents GROUP BY 2
+)
+SELECT * FROM langs UNION ALL SELECT * FROM sizes
+"""
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]
     )

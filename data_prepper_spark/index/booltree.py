@@ -1,0 +1,369 @@
+"""Nested boolean query trees over the physical index — the part of
+the OpenSearch `bool` query the flat executor can't express.
+
+The reference ships events into OpenSearch, whose users routinely send
+`_search` bodies that nest `bool` inside `bool` and mix scoring text
+clauses with non-scoring `filter` leaves (`range`/`term`/`terms`/
+`exists` on doc-values fields). The flat `boolean_search`
+(query.py:394) handles one level of text clauses; this module compiles
+an ARBITRARY tree with exact Lucene semantics:
+
+* `must`   — every child matches; children's scores sum.
+* `filter` — every child matches; contributes NO score (the one
+  semantic the flat path approximates away).
+* `should` — with must/filter present: optional, score-only. Alone:
+  at least `minimum_should_match` (default 1) children must match.
+  An explicit integer `minimum_should_match` is honored in both
+  shapes.
+* `must_not` — no child matches; never contributes score.
+* a nested `bool` is just a child: its score (sum of its matching
+  scoring descendants) flows up when it matches.
+
+Leaf routing: a `match`/`term`/`terms` clause whose field has a
+doc-values sidecar column (attach_doc_values) is a NON-SCORING exact
+filter on the stored value — the sidecar is this engine's "keyword
+field" mapping. Any other field is analyzed text against the inverted
+index: `match` is the standard disjunctive (OR) BM25 clause over its
+analyzed tokens — a zero-token clause (e.g. all stopwords) matches
+NOTHING, OpenSearch's `zero_terms_query: none` default. `match_phrase`
+desugars to a conjunctive bool over its tokens (the documented
+divergence the flat DSL path already makes: adjacency is checked only
+by the dedicated positional executors). `range` requires a doc-values
+(or corpus-resolvable) field. `match_all` matches every live doc at
+score 0.
+
+Execution shape (the 100-TB story): ALL text leaves in the tree share
+ONE bucket-pruned postings scan — leaves are tagged into the query_id
+channel exactly like boolean_search's role trick, the decoded
+(leaf, ord, score) frame is persisted once, and the set algebra above
+is per-leaf filters + ord-equi-joins on match sets (each a tiny
+fraction of the corpus). Doc-values leaves scan the vocabulary-thin
+sidecar. No step touches the raw corpus unless a field is missing
+from the sidecar (then ONE identity join resolves it, same as
+range_facets). Tombstones are anti-joined once at the top.
+
+Reference parity: opensearch BooleanQuery semantics as exercised by
+data-prepper's opensearch sink consumers; cf. reference
+data-prepper-plugins/opensearch/.../configuration/SearchConfiguration
+(the reference passes such bodies through to OpenSearch verbatim).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .build import load_stats
+from .query import (
+    _anti_tombstones,
+    _deferred_unpersist,
+    _make_decoder,
+    _pruned_postings,
+    _sweep_deferred,
+    query_terms,
+)
+
+_TEXT_KINDS = ("match", "term", "match_phrase")
+_DV_KINDS = ("term", "terms", "range", "exists")
+
+
+def _dv_columns(spark: SparkSession, index_dir: str) -> set:
+    """Column names available in the doc-values sidecar (the engine's
+    keyword/numeric field mapping). Empty when none is attached."""
+    try:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    except Exception:
+        return set()
+    return {c for c in dv.columns if c != "ord"}
+
+
+class _IR:
+    """Leaf-numbered intermediate tree. kind: 'text' (scored leaf,
+    holds leaf id + query text), 'phrase' (conjunctive text tokens),
+    'dv' (non-scoring sidecar predicate), 'all', or 'bool'."""
+
+    __slots__ = ("kind", "leaf_id", "text", "field", "spec",
+                 "must", "should", "must_not", "filter", "msm")
+
+    def __init__(self, kind, **kw):
+        self.kind = kind
+        for s in self.__slots__[1:]:
+            setattr(self, s, kw.get(s))
+
+
+def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
+    ((kind, spec),) = node.items()
+    if kind == "bool":
+        def kids(role):
+            cl = spec.get(role, [])
+            cl = cl if isinstance(cl, list) else [cl]
+            return [_parse(c, dv_cols, texts) for c in cl]
+
+        msm = spec.get("minimum_should_match")
+        return _IR(
+            "bool",
+            must=kids("must"),
+            should=kids("should"),
+            must_not=kids("must_not"),
+            filter=kids("filter"),
+            msm=None if msm is None else int(msm),
+        )
+    if kind == "match_all":
+        return _IR("all")
+    if kind in ("range", "exists") or (
+        kind in ("term", "terms")
+        and next(iter(spec)) in dv_cols
+    ):
+        ((field, val),) = spec.items()
+        if kind == "exists":
+            field, val = spec["field"], None
+        if field not in dv_cols:
+            raise NotImplementedError(
+                f"'{kind}' on field '{field}': no doc-values sidecar "
+                "column (attach_doc_values first)"
+            )
+        return _IR("dv", field=field, spec={"kind": kind, "val": val})
+    if kind in ("match", "term"):
+        ((_f, v),) = spec.items()
+        text = str(v.get("query", v.get("value"))) if isinstance(v, dict) else str(v)
+        texts.append(text)
+        return _IR("text", leaf_id=len(texts) - 1, text=text)
+    if kind == "match_phrase":
+        ((_f, v),) = spec.items()
+        text = str(v.get("query", v.get("value"))) if isinstance(v, dict) else str(v)
+        return _IR("phrase", text=text)
+    raise NotImplementedError(f"bool-tree clause '{kind}'")
+
+
+def _expand_phrases(ir: _IR, analyze_py, texts: list) -> _IR:
+    """Desugar phrase leaves into conjunctive bools of single-token
+    text leaves (needs the index's analyzer, hence a second pass)."""
+    if ir.kind == "phrase":
+        toks = analyze_py(ir.text)
+        kids = []
+        for t in toks:
+            texts.append(t)
+            kids.append(_IR("text", leaf_id=len(texts) - 1, text=t))
+        return _IR("bool", must=kids, should=[], must_not=[], filter=[],
+                   msm=None)
+    if ir.kind == "bool":
+        for role in ("must", "should", "must_not", "filter"):
+            setattr(ir, role, [
+                _expand_phrases(c, analyze_py, texts)
+                for c in getattr(ir, role)
+            ])
+    return ir
+
+
+def _leaf_scores(
+    spark: SparkSession, index_dir: str, texts: list, stats: dict,
+) -> DataFrame:
+    """(leaf_id, ord, score) for every text leaf via ONE bucket-pruned
+    postings scan — leaf ids ride the decoder's query_id channel."""
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "query_id long, query string"
+    )
+    qt = query_terms(spark, index_dir, qdf, stats["n_docs"], stats=stats)
+    post = _pruned_postings(
+        spark, index_dir, qt.select("query_id", "term_id", "idf", "bucket")
+    )
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    return (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(
+            decoder, schema="query_id long, doc_id long, partial double"
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+        .select(
+            F.col("query_id").alias("leaf_id"),
+            F.col("doc_id").alias("ord"),
+            "score",
+        )
+    )
+
+
+def _dv_frame(
+    spark: SparkSession, index_dir: str, ir: _IR,
+    corpus_path: str | None,
+) -> DataFrame:
+    """(ord, score=0.0) for a doc-values predicate leaf."""
+    try:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    except Exception:
+        dv = None
+    if dv is None or ir.field not in dv.columns:
+        raise NotImplementedError(
+            f"field '{ir.field}' not in doc-values sidecar"
+        )
+    c = F.col(ir.field)
+    kind, val = ir.spec["kind"], ir.spec["val"]
+    if kind == "term":
+        cond = c == F.lit(val)
+    elif kind == "terms":
+        cond = c.isin(list(val))
+    elif kind == "exists":
+        cond = c.isNotNull()
+    else:  # range
+        cond = F.lit(True)
+        for op, fn in (
+            ("gte", c.__ge__), ("gt", c.__gt__),
+            ("lte", c.__le__), ("lt", c.__lt__),
+        ):
+            if op in val:
+                cond = cond & fn(F.lit(val[op]))
+    return dv.filter(cond).select("ord", F.lit(0.0).alias("score"))
+
+
+def _all_ords(spark: SparkSession, index_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .select("ord", F.lit(0.0).alias("score"))
+    )
+
+
+def _combine(
+    spark: SparkSession, index_dir: str, ir: _IR,
+    leaf_scored: DataFrame, corpus_path: str | None,
+) -> DataFrame:
+    """Recursive set algebra -> (ord, score) of docs matching `ir`,
+    score = Lucene sum over matching scoring descendants."""
+    if ir.kind == "text":
+        return leaf_scored.filter(
+            F.col("leaf_id") == ir.leaf_id
+        ).select("ord", "score")
+    if ir.kind == "dv":
+        return _dv_frame(spark, index_dir, ir, corpus_path)
+    if ir.kind == "all":
+        return _all_ords(spark, index_dir)
+
+    rec = lambda c: _combine(spark, index_dir, c, leaf_scored, corpus_path)  # noqa: E731
+    pos = [rec(c) for c in ir.must] + [
+        rec(c).select("ord", F.lit(0.0).alias("score")) for c in ir.filter
+    ]
+    cur = None
+    for f in pos:
+        if cur is None:
+            cur = f
+        else:
+            cur = (
+                cur.join(f.withColumnRenamed("score", "_s"), "ord")
+                .select(
+                    "ord", (F.col("score") + F.col("_s")).alias("score")
+                )
+            )
+    shoulds = [rec(c) for c in ir.should]
+    if cur is not None:
+        # should is optional, score-only — unless an explicit
+        # minimum_should_match demands a count
+        hit_cols = []
+        for i, s in enumerate(shoulds):
+            s = s.select(
+                "ord",
+                F.col("score").alias("_s"),
+                F.lit(1).alias(f"_h{i}"),
+            )
+            cur = cur.join(s, "ord", "left").select(
+                "ord",
+                (F.col("score") + F.coalesce(F.col("_s"), F.lit(0.0))).alias(
+                    "score"
+                ),
+                *[F.col(c) for c in hit_cols],
+                F.coalesce(F.col(f"_h{i}"), F.lit(0)).alias(f"_h{i}"),
+            )
+            hit_cols.append(f"_h{i}")
+        if ir.msm is not None and hit_cols:
+            total = sum((F.col(c) for c in hit_cols), F.lit(0))
+            cur = cur.filter(total >= ir.msm)
+        cur = cur.select("ord", "score")
+    elif shoulds:
+        msm = 1 if ir.msm is None else ir.msm
+        un = None
+        for i, s in enumerate(shoulds):
+            t = s.withColumn("_cl", F.lit(i))
+            un = t if un is None else un.unionByName(t)
+        cur = (
+            un.groupBy("ord")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count_distinct("_cl").alias("_m"),
+            )
+            .filter(F.col("_m") >= msm)
+            .select("ord", "score")
+        )
+    else:
+        # pure-negation (or empty) bool matches every live doc at 0 —
+        # the Lucene MatchAllDocs fill-in for must_not-only queries
+        cur = _all_ords(spark, index_dir)
+    negs = [rec(c).select("ord") for c in ir.must_not]
+    if negs:
+        nn = negs[0]
+        for n in negs[1:]:
+            nn = nn.unionByName(n)
+        cur = cur.join(nn.distinct(), "ord", "left_anti")
+    return cur
+
+
+def bool_tree_match(
+    spark: SparkSession,
+    index_dir: str,
+    query: dict,
+    corpus_path: str | None = None,
+) -> DataFrame:
+    """Full (ord, score) match set of an arbitrary query tree —
+    the front half of bool_tree_search, exposed so aggregations can
+    share ONE materialized match set per `_search` body."""
+    _sweep_deferred()
+    stats = load_stats(index_dir)
+    from .query import analyze_query_py
+
+    texts: list = []
+    dv_cols = _dv_columns(spark, index_dir)
+    ir = _parse(query, dv_cols, texts)
+    ir = _expand_phrases(ir, lambda t: analyze_query_py(stats, t), texts)
+    if texts:
+        leaf_scored = _leaf_scores(spark, index_dir, texts, stats)
+        leaf_scored = leaf_scored.persist()
+        _deferred_unpersist.append(leaf_scored)
+    else:
+        leaf_scored = None
+    matched = _combine(spark, index_dir, ir, leaf_scored, corpus_path)
+    return _anti_tombstones(spark, index_dir, matched, col="ord")
+
+
+def bool_tree_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: dict,
+    k: int = 10,
+    corpus_path: str | None = None,
+    query_id: int = 0,
+) -> DataFrame:
+    """Top-k over a nested bool tree. Returns the boolean_search shape
+    (query_id, rank, doc_id, score, repo, path, commit), tie-break
+    (score desc, ord asc) — identical to every other ranked path."""
+    matched = bool_tree_match(spark, index_dir, query, corpus_path)
+    # rank over a materialized query_id column (not a bare lit) so the
+    # optimizer's WindowGroupLimit bounds each map partition to k rows
+    # before the single-partition merge — same shape as boolean_search
+    matched = matched.withColumn(
+        "query_id", F.lit(query_id).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("ord")
+    )
+    topped = (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    return ident.join(F.broadcast(topped), "ord").select(
+        "query_id", "rank", "doc_id", "score", "repo", "path", "commit",
+    )

@@ -11,12 +11,18 @@ front: every clause maps to the SAME oracle-verified executors
 search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
-[+slop], prefix, fuzzy, wildcard, bool must/should/must_not/filter,
+[+slop], prefix, fuzzy, wildcard, bool must/should/must_not/filter —
+ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
+doc-values fields and minimum_should_match (booltree.py; flat
+text-only bool bodies keep the single-scan boolean_search executor) —
 simple_query_string, more_like_this), `size`, `search_after` (+ the
 match query), `collapse`, `highlight` (match/term hits gain a
 `snippet` column around the earliest term hit), and `aggs` (terms
 [+nested top_hits], range, extended_stats, cardinality, percentiles,
-significant_terms).
+significant_terms) under ANY query with a materializable match set
+(match, term, bool, match_all — the set is built ONCE per body and
+shared by every aggregation in it; match_all + aggs = corpus-wide
+buckets).
 Unsupported constructs raise NotImplementedError naming the clause —
 loud, not silent.
 """
@@ -24,6 +30,7 @@ loud, not silent.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class DSLResult:
@@ -56,6 +63,26 @@ def _clause_text(clause: dict) -> str:
     )
 
 
+def _is_flat_bool(spec: dict, dv_cols: set) -> bool:
+    """True when a bool body is expressible by the flat single-scan
+    executor (boolean_search): one level of text clauses only. Any
+    nesting, doc-values leaf (range/terms/exists, or term on a
+    sidecar field), or explicit minimum_should_match routes to the
+    tree compiler instead."""
+    if "minimum_should_match" in spec:
+        return False
+    for role in ("must", "should", "must_not", "filter"):
+        cl = spec.get(role, [])
+        cl = cl if isinstance(cl, list) else [cl]
+        for c in cl:
+            ((kind, s),) = c.items()
+            if kind not in ("match", "term", "match_phrase"):
+                return False
+            if kind == "term" and next(iter(s)) in dv_cols:
+                return False
+    return True
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -76,6 +103,9 @@ def search(
 
     hits = None
     match_text = None
+    # materialized once per body when the query is match_all or a
+    # tree-routed bool; every aggregation then shares it
+    agg_matched = None
 
     if kind == "match_all":
         match_text = None
@@ -83,9 +113,28 @@ def search(
             raise NotImplementedError(
                 "match_all without aggs (no scoring scan to run)"
             )
+        agg_matched = q.match_all_ords(spark, index_dir, query_id=query_id)
     elif kind in ("match", "term"):
-        match_text, _ = _field_arg(spec)
-        match_text = str(match_text)
+        from .booltree import _dv_columns, bool_tree_match, bool_tree_search
+
+        if kind == "term" and next(iter(spec)) in _dv_columns(
+            spark, index_dir
+        ):
+            # top-level term on a doc-values (keyword) field: an
+            # unscored exact filter, not a BM25 text match
+            hits = bool_tree_search(
+                spark, index_dir, node, k=k,
+                corpus_path=corpus_path, query_id=query_id,
+            )
+            if "aggs" in body:
+                agg_matched = bool_tree_match(
+                    spark, index_dir, node, corpus_path
+                ).select(
+                    F.lit(query_id).cast("long").alias("query_id"), "ord"
+                )
+        else:
+            match_text, _ = _field_arg(spec)
+            match_text = str(match_text)
     elif kind == "match_phrase":
         text, opts = _field_arg(spec)
         slop = int(opts.get("slop", 0))
@@ -111,26 +160,44 @@ def search(
             max_expansions=int(opts.get("max_expansions", 50)),
         )
     elif kind == "bool":
-        roles = {"must": [], "should": [], "must_not": []}
-        for role in ("must", "should", "must_not", "filter"):
-            cl = spec.get(role, [])
-            cl = cl if isinstance(cl, list) else [cl]
-            # filter = unscored must; this engine scores it anyway — a
-            # documented divergence (ranking unchanged when every hit
-            # matches the filter terms)
-            dest = "must" if role == "filter" else role
-            for c in cl:
-                roles[dest].append(_clause_text(c))
-        bq = qdf(
-            "query_id long, must string, should string, must_not string",
-            (
-                query_id,
-                " ".join(roles["must"]),
-                " ".join(roles["should"]),
-                " ".join(roles["must_not"]),
-            ),
-        )
-        hits = q.boolean_search(spark, index_dir, bq, k=k)
+        from .booltree import _dv_columns, bool_tree_match, bool_tree_search
+
+        if _is_flat_bool(spec, _dv_columns(spark, index_dir)):
+            roles = {"must": [], "should": [], "must_not": []}
+            for role in ("must", "should", "must_not", "filter"):
+                cl = spec.get(role, [])
+                cl = cl if isinstance(cl, list) else [cl]
+                # filter = unscored must; the FLAT path scores it — a
+                # documented divergence (ranking unchanged when every
+                # hit matches the filter terms). The tree path below
+                # implements filter exactly (unscored).
+                dest = "must" if role == "filter" else role
+                for c in cl:
+                    roles[dest].append(_clause_text(c))
+            bq = qdf(
+                "query_id long, must string, should string, must_not string",
+                (
+                    query_id,
+                    " ".join(roles["must"]),
+                    " ".join(roles["should"]),
+                    " ".join(roles["must_not"]),
+                ),
+            )
+            hits = q.boolean_search(spark, index_dir, bq, k=k)
+        else:
+            # nested sub-bools / doc-values filter leaves /
+            # minimum_should_match: the tree compiler (booltree.py)
+            hits = bool_tree_search(
+                spark, index_dir, node, k=k,
+                corpus_path=corpus_path, query_id=query_id,
+            )
+        if "aggs" in body:
+            agg_matched = (
+                bool_tree_match(spark, index_dir, node, corpus_path)
+                .select(
+                    F.lit(query_id).cast("long").alias("query_id"), "ord"
+                )
+            )
     elif kind == "simple_query_string":
         text = spec["query"] if isinstance(spec, dict) else str(spec)
         hits = q.simple_query_string(
@@ -184,8 +251,6 @@ def search(
                 field=body["collapse"]["field"], k=k,
             )
         elif "highlight" in body:
-            from pyspark.sql import functions as F
-
             from ..datapipe.textstats import snippet_col
             from ..tokenizer import tokenize_col
 
@@ -211,14 +276,34 @@ def search(
             hits = q.topk(spark, index_dir, mq, k=k)
 
     aggs: dict = {}
-    for name, aspec in (body.get("aggs") or {}).items():
+    agg_body = body.get("aggs") or {}
+    if len(agg_body) > 1 and agg_matched is None and match_text is not None:
+        # multi-agg match body: materialize the disjunctive match set
+        # ONCE instead of once per aggregation
+        from .query import load_stats
+
+        stats = load_stats(index_dir)
+        qt = q.query_terms(
+            spark, index_dir,
+            qdf("query_id long, query string", (query_id, match_text)),
+            stats["n_docs"], stats=stats,
+        ).select("query_id", "term_id", "idf", "bucket")
+        agg_matched = q._match_set(spark, index_dir, qt)
+    if agg_body and agg_matched is not None and len(agg_body) > 1:
+        # several aggregations share ONE materialized match set —
+        # persist it so each facet executor re-reads the ords, not
+        # the postings scan / set algebra that produced them
+        agg_matched = agg_matched.persist()
+        q._deferred_unpersist.append(agg_matched)
+    for name, aspec in agg_body.items():
         sub = dict(aspec)
         nested = sub.pop("aggs", None)
         ((akind, aconf),) = sub.items()
-        if match_text is None and kind != "match_all":
+        if match_text is None and agg_matched is None:
             raise NotImplementedError(
-                "aggs under non-match queries (facets share the "
-                "disjunctive match set)"
+                "aggs under this query kind (supported: match, term, "
+                "match_all, bool — the kinds with a materializable "
+                "match set)"
             )
         mq = qdf(
             "query_id long, query string",
@@ -229,6 +314,10 @@ def search(
         if akind == "terms" and nested and any(
             "top_hits" in n for n in nested.values()
         ):
+            if match_text is None:
+                raise NotImplementedError(
+                    "top_hits under non-match queries (needs scores)"
+                )
             th = next(
                 n["top_hits"] for n in nested.values() if "top_hits" in n
             )
@@ -242,6 +331,7 @@ def search(
                 spark, index_dir, corpus_path, mq,
                 facet_col=aconf["field"],
                 n_buckets_out=int(aconf.get("size", 10)),
+                matched=agg_matched,
             )
         elif akind == "range":
             bounds = sorted(
@@ -251,14 +341,17 @@ def search(
             aggs[name] = q.range_facets(
                 spark, index_dir, corpus_path, mq,
                 field=aconf["field"], bounds=[float(b) for b in bounds],
+                matched=agg_matched,
             )
         elif akind == "extended_stats":
             aggs[name] = q.stats_facets(
-                spark, index_dir, corpus_path, mq, field=aconf["field"]
+                spark, index_dir, corpus_path, mq, field=aconf["field"],
+                matched=agg_matched,
             )
         elif akind == "cardinality":
             aggs[name] = q.cardinality_facet(
-                spark, index_dir, corpus_path, mq, field=aconf["field"]
+                spark, index_dir, corpus_path, mq, field=aconf["field"],
+                matched=agg_matched,
             )
         elif akind == "percentiles":
             aggs[name] = q.percentiles_facet(
@@ -267,10 +360,19 @@ def search(
                 percents=tuple(
                     aconf.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0))
                 ),
+                matched=agg_matched,
             )
         elif akind == "significant_terms":
+            if agg_matched is not None and match_text is None and (
+                kind == "match_all"
+            ):
+                raise NotImplementedError(
+                    "significant_terms under match_all (foreground == "
+                    "background is vacuous)"
+                )
             aggs[name] = q.significant_terms(
-                spark, index_dir, mq, size=int(aconf.get("size", 10))
+                spark, index_dir, mq, size=int(aconf.get("size", 10)),
+                matched=agg_matched,
             )
         else:
             raise NotImplementedError(f"aggregation '{akind}'")

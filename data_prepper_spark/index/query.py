@@ -857,21 +857,40 @@ def _assign_by_distance(
     )
 
 
+def match_all_ords(
+    spark: SparkSession, index_dir: str, query_id: int = 0
+) -> DataFrame:
+    """(query_id, ord) over EVERY live doc — the match set of
+    `match_all`, so corpus-wide aggregations (`match_all` + `aggs`,
+    ADVICE r04) run through the same executors as query-scoped ones.
+    One docs-table column scan, tombstones anti-joined."""
+    ords = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        F.lit(query_id).cast("long").alias("query_id"), "ord"
+    )
+    return _anti_tombstones(spark, index_dir, ords, col="ord")
+
+
 def _facet_counts(
     spark: SparkSession,
     index_dir: str,
     corpus_path: str,
     queries: DataFrame,
     facet_col: str,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Uncapped (query_id, facet, doc_count) over ONE index's full
     match set — the shared core of faceted_search (which ranks it)
-    and faceted_search_deltas (which sums it across deltas)."""
-    stats = load_stats(index_dir)
-    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
-        "query_id", "term_id", "idf", "bucket"
-    )
-    matched = _match_set(spark, index_dir, qt)
+    and faceted_search_deltas (which sums it across deltas). A
+    precomputed `matched` (query_id, ord — e.g. a bool-tree match set
+    or match_all_ords, already tombstone-filtered) replaces the
+    disjunctive text match, so ONE materialized match set can feed
+    every aggregation in a `_search` body."""
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
     dv = _doc_values(spark, index_dir, facet_col)
     if dv is not None:
         attributed = matched.join(
@@ -969,6 +988,7 @@ def faceted_search(
     queries: DataFrame,
     facet_col: str = "lang",
     n_buckets_out: int = 10,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Terms aggregation over the FULL match set (the reference
     stack's opensearch-api `aggs: {terms: {field: ...}}` alongside a
@@ -989,7 +1009,9 @@ def faceted_search(
     key — then ONE (query, facet) aggregation with map-side combine.
     With the sidecar the plan is facet-cardinality-bound, never
     corpus-bound."""
-    fac = _facet_counts(spark, index_dir, corpus_path, queries, facet_col)
+    fac = _facet_counts(
+        spark, index_dir, corpus_path, queries, facet_col, matched=matched
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("doc_count"), F.asc("facet")
     )
@@ -1725,6 +1747,7 @@ def range_facets(
     queries: DataFrame,
     field: str,
     bounds: list[float],
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Range aggregation alongside a query (opensearch-api
     `aggs: {range: {field, ranges}}`): per query, doc counts of the
@@ -1735,11 +1758,12 @@ def range_facets(
     when it holds `field`, else the corpus identity join); one
     (query, bucket) aggregation. Buckets with zero matches are
     omitted (sparse form). Returns (query_id, bucket, doc_count)."""
-    stats = load_stats(index_dir)
-    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
-        "query_id", "term_id", "idf", "bucket"
-    )
-    matched = _match_set(spark, index_dir, qt)
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
     dv = _doc_values(spark, index_dir, field)
     if dv is not None:
         attributed = matched.join(dv.select("ord", field), "ord")
@@ -1773,6 +1797,7 @@ def stats_facets(
     corpus_path: str,
     queries: DataFrame,
     field: str,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """extended_stats aggregation alongside a query (opensearch-api
     `aggs: {extended_stats: {field}}`): count / min / max / sum / avg /
@@ -1786,11 +1811,12 @@ def stats_facets(
     division, so the result is bit-identical across engines (no
     float-accumulation order sensitivity), matching how the oracle
     computes it."""
-    stats = load_stats(index_dir)
-    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
-        "query_id", "term_id", "idf", "bucket"
-    )
-    matched = _match_set(spark, index_dir, qt)
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
     dv = _doc_values(spark, index_dir, field)
     if dv is not None:
         attributed = matched.join(dv.select("ord", field), "ord")
@@ -1835,15 +1861,17 @@ def _attributed_match(
     corpus_path: str,
     queries: DataFrame,
     field: str,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, ord, <field>) over the FULL match set — the shared
     front half of cardinality/percentiles (and the same doc-values-
     else-corpus resolution range_facets/stats_facets use)."""
-    stats = load_stats(index_dir)
-    qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
-        "query_id", "term_id", "idf", "bucket"
-    )
-    matched = _match_set(spark, index_dir, qt)
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
     dv = _doc_values(spark, index_dir, field)
     if dv is not None:
         return matched.join(dv.select("ord", field), "ord")
@@ -1866,6 +1894,7 @@ def cardinality_facet(
     field: str,
     exact: bool = True,
     rsd: float = 0.05,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """cardinality aggregation alongside a query (opensearch-api
     `aggs: {cardinality: {field}}`). OpenSearch computes this with
@@ -1875,7 +1904,7 @@ def cardinality_facet(
     for small-corpus parity with the value oracle. Returns
     (query_id, value_count)."""
     attributed = _attributed_match(
-        spark, index_dir, corpus_path, queries, field
+        spark, index_dir, corpus_path, queries, field, matched=matched
     )
     agg = (
         F.count_distinct(F.col(field))
@@ -1896,6 +1925,7 @@ def percentiles_facet(
     percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
     exact: bool = True,
     accuracy: int = 10000,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """percentiles aggregation (opensearch-api `aggs: {percentiles:
     {field, percents}}`). OpenSearch uses t-digest; `exact=False`
@@ -1904,7 +1934,7 @@ def percentiles_facet(
     (linear interpolation, matching DuckDB quantile_cont) for oracle
     parity. Returns (query_id, p<percent> double ...)."""
     attributed = _attributed_match(
-        spark, index_dir, corpus_path, queries, field
+        spark, index_dir, corpus_path, queries, field, matched=matched
     )
     v = F.col(field).cast("double")
     cols = []
@@ -2047,6 +2077,7 @@ def significant_terms(
     queries: DataFrame,
     size: int = 10,
     min_doc_count: int = 3,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Significant-terms aggregation (opensearch-api
     `aggs: {significant_terms: ...}}`): for each query, the terms
@@ -2069,10 +2100,11 @@ def significant_terms(
     bucket-count-sized and broadcast."""
     stats = load_stats(index_dir)
     n_docs = stats["n_docs"]
-    qt = query_terms(spark, index_dir, queries, n_docs).select(
-        "query_id", "term_id", "idf", "bucket"
-    )
-    matched = _match_set(spark, index_dir, qt)
+    if matched is None:
+        qt = query_terms(spark, index_dir, queries, n_docs).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
     ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
         "ord", "doc_id"
     )

@@ -1,0 +1,332 @@
+"""Nested bool-tree compiler (index/booltree.py) vs an independent
+pandas reference implementing Lucene BooleanQuery semantics exactly:
+must=AND(scored), filter=AND(unscored), should=optional-or-msm,
+must_not=NOT, nested bools contribute their summed score upward."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index import query as q
+from data_prepper_spark.index.booltree import bool_tree_match, bool_tree_search
+from data_prepper_spark.index.dsl import search
+from data_prepper_spark.oracle import B, K1, build_term_stats, corpus_doc_ids
+from data_prepper_spark.tokenizer import tokenize_series
+
+
+@pytest.fixture(scope="module")
+def dv_corpus(spark, fixture_dir, tmp_path_factory):
+    """Fixture corpus + a numeric n_chars column (the doc-values
+    range-filter target)."""
+    d = str(tmp_path_factory.mktemp("dvc"))
+    out = os.path.join(d, "corpus.parquet")
+    (
+        spark.read.parquet(os.path.join(fixture_dir, "corpus.parquet"))
+        .withColumn("n_chars", F.length("content").cast("long"))
+        .write.mode("overwrite").parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, dv_corpus, tmp_path_factory):
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import attach_doc_values
+
+    d = str(tmp_path_factory.mktemp("dvidx"))
+    build_index(spark, dv_corpus, d, BuildConfig(n_buckets=8,
+                                                 hot_group_target=2_000))
+    attach_doc_values(spark, d, dv_corpus, cols=("lang", "n_chars"))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# pandas reference: exact Lucene bool semantics over the raw corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref(dv_corpus):
+    corpus = pd.read_parquet(dv_corpus)
+    postings, docs = build_term_stats(corpus)
+    n = len(docs)
+    avgdl = docs["dl"].mean()
+    dfreq = postings.groupby("term")["doc_id"].nunique()
+    dl = dict(zip(docs["doc_id"], docs["dl"]))
+    part = {}
+    for r in postings.itertuples():
+        idf = math.log(1 + (n - dfreq[r.term] + 0.5) / (dfreq[r.term] + 0.5))
+        d = dl[r.doc_id]
+        part[(r.doc_id, r.term)] = (
+            idf * r.tf * (K1 + 1) / (r.tf + K1 * (1 - B + B * d / avgdl))
+        )
+    corpus = corpus.assign(doc_id=corpus_doc_ids(corpus))
+    meta = corpus.set_index("doc_id")[["lang", "n_chars"]]
+    return {"part": part, "meta": meta, "doc_ids": list(meta.index)}
+
+
+def _toks(text: str) -> list:
+    return list(dict.fromkeys(tokenize_series(pd.Series([text]))[0]))
+
+
+def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
+    """(matches, score) of `node` for one doc — the independent
+    semantics the engine must reproduce."""
+    ((kind, spec),) = node.items()
+    meta, part = ref["meta"], ref["part"]
+    if kind == "match_all":
+        return True, 0.0
+    if kind == "range":
+        ((field, val),) = spec.items()
+        v = meta.loc[doc, field]
+        ok = all(
+            (op != "gte" or v >= x) and (op != "gt" or v > x)
+            and (op != "lte" or v <= x) and (op != "lt" or v < x)
+            for op, x in val.items()
+        )
+        return ok, 0.0
+    if kind in ("term", "terms") and next(iter(spec)) in ("lang", "n_chars"):
+        ((field, val),) = spec.items()
+        v = meta.loc[doc, field]
+        ok = v in val if kind == "terms" else v == val
+        return ok, 0.0
+    if kind in ("match", "term"):
+        ((_f, v),) = spec.items()
+        text = v.get("query", v.get("value")) if isinstance(v, dict) else v
+        s = sum(part.get((doc, t), 0.0) for t in _toks(str(text)))
+        hit = any((doc, t) in part for t in _toks(str(text)))
+        return hit, s if hit else 0.0
+    if kind == "match_phrase":
+        ((_f, v),) = spec.items()
+        toks = _toks(str(v))
+        if not toks or not all((doc, t) in part for t in toks):
+            return False, 0.0
+        return True, sum(part[(doc, t)] for t in toks)
+    assert kind == "bool", kind
+    msm = spec.get("minimum_should_match")
+
+    def kids(role):
+        cl = spec.get(role, [])
+        return cl if isinstance(cl, list) else [cl]
+
+    score = 0.0
+    for c in kids("must"):
+        ok, s = _eval(c, doc, ref)
+        if not ok:
+            return False, 0.0
+        score += s
+    for c in kids("filter"):
+        ok, _ = _eval(c, doc, ref)
+        if not ok:
+            return False, 0.0
+    n_hit = 0
+    for c in kids("should"):
+        ok, s = _eval(c, doc, ref)
+        if ok:
+            n_hit += 1
+            score += s
+    has_pos = bool(kids("must")) or bool(kids("filter"))
+    # Lucene: should is optional beside must/filter; alone it demands
+    # minimum_should_match (default 1); a bool with no positive clause
+    # at all (pure must_not) matches everything
+    if not kids("should"):
+        need = 0
+    else:
+        need = msm if msm is not None else (0 if has_pos else 1)
+    if n_hit < need:
+        return False, 0.0
+    for c in kids("must_not"):
+        ok, _ = _eval(c, doc, ref)
+        if ok:
+            return False, 0.0
+    return True, score
+
+
+def _ref_hits(tree: dict, ref: dict) -> list:
+    out = []
+    for d in ref["doc_ids"]:
+        ok, s = _eval(tree, d, ref)
+        if ok:
+            out.append((d, round(s, 6)))
+    return sorted(out)
+
+
+def _engine_hits(spark, dv_index, tree, corpus_path=None) -> list:
+    got = bool_tree_search(
+        spark, dv_index, tree, k=10**6, corpus_path=corpus_path
+    ).select("doc_id", F.round("score", 6).alias("s")).collect()
+    return sorted((r["doc_id"], r["s"]) for r in got)
+
+
+NESTED_TREE = {
+    "bool": {
+        "must": [
+            {"match": {"content": "bloloba skimuba"}},
+            {"bool": {
+                "should": [
+                    {"match": {"content": "gunaba"}},
+                    {"match": {"content": "dinaba"}},
+                ],
+                "must_not": [{"term": {"content": "snaloba"}}],
+            }},
+        ],
+        "filter": [{"range": {"n_chars": {"gte": 9000, "lt": 42000}}}],
+    }
+}
+
+
+def test_nested_bool_with_range_filter(spark, dv_index, ref):
+    want = _ref_hits(NESTED_TREE, ref)
+    got = _engine_hits(spark, dv_index, NESTED_TREE)
+    assert got == want and len(want) > 5
+
+
+def test_filter_is_unscored(spark, dv_index, ref):
+    """filter vs must on the same clause: same match set, but the
+    must variant's scores include the clause's partials."""
+    base = {"bool": {
+        "must": [{"match": {"content": "bloloba"}}],
+        "filter": [{"match": {"content": "skimuba"}}],
+    }}
+    must = {"bool": {"must": [
+        {"match": {"content": "bloloba"}},
+        {"match": {"content": "skimuba"}},
+    ]}}
+    a = _engine_hits(spark, dv_index, base)
+    b = _engine_hits(spark, dv_index, must)
+    assert [d for d, _ in a] == [d for d, _ in b] and a
+    assert a != b  # scores differ (query partials excluded)
+    assert _ref_hits(base, ref) == a
+
+
+def test_minimum_should_match(spark, dv_index, ref):
+    tree = {"bool": {
+        "should": [
+            {"match": {"content": "gunaba"}},
+            {"match": {"content": "dinaba"}},
+            {"match": {"content": "snaloba"}},
+        ],
+        "minimum_should_match": 2,
+    }}
+    assert _engine_hits(spark, dv_index, tree) == _ref_hits(tree, ref)
+
+
+def test_must_not_only_matches_rest_of_corpus(spark, dv_index, ref):
+    tree = {"bool": {"must_not": [{"match": {"content": "bloloba"}}]}}
+    got = _engine_hits(spark, dv_index, tree)
+    assert got == _ref_hits(tree, ref)
+    assert all(s == 0.0 for _, s in got) and len(got) > 100
+
+
+def test_terms_and_term_on_docvalues(spark, dv_index, ref):
+    tree = {"bool": {
+        "must": [{"match": {"content": "bloloba"}}],
+        "filter": [{"terms": {"lang": ["python", "go"]}}],
+    }}
+    assert _engine_hits(spark, dv_index, tree) == _ref_hits(tree, ref)
+    one = {"bool": {
+        "must": [{"match": {"content": "bloloba"}}],
+        "filter": [{"term": {"lang": "python"}}],
+    }}
+    assert _engine_hits(spark, dv_index, one) == _ref_hits(one, ref)
+
+
+def test_phrase_desugars_conjunctive(spark, dv_index, ref):
+    tree = {"bool": {"must": [{"match_phrase": {"content": "bloloba skimuba"}}]}}
+    assert _engine_hits(spark, dv_index, tree) == _ref_hits(tree, ref)
+
+
+def test_tree_matches_flat_executor(spark, dv_index):
+    """A flat text-only bool through the tree compiler must equal the
+    single-scan boolean_search executor (same semantics, two paths)."""
+    tree = {"bool": {
+        "must": [{"match": {"content": "bloloba"}}],
+        "should": [{"match": {"content": "gunaba"}}],
+        "must_not": [{"match": {"content": "dinaba"}}],
+    }}
+    a = _engine_hits(spark, dv_index, tree)
+    flat = q.boolean_search(
+        spark, dv_index,
+        spark.createDataFrame(
+            [(0, "bloloba", "gunaba", "dinaba")],
+            "query_id long, must string, should string, must_not string",
+        ),
+        k=10**6,
+    ).select("doc_id", F.round("score", 6).alias("s")).collect()
+    assert a == sorted((r["doc_id"], r["s"]) for r in flat)
+
+
+# ---------------------------------------------------------------------------
+# DSL routing + aggs under any query
+# ---------------------------------------------------------------------------
+
+
+def test_dsl_routes_nested_bool(spark, dv_index, dv_corpus, ref):
+    body = {"query": NESTED_TREE, "size": 10**6}
+    hits = search(spark, dv_index, body, corpus_path=dv_corpus).hits
+    got = sorted(
+        (r["doc_id"], r["s"])
+        for r in hits.select(
+            "doc_id", F.round("score", 6).alias("s")
+        ).collect()
+    )
+    assert got == _ref_hits(NESTED_TREE, ref)
+
+
+def test_match_all_aggs_cover_corpus(spark, dv_index, dv_corpus):
+    """ADVICE r04 (high): match_all + aggs must aggregate the WHOLE
+    corpus, not an empty match set."""
+    body = {
+        "query": {"match_all": {}},
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 50}},
+            "chars": {"extended_stats": {"field": "n_chars"}},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    buckets = {
+        r["facet"]: r["doc_count"]
+        for r in res.aggregations["by_lang"].collect()
+    }
+    want = (
+        pd.read_parquet(dv_corpus)["lang"].value_counts().to_dict()
+    )
+    assert buckets == want and sum(buckets.values()) > 500
+    st = res.aggregations["chars"].collect()[0]
+    assert st["n"] == sum(want.values())
+
+
+def test_aggs_under_nested_bool(spark, dv_index, dv_corpus, ref):
+    body = {
+        "query": NESTED_TREE,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 50}}},
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    buckets = {
+        r["facet"]: r["doc_count"]
+        for r in res.aggregations["by_lang"].collect()
+    }
+    match = {d for d, _ in _ref_hits(NESTED_TREE, ref)}
+    want = (
+        ref["meta"].loc[sorted(match)]["lang"].value_counts().to_dict()
+    )
+    assert buckets == want
+
+
+def test_dsl_term_on_docvalues_field(spark, dv_index, dv_corpus):
+    body = {"query": {"term": {"lang": "python"}}, "size": 10**6}
+    hits = search(spark, dv_index, body, corpus_path=dv_corpus).hits
+    n = hits.count()
+    want = int((pd.read_parquet(dv_corpus)["lang"] == "python").sum())
+    assert n == want and n > 0
+    assert hits.select(F.max("score")).collect()[0][0] == 0.0
+
+
+def test_match_all_without_aggs_still_raises(spark, dv_index):
+    with pytest.raises(NotImplementedError):
+        search(spark, dv_index, {"query": {"match_all": {}}})
