@@ -548,6 +548,50 @@ def grok_apache_log(spark, sf_dir):
     )
 
 
+def logstash_converted_pipeline(spark, sf_dir):
+    """A Logstash `.conf` converted to the pipeline YAML surface
+    (data_prepper_spark/logstash.py, mirroring the reference's
+    LogstashConfigConverter.java:32 + mapping resources) and EXECUTED:
+    file-input (json codec) over the events table dumped as ndjson,
+    grok INT extraction from props, a mutate block that splits into
+    rename_keys / uppercase_string / substitute_string / add_entries /
+    convert_type in the reference's canonical order. The oracle
+    recomputes every transform from the raw events table."""
+    import os
+    import tempfile
+
+    from data_prepper_spark.logstash import convert
+    from data_prepper_spark.pipeline import build_pipelines
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="dps_lsconv_")
+    nd = os.path.join(tmp, "events_ndjson")
+    ev.coalesce(1).write.mode("overwrite").json(nd)
+    conf = f"""
+input {{ file {{ path => "{nd}" codec => json }} }}
+filter {{
+  grok {{ match => {{ "props" => '"k": %{{INT:kval}}' }} }}
+  mutate {{
+    rename => {{ "event_type" => "etype" }}
+    uppercase => ["etype"]
+    gsub => ["props", "\\"", ""]
+    add_field => {{ "src" => "logstash" }}
+    convert => {{ "kval" => "long" }}
+  }}
+}}
+output {{ stdout {{ }} }}
+"""
+    res = build_pipelines(spark, convert(conf), execute_sinks=False)
+    out = res["logstash-converted-pipeline"].output
+    return out.groupBy("etype", "src").agg(
+        F.count("*").alias("n"),
+        F.sum("kval").alias("sum_kval"),
+        F.min("props").alias("min_props"),
+    )
+
+
 def grok_haproxy_log(spark, sf_dir):
     """HAPROXYTCP from the bundled ecosystem pattern sets
     (load_builtin_pattern_sets — the public Logstash-ecosystem files
@@ -3909,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "dsl_nested_bool_search": dsl_nested_bool_search,
         "dsl_match_all_aggs": dsl_match_all_aggs,
+        "logstash_converted_pipeline": logstash_converted_pipeline,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -4208,6 +4253,18 @@ SELECT CAST(regexp_extract(props, '"k": ([+-]?\\d+)', 1) AS BIGINT) % 10 AS k_mo
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
+"""
+
+    # the converted-config pipeline: grok INT extraction, then mutate's
+    # rename/uppercase/gsub/add_field/convert replayed in SQL
+    sql["logstash_converted_pipeline"] = """
+SELECT upper(event_type) AS etype,
+       'logstash' AS src,
+       count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([+-]?\\d+)', 1)
+                     AS BIGINT)) AS BIGINT) AS sum_kval,
+       min(replace(props, '"', '')) AS min_props
+FROM events GROUP BY 1, 2
 """
 
     sql["key_value_parse"] = """

@@ -198,12 +198,29 @@ def _sf1_blockmax_block(spark) -> dict | None:
             else "exhaustive"
         ),
     }
-    for mode in ("exhaustive", "blockmax", "auto"):
-        t0 = time.time()
-        topk(spark, idx, queries, k=10, mode=mode).count()
-        out[f"{mode}_per_query_ms"] = round(
-            (time.time() - t0) / nq * 1000, 1
+    # VERDICT r04 item 2: one timed pass per mode in a shared session
+    # on an ambient-noisy box cannot resolve a 1.2-1.4x effect, so the
+    # round-4 artifact showed blockmax "losing" while the quiet-box run
+    # showed it winning. Run N interleaved repetitions per mode
+    # (exhaustive, blockmax, auto, repeated — interleaving spreads any
+    # slow ambient phase across all three modes instead of one) and
+    # report min + median; the min is the noise-robust estimator the
+    # auto gate answers to.
+    reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "5"))
+    times: dict[str, list] = {"exhaustive": [], "blockmax": [], "auto": []}
+    for _ in range(reps):
+        for mode in ("exhaustive", "blockmax", "auto"):
+            t0 = time.time()
+            topk(spark, idx, queries, k=10, mode=mode).count()
+            times[mode].append((time.time() - t0) / nq * 1000)
+    for mode, ts in times.items():
+        ts = sorted(ts)
+        out[f"{mode}_per_query_ms"] = round(ts[0], 1)  # min
+        out[f"{mode}_per_query_ms_median"] = round(
+            ts[len(ts) // 2] if len(ts) % 2 else
+            (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2, 1
         )
+    out["reps"] = reps
     return out
 
 

@@ -41,18 +41,51 @@ from .operators import codec_ops, enrich, mutate, parse
 from .operators.anomaly import anomaly_detector as _anomaly_detector
 from .operators.route import apply_routes, drop_events
 
-# processor name -> adapter(df, config) -> df
-# names match the reference's registered plugin names (SURVEY.md §2.4)
-PROCESSORS: dict[str, Any] = {
-    "grok": lambda df, c: parse.grok(
-        df, c["source"], c["pattern"],
+def _grok_adapter(df: DataFrame, c: dict) -> DataFrame:
+    """grok config in either form: {source, pattern} (native) or the
+    reference's {match: {field: [patterns]}} (what the Logstash
+    converter and the reference's own YAML emit — GrokProcessorConfig
+    `match`); multi-field match applies per field in order."""
+    kw = dict(
         tags_on_match_failure=c.get("tags_on_match_failure"),
         keys_to_overwrite=c.get("keys_to_overwrite"),
         target_key=c.get("target_key"),
         tags_on_timeout=c.get("tags_on_timeout"),
         named_captures_only=c.get("named_captures_only", True),
         match_timeout_ms=c.get("match_timeout_ms"),
-    ),
+    )
+    if "match" in c:
+        for field, pats in c["match"].items():
+            df = parse.grok(df, field, pats, **kw)
+        return df
+    return parse.grok(df, c["source"], c["pattern"], **kw)
+
+
+def _date_adapter(df: DataFrame, c: dict) -> DataFrame:
+    """date config in either form: {source, match: [fmts]} (native) or
+    the reference's {match: [{key, patterns}]} (DateProcessorConfig
+    `match` — what the Logstash converter emits)."""
+    source, patterns = c.get("source"), c.get("match")
+    if (
+        isinstance(patterns, list) and patterns
+        and isinstance(patterns[0], dict)
+    ):
+        source = patterns[0]["key"]
+        patterns = patterns[0]["patterns"]
+    return parse.date_parse(
+        df, source, patterns,
+        c.get("destination", "@timestamp"),
+        from_time_received=c.get("from_time_received", False),
+        source_zone=c.get("source_timezone"),
+        output_format=c.get("output_format"),
+        locale=c.get("locale"),
+    )
+
+
+# processor name -> adapter(df, config) -> df
+# names match the reference's registered plugin names (SURVEY.md §2.4)
+PROCESSORS: dict[str, Any] = {
+    "grok": lambda df, c: _grok_adapter(df, c),
     "dissect": lambda df, c: parse.dissect(df, c["source"], c["pattern"]),
     "key_value": lambda df, c: parse.key_value_recursive(
         df,
@@ -100,13 +133,7 @@ PROCESSORS: dict[str, Any] = {
     "parse_ion": lambda df, c: parse.parse_ion(
         df, c["source"], c["schema"], c.get("destination", "parsed")
     ),
-    "date": lambda df, c: parse.date_parse(
-        df, c.get("source"), c.get("match"),
-        c.get("destination", "@timestamp"),
-        from_time_received=c.get("from_time_received", False),
-        source_zone=c.get("source_timezone"),
-        output_format=c.get("output_format"),
-    ),
+    "date": lambda df, c: _date_adapter(df, c),
     "detect_format": lambda df, c: parse.detect_format(
         df, c["source"], c.get("destination", "detected_format")
     ),
@@ -297,6 +324,22 @@ def _load_source(spark: SparkSession, src: dict, upstream: dict[str, PipelineRes
     if "csv" in src:
         cfg = src["csv"]
         return spark.read.csv(cfg["path"], header=cfg.get("header", True))
+    if "file" in src:
+        # reference file source (FileSource.java): one event per line
+        # as {message: line}; codec json parses each line instead
+        cfg = src["file"]
+        if cfg.get("codec") == "json":
+            return spark.read.json(cfg["path"])
+        from pyspark.sql import functions as F
+
+        return spark.read.text(cfg["path"]).select(
+            F.col("value").alias("message")
+        )
+    if "stdin" in src:
+        from .sources.stdin import read_stdin
+
+        cfg = src["stdin"] or {}
+        return read_stdin(spark, max_lines=cfg.get("max_lines"))
     if "log_generator" in src:
         cfg = src["log_generator"] or {}
         return apache_log_generator(spark, int(cfg.get("count", 1000)))
@@ -359,6 +402,44 @@ def _write_sink(sink_cfg: dict, df: DataFrame) -> None:
         df.write.mode("overwrite").json(sink_cfg["json"]["path"])
     elif "stdout" in sink_cfg:
         df.show(int(sink_cfg["stdout"].get("rows", 20)) if sink_cfg["stdout"] else 20)
+    elif "opensearch" in sink_cfg:
+        # the engine's bulk-index analog (SURVEY §2.2 opensearch sink):
+        # serialize each event as its JSON document and build the local
+        # physical index. There is no cluster in this environment, so
+        # `index_dir` is required — loud, not a silent remote no-op.
+        cfg = sink_cfg["opensearch"]
+        index_dir = cfg.get("index_dir")
+        if not index_dir:
+            raise ValueError(
+                "opensearch sink: no cluster in this environment; set "
+                "index_dir to build the local physical index (then "
+                "query it with index.query / index.dsl)"
+            )
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from .index.build import BuildConfig, build_index
+
+        content = (
+            F.col(cfg["content_column"]).cast("string")
+            if cfg.get("content_column")
+            else F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        )
+        corpus = df.select(
+            F.lit(str(cfg.get("index", "events"))).alias("repo"),
+            F.sha2(content, 256).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("json").alias("lang"),
+            content.alias("content"),
+            F.sha2(content, 256).alias("content_sha256"),
+        )
+        cpath = _os.path.join(index_dir, "corpus.parquet")
+        corpus.write.mode("overwrite").parquet(cpath)
+        build_index(
+            df.sparkSession, cpath, _os.path.join(index_dir, "index"),
+            BuildConfig(n_buckets=8),
+        )
     elif "noop" in sink_cfg:
         pass
     else:
