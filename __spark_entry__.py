@@ -1425,6 +1425,71 @@ def phrase_search_engine(spark, sf_dir):
 
 
 _DOCS_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+_BM25F_INDEX_CACHE: dict[str, str] = {}
+
+
+def _bm25f_index(spark: SparkSession, sf_dir: str) -> str:
+    """Fielded (BM25F) index over `documents`: body = text, title =
+    the first 10 tokens (deterministic; a token retokenizes to
+    itself). Built once per sf_dir per process via the NORMAL build —
+    one corpus row per (doc, field)."""
+    import os
+    import tempfile
+
+    from data_prepper_spark.index.bm25f import build_fielded_index
+    from data_prepper_spark.index.build import BuildConfig
+
+    hit = _BM25F_INDEX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.col("text").alias("body"),
+        F.array_join(
+            F.slice(tokenize_col(F.col("text")), 1, 10), " "
+        ).alias("title"),
+    )
+    idx = os.path.join(tempfile.mkdtemp(prefix="dps_bm25f_"), "index")
+    build_fielded_index(
+        spark, docs, idx, key_col="doc",
+        field_cols={"body": "body", "title": "title"},
+        cfg=BuildConfig(n_buckets=8, hot_group_target=5000),
+    )
+    _BM25F_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def bm25f_engine(spark, sf_dir):
+    """BM25F weighted-field top-k over ONE physical index / ONE
+    postings scan (index/bm25f.py — per-field length normalization,
+    weighted tf folded BEFORE saturation, combined idf from the same
+    decode). Fields: body = text (w=1), title = first 10 tokens (w=2).
+    The oracle recomputes the full BM25F pipeline per field from the
+    raw table. Re-ranked by original numeric doc id like the other
+    *_engine entries (the engine tie-breaks on the string key)."""
+    from data_prepper_spark.index.bm25f import bm25f_topk
+
+    idx = _bm25f_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    res = bm25f_topk(
+        spark, idx, q, weights={"title": 2.0, "body": 1.0}, k=50
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("doc_key").cast("long"))
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r"),
+        )
+    )
 
 
 def _docs_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -3954,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested_bool_search": dsl_nested_bool_search,
         "dsl_match_all_aggs": dsl_match_all_aggs,
         "logstash_converted_pipeline": logstash_converted_pipeline,
+        "bm25f_engine": bm25f_engine,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -5984,6 +6050,63 @@ ranked AS (
   FROM tot
 )
 SELECT query, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # BM25F: per-field normalized tf folded BEFORE saturation, ONE
+    # combined idf per term (df over docs matching in ANY field).
+    # dl/avgdl derive from len(tokenize(...)) over the same row sets
+    # the engine's fielded corpus keeps (body: nonempty raw text,
+    # title: >=1 token), so zero-token docs cannot skew parity.
+    sql["bm25f_engine"] = f"""
+WITH qraw(query_id, query) AS (VALUES {_qid_vals}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tokb AS (SELECT doc_id, unnest({tokenize_sql('text')}) AS term
+         FROM documents),
+tokt AS (SELECT doc_id, unnest(list_slice({tokenize_sql('text')}, 1, 10))
+                AS term
+         FROM documents),
+tfb AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokb GROUP BY 1, 2),
+tft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokt GROUP BY 1, 2),
+dlb AS (SELECT doc_id, len({tokenize_sql('text')})::DOUBLE AS dl
+        FROM documents WHERE length(trim(text)) > 0),
+dlt AS (SELECT doc_id, least(len({tokenize_sql('text')}), 10)::DOUBLE AS dl
+        FROM documents WHERE len({tokenize_sql('text')}) > 0),
+ab AS (SELECT avg(dl) AS a FROM dlb),
+att AS (SELECT avg(dl) AS a FROM dlt),
+nb AS (SELECT count(*)::DOUBLE AS n FROM (
+         SELECT doc_id FROM dlb UNION SELECT doc_id FROM dlt)),
+pf AS (
+  SELECT q.query_id, q.term, t.doc_id,
+         1.0 * t.tf / (1 - {B} + {B} * d.dl / ab.a) AS tfw
+  FROM q JOIN tfb t ON t.term = q.term
+  JOIN dlb d ON d.doc_id = t.doc_id CROSS JOIN ab
+  UNION ALL
+  SELECT q.query_id, q.term, t.doc_id,
+         2.0 * t.tf / (1 - {B} + {B} * d.dl / att.a) AS tfw
+  FROM q JOIN tft t ON t.term = q.term
+  JOIN dlt d ON d.doc_id = t.doc_id CROSS JOIN att
+),
+pd_ AS (SELECT query_id, term, doc_id, sum(tfw) AS tft
+        FROM pf GROUP BY 1, 2, 3),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         sum(ln(1 + (nb.n - d.dfc + 0.5) / (d.dfc + 0.5))
+             * p.tft * ({K1} + 1) / ({K1} + p.tft)) AS score
+  FROM pd_ p
+  JOIN (SELECT query_id, term, count(*)::DOUBLE AS dfc
+        FROM pd_ GROUP BY 1, 2) d USING (query_id, term)
+  CROSS JOIN nb
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
 

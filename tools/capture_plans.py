@@ -41,13 +41,18 @@ NAMES = [
     "sequence_packing_plan",
     "top_hits_engine",
     "sloppy_phrase_engine",
+    # round-5: BM25F — the contract is ONE postings scan for all
+    # fields (tests/test_bm25f.py::test_single_postings_scan asserts
+    # it on the executed plan), fields/weights broadcast
+    "bm25f_engine",
+    "dsl_nested_bool_search",
 ]
 
 KEEP = re.compile(
     r"PushedFilters|ReadSchema|PartitionFilters|BroadcastHashJoin|"
     r"SortMergeJoin|Exchange|WholeStageCodegen \(|ArrowEvalPython|"
     r"MapInArrow|HashAggregate|CartesianProduct|BroadcastNestedLoop|"
-    r"Window"
+    r"Window|Scan parquet"
 )
 
 HEADER = """# PLANS — .explain(\"formatted\") evidence for headline queries
