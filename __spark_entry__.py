@@ -2835,6 +2835,28 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+def ann_hnsw(spark, sf_dir):
+    """HNSW-style layered ANN, oracle-checked end to end: levels are a
+    pure integer-hash function of vec_id, per-level edges are exact
+    kNN among same-or-higher-level members, and search is a FIXED
+    schedule of beam hops — so DuckDB rebuilds the identical graph and
+    replays the identical walk (datapipe/hnsw.py; the quadratic
+    layer-0 construction is the documented test-scale mode, the scale
+    path is level0_nbits LSH-bucketed). Recall@10 >= IVF's at equal
+    candidate budget is asserted in tests/test_hnsw.py."""
+    from data_prepper_spark.datapipe.hnsw import hnsw_build, hnsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    edges = hnsw_build(emb, m_edges=8)
+    out = hnsw_topk(emb, edges, q, k=10, beam=16, hop_levels=(2, 1, 0, 0))
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked: the deterministic fake
     decode (byte-histogram of the sha256-hex payload) is exactly
@@ -4020,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_all_aggs": dsl_match_all_aggs,
         "logstash_converted_pipeline": logstash_converted_pipeline,
         "bm25f_engine": bm25f_engine,
+        "ann_hnsw": ann_hnsw,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -5533,6 +5556,79 @@ ranked AS (
 SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rank <= 10
 """
+
+    # HNSW-lite: the oracle rebuilds the layered graph (integer-hash
+    # levels, exact per-level kNN edges) and replays the fixed beam
+    # schedule hop by hop — generated as a CTE chain so hop count and
+    # parameters stay pinned to the engine's (m_edges=8, beam=16,
+    # hops 2,1,0,0).
+    _h_lvl = (
+        "(CASE WHEN (vec_id*2654435761)%4294967296 % 4 = 0 THEN 1 ELSE 0 END"
+        " + CASE WHEN (vec_id*2654435761)%4294967296 % 16 = 0 THEN 1 ELSE 0 END"
+        " + CASE WHEN (vec_id*2654435761)%4294967296 % 64 = 0 THEN 1 ELSE 0 END)"
+    )
+    _h_parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings),",
+        f"lv AS (SELECT vec_id, e, {_h_lvl} AS lvl FROM v),",
+        "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),",
+    ]
+    for _l in (2, 1, 0):
+        _h_parts.append(
+            f"""e{_l} AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_ivf_sim.format(v="a.e", c="b.e")} DESC, b.vec_id) AS rn
+    FROM lv a JOIN lv b
+      ON a.lvl >= {_l} AND b.lvl >= {_l} AND a.vec_id <> b.vec_id
+  ) WHERE rn <= 8
+),"""
+        )
+    _h_parts.append(
+        f"""s0 AS (
+  SELECT q.query_id, m.vec_id, {_ivf_sim.format(v="m.e", c="q.qe")} AS c
+  FROM q CROSS JOIN (SELECT vec_id, e FROM lv WHERE lvl >= 3) m
+),
+b0 AS (
+  SELECT query_id, vec_id, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY c DESC, vec_id) AS rn
+    FROM s0
+  ) WHERE rn <= 16
+),"""
+    )
+    for _i, _l in enumerate((2, 1, 0, 0), start=1):
+        _h_parts.append(
+            f"""n{_i} AS (
+  SELECT DISTINCT b.query_id, ed.dst AS vec_id
+  FROM b{_i - 1} b JOIN e{_l} ed ON ed.src = b.vec_id
+),
+s{_i} AS (
+  SELECT n.query_id, n.vec_id, {_ivf_sim.format(v="v.e", c="q.qe")} AS c
+  FROM n{_i} n JOIN v ON v.vec_id = n.vec_id
+  JOIN q ON q.query_id = n.query_id
+),
+b{_i} AS (
+  SELECT query_id, vec_id, c FROM (
+    SELECT query_id, vec_id, max(c) AS c FROM (
+      SELECT * FROM b{_i - 1} UNION ALL SELECT * FROM s{_i}
+    ) GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY c DESC, vec_id) <= 16
+),"""
+        )
+    _h_parts.append(
+        """ranked_h AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rank
+  FROM b4
+)
+SELECT query_id, rank, vec_id, round(c, 6) AS cosine_r
+FROM ranked_h WHERE rank <= 10"""
+    )
+    sql["ann_hnsw"] = "\n".join(_h_parts)
 
     # multimodal: the deterministic fake decode is a byte-histogram of
     # the sha256-hex payload — chars '0'..'9' land in bins 0..9,
