@@ -191,21 +191,71 @@ def build_positions(
     out.write.mode("overwrite").parquet(os.path.join(index_dir, "positions"))
 
 
-def _anti_tombstones_docids(spark, index_dir: str, df: DataFrame) -> DataFrame:
+def _dirs(index_dir) -> list[str]:
+    """Positional entry points accept one index_dir OR a list of them
+    (the streaming delta tree): positions key by GLOBAL doc_id
+    (xxhash64 of identity), not delta-local ords, so the multi-dir
+    form is a plain union of sidecars — the positional analog of
+    query.topk_deltas (VERDICT r04 #8)."""
+    return [index_dir] if isinstance(index_dir, str) else list(index_dir)
+
+
+def _read_positions(spark, dirs: list[str]) -> DataFrame:
+    parts = []
+    for d in dirs:
+        df = spark.read.parquet(os.path.join(d, "positions"))
+        payload = "pos_vb" if "pos_vb" in df.columns else "positions"
+        # drop the unit partition column (per-delta sidecars carry it,
+        # retrofitted build_positions ones don't); mixed plain/varbyte
+        # layouts across deltas fail loudly in the union below
+        parts.append(df.select("doc_id", "term", payload))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _read_ident(spark, dirs: list[str]) -> DataFrame:
+    parts = [
+        spark.read.parquet(os.path.join(d, "docs")).select(
+            "doc_id", "repo", "path", "commit"
+        )
+        for d in dirs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # a re-ingested doc lives in several deltas with the same identity;
+    # its position lists union too, matching the compacted index's
+    # union semantics (same divergence topk_deltas documents)
+    return out.distinct() if len(parts) > 1 else out
+
+
+def _anti_tombstones_docids(spark, index_dir, df: DataFrame) -> DataFrame:
     """delete_by_query visibility for the positional paths: tombstones
     store ENGINE ORDS, the positions sidecar keys by real doc_id, so
     the dead set maps through the docs table once (broadcast — the
     tombstone list is ids-only and small relative to the corpus) and
-    anti-joins the match frame. No-op without tombstones."""
+    anti-joins the match frame. No-op without tombstones. Multi-dir
+    form: the dead sets union across deltas (ords are delta-local, so
+    each maps through its own docs table)."""
     from .query import _tombstone_ords
 
-    t = _tombstone_ords(spark, index_dir)
-    if t is None:
+    dead_parts = []
+    for d in _dirs(index_dir):
+        t = _tombstone_ords(spark, d)
+        if t is None:
+            continue
+        docs = spark.read.parquet(os.path.join(d, "docs")).select(
+            "ord", "doc_id"
+        )
+        dead_parts.append(t.join(docs, "ord").select("doc_id"))
+    if not dead_parts:
         return df
-    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "ord", "doc_id"
-    )
-    dead = t.join(docs, "ord").select("doc_id").distinct()
+    dead = dead_parts[0]
+    for p in dead_parts[1:]:
+        dead = dead.unionByName(p)
+    dead = dead.distinct()
     # no forced broadcast: deleting 1% of a 10^12-doc index makes the
     # dead set ~10^10 rows; AQE broadcasts it when it IS small
     return df.join(dead, "doc_id", "left_anti")
@@ -222,19 +272,18 @@ def phrase_topk_positional(
     """Phrase top-k from the positions sidecar alone (no corpus I/O):
     phrase frequency ranks the hits (freq desc, identity asc).
     phrases: (query_id, phrase). Returns (query_id, rank, doc_id,
-    phrase_freq, repo, path, commit)."""
+    phrase_freq, repo, path, commit). index_dir may be a LIST of
+    index dirs (delta tree) — see _dirs."""
     from .query import _query_analyzer
 
-    ptoks = _query_analyzer(_stats_or_empty(index_dir))(F.col("phrase"))
+    dirs = _dirs(index_dir)
+    ptoks = _query_analyzer(_stats_or_empty(dirs[0]))(F.col("phrase"))
     q = phrases.select(
         "query_id", F.posexplode(ptoks).alias("ti", "term")
     )
     qn = q.groupBy("query_id").agg(F.count("*").alias("_n"))
     terms = [r["term"] for r in q.select("term").distinct().collect()]
-    pos = (
-        spark.read.parquet(os.path.join(index_dir, "positions"))
-        .filter(F.col("term").isin(terms))
-    )
+    pos = _read_positions(spark, dirs).filter(F.col("term").isin(terms))
     if "pos_vb" in pos.columns:
         # varbyte layout: decode only the rows that survived the
         # term-IN pushdown (one vectorized decode_many per Arrow batch)
@@ -283,10 +332,8 @@ def phrase_topk_positional(
     ).withColumn("phrase_freq", F.size("_match")).filter(
         F.col("phrase_freq") > 0
     )
-    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "doc_id", "repo", "path", "commit"
-    )
-    out = _anti_tombstones_docids(spark, index_dir, folded).join(
+    ident = _read_ident(spark, dirs)
+    out = _anti_tombstones_docids(spark, dirs, folded).join(
         ident, "doc_id"
     )
     tie = F.col("doc_id") if tie_expr is None else tie_expr
@@ -365,10 +412,12 @@ def sloppy_phrase_topk(
     cost <= slop; rank by sloppy phrase_freq (greedy non-overlapping
     windows within slop) desc, doc_id asc. Same pruned scan + counted
     join as phrase_topk_positional; the merge scan is an Arrow-batched
-    UDF over the already-grouped candidates (no extra shuffle)."""
+    UDF over the already-grouped candidates (no extra shuffle).
+    index_dir may be a LIST of index dirs (delta tree) — see _dirs."""
     from .query import _query_analyzer
 
-    ptoks = _query_analyzer(_stats_or_empty(index_dir))(F.col("phrase"))
+    dirs = _dirs(index_dir)
+    ptoks = _query_analyzer(_stats_or_empty(dirs[0]))(F.col("phrase"))
     q = phrases.select(
         "query_id", F.posexplode(ptoks).alias("ti", "term")
     )
@@ -376,10 +425,7 @@ def sloppy_phrase_topk(
         F.count_distinct("term").alias("_n")
     )
     terms = [r["term"] for r in q.select("term").distinct().collect()]
-    pos = (
-        spark.read.parquet(os.path.join(index_dir, "positions"))
-        .filter(F.col("term").isin(terms))
-    )
+    pos = _read_positions(spark, dirs).filter(F.col("term").isin(terms))
     j = q.join(pos, "term").select(
         "query_id", "ti", "term", "doc_id", "positions"
     )
@@ -401,10 +447,8 @@ def sloppy_phrase_topk(
         .withColumn("phrase_freq", F.col("_st")["freq"])
         .filter(F.col("min_cost") <= F.lit(slop))
     )
-    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-        "doc_id", "repo", "path", "commit"
-    )
-    out = _anti_tombstones_docids(spark, index_dir, scored).join(
+    ident = _read_ident(spark, dirs)
+    out = _anti_tombstones_docids(spark, dirs, scored).join(
         ident, "doc_id"
     )
     tie = F.col("doc_id") if tie_expr is None else tie_expr
@@ -418,4 +462,59 @@ def sloppy_phrase_topk(
             "query_id", "rank", "doc_id", "phrase_freq", "min_cost",
             "repo", "path", "commit",
         )
+    )
+
+
+def position_delta_dirs(index_root: str) -> list[str]:
+    """The delta tree's positional view: every delta=* under
+    index_root, each required to carry a positions sidecar (a mixed
+    tree means some docs are invisible to phrase queries — fail loudly
+    instead of silently under-matching)."""
+    from .. import fsio
+
+    dirs = sorted(
+        p
+        for p in fsio.listdir(index_root)
+        if os.path.basename(p.rstrip("/")).startswith("delta=")
+    )
+    if not dirs:
+        raise ValueError(f"no delta=* indexes under {index_root}")
+    missing = [
+        d for d in dirs if not fsio.exists(os.path.join(d, "positions"))
+    ]
+    if missing:
+        raise ValueError(
+            "deltas without a positions sidecar (build the stream with "
+            f"BuildConfig.positions=True): {missing}"
+        )
+    return dirs
+
+
+def phrase_topk_positional_deltas(
+    spark: SparkSession,
+    index_root: str,
+    phrases: DataFrame,
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """Positional phrase directly over the streamed delta indexes
+    (VERDICT r04 #8) — no compaction required, rank-identical to
+    querying the compacted index (asserted in tests): positions key by
+    global doc_id, so the delta view is a plain union of sidecars and
+    phrase_freq needs no cross-delta stats at all (unlike BM25's df)."""
+    return phrase_topk_positional(
+        spark, position_delta_dirs(index_root), phrases, k=k, slop=slop
+    )
+
+
+def sloppy_phrase_topk_deltas(
+    spark: SparkSession,
+    index_root: str,
+    phrases: DataFrame,
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """Unordered sloppy phrase over the delta tree — same union view."""
+    return sloppy_phrase_topk(
+        spark, position_delta_dirs(index_root), phrases, k=k, slop=slop
     )

@@ -330,6 +330,40 @@ def compact_deltas(
         .partitionBy("unit")
         .parquet(os.path.join(out_dir, "tokens"))
     )
+    # carry the positions sidecar through the merge (VERDICT r04 #8):
+    # positions key by GLOBAL doc_id, so compaction is a plain union
+    # with the same lineage-prefixed unit as the tokens — the merged
+    # run answers positional phrase queries identically to a batch
+    # build with BuildConfig.positions=True. A mixed tree (some deltas
+    # positional, some not) fails loudly: a silent partial sidecar
+    # would under-match phrases for the missing deltas' docs.
+    with_pos = [
+        d for d in deltas if fsio.exists(os.path.join(d, "positions"))
+    ]
+    if with_pos and len(with_pos) != len(deltas):
+        raise ValueError(
+            "cannot compact a mixed delta tree: positions sidecar "
+            f"missing from {sorted(set(deltas) - set(with_pos))}"
+        )
+    if with_pos:
+        pparts = []
+        for d in deltas:
+            eid = fsio.basename(d).split("=", 1)[1]
+            p = spark.read.parquet(os.path.join(d, "positions"))
+            unit = (
+                F.concat(F.lit(f"d{eid}_"), F.col("unit"))
+                if "unit" in p.columns
+                else F.lit(f"d{eid}")
+            )
+            pparts.append(p.withColumn("unit", unit))
+        pall = pparts[0]
+        for p in pparts[1:]:
+            pall = pall.unionByName(p)
+        (
+            pall.write.mode("overwrite")
+            .partitionBy("unit")
+            .parquet(os.path.join(out_dir, "positions"))
+        )
     written = spark.read.parquet(os.path.join(out_dir, "tokens"))
     per_unit = (
         written.groupBy("unit")

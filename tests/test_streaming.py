@@ -661,3 +661,93 @@ def test_compaction_never_reuses_victim_seq(spark, tmp_path):
     # must carry a sequence strictly greater than every pre-merge cN
     merged = [d for d in after if int(d.split("=c")[-1]) >= n0]
     assert merged, f"merged run reused an old name: {after}"
+
+
+def test_positional_phrase_over_deltas(spark, tmp_path):
+    """Delta-tree positional phrase (VERDICT r04 #8): querying the
+    positions sidecars of the live deltas directly is rank-identical
+    to querying the compacted index — for exact phrases, ordered slop,
+    and unordered sloppy phrases — and compaction (full AND leveled)
+    carries the sidecar through the merge."""
+    import os
+
+    from data_prepper_spark.corpus import write_corpus
+    from data_prepper_spark.index.build import BuildConfig
+    from data_prepper_spark.index.positions import (
+        phrase_topk_positional,
+        phrase_topk_positional_deltas,
+        sloppy_phrase_topk,
+        sloppy_phrase_topk_deltas,
+    )
+    from data_prepper_spark.streaming.pipeline import (
+        compact_deltas,
+        incremental_index,
+        maybe_compact,
+    )
+
+    src = str(tmp_path / "src")
+    write_corpus(0.001, src, chunks_per_file=1)  # 2 work-unit files
+    root = str(tmp_path / "deltas")
+    cfg = BuildConfig(n_buckets=8, hot_group_target=10_000, positions=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_index(
+        spark, stream, root, str(tmp_path / "ck"), cfg=cfg
+    ).start()
+    q.awaitTermination(240)
+
+    compacted = str(tmp_path / "compacted")
+    compact_deltas(spark, root, compacted, cfg)
+    assert os.path.isdir(os.path.join(compacted, "positions"))
+
+    # phrases drawn from the corpus itself so match sets are non-empty
+    import pandas as pd
+
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    corpus_pdf = spark.read.parquet(src).limit(2).toPandas()
+    toks0 = tokenize_series(pd.Series([corpus_pdf.iloc[0].content])).iloc[0]
+    toks1 = tokenize_series(pd.Series([corpus_pdf.iloc[1].content])).iloc[0]
+    phrases = spark.createDataFrame(
+        [
+            (0, " ".join(toks0[10:12])),
+            (1, " ".join(toks0[30:33])),
+            (2, " ".join(toks1[5:7])),
+        ],
+        "query_id long, phrase string",
+    )
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    for slop in (0, 2):
+        a = norm(phrase_topk_positional_deltas(spark, root, phrases, k=10, slop=slop))
+        b = norm(phrase_topk_positional(spark, compacted, phrases, k=10, slop=slop))
+        assert len(a) and len(a) == len(b), (slop, len(a), len(b))
+        assert (a["doc_id"] == b["doc_id"]).all()
+        assert (a["phrase_freq"] == b["phrase_freq"]).all()
+
+    sa = norm(sloppy_phrase_topk_deltas(spark, root, phrases, k=10, slop=2))
+    sb = norm(sloppy_phrase_topk(spark, compacted, phrases, k=10, slop=2))
+    assert len(sa) and len(sa) == len(sb)
+    assert (sa["doc_id"] == sb["doc_id"]).all()
+    assert (sa["min_cost"] == sb["min_cost"]).all()
+
+    # leveled partial merge: victims' sidecars fold into the merged
+    # run; the delta tree stays positional and rank-identical
+    merged = maybe_compact(
+        spark, root, str(tmp_path / "unused"), max_deltas=1,
+        policy="leveled", fan_in=2, cfg=cfg,
+    )
+    assert merged is not None
+    c = norm(phrase_topk_positional_deltas(spark, root, phrases, k=10))
+    b0 = norm(phrase_topk_positional(spark, compacted, phrases, k=10))
+    assert (c["doc_id"] == b0["doc_id"]).all()
+    assert (c["phrase_freq"] == b0["phrase_freq"]).all()
