@@ -147,7 +147,8 @@ def load_builtin_pattern_sets(*sets: str) -> int:
     (grok_pattern_sets/<name>.grok — the Logstash-ecosystem sets the
     reference's grok plugin can consume as extra pattern dirs,
     GrokProcessorConfig `patterns_directories`). Available: extras,
-    java, haproxy, postgresql, nagios, aws. The `extras` set (date/tz
+    java, haproxy, postgresql, nagios, aws, exim, mongodb, rails,
+    bro. The `extras` set (date/tz
     helpers several others reference) always loads first. Returns the
     number of patterns loaded."""
     import os as _os

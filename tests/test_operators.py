@@ -187,6 +187,83 @@ def test_grok_builtin_pattern_sets(spark):
     assert out.backend_name == "default"
 
 
+def test_grok_pattern_sets_exim_mongodb_rails_bro(spark):
+    """Round-5 ecosystem sets (VERDICT r04 #9) parse representative
+    lines through the Catalyst (Java-regex) grok path: Exim mainlog
+    arrival with optional named fields, MongoDB 3.x structured lines,
+    Rails request head/foot, and Zeek/Bro TSV conn records."""
+    from data_prepper_spark.operators.parse import load_builtin_pattern_sets
+
+    assert load_builtin_pattern_sets("exim", "mongodb", "rails", "bro") >= 25
+
+    df = spark.createDataFrame(
+        [
+            (
+                "2026-08-19 10:01:02 1rNfPq-0001Ab-C3 <= alice@example.com"
+                " H=mail.example.com (helo.example.com) [192.0.2.10]:587"
+                " P=esmtps S=2344 id=abc123@example.com",
+            )
+        ],
+        "log string",
+    )
+    out = grok(df, "log", "%{EXIM_MESSAGE_ARRIVAL}").collect()[0]
+    assert out.exim_msgid == "1rNfPq-0001Ab-C3"
+    assert out.exim_sender == "alice@example.com"
+    assert out.remote_host == "192.0.2.10"
+    assert out.exim_msg_size == "2344"
+
+    df = spark.createDataFrame(
+        [
+            (
+                "2026-08-19T10:01:02.123+0000 I NETWORK  [conn123]"
+                " end connection 192.0.2.5:51234",
+            )
+        ],
+        "log string",
+    )
+    out = grok(df, "log", "%{MONGO3_LOG}").collect()[0]
+    assert out.severity == "I"
+    assert out.component == "NETWORK"
+    assert out.context == "conn123"
+
+    df = spark.createDataFrame(
+        [
+            ('Started GET "/users/5?x=1" for 192.0.2.7 at'
+             ' 2026-08-19 10:01:02 +0000',),
+        ],
+        "log string",
+    )
+    out = grok(df, "log", "%{RAILS3HEAD}").collect()[0]
+    assert out.verb == "GET"
+    assert out.request == "/users/5?x=1"
+    assert out.clientip == "192.0.2.7"
+
+    df = spark.createDataFrame(
+        [("Completed 200 OK in 10.2ms (Views: 5.0ms | ActiveRecord: 2.0ms)",)],
+        "log string",
+    )
+    out = grok(df, "log", "%{RAILS3FOOT}").collect()[0]
+    assert out.response == "200"
+    assert out.totalms == "10.2"
+    assert out.activerecordms == "2.0"
+
+    df = spark.createDataFrame(
+        [
+            (
+                "1470000000.123456\tCab3Xc1\t192.0.2.1\t51234\t"
+                "198.51.100.9\t443\ttcp\tssl\t1.5\t1024\t2048\tSF\tT\t"
+                "0\tShADad\t10\t1500\t12\t2600\t-",
+            )
+        ],
+        "log string",
+    )
+    out = grok(df, "log", "%{BRO_CONN}").collect()[0]
+    assert out.uid == "Cab3Xc1"
+    assert out.resp_p == "443"
+    assert out.proto == "tcp"
+    assert out.conn_state == "SF"
+
+
 def test_dissect(spark):
     df = spark.createDataFrame([("alice-42@host",)], "s string")
     out = dissect(df, "s", "%{user}-%{id}@%{host}").collect()[0]
