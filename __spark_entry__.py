@@ -1870,6 +1870,51 @@ def dsl_match_all_aggs(spark, sf_dir):
     return langs.unionByName(sizes)
 
 
+def dsl_range_histogram(spark, sf_dir):
+    """Top-level `range` query (no bool wrapper — the common
+    filter-only _search body, sugar for bool/filter with one leaf;
+    index/dsl.py routes it through the tree compiler) with
+    `histogram` and `stats` aggregations over the SAME materialized
+    match set (index/query.py::histogram_facet — floor(v/interval)*
+    interval bucket keys, sparse form — and the stats projection of
+    stats_facets). The oracle recomputes filter + bucketing + moments
+    straight off the documents table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"range": {"n_chars": {"gte": 150, "lt": 450}}},
+            "aggs": {
+                "hist": {"histogram": {"field": "n_chars", "interval": 100}},
+                "chars": {"stats": {"field": "n_chars"}},
+            },
+        },
+        corpus_path=cpath,
+    )
+    hist = res.aggregations["hist"].select(
+        F.lit("hist").alias("agg"),
+        F.col("key").cast("long").cast("string").alias("bucket"),
+        F.col("doc_count").cast("double").alias("val"),
+    )
+    st = res.aggregations["chars"]
+    stats_rows = None
+    for col, label in [
+        ("n", "n"), ("min_v", "min"), ("max_v", "max"),
+        ("sum_v", "sum"), ("avg_v", "avg"),
+    ]:
+        row = st.select(
+            F.lit("stats").alias("agg"),
+            F.lit(label).alias("bucket"),
+            F.round(F.col(col).cast("double"), 6).alias("val"),
+        )
+        stats_rows = row if stats_rows is None else stats_rows.unionByName(row)
+    return hist.unionByName(stats_rows)
+
+
 def faceted_search_engine(spark, sf_dir):
     """Terms aggregation alongside a query (opensearch-api `aggs`):
     per-query facet buckets by `lang` over the FULL disjunctive match
@@ -4043,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logstash_converted_pipeline": logstash_converted_pipeline,
         "bm25f_engine": bm25f_engine,
         "ann_hnsw": ann_hnsw,
+        "dsl_range_histogram": dsl_range_histogram,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -6369,6 +6415,31 @@ sizes AS (
   FROM documents GROUP BY 2
 )
 SELECT * FROM langs UNION ALL SELECT * FROM sizes
+"""
+    sql["dsl_range_histogram"] = """
+WITH matched AS (
+  SELECT n_chars FROM documents WHERE n_chars >= 150 AND n_chars < 450
+),
+hist AS (
+  SELECT 'hist' AS agg,
+         CAST(CAST(floor(n_chars / 100) * 100 AS BIGINT) AS VARCHAR)
+           AS bucket,
+         CAST(count(*) AS DOUBLE) AS val
+  FROM matched GROUP BY 2
+),
+stats AS (
+  SELECT 'stats' AS agg, s.bucket,
+         round(CASE s.bucket
+           WHEN 'n'   THEN count(*)
+           WHEN 'min' THEN min(n_chars)
+           WHEN 'max' THEN max(n_chars)
+           WHEN 'sum' THEN sum(n_chars)
+           ELSE sum(n_chars) / CAST(count(*) AS DOUBLE) END, 6) AS val
+  FROM matched,
+       (SELECT unnest(['n','min','max','sum','avg']) AS bucket) s
+  GROUP BY s.bucket
+)
+SELECT * FROM hist UNION ALL SELECT * FROM stats
 """
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]

@@ -11,14 +11,17 @@ front: every clause maps to the SAME oracle-verified executors
 search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
-[+slop], prefix, fuzzy, wildcard, bool must/should/must_not/filter —
+[+slop], prefix, fuzzy, wildcard, top-level range/terms/exists on
+doc-values fields (non-scoring filters — sugar for bool/filter with
+one leaf), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
 doc-values fields and minimum_should_match (booltree.py; flat
 text-only bool bodies keep the single-scan boolean_search executor) —
 simple_query_string, more_like_this), `size`, `search_after` (+ the
 match query), `collapse`, `highlight` (match/term hits gain a
 `snippet` column around the earliest term hit), and `aggs` (terms
-[+nested top_hits], range, extended_stats, cardinality, percentiles,
+[+nested top_hits], range, extended_stats, stats/avg/min/max/sum/
+value_count, histogram, date_histogram, cardinality, percentiles,
 significant_terms) under ANY query with a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
@@ -135,6 +138,24 @@ def search(
         else:
             match_text, _ = _field_arg(spec)
             match_text = str(match_text)
+    elif kind in ("range", "terms", "exists"):
+        # top-level non-scoring filter query (the OpenSearch shape
+        # `{"query": {"range": {...}}}`): identical semantics to
+        # bool/filter with one leaf, so route through the tree
+        # compiler — every hit scores 0, ordinal order
+        from .booltree import bool_tree_match, bool_tree_search
+
+        wrapped = {"bool": {"filter": [node]}}
+        hits = bool_tree_search(
+            spark, index_dir, wrapped, k=k,
+            corpus_path=corpus_path, query_id=query_id,
+        )
+        if "aggs" in body:
+            agg_matched = bool_tree_match(
+                spark, index_dir, wrapped, corpus_path
+            ).select(
+                F.lit(query_id).cast("long").alias("query_id"), "ord"
+            )
     elif kind == "match_phrase":
         text, opts = _field_arg(spec)
         slop = int(opts.get("slop", 0))
@@ -302,8 +323,8 @@ def search(
         if match_text is None and agg_matched is None:
             raise NotImplementedError(
                 "aggs under this query kind (supported: match, term, "
-                "match_all, bool — the kinds with a materializable "
-                "match set)"
+                "match_all, bool, range/terms/exists — the kinds with "
+                "a materializable match set)"
             )
         mq = qdf(
             "query_id long, query string",
@@ -372,6 +393,31 @@ def search(
                 )
             aggs[name] = q.significant_terms(
                 spark, index_dir, mq, size=int(aconf.get("size", 10)),
+                matched=agg_matched,
+            )
+        elif akind in ("stats", "avg", "min", "max", "sum", "value_count"):
+            # single-metric aggs are projections of the extended_stats
+            # executor's one grouped aggregation (stats_facets) — no
+            # extra scan, and an oracle can recompute each column
+            full = q.stats_facets(
+                spark, index_dir, corpus_path, mq, field=aconf["field"],
+                matched=agg_matched,
+            )
+            proj = {
+                "stats": ["n", "min_v", "max_v", "sum_v", "avg_v"],
+                "avg": ["avg_v"],
+                "min": ["min_v"],
+                "max": ["max_v"],
+                "sum": ["sum_v"],
+                "value_count": ["n"],
+            }[akind]
+            aggs[name] = full.select("query_id", *proj)
+        elif akind in ("histogram", "date_histogram"):
+            aggs[name] = q.histogram_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                interval=aconf.get("interval"),
+                calendar_interval=aconf.get("calendar_interval"),
                 matched=agg_matched,
             )
         else:

@@ -1916,6 +1916,61 @@ def cardinality_facet(
     )
 
 
+def histogram_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    interval: float | None = None,
+    calendar_interval: str | None = None,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """histogram / date_histogram aggregation alongside a query
+    (opensearch-api `aggs: {histogram: {field, interval}}` /
+    `{date_histogram: {field, calendar_interval}}`): doc counts of
+    the FULL match set in fixed-width buckets keyed by the bucket's
+    lower bound — floor(v / interval) * interval for numeric fields,
+    date_trunc(calendar_interval, v) for date/timestamp fields.
+    Same ids-only match set + doc-values resolution as range_facets;
+    one grouped aggregation, empty buckets omitted (sparse form,
+    min_doc_count=1). Returns (query_id, key, doc_count) with `key`
+    double for numeric histograms and an ISO timestamp string for
+    date histograms (OpenSearch's key_as_string)."""
+    attributed = _attributed_match(
+        spark, index_dir, corpus_path, queries, field, matched=matched
+    )
+    v = F.col(field)
+    if calendar_interval is not None:
+        unit = {
+            "minute": "minute", "1m": "minute",
+            "hour": "hour", "1h": "hour",
+            "day": "day", "1d": "day",
+            "week": "week", "1w": "week",
+            "month": "month", "1M": "month",
+            "quarter": "quarter", "1q": "quarter",
+            "year": "year", "1y": "year",
+        }.get(calendar_interval)
+        if unit is None:
+            raise NotImplementedError(
+                f"calendar_interval '{calendar_interval}'"
+            )
+        key = F.date_format(
+            F.date_trunc(unit, v.cast("timestamp")),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        )
+    else:
+        if interval is None or float(interval) <= 0:
+            raise ValueError("histogram needs a positive interval")
+        step = float(interval)
+        key = F.floor(v.cast("double") / F.lit(step)) * F.lit(step)
+    return (
+        attributed.withColumn("key", key)
+        .groupBy("query_id", "key")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
 def percentiles_facet(
     spark: SparkSession,
     index_dir: str,

@@ -330,3 +330,116 @@ def test_dsl_term_on_docvalues_field(spark, dv_index, dv_corpus):
 def test_match_all_without_aggs_still_raises(spark, dv_index):
     with pytest.raises(NotImplementedError):
         search(spark, dv_index, {"query": {"match_all": {}}})
+
+
+def test_top_level_range_query(spark, dv_index, dv_corpus):
+    """{"query": {"range": ...}} without a bool wrapper: the common
+    OpenSearch filter-only body — sugar for bool/filter with one leaf
+    (unscored, every hit score 0)."""
+    body = {
+        "query": {"range": {"n_chars": {"gte": 10000, "lt": 30000}}},
+        "size": 10**6,
+    }
+    hits = search(spark, dv_index, body, corpus_path=dv_corpus).hits
+    n = hits.count()
+    nc = pd.read_parquet(dv_corpus)["n_chars"]
+    want = int(((nc >= 10000) & (nc < 30000)).sum())
+    assert n == want and n > 0
+    assert hits.select(F.max("score")).collect()[0][0] == 0.0
+    # terms / exists route the same way
+    t = search(
+        spark, dv_index,
+        {"query": {"terms": {"lang": ["python", "go"]}}, "size": 10**6},
+        corpus_path=dv_corpus,
+    ).hits.count()
+    langs = pd.read_parquet(dv_corpus)["lang"]
+    assert t == int(langs.isin(["python", "go"]).sum())
+    e = search(
+        spark, dv_index,
+        {"query": {"exists": {"field": "lang"}}, "size": 10**6},
+        corpus_path=dv_corpus,
+    ).hits.count()
+    assert e == int(langs.notna().sum())
+
+
+def test_metric_and_histogram_aggs(spark, dv_index, dv_corpus):
+    """stats/avg/sum/value_count projections and histogram buckets
+    under a top-level range query, all recomputed in pandas."""
+    body = {
+        "query": {"range": {"n_chars": {"gte": 25000}}},
+        "aggs": {
+            "chars": {"stats": {"field": "n_chars"}},
+            "mean": {"avg": {"field": "n_chars"}},
+            "total": {"sum": {"field": "n_chars"}},
+            "cnt": {"value_count": {"field": "n_chars"}},
+            "hist": {"histogram": {"field": "n_chars", "interval": 5000}},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    nc = pd.read_parquet(dv_corpus)["n_chars"]
+    sel = nc[nc >= 25000]
+    st = res.aggregations["chars"].collect()[0]
+    assert st["n"] == len(sel)
+    assert st["min_v"] == int(sel.min())
+    assert st["max_v"] == int(sel.max())
+    assert st["sum_v"] == int(sel.sum())
+    assert abs(st["avg_v"] - sel.mean()) < 1e-9
+    assert res.aggregations["chars"].columns == [
+        "query_id", "n", "min_v", "max_v", "sum_v", "avg_v"
+    ]
+    mean = res.aggregations["mean"].collect()[0]
+    assert abs(mean["avg_v"] - sel.mean()) < 1e-9
+    assert res.aggregations["total"].collect()[0]["sum_v"] == int(sel.sum())
+    assert res.aggregations["cnt"].collect()[0]["n"] == len(sel)
+    hist = {
+        r["key"]: r["doc_count"]
+        for r in res.aggregations["hist"].collect()
+    }
+    want = (sel // 5000 * 5000).astype(float).value_counts().to_dict()
+    assert hist == want
+
+
+def test_date_histogram_agg(spark, dv_index, dv_corpus, tmp_path_factory):
+    """date_histogram over a timestamp doc-values column: calendar
+    day truncation, key_as_string form."""
+    import os as _os
+
+    from data_prepper_spark.index.query import attach_doc_values
+
+    d = str(tmp_path_factory.mktemp("dhc"))
+    out = _os.path.join(d, "corpus.parquet")
+    # deterministic per-doc timestamp spread over ~3 days
+    (
+        spark.read.parquet(dv_corpus)
+        .withColumn(
+            "mtime",
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(250000))
+            ),
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+    attach_doc_values(spark, dv_index, out, cols=("lang", "n_chars", "mtime"))
+    res = search(
+        spark, dv_index,
+        {
+            "query": {"match_all": {}},
+            "aggs": {"daily": {"date_histogram": {
+                "field": "mtime", "calendar_interval": "day",
+            }}},
+        },
+        corpus_path=out,
+    )
+    got = {
+        r["key"]: r["doc_count"]
+        for r in res.aggregations["daily"].collect()
+    }
+    pdf = pd.read_parquet(out)
+    want = (
+        pd.to_datetime(pdf["mtime"]).dt.floor("D")
+        .dt.strftime("%Y-%m-%dT%H:%M:%S").value_counts().to_dict()
+    )
+    assert got == want and len(got) >= 2
+    # restore the module-scoped sidecar for any later test
+    attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
