@@ -475,6 +475,101 @@ def streaming_anomaly_detector(
     )
 
 
+def streaming_service_map(
+    spans: DataFrame,
+    trace_id: str = "trace_id",
+    span_id: str = "span_id",
+    parent_span_id: str = "parent_span_id",
+    service: str = "service_name",
+    window_duration: str | None = None,
+):
+    """Streaming form of operators.trace.service_map_edges — the true
+    analog of the reference's rotating MapDB span windows
+    (service-map-stateful/.../ServiceMapStatefulProcessor.java:45:
+    spans accumulate per traceId across TWO rotating windows so a
+    child arriving in one window finds a parent stored in the
+    previous one). Here applyInPandasWithState keys state by traceId:
+    each trace's (span_id -> service) map plus its not-yet-resolved
+    children carry across micro-batches, so parent/child pairs SPLIT
+    ACROSS BATCHES still produce their edge — the case the batch
+    self-join only covers because it sees all data at once. Emits
+    (source_service, dest_service) append-only, deduped per trace in
+    state (the reference's RELATIONSHIP_STATE set is global; the
+    consumer's distinct() completes that). `window_duration` maps the
+    two-window rotation to a per-trace processing-time TTL: state
+    (incl. unresolved children) drops after that idle period, exactly
+    like a span evicted with both windows."""
+    import pandas as pd
+
+    out_schema = "source_service string, dest_service string"
+    state_schema = (
+        "sids array<long>, svcs array<string>, "
+        "pids array<long>, pdst array<string>, emitted array<string>"
+    )
+    ttl_ms = None
+    if window_duration is not None:
+        num, unit = window_duration.split()
+        ttl_ms = int(num) * {
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[unit]
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if state.exists:
+            sids, svcs, pids, pdst, emitted = (
+                list(state.get[0]), list(state.get[1]),
+                list(state.get[2]), list(state.get[3]),
+                list(state.get[4]),
+            )
+        else:
+            sids, svcs, pids, pdst, emitted = [], [], [], [], []
+        span_svc = dict(zip(sids, svcs))
+        for r in pdf.itertuples():
+            sid = getattr(r, span_id)
+            if sid is not None and not pd.isna(sid):
+                span_svc[int(sid)] = str(getattr(r, service))
+            pid = getattr(r, parent_span_id)
+            if pid is not None and not pd.isna(pid):
+                pids.append(int(pid))
+                pdst.append(str(getattr(r, service)))
+        out, still_p, still_d = [], [], []
+        seen = set(emitted)
+        for pid, dst in zip(pids, pdst):
+            src = span_svc.get(pid)
+            if src is None:
+                # parent not seen yet — hold for a later micro-batch
+                still_p.append(pid)
+                still_d.append(dst)
+            elif src != dst:
+                k = f"{src}\x01{dst}"
+                if k not in seen:
+                    seen.add(k)
+                    emitted.append(k)
+                    out.append((src, dst))
+        state.update((
+            list(span_svc.keys()), list(span_svc.values()),
+            still_p, still_d, emitted,
+        ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["source_service", "dest_service"])
+
+    return spans.groupBy(F.col(trace_id)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+        ),
+    )
+
+
 def streaming_percolate(
     docs_stream: DataFrame,
     stored_queries: DataFrame,

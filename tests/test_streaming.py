@@ -751,3 +751,60 @@ def test_positional_phrase_over_deltas(spark, tmp_path):
     b0 = norm(phrase_topk_positional(spark, compacted, phrases, k=10))
     assert (c["doc_id"] == b0["doc_id"]).all()
     assert (c["phrase_freq"] == b0["phrase_freq"]).all()
+
+
+def test_streaming_service_map_cross_batch(spark, tmp_path):
+    """Parent and child spans arriving in DIFFERENT micro-batches must
+    still produce their service-graph edge (the reference's rotating
+    MapDB windows carry parents across window boundaries; here the
+    per-trace state does). Final distinct edge set == the batch
+    self-join over all data."""
+    from data_prepper_spark.operators.trace import service_map_edges
+    from data_prepper_spark.streaming.pipeline import streaming_service_map
+
+    spans_schema = (
+        "trace_id long, span_id long, parent_span_id long, "
+        "service_name string"
+    )
+    rows = []
+    # 40 traces, 3 spans each: gateway -> auth -> db; the child of the
+    # cross-service hop lands in a different file than its parent
+    for t in range(40):
+        base = t * 10
+        rows.append((t, base + 1, None, "gateway"))
+        rows.append((t, base + 2, base + 1, "auth"))
+        rows.append((t, base + 3, base + 2, "db"))
+        # same-service hop (must NOT emit an edge)
+        rows.append((t, base + 4, base + 3, "db"))
+    sdf = spark.createDataFrame(rows, spans_schema)
+    src = str(tmp_path / "spans_stream")
+    # batch 0: all parents (gateway spans); batch 1: auth spans
+    # (children of batch 0, parents of batch 2); batch 2: db spans —
+    # every cross-service edge spans a batch boundary
+    for i, svc in enumerate(["gateway", "auth", "db"]):
+        sdf.filter(F.col("service_name") == svc).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(spans_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_service_map(stream, window_duration="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("svc_edges")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.source_service, r.dest_service)
+        for r in spark.sql("select distinct * from svc_edges").collect()
+    }
+    want = {
+        (r.source_service, r.dest_service)
+        for r in service_map_edges(sdf).collect()
+    }
+    assert got == want == {("gateway", "auth"), ("auth", "db")}
