@@ -1915,6 +1915,47 @@ def dsl_range_histogram(spark, sf_dir):
     return hist.unionByName(stats_rows)
 
 
+def dsl_terms_subagg(spark, sf_dir):
+    """Terms aggregation with nested METRIC sub-aggregations — the
+    dashboard `_search` body (terms buckets each carrying avg/sum/max
+    of a stored field). index/dsl.py folds every nested metric into
+    the ONE grouped aggregation that counts the buckets
+    (index/query.py::terms_metric_facet), so three sub-aggs cost one
+    exchange, not three scans. The oracle recomputes match + buckets
+    + metrics straight off the documents table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 10},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "sum_chars": {"sum": {"field": "n_chars"}},
+                        "max_chars": {"max": {"field": "n_chars"}},
+                    },
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    return res.aggregations["by_lang"].select(
+        "query_id",
+        "bucket_rank",
+        "facet",
+        "doc_count",
+        F.round(F.col("avg_chars"), 6).alias("avg_chars"),
+        F.col("sum_chars").cast("long").alias("sum_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
 def faceted_search_engine(spark, sf_dir):
     """Terms aggregation alongside a query (opensearch-api `aggs`):
     per-query facet buckets by `lang` over the FULL disjunctive match
@@ -4089,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_engine": bm25f_engine,
         "ann_hnsw": ann_hnsw,
         "dsl_range_histogram": dsl_range_histogram,
+        "dsl_terms_subagg": dsl_terms_subagg,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -6440,6 +6482,34 @@ stats AS (
   GROUP BY s.bucket
 )
 SELECT * FROM hist UNION ALL SELECT * FROM stats
+"""
+    sql["dsl_terms_subagg"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+fac AS (
+  SELECT query_id, lang AS facet, count(*) AS doc_count,
+         round(avg(n_chars), 6) AS avg_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM matched GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY doc_count DESC, facet) AS bucket_rank
+  FROM fac
+)
+SELECT query_id, bucket_rank, facet, doc_count,
+       avg_chars, sum_chars, max_chars
+FROM ranked WHERE bucket_rank <= 10
 """
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]

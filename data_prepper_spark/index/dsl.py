@@ -25,7 +25,9 @@ value_count, histogram, date_histogram, cardinality, percentiles,
 significant_terms) under ANY query with a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
-buckets).
+buckets). A `terms` aggregation may nest metric sub-aggregations
+(avg/sum/min/max/value_count, any mix of fields) — all folded into
+the one grouped aggregation that counts the buckets.
 Unsupported constructs raise NotImplementedError naming the clause —
 loud, not silent.
 """
@@ -332,7 +334,24 @@ def search(
         )
         if corpus_path is None:
             raise ValueError("aggs need corpus_path")
-        if akind == "terms" and nested and any(
+        _METRIC_SUBAGGS = {"avg", "sum", "min", "max", "value_count"}
+        if akind == "terms" and nested and all(
+            next(iter(n)) in _METRIC_SUBAGGS for n in nested.values()
+        ):
+            # terms bucket with nested metric sub-aggregations (the
+            # dashboard body): every metric folds into the ONE grouped
+            # aggregation that computes the bucket counts
+            aggs[name] = q.terms_metric_facet(
+                spark, index_dir, corpus_path, mq,
+                group_field=aconf["field"],
+                metrics=[
+                    (nname, next(iter(n)), n[next(iter(n))]["field"])
+                    for nname, n in nested.items()
+                ],
+                n_buckets_out=int(aconf.get("size", 10)),
+                matched=agg_matched,
+            )
+        elif akind == "terms" and nested and any(
             "top_hits" in n for n in nested.values()
         ):
             if match_text is None:
@@ -346,6 +365,11 @@ def search(
                 spark, index_dir, corpus_path, mq,
                 group_field=aconf["field"],
                 size=int(th.get("size", 3)),
+            )
+        elif akind == "terms" and nested:
+            raise NotImplementedError(
+                "terms sub-aggregations other than metric aggs "
+                "(avg/sum/min/max/value_count) or top_hits"
             )
         elif akind == "terms":
             aggs[name] = q.faceted_search(

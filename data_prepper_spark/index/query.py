@@ -1022,6 +1022,91 @@ def faceted_search(
     )
 
 
+def terms_metric_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    group_field: str,
+    metrics: list,
+    n_buckets_out: int = 10,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """Terms aggregation with nested METRIC sub-aggregations — the
+    standard dashboard `_search` body the reference stack's users
+    send to OpenSearch (terms buckets each carrying avg/sum/min/max
+    of a stored field, cf. opensearch-api `aggs: {terms: {...},
+    aggs: {avg: {...}}}`). `metrics` is a list of (out_col, kind,
+    field) with kind in avg/sum/min/max/value_count; every metric —
+    across any mix of fields — folds into the SAME single grouped
+    aggregation as the bucket's doc_count, so N sub-aggregations
+    cost exactly one exchange on (query_id, facet), not N scans.
+
+    Match semantics are faceted_search's: the full disjunctive match
+    set (or a precomputed `matched` (query_id, ord) frame — bool
+    tree / match_all — shared across a body's aggregations). Field
+    values come from the doc-values sidecar when it carries every
+    needed column (ONE ord-join attaches group + metric fields
+    together; corpus never touched), else one identity join against
+    the corpus. Returns (query_id, bucket_rank, facet, doc_count,
+    *out_cols), buckets ordered (doc_count desc, facet asc), top
+    `n_buckets_out`.
+
+    Scale shape: match ords (ids only, bucket-pruned postings scan)
+    -> one sidecar join -> one groupBy with map-side combine -> a
+    WindowGroupLimit top-N per query. At 100 TB the reduce side is
+    facet-cardinality-bound; no per-metric re-scan exists to
+    multiply it."""
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
+    fields = sorted({group_field} | {f for _, _, f in metrics})
+    try:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    except Exception:
+        dv = None
+    if dv is not None and set(fields) <= set(dv.columns):
+        attributed = matched.join(dv.select("ord", *fields), "ord")
+    else:
+        ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "ord", "repo", "path", "commit"
+        )
+        attrs = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", *fields
+        )
+        attributed = matched.join(ident, "ord").join(
+            attrs, ["repo", "path", "commit"]
+        )
+    aggfn = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "value_count": F.count,
+    }
+    fac = attributed.groupBy(
+        "query_id", F.col(group_field).alias("facet")
+    ).agg(
+        F.count("*").alias("doc_count"),
+        *[aggfn[kind](F.col(field)).alias(out)
+          for out, kind, field in metrics],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("facet")
+    )
+    return (
+        fac.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= n_buckets_out)
+        .select(
+            "query_id", "bucket_rank", "facet", "doc_count",
+            *[out for out, _, _ in metrics],
+        )
+    )
+
+
 def topk_after(
     spark: SparkSession,
     index_dir: str,

@@ -261,3 +261,53 @@ def test_highlight_and_more_like_this(spark, index_dir, corpus_path):
     assert 0 not in got  # MLT excludes the source doc itself
     assert set(got) & {1, 3, 5}  # similar docs rank, not the cooking ones
     assert 2 not in got[:2] and 4 not in got[:2]
+
+
+def test_terms_metric_subaggs(spark, index_dir, corpus_path):
+    """Nested metric sub-aggregations under a terms bucket fold into
+    ONE grouped aggregation (terms_metric_facet): bucket set and
+    counts identical to the plain terms executor, value_count of a
+    never-null field equals doc_count, and unsupported nested kinds
+    stay loud."""
+    body = {
+        "query": {"match": {"content": "class"}},
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {
+                    "n_paths": {"value_count": {"field": "path"}},
+                    "max_path": {"max": {"field": "path"}},
+                },
+            },
+        },
+    }
+    res = search(spark, index_dir, body, corpus_path=corpus_path)
+    got = res.aggregations["by_lang"]
+    assert got.columns == [
+        "query_id", "bucket_rank", "facet", "doc_count",
+        "n_paths", "max_path",
+    ]
+    mq = spark.createDataFrame(
+        [(0, "class")], "query_id long, query string"
+    )
+    assert _rows(
+        got.select("query_id", "bucket_rank", "facet", "doc_count")
+    ) == _rows(q.faceted_search(spark, index_dir, corpus_path, mq, "lang"))
+    rows = got.collect()
+    assert rows and all(r.n_paths == r.doc_count for r in rows)
+    assert all(r.max_path is not None for r in rows)
+
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, index_dir,
+            {
+                "query": {"match": {"content": "class"}},
+                "aggs": {
+                    "x": {
+                        "terms": {"field": "lang"},
+                        "aggs": {"inner": {"terms": {"field": "lang"}}},
+                    },
+                },
+            },
+            corpus_path=corpus_path,
+        )
