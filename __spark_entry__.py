@@ -1956,6 +1956,48 @@ def dsl_terms_subagg(spark, sf_dir):
     )
 
 
+def dsl_sort_page(spark, sf_dir):
+    """Field-sorted deep page (the OpenSearch `sort` + `from` body):
+    the match set is materialized once, joined against the doc-values
+    sidecar, and paged by (n_chars desc, ordinal) with ABSOLUTE ranks
+    (index/dsl.py -> index/query.py::sort_by_field_search). The
+    engine tie-breaks equal n_chars on its internal xxhash64 ordinal;
+    the oracle tie-breaks on the original doc_id — so (same device as
+    bm25_indexed_engine) fetch the top 50, re-rank by (n_chars desc,
+    original doc_id), and emit ranks 6..15. Membership of ranks 6..15
+    is independent of the internal order unless one n_chars tie group
+    spans ranks 15..50 (13+ equal-length docs — not present in the
+    synthetic table). Engine-side `from` paging itself is covered by
+    tests/test_dsl.py::test_sort_and_from_pagination."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "size": 50,
+        },
+        corpus_path=cpath,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_chars"), F.asc(F.col("path").cast("long"))
+    )
+    return (
+        res.hits.withColumn("rank2", F.row_number().over(w))
+        .filter((F.col("rank2") > 5) & (F.col("rank2") <= 15))
+        .select(
+            "query_id",
+            F.col("rank2").alias("rank"),
+            F.col("path").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def faceted_search_engine(spark, sf_dir):
     """Terms aggregation alongside a query (opensearch-api `aggs`):
     per-query facet buckets by `lang` over the FULL disjunctive match
@@ -4131,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw": ann_hnsw,
         "dsl_range_histogram": dsl_range_histogram,
         "dsl_terms_subagg": dsl_terms_subagg,
+        "dsl_sort_page": dsl_sort_page,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -6510,6 +6553,27 @@ ranked AS (
 SELECT query_id, bucket_rank, facet, doc_count,
        avg_chars, sum_chars, max_chars
 FROM ranked WHERE bucket_rank <= 10
+"""
+    sql["dsl_sort_page"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+ranked AS (
+  SELECT query_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM matched
+)
+SELECT query_id, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rank > 5 AND rank <= 15
 """
     sql["simple_query_string_engine"] = _bool_oracle_sql(
         [_parse_sqs(q) for q in SQS_QUERIES]

@@ -17,7 +17,11 @@ one leaf), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
 doc-values fields and minimum_should_match (booltree.py; flat
 text-only bool bodies keep the single-scan boolean_search executor) —
-simple_query_string, more_like_this), `size`, `search_after` (+ the
+simple_query_string, more_like_this), `size`, `from` (score-ordered
+deep pages on match/term; any supported query kind with `sort`),
+`sort` on doc-values fields (replaces score ordering — the match set
+is materialized once, sidecar-joined, and paged with absolute ranks;
+`_score` sorts map to the default), `search_after` (+ the
 match query), `collapse`, `highlight` (match/term hits gain a
 `snippet` column around the earliest term hit), and `aggs` (terms
 [+nested top_hits], range, extended_stats, stats/avg/min/max/sum/
@@ -112,7 +116,65 @@ def search(
     # tree-routed bool; every aggregation then shares it
     agg_matched = None
 
-    if kind == "match_all":
+    frm = int(body.get("from", 0))
+    _sort = body.get("sort")
+    if _sort in ("_score", ["_score"], [{"_score": {"order": "desc"}}]):
+        _sort = None  # explicit score sort == the default ordering
+    if frm and _sort is None and kind not in ("match", "term"):
+        raise NotImplementedError(
+            f"'from' without 'sort' under query clause '{kind}'"
+        )
+
+    if _sort is not None:
+        # field sort REPLACES score ordering: materialize the query's
+        # match set once, then one sidecar join + windowed page
+        # (query.py::sort_by_field_search); the same set feeds aggs
+        from .booltree import _dv_columns, bool_tree_match
+
+        keys = []
+        for s in (_sort if isinstance(_sort, list) else [_sort]):
+            if isinstance(s, str):
+                keys.append((s, "asc"))
+            else:
+                ((f, conf),) = s.items()
+                keys.append((
+                    f,
+                    conf.get("order", "asc")
+                    if isinstance(conf, dict) else str(conf),
+                ))
+        if kind == "match_all":
+            matched = q.match_all_ords(spark, index_dir, query_id=query_id)
+        elif kind == "bool" or kind in ("range", "terms", "exists") or (
+            kind == "term"
+            and next(iter(spec)) in _dv_columns(spark, index_dir)
+        ):
+            wrapped = node if kind == "bool" else {
+                "bool": {"filter": [node]}
+            }
+            matched = bool_tree_match(
+                spark, index_dir, wrapped, corpus_path
+            ).select(
+                F.lit(query_id).cast("long").alias("query_id"), "ord"
+            )
+        elif kind in ("match", "term"):
+            text, _ = _field_arg(spec)
+            stats = q.load_stats(index_dir)
+            qt = q.query_terms(
+                spark, index_dir,
+                qdf(
+                    "query_id long, query string", (query_id, str(text))
+                ),
+                stats["n_docs"], stats=stats,
+            ).select("query_id", "term_id", "idf", "bucket")
+            matched = q._match_set(spark, index_dir, qt)
+        else:
+            raise NotImplementedError(f"sort under query clause '{kind}'")
+        hits = q.sort_by_field_search(
+            spark, index_dir, matched, keys, k=k, frm=frm
+        )
+        if "aggs" in body:
+            agg_matched = matched.select("query_id", "ord")
+    elif kind == "match_all":
         match_text = None
         if "aggs" not in body:
             raise NotImplementedError(
@@ -294,6 +356,14 @@ def search(
                     "snippet", snippet_col(F.col("__text"), qterms)
                 )
                 .drop("__text")
+            )
+        elif frm:
+            # score-ordered deep page: rank through frm+k, return the
+            # page with its ABSOLUTE ranks (same contract as
+            # search_after — page N never re-ranks pages 1..N-1 more
+            # cheaply than one bounded window)
+            hits = q.topk(spark, index_dir, mq, k=frm + k).filter(
+                F.col("rank") > frm
             )
         else:
             hits = q.topk(spark, index_dir, mq, k=k)

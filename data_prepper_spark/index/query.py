@@ -1107,6 +1107,60 @@ def terms_metric_facet(
     )
 
 
+def sort_by_field_search(
+    spark: SparkSession,
+    index_dir: str,
+    matched: DataFrame,
+    sort_keys: list,
+    k: int = 10,
+    frm: int = 0,
+) -> DataFrame:
+    """Field-sorted hits (the OpenSearch `sort` body element, which
+    replaces score ordering): order a query's FULL match set by
+    stored-field values from the doc-values sidecar and return rows
+    frm+1..frm+k. `matched` is a (query_id, ord) frame (text match
+    set, bool tree, or match_all ords — whatever the body's query
+    produced); `sort_keys` is [(field, 'asc'|'desc'), ...], applied
+    in order with the dense ordinal as the final tiebreak so results
+    are deterministic.
+
+    Returns (query_id, rank, doc_id, repo, path, commit, *fields)
+    with rank keeping its ABSOLUTE position (page 3 starts at rank
+    21), matching search_after/topk_after's pagination contract.
+
+    Scale shape: one ord-join against the vocabulary-thin sidecar,
+    then row_number over (query_id) — the optimizer's
+    WindowGroupLimit caps every map partition at frm+k rows before
+    the single merge, so deep-but-bounded pages never materialize
+    the full sorted match set."""
+    fields = [f for f, _ in sort_keys]
+    dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    missing = [f for f in fields if f not in dv.columns]
+    if missing:
+        raise ValueError(
+            f"sort fields {missing} not in doc-values sidecar "
+            "(attach_doc_values first)"
+        )
+    joined = matched.select("query_id", "ord").join(
+        dv.select("ord", *fields), "ord"
+    )
+    order = [
+        (F.asc(f) if str(d).lower() == "asc" else F.desc(f))
+        for f, d in sort_keys
+    ] + [F.asc("ord")]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    topped = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > frm) & (F.col("rank") <= frm + k))
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    return ident.join(F.broadcast(topped), "ord").select(
+        "query_id", "rank", "doc_id", "repo", "path", "commit", *fields
+    )
+
+
 def topk_after(
     spark: SparkSession,
     index_dir: str,

@@ -311,3 +311,69 @@ def test_terms_metric_subaggs(spark, index_dir, corpus_path):
             },
             corpus_path=corpus_path,
         )
+
+
+def test_sort_and_from_pagination(spark, index_dir, corpus_path):
+    """`sort` replaces score ordering (field values off the doc-values
+    sidecar, ord tiebreak, absolute ranks); `from` pages both the
+    sorted and the score-ordered paths without re-ranking drift."""
+    from data_prepper_spark.index.query import attach_doc_values
+
+    attach_doc_values(spark, index_dir, corpus_path, cols=("lang",))
+    full = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}},
+         "sort": [{"lang": {"order": "desc"}}], "size": 40},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    full = sorted(full, key=lambda r: r.rank)
+    assert full and [r.rank for r in full] == list(range(1, len(full) + 1))
+    langs = [r.lang for r in full]
+    assert langs == sorted(langs, reverse=True)
+    page2 = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}},
+         "sort": [{"lang": {"order": "desc"}}], "from": 10, "size": 10},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    page2 = sorted(page2, key=lambda r: r.rank)
+    assert [(r.rank, r.doc_id) for r in page2] == [
+        (r.rank, r.doc_id) for r in full[10:20]
+    ]
+
+    # score path: from=5 page == ranks 6..15 of the k=15 ranking
+    base = sorted(
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}}, "size": 15},
+        ).hits.collect(),
+        key=lambda r: r.rank,
+    )
+    paged = sorted(
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}},
+             "from": 5, "size": 10},
+        ).hits.collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.rank, r.doc_id) for r in paged] == [
+        (r.rank, r.doc_id) for r in base[5:15]
+    ]
+
+    # sorted filter-only body (no scoring scan at all)
+    filt = search(
+        spark, index_dir,
+        {"query": {"term": {"lang": "python"}},
+         "sort": [{"lang": "asc"}], "size": 5},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert filt and all(r.lang == "python" for r in filt)
+
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, index_dir,
+            {"query": {"prefix": {"content": "cl"}},
+             "sort": [{"lang": "asc"}]},
+            corpus_path=corpus_path,
+        )
