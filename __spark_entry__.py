@@ -3569,6 +3569,57 @@ def http_ingest_roundtrip(spark, sf_dir):
         return src.read_logs(spark, schema=schema)
 
 
+def bulk_ingest_roundtrip(spark, sf_dir):
+    """OpenSearch `_bulk` API facade end-to-end (the accepting side of
+    the wire contract the reference's opensearch sink speaks —
+    BulkRetryStrategy/AccumulatingBulkRequest NDJSON action+document
+    pairs): POST a documents-table sample into a LIVE listener as
+    100-doc `_bulk` requests (sources/http.py -> bulk_api.parse_bulk),
+    apply the spool with bulk_apply (ONE index delta via the normal
+    distributed build), and return each doc's tokenized length from
+    the delta's docs table. The oracle recomputes the token counts
+    straight off the parquet table — so the whole
+    parse -> spool -> delta-build -> tokenize path is value-checked."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from data_prepper_spark.sources.bulk_api import bulk_apply
+    from data_prepper_spark.sources.http import HttpSource
+
+    sample = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    spool = tempfile.mkdtemp(prefix="bulk_spool_")
+    root = tempfile.mkdtemp(prefix="bulk_idxroot_")
+    with HttpSource(spool) as src:
+        for i in range(0, len(sample), 100):
+            lines = []
+            for r in sample[i : i + 100]:
+                lines.append(_json.dumps(
+                    {"index": {"_index": "docs", "_id": str(r.doc_id)}}
+                ))
+                lines.append(_json.dumps({"content": r.text}))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{src.port}/_bulk",
+                data=("\n".join(lines) + "\n").encode(),
+                headers={"Content-Type": "application/x-ndjson"},
+                method="POST",
+            )
+            resp = _json.loads(
+                urllib.request.urlopen(req, timeout=30).read()
+            )
+            assert resp["errors"] is False
+        st = bulk_apply(spark, spool, root)
+    return spark.read.parquet(st["delta_dir"] + "/docs").select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -4174,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_range_histogram": dsl_range_histogram,
         "dsl_terms_subagg": dsl_terms_subagg,
         "dsl_sort_page": dsl_sort_page,
+        "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
         "minhash_dedup": minhash_dedup,
@@ -4563,6 +4615,17 @@ FROM events
 WHERE event_id % 20 = 0
 """
 
+    sql["bulk_ingest_roundtrip"] = f"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM sample
+),
+dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1)
+SELECT s.doc_id, CAST(COALESCE(dl.n, 0) AS BIGINT) AS dl
+FROM sample s LEFT JOIN dl USING (doc_id)
+"""
     sql["otel_metrics_exp_summary"] = """
 WITH e AS (
   SELECT event_id, value,

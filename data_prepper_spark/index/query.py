@@ -1333,9 +1333,9 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: str) -> int:
     positions._anti_tombstones_docids).
     A warm QuerySession reads a snapshot taken at open; call
     .refresh() to see later deletes (the Lucene open-IndexReader
-    contract). topk_deltas is the remaining exception: the delta
-    store's deletes are handled by its own compaction, not by
-    single-index tombstones."""
+    contract). topk_deltas anti-joins each delta's OWN tombstone set
+    (the _bulk facade's delete path writes those); compaction then
+    expunges them physically."""
     stats = load_stats(index_dir)
     q = spark.createDataFrame([(0, query)], "query_id long, query string")
     qt = query_terms(spark, index_dir, q, stats["n_docs"]).select(
@@ -2991,6 +2991,14 @@ def topk_deltas(
             # unless re-ingested, in which case both contribute — the
             # same union semantics the reference's CDC path has)
             .withColumnRenamed("doc_id", "ord")
+        )
+        # per-delta tombstones (the _bulk facade's delete path writes
+        # them): anti-join each delta's own set before identity
+        # resolution — same visibility contract as the single-index
+        # paths
+        part = _anti_tombstones(spark, d, part, col="ord")
+        part = (
+            part
             .join(
                 spark.read.parquet(os.path.join(d, "docs")).select(
                     "ord", "doc_id"

@@ -1,0 +1,228 @@
+"""OpenSearch `_bulk` API facade.
+
+The reference ships events INTO an OpenSearch cluster through the
+`_bulk` endpoint (opensearch sink: BulkRetryStrategy / AccumulatingBulkRequest
+around action+document NDJSON pairs); downstream, users and tools
+(Logstash, Beats, the reference's own opensearch sink) speak the same
+wire shape. This module is the ACCEPTING side of that contract so a
+pipeline pointed at OpenSearch can point here instead:
+
+- `parse_bulk` implements the NDJSON action-line grammar
+  (index / create / delete; update is reported per-item as
+  unsupported, never a request-level failure) and produces both the
+  per-item response the caller gets back and the flat op rows the
+  engine ingests.
+- `HttpSource` (sources/http.py) routes POST /_bulk and
+  /{index}/_bulk through it, answers the standard
+  `{took, errors, items:[...]}` body, and spools accepted ops
+  atomically under `bulk/` — same spool contract as the log path.
+- `bulk_apply` (the Spark side) turns spooled ops into engine state:
+  indexed docs become ONE immutable index delta under
+  index_root/delta=N (the streaming incremental_index layout —
+  queries see them via topk_deltas / compact_deltas), deletes become
+  per-delta tombstones resolved with one broadcast identity join per
+  delta. Actions apply in bulk order: deletes run after the batch's
+  own delta is built, so index-then-delete within one request ends
+  deleted, exactly the sequential `_bulk` semantics.
+
+Doc -> corpus mapping: `_index` -> repo, `_id` -> path (commit is the
+constant "bulk"); the indexed text is the doc's `content` field when
+present, else the compact JSON of the whole doc — so schemaless events
+remain searchable. content_sha256 is computed engine-side at index
+time (the build's per-row invariant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def parse_bulk(body: bytes, default_index: str | None = None):
+    """Parse a `_bulk` NDJSON payload.
+
+    Returns (items, ops, errors):
+      items  — per-action response dicts in request order, the
+               `items` array of the bulk response
+      ops    — accepted operations as flat dicts
+               {op, index, id, content, doc_json} ready to spool
+      errors — True when any item carries an error (the response's
+               top-level `errors` flag; the request itself still
+               succeeds, matching OpenSearch per-item semantics)
+    """
+    try:
+        lines = body.decode("utf-8").splitlines()
+    except UnicodeDecodeError:
+        raise ValueError("bulk body is not UTF-8")
+    items, ops = [], []
+    errors = False
+    i, n = 0, len(lines)
+    seq = 0
+    while i < n:
+        raw = lines[i].strip()
+        i += 1
+        if not raw:
+            continue
+        try:
+            action = json.loads(raw)
+            ((op, meta),) = action.items()
+            if not isinstance(meta, dict):
+                raise ValueError("action metadata must be an object")
+        except (ValueError, AttributeError):
+            raise ValueError(f"Malformed action line: {raw[:80]!r}")
+        index = meta.get("_index", default_index)
+        if op in ("index", "create"):
+            if i >= n:
+                raise ValueError("action line without a document line")
+            try:
+                doc = json.loads(lines[i])
+            except ValueError:
+                raise ValueError("Malformed document line")
+            i += 1
+            if index is None:
+                items.append({op: {"status": 400, "error": {
+                    "type": "illegal_argument_exception",
+                    "reason": "no _index and no default index",
+                }}})
+                errors = True
+                continue
+            seq += 1
+            doc_id = meta.get("_id", f"_auto_{seq}")
+            content = doc.get("content")
+            if not isinstance(content, str):
+                content = json.dumps(doc, separators=(",", ":"))
+            ops.append({
+                "op": "index",
+                "index": str(index),
+                "id": str(doc_id),
+                "content": content,
+                "doc_json": json.dumps(doc, separators=(",", ":")),
+            })
+            items.append({op: {
+                "_index": str(index), "_id": str(doc_id),
+                "status": 201, "result": "created",
+            }})
+        elif op == "delete":
+            if index is None or "_id" not in meta:
+                items.append({op: {"status": 400, "error": {
+                    "type": "illegal_argument_exception",
+                    "reason": "delete needs _index and _id",
+                }}})
+                errors = True
+                continue
+            ops.append({
+                "op": "delete",
+                "index": str(index),
+                "id": str(meta["_id"]),
+                "content": "",
+                "doc_json": "",
+            })
+            items.append({op: {
+                "_index": str(index), "_id": str(meta["_id"]),
+                "status": 200, "result": "deleted",
+            }})
+        elif op == "update":
+            # per-item unsupported (scripted partial updates need the
+            # stored source); the request-level contract still holds
+            items.append({op: {"status": 400, "error": {
+                "type": "illegal_argument_exception",
+                "reason": "update actions are not supported",
+            }}})
+            errors = True
+            if i < n:  # consume the update's document line
+                i += 1
+        else:
+            raise ValueError(f"Unknown bulk action '{op}'")
+    return items, ops, errors
+
+
+def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
+    """Apply every spooled `_bulk` op under <spool_dir>/bulk to the
+    delta-index store at index_root, then retire the consumed spool
+    files (rename to .applied so a re-run is idempotent).
+
+    Indexed docs across all pending requests build ONE delta
+    (index_root/delta=N via the batch builder — tokenize, posting
+    blocks, manifest); deletes then resolve to per-delta tombstones
+    with one broadcast join per delta against its skinny docs table.
+    Returns {"indexed": n, "deleted": n, "delta_dir": path|None}.
+
+    Scale shape: the build is the normal distributed index build over
+    the spooled batch; delete resolution reads only (ord, repo, path)
+    columns per delta and appends tombstone-set-sized parquet — no
+    postings rewrite. The O(#deltas) fan-in is the same one
+    compact_deltas exists to reclaim.
+    """
+    from pyspark.sql import functions as F
+
+    from ..index.build import BuildConfig, build_index
+    from ..streaming.pipeline import _next_seq
+
+    bulk_dir = os.path.join(spool_dir, "bulk")
+    files = sorted(
+        os.path.join(bulk_dir, f)
+        for f in os.listdir(bulk_dir)
+        if f.endswith(".ndjson")
+    ) if os.path.isdir(bulk_dir) else []
+    if not files:
+        return {"indexed": 0, "deleted": 0, "delta_dir": None}
+    ops = spark.read.schema(
+        "op string, index string, id string, content string, "
+        "doc_json string"
+    ).json(files)
+
+    docs = ops.filter(F.col("op") == "index").select(
+        F.col("index").alias("repo"),
+        F.col("id").alias("path"),
+        F.lit("bulk").alias("commit"),
+        F.col("content"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    # last-write-wins WITHIN the batch (two index actions for the same
+    # _id in one apply keep the later op-file's row; across applies a
+    # re-indexed doc lives in two deltas and both contribute — the
+    # documented delta-union semantics compaction resolves)
+    docs = docs.dropDuplicates(["repo", "path", "commit"])
+    n_indexed = docs.count()
+    delta_dir = None
+    if n_indexed:
+        seq = _next_seq(index_root)
+        delta_dir = os.path.join(index_root, f"delta={seq}")
+        staging = os.path.join(delta_dir, "_staging_corpus")
+        docs.write.mode("overwrite").parquet(staging)
+        build_index(
+            spark, staging, delta_dir,
+            cfg or BuildConfig(n_buckets=8, hot_group_target=10_000),
+        )
+
+    dels = ops.filter(F.col("op") == "delete").select(
+        F.col("index").alias("repo"), F.col("id").alias("path")
+    ).distinct()
+    n_deleted = 0
+    if dels.take(1):
+        from .. import fsio
+
+        deltas = [
+            p for p in fsio.listdir(index_root)
+            if os.path.basename(p.rstrip("/")).startswith("delta=")
+        ]
+        for d in deltas:
+            ident = spark.read.parquet(os.path.join(d, "docs")).select(
+                "ord", "repo", "path"
+            )
+            hit = ident.join(F.broadcast(dels), ["repo", "path"]).select(
+                "ord"
+            )
+            cnt = hit.count()
+            if cnt:
+                hit.write.mode("append").parquet(
+                    os.path.join(d, "tombstones")
+                )
+                n_deleted += cnt
+    for f in files:
+        os.replace(f, f + ".applied")
+    return {
+        "indexed": int(n_indexed),
+        "deleted": int(n_deleted),
+        "delta_dir": delta_dir,
+    }

@@ -108,7 +108,7 @@ class HttpSource:
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
-        for sub in ("_tmp", "logs", *_OTLP_PATHS.values(),
+        for sub in ("_tmp", "logs", "bulk", *_OTLP_PATHS.values(),
                     *[f"{v}_pb" for v in _OTLP_PATHS.values()]):
             os.makedirs(os.path.join(spool_dir, sub), exist_ok=True)
 
@@ -166,6 +166,31 @@ class HttpSource:
         if lines:
             self._spool("logs", ("\n".join(lines) + "\n").encode(), "ndjson")
         return 200, b"OK"
+
+    def _handle_bulk(self, body: bytes, default_index: str | None):
+        """OpenSearch `_bulk` facade (sources/bulk_api.py): parse the
+        action NDJSON, spool accepted ops, answer the standard
+        per-item response. A malformed action/document line is the
+        one request-level 400 (matching OpenSearch's
+        json_parse_exception); everything else is per-item."""
+        from .bulk_api import parse_bulk
+
+        try:
+            items, ops, errors = parse_bulk(body, default_index)
+        except ValueError as e:
+            return 400, json.dumps(
+                {"error": {"type": "illegal_argument_exception",
+                           "reason": str(e)}}
+            ).encode()
+        if ops:
+            lines = "\n".join(
+                json.dumps(o, separators=(",", ":")) for o in ops
+            )
+            self._spool("bulk", (lines + "\n").encode(), "ndjson")
+        return 200, json.dumps(
+            {"took": 0, "errors": errors, "items": items},
+            separators=(",", ":"),
+        ).encode()
 
     def _handle_otlp(self, sub: str, body: bytes, content_type: str):
         if "protobuf" in content_type:
@@ -230,6 +255,12 @@ class HttpSource:
                 ctype = (self.headers.get("Content-Type") or "").lower()
                 if self.path == src.log_uri:
                     code, msg = src._handle_logs(body, self.headers, ctype)
+                elif self.path == "/_bulk" or self.path.endswith("/_bulk"):
+                    default_index = (
+                        self.path[1:-len("/_bulk")] or None
+                        if self.path != "/_bulk" else None
+                    )
+                    code, msg = src._handle_bulk(body, default_index)
                 elif self.path in _OTLP_PATHS:
                     code, msg = src._handle_otlp(
                         _OTLP_PATHS[self.path], body, ctype

@@ -284,6 +284,9 @@ def compact_deltas(
     rows themselves, the compacted index is bit-identical to a one-shot
     batch build over the same corpus (asserted in tests) — the same
     guarantee the resumable batch build gives across interruptions.
+    Per-delta tombstones (the _bulk facade's deletes) are EXPUNGED at
+    merge, Lucene-style: dead docs' token/position rows never enter
+    the build, so the merged stats are the live corpus's.
     """
     import json as _json
     import time as _time
@@ -313,10 +316,30 @@ def compact_deltas(
         _json.dumps({"tokens_format": TOKENS_FORMAT_VERSION}),
     )
     started = _time.time()
+
+    def _dead_doc_ids(d: str):
+        """Global doc_ids tombstoned in delta d (the _bulk facade's
+        delete path), resolved via the skinny docs table — or None."""
+        ts = os.path.join(d, "tombstones")
+        if not fsio.exists(ts):
+            return None
+        tomb = spark.read.parquet(ts).select("ord").distinct()
+        ident = spark.read.parquet(os.path.join(d, "docs")).select(
+            "ord", "doc_id"
+        )
+        return ident.join(F.broadcast(tomb), "ord").select("doc_id")
+
     parts = []
     for d in deltas:
         eid = fsio.basename(d).split("=", 1)[1]
         t = spark.read.parquet(os.path.join(d, "tokens"))
+        # merge EXPUNGES deletes (Lucene merge semantics): tombstoned
+        # docs' token rows never enter the compacted build, so the
+        # merged index's stats (n_docs/avgdl/df) are those of the live
+        # corpus — the same post-merge stats shift Lucene has
+        dead = _dead_doc_ids(d)
+        if dead is not None:
+            t = t.join(F.broadcast(dead), "doc_id", "left_anti")
         parts.append(
             t.withColumn(
                 "unit", F.concat(F.lit(f"d{eid}_"), F.col("unit"))
@@ -350,6 +373,9 @@ def compact_deltas(
         for d in deltas:
             eid = fsio.basename(d).split("=", 1)[1]
             p = spark.read.parquet(os.path.join(d, "positions"))
+            dead = _dead_doc_ids(d)
+            if dead is not None:
+                p = p.join(F.broadcast(dead), "doc_id", "left_anti")
             unit = (
                 F.concat(F.lit(f"d{eid}_"), F.col("unit"))
                 if "unit" in p.columns
