@@ -11,7 +11,8 @@ front: every clause maps to the SAME oracle-verified executors
 search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
-[+slop], prefix, fuzzy, wildcard, top-level range/terms/exists on
+[+slop], prefix, fuzzy, wildcard, ids (unscored stored-_id filter),
+top-level range/terms/exists on
 doc-values fields (non-scoring filters — sugar for bool/filter with
 one leaf), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
@@ -40,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class DSLResult:
@@ -283,6 +285,37 @@ def search(
                     F.lit(query_id).cast("long").alias("query_id"), "ord"
                 )
             )
+    elif kind == "ids":
+        # {"ids": {"values": [...]}} — unscored identity filter on the
+        # stored _id (the engine's `path`, the same mapping the _bulk
+        # facade writes); request-sized value list, one skinny docs
+        # scan, tombstones honored, ordinal order like other filters
+        import os as _os
+
+        vals = [str(v) for v in spec.get("values", [])]
+        ident = spark.read.parquet(_os.path.join(index_dir, "docs"))
+        matched_ids = ident.filter(F.col("path").isin(vals)).select(
+            F.lit(query_id).cast("long").alias("query_id"),
+            "ord", "doc_id", "repo", "path", "commit",
+        )
+        matched_ids = q._anti_tombstones(
+            spark, index_dir, matched_ids, col="ord"
+        )
+        hits = (
+            matched_ids.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.asc("ord"))
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "rank", "doc_id",
+                F.lit(0.0).alias("score"), "repo", "path", "commit",
+            )
+        )
+        if "aggs" in body:
+            agg_matched = matched_ids.select("query_id", "ord")
     elif kind == "simple_query_string":
         text = spec["query"] if isinstance(spec, dict) else str(spec)
         hits = q.simple_query_string(

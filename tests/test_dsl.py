@@ -377,3 +377,25 @@ def test_sort_and_from_pagination(spark, index_dir, corpus_path):
              "sort": [{"lang": "asc"}]},
             corpus_path=corpus_path,
         )
+
+
+def test_ids_query(spark, index_dir, corpus_path):
+    """`ids` query: unscored stored-_id filter in ordinal order, aggs
+    share its match set."""
+    some = spark.read.parquet(f"{index_dir}/docs").orderBy("ord").limit(
+        3
+    ).collect()
+    vals = [r.path for r in some]
+    res = search(
+        spark, index_dir,
+        {"query": {"ids": {"values": vals}},
+         "aggs": {"by_lang": {"terms": {"field": "lang"}}}},
+        corpus_path=corpus_path,
+    )
+    hits = sorted(res.hits.collect(), key=lambda r: r.rank)
+    assert [r.path for r in hits] == vals  # ord order == fetch order
+    assert all(r.score == 0.0 for r in hits)
+    n = res.aggregations["by_lang"].agg(
+        {"doc_count": "sum"}
+    ).collect()[0][0]
+    assert n == 3
