@@ -12,6 +12,8 @@ search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
 [+slop], prefix, fuzzy, wildcard, ids (unscored stored-_id filter),
+knn (k-NN plugin clause -> similarity executors over `vectors_path`:
+exact brute-force cosine, or LSH-bucketed ANN with method="lsh"),
 top-level range/terms/exists on
 doc-values fields (non-scoring filters — sugar for bool/filter with
 one leaf), bool must/should/must_not/filter —
@@ -100,9 +102,13 @@ def search(
     body: dict,
     corpus_path: str | None = None,
     query_id: int = 0,
+    vectors_path: str | None = None,
 ) -> DSLResult:
     """Execute one _search body; returns DSLResult whose frames carry
-    the underlying executors' columns (query_id = `query_id`)."""
+    the underlying executors' columns (query_id = `query_id`).
+    `vectors_path` points the `knn` clause at a vector table
+    (vec_id long, embedding array<float> — the k-NN plugin's index
+    analog)."""
     from . import query as q
 
     k = int(body.get("size", 10))
@@ -285,6 +291,33 @@ def search(
                     F.lit(query_id).cast("long").alias("query_id"), "ord"
                 )
             )
+    elif kind == "knn":
+        # OpenSearch k-NN plugin clause: {"knn": {"<field>": {"vector":
+        # [...], "k": N, "method": ...}}}. Routes to the similarity
+        # executors over the vector table (`vectors_path`): exact
+        # brute-force cosine by default (broadcast query side, scan
+        # never shuffles), or the LSH-bucketed ANN path when
+        # method="lsh" (bucket equi-join + multi-probe + exact
+        # rerank) — the 100-TB shape. Hits carry (query_id, rank,
+        # vec_id, cosine).
+        if vectors_path is None:
+            raise ValueError("knn needs vectors_path")
+        from ..datapipe.similarity import ann_lsh_topk, cosine_topk
+
+        ((field, conf),) = spec.items()
+        vec = [float(x) for x in conf["vector"]]
+        kk = int(conf.get("k", k))
+        vectors = spark.read.parquet(vectors_path)
+        qdf_v = spark.createDataFrame(
+            [(query_id, vec)], "query_id long, qvec array<double>"
+        )
+        if conf.get("method") == "lsh":
+            hits = ann_lsh_topk(
+                vectors, qdf_v, k=kk, vec_col=field,
+                nbits=int(conf.get("nbits", 8)), dim=len(vec),
+            )
+        else:
+            hits = cosine_topk(vectors, qdf_v, k=kk, vec_col=field)
     elif kind == "ids":
         # {"ids": {"values": [...]}} — unscored identity filter on the
         # stored _id (the engine's `path`, the same mapping the _bulk

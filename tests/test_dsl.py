@@ -190,10 +190,15 @@ def test_search_after_and_errors(spark, index_dir):
     seen = {r["doc_id"] for r in first[: ci + 1]}
     assert page2 and all(r["doc_id"] not in seen for r in page2)
 
-    with pytest.raises(NotImplementedError, match="knn"):
+    with pytest.raises(NotImplementedError, match="span_near"):
         search(
             spark, index_dir,
-            {"query": {"knn": {"field": "embedding"}}},
+            {"query": {"span_near": {"clauses": []}}},
+        )
+    with pytest.raises(ValueError, match="vectors_path"):
+        search(
+            spark, index_dir,
+            {"query": {"knn": {"embedding": {"vector": [0.1], "k": 3}}}},
         )
     with pytest.raises(NotImplementedError, match="aggregation 'geo"):
         search(
@@ -399,3 +404,52 @@ def test_ids_query(spark, index_dir, corpus_path):
         {"doc_count": "sum"}
     ).collect()[0][0]
     assert n == 3
+
+
+def test_knn_query_routes_to_similarity(spark, index_dir, tmp_path):
+    """`knn` clause (the k-NN plugin body) routes to the similarity
+    executors over the vector table: exact brute-force by default,
+    LSH when method='lsh' — LSH's top-1 must agree with exact on a
+    well-separated fixture."""
+    import numpy as np
+
+    from data_prepper_spark.datapipe.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    vpath = str(tmp_path / "vecs")
+    vecs.write.parquet(vpath)
+    qvec = [float(x) for x in base[17]]  # exact self-match exists
+
+    res = search(
+        spark, index_dir,
+        {"query": {"knn": {"embedding": {"vector": qvec, "k": 5}}}},
+        vectors_path=vpath,
+    )
+    hits = sorted(res.hits.collect(), key=lambda r: r.rank)
+    want = sorted(
+        cosine_topk(
+            vecs,
+            spark.createDataFrame(
+                [(0, qvec)], "query_id long, qvec array<double>"
+            ),
+            k=5,
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.vec_id, round(r.cosine, 9)) for r in hits] == [
+        (r.vec_id, round(r.cosine, 9)) for r in want
+    ]
+    assert hits[0].vec_id == 17
+
+    lsh = search(
+        spark, index_dir,
+        {"query": {"knn": {"embedding": {
+            "vector": qvec, "k": 5, "method": "lsh"}}}},
+        vectors_path=vpath,
+    ).hits.collect()
+    assert sorted(lsh, key=lambda r: r.rank)[0].vec_id == 17
