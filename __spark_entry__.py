@@ -1831,6 +1831,50 @@ def dsl_nested_bool_search(spark, sf_dir):
     return _rerank_engine_results(out)
 
 
+def dsl_knn_search(spark, sf_dir):
+    """OpenSearch k-NN plugin clause through the Query-DSL front end
+    (index/dsl.py `knn` kind): `{"knn": {"embedding": {"vector": [...],
+    "k": 10}}}` routes to the exact brute-force cosine executor
+    (datapipe/similarity.py::cosine_topk — broadcast query side, the
+    vector scan never shuffles). Query vectors are the first three
+    stored embeddings, collected driver-side (request-sized, like a
+    real client sending the body). The oracle recomputes cosine top-k
+    in DuckDB; results must equal cosine_topk_bruteforce's — the DSL
+    adds routing, not semantics. knn has no index_dir dependency, so
+    an empty index path is passed."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    epath = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(epath)
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    parts = [
+        dsl_search(
+            spark,
+            "",
+            {
+                "query": {"knn": {"embedding": {
+                    "vector": [float(x) for x in r["embedding"]],
+                    "k": 10,
+                }}},
+            },
+            query_id=int(r["vec_id"]),
+            vectors_path=epath,
+        ).hits
+        for r in qrows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def dsl_match_all_aggs(spark, sf_dir):
     """`match_all` + `aggs` (ADVICE r04 high): corpus-wide buckets —
     the match set is EVERY live doc (query.py::match_all_ords), built
@@ -4225,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_range_histogram": dsl_range_histogram,
         "dsl_terms_subagg": dsl_terms_subagg,
         "dsl_sort_page": dsl_sort_page,
+        "dsl_knn_search": dsl_knn_search,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -5261,6 +5306,10 @@ ranked AS (
 SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rank <= 10
 """
+
+    # the DSL knn clause routes to the same executor, so the same
+    # recompute oracles it
+    sql["dsl_knn_search"] = sql["cosine_topk_bruteforce"]
 
     from data_prepper_spark.datapipe.textstats import BPE_REGEX
 
