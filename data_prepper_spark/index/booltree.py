@@ -18,6 +18,16 @@ an ARBITRARY tree with exact Lucene semantics:
 * `must_not` — no child matches; never contributes score.
 * a nested `bool` is just a child: its score (sum of its matching
   scoring descendants) flows up when it matches.
+* `boost` — on a text leaf ({"match": {"f": {"query": ..,
+  "boost": B}}}) or on a `bool`/`dis_max` node: multiplies that
+  node's contributed score (Lucene boost composition; filter-context
+  leaves stay unscored, so boost is ignored there exactly as Lucene
+  ignores it).
+* `dis_max` — matches when ANY sub-query matches; score is the best
+  child score plus `tie_breaker` times the other matching children's
+  scores (Lucene DisjunctionMaxQuery).
+* `constant_score` — its `filter` subtree decides matching; every
+  match scores exactly `boost` (default 1.0).
 
 Leaf routing: a `match`/`term`/`terms` clause whose field has a
 doc-values sidecar column (attach_doc_values) is a NON-SCORING exact
@@ -82,10 +92,13 @@ def _dv_columns(spark: SparkSession, index_dir: str) -> set:
 class _IR:
     """Leaf-numbered intermediate tree. kind: 'text' (scored leaf,
     holds leaf id + query text), 'phrase' (conjunctive text tokens),
-    'dv' (non-scoring sidecar predicate), 'all', or 'bool'."""
+    'dv' (non-scoring sidecar predicate), 'all', 'bool', 'dismax'
+    (children in `should`, tie_breaker in `msm`-adjacent slot `tb`),
+    or 'const' (single child in `filter`, score = `boost`)."""
 
     __slots__ = ("kind", "leaf_id", "text", "field", "spec",
-                 "must", "should", "must_not", "filter", "msm")
+                 "must", "should", "must_not", "filter", "msm",
+                 "boost", "tb")
 
     def __init__(self, kind, **kw):
         self.kind = kind
@@ -109,6 +122,21 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             must_not=kids("must_not"),
             filter=kids("filter"),
             msm=None if msm is None else int(msm),
+            boost=float(spec.get("boost", 1.0)),
+        )
+    if kind == "dis_max":
+        return _IR(
+            "dismax",
+            should=[_parse(c, dv_cols, texts)
+                    for c in spec.get("queries", [])],
+            tb=float(spec.get("tie_breaker", 0.0)),
+            boost=float(spec.get("boost", 1.0)),
+        )
+    if kind == "constant_score":
+        return _IR(
+            "const",
+            filter=[_parse(spec["filter"], dv_cols, texts)],
+            boost=float(spec.get("boost", 1.0)),
         )
     if kind == "match_all":
         return _IR("all")
@@ -128,12 +156,14 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
     if kind in ("match", "term"):
         ((_f, v),) = spec.items()
         text = str(v.get("query", v.get("value"))) if isinstance(v, dict) else str(v)
+        boost = float(v.get("boost", 1.0)) if isinstance(v, dict) else 1.0
         texts.append(text)
-        return _IR("text", leaf_id=len(texts) - 1, text=text)
+        return _IR("text", leaf_id=len(texts) - 1, text=text, boost=boost)
     if kind == "match_phrase":
         ((_f, v),) = spec.items()
         text = str(v.get("query", v.get("value"))) if isinstance(v, dict) else str(v)
-        return _IR("phrase", text=text)
+        boost = float(v.get("boost", 1.0)) if isinstance(v, dict) else 1.0
+        return _IR("phrase", text=text, boost=boost)
     raise NotImplementedError(f"bool-tree clause '{kind}'")
 
 
@@ -145,14 +175,15 @@ def _expand_phrases(ir: _IR, analyze_py, texts: list) -> _IR:
         kids = []
         for t in toks:
             texts.append(t)
-            kids.append(_IR("text", leaf_id=len(texts) - 1, text=t))
+            kids.append(_IR("text", leaf_id=len(texts) - 1, text=t,
+                            boost=1.0))
         return _IR("bool", must=kids, should=[], must_not=[], filter=[],
-                   msm=None)
-    if ir.kind == "bool":
+                   msm=None, boost=ir.boost)
+    if ir.kind in ("bool", "dismax", "const"):
         for role in ("must", "should", "must_not", "filter"):
             setattr(ir, role, [
                 _expand_phrases(c, analyze_py, texts)
-                for c in getattr(ir, role)
+                for c in (getattr(ir, role) or [])
             ])
     return ir
 
@@ -234,15 +265,53 @@ def _combine(
     """Recursive set algebra -> (ord, score) of docs matching `ir`,
     score = Lucene sum over matching scoring descendants."""
     if ir.kind == "text":
-        return leaf_scored.filter(
+        out = leaf_scored.filter(
             F.col("leaf_id") == ir.leaf_id
         ).select("ord", "score")
+        if ir.boost is not None and ir.boost != 1.0:
+            out = out.select(
+                "ord", (F.col("score") * F.lit(ir.boost)).alias("score")
+            )
+        return out
     if ir.kind == "dv":
         return _dv_frame(spark, index_dir, ir, corpus_path)
     if ir.kind == "all":
         return _all_ords(spark, index_dir)
 
     rec = lambda c: _combine(spark, index_dir, c, leaf_scored, corpus_path)  # noqa: E731
+
+    if ir.kind == "const":
+        # constant_score: the filter subtree decides matching; every
+        # match scores exactly `boost` — scores below never flow up
+        return rec(ir.filter[0]).select(
+            "ord", F.lit(float(ir.boost)).alias("score")
+        )
+    if ir.kind == "dismax":
+        # DisjunctionMaxQuery: union children (tagged), best child
+        # score + tie_breaker * the rest; matching = any child
+        un = None
+        for i, c in enumerate(ir.should):
+            t = rec(c).withColumn("_cl", F.lit(i))
+            un = t if un is None else un.unionByName(t)
+        if un is None:
+            return _all_ords(spark, index_dir).limit(0)
+        tb = float(ir.tb or 0.0)
+        out = (
+            un.groupBy("ord")
+            .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+            .select(
+                "ord",
+                (
+                    F.col("_mx")
+                    + F.lit(tb) * (F.col("_sm") - F.col("_mx"))
+                ).alias("score"),
+            )
+        )
+        if ir.boost is not None and ir.boost != 1.0:
+            out = out.select(
+                "ord", (F.col("score") * F.lit(ir.boost)).alias("score")
+            )
+        return out
     pos = [rec(c) for c in ir.must] + [
         rec(c).select("ord", F.lit(0.0).alias("score")) for c in ir.filter
     ]
@@ -306,6 +375,10 @@ def _combine(
         for n in negs[1:]:
             nn = nn.unionByName(n)
         cur = cur.join(nn.distinct(), "ord", "left_anti")
+    if ir.boost is not None and ir.boost != 1.0:
+        cur = cur.select(
+            "ord", (F.col("score") * F.lit(ir.boost)).alias("score")
+        )
     return cur
 
 

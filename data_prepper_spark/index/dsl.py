@@ -18,8 +18,9 @@ top-level range/terms/exists on
 doc-values fields (non-scoring filters — sugar for bool/filter with
 one leaf), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
-doc-values fields and minimum_should_match (booltree.py; flat
-text-only bool bodies keep the single-scan boolean_search executor) —
+doc-values fields, minimum_should_match, and per-clause/per-node
+`boost` (booltree.py; flat text-only bool bodies keep the single-scan
+boolean_search executor), dis_max (tie_breaker), constant_score —
 simple_query_string, more_like_this), `size`, `from` (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
@@ -82,7 +83,7 @@ def _is_flat_bool(spec: dict, dv_cols: set) -> bool:
     nesting, doc-values leaf (range/terms/exists, or term on a
     sidecar field), or explicit minimum_should_match routes to the
     tree compiler instead."""
-    if "minimum_should_match" in spec:
+    if "minimum_should_match" in spec or "boost" in spec:
         return False
     for role in ("must", "should", "must_not", "filter"):
         cl = spec.get(role, [])
@@ -92,6 +93,12 @@ def _is_flat_bool(spec: dict, dv_cols: set) -> bool:
             if kind not in ("match", "term", "match_phrase"):
                 return False
             if kind == "term" and next(iter(s)) in dv_cols:
+                return False
+            # a per-clause boost needs the tree path's exact score
+            # composition — the flat single-scan executor has no
+            # per-term weight channel
+            ((_f, v),) = s.items()
+            if isinstance(v, dict) and float(v.get("boost", 1.0)) != 1.0:
                 return False
     return True
 
@@ -290,6 +297,22 @@ def search(
                 .select(
                     F.lit(query_id).cast("long").alias("query_id"), "ord"
                 )
+            )
+    elif kind in ("dis_max", "constant_score"):
+        # scoring tree nodes (Lucene DisjunctionMaxQuery /
+        # ConstantScoreQuery): same compiler as nested bool — all text
+        # leaves share one bucket-pruned postings scan
+        from .booltree import bool_tree_match, bool_tree_search
+
+        hits = bool_tree_search(
+            spark, index_dir, node, k=k,
+            corpus_path=corpus_path, query_id=query_id,
+        )
+        if "aggs" in body:
+            agg_matched = bool_tree_match(
+                spark, index_dir, node, corpus_path
+            ).select(
+                F.lit(query_id).cast("long").alias("query_id"), "ord"
             )
     elif kind == "knn":
         # OpenSearch k-NN plugin clause: {"knn": {"<field>": {"vector":

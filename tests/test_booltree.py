@@ -98,15 +98,29 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
     if kind in ("match", "term"):
         ((_f, v),) = spec.items()
         text = v.get("query", v.get("value")) if isinstance(v, dict) else v
+        boost = float(v.get("boost", 1.0)) if isinstance(v, dict) else 1.0
         s = sum(part.get((doc, t), 0.0) for t in _toks(str(text)))
         hit = any((doc, t) in part for t in _toks(str(text)))
-        return hit, s if hit else 0.0
+        return hit, s * boost if hit else 0.0
     if kind == "match_phrase":
         ((_f, v),) = spec.items()
         toks = _toks(str(v))
         if not toks or not all((doc, t) in part for t in toks):
             return False, 0.0
         return True, sum(part[(doc, t)] for t in toks)
+    if kind == "dis_max":
+        subs = [_eval(c, doc, ref) for c in spec.get("queries", [])]
+        hits = [s for ok, s in subs if ok]
+        if not hits:
+            return False, 0.0
+        tb = float(spec.get("tie_breaker", 0.0))
+        best = max(hits)
+        return True, (best + tb * (sum(hits) - best)) * float(
+            spec.get("boost", 1.0)
+        )
+    if kind == "constant_score":
+        ok, _ = _eval(spec["filter"], doc, ref)
+        return ok, float(spec.get("boost", 1.0)) if ok else 0.0
     assert kind == "bool", kind
     msm = spec.get("minimum_should_match")
 
@@ -144,7 +158,7 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
         ok, _ = _eval(c, doc, ref)
         if ok:
             return False, 0.0
-    return True, score
+    return True, score * float(spec.get("boost", 1.0))
 
 
 def _ref_hits(tree: dict, ref: dict) -> list:
@@ -443,3 +457,95 @@ def test_date_histogram_agg(spark, dv_index, dv_corpus, tmp_path_factory):
     assert got == want and len(got) >= 2
     # restore the module-scoped sidecar for any later test
     attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# boost / dis_max / constant_score (round 5)
+# ---------------------------------------------------------------------------
+
+BOOSTED_TREE = {
+    "bool": {
+        "must": [
+            {"match": {"content": {"query": "gunaba", "boost": 2.5}}}
+        ],
+        "should": [{"bool": {
+            "must": [{"match": {"content": "dinaba"}}],
+            "boost": 0.5,
+        }}],
+    }
+}
+
+DISMAX_TREE = {
+    "dis_max": {
+        "queries": [
+            {"match": {"content": "gunaba"}},
+            {"match": {"content": "dinaba"}},
+            {"bool": {
+                "must": [{"match": {"content": "bloloba"}}],
+                "filter": [{"range": {"n_chars": {"gte": 9000}}}],
+            }},
+        ],
+        "tie_breaker": 0.3,
+    }
+}
+
+CONST_TREE = {
+    "bool": {
+        "must": [{"match": {"content": "gunaba"}}],
+        "should": [{"constant_score": {
+            "filter": {"term": {"lang": "python"}}, "boost": 1.7,
+        }}],
+    }
+}
+
+
+def test_clause_and_node_boost(spark, dv_index, ref):
+    assert _engine_hits(spark, dv_index, BOOSTED_TREE) == _ref_hits(
+        BOOSTED_TREE, ref
+    )
+
+
+def test_dis_max_tie_breaker(spark, dv_index, ref):
+    assert _engine_hits(spark, dv_index, DISMAX_TREE) == _ref_hits(
+        DISMAX_TREE, ref
+    )
+
+
+def test_constant_score_inside_bool(spark, dv_index, ref):
+    assert _engine_hits(spark, dv_index, CONST_TREE) == _ref_hits(
+        CONST_TREE, ref
+    )
+
+
+def test_dsl_routes_dismax_and_flat_boost(spark, dv_index, ref):
+    """Top-level dis_max routes through the tree compiler; a flat bool
+    whose leaf carries a boost must NOT take the flat single-scan path
+    (which has no per-term weight channel) — both must land on the
+    independent reference's scores."""
+    got = search(
+        spark, dv_index, {"query": DISMAX_TREE, "size": 10**6}
+    ).hits.select("doc_id", F.round("score", 6).alias("s")).collect()
+    assert sorted((r["doc_id"], r["s"]) for r in got) == _ref_hits(
+        DISMAX_TREE, ref
+    )
+    flat_boosted = {"bool": {
+        "must": [{"match": {"content": {"query": "gunaba", "boost": 3.0}}}],
+    }}
+    got = search(
+        spark, dv_index, {"query": flat_boosted, "size": 10**6}
+    ).hits.select("doc_id", F.round("score", 6).alias("s")).collect()
+    assert sorted((r["doc_id"], r["s"]) for r in got) == _ref_hits(
+        flat_boosted, ref
+    )
+
+
+def test_top_level_constant_score(spark, dv_index, ref):
+    body = {"query": {"constant_score": {
+        "filter": {"range": {"n_chars": {"gte": 9000, "lt": 42000}}},
+        "boost": 2.0,
+    }}, "size": 10**6}
+    got = search(spark, dv_index, body).hits.select(
+        "doc_id", F.round("score", 6).alias("s")
+    ).collect()
+    tree = body["query"]
+    assert sorted((r["doc_id"], r["s"]) for r in got) == _ref_hits(tree, ref)
