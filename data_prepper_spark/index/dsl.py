@@ -11,7 +11,9 @@ front: every clause maps to the SAME oracle-verified executors
 search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
-[+slop], prefix, fuzzy, wildcard, ids (unscored stored-_id filter),
+[+slop], match_phrase_prefix (search-as-you-type: last token
+prefix-expanded in term-dictionary order, adjacency verified),
+prefix, fuzzy, wildcard, ids (unscored stored-_id filter),
 knn (k-NN plugin clause -> similarity executors over `vectors_path`:
 exact brute-force cosine, or LSH-bucketed ANN with method="lsh"),
 top-level range/terms/exists on
@@ -35,7 +37,10 @@ significant_terms) under ANY query with a materializable match set
 shared by every aggregation in it; match_all + aggs = corpus-wide
 buckets). A `terms` aggregation may nest metric sub-aggregations
 (avg/sum/min/max/value_count, any mix of fields) — all folded into
-the one grouped aggregation that counts the buckets.
+the one grouped aggregation that counts the buckets. A top-level
+`suggest` block ({"<name>": {"text"|"prefix": ..., "term"|
+"completion": {...}}}) routes to the dictionary-only suggest
+executor and may appear with or without a query.
 Unsupported constructs raise NotImplementedError naming the clause —
 loud, not silent.
 """
@@ -48,11 +53,17 @@ from pyspark.sql.window import Window
 
 
 class DSLResult:
-    """hits + named aggregation DataFrames (all lazy)."""
+    """hits + named aggregation/suggester DataFrames (all lazy)."""
 
-    def __init__(self, hits: DataFrame | None, aggregations: dict):
+    def __init__(
+        self,
+        hits: DataFrame | None,
+        aggregations: dict,
+        suggest: dict | None = None,
+    ):
         self.hits = hits
         self.aggregations = aggregations
+        self.suggest = suggest or {}
 
 
 def _field_arg(spec):
@@ -191,11 +202,14 @@ def search(
             agg_matched = matched.select("query_id", "ord")
     elif kind == "match_all":
         match_text = None
-        if "aggs" not in body:
+        if "aggs" not in body and "suggest" not in body:
             raise NotImplementedError(
-                "match_all without aggs (no scoring scan to run)"
+                "match_all without aggs or suggest (no scoring scan to run)"
             )
-        agg_matched = q.match_all_ords(spark, index_dir, query_id=query_id)
+        if "aggs" in body:
+            agg_matched = q.match_all_ords(
+                spark, index_dir, query_id=query_id
+            )
     elif kind in ("match", "term"):
         from .booltree import _dv_columns, bool_tree_match, bool_tree_search
 
@@ -249,6 +263,16 @@ def search(
             hits = sloppy_phrase_topk(
                 spark, index_dir, ph, k=k, slop=slop
             )
+    elif kind == "match_phrase_prefix":
+        text, opts = _field_arg(spec)
+        if corpus_path is None:
+            raise ValueError("match_phrase_prefix needs corpus_path")
+        hits = q.phrase_prefix_search(
+            spark, index_dir, corpus_path,
+            qdf("query_id long, phrase string", (query_id, str(text))),
+            k=k,
+            max_expansions=int(opts.get("max_expansions", 50)),
+        )
     elif kind in ("prefix", "fuzzy", "wildcard"):
         text, opts = _field_arg(spec)
         hits = q.expanded_search(
@@ -606,7 +630,33 @@ def search(
         else:
             raise NotImplementedError(f"aggregation '{akind}'")
 
-    return DSLResult(hits, aggs)
+    sugg: dict = {}
+    for name, sspec in (body.get("suggest") or {}).items():
+        # {"<name>": {"text"|"prefix": "...", "term"|"completion":
+        # {"field": ..., "size": N}}} — routes to the dictionary-only
+        # suggest executor (query.py::suggest); the `field` option is
+        # accepted and ignored (this engine indexes one text field)
+        s = dict(sspec)
+        text = s.pop("text", None)
+        prefix = s.pop("prefix", None)
+        txt = text if text is not None else prefix
+        if txt is None or len(s) != 1:
+            raise NotImplementedError(
+                f"suggest entry '{name}': expected text|prefix plus "
+                "exactly one of term|completion"
+            )
+        ((smode, sconf),) = s.items()
+        if smode not in ("term", "completion"):
+            raise NotImplementedError(f"suggester '{smode}'")
+        inputs = spark.createDataFrame(
+            [(query_id, str(txt))], "input_id long, text string"
+        )
+        sugg[name] = q.suggest(
+            spark, index_dir, inputs, mode=smode,
+            size=int((sconf or {}).get("size", 3)),
+        )
+
+    return DSLResult(hits, aggs, sugg)
 
 
 def msearch(

@@ -453,3 +453,104 @@ def test_knn_query_routes_to_similarity(spark, index_dir, tmp_path):
         vectors_path=vpath,
     ).hits.collect()
     assert sorted(lsh, key=lambda r: r.rank)[0].vec_id == 17
+
+
+def test_suggest_block_routes(spark, index_dir):
+    """`suggest` body block -> query.suggest: term (did-you-mean) and
+    completion (prefix) suggesters, identical to direct executor
+    calls; suggest-only bodies (match_all, no aggs) are legal."""
+    body = {
+        "suggest": {
+            "dym": {"text": "clas", "term": {"field": "content",
+                                             "size": 3}},
+            "comp": {"prefix": "cla", "completion": {"field": "content",
+                                                     "size": 5}},
+        },
+    }
+    res = search(spark, index_dir, body)
+    assert res.hits is None and set(res.suggest) == {"dym", "comp"}
+    inputs = spark.createDataFrame(
+        [(0, "clas")], "input_id long, text string"
+    )
+    want = q.suggest(spark, index_dir, inputs, mode="term", size=3)
+    assert _rows(res.suggest["dym"]) == _rows(want)
+    inputs2 = spark.createDataFrame(
+        [(0, "cla")], "input_id long, text string"
+    )
+    want2 = q.suggest(spark, index_dir, inputs2, mode="completion", size=5)
+    got2 = _rows(res.suggest["comp"])
+    assert got2 == _rows(want2) and got2
+    with pytest.raises(NotImplementedError):
+        search(spark, index_dir, {"suggest": {"x": {"text": "a",
+                                                    "phrase": {}}}})
+
+
+def test_match_phrase_prefix(spark, index_dir, corpus_path, corpus_pdf):
+    """Search-as-you-type: doc set and BM25 scores vs an independent
+    pandas recompute (expansion in term-dictionary order capped at
+    max_expansions, adjacency = fixed tokens followed by a token
+    starting with the prefix, score = fixed + matched-expansion
+    partials)."""
+    import math
+
+    import pandas as pd
+
+    from data_prepper_spark.oracle import (
+        B, K1, build_term_stats, corpus_doc_ids,
+    )
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toks0 = tokenize_series(pd.Series([corpus_pdf.iloc[0].content])).iloc[0]
+    # two fixed tokens + a 3-char prefix of the following token
+    fixed = list(toks0[10:12])
+    pre = toks0[12][:3]
+    phrase = " ".join(fixed) + " " + pre
+    max_exp = 10
+
+    got = search(
+        spark, index_dir,
+        {"query": {"match_phrase_prefix": {"content": {
+            "query": phrase, "max_expansions": max_exp}}},
+         "size": 10**6},
+        corpus_path=corpus_path,
+    ).hits.select("doc_id", "score").collect()
+    got = sorted((r["doc_id"], round(r["score"], 6)) for r in got)
+
+    corpus = corpus_pdf.assign(doc_id=corpus_doc_ids(corpus_pdf))
+    postings, docs = build_term_stats(corpus_pdf)
+    n, avgdl = len(docs), docs["dl"].mean()
+    dfreq = postings.groupby("term")["doc_id"].nunique()
+    dl = dict(zip(docs["doc_id"], docs["dl"]))
+    part = {}
+    for r in postings.itertuples():
+        idf = math.log(1 + (n - dfreq[r.term] + 0.5) / (dfreq[r.term] + 0.5))
+        part[(r.doc_id, r.term)] = (
+            idf * r.tf * (K1 + 1)
+            / (r.tf + K1 * (1 - B + B * dl[r.doc_id] / avgdl))
+        )
+    expansions = sorted(t for t in dfreq.index if t.startswith(pre))[
+        :max_exp
+    ]
+    want = []
+    tok_lists = tokenize_series(corpus["content"])
+    for doc_id, toks in zip(corpus["doc_id"], tok_lists):
+        toks = list(toks)
+        hit = False
+        for i in range(len(toks) - len(fixed)):
+            if (
+                toks[i:i + len(fixed)] == fixed
+                and toks[i + len(fixed)].startswith(pre)
+            ):
+                hit = True
+                break
+        if not hit:
+            continue
+        matched_exp = {
+            t for t in expansions if (doc_id, t) in part
+        }
+        if not matched_exp:
+            continue
+        s = sum(part[(doc_id, t)] for t in set(fixed) if (doc_id, t) in part)
+        s += sum(part[(doc_id, t)] for t in matched_exp)
+        want.append((doc_id, round(s, 6)))
+    assert got == sorted(want) and got
