@@ -391,6 +391,153 @@ def phrase_search(
     )
 
 
+def phrase_prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    phrases: DataFrame,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """match_phrase_prefix (Lucene MultiPhrasePrefixQuery — the
+    search-as-you-type clause): the phrase's LAST analyzed token is a
+    prefix, expanded against the term dictionary (term-dictionary
+    order, capped at `max_expansions`, Lucene's cap); a doc matches
+    when it contains at least one capped-expansion-set term,
+    all fixed tokens, and the fixed sequence immediately followed by
+    ANY token starting with the prefix (the adjacency check is
+    cap-independent — a documented, slightly-more-permissive reading
+    of Lucene's expanded-position check; the cap still bounds the
+    candidate set and the scoring exactly).
+
+    Same candidate-retrieve-then-verify shape as phrase_search, in ONE
+    bucket-pruned postings scan: fixed tokens and expansion terms ride
+    the decoder's query_id channel with a parity tag
+    (qid*2+1 = fixed, qid*2 = expansion), so one groupBy yields both
+    the conjunctive fixed-term count and the ≥1-expansion test.
+    Adjacency is verified on candidates only by ONE instr() of
+    ' fixed... prefix' (no trailing space — any token starting with
+    the prefix completes the phrase) over the analyzed, space-joined
+    content. Score: BM25 partials summed over fixed tokens + every
+    matched expansion term (documented divergence from Lucene's
+    blended-expansion weighting; ordering within a result set is
+    dominated by the fixed tokens).
+
+    phrases: (query_id long, phrase string). Returns (query_id, rank,
+    doc_id, score, repo, path, commit)."""
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed = []  # (query_id, fixed_tokens, prefix)
+    for r in phrases.collect():  # request-sized
+        toks = analyze_query_py(stats, r["phrase"])
+        if toks:
+            parsed.append((int(r["query_id"]), toks[:-1], toks[-1]))
+    empty_sch = (
+        "query_id long, rank int, doc_id long, score double, "
+        "repo string, path string, commit string"
+    )
+    if not parsed:
+        return spark.createDataFrame([], empty_sch)
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    pats = spark.createDataFrame(
+        [(q, p) for q, _f, p in parsed], "query_id long, pattern string"
+    )
+    matched = _blocked_dictionary_match(
+        terms, pats, pats.collect(), "prefix"
+    )
+    wexp = Window.partitionBy("query_id").orderBy(F.asc("term"))
+    exp_qt = (
+        matched.withColumn("_x", F.row_number().over(wexp))
+        .filter(F.col("_x") <= max_expansions)
+        .withColumn("idf", _idf_col(n_docs))
+        .select(
+            (F.col("query_id") * 2).alias("query_id"),
+            "term_id", "idf", "bucket",
+        )
+    )
+    fixed_rows = [
+        (q, t) for q, f, _p in parsed for t in dict.fromkeys(f)
+    ]
+    if fixed_rows:
+        fixed_qt = (
+            spark.createDataFrame(
+                fixed_rows, "query_id long, term string"
+            )
+            .join(terms, "term")
+            .withColumn("idf", _idf_col(n_docs))
+            .select(
+                (F.col("query_id") * 2 + 1).alias("query_id"),
+                "term_id", "idf", "bucket",
+            )
+        )
+        qt = exp_qt.unionByName(fixed_qt)
+    else:
+        qt = exp_qt
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], avgdl)
+    scored = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(
+            decoder, schema="query_id long, doc_id long, partial double"
+        )
+    )
+    scored = _anti_tombstones(spark, index_dir, scored)
+    # one row per (channel-term, ord): parity splits fixed/expansion
+    need = spark.createDataFrame(
+        [
+            (q, len(set(f)), " ".join(f + [p]))
+            for q, f, p in parsed
+        ],
+        "query_id long, _nfixed int, _needle string",
+    )
+    cand = (
+        scored.withColumn("_q", (F.col("query_id") / 2).cast("long"))
+        .withColumn("_fx", F.col("query_id") % 2)
+        .groupBy(F.col("_q").alias("query_id"), "doc_id")
+        .agg(
+            F.sum("partial").alias("score"),
+            F.sum(F.when(F.col("_fx") == 1, 1).otherwise(0)).alias("_nf"),
+            F.sum(F.when(F.col("_fx") == 0, 1).otherwise(0)).alias("_ne"),
+        )
+        .join(F.broadcast(need), "query_id")
+        .filter(
+            (F.col("_nf") == F.col("_nfixed")) & (F.col("_ne") >= 1)
+        )
+        .withColumnRenamed("doc_id", "ord")
+    )
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    cand = ident.join(F.broadcast(cand), "ord")
+    analyze = _query_analyzer(stats)
+    corpus = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit",
+        F.array_join(analyze(F.col("content")), " ").alias("_cjoin"),
+    )
+    verified = corpus.join(
+        F.broadcast(cand), ["repo", "path", "commit"]
+    ).filter(
+        F.instr(
+            F.concat(F.lit(" "), F.col("_cjoin"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("_needle")),
+        )
+        > 0
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("ord")
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+        )
+    )
+
+
 def boolean_search(
     spark: SparkSession,
     index_dir: str,
