@@ -1875,6 +1875,69 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+# scoring-construct bodies (round 5): per-clause boost, node boost,
+# DisjunctionMax with tie_breaker, constant_score over a range filter.
+# Leaf numbering for the oracle: 0='data query', 1='spark',
+# 2='spark', 3='merge'. size=10**6 because constant_score scores are
+# ALL ties — the oracle's doc_id tie-break needs the full match set
+# before the re-rank trims to 10.
+BOOST_BODIES = [
+    {
+        "query": {"bool": {
+            "must": [{"match": {"text": {
+                "query": "data query", "boost": 2.0}}}],
+            "should": [{"bool": {
+                "must": [{"match": {"text": "spark"}}],
+                "boost": 0.5,
+            }}],
+        }},
+        "size": 10**6,
+    },
+    {
+        "query": {"dis_max": {
+            "queries": [
+                {"match": {"text": "spark"}},
+                {"match": {"text": "merge"}},
+            ],
+            "tie_breaker": 0.3,
+        }},
+        "size": 10**6,
+    },
+    {
+        "query": {"constant_score": {
+            "filter": {"range": {"n_chars": {"gte": 150, "lt": 450}}},
+            "boost": 2.0,
+        }},
+        "size": 10**6,
+    },
+]
+
+
+def dsl_boost_dismax(spark, sf_dir):
+    """Lucene scoring constructs through the Query-DSL front end
+    (index/dsl.py -> index/booltree.py): per-clause `boost`
+    (multiplies the leaf's BM25 contribution), `boost` on a nested
+    bool (multiplies the subtree's summed score), `dis_max` (best
+    child + tie_breaker * the other matching children), and
+    `constant_score` (every filter match scores exactly boost). The
+    oracle replays each body's score algebra over per-leaf BM25
+    recomputed from the raw table. Same re-rank-by-original-id trick
+    as the other *_engine entries."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    parts = [
+        dsl_search(spark, idx, body, corpus_path=cpath, query_id=i).hits
+        for i, body in enumerate(BOOST_BODIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 def dsl_match_all_aggs(spark, sf_dir):
     """`match_all` + `aggs` (ADVICE r04 high): corpus-wide buckets —
     the match set is EVERY live doc (query.py::match_all_ords), built
@@ -4270,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_terms_subagg": dsl_terms_subagg,
         "dsl_sort_page": dsl_sort_page,
         "dsl_knn_search": dsl_knn_search,
+        "dsl_boost_dismax": dsl_boost_dismax,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6582,6 +6646,62 @@ q2 AS (
   FROM (SELECT doc_id, sum(score) AS score FROM ls
         WHERE leaf_id IN (6, 7) GROUP BY 1) g
   JOIN (SELECT doc_id FROM documents WHERE lang = 'en') f USING (doc_id)
+),
+allq AS (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # boost / dis_max / constant_score: per-leaf BM25 (ls) + each
+    # body's score algebra replayed literally
+    sql["dsl_boost_dismax"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leafraw(leaf_id, txt) AS (VALUES
+  (0, 'data query'), (1, 'spark'), (2, 'spark'), (3, 'merge')),
+leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
+          FROM leafraw),
+ls AS (
+  SELECT lq.leaf_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM leafq lq
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = lq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, m.doc_id,
+         2.0 * m.score + coalesce(0.5 * sub.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) m
+  LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 1) sub
+    USING (doc_id)
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
+         max(score) + 0.3 * (sum(score) - max(score)) AS score
+  FROM ls WHERE leaf_id IN (2, 3)
+  GROUP BY 1, 2
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id, doc_id, 2.0 AS score
+  FROM documents WHERE n_chars >= 150 AND n_chars < 450
 ),
 allq AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
