@@ -1875,6 +1875,28 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+def dsl_phrase_prefix_engine(spark, sf_dir):
+    """match_phrase_prefix (search-as-you-type) through the DSL front
+    end (index/query.py::phrase_prefix_search): 'merge gro' — fixed
+    token 'merge' followed by any token starting with 'gro', the
+    prefix expanded against the term dictionary in term order capped
+    at max_expansions=10. Candidates from ONE bucket-pruned postings
+    scan (parity-tagged query_id channel), adjacency verified by one
+    instr over the analyzed token stream. The oracle replays the
+    expansion cap, the conjunctive/disjunctive candidate filter, the
+    adjacency instr, and the BM25 sum."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    body = {
+        "query": {"match_phrase_prefix": {"text": {
+            "query": "merge gro", "max_expansions": 10}}},
+        "size": 10**6,
+    }
+    hits = dsl_search(spark, idx, body, corpus_path=cpath).hits
+    return _rerank_engine_results(hits)
+
+
 # scoring-construct bodies (round 5): per-clause boost, node boost,
 # DisjunctionMax with tie_breaker, constant_score over a range filter.
 # Leaf numbering for the oracle: 0='data query', 1='spark',
@@ -4334,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_sort_page": dsl_sort_page,
         "dsl_knn_search": dsl_knn_search,
         "dsl_boost_dismax": dsl_boost_dismax,
+        "dsl_phrase_prefix_engine": dsl_phrase_prefix_engine,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6655,6 +6678,53 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # match_phrase_prefix: expansion cap in term order, conjunctive
+    # fixed + >=1 expansion candidates, adjacency instr, BM25 sum
+    sql["dsl_phrase_prefix_engine"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+exp AS (SELECT term FROM dfreq WHERE term LIKE 'gro%'
+        ORDER BY term LIMIT 10),
+qterm AS (
+  SELECT 'merge' AS term, 1 AS is_fixed
+  UNION ALL SELECT term, 0 FROM exp
+),
+ls AS (
+  SELECT tf.doc_id, q.is_fixed,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM qterm q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, sum(part) AS score
+  FROM ls GROUP BY 1
+  HAVING sum(is_fixed) = 1 AND sum(1 - is_fixed) >= 1
+),
+adj AS (
+  SELECT doc_id FROM documents
+  WHERE instr(
+    ' ' || array_to_string({tokenize_sql('text')}, ' ') || ' ',
+    ' merge gro') > 0
+),
+ranked AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, a.doc_id, a.score,
+         row_number() OVER (ORDER BY a.score DESC, a.doc_id) AS rank
+  FROM agg a JOIN adj USING (doc_id)
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
