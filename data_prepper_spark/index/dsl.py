@@ -32,7 +32,9 @@ match query), `collapse`, `highlight` (match/term hits gain a
 `snippet` column around the earliest term hit), and `aggs` (terms
 [+nested top_hits], range, extended_stats, stats/avg/min/max/sum/
 value_count, histogram, date_histogram, cardinality, percentiles,
-significant_terms) under ANY query with a materializable match set
+significant_terms, filters (named filter buckets, each compiled
+through the tree compiler, zero-count buckets emitted), missing
+(doc-values NULL count)) under ANY query with a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
 buckets). A `terms` aggregation may nest metric sub-aggregations
@@ -483,7 +485,18 @@ def search(
 
     aggs: dict = {}
     agg_body = body.get("aggs") or {}
-    if len(agg_body) > 1 and agg_matched is None and match_text is not None:
+    # set-algebra aggregations (filters/missing) need ords, not the
+    # (mq, matched=None) facet-executor protocol — force the match set
+    _SET_AGGS = {"filters", "missing"}
+    needs_set = any(
+        next(iter({k: v for k, v in a.items() if k != "aggs"}))
+        in _SET_AGGS
+        for a in agg_body.values()
+    )
+    if (
+        (len(agg_body) > 1 or needs_set)
+        and agg_matched is None and match_text is not None
+    ):
         # multi-agg match body: materialize the disjunctive match set
         # ONCE instead of once per aggregation
         from .query import load_stats
@@ -627,6 +640,57 @@ def search(
                 calendar_interval=aconf.get("calendar_interval"),
                 matched=agg_matched,
             )
+        elif akind == "missing":
+            # docs in the match set whose doc-values field is NULL —
+            # one row always (doc_count may be 0)
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "missing agg under this query kind (no match set)"
+                )
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            ).select("ord", aconf["field"])
+            aggs[name] = (
+                agg_matched.join(dv, "ord", "left")
+                .filter(F.col(aconf["field"]).isNull())
+                .agg(F.count("*").alias("doc_count"))
+                .select(
+                    F.lit(query_id).cast("long").alias("query_id"),
+                    "doc_count",
+                )
+            )
+        elif akind == "filters":
+            # named filter buckets: each sub-filter compiles through
+            # the tree compiler, intersects the shared match set, and
+            # always emits its row (doc_count 0 when empty) — the
+            # OpenSearch filters-agg contract
+            from .booltree import bool_tree_match
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "filters agg under this query kind (no match set)"
+                )
+            parts = []
+            for bname, fq in aconf["filters"].items():
+                m = bool_tree_match(
+                    spark, index_dir, {"bool": {"filter": [fq]}},
+                    corpus_path,
+                ).select("ord")
+                parts.append(
+                    agg_matched.join(m, "ord")
+                    .agg(F.count("*").alias("doc_count"))
+                    .select(
+                        F.lit(query_id).cast("long").alias("query_id"),
+                        F.lit(bname).alias("bucket"),
+                        "doc_count",
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            aggs[name] = out
         else:
             raise NotImplementedError(f"aggregation '{akind}'")
 

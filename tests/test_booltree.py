@@ -549,3 +549,36 @@ def test_top_level_constant_score(spark, dv_index, ref):
     ).collect()
     tree = body["query"]
     assert sorted((r["doc_id"], r["s"]) for r in got) == _ref_hits(tree, ref)
+
+
+def test_filters_and_missing_aggs(spark, dv_index, dv_corpus, ref):
+    """`filters` (named buckets, zero-count rows emitted) and
+    `missing` aggregations under a match query — counts recomputed
+    from the independent reference's match set + metadata."""
+    match_q = {"match": {"content": "gunaba"}}
+    body = {
+        "query": match_q,
+        "aggs": {
+            "by": {"filters": {"filters": {
+                "py": {"term": {"lang": "python"}},
+                "small": {"range": {"n_chars": {"lt": 9000}}},
+                "none": {"term": {"lang": "qqq-no-such-lang"}},
+            }}},
+            "nolang": {"missing": {"field": "lang"}},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    match_docs = {d for d, _ in _ref_hits(match_q, ref)}
+    meta = ref["meta"]
+    want = {
+        ("py", sum(1 for d in match_docs if meta.loc[d, "lang"] == "python")),
+        ("small", sum(1 for d in match_docs if meta.loc[d, "n_chars"] < 9000)),
+        ("none", 0),
+    }
+    got = {
+        (r["bucket"], r["doc_count"])
+        for r in res.aggregations["by"].collect()
+    }
+    assert got == want and any(c > 0 for _, c in want)
+    miss = res.aggregations["nolang"].collect()
+    assert len(miss) == 1 and miss[0]["doc_count"] == 0  # lang never null
