@@ -1875,6 +1875,43 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+def dsl_filters_missing_aggs(spark, sf_dir):
+    """`filters` (named buckets via the tree compiler, zero-count
+    buckets emitted) and `missing` aggregations under one match body —
+    all four aggregation rows share ONE materialized match set
+    (index/dsl.py). Oracle recomputes the disjunctive match set and
+    each bucket count from the raw table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"text": "data merge"}},
+            "aggs": {
+                "by": {"filters": {"filters": {
+                    "en": {"term": {"lang": "en"}},
+                    "short": {"range": {"n_chars": {"lt": 300}}},
+                    "none": {"term": {"lang": "zz-none"}},
+                }}},
+                "nolang": {"missing": {"field": "lang"}},
+            },
+        },
+        corpus_path=cpath,
+    )
+    by = res.aggregations["by"].select(
+        F.lit("filters").alias("agg"), "bucket", "doc_count"
+    )
+    miss = res.aggregations["nolang"].select(
+        F.lit("missing").alias("agg"),
+        F.lit("nolang").alias("bucket"),
+        "doc_count",
+    )
+    return by.unionByName(miss)
+
+
 def dsl_phrase_prefix_engine(spark, sf_dir):
     """match_phrase_prefix (search-as-you-type) through the DSL front
     end (index/query.py::phrase_prefix_search): 'merge gro' — fixed
@@ -4357,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_knn_search": dsl_knn_search,
         "dsl_boost_dismax": dsl_boost_dismax,
         "dsl_phrase_prefix_engine": dsl_phrase_prefix_engine,
+        "dsl_filters_missing_aggs": dsl_filters_missing_aggs,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6681,6 +6719,27 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+    # filters/missing aggs: disjunctive match set + bucket counts
+    sql["dsl_filters_missing_aggs"] = f"""
+WITH qraw(query) AS (VALUES ('data merge')),
+q AS (SELECT DISTINCT unnest({tokenize_sql('query')}) AS term FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+m AS (SELECT DISTINCT tok.doc_id FROM q JOIN tok USING (term)),
+md AS (
+  SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN m USING (doc_id)
+)
+SELECT 'filters' AS agg, 'en' AS bucket,
+       count(*) FILTER (WHERE lang = 'en') AS doc_count FROM md
+UNION ALL
+SELECT 'filters', 'short', count(*) FILTER (WHERE n_chars < 300) FROM md
+UNION ALL
+SELECT 'filters', 'none', count(*) FILTER (WHERE lang = 'zz-none') FROM md
+UNION ALL
+SELECT 'missing', 'nolang', count(*) FILTER (WHERE lang IS NULL) FROM md
 """
 
     # match_phrase_prefix: expansion cap in term order, conjunctive
