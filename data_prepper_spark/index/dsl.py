@@ -29,7 +29,10 @@ deep pages on match/term; any supported query kind with `sort`),
 is materialized once, sidecar-joined, and paged with absolute ranks;
 `_score` sorts map to the default), `search_after` (+ the
 match query), `collapse`, `highlight` (match/term hits gain a
-`snippet` column around the earliest term hit), and `aggs` (terms
+`snippet` column around the earliest term hit), `rescore`
+(top-window_size re-ranking, score_mode=total: query_weight *
+original + rescore_query_weight * the tree-compiled rescore query's
+score; docs beyond the window keep their original score), and `aggs` (terms
 [+nested top_hits], range, extended_stats, stats/avg/min/max/sum/
 value_count, histogram, date_histogram, cardinality, percentiles,
 significant_terms, filters (named filter buckets, each compiled
@@ -132,6 +135,11 @@ def search(
     from . import query as q
 
     k = int(body.get("size", 10))
+    k_out = k
+    if "rescore" in body:
+        # the main query must rank through the rescore window before
+        # the final page is cut
+        k = max(k, int(body["rescore"].get("window_size", 10)))
     node = body.get("query", {"match_all": {}})
     ((kind, spec),) = node.items()
 
@@ -693,6 +701,68 @@ def search(
             aggs[name] = out
         else:
             raise NotImplementedError(f"aggregation '{akind}'")
+
+    if "rescore" in body and hits is not None:
+        # top-window rescoring (Lucene QueryRescorer, score_mode=total
+        # — the default): docs ranked inside window_size get
+        # query_weight * original + rescore_query_weight * rescore
+        # score; docs beyond the window keep their original score;
+        # everything re-ranks and the final page is `size`. The
+        # rescore query compiles through the tree compiler, so any
+        # supported tree (match/bool/dis_max/...) works. The join back
+        # is a doc_id equi-join between the k-sized hit page and the
+        # rescore match set (AQE picks the strategy; the hit side is
+        # request-bounded).
+        from .booltree import bool_tree_match
+
+        if not {"rank", "score", "doc_id"} <= set(hits.columns):
+            raise NotImplementedError(
+                "rescore on a result shape without rank/score/doc_id "
+                "(collapse/highlight envelopes)"
+            )
+        rs = body["rescore"]
+        window = int(rs.get("window_size", 10))
+        conf = rs["query"]
+        qw = float(conf.get("query_weight", 1.0))
+        rw = float(conf.get("rescore_query_weight", 1.0))
+        import os as _os
+
+        rsm = bool_tree_match(
+            spark, index_dir, conf["rescore_query"], corpus_path
+        )
+        ident = spark.read.parquet(
+            _os.path.join(index_dir, "docs")
+        ).select("ord", "doc_id")
+        rs_scores = rsm.join(ident, "ord").select(
+            "doc_id", F.col("score").alias("_rs")
+        )
+        hits = (
+            hits.join(rs_scores, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.when(
+                    F.col("rank") <= window,
+                    F.lit(qw) * F.col("score")
+                    + F.lit(rw) * F.coalesce(F.col("_rs"), F.lit(0.0)),
+                ).otherwise(F.col("score")),
+            )
+            .drop("_rs")
+        )
+        w_rs = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        # preserve whatever envelope the upstream hit shape carried
+        # (some paths add repo/path/commit, some don't)
+        keep = ["query_id", "rank", "doc_id", "score"] + [
+            c
+            for c in hits.columns
+            if c not in {"query_id", "rank", "doc_id", "score"}
+        ]
+        hits = (
+            hits.withColumn("rank", F.row_number().over(w_rs))
+            .filter(F.col("rank") <= k_out)
+            .select(*keep)
+        )
 
     sugg: dict = {}
     for name, sspec in (body.get("suggest") or {}).items():

@@ -582,3 +582,58 @@ def test_filters_and_missing_aggs(spark, dv_index, dv_corpus, ref):
     assert got == want and any(c > 0 for _, c in want)
     miss = res.aggregations["nolang"].collect()
     assert len(miss) == 1 and miss[0]["doc_count"] == 0  # lang never null
+
+
+def test_rescore_top_window(spark, dv_index, ref):
+    """`rescore` body key: window-wide re-ranking with
+    score_mode=total — final = query_weight * BM25(main) +
+    rescore_query_weight * score(rescore tree) for docs in the
+    window; recomputed from the independent reference."""
+    main_q = {"match": {"content": "gunaba"}}
+    rs_q = {"match": {"content": "dinaba"}}
+    body = {
+        "query": main_q,
+        "size": 10**6,
+        "rescore": {
+            "window_size": 10**6,
+            "query": {
+                "rescore_query": rs_q,
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.2,
+            },
+        },
+    }
+    got = dict(
+        (r["doc_id"], r["score"])
+        for r in search(spark, dv_index, body).hits.select(
+            "doc_id", "score"
+        ).collect()
+    )
+    rs_scores = dict(_ref_hits(rs_q, ref))
+    want = {
+        d: 0.7 * s + 1.2 * rs_scores.get(d, 0.0)
+        for d, s in _ref_hits(main_q, ref)
+    }
+    assert got and set(got) == set(want)
+    for d, s in want.items():
+        # _ref_hits rounds each component to 6dp; 0.7*5e-7 + 1.2*5e-7
+        # of induced error bounds the comparison
+        assert got[d] == pytest.approx(s, abs=2e-6)
+
+    # small window: only the top-5 main-ranked docs are rescored,
+    # the rest keep their original BM25 score
+    main = sorted(_ref_hits(main_q, ref), key=lambda t: (-t[1], t[0]))
+    assert len(main) > 5
+    body["rescore"]["window_size"] = 5
+    got5 = dict(
+        (r["doc_id"], r["score"])
+        for r in search(spark, dv_index, body).hits.select(
+            "doc_id", "score"
+        ).collect()
+    )
+    top5 = {d for d, _ in main[:5]}
+    for d, s in main:
+        exp = (
+            0.7 * s + 1.2 * rs_scores.get(d, 0.0) if d in top5 else s
+        )
+        assert got5[d] == pytest.approx(exp, abs=2e-6)
