@@ -1997,6 +1997,41 @@ def dsl_boost_dismax(spark, sf_dir):
     return _rerank_engine_results(out)
 
 
+RESCORE_BODY = {
+    "query": {"bool": {
+        "must": [{"match": {"text": "data query"}}],
+        "should": [{"match": {"text": "spark"}}],
+    }},
+    "size": 10**6,
+    "rescore": {
+        "window_size": 10**6,
+        "query": {
+            "rescore_query": {"match": {"text": "merge"}},
+            "query_weight": 0.8,
+            "rescore_query_weight": 1.5,
+        },
+    },
+}
+
+
+def dsl_rescore(spark, sf_dir):
+    """`rescore` through the Query-DSL front end (index/dsl.py):
+    the main bool query ranks, then every doc inside window_size is
+    re-scored as query_weight * original + rescore_query_weight *
+    score(rescore tree) — Lucene QueryRescorer score_mode=total, the
+    shape the reference stack's opensearch sink users send for
+    two-phase ranking. The oracle replays the algebra over per-leaf
+    BM25 recomputed from the raw table. Full window here so the
+    driver-checked semantics don't depend on rank-boundary
+    tie-breaks (the small-window gate is pytest-covered against an
+    independent reference)."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    hits = dsl_search(spark, idx, RESCORE_BODY, corpus_path=cpath).hits
+    return _rerank_engine_results(hits)
+
+
 def dsl_match_all_aggs(spark, sf_dir):
     """`match_all` + `aggs` (ADVICE r04 high): corpus-wide buckets —
     the match set is EVERY live doc (query.py::match_all_ords), built
@@ -4395,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_boost_dismax": dsl_boost_dismax,
         "dsl_phrase_prefix_engine": dsl_phrase_prefix_engine,
         "dsl_filters_missing_aggs": dsl_filters_missing_aggs,
+        "dsl_rescore": dsl_rescore,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6840,6 +6876,53 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # rescore: final = 0.8 * (must + coalesce(should)) + 1.5 *
+    # coalesce(rescore leaf) over the must-matching docs (full
+    # window); same per-leaf BM25 CTE shape as dsl_boost_dismax
+    sql["dsl_rescore"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leafraw(leaf_id, txt) AS (VALUES
+  (0, 'data query'), (1, 'spark'), (2, 'merge')),
+leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
+          FROM leafraw),
+ls AS (
+  SELECT lq.leaf_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM leafq lq
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = lq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+final AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, m.doc_id,
+         0.8 * (m.score + coalesce(sh.score, 0))
+           + 1.5 * coalesce(rs.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) m
+  LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 1) sh
+    USING (doc_id)
+  LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 2) rs
+    USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM final
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
