@@ -2032,6 +2032,120 @@ def dsl_rescore(spark, sf_dir):
     return _rerank_engine_results(hits)
 
 
+# query_string bodies (round 5, index/querystring.py): Lucene
+# search-bar mini-syntax parsed into the SAME bool trees the nested
+# compiler executes. Leaf vocabulary matches BOOST_BODIES so the
+# oracle reuses the per-leaf BM25 CTE shape. q0 exercises explicit
+# AND/OR + parens + conjunctive '-' exclusion; q1 OR over a group
+# with a doc-values term filter (lang:en — non-scoring); q2 the
+# classic flat +required / bare-optional / -prohibited form.
+QS_QUERIES = [
+    'data AND (query OR merge) -spark',
+    'merge OR (data AND lang:en)',
+    '+data query -merge',
+]
+
+
+def dsl_query_string(spark, sf_dir):
+    """`query_string` through the Query-DSL front end
+    (index/dsl.py -> index/querystring.py -> index/booltree.py):
+    the Kibana-search-bar syntax — AND/OR/NOT, parentheses, +/-
+    prefixes, field:value on doc-values fields — parsed into a bool
+    tree and executed by the same compiler as nested bool (one
+    bucket-pruned postings scan for all text leaves). Mirrors
+    org.opensearch.index.query.QueryStringQueryBuilder as passed
+    through verbatim by the reference's opensearch sink consumers.
+    The oracle replays each parsed tree's set algebra and score sums
+    over per-leaf BM25 recomputed from the raw table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    parts = [
+        dsl_search(
+            spark, idx,
+            {"query": {"query_string": {
+                "query": qs, "default_field": "text"}},
+             "size": 10**6},
+            corpus_path=cpath, query_id=i,
+        ).hits
+        for i, qs in enumerate(QS_QUERIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
+# score-shaping bodies (round 5, booltree.py): BoostingQuery
+# demotion and FunctionScoreQuery's weight / field_value_factor /
+# filter / score_mode / boost_mode algebra. Leaf numbering for the
+# oracle: 0='data query', 1='spark', 2='merge', 3='spark'.
+FSCORE_BODIES = [
+    {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "data query"}},
+            "negative": {"match": {"text": "spark"}},
+            "negative_boost": 0.4,
+        }},
+        "size": 10**6,
+    },
+    {
+        "query": {"function_score": {
+            "query": {"match": {"text": "merge"}},
+            "functions": [
+                {"filter": {"range": {"n_chars": {"gte": 300}}},
+                 "weight": 2.0},
+                {"field_value_factor": {
+                    "field": "n_chars", "factor": 0.01,
+                    "modifier": "log1p"}},
+            ],
+            "score_mode": "sum",
+            "boost_mode": "multiply",
+        }},
+        "size": 10**6,
+    },
+    {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark"}},
+            "field_value_factor": {
+                "field": "n_chars", "factor": 0.005,
+                "modifier": "sqrt"},
+            "boost_mode": "sum",
+        }},
+        "size": 10**6,
+    },
+]
+
+
+def dsl_score_functions(spark, sf_dir):
+    """`boosting` and `function_score` through the Query-DSL front
+    end (index/booltree.py): b0 demotes (never excludes) docs
+    matching the negative clause by negative_boost (Lucene
+    BoostingQuery); b1 folds two functions — a filter-gated constant
+    weight and a log1p field_value_factor over the n_chars doc-values
+    column — with score_mode=sum then multiplies into the BM25 query
+    score; b2 the single-function shorthand with boost_mode=sum.
+    Function values come from the vocabulary-thin doc-values sidecar
+    (ord-equi-join) — the corpus is never rescanned, so the plan is
+    match-set-sized at any corpus scale. The oracle replays the exact
+    algebra over per-leaf BM25 + the raw n_chars column."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    parts = [
+        dsl_search(spark, idx, body, corpus_path=cpath, query_id=i).hits
+        for i, body in enumerate(FSCORE_BODIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 def dsl_match_all_aggs(spark, sf_dir):
     """`match_all` + `aggs` (ADVICE r04 high): corpus-wide buckets —
     the match set is EVERY live doc (query.py::match_all_ords), built
@@ -4431,6 +4545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_phrase_prefix_engine": dsl_phrase_prefix_engine,
         "dsl_filters_missing_aggs": dsl_filters_missing_aggs,
         "dsl_rescore": dsl_rescore,
+        "dsl_query_string": dsl_query_string,
+        "dsl_score_functions": dsl_score_functions,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6923,6 +7039,146 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM final
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # query_string (QS_QUERIES parsed by index/querystring.py):
+    # q0 = data AND (query OR merge) -spark — must(data) ∧
+    #      should-group(query∨merge, scores sum) ∧ NOT spark;
+    # q1 = merge OR (data AND lang:en) — should msm=1 over leaf and
+    #      group (dv term filter is unscored, group scores ls(data));
+    # q2 = +data query -merge — flat Lucene: required data, optional
+    #      query (score-only), prohibited merge.
+    # Leaf ids: 0=data, 1=query, 2=merge, 3=spark.
+    sql["dsl_query_string"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leafraw(leaf_id, txt) AS (VALUES
+  (0, 'data'), (1, 'query'), (2, 'merge'), (3, 'spark')),
+leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
+          FROM leafraw),
+ls AS (
+  SELECT lq.leaf_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM leafq lq
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = lq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, d.doc_id,
+         d.score + coalesce(q.score, 0) + coalesce(m.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) d
+  LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 1) q
+    USING (doc_id)
+  LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 2) m
+    USING (doc_id)
+  WHERE (q.doc_id IS NOT NULL OR m.doc_id IS NOT NULL)
+    AND d.doc_id NOT IN (SELECT doc_id FROM ls WHERE leaf_id = 3)
+),
+grp AS (
+  SELECT d.doc_id, d.score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) d
+  JOIN documents t ON t.doc_id = d.doc_id AND t.lang = 'en'
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id,
+         coalesce(m.doc_id, g.doc_id) AS doc_id,
+         coalesce(m.score, 0) + coalesce(g.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 2) m
+  FULL OUTER JOIN grp g ON g.doc_id = m.doc_id
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id, d.doc_id,
+         d.score + coalesce(q.score, 0) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) d
+  LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 1) q
+    USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM ls WHERE leaf_id = 2)
+),
+allq AS (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # boosting + function_score (FSCORE_BODIES): b0 demotes spark
+    # matches by 0.4; b1 multiplies BM25(merge) by the score_mode=sum
+    # fold of a filter-gated weight (n_chars>=300 -> 2.0, else the
+    # function does not apply) and log1p(0.01*n_chars) (Lucene
+    # log-family is base 10); b2 adds sqrt(0.005*n_chars) to
+    # BM25(spark). Leaf ids: 0='data query', 1='spark', 2='merge'.
+    sql["dsl_score_functions"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leafraw(leaf_id, txt) AS (VALUES
+  (0, 'data query'), (1, 'spark'), (2, 'merge')),
+leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
+          FROM leafraw),
+ls AS (
+  SELECT lq.leaf_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM leafq lq
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = lq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+b0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, p.doc_id,
+         p.score * (CASE WHEN n.doc_id IS NOT NULL
+                         THEN 0.4 ELSE 1.0 END) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 0) p
+  LEFT JOIN (SELECT doc_id FROM ls WHERE leaf_id = 1) n
+    USING (doc_id)
+),
+b1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, m.doc_id,
+         m.score * ((CASE WHEN t.n_chars >= 300 THEN 2.0 ELSE 0.0 END)
+                    + log10(1 + 0.01 * t.n_chars::DOUBLE)) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 2) m
+  JOIN documents t ON t.doc_id = m.doc_id
+),
+b2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id, s.doc_id,
+         s.score + sqrt(0.005 * t.n_chars::DOUBLE) AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 1) s
+  JOIN documents t ON t.doc_id = s.doc_id
+),
+allq AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM allq
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10

@@ -28,6 +28,15 @@ an ARBITRARY tree with exact Lucene semantics:
   scores (Lucene DisjunctionMaxQuery).
 * `constant_score` — its `filter` subtree decides matching; every
   match scores exactly `boost` (default 1.0).
+* `boosting` — `positive` decides matching and base score; docs also
+  matching `negative` are demoted by `negative_boost` (Lucene
+  BoostingQuery: demoted, never excluded).
+* `function_score` — the child query decides matching; each function
+  (weight and/or field_value_factor over a doc-values column, gated
+  by an optional per-function filter) yields a value, `score_mode`
+  folds the applicable values (neutral 1.0 when none apply) and
+  `boost_mode` combines the fold with the query score (Lucene
+  FunctionScoreQuery).
 
 Leaf routing: a `match`/`term`/`terms` clause whose field has a
 doc-values sidecar column (attach_doc_values) is a NON-SCORING exact
@@ -138,6 +147,50 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             filter=[_parse(spec["filter"], dv_cols, texts)],
             boost=float(spec.get("boost", 1.0)),
         )
+    if kind == "boosting":
+        # Lucene BoostingQuery: `positive` decides matching and base
+        # score; docs also matching `negative` have their score
+        # multiplied by negative_boost (they are NOT excluded)
+        return _IR(
+            "boosting",
+            must=[_parse(spec["positive"], dv_cols, texts)],
+            should=[_parse(spec["negative"], dv_cols, texts)],
+            tb=float(spec.get("negative_boost", 0.5)),
+        )
+    if kind == "function_score":
+        # FunctionScoreQuery: the child query decides matching; each
+        # function yields weight * field_value_factor(doc) where its
+        # filter (if any) matches; score_mode folds the applicable
+        # function values, boost_mode combines with the query score
+        child = spec.get("query", {"match_all": {}})
+        fns = spec.get("functions")
+        if fns is None:
+            fns = [{
+                k: v for k, v in spec.items()
+                if k in ("field_value_factor", "weight")
+            }]
+        parsed = []
+        for f in fns:
+            parsed.append({
+                "filter": (
+                    _parse(f["filter"], dv_cols, texts)
+                    if "filter" in f else None
+                ),
+                "weight": (
+                    float(f["weight"]) if "weight" in f else None
+                ),
+                "fvf": f.get("field_value_factor"),
+            })
+        return _IR(
+            "fscore",
+            must=[_parse(child, dv_cols, texts)],
+            spec={
+                "functions": parsed,
+                "score_mode": spec.get("score_mode", "multiply"),
+                "boost_mode": spec.get("boost_mode", "multiply"),
+            },
+            boost=float(spec.get("boost", 1.0)),
+        )
     if kind == "match_all":
         return _IR("all")
     if kind in ("range", "exists") or (
@@ -179,12 +232,18 @@ def _expand_phrases(ir: _IR, analyze_py, texts: list) -> _IR:
                             boost=1.0))
         return _IR("bool", must=kids, should=[], must_not=[], filter=[],
                    msm=None, boost=ir.boost)
-    if ir.kind in ("bool", "dismax", "const"):
+    if ir.kind in ("bool", "dismax", "const", "boosting", "fscore"):
         for role in ("must", "should", "must_not", "filter"):
             setattr(ir, role, [
                 _expand_phrases(c, analyze_py, texts)
                 for c in (getattr(ir, role) or [])
             ])
+        if ir.kind == "fscore":
+            for fn in ir.spec["functions"]:
+                if fn["filter"] is not None:
+                    fn["filter"] = _expand_phrases(
+                        fn["filter"], analyze_py, texts
+                    )
     return ir
 
 
@@ -258,6 +317,117 @@ def _all_ords(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def _function_score(spark, index_dir, ir, rec) -> DataFrame:
+    """FunctionScoreQuery execution: per-function value columns over
+    the child's match set (null = function not applicable), folded by
+    score_mode, combined with the query score by boost_mode. Every
+    function is a column expression or an ord-equi-join against the
+    vocabulary-thin doc-values sidecar — the corpus is never touched,
+    so the plan stays match-set-sized regardless of corpus scale."""
+    cfg = ir.spec
+    cur = rec(ir.must[0])
+    dv = None
+    fn_cols = []
+    for i, fn in enumerate(cfg["functions"]):
+        col = f"_f{i}"
+        if fn["fvf"] is not None:
+            fvf = fn["fvf"]
+            field = fvf["field"]
+            if dv is None:
+                dv = spark.read.parquet(
+                    os.path.join(index_dir, "docvalues")
+                )
+            if field not in dv.columns:
+                raise NotImplementedError(
+                    f"field_value_factor field '{field}' not in "
+                    "doc-values sidecar (attach_doc_values first)"
+                )
+            cur = cur.join(
+                dv.select("ord", F.col(field).alias("_v")), "ord", "left"
+            )
+            x = F.coalesce(
+                F.col("_v").cast("double"),
+                F.lit(float(fvf.get("missing", 1.0))),
+            ) * F.lit(float(fvf.get("factor", 1.0)))
+            mod = fvf.get("modifier", "none")
+            if mod == "none":
+                val = x
+            elif mod == "log1p":  # Lucene log-family is base 10
+                val = F.log10(x + F.lit(1.0))
+            elif mod == "ln1p":
+                val = F.log(x + F.lit(1.0))
+            elif mod == "sqrt":
+                val = F.sqrt(x)
+            elif mod == "square":
+                val = x * x
+            elif mod == "reciprocal":
+                val = F.lit(1.0) / x
+            else:
+                raise NotImplementedError(
+                    f"field_value_factor modifier '{mod}'"
+                )
+            cur = cur.withColumn(col, val).drop("_v")
+        else:
+            cur = cur.withColumn(col, F.lit(1.0))
+        if fn["weight"] is not None:
+            cur = cur.withColumn(
+                col, F.col(col) * F.lit(float(fn["weight"]))
+            )
+        if fn["filter"] is not None:
+            m = rec(fn["filter"]).select("ord", F.lit(1).alias("_m"))
+            cur = cur.join(m, "ord", "left").withColumn(
+                col,
+                F.when(F.col("_m").isNotNull(), F.col(col)),
+            ).drop("_m")
+        fn_cols.append(col)
+    # fold the applicable (non-null) function values per score_mode;
+    # no applicable function -> neutral 1.0 (OpenSearch behavior)
+    arr = F.array_compact(F.array(*[F.col(c) for c in fn_cols]))
+    n = F.size(arr)
+    sm = cfg["score_mode"]
+    if sm == "multiply":
+        folded = F.aggregate(
+            arr, F.lit(1.0), lambda a, x: a * x
+        )
+    elif sm == "sum":
+        folded = F.when(n == 0, F.lit(1.0)).otherwise(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+        )
+    elif sm == "avg":
+        folded = F.when(n == 0, F.lit(1.0)).otherwise(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+            / n.cast("double")
+        )
+    elif sm == "max":
+        folded = F.when(n == 0, F.lit(1.0)).otherwise(F.array_max(arr))
+    elif sm == "min":
+        folded = F.when(n == 0, F.lit(1.0)).otherwise(F.array_min(arr))
+    elif sm == "first":
+        folded = F.when(n == 0, F.lit(1.0)).otherwise(
+            F.element_at(arr, 1)
+        )
+    else:
+        raise NotImplementedError(f"score_mode '{sm}'")
+    cur = cur.withColumn("_fs", folded)
+    bm = cfg["boost_mode"]
+    qs, fs = F.col("score"), F.col("_fs")
+    if bm == "multiply":
+        out = qs * fs
+    elif bm == "sum":
+        out = qs + fs
+    elif bm == "replace":
+        out = fs
+    elif bm == "max":
+        out = F.greatest(qs, fs)
+    elif bm == "min":
+        out = F.least(qs, fs)
+    elif bm == "avg":
+        out = (qs + fs) / F.lit(2.0)
+    else:
+        raise NotImplementedError(f"boost_mode '{bm}'")
+    return cur.select("ord", out.alias("score"))
+
+
 def _combine(
     spark: SparkSession, index_dir: str, ir: _IR,
     leaf_scored: DataFrame, corpus_path: str | None,
@@ -286,6 +456,30 @@ def _combine(
         return rec(ir.filter[0]).select(
             "ord", F.lit(float(ir.boost)).alias("score")
         )
+    if ir.kind == "boosting":
+        # positive decides matching; a left join marks the negative
+        # match set and demotes (never removes) those scores
+        neg = rec(ir.should[0]).select("ord", F.lit(1).alias("_neg"))
+        return (
+            rec(ir.must[0])
+            .join(neg, "ord", "left")
+            .select(
+                "ord",
+                F.when(
+                    F.col("_neg").isNotNull(),
+                    F.col("score") * F.lit(float(ir.tb)),
+                )
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        )
+    if ir.kind == "fscore":
+        out = _function_score(spark, index_dir, ir, rec)
+        if ir.boost is not None and ir.boost != 1.0:
+            out = out.select(
+                "ord", (F.col("score") * F.lit(ir.boost)).alias("score")
+            )
+        return out
     if ir.kind == "dismax":
         # DisjunctionMaxQuery: union children (tagged), best child
         # score + tie_breaker * the rest; matching = any child

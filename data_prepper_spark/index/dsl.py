@@ -22,7 +22,12 @@ one leaf), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
 doc-values fields, minimum_should_match, and per-clause/per-node
 `boost` (booltree.py; flat text-only bool bodies keep the single-scan
-boolean_search executor), dis_max (tie_breaker), constant_score —
+boolean_search executor), dis_max (tie_breaker), constant_score,
+boosting (negative_boost demotion), function_score (weight +
+field_value_factor functions with per-function filters, score_mode/
+boost_mode algebra), query_string (Lucene mini-syntax: AND/OR/NOT,
++/- prefixes, parentheses, "quoted phrases", field:value on
+doc-values fields — parsed to a bool tree, same compiler) —
 simple_query_string, more_like_this), `size`, `from` (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
@@ -332,10 +337,41 @@ def search(
                     F.lit(query_id).cast("long").alias("query_id"), "ord"
                 )
             )
-    elif kind in ("dis_max", "constant_score"):
+    elif kind == "query_string":
+        # Kibana-search-bar syntax: parse to a bool tree, then the
+        # same compiler/executors as every other tree query
+        from .booltree import (
+            _dv_columns,
+            bool_tree_match,
+            bool_tree_search,
+        )
+        from .querystring import parse_query_string
+
+        qs_text = spec["query"] if isinstance(spec, dict) else str(spec)
+        opts = spec if isinstance(spec, dict) else {}
+        tree = parse_query_string(
+            str(qs_text),
+            default_field=str(opts.get("default_field", "content")),
+            dv_cols=_dv_columns(spark, index_dir),
+            default_operator=str(opts.get("default_operator", "OR")),
+        )
+        hits = bool_tree_search(
+            spark, index_dir, tree, k=k,
+            corpus_path=corpus_path, query_id=query_id,
+        )
+        if "aggs" in body:
+            agg_matched = bool_tree_match(
+                spark, index_dir, tree, corpus_path
+            ).select(
+                F.lit(query_id).cast("long").alias("query_id"), "ord"
+            )
+    elif kind in (
+        "dis_max", "constant_score", "boosting", "function_score",
+    ):
         # scoring tree nodes (Lucene DisjunctionMaxQuery /
-        # ConstantScoreQuery): same compiler as nested bool — all text
-        # leaves share one bucket-pruned postings scan
+        # ConstantScoreQuery / BoostingQuery / FunctionScoreQuery):
+        # same compiler as nested bool — all text leaves share one
+        # bucket-pruned postings scan
         from .booltree import bool_tree_match, bool_tree_search
 
         hits = bool_tree_search(

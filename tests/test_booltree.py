@@ -121,6 +121,70 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
     if kind == "constant_score":
         ok, _ = _eval(spec["filter"], doc, ref)
         return ok, float(spec.get("boost", 1.0)) if ok else 0.0
+    if kind == "boosting":
+        ok, s = _eval(spec["positive"], doc, ref)
+        if not ok:
+            return False, 0.0
+        nok, _ = _eval(spec["negative"], doc, ref)
+        nb = float(spec.get("negative_boost", 0.5))
+        return True, s * nb if nok else s
+    if kind == "function_score":
+        ok, s = _eval(spec.get("query", {"match_all": {}}), doc, ref)
+        if not ok:
+            return False, 0.0
+        fns = spec.get("functions")
+        if fns is None:
+            fns = [{k: v for k, v in spec.items()
+                    if k in ("field_value_factor", "weight")}]
+        vals = []
+        for f in fns:
+            if "filter" in f:
+                fok, _ = _eval(f["filter"], doc, ref)
+                if not fok:
+                    continue
+            v = 1.0
+            if "field_value_factor" in f:
+                fvf = f["field_value_factor"]
+                x = float(meta.loc[doc, fvf["field"]]) * float(
+                    fvf.get("factor", 1.0)
+                )
+                mod = fvf.get("modifier", "none")
+                v = {
+                    "none": x,
+                    "log1p": math.log10(1 + x),
+                    "ln1p": math.log1p(x),
+                    "sqrt": math.sqrt(x),
+                    "square": x * x,
+                    "reciprocal": 1.0 / x,
+                }[mod]
+            if "weight" in f:
+                v *= float(f["weight"])
+            vals.append(v)
+        sm = spec.get("score_mode", "multiply")
+        if not vals:
+            S = 1.0
+        elif sm == "multiply":
+            S = math.prod(vals)
+        elif sm == "sum":
+            S = sum(vals)
+        elif sm == "avg":
+            S = sum(vals) / len(vals)
+        elif sm == "max":
+            S = max(vals)
+        elif sm == "min":
+            S = min(vals)
+        else:
+            S = vals[0]
+        bm = spec.get("boost_mode", "multiply")
+        out = {
+            "multiply": s * S,
+            "sum": s + S,
+            "replace": S,
+            "max": max(s, S),
+            "min": min(s, S),
+            "avg": (s + S) / 2,
+        }[bm]
+        return True, out * float(spec.get("boost", 1.0))
     assert kind == "bool", kind
     msm = spec.get("minimum_should_match")
 
@@ -637,3 +701,107 @@ def test_rescore_top_window(spark, dv_index, ref):
             0.7 * s + 1.2 * rs_scores.get(d, 0.0) if d in top5 else s
         )
         assert got5[d] == pytest.approx(exp, abs=2e-6)
+
+
+def test_boosting_query(spark, dv_index, ref):
+    """`boosting` clause: negative matches are demoted (score *
+    negative_boost), never excluded; matching = positive only."""
+    tree = {"boosting": {
+        "positive": {"match": {"content": "gunaba"}},
+        "negative": {"match": {"content": "dinaba"}},
+        "negative_boost": 0.25,
+    }}
+    want = _ref_hits(tree, ref)
+    got = _engine_hits(spark, dv_index, tree)
+    assert got == want and len(want) > 3
+    # demotion happened somewhere: some positive doc also matches
+    # the negative clause
+    pos = dict(_ref_hits({"match": {"content": "gunaba"}}, ref))
+    assert any(abs(s - pos[d]) > 1e-9 for d, s in want)
+
+
+def test_function_score_fvf(spark, dv_index, ref):
+    """`function_score` with field_value_factor over the doc-values
+    sidecar: score = BM25 * log10(1 + 0.1 * n_chars)."""
+    tree = {"function_score": {
+        "query": {"match": {"content": "gunaba"}},
+        "field_value_factor": {
+            "field": "n_chars", "factor": 0.1, "modifier": "log1p",
+        },
+    }}
+    want = _ref_hits(tree, ref)
+    got = _engine_hits(spark, dv_index, tree)
+    assert len(got) == len(want) > 3
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_function_score_filtered_weights(spark, dv_index, ref):
+    """functions list with per-function filters: weights apply only
+    where the filter matches; score_mode=sum folds the applicable
+    values, boost_mode=sum adds them onto the BM25 score."""
+    tree = {"function_score": {
+        "query": {"match": {"content": "gunaba dinaba"}},
+        "functions": [
+            {"filter": {"range": {"n_chars": {"gte": 300}}},
+             "weight": 5.0},
+            {"filter": {"match": {"content": "dinaba"}},
+             "field_value_factor": {
+                 "field": "n_chars", "factor": 0.01,
+                 "modifier": "sqrt"},
+             "weight": 2.0},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "sum",
+    }}
+    want = _ref_hits(tree, ref)
+    got = _engine_hits(spark, dv_index, tree)
+    assert len(got) == len(want) > 3
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_query_string_end_to_end(spark, dv_index, dv_corpus, ref):
+    """`query_string` bodies parse to bool trees and execute through
+    the same compiler; scores match the independent reference of the
+    equivalent hand-written tree."""
+    cases = [
+        (
+            'gunaba AND (dinaba OR skimuba) -bloloba',
+            {"bool": {"must": [
+                {"match": {"content": "gunaba"}},
+                {"bool": {
+                    "should": [
+                        {"match": {"content": "dinaba"}},
+                        {"match": {"content": "skimuba"}},
+                    ],
+                    "minimum_should_match": 1,
+                }},
+                {"bool": {"must_not": [
+                    {"match": {"content": "bloloba"}}
+                ]}},
+            ]}},
+        ),
+        (
+            '+gunaba dinaba n_chars:300',
+            {"bool": {
+                "must": [{"match": {"content": "gunaba"}}],
+                "should": [
+                    {"match": {"content": "dinaba"}},
+                    {"term": {"n_chars": 300}},
+                ],
+            }},
+        ),
+    ]
+    for qs, tree in cases:
+        body = {"query": {"query_string": {"query": qs}}, "size": 10**6}
+        got = sorted(
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, dv_index, body, corpus_path=dv_corpus
+            ).hits.select("doc_id", "score").collect()
+        )
+        want = sorted(_ref_hits(tree, ref))
+        assert [d for d, _ in got] == [d for d, _ in want] and got, qs
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=2e-5), qs
