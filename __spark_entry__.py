@@ -2078,6 +2078,55 @@ def dsl_query_string(spark, sf_dir):
     return _rerank_engine_results(out)
 
 
+# multi-term query_string syntax (round 5, querystring.py +
+# booltree.py expansion leaves): trailing-* prefixes, ? wildcards,
+# ~ fuzzy (edit distance 1), ^N boosts, [a TO b] doc-values ranges.
+# q0 = prefix conjunct plain term; q1 = boosted wildcard OR fuzzy
+# (disjunctive sum); q2 = flat adjacency — optional plain term +
+# optional unscored range, prohibited prefix.
+QS_MULTITERM = [
+    'da* AND merge',
+    'm?rge^2 OR spork~',
+    'data -qu* n_chars:[150 TO 450]',
+]
+
+
+def dsl_query_string_multiterm(spark, sf_dir):
+    """`query_string` multi-term mini-syntax (index/querystring.py ->
+    index/booltree.py expansion leaves): trailing-* prefix terms,
+    ?-wildcards, ~ fuzzy (edit distance 1), ^N boosts, and [a TO b]
+    ranges on doc-values fields — parsed into the same bool trees and
+    executed through ONE shared bucket-pruned postings scan. The
+    multi-term leaves expand against the term DICTIONARY (Lucene
+    scoring_boolean rewrite: df-descending, max_expansions=50 cap)
+    via one blocked equi-join per mode — never a nested-loop join —
+    and the expanded terms score as a disjunctive BM25 bag. Mirrors
+    org.opensearch.index.query.QueryStringQueryBuilder's
+    wildcard/fuzzy/boost/range syntax as passed through by the
+    reference's opensearch consumers. The oracle reproduces the
+    expansion (same cap + tie-break), BM25 bags, boost algebra, and
+    range filter from the raw table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    parts = [
+        dsl_search(
+            spark, idx,
+            {"query": {"query_string": {
+                "query": qs, "default_field": "text"}},
+             "size": 10**6},
+            corpus_path=cpath, query_id=i,
+        ).hits
+        for i, qs in enumerate(QS_MULTITERM)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 # score-shaping bodies (round 5, booltree.py): BoostingQuery
 # demotion and FunctionScoreQuery's weight / field_value_factor /
 # filter / score_mode / boost_mode algebra. Leaf numbering for the
@@ -4546,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_filters_missing_aggs": dsl_filters_missing_aggs,
         "dsl_rescore": dsl_rescore,
         "dsl_query_string": dsl_query_string,
+        "dsl_query_string_multiterm": dsl_query_string_multiterm,
         "dsl_score_functions": dsl_score_functions,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
@@ -7106,6 +7156,99 @@ q2 AS (
   LEFT JOIN (SELECT doc_id, score FROM ls WHERE leaf_id = 1) q
     USING (doc_id)
   WHERE d.doc_id NOT IN (SELECT doc_id FROM ls WHERE leaf_id = 2)
+),
+allq AS (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+
+    # query_string multi-term syntax (QS_MULTITERM): expansions
+    # reproduce the engine's scoring_boolean rewrite — dictionary
+    # terms matching the pattern, df-descending / term-ascending,
+    # capped at max_expansions=50, scored as a disjunctive BM25 bag.
+    # q0 = da* AND merge (both required, scores sum);
+    # q1 = m?rge^2 OR spork~ (union, boosted wildcard bag x2 + fuzzy
+    #      bag); q2 = data -qu* n_chars:[150 TO 450] (optional plain
+    #      term + optional unscored range, minus qu*-expansion docs).
+    sql["dsl_query_string_multiterm"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+pats(leaf, kind, pat) AS (VALUES
+  ('da', 'prefix', 'da'), ('qu', 'prefix', 'qu'),
+  ('wld', 'wildcard', 'm_rge'), ('fz', 'fuzzy', 'spork')),
+exp AS (
+  SELECT leaf, term, df FROM (
+    SELECT p.leaf, d.term, d.df,
+           row_number() OVER (PARTITION BY p.leaf
+                              ORDER BY d.df DESC, d.term) AS x
+    FROM pats p JOIN dfreq d ON
+      (p.kind = 'prefix' AND starts_with(d.term, p.pat))
+      OR (p.kind = 'wildcard' AND d.term LIKE p.pat)
+      OR (p.kind = 'fuzzy'
+          AND abs(length(d.term) - length(p.pat)) <= 1
+          AND levenshtein(d.term, p.pat) <= 1)
+  ) WHERE x <= 50
+),
+bag AS (
+  SELECT e.leaf, tf.doc_id,
+         sum(ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM exp e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pls AS (
+  SELECT t.term AS leaf, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM (VALUES ('data'), ('merge')) t(term)
+  JOIN dfreq d ON d.term = t.term
+  JOIN tf ON tf.term = t.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, b.doc_id,
+         b.score + m.score AS score
+  FROM (SELECT doc_id, score FROM bag WHERE leaf = 'da') b
+  JOIN (SELECT doc_id, score FROM pls WHERE leaf = 'merge') m
+    USING (doc_id)
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id,
+         coalesce(w.doc_id, f.doc_id) AS doc_id,
+         coalesce(2.0 * w.score, 0) + coalesce(f.score, 0) AS score
+  FROM (SELECT doc_id, score FROM bag WHERE leaf = 'wld') w
+  FULL OUTER JOIN (SELECT doc_id, score FROM bag WHERE leaf = 'fz') f
+    ON f.doc_id = w.doc_id
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id,
+         coalesce(d.doc_id, r.doc_id) AS doc_id,
+         coalesce(d.score, 0) AS score
+  FROM (SELECT doc_id, score FROM pls WHERE leaf = 'data') d
+  FULL OUTER JOIN (SELECT doc_id FROM documents
+                   WHERE n_chars >= 150 AND n_chars <= 450) r
+    ON r.doc_id = d.doc_id
+  WHERE coalesce(d.doc_id, r.doc_id) NOT IN
+        (SELECT doc_id FROM bag WHERE leaf = 'qu')
 ),
 allq AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2

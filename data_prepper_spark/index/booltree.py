@@ -38,6 +38,15 @@ an ARBITRARY tree with exact Lucene semantics:
   `boost_mode` combines the fold with the query score (Lucene
   FunctionScoreQuery).
 
+* `prefix` / `wildcard` / `fuzzy` LEAVES (Lucene multi-term queries,
+  scoring_boolean rewrite): on a text field the pattern expands
+  against the term dictionary via ONE blocked equi-join per mode
+  (query._blocked_dictionary_match — never a nested loop), capped at
+  `max_expansions` highest-df terms, and the expanded terms score as
+  a disjunctive BM25 bag through the SAME shared postings scan as
+  plain leaves; on a doc-values field, prefix/wildcard are unscored
+  stored-value predicates (fuzzy on keyword fields raises).
+
 Leaf routing: a `match`/`term`/`terms` clause whose field has a
 doc-values sidecar column (attach_doc_values) is a NON-SCORING exact
 filter on the stored value — the sidecar is this engine's "keyword
@@ -193,6 +202,39 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         )
     if kind == "match_all":
         return _IR("all")
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        ((field, v),) = spec.items()
+        if isinstance(v, dict):
+            pattern = str(v.get("value", v.get("query")))
+            cap = int(v.get("max_expansions", 50))
+            boost = float(v.get("boost", 1.0))
+            fz = v.get("fuzziness", 1)
+        else:
+            pattern, cap, boost, fz = str(v), 50, 1.0, 1
+        if kind == "fuzzy" and str(fz) not in ("1", "AUTO"):
+            raise NotImplementedError(
+                f"fuzzy fuzziness={fz!r}: only distance 1 (or AUTO on "
+                "short terms) is compiled"
+            )
+        if field in dv_cols:
+            if kind == "fuzzy":
+                raise NotImplementedError(
+                    "fuzzy on a doc-values (keyword) field"
+                )
+            return _IR(
+                "dv", field=field, spec={"kind": kind, "val": pattern}
+            )
+        # multi-term expansion leaf against the term DICTIONARY
+        # (scoring_boolean rewrite, like query.expanded_search): the
+        # marker rides the texts list so leaf numbering stays unified
+        # with plain text leaves; _leaf_scores resolves it through
+        # ONE blocked dictionary match per mode.
+        texts.append({
+            "mode": kind,
+            "pattern": pattern.lower(),
+            "max_expansions": cap,
+        })
+        return _IR("text", leaf_id=len(texts) - 1, text=None, boost=boost)
     if kind in ("range", "exists") or (
         kind in ("term", "terms")
         and next(iter(spec)) in dv_cols
@@ -247,18 +289,83 @@ def _expand_phrases(ir: _IR, analyze_py, texts: list) -> _IR:
     return ir
 
 
+def _expanded_leaf_terms(
+    spark: SparkSession, index_dir: str, expands: list, stats: dict,
+) -> DataFrame:
+    """(query_id=leaf_id, term_id, idf, bucket) for multi-term
+    expansion leaves (prefix/wildcard/fuzzy): ONE blocked
+    dictionary match per mode present (never a nested-loop join —
+    same machinery as query.expanded_search), df-descending
+    max_expansions cap per leaf, each expanded term scoring with its
+    own idf (Lucene scoring_boolean rewrite)."""
+    from .query import (
+        _blocked_dictionary_match,
+        _idf_col,
+        _term_deletes_df,
+    )
+
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    out = None
+    for mode in ("prefix", "wildcard", "fuzzy"):
+        items = [(i, e) for i, e in expands if e["mode"] == mode]
+        if not items:
+            continue
+        pats = spark.createDataFrame(
+            [(i, e["pattern"]) for i, e in items],
+            "query_id long, pattern string",
+        )
+        if mode == "wildcard":
+            pats = pats.withColumn(
+                "pattern",
+                F.translate(
+                    F.regexp_replace("pattern", r"([%_])", r"\\$1"),
+                    "*?", "%_",
+                ),
+            )
+        rows = pats.collect()  # leaf-count-sized; the dictionary never
+        deletes = (
+            _term_deletes_df(spark, index_dir) if mode == "fuzzy" else None
+        )
+        matched = _blocked_dictionary_match(terms, pats, rows, mode, deletes)
+        caps = spark.createDataFrame(
+            [(i, int(e.get("max_expansions", 50))) for i, e in items],
+            "query_id long, cap int",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("df"), F.asc("term")
+        )
+        m = (
+            matched.withColumn("_x", F.row_number().over(w))
+            .join(F.broadcast(caps), "query_id")
+            .filter(F.col("_x") <= F.col("cap"))
+            .withColumn("idf", _idf_col(stats["n_docs"]))
+            .select("query_id", "term_id", "idf", "bucket")
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
 def _leaf_scores(
     spark: SparkSession, index_dir: str, texts: list, stats: dict,
 ) -> DataFrame:
     """(leaf_id, ord, score) for every text leaf via ONE bucket-pruned
-    postings scan — leaf ids ride the decoder's query_id channel."""
-    qdf = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "query_id long, query string"
-    )
-    qt = query_terms(spark, index_dir, qdf, stats["n_docs"], stats=stats)
-    post = _pruned_postings(
-        spark, index_dir, qt.select("query_id", "term_id", "idf", "bucket")
-    )
+    postings scan — leaf ids ride the decoder's query_id channel.
+    Plain leaves resolve through the persisted analyzer chain;
+    dict-marker leaves ({"mode","pattern","max_expansions"}) resolve
+    through the blocked dictionary expansion, and both kinds share the
+    same postings scan and decoder."""
+    plain = [(i, t) for i, t in enumerate(texts) if isinstance(t, str)]
+    expands = [(i, t) for i, t in enumerate(texts) if isinstance(t, dict)]
+    qt = None
+    if plain:
+        qdf = spark.createDataFrame(plain, "query_id long, query string")
+        qt = query_terms(
+            spark, index_dir, qdf, stats["n_docs"], stats=stats
+        ).select("query_id", "term_id", "idf", "bucket")
+    if expands:
+        ex = _expanded_leaf_terms(spark, index_dir, expands, stats)
+        qt = ex if qt is None else qt.unionByName(ex)
+    post = _pruned_postings(spark, index_dir, qt)
     decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
     return (
         post.join(
@@ -299,6 +406,17 @@ def _dv_frame(
         cond = c.isin(list(val))
     elif kind == "exists":
         cond = c.isNotNull()
+    elif kind == "prefix":
+        cond = c.cast("string").startswith(str(val))
+    elif kind == "wildcard":
+        # Lucene wildcard over the stored keyword value: escape LIKE
+        # metas, then * -> %, ? -> _
+        pat = (
+            str(val)
+            .replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        cond = c.cast("string").like(pat)
     else:  # range
         cond = F.lit(True)
         for op, fn in (

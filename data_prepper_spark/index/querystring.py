@@ -24,13 +24,19 @@ Supported syntax:
                          score-only. Mixed with explicit operators,
                          '+x' reduces to x and '-x' to NOT x.
 * adjacency           -> the body's default_operator (OR unless set)
+* trailing-* term     -> {"prefix": ...}; any other * / ? pattern
+                         -> {"wildcard": ...} (booltree expands both
+                         against the term dictionary, scoring_boolean)
+* term~ / term~1      -> {"fuzzy": ...} (edit distance 1)
+* clause^N            -> boost N on the clause (leaf, phrase, or
+                         parenthesized group)
+* field:[a TO b]      -> {"range": {field: {gte/lte}}} on a
+                         doc-values field; {a TO b} is exclusive per
+                         side, '*' leaves a side unbounded; the
+                         shorthands field:>n / >=n / <n / <=n too
 
-Out of scope (raise ValueError naming the construct): range syntax
-[a TO b], fuzzy ~, boost ^, wildcards in field position, regex /../.
-Wildcard terms (* / ?) inside a bare term are routed to the
-`wildcard` leaf only at top level by dsl.py, not here — inside a
-tree they'd need per-leaf dictionary expansion, which the tree
-compiler doesn't do; they raise.
+Out of scope (raise ValueError naming the construct): regex /../,
+fuzzy distances other than 1.
 
 Reference parity: org.opensearch.index.query.QueryStringQueryBuilder
 as exercised by data-prepper's opensearch sink consumers (the
@@ -48,7 +54,10 @@ _TOKEN = re.compile(
     r'|[^\s()"]+'         # bare term / field:value / operators
 )
 
-_UNSUPPORTED = re.compile(r"[~^*?/\[\]{}]")
+_UNSUPPORTED = re.compile(r"[/^~\[\]{}]")
+_FUZZY = re.compile(r"^(.+?)~(\d*)$")
+_RANGE_OP = re.compile(r"^(>=|<=|>|<)(.+)$")
+_BOOST = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
 
 
 def _num(val: str):
@@ -61,6 +70,43 @@ def _num(val: str):
             return val
 
 
+def _multiterm(val: str, field: str) -> dict | None:
+    """Route fuzzy / prefix / wildcard value syntax to the matching
+    booltree expansion leaf; None when `val` is a plain term."""
+    m = _FUZZY.match(val)
+    if m and "*" not in val and "?" not in val:
+        if m.group(2) not in ("", "1"):
+            raise ValueError(
+                f"query_string: fuzzy distance '{m.group(2)}' in "
+                f"'{val}~' (only edit distance 1 is compiled)"
+            )
+        return {"fuzzy": {field: {"value": m.group(1)}}}
+    if "*" in val or "?" in val:
+        if val.endswith("*") and "*" not in val[:-1] and "?" not in val:
+            return {"prefix": {field: val[:-1]}}
+        return {"wildcard": {field: val}}
+    return None
+
+
+def _range_leaf(field: str, val: str, dv_cols: set) -> dict:
+    """`[a TO b]` / `{a TO b}` (and mixed bracket) range syntax."""
+    if field not in dv_cols:
+        raise ValueError(
+            f"query_string: range on '{field}' needs a doc-values "
+            "sidecar column (attach_doc_values first)"
+        )
+    parts = re.split(r"\s+TO\s+", val[1:-1].strip(), flags=re.IGNORECASE)
+    if len(parts) != 2:
+        raise ValueError(f"query_string: bad range syntax '{val}'")
+    lo, hi = (p.strip() for p in parts)
+    spec: dict = {}
+    if lo != "*":
+        spec["gte" if val[0] == "[" else "gt"] = _num(lo)
+    if hi != "*":
+        spec["lte" if val[-1] == "]" else "lt"] = _num(hi)
+    return {"range": {field: spec}}
+
+
 def _leaf(tok: str, default_field: str, dv_cols: set) -> dict:
     if tok.startswith('"') and tok.endswith('"'):
         return {"match_phrase": {default_field: tok[1:-1]}}
@@ -71,18 +117,32 @@ def _leaf(tok: str, default_field: str, dv_cols: set) -> dict:
             if field in dv_cols:
                 return {"term": {field: val}}
             return {"match_phrase": {field: val}}
+        if val[:1] in "[{" and val[-1:] in "]}":
+            return _range_leaf(field, val, dv_cols)
+        m = _RANGE_OP.match(val)
+        if m and field in dv_cols:
+            op = {">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}[
+                m.group(1)
+            ]
+            return {"range": {field: {op: _num(m.group(2))}}}
+        mt = _multiterm(val, field)
+        if mt is not None:
+            return mt
         if _UNSUPPORTED.search(val):
             raise ValueError(
                 f"query_string: unsupported construct in '{tok}' "
-                "(ranges/fuzzy/boost/wildcard syntax not compiled)"
+                "(regex and multi-edit fuzzy syntax are not compiled)"
             )
         if field in dv_cols:
             return {"term": {field: _num(val)}}
         return {"match": {field: val}}
+    mt = _multiterm(tok, default_field)
+    if mt is not None:
+        return mt
     if _UNSUPPORTED.search(tok):
         raise ValueError(
             f"query_string: unsupported construct in '{tok}' "
-            "(ranges/fuzzy/boost/wildcard syntax not compiled)"
+            "(regex and multi-edit fuzzy syntax are not compiled)"
         )
     return {"match": {default_field: tok}}
 
@@ -97,7 +157,16 @@ def parse_query_string(
     dv_cols = dv_cols or set()
     default_operator = default_operator.upper()
     toks = _TOKEN.findall(qs)
-    # re-join field:"quoted phrase" split by the tokenizer
+
+    def _open_range(s: str) -> bool:
+        return (
+            (":[" in s or ":{" in s)
+            and not s.endswith("]")
+            and not s.endswith("}")
+        )
+
+    # re-join field:"quoted phrase" and field:[a TO b] constructs the
+    # whitespace tokenizer split apart
     joined: list[str] = []
     for t in toks:
         if (
@@ -106,6 +175,8 @@ def parse_query_string(
             and t.startswith('"')
         ):
             joined[-1] += t
+        elif joined and _open_range(joined[-1]):
+            joined[-1] += " " + t
         else:
             joined.append(t)
     toks = joined
@@ -119,6 +190,15 @@ def parse_query_string(
         t = toks[pos]
         pos += 1
         return t
+
+    def maybe_boost(node: dict) -> dict:
+        """Consume a dangling `^N` token (after a group or quoted
+        phrase) and wrap the clause in a boosted bool."""
+        t = peek()
+        if t is not None and re.fullmatch(r"\^\d+(?:\.\d+)?", t):
+            take()
+            return {"bool": {"must": [node], "boost": float(t[1:])}}
+        return node
 
     def parse_unary() -> tuple[str, dict]:
         """-> (prefix, clause) where prefix is '+', '-', or ''."""
@@ -135,12 +215,20 @@ def parse_query_string(
             if peek() != ")":
                 raise ValueError("query_string: unbalanced '('")
             take()
-            return "", node
+            return "", maybe_boost(node)
         take()
         prefix = ""
         if t[0] in "+-" and len(t) > 1:
             prefix, t = t[0], t[1:]
-        return prefix, _leaf(t, default_field, dv_cols)
+        boost = None
+        if not t.startswith('"'):
+            mb = _BOOST.match(t)
+            if mb:
+                t, boost = mb.group(1), float(mb.group(2))
+        node = _leaf(t, default_field, dv_cols)
+        if boost is not None:
+            node = {"bool": {"must": [node], "boost": boost}}
+        return prefix, maybe_boost(node)
 
     def parse_expr() -> dict:
         prefixes: list[str] = []

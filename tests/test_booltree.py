@@ -67,11 +67,51 @@ def ref(dv_corpus):
         )
     corpus = corpus.assign(doc_id=corpus_doc_ids(corpus))
     meta = corpus.set_index("doc_id")[["lang", "n_chars"]]
-    return {"part": part, "meta": meta, "doc_ids": list(meta.index)}
+    return {"part": part, "meta": meta, "doc_ids": list(meta.index),
+            "dfreq": dfreq}
 
 
 def _toks(text: str) -> list:
     return list(dict.fromkeys(tokenize_series(pd.Series([text]))[0]))
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Levenshtein distance <= 1 (plain, no transposition credit)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _expand_ref(pat: str, mode: str, ref: dict, cap: int) -> list:
+    """Reference dictionary expansion: df-descending, term-ascending
+    tie-break, capped at `cap` — the scoring_boolean rewrite."""
+    import re as _re
+
+    dfreq = ref["dfreq"]
+    if mode == "prefix":
+        hit = [t for t in dfreq.index if t.startswith(pat)]
+    elif mode == "wildcard":
+        rx = _re.compile(
+            "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pat
+            ) + "$"
+        )
+        hit = [t for t in dfreq.index if rx.match(t)]
+    else:  # fuzzy
+        hit = [t for t in dfreq.index if _lev1(pat, t)]
+    hit.sort(key=lambda t: (-dfreq[t], t))
+    return hit[:cap]
 
 
 def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
@@ -81,6 +121,15 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
     meta, part = ref["meta"], ref["part"]
     if kind == "match_all":
         return True, 0.0
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        ((_f, v),) = spec.items()
+        pat = v.get("value", v.get("query")) if isinstance(v, dict) else v
+        cap = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
+        boost = float(v.get("boost", 1.0)) if isinstance(v, dict) else 1.0
+        terms = _expand_ref(str(pat), kind, ref, cap)
+        hit = any((doc, t) in part for t in terms)
+        s = sum(part.get((doc, t), 0.0) for t in terms)
+        return hit, s * boost if hit else 0.0
     if kind == "range":
         ((field, val),) = spec.items()
         v = meta.loc[doc, field]
@@ -792,6 +841,21 @@ def test_query_string_end_to_end(spark, dv_index, dv_corpus, ref):
                 ],
             }},
         ),
+        (
+            'blo* -skimuba',
+            {"bool": {
+                "should": [{"prefix": {"content": "blo"}}],
+                "must_not": [{"match": {"content": "skimuba"}}],
+                "minimum_should_match": 1,
+            }},
+        ),
+        (
+            'gunaba^2 AND n_chars:[9000 TO 42000]',
+            {"bool": {"must": [
+                {"match": {"content": {"query": "gunaba", "boost": 2.0}}},
+                {"range": {"n_chars": {"gte": 9000, "lte": 42000}}},
+            ]}},
+        ),
     ]
     for qs, tree in cases:
         body = {"query": {"query_string": {"query": qs}}, "size": 10**6}
@@ -805,3 +869,34 @@ def test_query_string_end_to_end(spark, dv_index, dv_corpus, ref):
         assert [d for d, _ in got] == [d for d, _ in want] and got, qs
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=2e-5), qs
+
+
+def test_expansion_leaves_in_tree(spark, dv_index, dv_corpus, ref):
+    """prefix / wildcard / fuzzy LEAVES inside bool trees (Lucene
+    multi-term queries, scoring_boolean rewrite): dictionary
+    expansion capped df-descending, expanded terms score as a
+    disjunctive BM25 bag, and the leaves compose with every tree
+    construct."""
+    bodies = [
+        {"prefix": {"content": "blo"}},
+        {"wildcard": {"content": "b*a"}},
+        {"wildcard": {"content": "g?naba"}},
+        {"fuzzy": {"content": {"value": "bloloba"}}},
+        {"prefix": {"content": {
+            "value": "blo", "max_expansions": 2, "boost": 2.0}}},
+        {"bool": {
+            "must": [{"prefix": {"content": "blo"}}],
+            "should": [{"match": {"content": "gunaba"}}],
+            "must_not": [{"wildcard": {"content": "snal*"}}],
+        }},
+        {"dis_max": {"queries": [
+            {"prefix": {"content": "blo"}},
+            {"fuzzy": {"content": "gunaba"}},
+        ], "tie_breaker": 0.3}},
+    ]
+    for body in bodies:
+        got = _engine_hits(spark, dv_index, body, corpus_path=dv_corpus)
+        want = _ref_hits(body, ref)
+        assert [d for d, _ in got] == [d for d, _ in want] and got, body
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=2e-5), body

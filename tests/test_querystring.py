@@ -128,9 +128,76 @@ def test_minus_with_explicit_ops_is_not():
 
 
 def test_unsupported_syntax_raises():
-    for bad in ("fuzzy~2", "boosted^3", "wild*card", "n:[1 TO 2]"):
+    # multi-edit fuzzy, regex, and range on a field with no doc-values
+    # column stay loud failures
+    for bad in ("fuzzy~2", "/rege.x/", "n:[1 TO 2]"):
         with pytest.raises(ValueError):
             parse_query_string(bad)
+
+
+def test_prefix_and_wildcard_terms():
+    assert parse_query_string("spar*") == {"prefix": {"content": "spar"}}
+    assert parse_query_string("wild*card") == {
+        "wildcard": {"content": "wild*card"}
+    }
+    assert parse_query_string("wi?d") == {"wildcard": {"content": "wi?d"}}
+    # field-scoped, including on a doc-values (keyword) field
+    assert parse_query_string("lang:p*", dv_cols={"lang"}) == {
+        "prefix": {"lang": "p"}
+    }
+
+
+def test_fuzzy_terms():
+    want = {"fuzzy": {"content": {"value": "term"}}}
+    assert parse_query_string("term~") == want
+    assert parse_query_string("term~1") == want
+
+
+def test_boost_forms():
+    assert parse_query_string("boosted^3") == {
+        "bool": {"must": [{"match": {"content": "boosted"}}],
+                 "boost": 3.0}
+    }
+    assert parse_query_string('"a b"^2') == {
+        "bool": {"must": [{"match_phrase": {"content": "a b"}}],
+                 "boost": 2.0}
+    }
+    assert parse_query_string("(a b)^2") == {
+        "bool": {"must": [{"bool": {
+            "should": [
+                {"match": {"content": "a"}},
+                {"match": {"content": "b"}},
+            ],
+            "minimum_should_match": 1,
+        }}], "boost": 2.0}
+    }
+
+
+def test_range_syntax():
+    dv = {"n_chars"}
+    assert parse_query_string("n_chars:[100 TO 200]", dv_cols=dv) == {
+        "range": {"n_chars": {"gte": 100, "lte": 200}}
+    }
+    assert parse_query_string("n_chars:{100 TO *}", dv_cols=dv) == {
+        "range": {"n_chars": {"gt": 100}}
+    }
+    assert parse_query_string("n_chars:[* TO 50}", dv_cols=dv) == {
+        "range": {"n_chars": {"lt": 50}}
+    }
+    assert parse_query_string("n_chars:>=100", dv_cols=dv) == {
+        "range": {"n_chars": {"gte": 100}}
+    }
+    assert parse_query_string("n_chars:<7", dv_cols=dv) == {
+        "range": {"n_chars": {"lt": 7}}
+    }
+    # composes with boolean operators
+    got = parse_query_string(
+        "data AND n_chars:[100 TO 200]", dv_cols=dv
+    )
+    assert got == {"bool": {"must": [
+        {"match": {"content": "data"}},
+        {"range": {"n_chars": {"gte": 100, "lte": 200}}},
+    ]}}
 
 
 def test_unbalanced_parens_raise():
