@@ -1608,6 +1608,32 @@ def wildcard_search_engine(spark, sf_dir):
     )
 
 
+REGEXP_QUERIES = ["sp.*k", "da[tr]a", "qu.r(y|ies)", "[0-9]+", "z.*z.*z"]
+
+
+def regexp_search_engine(spark, sf_dir):
+    """Regexp query (opensearch-api `regexp`, Lucene RegexpQuery:
+    pattern ANCHORED to the whole term; index/query.py::
+    expanded_search match="regexp"): patterns expand against the term
+    dictionary — the literal prefix is the blocking equi-join key
+    pushed into the parquet scan, the anchored rlike re-checks as a
+    residual — then the expanded bag scores as disjunctive BM25,
+    capped at max_expansions by df. The oracle recomputes expansion
+    with DuckDB's anchored regexp_full_match and the same scoring.
+    Reference parity: the `regexp` query users send through the
+    reference's opensearch sink-side `_search`."""
+    from data_prepper_spark.index.query import expanded_search
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(REGEXP_QUERIES)],
+        "query_id long, pattern string",
+    )
+    return _rerank_engine_results(
+        expanded_search(spark, idx, q, match="regexp", k=50)
+    )
+
+
 _BOOL_SQL_TEMPLATE = f"""
 WITH tok AS (
   SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
@@ -4597,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_query_string": dsl_query_string,
         "dsl_query_string_multiterm": dsl_query_string_multiterm,
         "dsl_score_functions": dsl_score_functions,
+        "regexp_search_engine": regexp_search_engine,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6839,6 +6866,16 @@ FROM ranked WHERE rank <= 10
         + _expand_bm25.format(
             cond="d.term LIKE replace(replace(p.pattern, '*', '%'), '?', '_')"
         )
+    )
+    _rx_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(REGEXP_QUERIES)
+    )
+    # regexp_full_match is anchored — the same whole-term semantics
+    # the engine applies via ^(?:pat)$ rlike; patterns stay inside
+    # the RE2/Java-regex common subset
+    sql["regexp_search_engine"] = (
+        f"WITH pats(query_id, pattern) AS (VALUES {_rx_values}),\n"
+        + _expand_bm25.format(cond="regexp_full_match(d.term, p.pattern)")
     )
 
     def _bool_oracle_sql(triples: list[tuple[str, str, str]]) -> str:

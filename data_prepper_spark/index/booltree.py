@@ -202,7 +202,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         )
     if kind == "match_all":
         return _IR("all")
-    if kind in ("prefix", "wildcard", "fuzzy"):
+    if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         ((field, v),) = spec.items()
         if isinstance(v, dict):
             pattern = str(v.get("value", v.get("query")))
@@ -229,9 +229,13 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         # marker rides the texts list so leaf numbering stays unified
         # with plain text leaves; _leaf_scores resolves it through
         # ONE blocked dictionary match per mode.
+        # regexp patterns are NOT lowercased — rewriting literals
+        # inside char classes/escapes would change the language; the
+        # dictionary is lowercase, so uppercase literals simply match
+        # nothing (Lucene without case_insensitive behaves the same).
         texts.append({
             "mode": kind,
-            "pattern": pattern.lower(),
+            "pattern": pattern if kind == "regexp" else pattern.lower(),
             "max_expansions": cap,
         })
         return _IR("text", leaf_id=len(texts) - 1, text=None, boost=boost)
@@ -306,7 +310,7 @@ def _expanded_leaf_terms(
 
     terms = spark.read.parquet(os.path.join(index_dir, "terms"))
     out = None
-    for mode in ("prefix", "wildcard", "fuzzy"):
+    for mode in ("prefix", "wildcard", "fuzzy", "regexp"):
         items = [(i, e) for i, e in expands if e["mode"] == mode]
         if not items:
             continue
@@ -417,6 +421,10 @@ def _dv_frame(
             .replace("*", "%").replace("?", "_")
         )
         cond = c.cast("string").like(pat)
+    elif kind == "regexp":
+        # Lucene RegexpQuery on a keyword field: implicitly anchored
+        # (whole-value match), Java-regex-compatible subset.
+        cond = c.cast("string").rlike("^(?:" + str(val) + ")$")
     else:  # range
         cond = F.lit(True)
         for op, fn in (

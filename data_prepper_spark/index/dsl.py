@@ -13,7 +13,9 @@ search_after), so the compiler adds routing, not new semantics.
 Supported body keys: `query` (match, match_all, term, match_phrase
 [+slop], match_phrase_prefix (search-as-you-type: last token
 prefix-expanded in term-dictionary order, adjacency verified),
-prefix, fuzzy, wildcard, ids (unscored stored-_id filter),
+prefix, fuzzy, wildcard, regexp (anchored whole-term match, Lucene
+RegexpQuery's Java-compatible subset; the literal prefix blocks the
+dictionary join), ids (unscored stored-_id filter),
 knn (k-NN plugin clause -> similarity executors over `vectors_path`:
 exact brute-force cosine, or LSH-bucketed ANN with method="lsh"),
 top-level range/terms/exists on
@@ -288,7 +290,7 @@ def search(
             k=k,
             max_expansions=int(opts.get("max_expansions", 50)),
         )
-    elif kind in ("prefix", "fuzzy", "wildcard"):
+    elif kind in ("prefix", "fuzzy", "wildcard", "regexp"):
         text, opts = _field_arg(spec)
         hits = q.expanded_search(
             spark,

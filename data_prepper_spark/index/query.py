@@ -669,6 +669,15 @@ def expanded_search(
                       one char), evaluated as a SQL LIKE over the
                       dictionary (`*`→`%`, `?`→`_`; LIKE meta chars
                       escaped).
+    match="regexp":   Lucene RegexpQuery semantics — the pattern is
+                      implicitly ANCHORED (must match the WHOLE
+                      term); the Java-regex-compatible subset runs
+                      (char classes, alternation, quantifiers;
+                      Lucene's ~/&/<> operators are not compiled).
+                      The pattern's literal prefix blocks the
+                      dictionary join and pushes into the scan, the
+                      same seek key Lucene extracts from the
+                      compiled automaton.
 
     queries: DataFrame (query_id long, pattern string) — pattern must
     be a single canonical (lowercased) term. Returns (query_id, rank,
@@ -680,7 +689,7 @@ def expanded_search(
     neighborhood key blocks, and no BroadcastNestedLoopJoin appears in
     the plan at any dictionary size (the r03 verdict's top defect);
     scoring reuses the bucket-pruned postings scan + shared decoder."""
-    if match not in ("prefix", "fuzzy", "wildcard"):
+    if match not in ("prefix", "fuzzy", "wildcard", "regexp"):
         raise ValueError(f"unknown match mode: {match}")
     stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -845,6 +854,28 @@ def _term_deletes_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     return spark.read.parquet(d)
 
 
+def _regex_lit_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex pattern — the run of plain
+    characters before the first metacharacter. A character directly
+    followed by a quantifier (? * + {) is NOT part of the guaranteed
+    prefix (it may repeat zero times), so it is dropped. This is the
+    blocking/pushdown key for anchored regexp dictionary expansion —
+    the same prefix Lucene's RegexpQuery extracts via
+    CompiledAutomaton.getCommonPrefix to seek the terms FST."""
+    meta = set(".?*+(){}[]|^$\\")
+    out = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch in meta:
+            break
+        if i + 1 < n and pattern[i + 1] in "?*+{":
+            break
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _blocked_dictionary_match(
     terms: DataFrame,
     pats: DataFrame,
@@ -945,6 +976,56 @@ def _blocked_dictionary_match(
         return (
             keyed.join(F.broadcast(pk_df), F.col("_key") == F.col("_pkey"))
             .filter(F.expr("term LIKE pattern"))
+            .drop("_key", "_pkey")
+            .dropDuplicates(["query_id", "term"])
+        )
+    if match == "regexp":
+        # Lucene RegexpQuery: the pattern is implicitly ANCHORED (it
+        # must match the whole term); the Java-regex-compatible
+        # subset is compiled (char classes, alternation, quantifiers
+        # — Lucene's ~/&/<> extensions are not). Blocking mirrors
+        # wildcard: each pattern's literal prefix reaches the parquet
+        # scan (StringStartsWith pushdown) and is the equi-key; the
+        # anchored rlike is re-checked as a residual AFTER the
+        # broadcast hash join. A pattern with no literal prefix
+        # degrades to an empty key over the scan survivors — the
+        # honest limit Lucene's automaton walk hits too.
+        def _anchor(p: str) -> str:
+            return "^(?:" + p + ")$"
+
+        pred = None
+        for r in rows:
+            c = F.col("term").rlike(_anchor(r["pattern"]))
+            lp = _regex_lit_prefix(r["pattern"])
+            if lp:
+                c = F.col("term").startswith(lp) & c
+            pred = c if pred is None else (pred | c)
+        spark = terms.sparkSession
+        pk_df = spark.createDataFrame(
+            [
+                (r["query_id"], r["pattern"], _regex_lit_prefix(r["pattern"]))
+                for r in rows
+            ],
+            "query_id long, pattern string, _pkey string",
+        )
+        lens = sorted({len(_regex_lit_prefix(r["pattern"])) for r in rows})
+        keyed = terms.filter(pred).withColumn(
+            "_key",
+            F.explode(
+                F.array_distinct(
+                    F.array(*[F.substring("term", 1, L) for L in lens])
+                )
+            ),
+        )
+        resid = None
+        for r in rows:
+            c = (F.col("pattern") == F.lit(r["pattern"])) & F.col(
+                "term"
+            ).rlike(_anchor(r["pattern"]))
+            resid = c if resid is None else (resid | c)
+        return (
+            keyed.join(F.broadcast(pk_df), F.col("_key") == F.col("_pkey"))
+            .filter(resid)
             .drop("_key", "_pkey")
             .dropDuplicates(["query_id", "term"])
         )

@@ -108,6 +108,9 @@ def _expand_ref(pat: str, mode: str, ref: dict, cap: int) -> list:
             ) + "$"
         )
         hit = [t for t in dfreq.index if rx.match(t)]
+    elif mode == "regexp":
+        rx = _re.compile(pat)
+        hit = [t for t in dfreq.index if rx.fullmatch(t)]
     else:  # fuzzy
         hit = [t for t in dfreq.index if _lev1(pat, t)]
     hit.sort(key=lambda t: (-dfreq[t], t))
@@ -121,7 +124,7 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
     meta, part = ref["meta"], ref["part"]
     if kind == "match_all":
         return True, 0.0
-    if kind in ("prefix", "wildcard", "fuzzy"):
+    if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         ((_f, v),) = spec.items()
         pat = v.get("value", v.get("query")) if isinstance(v, dict) else v
         cap = int(v.get("max_expansions", 50)) if isinstance(v, dict) else 50
@@ -893,6 +896,15 @@ def test_expansion_leaves_in_tree(spark, dv_index, dv_corpus, ref):
             {"prefix": {"content": "blo"}},
             {"fuzzy": {"content": "gunaba"}},
         ], "tie_breaker": 0.3}},
+        # regexp leaves: anchored whole-term match (Lucene
+        # RegexpQuery); with and without a literal blocking prefix,
+        # composed under bool with other leaf kinds
+        {"regexp": {"content": "blo.*a"}},
+        {"regexp": {"content": "[bg][lu]n?aba"}},
+        {"bool": {
+            "must": [{"regexp": {"content": "b.*a"}}],
+            "must_not": [{"prefix": {"content": "snal"}}],
+        }},
     ]
     for body in bodies:
         got = _engine_hits(spark, dv_index, body, corpus_path=dv_corpus)

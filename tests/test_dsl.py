@@ -109,8 +109,13 @@ def test_bool_and_sqs(spark, index_dir):
 
 
 def test_expansion_clauses(spark, index_dir):
-    for kind in ("prefix", "fuzzy", "wildcard"):
-        pat = {"prefix": "cla", "fuzzy": "clasx", "wildcard": "cla*"}[kind]
+    for kind in ("prefix", "fuzzy", "wildcard", "regexp"):
+        pat = {
+            "prefix": "cla",
+            "fuzzy": "clasx",
+            "wildcard": "cla*",
+            "regexp": "cla.*s",
+        }[kind]
         got = search(
             spark, index_dir, {"query": {kind: {"content": pat}}}
         ).hits

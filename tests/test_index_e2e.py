@@ -514,6 +514,61 @@ def test_expanded_search_prefix_and_fuzzy(spark, index_dir, corpus_pdf):
     assert set(out1[out1.query_id == 0]["path"]) == want_one
 
 
+def test_expanded_search_regexp(spark, index_dir, corpus_pdf):
+    """Regexp expansion (Lucene RegexpQuery semantics): the pattern
+    is ANCHORED — it must match the whole dictionary term — and the
+    match set equals a pandas re.fullmatch recomputation. Covers a
+    pattern with a literal prefix (blocked join key pushes into the
+    scan), a prefix-less pattern (degrades to the residual scan), and
+    a no-match pattern."""
+    import re
+    from collections import Counter
+
+    from data_prepper_spark.index.query import expanded_search
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toksets = [
+        set(tokenize_series(pd.Series([t]))[0]) for t in corpus_pdf["content"]
+    ]
+    cnt = Counter(t for s in toksets for t in s)
+    base = max((t for t in cnt if len(t) >= 4), key=lambda t: cnt[t])
+    # literal-prefix pattern: first 2 chars literal, then any run
+    p0 = re.escape(base[:2]) + ".*"
+    # prefix-less pattern: char class head (no blocking key)
+    p1 = "[" + base[0] + "z]" + re.escape(base[1:])
+    p2 = "zzz[0-9]+never"
+    paths = corpus_pdf["path"].tolist()
+    q = spark.createDataFrame(
+        [(0, p0), (1, p1), (2, p2)], "query_id long, pattern string"
+    )
+    out = expanded_search(
+        spark, index_dir, q, match="regexp", k=1_000_000,
+        max_expansions=10_000,
+    ).toPandas()
+    for qid, pat in ((0, p0), (1, p1), (2, p2)):
+        rx = re.compile(pat)
+        want = {
+            p
+            for p, s in zip(paths, toksets)
+            if any(rx.fullmatch(t) for t in s)
+        }
+        got = set(out[out.query_id == qid]["path"])
+        assert got == want, (qid, pat)
+    assert len(out[out.query_id == 0]) > 0  # non-degenerate
+    # ANCHORING: a substring-only pattern must NOT match longer terms
+    sub = base[1:3]
+    if sub and any(t != sub and sub in t for t in cnt):
+        qs = spark.createDataFrame(
+            [(0, re.escape(sub))], "query_id long, pattern string"
+        )
+        outs = expanded_search(
+            spark, index_dir, qs, match="regexp", k=1_000_000,
+            max_expansions=10_000,
+        ).toPandas()
+        want_exact = {p for p, s in zip(paths, toksets) if sub in s}
+        assert set(outs[outs.query_id == 0]["path"]) == want_exact
+
+
 def test_faceted_search_full_match_set(spark, index_dir, fixture_dir, corpus_pdf):
     """Facet buckets count EVERY matching doc (not just top-k) per
     lang, ordered (doc_count desc, value asc); verified against a
