@@ -1426,6 +1426,7 @@ def phrase_search_engine(spark, sf_dir):
 
 _DOCS_INDEX_CACHE: dict[str, tuple[str, str]] = {}
 _BM25F_INDEX_CACHE: dict[str, str] = {}
+_MM_CORPUS_CACHE: dict[str, str] = {}
 
 
 def _bm25f_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1482,6 +1483,104 @@ def bm25f_engine(spark, sf_dir):
     )
     return (
         res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("doc_key").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r"),
+        )
+    )
+
+
+def _mm_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Cached parquet of `documents` reshaped to field columns
+    (doc_id, title = first 10 tokens, body = full text) — the corpus
+    the DSL `multi_match` route reads its fields from."""
+    import os
+    import tempfile
+
+    hit = _MM_CORPUS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    p = os.path.join(tempfile.mkdtemp(prefix="dps_mmcorpus_"), "docs.parquet")
+    _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.slice(tokenize_col(F.col("text")), 1, 10), " "
+        ).alias("title"),
+        F.col("text").alias("body"),
+    ).write.mode("overwrite").parquet(p)
+    _MM_CORPUS_CACHE[sf_dir] = p
+    return p
+
+
+def dsl_multi_match(spark, sf_dir):
+    """`multi_match` through the Query-DSL front end (index/dsl.py ->
+    textstats.multi_match): type=best_fields (the OpenSearch default —
+    Lucene dis_max tie_breaker=0, per-doc MAX of the boosted per-field
+    BM25 scores; fields title^2 + body, each with field-local
+    df/dl/avgdl). The oracle reproduces both per-field pipelines and
+    the max-combine. Complements `multi_match_fields` (direct
+    executor, most_fields sum) — this entry proves the DSL routing +
+    the best_fields algebra.
+    Reference parity: the `multi_match` bodies users send through the
+    reference's opensearch sink-side `_search`."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath = _mm_corpus(spark, sf_dir)
+    _, idx = _docs_index(spark, sf_dir)
+    parts = [
+        dsl_search(
+            spark, idx,
+            {"query": {"multi_match": {
+                "query": t,
+                "fields": ["body", "title^2"],
+                "type": "best_fields",
+            }}, "size": 10},
+            corpus_path=cpath, query_id=i,
+        ).hits
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score_r")
+    )
+
+
+def dsl_combined_fields(spark, sf_dir):
+    """`combined_fields` through the Query-DSL front end (index/dsl.py
+    -> index/bm25f.py): term-centric BM25F over the fielded physical
+    index — weighted per-field tf folded BEFORE saturation, ONE
+    combined idf per term, one bucket-pruned postings scan. Identical
+    ranking contract to `bm25f_engine` (direct executor); this entry
+    proves the DSL clause routing end-to-end under the same full
+    BM25F recompute oracle. Re-ranked by original numeric doc id like
+    the other *_engine entries."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    idx = _bm25f_index(spark, sf_dir)
+    parts = [
+        dsl_search(
+            spark, idx,
+            {"query": {"combined_fields": {
+                "query": t,
+                "fields": ["title^2", "body"],
+            }}, "size": 50},
+            query_id=i,
+        ).hits
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("doc_key").cast("long"))
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select(
             "query_id",
@@ -4624,6 +4723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_query_string_multiterm": dsl_query_string_multiterm,
         "dsl_score_functions": dsl_score_functions,
         "regexp_search_engine": regexp_search_engine,
+        "dsl_multi_match": dsl_multi_match,
+        "dsl_combined_fields": dsl_combined_fields,
         "bulk_ingest_roundtrip": bulk_ingest_roundtrip,
         # -- previously driver-green --
         "bm25_topk": bm25_topk_df,
@@ -6842,7 +6943,7 @@ st AS (
 comb AS (
   SELECT coalesce(sb.query_id, st.query_id) AS query_id,
          coalesce(sb.doc_id, st.doc_id) AS doc_id,
-         coalesce(sb.score * 1.0, 0.0) + coalesce(st.score * 2.0, 0.0) AS score
+         {{combine}} AS score
   FROM sb FULL OUTER JOIN st
     ON sb.query_id = st.query_id AND sb.doc_id = st.doc_id
 ),
@@ -6855,6 +6956,22 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # most_fields: boosted per-field scores SUM (direct-executor entry)
+    _mm_template = sql["multi_match_fields"]
+    sql["multi_match_fields"] = _mm_template.format(
+        combine="coalesce(sb.score * 1.0, 0.0)"
+                " + coalesce(st.score * 2.0, 0.0)"
+    )
+    # best_fields (the DSL-routed entry, OpenSearch's default type):
+    # per-doc MAX of the boosted per-field scores — Lucene dis_max
+    # with tie_breaker=0
+    sql["dsl_multi_match"] = _mm_template.format(
+        combine="greatest(coalesce(sb.score * 1.0, 0.0),"
+                " coalesce(st.score * 2.0, 0.0))"
+    )
+    # combined_fields routes to the SAME BM25F executor bm25f_engine
+    # verifies — identical ranking contract, identical oracle
+    sql["dsl_combined_fields"] = sql["bm25f_engine"]
 
     _wc_values = ", ".join(
         f"(CAST({i} AS BIGINT), '{p}')" for i, p in enumerate(WILDCARD_QUERIES)

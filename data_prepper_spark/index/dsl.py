@@ -29,7 +29,12 @@ boosting (negative_boost demotion), function_score (weight +
 field_value_factor functions with per-function filters, score_mode/
 boost_mode algebra), query_string (Lucene mini-syntax: AND/OR/NOT,
 +/- prefixes, parentheses, "quoted phrases", field:value on
-doc-values fields — parsed to a bool tree, same compiler) —
+doc-values fields — parsed to a bool tree, same compiler),
+multi_match (fields with ^boosts, each scored as its own per-field
+BM25, type=best_fields max / most_fields sum — needs `corpus_path`
+with the field columns), combined_fields (BM25F: weighted tf folded
+before saturation, one combined idf — `index_dir` must be a FIELDED
+index from bm25f.build_fielded_index) —
 simple_query_string, more_like_this), `size`, `from` (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
@@ -86,6 +91,18 @@ def _field_arg(spec):
         text = v.get("query", v.get("value"))
         return text, v
     return v, {}
+
+
+def _parse_field_boosts(fields, kind: str) -> dict[str, float]:
+    """OpenSearch field-list syntax ["title^2", "body"] ->
+    {"title": 2.0, "body": 1.0} (boost defaults to 1)."""
+    out = {}
+    for f in fields:
+        name, _, boost = str(f).partition("^")
+        out[name] = float(boost) if boost else 1.0
+    if not out:
+        raise ValueError(f"{kind} needs a non-empty 'fields' list")
+    return out
 
 
 def _clause_text(clause: dict) -> str:
@@ -451,6 +468,50 @@ def search(
             index_dir,
             qdf("query_id long, query string", (query_id, str(text))),
             k=k,
+        )
+    elif kind == "multi_match":
+        # OpenSearch `multi_match`: one query text against several
+        # corpus field columns, each scored as its OWN per-field BM25
+        # "index" (field-local df/dl/avgdl — the Lucene fielded-index
+        # contract) and combined: type="best_fields" (the OpenSearch
+        # default, Lucene dis_max tie_breaker=0) takes the per-doc
+        # max of the boosted field scores, "most_fields" sums them.
+        # Executor: textstats.multi_match — per-field match-set-sized
+        # frames outer-joined, never |docs| x |fields|.
+        from ..datapipe.textstats import multi_match as _mm
+
+        if corpus_path is None:
+            raise ValueError("multi_match needs corpus_path")
+        text = spec["query"]
+        fields = _parse_field_boosts(spec.get("fields", []), kind)
+        mtype = str(spec.get("type", "best_fields"))
+        if mtype not in ("best_fields", "most_fields"):
+            raise NotImplementedError(f"multi_match type '{mtype}'")
+        docs = spark.read.parquet(corpus_path)
+        if "doc_id" not in docs.columns:
+            # the engine corpus keys docs by path — any stable key
+            # works; the scorer only groups/joins on it
+            docs = docs.withColumn("doc_id", F.col("path"))
+        hits = _mm(
+            docs,
+            qdf("query_id long, query string", (query_id, str(text))),
+            fields, k=k, mode=mtype,
+        )
+    elif kind == "combined_fields":
+        # OpenSearch `combined_fields`: term-centric fielded ranking —
+        # weighted tfs folded across fields BEFORE saturation with ONE
+        # combined idf per term (BM25F). Routes to the bm25f executor
+        # over index_dir, which must be a FIELDED index
+        # (bm25f.build_fielded_index: one corpus row per (doc, field),
+        # docs.path = field name); ONE bucket-pruned postings scan.
+        from .bm25f import bm25f_topk
+
+        text = spec["query"]
+        fields = _parse_field_boosts(spec.get("fields", []), kind)
+        hits = bm25f_topk(
+            spark, index_dir,
+            qdf("query_id long, query string", (query_id, str(text))),
+            weights=fields, k=k,
         )
     elif kind == "more_like_this":
         # OpenSearch MLT `like: [{"_id": ...}]` over the corpus; the

@@ -559,3 +559,104 @@ def test_match_phrase_prefix(spark, index_dir, corpus_path, corpus_pdf):
         s += sum(part[(doc_id, t)] for t in matched_exp)
         want.append((doc_id, round(s, 6)))
     assert got == sorted(want) and got
+
+
+def test_multi_match_routes_to_fielded_scorer(spark, index_dir, corpus_path):
+    """multi_match routes to textstats.multi_match with parsed ^boosts
+    and identical results; best_fields is the default type (the
+    OpenSearch contract); an unknown type raises loudly."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.datapipe.textstats import multi_match as mm
+
+    docs = spark.read.parquet(corpus_path).withColumn(
+        "doc_id", F.col("path")
+    )
+    mq = spark.createDataFrame(
+        [(0, "class python")], "query_id long, query string"
+    )
+    for mtype in ("most_fields", "best_fields"):
+        got = search(
+            spark, index_dir,
+            {"query": {"multi_match": {
+                "query": "class python",
+                "fields": ["content", "lang^3"],
+                "type": mtype,
+            }}, "size": 7},
+            corpus_path=corpus_path,
+        ).hits
+        want = mm(
+            docs, mq, {"content": 1.0, "lang": 3.0}, k=7, mode=mtype
+        )
+        r = _rows(got)
+        assert r == _rows(want) and len(r) == 7, mtype
+    # default type == best_fields
+    dflt = search(
+        spark, index_dir,
+        {"query": {"multi_match": {
+            "query": "class python", "fields": ["content", "lang^3"],
+        }}, "size": 7},
+        corpus_path=corpus_path,
+    ).hits
+    best = mm(docs, mq, {"content": 1.0, "lang": 3.0}, k=7,
+              mode="best_fields")
+    assert _rows(dflt) == _rows(best)
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, index_dir,
+            {"query": {"multi_match": {
+                "query": "x", "fields": ["content"], "type": "phrase",
+            }}},
+            corpus_path=corpus_path,
+        )
+    with pytest.raises(ValueError):
+        search(
+            spark, index_dir,
+            {"query": {"multi_match": {"query": "x", "fields": []}}},
+            corpus_path=corpus_path,
+        )
+
+
+def test_combined_fields_routes_to_bm25f(spark, corpus_path, tmp_path):
+    """combined_fields routes to the BM25F executor over a fielded
+    index — identical hits to a direct bm25f_topk call."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.index.bm25f import (
+        bm25f_topk,
+        build_fielded_index,
+    )
+    from data_prepper_spark.index.build import BuildConfig
+    from data_prepper_spark.tokenizer import tokenize_col
+
+    docs = spark.read.parquet(corpus_path).select(
+        F.col("path").alias("doc"),
+        F.col("content").alias("body"),
+        F.array_join(
+            F.slice(tokenize_col(F.col("content")), 1, 8), " "
+        ).alias("title"),
+    )
+    fidx = os.path.join(str(tmp_path), "fielded_index")
+    build_fielded_index(
+        spark, docs, fidx, key_col="doc",
+        field_cols={"body": "body", "title": "title"},
+        cfg=BuildConfig(n_buckets=4, hot_group_target=5000),
+    )
+    got = search(
+        spark, fidx,
+        {"query": {"combined_fields": {
+            "query": "class return",
+            "fields": ["title^2", "body"],
+        }}, "size": 5},
+    ).hits
+    want = bm25f_topk(
+        spark, fidx,
+        spark.createDataFrame(
+            [(0, "class return")], "query_id long, query string"
+        ),
+        weights={"title": 2.0, "body": 1.0}, k=5,
+    )
+    r = _rows(got)
+    assert r == _rows(want) and len(r) == 5
