@@ -1613,6 +1613,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         F.lit("c0").alias("commit"),
         F.col("lang"),
         F.col("n_chars"),
+        F.col("source"),
         F.col("text").alias("content"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
     )
@@ -2443,6 +2444,170 @@ def dsl_terms_subagg(spark, sf_dir):
         F.col("sum_chars").cast("long").alias("sum_chars"),
         F.col("max_chars").cast("long").alias("max_chars"),
     )
+
+
+def dsl_composite_aggs(spark, sf_dir):
+    """OpenSearch `composite` aggregation — the scalable bucket-EXPORT
+    aggregation (terms tops out at top-N; composite walks ALL key
+    combinations across requests): (lang, n_chars-bucket) composite
+    keys of the match set in key order, resumed from an exclusive
+    `after` key, with an avg metric sub-agg folded into the same
+    grouped pass (index/aggs.py::composite_aggregate). Physical shape:
+    one groupBy + TakeOrderedAndProject; the after-key is a key-range
+    predicate applied BEFORE the order+limit — deep pages prune, they
+    never skip offset rows. The oracle recomputes match + bucketing +
+    the composite tuple comparison off the documents table."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "comp": {
+                    "composite": {
+                        "size": 6,
+                        "sources": [
+                            {"lang": {"terms": {"field": "lang"}}},
+                            {"bucket": {"histogram": {
+                                "field": "n_chars", "interval": 200,
+                            }}},
+                        ],
+                        "after": {"lang": "en", "bucket": 0.0},
+                    },
+                    "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    return res.aggregations["comp"].select(
+        "query_id",
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        "doc_count",
+        F.round(F.col("avg_chars"), 6).alias("avg_chars"),
+    )
+
+
+def dsl_nested_terms(spark, sf_dir):
+    """Two-level nested `terms` buckets (lang -> source) with a leaf
+    avg metric — the drill-down dashboard body. index/aggs.py::
+    nested_terms_facet computes BOTH levels and the metric in ONE
+    grouped aggregation on (query_id, lang, source); parent totals
+    and both rank orders (doc_count desc, key asc per level) are
+    window functions over that single exchange. The oracle recomputes
+    match + both levels with the same window algebra."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang", "size": 4},
+                    "aggs": {
+                        "by_src": {
+                            "terms": {"field": "source", "size": 3},
+                            "aggs": {
+                                "avg_chars": {"avg": {"field": "n_chars"}},
+                            },
+                        },
+                    },
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    return res.aggregations["by_lang"].select(
+        "query_id", "parent_rank", "parent_facet", "parent_count",
+        "child_rank", "child_facet", "child_count",
+        F.round(F.col("avg_chars"), 6).alias("avg_chars"),
+    )
+
+
+def dsl_pipeline_aggs(spark, sf_dir):
+    """Pipeline aggregations: histogram buckets carrying a folded avg
+    metric plus `cumulative_sum` (running doc_count) and `derivative`
+    (bucket-over-bucket avg delta) computed as window algebra over the
+    bucket frame, and sibling `avg_bucket` / `max_bucket` pipelines
+    re-aggregating the parent's buckets (index/aggs.py::
+    bucket_pipeline / sibling_bucket_metric — zero extra scans; the
+    windows run over an aggregation-sized frame, not documents).
+    Long-format output (agg, key, val); the first bucket has no
+    derivative (the OpenSearch contract) so its row is omitted. The
+    oracle recomputes everything with DuckDB window functions."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "hist": {
+                    "histogram": {"field": "n_chars", "interval": 200},
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                        "cum": {"cumulative_sum": {
+                            "buckets_path": "_count",
+                        }},
+                        "deriv": {"derivative": {
+                            "buckets_path": "avg_chars",
+                        }},
+                    },
+                },
+                "avg_count": {"avg_bucket": {
+                    "buckets_path": "hist>_count",
+                }},
+                "max_avg": {"max_bucket": {
+                    "buckets_path": "hist>avg_chars",
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    hist = res.aggregations["hist"]
+    key = F.col("key").cast("long").cast("string")
+    parts = [
+        hist.select(
+            F.lit("count").alias("agg"), key.alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        hist.select(
+            F.lit("avg").alias("agg"), key.alias("key"),
+            F.round(F.col("avg_chars"), 6).alias("val"),
+        ),
+        hist.select(
+            F.lit("cum").alias("agg"), key.alias("key"),
+            F.col("cum").cast("double").alias("val"),
+        ),
+        hist.filter(F.col("deriv").isNotNull()).select(
+            F.lit("deriv").alias("agg"), key.alias("key"),
+            F.round(F.col("deriv"), 6).alias("val"),
+        ),
+        res.aggregations["avg_count"].select(
+            F.lit("avg_bucket").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("value"), 6).alias("val"),
+        ),
+        res.aggregations["max_avg"].select(
+            F.lit("max_bucket").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("value"), 6).alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def dsl_sort_page(spark, sf_dir):
@@ -4665,6 +4830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionization": sessionization,
         "inverted_index_stats": inverted_index_stats,
+        # -- round-5 second-half additions (never driver-checked) --
+        "dsl_composite_aggs": dsl_composite_aggs,
+        "dsl_nested_terms": dsl_nested_terms,
+        "dsl_pipeline_aggs": dsl_pipeline_aggs,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -7550,6 +7719,110 @@ ranked AS (
 SELECT query_id, bucket_rank, facet, doc_count,
        avg_chars, sum_chars, max_chars
 FROM ranked WHERE bucket_rank <= 10
+"""
+    sql["dsl_composite_aggs"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+buckets AS (
+  SELECT query_id, lang,
+         CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket,
+         count(*) AS doc_count,
+         round(avg(n_chars), 6) AS avg_chars
+  FROM matched GROUP BY 1, 2, 3
+)
+SELECT query_id, lang, bucket, doc_count, avg_chars
+FROM buckets
+WHERE lang > 'en' OR (lang = 'en' AND bucket > 0)
+ORDER BY query_id, lang, bucket
+LIMIT 6
+"""
+    sql["dsl_nested_terms"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, source, n_chars, unnest({tokenize_sql('text')})
+    AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.source,
+         tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+leaf AS (
+  SELECT query_id, lang AS parent_facet, source AS child_facet,
+         count(*) AS child_count,
+         round(avg(n_chars), 6) AS avg_chars
+  FROM matched GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT *, CAST(sum(child_count) OVER (
+    PARTITION BY query_id, parent_facet) AS BIGINT) AS parent_count
+  FROM leaf
+),
+r AS (
+  SELECT *,
+    dense_rank() OVER (PARTITION BY query_id
+                       ORDER BY parent_count DESC, parent_facet)
+      AS parent_rank,
+    row_number() OVER (PARTITION BY query_id, parent_facet
+                       ORDER BY child_count DESC, child_facet)
+      AS child_rank
+  FROM p
+)
+SELECT query_id, parent_rank, parent_facet, parent_count,
+       child_rank, child_facet, child_count, avg_chars
+FROM r WHERE parent_rank <= 4 AND child_rank <= 3
+"""
+    sql["dsl_pipeline_aggs"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+hist AS (
+  SELECT query_id, CAST(floor(n_chars / 200) * 200 AS BIGINT) AS k,
+         count(*) AS doc_count, avg(n_chars) AS avg_chars
+  FROM matched GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+    CAST(sum(doc_count) OVER (PARTITION BY query_id ORDER BY k)
+      AS BIGINT) AS cum,
+    avg_chars - lag(avg_chars) OVER (PARTITION BY query_id ORDER BY k)
+      AS deriv
+  FROM hist
+)
+SELECT 'count' AS agg, CAST(k AS VARCHAR) AS key,
+       CAST(doc_count AS DOUBLE) AS val FROM w
+UNION ALL
+SELECT 'avg', CAST(k AS VARCHAR), round(avg_chars, 6) FROM w
+UNION ALL
+SELECT 'cum', CAST(k AS VARCHAR), CAST(cum AS DOUBLE) FROM w
+UNION ALL
+SELECT 'deriv', CAST(k AS VARCHAR), round(deriv, 6) FROM w
+WHERE deriv IS NOT NULL
+UNION ALL
+SELECT 'avg_bucket', '*',
+       round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
+UNION ALL
+SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
 """
     sql["dsl_sort_page"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

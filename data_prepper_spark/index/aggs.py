@@ -1,0 +1,383 @@
+"""Bucket-composition aggregations: `composite` (after-key paginated
+full bucket export), two-level nested `terms`, histogram/date_histogram
+with metric sub-aggregations, and pipeline aggregations
+(cumulative_sum / derivative / sibling `*_bucket` / bucket_sort).
+
+These complete the aggregation surface a switching OpenSearch user
+sends after the basics (reference users point Data Prepper output at
+OpenSearch and query it — cf. the passthrough configuration in
+/root/reference/data-prepper-plugins/opensearch/src/main/java/org/
+opensearch/dataprepper/plugins/sink/opensearch/configuration/
+SearchConfiguration.java); the executors here follow the OpenSearch
+aggregation contracts:
+
+* `composite` is THE scalable aggregation: instead of top-N buckets
+  it enumerates ALL key combinations in composite-key order, `size`
+  per page, resuming from an `after` key — the documented way to
+  export every bucket of a high-cardinality field. The physical shape
+  is one grouped aggregation over the match set followed by a
+  TakeOrderedAndProject (orderBy + limit — never a global sort), so a
+  page costs one exchange regardless of corpus size, and pagination
+  is a key-range predicate that prunes map-side, not a deep offset.
+* nested `terms` buckets compute BOTH levels (and any metric
+  sub-aggregations at the leaf) in ONE grouped aggregation on
+  (query_id, outer, inner); parent totals and both rank orders are
+  window functions over that single exchange — N levels never cost N
+  scans.
+* pipeline aggregations are pure bucket-frame algebra: running-sum /
+  lag windows keyed by the bucket key (cumulative_sum, derivative),
+  one small re-aggregation for sibling metrics (avg_bucket & co.),
+  and a row_number filter for bucket_sort. They add zero scans.
+
+Every executor takes an optional pre-materialized `matched`
+(query_id, ord) frame so a body with several aggregations shares ONE
+match set (dsl.py builds and persists it once per body).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .query import _match_set, load_stats, query_terms
+
+_METRIC_FNS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "value_count": F.count,
+}
+
+
+def attributed_fields(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    fields: list,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, ord, *fields) over the full match set — the
+    multi-field generalization of query._attributed_match. Field
+    values come from the doc-values sidecar when it carries every
+    requested column (one ord-join; the corpus is never touched),
+    else one identity join against the corpus."""
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
+    fields = list(dict.fromkeys(fields))
+    try:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    except Exception:
+        dv = None
+    if dv is not None and set(fields) <= set(dv.columns):
+        return matched.join(dv.select("ord", *fields), "ord")
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "repo", "path", "commit"
+    )
+    attrs = spark.read.parquet(corpus_path).select(
+        "repo", "path", "commit", *fields
+    )
+    return matched.join(ident, "ord").join(attrs, ["repo", "path", "commit"])
+
+
+def histogram_key(col, interval=None, calendar_interval=None):
+    """The bucket-key expression histogram / date_histogram use:
+    floor(v / interval) * interval for numeric fields,
+    date_trunc(calendar_interval, v) rendered as OpenSearch's
+    key_as_string for date fields."""
+    if calendar_interval is not None:
+        unit = {
+            "minute": "minute", "1m": "minute",
+            "hour": "hour", "1h": "hour",
+            "day": "day", "1d": "day",
+            "week": "week", "1w": "week",
+            "month": "month", "1M": "month",
+            "quarter": "quarter", "1q": "quarter",
+            "year": "year", "1y": "year",
+        }.get(calendar_interval)
+        if unit is None:
+            raise NotImplementedError(
+                f"calendar_interval '{calendar_interval}'"
+            )
+        return F.date_format(
+            F.date_trunc(unit, col.cast("timestamp")),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        )
+    if interval is None or float(interval) <= 0:
+        raise ValueError("histogram needs a positive interval")
+    step = float(interval)
+    return F.floor(col.cast("double") / F.lit(step)) * F.lit(step)
+
+
+def composite_aggregate(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    sources: list,
+    size: int = 10,
+    after: dict | None = None,
+    metrics: list = (),
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """OpenSearch `composite` aggregation: enumerate ALL combinations
+    of the source keys present in the match set, in composite-key
+    order, paginated by an exclusive `after` key — the scalable
+    bucket-export aggregation (terms tops out at top-N; composite
+    walks every bucket across requests).
+
+    `sources` is a list of (name, kind, conf) with kind in
+    terms / histogram / date_histogram and conf carrying field /
+    interval / calendar_interval / order ("asc" default, "desc").
+    Rows with a NULL source key are excluded (missing_bucket=false,
+    the OpenSearch default). `metrics` is the terms_metric_facet
+    list: (out_col, kind, field) metric sub-aggregations folded into
+    the SAME grouped aggregation as doc_count.
+
+    Returns (query_id, <name...>, doc_count, *metric_cols), the first
+    `size` buckets strictly after `after` in composite order.
+
+    Scale shape: match ords -> one sidecar join -> one groupBy with
+    map-side combine -> TakeOrderedAndProject(size). The after-key
+    predicate is a plain column comparison applied BEFORE the
+    order+limit, so deep pages prune early instead of skipping
+    offset rows; no global sort ever materializes."""
+    fields = [c.get("field") for _, _, c in sources] + [
+        f for _, _, f in metrics
+    ]
+    attributed = attributed_fields(
+        spark, index_dir, corpus_path, queries, fields, matched=matched
+    )
+    key_cols = []
+    for name, kind, conf in sources:
+        v = F.col(conf["field"])
+        if kind == "terms":
+            key = v
+        elif kind in ("histogram", "date_histogram"):
+            key = histogram_key(
+                v,
+                interval=conf.get("interval"),
+                calendar_interval=conf.get("calendar_interval"),
+            )
+        else:
+            raise NotImplementedError(f"composite source '{kind}'")
+        key_cols.append((name, key, conf.get("order", "asc")))
+    keyed = attributed.select(
+        "query_id",
+        *[key.alias(name) for name, key, _ in key_cols],
+        *[F.col(f) for _, _, f in metrics],
+    )
+    for name, _, _ in key_cols:
+        keyed = keyed.filter(F.col(name).isNotNull())
+    buckets = keyed.groupBy(
+        "query_id", *[name for name, _, _ in key_cols]
+    ).agg(
+        F.count("*").alias("doc_count"),
+        *[_METRIC_FNS[kind](F.col(field)).alias(out)
+          for out, kind, field in metrics],
+    )
+    if after:
+        # strictly-greater-than-after in composite order: the standard
+        # tuple comparison unrolled per source direction
+        pred = F.lit(False)
+        eq_prefix = F.lit(True)
+        for name, _, order in key_cols:
+            a = F.lit(after[name])
+            gt = F.col(name) < a if order == "desc" else F.col(name) > a
+            pred = pred | (eq_prefix & gt)
+            eq_prefix = eq_prefix & (F.col(name) == a)
+        buckets = buckets.filter(pred)
+    order_cols = [
+        (F.desc(name) if order == "desc" else F.asc(name))
+        for name, _, order in key_cols
+    ]
+    return buckets.orderBy(F.asc("query_id"), *order_cols).limit(int(size))
+
+
+def nested_terms_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    outer_field: str,
+    inner_field: str,
+    metrics: list = (),
+    size_outer: int = 10,
+    size_inner: int = 10,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level nested `terms` buckets (terms -> terms -> optional
+    metric sub-aggregations) — the drill-down dashboard body. ONE
+    grouped aggregation on (query_id, outer, inner) computes the leaf
+    counts and every metric; parent doc_counts are a window sum over
+    the same exchange, and both rank orders (OpenSearch's
+    doc_count desc, key asc at each level) are window functions — two
+    levels never cost two scans.
+
+    Returns (query_id, parent_rank, parent_facet, parent_count,
+    child_rank, child_facet, child_count, *metric_cols), parents
+    limited to `size_outer`, children within each parent to
+    `size_inner`."""
+    attributed = attributed_fields(
+        spark, index_dir, corpus_path, queries,
+        [outer_field, inner_field] + [f for _, _, f in metrics],
+        matched=matched,
+    )
+    leaf = attributed.groupBy(
+        "query_id",
+        F.col(outer_field).alias("parent_facet"),
+        F.col(inner_field).alias("child_facet"),
+    ).agg(
+        F.count("*").alias("child_count"),
+        *[_METRIC_FNS[kind](F.col(field)).alias(out)
+          for out, kind, field in metrics],
+    )
+    w_parent = Window.partitionBy("query_id", "parent_facet")
+    leaf = leaf.withColumn(
+        "parent_count", F.sum("child_count").over(w_parent)
+    )
+    # all rows of one parent share (parent_count, parent_facet), so
+    # dense_rank over that ordering IS the parent's bucket rank
+    w_prank = Window.partitionBy("query_id").orderBy(
+        F.desc("parent_count"), F.asc("parent_facet")
+    )
+    w_crank = Window.partitionBy("query_id", "parent_facet").orderBy(
+        F.desc("child_count"), F.asc("child_facet")
+    )
+    return (
+        leaf.withColumn("parent_rank", F.dense_rank().over(w_prank))
+        .withColumn("child_rank", F.row_number().over(w_crank))
+        .filter(
+            (F.col("parent_rank") <= size_outer)
+            & (F.col("child_rank") <= size_inner)
+        )
+        .select(
+            "query_id", "parent_rank", "parent_facet", "parent_count",
+            "child_rank", "child_facet", "child_count",
+            *[out for out, _, _ in metrics],
+        )
+    )
+
+
+def histogram_metric_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    interval=None,
+    calendar_interval=None,
+    metrics: list = (),
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """histogram / date_histogram with metric sub-aggregations folded
+    into the one grouped aggregation that counts the buckets (the
+    time-series dashboard body: per-day buckets each carrying
+    avg/sum/... of a stored field). Sparse form (empty buckets
+    omitted, min_doc_count=1), keys ascending. Returns
+    (query_id, key, doc_count, *metric_cols)."""
+    attributed = attributed_fields(
+        spark, index_dir, corpus_path, queries,
+        [field] + [f for _, _, f in metrics], matched=matched,
+    )
+    key = histogram_key(
+        F.col(field), interval=interval, calendar_interval=calendar_interval
+    )
+    return (
+        attributed.withColumn("key", key)
+        .groupBy("query_id", "key")
+        .agg(
+            F.count("*").alias("doc_count"),
+            *[_METRIC_FNS[kind](F.col(f)).alias(out)
+              for out, kind, f in metrics],
+        )
+    )
+
+
+def bucket_pipeline(
+    buckets: DataFrame, key_col: str, specs: list
+) -> DataFrame:
+    """Parent pipeline aggregations over an ordered bucket frame
+    (histogram / date_histogram parents): `specs` is a list of
+    (out_col, kind, path_col) with kind in cumulative_sum /
+    derivative; `path_col` is "doc_count" for buckets_path=_count or
+    a metric column already on the frame. cumulative_sum is a
+    running-sum window, derivative a lag difference (first bucket
+    NULL, the OpenSearch contract). Bucket frames are
+    aggregation-sized, so the single-partition-per-query window is
+    bounded by bucket cardinality, not corpus size."""
+    w = Window.partitionBy("query_id").orderBy(F.asc(key_col))
+    out = buckets
+    for out_col, kind, path in specs:
+        if kind == "cumulative_sum":
+            out = out.withColumn(
+                out_col,
+                F.sum(path).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        elif kind == "derivative":
+            out = out.withColumn(
+                out_col, F.col(path) - F.lag(path).over(w)
+            )
+        else:
+            raise NotImplementedError(f"pipeline aggregation '{kind}'")
+    return out
+
+
+def sibling_bucket_metric(
+    buckets: DataFrame, kind: str, path_col: str
+) -> DataFrame:
+    """Sibling pipeline aggregations (avg_bucket / sum_bucket /
+    min_bucket / max_bucket / stats_bucket): one re-aggregation of the
+    parent's bucket frame. Returns (query_id, value) — or the 5-col
+    stats row for stats_bucket."""
+    g = buckets.groupBy("query_id")
+    v = F.col(path_col)
+    if kind == "stats_bucket":
+        return g.agg(
+            F.count(v).alias("n"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.sum(v).alias("sum_v"),
+            F.avg(v).alias("avg_v"),
+        )
+    fn = {
+        "avg_bucket": F.avg,
+        "sum_bucket": F.sum,
+        "min_bucket": F.min,
+        "max_bucket": F.max,
+    }.get(kind)
+    if fn is None:
+        raise NotImplementedError(f"sibling pipeline '{kind}'")
+    return g.agg(fn(v).alias("value"))
+
+
+def bucket_sort(
+    buckets: DataFrame, sort: list, size: int | None = None,
+    frm: int = 0,
+) -> DataFrame:
+    """`bucket_sort` pipeline: re-order the parent's buckets by bucket
+    values and truncate (sort + from + size on the bucket frame, not
+    on documents). `sort` is the OpenSearch list form
+    [{col: {"order": "desc"}}, ...]."""
+    order = []
+    for s in sort:
+        ((col, conf),) = s.items() if isinstance(s, dict) else ((s, {}),)
+        desc = (conf or {}).get("order", "asc") == "desc"
+        order.append(F.desc(col) if desc else F.asc(col))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    out = buckets.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") > int(frm)
+    )
+    if size is not None:
+        out = out.filter(F.col("__r") <= int(frm) + int(size))
+    return out.withColumn("bucket_order", F.col("__r")).drop("__r")

@@ -54,7 +54,20 @@ through the tree compiler, zero-count buckets emitted), missing
 shared by every aggregation in it; match_all + aggs = corpus-wide
 buckets). A `terms` aggregation may nest metric sub-aggregations
 (avg/sum/min/max/value_count, any mix of fields) — all folded into
-the one grouped aggregation that counts the buckets. A top-level
+the one grouped aggregation that counts the buckets — or ONE nested
+`terms` sub-aggregation (two-level drill-down buckets, leaf metrics
+allowed; still one grouped pass, aggs.nested_terms_facet).
+`histogram`/`date_histogram` take metric sub-aggs folded into the
+bucket groupBy plus pipeline sub-aggregations: `cumulative_sum` and
+`derivative` (window algebra over the bucket frame, buckets_path
+"_count" or a sibling metric) and `bucket_sort` (sort/from/size on
+buckets). `composite` (sources: terms/histogram/date_histogram, any
+mix, per-source asc/desc order) enumerates ALL key combinations in
+composite-key order with exclusive `after`-key pagination — the
+scalable bucket-export aggregation — and takes metric sub-aggs.
+Top-level sibling pipelines `avg_bucket`/`sum_bucket`/`min_bucket`/
+`max_bucket`/`stats_bucket` re-aggregate a parent's buckets via
+buckets_path "parent>metric" or "parent>_count". A top-level
 `suggest` block ({"<name>": {"text"|"prefix": ..., "term"|
 "completion": {...}}}) routes to the dictionary-only suggest
 executor and may appear with or without a query.
@@ -621,7 +634,21 @@ def search(
         # the postings scan / set algebra that produced them
         agg_matched = agg_matched.persist()
         q._deferred_unpersist.append(agg_matched)
+    # sibling pipeline aggregations reference a PARENT aggregation's
+    # bucket frame (buckets_path "parent>metric") — collect them now,
+    # compute them after the parents exist
+    _SIBLING_PIPES = {
+        "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+        "stats_bucket",
+    }
+    sibling_specs = {
+        name: aspec for name, aspec in agg_body.items()
+        if next(iter({k: v for k, v in aspec.items() if k != "aggs"}))
+        in _SIBLING_PIPES
+    }
     for name, aspec in agg_body.items():
+        if name in sibling_specs:
+            continue
         sub = dict(aspec)
         nested = sub.pop("aggs", None)
         ((akind, aconf),) = sub.items()
@@ -638,7 +665,100 @@ def search(
         if corpus_path is None:
             raise ValueError("aggs need corpus_path")
         _METRIC_SUBAGGS = {"avg", "sum", "min", "max", "value_count"}
-        if akind == "terms" and nested and all(
+
+        def _metric_list(nspec):
+            """nested metric sub-aggs -> terms_metric_facet's
+            (out_col, kind, field) list; raises on non-metrics."""
+            out = []
+            for nname, n in (nspec or {}).items():
+                ((nkind, nconf),) = n.items()
+                if nkind not in _METRIC_SUBAGGS:
+                    raise NotImplementedError(
+                        f"sub-aggregation '{nkind}' here (metric "
+                        "sub-aggs only: avg/sum/min/max/value_count)"
+                    )
+                out.append((nname, nkind, nconf["field"]))
+            return out
+
+        _inner_terms = None
+        if akind == "terms" and nested and len(nested) == 1:
+            _in, _ispec = next(iter(nested.items()))
+            _isub = {k: v for k, v in _ispec.items() if k != "aggs"}
+            if list(_isub) == ["terms"]:
+                _inner_terms = (_in, _isub["terms"], _ispec.get("aggs"))
+        if akind == "composite":
+            from . import aggs as agg_exec
+
+            srcs = []
+            for s in aconf["sources"]:
+                ((sname, sdef),) = s.items()
+                ((skind, sconf),) = sdef.items()
+                srcs.append((sname, skind, sconf))
+            aggs[name] = agg_exec.composite_aggregate(
+                spark, index_dir, corpus_path, mq,
+                sources=srcs,
+                size=int(aconf.get("size", 10)),
+                after=aconf.get("after"),
+                metrics=_metric_list(nested),
+                matched=agg_matched,
+            )
+        elif _inner_terms is not None:
+            # terms -> terms (-> metrics) two-level drill-down: ONE
+            # grouped aggregation computes both levels and the leaf
+            # metrics (aggs.nested_terms_facet)
+            from . import aggs as agg_exec
+
+            _iname, _iconf, _imetrics = _inner_terms
+            aggs[name] = agg_exec.nested_terms_facet(
+                spark, index_dir, corpus_path, mq,
+                outer_field=aconf["field"],
+                inner_field=_iconf["field"],
+                metrics=_metric_list(_imetrics),
+                size_outer=int(aconf.get("size", 10)),
+                size_inner=int(_iconf.get("size", 10)),
+                matched=agg_matched,
+            )
+        elif akind in ("histogram", "date_histogram") and nested:
+            # histogram with metric sub-aggs folded into the bucket
+            # groupBy, plus parent pipeline aggregations
+            # (cumulative_sum / derivative — window algebra over the
+            # bucket frame) and bucket_sort
+            from . import aggs as agg_exec
+
+            mets, pipes, bsort = [], [], None
+            for nname, n in nested.items():
+                ((nkind, nconf),) = n.items()
+                if nkind in _METRIC_SUBAGGS:
+                    mets.append((nname, nkind, nconf["field"]))
+                elif nkind in ("cumulative_sum", "derivative"):
+                    path = nconf["buckets_path"]
+                    path = "doc_count" if path == "_count" else path
+                    pipes.append((nname, nkind, path))
+                elif nkind == "bucket_sort":
+                    bsort = nconf
+                else:
+                    raise NotImplementedError(
+                        f"sub-aggregation '{nkind}' under {akind}"
+                    )
+            hist = agg_exec.histogram_metric_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                interval=aconf.get("interval"),
+                calendar_interval=aconf.get("calendar_interval"),
+                metrics=mets,
+                matched=agg_matched,
+            )
+            if pipes:
+                hist = agg_exec.bucket_pipeline(hist, "key", pipes)
+            if bsort is not None:
+                hist = agg_exec.bucket_sort(
+                    hist,
+                    sort=bsort.get("sort", [{"key": {"order": "asc"}}]),
+                    size=bsort.get("size"),
+                    frm=int(bsort.get("from", 0)),
+                )
+            aggs[name] = hist
+        elif akind == "terms" and nested and all(
             next(iter(n)) in _METRIC_SUBAGGS for n in nested.values()
         ):
             # terms bucket with nested metric sub-aggregations (the
@@ -800,6 +920,28 @@ def search(
             aggs[name] = out
         else:
             raise NotImplementedError(f"aggregation '{akind}'")
+
+    for name, aspec in sibling_specs.items():
+        # sibling pipelines re-aggregate an already-computed parent's
+        # bucket frame — one small groupBy, zero new scans
+        from . import aggs as agg_exec
+
+        ((skind, sconf),) = aspec.items()
+        parent, sep, col = sconf["buckets_path"].partition(">")
+        if not sep:
+            raise NotImplementedError(
+                f"sibling pipeline buckets_path '{sconf['buckets_path']}'"
+                " (needs 'parent>metric' or 'parent>_count')"
+            )
+        col = "doc_count" if col == "_count" else col
+        if parent not in aggs:
+            raise ValueError(
+                f"buckets_path parent '{parent}' is not an aggregation "
+                "in this body"
+            )
+        aggs[name] = agg_exec.sibling_bucket_metric(
+            aggs[parent], skind, col
+        )
 
     if "rescore" in body and hits is not None:
         # top-window rescoring (Lucene QueryRescorer, score_mode=total

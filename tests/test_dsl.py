@@ -308,6 +308,8 @@ def test_terms_metric_subaggs(spark, index_dir, corpus_path):
     assert all(r.max_path is not None for r in rows)
 
     with pytest.raises(NotImplementedError):
+        # a terms sub-agg MIXED with other sub-aggs is not the
+        # supported one-nested-terms shape — stays loud
         search(
             spark, index_dir,
             {
@@ -315,12 +317,240 @@ def test_terms_metric_subaggs(spark, index_dir, corpus_path):
                 "aggs": {
                     "x": {
                         "terms": {"field": "lang"},
-                        "aggs": {"inner": {"terms": {"field": "lang"}}},
+                        "aggs": {
+                            "inner": {"terms": {"field": "lang"}},
+                            "p": {"percentiles": {"field": "lang"}},
+                        },
                     },
                 },
             },
             corpus_path=corpus_path,
         )
+
+
+def test_nested_terms_two_levels(spark, index_dir, corpus_path):
+    """terms -> terms (-> metrics) drill-down: parent buckets agree
+    with the flat terms executor, child counts roll up exactly to the
+    parent count, and leaf metrics ride the same grouped pass."""
+    body = {
+        "query": {"match": {"content": "class"}},
+        "aggs": {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 5},
+                "aggs": {
+                    "by_repo": {
+                        "terms": {"field": "repo", "size": 100_000},
+                        "aggs": {
+                            "n": {"value_count": {"field": "path"}},
+                        },
+                    },
+                },
+            },
+        },
+    }
+    res = search(spark, index_dir, body, corpus_path=corpus_path)
+    got = res.aggregations["by_lang"]
+    assert got.columns == [
+        "query_id", "parent_rank", "parent_facet", "parent_count",
+        "child_rank", "child_facet", "child_count", "n",
+    ]
+    rows = got.collect()
+    assert rows
+    # leaf metric value_count of a never-null field == child_count
+    assert all(r.n == r.child_count for r in rows)
+    # children roll up to the parent total (inner size covers all)
+    from collections import defaultdict
+
+    roll = defaultdict(int)
+    parent_total = {}
+    for r in rows:
+        roll[r.parent_facet] += r.child_count
+        parent_total[r.parent_facet] = r.parent_count
+    assert roll == parent_total
+    # parent (rank, facet, count) == the flat terms executor
+    mq = spark.createDataFrame(
+        [(0, "class")], "query_id long, query string"
+    )
+    flat = {
+        (r.bucket_rank, r.facet, r.doc_count)
+        for r in q.faceted_search(
+            spark, index_dir, corpus_path, mq, "lang", n_buckets_out=5
+        ).collect()
+    }
+    assert {
+        (r.parent_rank, r.parent_facet, r.parent_count) for r in rows
+    } == flat
+
+
+def test_composite_pagination(spark, index_dir, corpus_path):
+    """composite: full enumeration equals the grouped truth, pages
+    tile it exactly (exclusive after-key), desc source order flips
+    the walk, and metric sub-aggs ride along."""
+    def comp(size, after=None, order="asc"):
+        c = {
+            "size": size,
+            "sources": [
+                {"lang": {"terms": {"field": "lang", "order": order}}},
+                {"repo": {"terms": {"field": "repo"}}},
+            ],
+        }
+        if after:
+            c["after"] = after
+        return search(
+            spark, index_dir,
+            {
+                "query": {"match": {"content": "class"}},
+                "aggs": {
+                    "comp": {
+                        "composite": c,
+                        "aggs": {
+                            "n": {"value_count": {"field": "path"}},
+                        },
+                    }
+                },
+            },
+            corpus_path=corpus_path,
+        ).aggregations["comp"]
+
+    full = comp(10_000).collect()
+    assert full and all(r.n == r.doc_count for r in full)
+    keys = [(r.lang, r.repo) for r in full]
+    assert keys == sorted(keys)  # composite-key order
+    # the enumeration IS the grouped truth (vs the nested-terms pass)
+    from data_prepper_spark.index.aggs import nested_terms_facet
+
+    mq = spark.createDataFrame(
+        [(0, "class")], "query_id long, query string"
+    )
+    truth = {
+        (r.parent_facet, r.child_facet): r.child_count
+        for r in nested_terms_facet(
+            spark, index_dir, corpus_path, mq, "lang", "repo",
+            size_outer=10_000, size_inner=10_000,
+        ).collect()
+    }
+    assert {(r.lang, r.repo): r.doc_count for r in full} == truth
+    # pages tile the enumeration: size-2 pages, after = last key
+    pages, after = [], None
+    for _ in range(len(full) // 2 + 2):
+        page = comp(2, after=after).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = {"lang": page[-1].lang, "repo": page[-1].repo}
+    assert [(r.lang, r.repo, r.doc_count) for r in pages] == [
+        (r.lang, r.repo, r.doc_count) for r in full
+    ]
+    # desc on the first source reverses the lang walk
+    d = comp(10_000, order="desc").collect()
+    assert [(r.lang, r.repo) for r in d] == sorted(
+        keys, key=lambda t: (_desc_key(t[0]), t[1])
+    )
+
+
+def _desc_key(s):
+    """sort key that inverts string order (for the desc check)."""
+    return tuple(-ord(c) for c in s)
+
+
+def test_histogram_pipeline_and_siblings(spark, index_dir, corpus_path):
+    """histogram with metric sub-aggs + cumulative_sum + derivative
+    (window algebra over the bucket frame), sibling *_bucket
+    re-aggregations, and bucket_sort truncation."""
+    body = {
+        "query": {"match": {"content": "class"}},
+        "aggs": {
+            "hist": {
+                "histogram": {"field": "path_len", "interval": 4},
+                "aggs": {
+                    "avg_len": {"avg": {"field": "path_len"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                    "deriv": {"derivative": {"buckets_path": "avg_len"}},
+                },
+            },
+            "avg_count": {"avg_bucket": {"buckets_path": "hist>_count"}},
+            "stats": {"stats_bucket": {"buckets_path": "hist>_count"}},
+        },
+    }
+    from data_prepper_spark.index.query import attach_doc_values
+    from pyspark.sql import functions as F
+
+    # a numeric doc-values column to bucket on
+    ident = spark.read.parquet(os.path.join(index_dir, "docs"))
+    corpus = spark.read.parquet(corpus_path).withColumn(
+        "path_len", F.length("path")
+    )
+    tmp = corpus_path + "_plen"
+    corpus.write.mode("overwrite").parquet(tmp)
+    attach_doc_values(spark, index_dir, tmp, cols=("lang", "path_len"))
+    try:
+        res = search(spark, index_dir, body, corpus_path=tmp)
+        hist = res.aggregations["hist"].orderBy("key").collect()
+        assert len(hist) >= 2
+        run = 0
+        prev_avg = None
+        for i, r in enumerate(hist):
+            run += r.doc_count
+            assert r.cum == run
+            if i == 0:
+                assert r.deriv is None  # first bucket: no derivative
+            else:
+                assert abs(r.deriv - (r.avg_len - prev_avg)) < 1e-9
+            prev_avg = r.avg_len
+        counts = [r.doc_count for r in hist]
+        (avg_row,) = res.aggregations["avg_count"].collect()
+        assert abs(avg_row.value - sum(counts) / len(counts)) < 1e-9
+        (st,) = res.aggregations["stats"].collect()
+        assert (st.n, st.min_v, st.max_v, st.sum_v) == (
+            len(counts), min(counts), max(counts), sum(counts)
+        )
+        # bucket_sort: top-2 buckets by doc_count desc
+        body2 = {
+            "query": {"match": {"content": "class"}},
+            "aggs": {
+                "hist": {
+                    "histogram": {"field": "path_len", "interval": 4},
+                    "aggs": {
+                        "top2": {
+                            "bucket_sort": {
+                                "sort": [{"doc_count": {"order": "desc"}}],
+                                "size": 2,
+                            }
+                        },
+                    },
+                },
+            },
+        }
+        top2 = search(
+            spark, index_dir, body2, corpus_path=tmp
+        ).aggregations["hist"].orderBy("bucket_order").collect()
+        want = sorted(counts, reverse=True)[:2]
+        assert [r.doc_count for r in top2] == want
+        with pytest.raises(NotImplementedError):
+            search(
+                spark, index_dir,
+                {
+                    "query": {"match": {"content": "class"}},
+                    "aggs": {
+                        "hist": {
+                            "histogram": {
+                                "field": "path_len", "interval": 4
+                            },
+                            "aggs": {
+                                "x": {
+                                    "moving_fn": {
+                                        "buckets_path": "_count"
+                                    }
+                                },
+                            },
+                        },
+                    },
+                },
+                corpus_path=tmp,
+            )
+    finally:
+        # restore the module-scoped doc-values sidecar other tests use
+        attach_doc_values(spark, index_dir, corpus_path, cols=("lang",))
 
 
 def test_sort_and_from_pagination(spark, index_dir, corpus_path):
