@@ -2989,6 +2989,38 @@ def phrase_positional_engine(spark, sf_dir):
     )
 
 
+def dsl_span_near(spark, sf_dir):
+    """Lucene span queries over the positions sidecar
+    (index/positions.py::span_near_topk, routed from the DSL's
+    span_near/span_term/span_first clauses): one position picked per
+    span_term clause, match iff some pick's width (interleaving
+    positions) <= slop, ordered when in_order. Hits rank
+    tightest-span-first. Query 0 is ordered (data .. merge, slop 6),
+    query 1 unordered ({merge, data} within slop 3). The oracle
+    recomputes minimal widths from raw token positions with
+    generate_subscripts."""
+    from data_prepper_spark import fsio
+    from data_prepper_spark.index.positions import build_positions, span_near_topk
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    if not fsio.isdir(f"{idx}/positions"):
+        build_positions(spark, cpath, idx)
+    tie = F.col("path").cast("long")
+    a = span_near_topk(
+        spark, idx, ["data", "merge"], slop=6, in_order=True,
+        k=1_000_000, query_id=0, tie_expr=tie,
+    )
+    b = span_near_topk(
+        spark, idx, ["merge", "data"], slop=3, in_order=False,
+        k=1_000_000, query_id=1, tie_expr=tie,
+    )
+    return a.unionByName(b).select(
+        "query_id", "rank",
+        F.col("path").cast("long").alias("doc_id"),
+        "min_width",
+    )
+
+
 def extended_stats_engine(spark, sf_dir):
     """extended_stats aggregation (opensearch-api) over the FULL
     match set via the doc-values sidecar
@@ -4834,6 +4866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
         "dsl_pipeline_aggs": dsl_pipeline_aggs,
+        "dsl_span_near": dsl_span_near,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -7823,6 +7856,33 @@ SELECT 'avg_bucket', '*',
        round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
 UNION ALL
 SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
+"""
+    sql["dsl_span_near"] = f"""
+WITH base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+  FROM base
+),
+d AS (SELECT doc_id, p FROM pos WHERE tok = 'data'),
+m AS (SELECT doc_id, p FROM pos WHERE tok = 'merge'),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, d.doc_id,
+         CAST(min(m.p - d.p - 1) AS INT) AS min_width
+  FROM d JOIN m USING (doc_id) WHERE m.p > d.p
+  GROUP BY 2 HAVING min(m.p - d.p - 1) <= 6
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, d.doc_id,
+         CAST(min(abs(m.p - d.p) - 1) AS INT) AS min_width
+  FROM d JOIN m USING (doc_id)
+  GROUP BY 2 HAVING min(abs(m.p - d.p) - 1) <= 3
+),
+u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY min_width, doc_id) AS rank,
+       doc_id, min_width
+FROM u
 """
     sql["dsl_sort_page"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

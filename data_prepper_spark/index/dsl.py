@@ -35,7 +35,9 @@ BM25, type=best_fields max / most_fields sum — needs `corpus_path`
 with the field columns), combined_fields (BM25F: weighted tf folded
 before saturation, one combined idf — `index_dir` must be a FIELDED
 index from bm25f.build_fielded_index) —
-simple_query_string, more_like_this), `size`, `from` (score-ordered
+simple_query_string, more_like_this, span_term / span_near (slop,
+in_order, span_term sub-clauses) / span_first (end-bounded) over the
+positions sidecar — tightest-span-first ranking), `size`, `from` (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
 is materialized once, sidecar-joined, and paged with absolute ranks;
@@ -320,6 +322,55 @@ def search(
             k=k,
             max_expansions=int(opts.get("max_expansions", 50)),
         )
+    elif kind in ("span_near", "span_term", "span_first"):
+        # span family over the positions sidecar: span_term values
+        # are TERM-level (not analyzed — the OpenSearch contract);
+        # hits rank tightest-span-first (positions.span_near_topk)
+        from .positions import span_near_topk
+
+        def _span_terms(clause):
+            ((ck, cs),) = clause.items()
+            if ck != "span_term":
+                raise NotImplementedError(
+                    f"span sub-clause '{ck}' (span_term only)"
+                )
+            t, _ = _field_arg(cs)
+            return str(t)
+
+        if kind == "span_term":
+            t, _ = _field_arg(spec)
+            hits = span_near_topk(
+                spark, index_dir, [str(t)], slop=0, k=k,
+                query_id=query_id,
+            )
+        elif kind == "span_near":
+            if not spec.get("clauses"):
+                raise ValueError("span_near needs non-empty clauses")
+            hits = span_near_topk(
+                spark, index_dir,
+                [_span_terms(c) for c in spec["clauses"]],
+                slop=int(spec.get("slop", 0)),
+                in_order=bool(spec.get("in_order", True)),
+                k=k, query_id=query_id,
+            )
+        else:  # span_first: {"match": <span clause>, "end": N}
+            inner = spec["match"]
+            ((ik, ispec),) = inner.items()
+            if ik == "span_term":
+                t, _ = _field_arg(ispec)
+                cl, sl, io = [str(t)], 0, True
+            elif ik == "span_near":
+                cl = [_span_terms(c) for c in ispec["clauses"]]
+                sl = int(ispec.get("slop", 0))
+                io = bool(ispec.get("in_order", True))
+            else:
+                raise NotImplementedError(
+                    f"span_first match '{ik}' (span_term/span_near)"
+                )
+            hits = span_near_topk(
+                spark, index_dir, cl, slop=sl, in_order=io, k=k,
+                query_id=query_id, max_end=int(spec["end"]),
+            )
     elif kind in ("prefix", "fuzzy", "wildcard", "regexp"):
         text, opts = _field_arg(spec)
         hits = q.expanded_search(

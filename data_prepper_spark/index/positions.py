@@ -465,6 +465,168 @@ def sloppy_phrase_topk(
     )
 
 
+def _span_stats_udf(slop: int, in_order: bool, max_end: int | None):
+    """(ti, positions) rows -> (min_width, freq) per candidate doc
+    under Lucene span-near semantics with unit-length (span_term)
+    sub-spans: a match picks one position per clause; its WIDTH is
+    (last - first) - (n_clauses - 1) — the number of interleaving
+    positions — and the doc matches iff some pick has width <= slop.
+
+    in_order=True requires strictly increasing positions in clause
+    order; the per-start minimal chain is greedy (smallest next
+    position — provably width-minimal for a fixed start), so min
+    width is the minimum over start positions. in_order=False is a
+    smallest-covering-window two-pointer over the merged (position,
+    clause) items (the NearSpansUnordered shape). freq counts
+    left-to-right non-overlapping matches within the slop budget.
+    `max_end` (span_first) additionally requires the match span to
+    end at position <= max_end (exclusive-end convention, 0-based).
+
+    Divergence from Lucene, documented: with DUPLICATE clause terms
+    the unordered scan may let two clauses share one physical
+    position (Lucene forbids overlapping sub-spans); distinct terms
+    are unaffected (one term occupies one position per slot)."""
+    import bisect
+
+    @F.pandas_udf("min_width int, freq int")
+    def fn(arrs: pd.Series) -> pd.DataFrame:
+        out_w, out_f = [], []
+        for arr in arrs:
+            by_ti = {
+                int(e["ti"]): sorted(int(p) for p in e["positions"])
+                for e in arr
+            }
+            n = len(by_ti)
+            lists = [by_ti[i] for i in range(n)]
+            min_w = None
+            freq = 0
+            if in_order:
+                last_end = -1
+                for p1 in lists[0]:
+                    prev = p1
+                    ok = True
+                    for li in range(1, n):
+                        j = bisect.bisect_right(lists[li], prev)
+                        if j == len(lists[li]):
+                            ok = False
+                            break
+                        prev = lists[li][j]
+                    if not ok:
+                        break  # larger starts can only fail too
+                    if max_end is not None and prev + 1 > max_end:
+                        continue
+                    w = prev - p1 - (n - 1)
+                    if min_w is None or w < min_w:
+                        min_w = w
+                    if w <= slop and p1 > last_end:
+                        freq += 1
+                        last_end = prev
+            else:
+                items = sorted(
+                    (p, ti) for ti, ps in by_ti.items() for p in ps
+                )
+                counts: dict = {}
+                have = 0
+                left = 0
+                last_r = -1
+                for r, (a, t) in enumerate(items):
+                    counts[t] = counts.get(t, 0) + 1
+                    if counts[t] == 1:
+                        have += 1
+                    while have == n:
+                        if max_end is None or a + 1 <= max_end:
+                            w = a - items[left][0] - (n - 1)
+                            if min_w is None or w < min_w:
+                                min_w = w
+                            if w <= slop and left > last_r:
+                                freq += 1
+                                last_r = r
+                        lt = items[left][1]
+                        counts[lt] -= 1
+                        if counts[lt] == 0:
+                            have -= 1
+                        left += 1
+            out_w.append(min_w)
+            out_f.append(freq)
+        return pd.DataFrame({"min_width": out_w, "freq": out_f})
+
+    return fn
+
+
+def span_near_topk(
+    spark: SparkSession,
+    index_dir: str,
+    clauses: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    query_id: int = 0,
+    max_end: int | None = None,
+    tie_expr=None,
+) -> DataFrame:
+    """Lucene span_near over the positions sidecar: `clauses` are
+    span_term values (TERM-level — span_term is not analyzed, the
+    OpenSearch contract), one position picked per clause, match iff
+    some pick's width (interleaving positions between first and last)
+    is <= `slop`, ordered when `in_order`. `max_end` adds the
+    span_first constraint (match span must end at <= max_end).
+
+    Ranks hits by (min_width asc, doc_id asc) — tightest span first —
+    and returns (query_id, rank, doc_id, min_width, span_freq, repo,
+    path, commit) with span_freq the non-overlapping match count.
+
+    Physical shape mirrors sloppy_phrase_topk: term-IN pushdown on
+    the positions scan, counted join keeps only docs holding ALL
+    clause terms, then ONE Arrow-batched scan per surviving doc over
+    its already-grouped position lists — no corpus I/O, no extra
+    shuffle beyond the candidate groupBy. index_dir may be a LIST of
+    delta dirs (see _dirs)."""
+    dirs = _dirs(index_dir)
+    q = spark.createDataFrame(
+        [(int(query_id), i, t) for i, t in enumerate(clauses)],
+        "query_id long, ti int, term string",
+    )
+    n = len(clauses)
+    pos = _read_positions(spark, dirs).filter(
+        F.col("term").isin(list(set(clauses)))
+    )
+    j = q.join(pos, "term").select("query_id", "ti", "doc_id", "positions")
+    grouped = (
+        j.groupBy("query_id", "doc_id")
+        .agg(
+            F.count_distinct("ti").alias("_nt"),
+            F.array_sort(
+                F.collect_list(F.struct("ti", "positions"))
+            ).alias("_arr"),
+        )
+        .filter(F.col("_nt") == F.lit(n))
+    )
+    st = _span_stats_udf(slop, in_order, max_end)(F.col("_arr"))
+    scored = (
+        grouped.withColumn("_st", st)
+        .withColumn("min_width", F.col("_st")["min_width"])
+        .withColumn("span_freq", F.col("_st")["freq"])
+        .filter(
+            F.col("min_width").isNotNull()
+            & (F.col("min_width") <= F.lit(slop))
+        )
+    )
+    ident = _read_ident(spark, dirs)
+    out = _anti_tombstones_docids(spark, dirs, scored).join(ident, "doc_id")
+    tie = F.col("doc_id") if tie_expr is None else tie_expr
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("min_width"), F.asc(tie)
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "min_width", "span_freq",
+            "repo", "path", "commit",
+        )
+    )
+
+
 def position_delta_dirs(index_root: str) -> list[str]:
     """The delta tree's positional view: every delta=* under
     index_root, each required to carry a positions sidecar (a mixed

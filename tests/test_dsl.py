@@ -195,7 +195,12 @@ def test_search_after_and_errors(spark, index_dir):
     seen = {r["doc_id"] for r in first[: ci + 1]}
     assert page2 and all(r["doc_id"] not in seen for r in page2)
 
-    with pytest.raises(NotImplementedError, match="span_near"):
+    with pytest.raises(NotImplementedError, match="intervals"):
+        search(
+            spark, index_dir,
+            {"query": {"intervals": {"content": {}}}},
+        )
+    with pytest.raises(ValueError, match="span_near"):
         search(
             spark, index_dir,
             {"query": {"span_near": {"clauses": []}}},
@@ -890,3 +895,100 @@ def test_combined_fields_routes_to_bm25f(spark, corpus_path, tmp_path):
     )
     r = _rows(got)
     assert r == _rows(want) and len(r) == 5
+
+
+def test_span_queries(spark, index_dir, corpus_path, corpus_pdf):
+    """span_term / span_near / span_first over the positions sidecar:
+    widths agree with a brute-force itertools check on the raw token
+    streams, in_order flips matter, span_first bounds the span end,
+    and non-span_term sub-clauses stay loud."""
+    import itertools
+
+    import pandas as pd
+
+    from data_prepper_spark.index.positions import build_positions
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        build_positions(spark, corpus_path, index_dir)
+    toks = tokenize_series(corpus_pdf.content)
+    ident = {
+        (r.repo, r.path, r.commit): i
+        for i, r in enumerate(corpus_pdf.itertuples())
+    }
+
+    def brute(clauses, slop, in_order, max_end=None):
+        out = {}
+        for i, tk in enumerate(toks):
+            pos = [
+                [p for p, t in enumerate(tk) if t == c] for c in clauses
+            ]
+            if any(not v for v in pos):
+                continue
+            best = None
+            for pick in itertools.product(*pos):
+                if in_order and any(
+                    pick[j + 1] <= pick[j] for j in range(len(pick) - 1)
+                ):
+                    continue
+                if max_end is not None and max(pick) + 1 > max_end:
+                    continue
+                w = max(pick) - min(pick) - (len(pick) - 1)
+                if best is None or w < best:
+                    best = w
+            if best is not None and best <= slop:
+                out[i] = best
+        return out
+
+    # pick three terms present in doc 0 with gaps
+    t0 = toks.iloc[0]
+    c3 = [t0[2], t0[5], t0[9]]
+    for clauses, slop, in_order in [
+        (c3, 6, True),
+        (c3[::-1], 6, False),
+        ([t0[2], t0[5]], 3, True),
+    ]:
+        body = {
+            "query": {"span_near": {
+                "clauses": [
+                    {"span_term": {"content": c}} for c in clauses
+                ],
+                "slop": slop,
+                "in_order": in_order,
+            }},
+            "size": 100_000,
+        }
+        hits = search(spark, index_dir, body).hits.collect()
+        got = {
+            ident[(r.repo, r.path, r.commit)]: r.min_width for r in hits
+        }
+        assert got == brute(clauses, slop, in_order), (clauses, in_order)
+
+    # span_term == tf>0 docs, width always 0
+    st = search(
+        spark, index_dir,
+        {"query": {"span_term": {"content": t0[2]}}, "size": 100_000},
+    ).hits.collect()
+    assert st and all(r.min_width == 0 for r in st)
+    assert {ident[(r.repo, r.path, r.commit)] for r in st} == set(
+        brute([t0[2]], 0, True)
+    )
+
+    # span_first: end bound enforced
+    sf = search(
+        spark, index_dir,
+        {"query": {"span_first": {
+            "match": {"span_term": {"content": t0[2]}}, "end": 3,
+        }}, "size": 100_000},
+    ).hits.collect()
+    assert {
+        ident[(r.repo, r.path, r.commit)] for r in sf
+    } == set(brute([t0[2]], 0, True, max_end=3))
+
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, index_dir,
+            {"query": {"span_near": {"clauses": [
+                {"span_or": {"clauses": []}},
+            ], "slop": 0}}},
+        )
