@@ -3021,6 +3021,29 @@ def dsl_span_near(spark, sf_dir):
     )
 
 
+BOOL_PREFIX_QUERIES = ["data mer", "qu"]
+
+
+def dsl_bool_prefix(spark, sf_dir):
+    """match_bool_prefix (Lucene MatchBoolPrefixQuery — type-ahead
+    WITHOUT phrase adjacency; index/query.py::bool_prefix_search):
+    full tokens are disjunctive should-terms, the last token expands
+    as a prefix against the term dictionary (dictionary order, cap
+    50), one term_id-deduped postings scan scores the union as a BM25
+    bag. The oracle reproduces the expansion (same cap + order) and
+    the scoring; k=50 fetched and re-ranked by (score desc, original
+    doc_id) for internal-ordinal tie independence (same device as
+    bm25_indexed_engine)."""
+    from data_prepper_spark.index.query import bool_prefix_search
+
+    _, idx = _docs_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BOOL_PREFIX_QUERIES)],
+        "query_id long, query string",
+    )
+    return _rerank_engine_results(bool_prefix_search(spark, idx, q, k=50))
+
+
 def extended_stats_engine(spark, sf_dir):
     """extended_stats aggregation (opensearch-api) over the FULL
     match set via the doc-values sidecar
@@ -4867,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested_terms": dsl_nested_terms,
         "dsl_pipeline_aggs": dsl_pipeline_aggs,
         "dsl_span_near": dsl_span_near,
+        "dsl_bool_prefix": dsl_bool_prefix,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -7856,6 +7880,64 @@ SELECT 'avg_bucket', '*',
        round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
 UNION ALL
 SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
+"""
+    _bp_vals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')"
+        for i, t in enumerate(BOOL_PREFIX_QUERIES)
+    )
+    sql["dsl_bool_prefix"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (VALUES {_bp_vals}),
+qtok AS (SELECT query_id, {tokenize_sql('query')} AS ts FROM qraw),
+parsed AS (
+  SELECT query_id, list_slice(ts, 1, len(ts) - 1) AS full_toks,
+         list_extract(ts, len(ts)) AS prefix
+  FROM qtok WHERE len(ts) > 0
+),
+fullt AS (
+  SELECT DISTINCT query_id, unnest(full_toks) AS term FROM parsed
+),
+expt AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY d.term) AS rn
+    FROM parsed p JOIN dfreq d
+      ON d.term LIKE p.prefix || '%'
+  ) WHERE rn <= 50
+),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT * FROM fullt UNION ALL SELECT * FROM expt
+  )
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM qterms q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score FROM scored
+        GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM tot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
     sql["dsl_span_near"] = f"""
 WITH base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),

@@ -11,7 +11,9 @@ front: every clause maps to the SAME oracle-verified executors
 search_after), so the compiler adds routing, not new semantics.
 
 Supported body keys: `query` (match, match_all, term, match_phrase
-[+slop], match_phrase_prefix (search-as-you-type: last token
+[+slop], match_bool_prefix (type-ahead without adjacency: full tokens
+as disjunctive should-terms + capped prefix expansion, one deduped
+postings scan), match_phrase_prefix (search-as-you-type: last token
 prefix-expanded in term-dictionary order, adjacency verified),
 prefix, fuzzy, wildcard, regexp (anchored whole-term match, Lucene
 RegexpQuery's Java-compatible subset; the literal prefix blocks the
@@ -312,6 +314,14 @@ def search(
             hits = sloppy_phrase_topk(
                 spark, index_dir, ph, k=k, slop=slop
             )
+    elif kind == "match_bool_prefix":
+        text, opts = _field_arg(spec)
+        hits = q.bool_prefix_search(
+            spark, index_dir,
+            qdf("query_id long, query string", (query_id, str(text))),
+            k=k,
+            max_expansions=int(opts.get("max_expansions", 50)),
+        )
     elif kind == "match_phrase_prefix":
         text, opts = _field_arg(spec)
         if corpus_path is None:

@@ -538,6 +538,94 @@ def phrase_prefix_search(
     )
 
 
+def bool_prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """match_bool_prefix (Lucene MatchBoolPrefixQuery — the
+    type-ahead cousin of match_phrase_prefix WITHOUT the adjacency
+    requirement): every analyzed token except the last is a
+    disjunctive (should) term; the LAST token is a prefix expanded
+    against the term dictionary (dictionary order, `max_expansions`
+    cap — Lucene's cap). A doc matches when it holds ANY full term or
+    ANY expansion term; score = Σ BM25 partials over every matched
+    term (documented divergence from Lucene's blended multi-term
+    expansion weighting — same contract as phrase_prefix_search's
+    scoring, so the two type-ahead clauses rank consistently).
+
+    ONE bucket-pruned postings scan: full terms and capped expansion
+    terms merge into a single per-query term set (term_id-deduped —
+    a full token that also matches the prefix scores once), then the
+    standard exhaustive decode + sum + rank. No corpus I/O.
+
+    queries: (query_id long, query string). Returns
+    (query_id, rank, doc_id, score, repo, path, commit)."""
+    stats = load_stats(index_dir)
+    n_docs = stats["n_docs"]
+    parsed = []  # (query_id, full_tokens, prefix)
+    for r in queries.collect():  # request-sized
+        toks = analyze_query_py(stats, r["query"])
+        if toks:
+            parsed.append((int(r["query_id"]), toks[:-1], toks[-1]))
+    empty_sch = (
+        "query_id long, rank int, doc_id long, score double, "
+        "repo string, path string, commit string"
+    )
+    if not parsed:
+        return spark.createDataFrame([], empty_sch)
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    pats = spark.createDataFrame(
+        [(q, p) for q, _f, p in parsed], "query_id long, pattern string"
+    )
+    matched = _blocked_dictionary_match(
+        terms, pats, pats.collect(), "prefix"
+    )
+    wexp = Window.partitionBy("query_id").orderBy(F.asc("term"))
+    exp_qt = (
+        matched.withColumn("_x", F.row_number().over(wexp))
+        .filter(F.col("_x") <= max_expansions)
+        .withColumn("idf", _idf_col(n_docs))
+        .select("query_id", "term_id", "idf", "bucket")
+    )
+    full_rows = [(q, t) for q, f, _p in parsed for t in dict.fromkeys(f)]
+    if full_rows:
+        full_qt = (
+            spark.createDataFrame(
+                full_rows, "query_id long, term string"
+            )
+            .join(terms, "term")
+            .withColumn("idf", _idf_col(n_docs))
+            .select("query_id", "term_id", "idf", "bucket")
+        )
+        qt = exp_qt.unionByName(full_qt).dropDuplicates(
+            ["query_id", "term_id"]
+        )
+    else:
+        qt = exp_qt
+    post = _pruned_postings(spark, index_dir, qt)
+    decoder = _make_decoder(stats["k1"], stats["b"], stats["avgdl"])
+    scored = (
+        post.join(
+            F.broadcast(qt.select("query_id", "term_id", "idf")), "term_id"
+        )
+        .select("query_id", "idf", "docs", "tfs", "dls")
+        .mapInPandas(
+            decoder, schema="query_id long, doc_id long, partial double"
+        )
+    )
+    scored = _anti_tombstones(spark, index_dir, scored)
+    ranked = _ranked(scored, k).withColumnRenamed("doc_id", "ord")
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    return ident.join(F.broadcast(ranked), "ord").select(
+        "query_id", "rank", "doc_id", "score", "repo", "path", "commit"
+    )
+
+
 def boolean_search(
     spark: SparkSession,
     index_dir: str,

@@ -992,3 +992,41 @@ def test_span_queries(spark, index_dir, corpus_path, corpus_pdf):
                 {"span_or": {"clauses": []}},
             ], "slop": 0}}},
         )
+
+
+def test_match_bool_prefix(spark, index_dir, corpus_pdf):
+    """match_bool_prefix routes to bool_prefix_search; disjunctive
+    type-ahead semantics: every doc matching the full first token
+    matches (no adjacency), and results are a superset of the
+    corresponding match_phrase_prefix match set."""
+    import pandas as pd
+
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toks = tokenize_series(pd.Series([corpus_pdf.iloc[0].content])).iloc[0]
+    text = f"{toks[3]} {toks[7][:3]}"
+    body = {
+        "query": {"match_bool_prefix": {"content": text}},
+        "size": 100_000,
+    }
+    got = search(spark, index_dir, body).hits
+    want = q.bool_prefix_search(
+        spark, index_dir,
+        spark.createDataFrame(
+            [(0, text)], "query_id long, query string"
+        ),
+        k=100_000,
+    )
+    r = _rows(got)
+    assert r == _rows(want) and r
+    # no adjacency: every doc containing the full token matches
+    full_only = q.topk(
+        spark, index_dir,
+        spark.createDataFrame(
+            [(0, toks[3])], "query_id long, query string"
+        ),
+        k=100_000,
+    )
+    assert {x["doc_id"] for x in full_only.collect()} <= {
+        x["doc_id"] for x in got.collect()
+    }
