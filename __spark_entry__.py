@@ -3021,6 +3021,73 @@ def dsl_span_near(spark, sf_dir):
     )
 
 
+def dsl_global_agg(spark, sf_dir):
+    """`global` aggregation: sub-aggregations over the WHOLE live
+    corpus alongside query-scoped ones in the same body (index/dsl.py
+    compiles the global bucket as a match_all sub-body through the
+    identical executors). Long-format output tags each bucket row
+    with its scope; the oracle recomputes the corpus-wide and
+    match-scoped lang buckets independently."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "scoped": {"terms": {"field": "lang", "size": 10}},
+                "all": {
+                    "global": {},
+                    "aggs": {
+                        "by_lang": {"terms": {"field": "lang", "size": 10}},
+                    },
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    scoped = res.aggregations["scoped"].select(
+        F.lit("scoped").alias("scope"), "bucket_rank", "facet", "doc_count"
+    )
+    gl = res.aggregations["all.by_lang"].select(
+        F.lit("global").alias("scope"), "bucket_rank", "facet", "doc_count"
+    )
+    return scoped.unionByName(gl)
+
+
+def dsl_sliced_scroll(spark, sf_dir):
+    """Sliced scroll (OpenSearch `slice: {id, max}`): the query's
+    FULL unscored match set exported as 4 deterministic, disjoint,
+    complete shards keyed by pmod(xxhash64(doc_id), 4) — each slice
+    an INDEPENDENT job, the way a 10^12-doc export parallelizes with
+    no deep-pagination state (index/query.py::sliced_scan; the slice
+    predicate lands before the identity join, so per-slice join
+    traffic is 1/max). The entry unions all 4 slices; exact multiset
+    equality against the oracle's plain match set proves
+    disjointness AND completeness at once."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    out = None
+    for sid in range(4):
+        hits = dsl_search(
+            spark, idx,
+            {
+                "query": {"match": {"content": "data merge"}},
+                "slice": {"id": sid, "max": 4},
+            },
+            corpus_path=cpath,
+        ).hits.select(
+            "query_id",
+            F.col("path").cast("long").alias("doc_id"),
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
 BOOL_PREFIX_QUERIES = ["data mer", "qu"]
 
 
@@ -4891,6 +4958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_pipeline_aggs": dsl_pipeline_aggs,
         "dsl_span_near": dsl_span_near,
         "dsl_bool_prefix": dsl_bool_prefix,
+        "dsl_global_agg": dsl_global_agg,
+        "dsl_sliced_scroll": dsl_sliced_scroll,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -7880,6 +7949,44 @@ SELECT 'avg_bucket', '*',
        round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
 UNION ALL
 SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
+"""
+    sql["dsl_global_agg"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang
+  FROM q JOIN tok USING (term)
+),
+scoped AS (
+  SELECT 'scoped' AS scope, lang AS facet, count(*) AS doc_count
+  FROM matched GROUP BY 2
+),
+gall AS (
+  SELECT 'global' AS scope, lang AS facet, count(*) AS doc_count
+  FROM documents GROUP BY 2
+),
+u AS (SELECT * FROM scoped UNION ALL SELECT * FROM gall)
+SELECT scope,
+       row_number() OVER (PARTITION BY scope
+                          ORDER BY doc_count DESC, facet) AS bucket_rank,
+       facet, doc_count
+FROM u
+QUALIFY bucket_rank <= 10
+"""
+    sql["dsl_sliced_scroll"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+)
+SELECT DISTINCT q.query_id, tok.doc_id
+FROM q JOIN tok USING (term)
 """
     _bp_vals = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')"

@@ -71,7 +71,12 @@ composite-key order with exclusive `after`-key pagination — the
 scalable bucket-export aggregation — and takes metric sub-aggs.
 Top-level sibling pipelines `avg_bucket`/`sum_bucket`/`min_bucket`/
 `max_bucket`/`stats_bucket` re-aggregate a parent's buckets via
-buckets_path "parent>metric" or "parent>_count". A top-level
+buckets_path "parent>metric" or "parent>_count". `global` buckets
+compute sub-aggregations over the whole live corpus alongside
+query-scoped ones (results surface as "<name>.<sub>"). A top-level
+`slice` ({"id": i, "max": m}) replaces hits with a deterministic,
+disjoint, complete 1/m shard of the FULL unscored match set keyed by
+pmod(xxhash64(doc_id), m) — the parallel-export device. A top-level
 `suggest` block ({"<name>": {"text"|"prefix": ..., "term"|
 "completion": {...}}}) routes to the dictionary-only suggest
 executor and may appear with or without a query.
@@ -612,7 +617,15 @@ def search(
 
     if match_text is not None and hits is None:
         mq = qdf("query_id long, query string", (query_id, match_text))
-        if "search_after" in body:
+        if "slice" in body:
+            # sliced scroll: a deterministic 1/max shard of the FULL
+            # unscored match set — the parallel-export device
+            sl = body["slice"]
+            hits = q.sliced_scan(
+                spark, index_dir, mq,
+                slice_id=int(sl["id"]), slice_max=int(sl["max"]),
+            )
+        elif "search_after" in body:
             score, doc = body["search_after"]
             hits = q.topk_after(
                 spark,
@@ -747,7 +760,22 @@ def search(
             _isub = {k: v for k, v in _ispec.items() if k != "aggs"}
             if list(_isub) == ["terms"]:
                 _inner_terms = (_in, _isub["terms"], _ispec.get("aggs"))
-        if akind == "composite":
+        if akind == "global":
+            # global bucket: sub-aggregations computed over the WHOLE
+            # live corpus regardless of the body's query — compiled as
+            # a match_all sub-body (the executors and the one-shared-
+            # match-set machinery are identical); results surface as
+            # "<name>.<sub-name>"
+            if not nested:
+                raise ValueError("global agg needs sub-aggregations")
+            subres = search(
+                spark, index_dir,
+                {"query": {"match_all": {}}, "aggs": nested},
+                corpus_path=corpus_path, query_id=query_id,
+            )
+            for sn, sdf in subres.aggregations.items():
+                aggs[f"{name}.{sn}"] = sdf
+        elif akind == "composite":
             from . import aggs as agg_exec
 
             srcs = []

@@ -1186,6 +1186,46 @@ def match_all_ords(
     return _anti_tombstones(spark, index_dir, ords, col="ord")
 
 
+def sliced_scan(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    slice_id: int,
+    slice_max: int,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """Sliced-scroll analog (OpenSearch `slice: {id, max}` on a
+    scroll): a deterministic 1/max shard of a query's FULL match set,
+    keyed by pmod(xxhash64(doc_id), max) — the device that lets a
+    10^12-doc export run as `max` INDEPENDENT jobs with no
+    coordination and no deep-pagination state. Slices are disjoint
+    and complete by construction (a doc's slice is a pure function of
+    its id), and stable across parallelism/reruns.
+
+    queries: (query_id, query) — or pass a pre-materialized `matched`
+    (query_id, ord) frame (bool trees). Returns the UNSCORED rows
+    (query_id, doc_id, repo, path, commit) of this slice. The slice
+    predicate applies right after the ids-only match set, BEFORE the
+    identity join, so each slice's join traffic is 1/max of the
+    export."""
+    if not (0 <= int(slice_id) < int(slice_max)):
+        raise ValueError("slice needs 0 <= id < max")
+    if matched is None:
+        stats = load_stats(index_dir)
+        qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        matched = _match_set(spark, index_dir, qt)
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    sliced = matched.join(ident, "ord").filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(int(slice_max)))
+        == F.lit(int(slice_id))
+    )
+    return sliced.select("query_id", "doc_id", "repo", "path", "commit")
+
+
 def _facet_counts(
     spark: SparkSession,
     index_dir: str,

@@ -1030,3 +1030,60 @@ def test_match_bool_prefix(spark, index_dir, corpus_pdf):
     assert {x["doc_id"] for x in full_only.collect()} <= {
         x["doc_id"] for x in got.collect()
     }
+
+
+def test_global_agg_and_sliced_scroll(spark, index_dir, corpus_path):
+    """global bucket == match_all-scoped sub-aggs regardless of the
+    body's query; slices are disjoint, complete, and stable."""
+    body = {
+        "query": {"match": {"content": "class"}},
+        "aggs": {
+            "all": {
+                "global": {},
+                "aggs": {"by_lang": {"terms": {"field": "lang"}}},
+            },
+        },
+    }
+    res = search(spark, index_dir, body, corpus_path=corpus_path)
+    got = res.aggregations["all.by_lang"]
+    want = search(
+        spark, index_dir,
+        {"query": {"match_all": {}},
+         "aggs": {"by_lang": {"terms": {"field": "lang"}}}},
+        corpus_path=corpus_path,
+    ).aggregations["by_lang"]
+    assert _rows(got) == _rows(want) and _rows(got)
+
+    full = {
+        r["doc_id"]
+        for r in search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}}, "size": 100_000},
+        ).hits.collect()
+    }
+    parts = []
+    for sid in range(3):
+        s = search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}},
+             "slice": {"id": sid, "max": 3}},
+        ).hits.collect()
+        parts.append({r["doc_id"] for r in s})
+    assert set().union(*parts) == full
+    assert sum(len(p) for p in parts) == len(full)  # disjoint
+    # stable: rerun slice 0 and get the same shard
+    again = {
+        r["doc_id"]
+        for r in search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}},
+             "slice": {"id": 0, "max": 3}},
+        ).hits.collect()
+    }
+    assert again == parts[0]
+    with pytest.raises(ValueError, match="slice"):
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}},
+             "slice": {"id": 3, "max": 3}},
+        )
