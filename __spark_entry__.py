@@ -3088,6 +3088,42 @@ def dsl_sliced_scroll(spark, sf_dir):
     return out
 
 
+def dsl_terms_order(spark, sf_dir):
+    """terms-agg `order` by a METRIC sub-aggregation (the sorted
+    dashboard body: buckets ranked by avg field value, not doc_count
+    — query.terms_metric_facet's order knob; the ordering is the rank
+    window's sort, so it costs nothing beyond the one grouped pass).
+    The oracle recomputes buckets and ranks by the same unrounded
+    metric with the facet-asc tie-break."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "by_lang": {
+                    "terms": {
+                        "field": "lang", "size": 10,
+                        "order": {"avg_chars": "desc"},
+                    },
+                    "aggs": {
+                        "avg_chars": {"avg": {"field": "n_chars"}},
+                    },
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    return res.aggregations["by_lang"].select(
+        "query_id", "bucket_rank", "facet", "doc_count",
+        F.round(F.col("avg_chars"), 6).alias("avg_chars"),
+    )
+
+
 BOOL_PREFIX_QUERIES = ["data mer", "qu"]
 
 
@@ -4960,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool_prefix": dsl_bool_prefix,
         "dsl_global_agg": dsl_global_agg,
         "dsl_sliced_scroll": dsl_sliced_scroll,
+        "dsl_terms_order": dsl_terms_order,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -7987,6 +8024,33 @@ tok AS (
 )
 SELECT DISTINCT q.query_id, tok.doc_id
 FROM q JOIN tok USING (term)
+"""
+    sql["dsl_terms_order"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+fac AS (
+  SELECT query_id, lang AS facet, count(*) AS doc_count,
+         avg(n_chars) AS avg_raw
+  FROM matched GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY avg_raw DESC, facet)
+         AS bucket_rank
+  FROM fac
+)
+SELECT query_id, bucket_rank, facet, doc_count,
+       round(avg_raw, 6) AS avg_chars
+FROM ranked WHERE bucket_rank <= 10
 """
     _bp_vals = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')"

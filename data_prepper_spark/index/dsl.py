@@ -39,7 +39,10 @@ before saturation, one combined idf — `index_dir` must be a FIELDED
 index from bm25f.build_fielded_index) —
 simple_query_string, more_like_this, span_term / span_near (slop,
 in_order, span_term sub-clauses) / span_first (end-bounded) over the
-positions sidecar — tightest-span-first ranking), `size`, `from` (score-ordered
+positions sidecar — tightest-span-first ranking, intervals (`match`
+rule: analyzed terms, max_gaps default unlimited, ordered flag —
+routed to the same span executor)), `size`, `from`. Terms
+aggregations take `order` ({_count|_key|<metric>: asc|desc}) (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
 is materialized once, sidecar-joined, and paged with absolute ranks;
@@ -137,6 +140,18 @@ def _clause_text(clause: dict) -> str:
         f"bool sub-clause '{kind}' (supported: match, term, "
         "match_phrase-as-terms)"
     )
+
+
+def _terms_order(aconf: dict):
+    """terms-agg `order` ({"_count"|"_key"|<metric>: "asc"|"desc"})
+    -> (key, direction) or None for the default."""
+    o = aconf.get("order")
+    if o is None:
+        return None
+    ((k, d),) = o.items()
+    if d not in ("asc", "desc"):
+        raise ValueError(f"terms order direction '{d}'")
+    return (k, d)
 
 
 def _is_flat_bool(spec: dict, dv_cols: set) -> bool:
@@ -386,6 +401,32 @@ def search(
                 spark, index_dir, cl, slop=sl, in_order=io, k=k,
                 query_id=query_id, max_end=int(spec["end"]),
             )
+    elif kind == "intervals":
+        # intervals `match` rule (Lucene IntervalsSource.match): the
+        # query text ANALYZES to terms; a doc matches when a minimal
+        # interval holds all terms with <= max_gaps interleaving
+        # positions (default unlimited), in order when ordered=true —
+        # exactly the span executor's width contract, so it routes
+        # there with analyzed clauses
+        from .positions import span_near_topk
+        from .query import analyze_query_py, load_stats
+
+        ((_ifield, rule),) = spec.items()
+        ((rk, rconf),) = rule.items()
+        if rk != "match":
+            raise NotImplementedError(
+                f"intervals rule '{rk}' (match only)"
+            )
+        toks = analyze_query_py(load_stats(index_dir), rconf["query"])
+        if not toks:
+            raise ValueError("intervals match needs query text")
+        gaps = int(rconf.get("max_gaps", -1))
+        hits = span_near_topk(
+            spark, index_dir, toks,
+            slop=(2**31 - 1) if gaps < 0 else gaps,
+            in_order=bool(rconf.get("ordered", False)),
+            k=k, query_id=query_id,
+        )
     elif kind in ("prefix", "fuzzy", "wildcard", "regexp"):
         text, opts = _field_arg(spec)
         hits = q.expanded_search(
@@ -852,7 +893,8 @@ def search(
         ):
             # terms bucket with nested metric sub-aggregations (the
             # dashboard body): every metric folds into the ONE grouped
-            # aggregation that computes the bucket counts
+            # aggregation that computes the bucket counts; `order` may
+            # name _count/_key or any metric sub-agg
             aggs[name] = q.terms_metric_facet(
                 spark, index_dir, corpus_path, mq,
                 group_field=aconf["field"],
@@ -862,6 +904,7 @@ def search(
                 ],
                 n_buckets_out=int(aconf.get("size", 10)),
                 matched=agg_matched,
+                order=_terms_order(aconf),
             )
         elif akind == "terms" and nested and any(
             "top_hits" in n for n in nested.values()
@@ -882,6 +925,17 @@ def search(
             raise NotImplementedError(
                 "terms sub-aggregations other than metric aggs "
                 "(avg/sum/min/max/value_count) or top_hits"
+            )
+        elif akind == "terms" and aconf.get("order"):
+            # non-default bucket order (_key, or _count asc): same
+            # one-groupBy executor, no metrics folded
+            aggs[name] = q.terms_metric_facet(
+                spark, index_dir, corpus_path, mq,
+                group_field=aconf["field"],
+                metrics=[],
+                n_buckets_out=int(aconf.get("size", 10)),
+                matched=agg_matched,
+                order=_terms_order(aconf),
             )
         elif akind == "terms":
             aggs[name] = q.faceted_search(

@@ -1387,6 +1387,7 @@ def terms_metric_facet(
     metrics: list,
     n_buckets_out: int = 10,
     matched: DataFrame | None = None,
+    order: tuple | None = None,
 ) -> DataFrame:
     """Terms aggregation with nested METRIC sub-aggregations — the
     standard dashboard `_search` body the reference stack's users
@@ -1407,6 +1408,13 @@ def terms_metric_facet(
     the corpus. Returns (query_id, bucket_rank, facet, doc_count,
     *out_cols), buckets ordered (doc_count desc, facet asc), top
     `n_buckets_out`.
+
+    `order` is the OpenSearch terms-order knob as (key, direction):
+    ("_count", "desc") — the default — ("_key", "asc"/"desc"), or a
+    metric out_col name (order buckets by a sub-aggregation value,
+    the sorted-dashboard body). Ordering is the rank window's sort,
+    so it costs nothing extra; ties always break on the facet key
+    ascending for determinism.
 
     Scale shape: match ords (ids only, bucket-pruned postings scan)
     -> one sidecar join -> one groupBy with map-side combine -> a
@@ -1450,9 +1458,16 @@ def terms_metric_facet(
         *[aggfn[kind](F.col(field)).alias(out)
           for out, kind, field in metrics],
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("doc_count"), F.asc("facet")
-    )
+    okey, odir = order or ("_count", "desc")
+    ocol = {"_count": "doc_count", "_key": "facet"}.get(okey, okey)
+    if ocol not in ("doc_count", "facet") and ocol not in {
+        out for out, _, _ in metrics
+    }:
+        raise ValueError(
+            f"terms order key '{okey}' is not _count/_key or a metric"
+        )
+    lead = F.desc(ocol) if odir == "desc" else F.asc(ocol)
+    w = Window.partitionBy("query_id").orderBy(lead, F.asc("facet"))
     return (
         fac.withColumn("bucket_rank", F.row_number().over(w))
         .filter(F.col("bucket_rank") <= n_buckets_out)

@@ -198,7 +198,7 @@ def test_search_after_and_errors(spark, index_dir):
     with pytest.raises(NotImplementedError, match="intervals"):
         search(
             spark, index_dir,
-            {"query": {"intervals": {"content": {}}}},
+            {"query": {"intervals": {"content": {"fuzzy": {}}}}},
         )
     with pytest.raises(ValueError, match="span_near"):
         search(
@@ -1087,3 +1087,75 @@ def test_global_agg_and_sliced_scroll(spark, index_dir, corpus_path):
             {"query": {"match": {"content": "class"}},
              "slice": {"id": 3, "max": 3}},
         )
+
+
+def test_terms_order_and_intervals(spark, index_dir, corpus_path, corpus_pdf):
+    """terms `order` by _key / _count asc / a metric sub-agg reorders
+    the rank window; intervals `match` rule routes to the span
+    executor with ANALYZED tokens."""
+    def buckets(order=None, metrics=False):
+        t = {"field": "lang", "size": 10}
+        if order:
+            t["order"] = order
+        a = {"terms": t}
+        if metrics:
+            a["aggs"] = {"n_paths": {"value_count": {"field": "path"}}}
+        res = search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}}, "aggs": {"x": a}},
+            corpus_path=corpus_path,
+        )
+        return res.aggregations["x"].orderBy("bucket_rank").collect()
+
+    default = buckets()
+    bykey = buckets(order={"_key": "asc"})
+    assert {r.facet for r in bykey} == {r.facet for r in default}
+    assert [r.facet for r in bykey] == sorted(r.facet for r in bykey)
+    casc = buckets(order={"_count": "asc"})
+    assert [r.doc_count for r in casc] == sorted(
+        r.doc_count for r in casc
+    )
+    bymetric = buckets(order={"n_paths": "desc"}, metrics=True)
+    assert [r.n_paths for r in bymetric] == sorted(
+        (r.n_paths for r in bymetric), reverse=True
+    )
+    with pytest.raises(ValueError, match="order"):
+        buckets(order={"nope": "desc"}, metrics=True)
+
+    # intervals match == span_near with analyzed clauses
+    from data_prepper_spark.index.positions import (
+        build_positions,
+        span_near_topk,
+    )
+    from data_prepper_spark.index.query import analyze_query_py, load_stats
+
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        build_positions(spark, corpus_path, index_dir)
+
+    import pandas as pd
+
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    t0 = tokenize_series(pd.Series([corpus_pdf.iloc[0].content])).iloc[0]
+    # two terms 4 positions apart in doc 0 -> width 3 <= max_gaps 5,
+    # so the interval provably matches at least one doc
+    text = f"{t0[0]} {t0[4]}"
+    got = search(
+        spark, index_dir,
+        {"query": {"intervals": {"content": {"match": {
+            "query": text, "max_gaps": 5, "ordered": True,
+        }}}}, "size": 100},
+    ).hits
+    toks = analyze_query_py(load_stats(index_dir), text)
+    want = span_near_topk(
+        spark, index_dir, toks, slop=5, in_order=True, k=100
+    )
+    assert _rows(got) == _rows(want) and _rows(got)
+    # unlimited gaps: every doc holding all terms matches
+    unl = search(
+        spark, index_dir,
+        {"query": {"intervals": {"content": {"match": {
+            "query": text,
+        }}}}, "size": 100_000},
+    ).hits
+    assert unl.count() >= got.count()
