@@ -3124,6 +3124,41 @@ def dsl_terms_order(spark, sf_dir):
     )
 
 
+def dsl_count_mget(spark, sf_dir):
+    """_count and _mget API facades (index/dsl.py::count / mget):
+    _count is the ids-only match set folded to one number (no
+    ranking, no hit materialization — tree-compilable queries and
+    match_all); _mget answers EVERY requested identity in one
+    broadcast join, misses as found=false (the OpenSearch contract).
+    Long-format output; the oracle recomputes counts and membership
+    off the documents table."""
+    from data_prepper_spark.index.dsl import count as dsl_count
+    from data_prepper_spark.index.dsl import mget as dsl_mget
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    c_match = dsl_count(
+        spark, idx, {"query": {"match": {"content": "data merge"}}},
+        corpus_path=cpath,
+    ).select(
+        F.lit("count_match").alias("api"), F.lit("").alias("key"),
+        F.col("count").cast("double").alias("val"),
+    )
+    c_all = dsl_count(spark, idx).select(
+        F.lit("count_all").alias("api"), F.lit("").alias("key"),
+        F.col("count").cast("double").alias("val"),
+    )
+    mg = dsl_mget(
+        spark, idx,
+        [("docs", "3", "c0"), ("docs", "5", "c0"),
+         ("docs", "99999", "c0")],
+        corpus_path=cpath,
+    ).select(
+        F.lit("mget").alias("api"), F.col("path").alias("key"),
+        F.col("found").cast("double").alias("val"),
+    )
+    return c_match.unionByName(c_all).unionByName(mg)
+
+
 BOOL_PREFIX_QUERIES = ["data mer", "qu"]
 
 
@@ -4997,6 +5032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_global_agg": dsl_global_agg,
         "dsl_sliced_scroll": dsl_sliced_scroll,
         "dsl_terms_order": dsl_terms_order,
+        "dsl_count_mget": dsl_count_mget,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8051,6 +8087,24 @@ ranked AS (
 SELECT query_id, bucket_rank, facet, doc_count,
        round(avg_raw, 6) AS avg_chars
 FROM ranked WHERE bucket_rank <= 10
+"""
+    sql["dsl_count_mget"] = f"""
+WITH q AS (SELECT DISTINCT unnest({tokenize_sql("'data merge'")}) AS term),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+matched AS (SELECT DISTINCT tok.doc_id FROM q JOIN tok USING (term))
+SELECT 'count_match' AS api, '' AS key,
+       CAST((SELECT count(*) FROM matched) AS DOUBLE) AS val
+UNION ALL
+SELECT 'count_all', '',
+       CAST((SELECT count(*) FROM documents) AS DOUBLE)
+UNION ALL
+SELECT 'mget', r.key,
+       CAST(EXISTS (SELECT 1 FROM documents d
+                    WHERE CAST(d.doc_id AS VARCHAR) = r.key)
+            AS DOUBLE)
+FROM (SELECT unnest(['3', '5', '99999']) AS key) r
 """
     _bp_vals = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')"

@@ -41,8 +41,7 @@ simple_query_string, more_like_this, span_term / span_near (slop,
 in_order, span_term sub-clauses) / span_first (end-bounded) over the
 positions sidecar — tightest-span-first ranking, intervals (`match`
 rule: analyzed terms, max_gaps default unlimited, ordered flag —
-routed to the same span executor)), `size`, `from`. Terms
-aggregations take `order` ({_count|_key|<metric>: asc|desc}) (score-ordered
+routed to the same span executor)), `size`, `from` (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
 is materialized once, sidecar-joined, and paged with absolute ranks;
@@ -59,7 +58,9 @@ through the tree compiler, zero-count buckets emitted), missing
 (doc-values NULL count)) under ANY query with a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
-buckets). A `terms` aggregation may nest metric sub-aggregations
+buckets). A `terms` aggregation takes `order`
+({_count|_key|<metric>: asc|desc}) and may nest metric
+sub-aggregations
 (avg/sum/min/max/value_count, any mix of fields) — all folded into
 the one grouped aggregation that counts the buckets — or ONE nested
 `terms` sub-aggregation (two-level drill-down buckets, leaf metrics
@@ -1191,3 +1192,72 @@ def msearch(
         search(spark, index_dir, b, corpus_path=corpus_path, query_id=i)
         for i, b in enumerate(bodies)
     ]
+
+
+def count(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict | None = None,
+    corpus_path: str | None = None,
+    query_id: int = 0,
+) -> DataFrame:
+    """_count API analog: the number of live docs matching ANY
+    tree-compilable query (no ranking, no k, no hit materialization
+    — the ids-only match set feeds one count). An absent/empty body
+    counts every live doc (match_all). Returns (query_id, count)."""
+    from .booltree import bool_tree_match
+
+    qspec = (body or {}).get("query") or {"match_all": {}}
+    m = bool_tree_match(spark, index_dir, qspec, corpus_path)
+    return m.agg(F.count("*").alias("count")).select(
+        F.lit(int(query_id)).cast("long").alias("query_id"), "count"
+    )
+
+
+def mget(
+    spark: SparkSession,
+    index_dir: str,
+    idents: list,
+    corpus_path: str | None = None,
+) -> DataFrame:
+    """_mget analog: fetch docs by identity (repo, path, commit)
+    triples in ONE broadcast semi-join against the docs table —
+    misses come back as found=false rows (the OpenSearch _mget
+    contract: every requested id answers). Tombstoned docs answer
+    found=false (deleted). With `corpus_path`, found rows also carry
+    the stored content sha256 for end-to-end identity checks.
+    Returns (repo, path, commit, found, doc_id[, content_sha256])."""
+    import os as _os
+
+    from . import query as q
+
+    req = spark.createDataFrame(
+        [(str(r), str(p), str(c)) for r, p, c in idents],
+        "repo string, path string, commit string",
+    )
+    docs = spark.read.parquet(_os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    ts = q._tombstone_ords(spark, index_dir)
+    if ts is not None:
+        docs = docs.join(ts, "ord", "left_anti")
+    hit = docs.join(F.broadcast(req), ["repo", "path", "commit"])
+    out = req.join(
+        hit.select("repo", "path", "commit", "doc_id"),
+        ["repo", "path", "commit"], "left",
+    ).select(
+        "repo", "path", "commit",
+        F.col("doc_id").isNotNull().alias("found"),
+        "doc_id",
+    )
+    if corpus_path is not None:
+        corpus = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", "content_sha256"
+        )
+        out = out.join(corpus, ["repo", "path", "commit"], "left").select(
+            "repo", "path", "commit", "found", "doc_id",
+            F.when(F.col("found"), F.col("content_sha256")).alias(
+                "content_sha256"
+            ),
+        )
+    return out
