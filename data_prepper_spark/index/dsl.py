@@ -103,10 +103,12 @@ class DSLResult:
         hits: DataFrame | None,
         aggregations: dict,
         suggest: dict | None = None,
+        explanation: DataFrame | None = None,
     ):
         self.hits = hits
         self.aggregations = aggregations
         self.suggest = suggest or {}
+        self.explanation = explanation
 
 
 def _field_arg(spec):
@@ -1175,7 +1177,26 @@ def search(
             size=int((sconf or {}).get("size", 3)),
         )
 
-    return DSLResult(hits, aggs, sugg)
+    explanation = None
+    if body.get("explain") and hits is not None:
+        # explain=true: per-(hit, matching-term) BM25 breakdown — tf,
+        # df, idf, saturation, contribution (query.explain_score; the
+        # contributions sum to each hit's score). Only score-shaped
+        # hit frames (rank/score/doc_id) explain; envelopes stay loud.
+        if not {"doc_id", "score"} <= set(hits.columns) or (
+            match_text is None
+        ):
+            raise NotImplementedError(
+                "explain on this result shape (match/term score "
+                "queries only)"
+            )
+        explanation = q.explain_score(
+            spark, index_dir,
+            qdf("query_id long, query string", (query_id, match_text)),
+            hits=hits.select("query_id", "doc_id"),
+        )
+
+    return DSLResult(hits, aggs, sugg, explanation=explanation)
 
 
 def msearch(

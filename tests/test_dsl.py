@@ -1159,3 +1159,30 @@ def test_terms_order_and_intervals(spark, index_dir, corpus_path, corpus_pdf):
         }}}}, "size": 100_000},
     ).hits
     assert unl.count() >= got.count()
+
+
+def test_explain_flag(spark, index_dir, corpus_path):
+    """explain=true attaches the per-term BM25 breakdown; term
+    contributions sum to each hit's score."""
+    res = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class def"}}, "size": 5,
+         "explain": True},
+    )
+    hits = {(r.query_id, r.doc_id): r.score for r in res.hits.collect()}
+    assert hits and res.explanation is not None
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in res.explanation.collect():
+        sums[(r.query_id, r.doc_id)] += r.contribution
+    for key, score in hits.items():
+        assert abs(sums[key] - score) < 1e-9
+    with pytest.raises(NotImplementedError, match="explain"):
+        # sliced hits are UNSCORED — nothing to explain, stays loud
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}},
+             "slice": {"id": 0, "max": 2}, "explain": True},
+            corpus_path=corpus_path,
+        )
