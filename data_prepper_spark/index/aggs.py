@@ -302,21 +302,35 @@ def histogram_metric_facet(
     )
 
 
+_MOVING_FNS = {
+    "unweightedAvg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def bucket_pipeline(
     buckets: DataFrame, key_col: str, specs: list
 ) -> DataFrame:
     """Parent pipeline aggregations over an ordered bucket frame
     (histogram / date_histogram parents): `specs` is a list of
-    (out_col, kind, path_col) with kind in cumulative_sum /
-    derivative; `path_col` is "doc_count" for buckets_path=_count or
-    a metric column already on the frame. cumulative_sum is a
-    running-sum window, derivative a lag difference (first bucket
-    NULL, the OpenSearch contract). Bucket frames are
-    aggregation-sized, so the single-partition-per-query window is
-    bounded by bucket cardinality, not corpus size."""
+    (out_col, kind, path_col, conf) with kind in cumulative_sum /
+    derivative / serial_diff / moving_fn; `path_col` is "doc_count"
+    for buckets_path=_count or a metric column already on the frame.
+    cumulative_sum is a running-sum window; derivative a lag
+    difference (first bucket NULL, the OpenSearch contract);
+    serial_diff a lag-`lag` difference (conf["lag"], default 1);
+    moving_fn applies conf's MovingFunctions script —
+    "MovingFunctions.unweightedAvg|sum|min|max(values)" — over the
+    conf["window"] buckets ENDING JUST BEFORE the current one
+    (OpenSearch's shift=0 window), NULL while the window is empty.
+    Bucket frames are aggregation-sized, so the
+    single-partition-per-query window is bounded by bucket
+    cardinality, not corpus size."""
     w = Window.partitionBy("query_id").orderBy(F.asc(key_col))
     out = buckets
-    for out_col, kind, path in specs:
+    for out_col, kind, path, conf in specs:
         if kind == "cumulative_sum":
             out = out.withColumn(
                 out_col,
@@ -327,6 +341,27 @@ def bucket_pipeline(
         elif kind == "derivative":
             out = out.withColumn(
                 out_col, F.col(path) - F.lag(path).over(w)
+            )
+        elif kind == "serial_diff":
+            lag = int((conf or {}).get("lag", 1))
+            out = out.withColumn(
+                out_col, F.col(path) - F.lag(path, lag).over(w)
+            )
+        elif kind == "moving_fn":
+            script = str((conf or {}).get("script", ""))
+            fn = next(
+                (f for name, f in _MOVING_FNS.items()
+                 if f"MovingFunctions.{name}(" in script),
+                None,
+            )
+            if fn is None:
+                raise NotImplementedError(
+                    f"moving_fn script '{script}' (supported: "
+                    "MovingFunctions.unweightedAvg/sum/min/max)"
+                )
+            window = int(conf["window"])
+            out = out.withColumn(
+                out_col, fn(path).over(w.rowsBetween(-window, -1))
             )
         else:
             raise NotImplementedError(f"pipeline aggregation '{kind}'")

@@ -725,7 +725,7 @@ def search(
     agg_body = body.get("aggs") or {}
     # set-algebra aggregations (filters/missing) need ords, not the
     # (mq, matched=None) facet-executor protocol — force the match set
-    _SET_AGGS = {"filters", "missing"}
+    _SET_AGGS = {"filters", "missing", "adjacency_matrix"}
     needs_set = any(
         next(iter({k: v for k, v in a.items() if k != "aggs"}))
         in _SET_AGGS
@@ -863,10 +863,13 @@ def search(
                 ((nkind, nconf),) = n.items()
                 if nkind in _METRIC_SUBAGGS:
                     mets.append((nname, nkind, nconf["field"]))
-                elif nkind in ("cumulative_sum", "derivative"):
+                elif nkind in (
+                    "cumulative_sum", "derivative", "serial_diff",
+                    "moving_fn",
+                ):
                     path = nconf["buckets_path"]
                     path = "doc_count" if path == "_count" else path
-                    pipes.append((nname, nkind, path))
+                    pipes.append((nname, nkind, path, nconf))
                 elif nkind == "bucket_sort":
                     bsort = nconf
                 else:
@@ -976,7 +979,47 @@ def search(
                 ),
                 matched=agg_matched,
             )
-        elif akind == "significant_terms":
+        elif akind == "adjacency_matrix":
+            # named filter buckets + their pairwise intersections
+            # (co-occurrence dashboards): each filter compiles through
+            # the tree compiler once; singles and pairs are counted
+            # joins against the shared match set; empty buckets are
+            # omitted (the OpenSearch contract)
+            from .booltree import bool_tree_match
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "adjacency_matrix under this query kind "
+                    "(no match set)"
+                )
+            named = {
+                bname: bool_tree_match(
+                    spark, index_dir, {"bool": {"filter": [fq]}},
+                    corpus_path,
+                ).select("ord")
+                for bname, fq in aconf["filters"].items()
+            }
+            parts = []
+            keys = sorted(named)
+            for i, a in enumerate(keys):
+                sets = [(a, named[a])]
+                for b in keys[i + 1:]:
+                    sets.append((f"{a}&{b}", named[a].join(named[b], "ord")))
+                for label, m in sets:
+                    parts.append(
+                        agg_matched.join(m, "ord")
+                        .agg(F.count("*").alias("doc_count"))
+                        .select(
+                            F.lit(query_id).cast("long").alias("query_id"),
+                            F.lit(label).alias("key"),
+                            "doc_count",
+                        )
+                    )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            aggs[name] = out.filter(F.col("doc_count") > 0)
+        elif akind in ("significant_terms", "significant_text"):
             if agg_matched is not None and match_text is None and (
                 kind == "match_all"
             ):

@@ -912,3 +912,119 @@ def test_expansion_leaves_in_tree(spark, dv_index, dv_corpus, ref):
         assert [d for d, _ in got] == [d for d, _ in want] and got, body
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=2e-5), body
+
+
+def test_adjacency_matrix_agg(spark, dv_index, dv_corpus, ref):
+    """`adjacency_matrix`: named filter buckets plus their pairwise
+    intersections, empty buckets omitted — counts recomputed from the
+    independent reference's match set + metadata."""
+    match_q = {"match": {"content": "gunaba"}}
+    body = {
+        "query": match_q,
+        "aggs": {
+            "adj": {"adjacency_matrix": {"filters": {
+                "py": {"term": {"lang": "python"}},
+                "small": {"range": {"n_chars": {"lt": 9000}}},
+                "none": {"term": {"lang": "qqq-no-such-lang"}},
+            }}},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    match_docs = {d for d, _ in _ref_hits(match_q, ref)}
+    meta = ref["meta"]
+    sets = {
+        "py": {d for d in match_docs if meta.loc[d, "lang"] == "python"},
+        "small": {d for d in match_docs if meta.loc[d, "n_chars"] < 9000},
+        "none": set(),
+    }
+    keys = sorted(sets)
+    want = {}
+    for i, a in enumerate(keys):
+        if sets[a]:
+            want[a] = len(sets[a])
+        for b in keys[i + 1:]:
+            inter = sets[a] & sets[b]
+            if inter:
+                want[f"{a}&{b}"] = len(inter)
+    got = {
+        r["key"]: r["doc_count"]
+        for r in res.aggregations["adj"].collect()
+    }
+    assert got == want and "py&small" in got  # a real intersection row
+
+
+def test_serial_diff_and_moving_fn_pipelines(spark, dv_index, dv_corpus):
+    """serial_diff (lag-k difference) and moving_fn
+    (MovingFunctions.unweightedAvg/sum over the window ending just
+    before the current bucket) over a histogram bucket frame —
+    verified against hand-computed window algebra on the collected
+    counts."""
+    body = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {
+            "hist": {
+                "histogram": {"field": "n_chars", "interval": 2000},
+                "aggs": {
+                    "sdiff": {"serial_diff": {
+                        "buckets_path": "_count", "lag": 2,
+                    }},
+                    "mavg": {"moving_fn": {
+                        "buckets_path": "_count",
+                        "window": 3,
+                        "script": "MovingFunctions.unweightedAvg(values)",
+                    }},
+                    "msum": {"moving_fn": {
+                        "buckets_path": "_count",
+                        "window": 2,
+                        "script": "MovingFunctions.sum(values)",
+                    }},
+                },
+            },
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    hist = res.aggregations["hist"].orderBy("key").collect()
+    assert len(hist) >= 4  # enough buckets to exercise lag=2 + window=3
+    counts = [r.doc_count for r in hist]
+    for i, r in enumerate(hist):
+        if i < 2:
+            assert r.sdiff is None
+        else:
+            assert r.sdiff == counts[i] - counts[i - 2]
+        if i == 0:
+            assert r.mavg is None and r.msum is None
+        else:
+            win3 = counts[max(0, i - 3):i]
+            assert r.mavg == pytest.approx(sum(win3) / len(win3))
+            win2 = counts[max(0, i - 2):i]
+            assert r.msum == sum(win2)
+    # unsupported MovingFunctions script stays a loud failure
+    bad = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"hist": {
+            "histogram": {"field": "n_chars", "interval": 2000},
+            "aggs": {"x": {"moving_fn": {
+                "buckets_path": "_count", "window": 3,
+                "script": "MovingFunctions.stdDev(values)",
+            }}},
+        }},
+    }
+    with pytest.raises(NotImplementedError):
+        search(spark, dv_index, bad, corpus_path=dv_corpus)
+
+
+def test_significant_text_alias(spark, dv_index, dv_corpus):
+    """`significant_text` routes to the same executor as
+    `significant_terms` (the engine's text field IS the indexed
+    content field, the OpenSearch distinction collapses)."""
+    mk = lambda kind: {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"sig": {kind: {"size": 5}}},
+    }
+    a = search(
+        spark, dv_index, mk("significant_terms"), corpus_path=dv_corpus
+    ).aggregations["sig"].collect()
+    b = search(
+        spark, dv_index, mk("significant_text"), corpus_path=dv_corpus
+    ).aggregations["sig"].collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
