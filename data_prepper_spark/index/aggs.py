@@ -363,9 +363,84 @@ def bucket_pipeline(
             out = out.withColumn(
                 out_col, fn(path).over(w.rowsBetween(-window, -1))
             )
+        elif kind == "bucket_script":
+            out = out.withColumn(
+                out_col, script_expr(conf["script"], conf["paths"])
+            )
+        elif kind == "bucket_selector":
+            # buckets where the predicate is false are DROPPED (the
+            # OpenSearch contract); runs in body order, so columns
+            # added by earlier bucket_script specs are referencable
+            out = out.filter(script_expr(conf["script"], conf["paths"]))
         else:
             raise NotImplementedError(f"pipeline aggregation '{kind}'")
     return out
+
+
+def script_expr(script: str, paths: dict):
+    """Compile a painless-lite bucket script — `params.X` references
+    over arithmetic (+ - * / %), comparisons, and numeric literals —
+    into a Spark Column. `paths` maps each param name to the bucket
+    column it reads (buckets_path resolution happens in the DSL
+    layer). The grammar overlaps Python's expression syntax, so the
+    stdlib ast parser does the lexing; anything outside the
+    whitelisted node set (calls, subscripts, boolean operators beyond
+    comparison chains) fails loudly — a silent partial evaluation
+    would corrupt dashboards."""
+    import ast
+
+    _BIN = {
+        ast.Add: lambda a, b: a + b,
+        ast.Sub: lambda a, b: a - b,
+        ast.Mult: lambda a, b: a * b,
+        ast.Div: lambda a, b: a / b,
+        ast.Mod: lambda a, b: a % b,
+    }
+    _CMP = {
+        ast.Gt: lambda a, b: a > b,
+        ast.GtE: lambda a, b: a >= b,
+        ast.Lt: lambda a, b: a < b,
+        ast.LtE: lambda a, b: a <= b,
+        ast.Eq: lambda a, b: a == b,
+        ast.NotEq: lambda a, b: a != b,
+    }
+
+    def ev(n):
+        if isinstance(n, ast.Expression):
+            return ev(n.body)
+        if isinstance(n, ast.BinOp) and type(n.op) in _BIN:
+            return _BIN[type(n.op)](ev(n.left), ev(n.right))
+        if isinstance(n, ast.UnaryOp) and isinstance(n.op, ast.USub):
+            return -ev(n.operand)
+        if isinstance(n, ast.Compare) and len(n.ops) == 1 and (
+            type(n.ops[0]) in _CMP
+        ):
+            return _CMP[type(n.ops[0])](ev(n.left), ev(n.comparators[0]))
+        if isinstance(n, ast.Constant) and isinstance(
+            n.value, (int, float)
+        ) and not isinstance(n.value, bool):
+            return F.lit(n.value)
+        if isinstance(n, ast.Attribute) and isinstance(
+            n.value, ast.Name
+        ) and n.value.id == "params":
+            if n.attr not in paths:
+                raise KeyError(
+                    f"bucket script references params.{n.attr} with no "
+                    f"matching buckets_path (have: {sorted(paths)})"
+                )
+            return F.col(paths[n.attr]).cast("double")
+        raise NotImplementedError(
+            f"bucket script construct {ast.dump(n)} in '{script}'"
+        )
+
+    try:
+        tree = ast.parse(script.strip(), mode="eval")
+    except SyntaxError as e:
+        raise NotImplementedError(
+            f"bucket script '{script}' is not in the supported "
+            "params/arithmetic/comparison grammar"
+        ) from e
+    return ev(tree)
 
 
 def sibling_bucket_metric(

@@ -53,9 +53,13 @@ original + rescore_query_weight * the tree-compiled rescore query's
 score; docs beyond the window keep their original score), and `aggs` (terms
 [+nested top_hits], range, extended_stats, stats/avg/min/max/sum/
 value_count, histogram, date_histogram, cardinality, percentiles,
-significant_terms, filters (named filter buckets, each compiled
-through the tree compiler, zero-count buckets emitted), missing
-(doc-values NULL count)) under ANY query with a materializable match set
+significant_terms / significant_text, filters (named filter buckets,
+each compiled through the tree compiler, zero-count buckets emitted),
+adjacency_matrix (named filters + pairwise intersections, empty
+buckets omitted), missing (doc-values NULL count), weighted_avg,
+percentile_ranks (exact), rare_terms (doc_count <= max_doc_count
+tail), multi_terms (composite-key top buckets)) under ANY query with
+a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
 buckets). A `terms` aggregation takes `order`
@@ -66,10 +70,14 @@ the one grouped aggregation that counts the buckets — or ONE nested
 `terms` sub-aggregation (two-level drill-down buckets, leaf metrics
 allowed; still one grouped pass, aggs.nested_terms_facet).
 `histogram`/`date_histogram` take metric sub-aggs folded into the
-bucket groupBy plus pipeline sub-aggregations: `cumulative_sum` and
-`derivative` (window algebra over the bucket frame, buckets_path
-"_count" or a sibling metric) and `bucket_sort` (sort/from/size on
-buckets). `composite` (sources: terms/histogram/date_histogram, any
+bucket groupBy plus pipeline sub-aggregations: `cumulative_sum`,
+`derivative`, `serial_diff` (lag-k), `moving_fn`
+(MovingFunctions.unweightedAvg/sum/min/max over the window ending
+just before each bucket), `bucket_script` / `bucket_selector`
+(painless-lite params arithmetic over a dict buckets_path — derived
+columns / bucket-dropping predicates), all window algebra over the
+bucket frame (buckets_path "_count" or a sibling metric), and
+`bucket_sort` (sort/from/size on buckets). `composite` (sources: terms/histogram/date_histogram, any
 mix, per-source asc/desc order) enumerates ALL key combinations in
 composite-key order with exclusive `after`-key pagination — the
 scalable bucket-export aggregation — and takes metric sub-aggs.
@@ -725,7 +733,10 @@ def search(
     agg_body = body.get("aggs") or {}
     # set-algebra aggregations (filters/missing) need ords, not the
     # (mq, matched=None) facet-executor protocol — force the match set
-    _SET_AGGS = {"filters", "missing", "adjacency_matrix"}
+    _SET_AGGS = {
+        "filters", "missing", "adjacency_matrix", "weighted_avg",
+        "percentile_ranks", "rare_terms", "multi_terms",
+    }
     needs_set = any(
         next(iter({k: v for k, v in a.items() if k != "aggs"}))
         in _SET_AGGS
@@ -870,6 +881,15 @@ def search(
                     path = nconf["buckets_path"]
                     path = "doc_count" if path == "_count" else path
                     pipes.append((nname, nkind, path, nconf))
+                elif nkind in ("bucket_script", "bucket_selector"):
+                    # buckets_path is a dict param->path here; resolve
+                    # each path to its bucket-frame column name
+                    conf = dict(nconf)
+                    conf["paths"] = {
+                        p: ("doc_count" if v == "_count" else v)
+                        for p, v in nconf["buckets_path"].items()
+                    }
+                    pipes.append((nname, nkind, None, conf))
                 elif nkind == "bucket_sort":
                     bsort = nconf
                 else:
@@ -1075,6 +1095,138 @@ def search(
                 .select(
                     F.lit(query_id).cast("long").alias("query_id"),
                     "doc_count",
+                )
+            )
+        elif akind == "weighted_avg":
+            # sum(value*weight)/sum(weight) over the match set's
+            # doc-values — null value OR null weight rows are skipped
+            # (the OpenSearch contract); one grouped aggregation
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "weighted_avg under this query kind (no match set)"
+                )
+            vf = aconf["value"]["field"]
+            wf = aconf["weight"]["field"]
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            ).select("ord", vf, wf)
+            aggs[name] = (
+                agg_matched.join(dv, "ord")
+                .filter(F.col(vf).isNotNull() & F.col(wf).isNotNull())
+                .agg(
+                    (
+                        F.sum(F.col(vf) * F.col(wf)) / F.sum(F.col(wf))
+                    ).alias("value")
+                )
+                .select(
+                    F.lit(query_id).cast("long").alias("query_id"),
+                    "value",
+                )
+            )
+        elif akind == "percentile_ranks":
+            # for each requested value v: 100 * fraction of the match
+            # set's non-null field values <= v. Exact (no t-digest
+            # approximation — this engine's percentiles executor is
+            # exact too); one grouped aggregation emitting every
+            # requested rank from the same scan
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "percentile_ranks under this query kind "
+                    "(no match set)"
+                )
+            fld = aconf["field"]
+            vals = [float(v) for v in aconf["values"]]
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            ).select("ord", fld)
+            ranked = (
+                agg_matched.join(dv, "ord")
+                .filter(F.col(fld).isNotNull())
+                .agg(*[
+                    (F.avg(
+                        F.when(F.col(fld) <= F.lit(v), 1.0).otherwise(0.0)
+                    ) * 100.0).alias(f"_r{i}")
+                    for i, v in enumerate(vals)
+                ])
+            )
+            aggs[name] = ranked.select(
+                F.lit(query_id).cast("long").alias("query_id"),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(v).alias("key"),
+                            F.col(f"_r{i}").alias("value"),
+                        )
+                        for i, v in enumerate(vals)
+                    ])
+                ).alias("kv"),
+            ).select("query_id", "kv.key", "kv.value")
+        elif akind == "rare_terms":
+            # the long tail: terms whose match-set doc_count is <=
+            # max_doc_count (default 1), ascending count then key —
+            # the inverse of the terms agg's head. Same single grouped
+            # aggregation shape; the <= filter is a HAVING, so the
+            # exchange is the terms agg's, not a new plan
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "rare_terms under this query kind (no match set)"
+                )
+            fld = aconf["field"]
+            cap = int(aconf.get("max_doc_count", 1))
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            ).select("ord", fld)
+            aggs[name] = (
+                agg_matched.join(dv, "ord")
+                .filter(F.col(fld).isNotNull())
+                .groupBy(F.col(fld).alias("key"))
+                .agg(F.count("*").alias("doc_count"))
+                .filter(F.col("doc_count") <= cap)
+                .select(
+                    F.lit(query_id).cast("long").alias("query_id"),
+                    "key", "doc_count",
+                )
+                .orderBy("doc_count", "key")
+            )
+        elif akind == "multi_terms":
+            # composite-key terms buckets: groupBy the tuple of
+            # fields, top `size` by doc_count desc then keys asc —
+            # ONE grouped aggregation + one window rank (bucket frames
+            # are size-capped, the window input is the aggregated
+            # frame, not documents)
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "multi_terms under this query kind (no match set)"
+                )
+            flds = [t["field"] for t in aconf["terms"]]
+            size = int(aconf.get("size", 10))
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            ).select("ord", *flds)
+            grouped = (
+                agg_matched.join(dv, "ord")
+                .groupBy(*flds)
+                .agg(F.count("*").alias("doc_count"))
+            )
+            w_rank = Window.partitionBy(F.lit(1)).orderBy(
+                F.desc("doc_count"), *[F.asc(f) for f in flds]
+            )
+            aggs[name] = (
+                grouped.withColumn(
+                    "bucket_rank", F.row_number().over(w_rank)
+                )
+                .filter(F.col("bucket_rank") <= size)
+                .select(
+                    F.lit(query_id).cast("long").alias("query_id"),
+                    "bucket_rank", *flds, "doc_count",
                 )
             )
         elif akind == "filters":

@@ -1028,3 +1028,138 @@ def test_significant_text_alias(spark, dv_index, dv_corpus):
         spark, dv_index, mk("significant_text"), corpus_path=dv_corpus
     ).aggregations["sig"].collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+
+def test_weighted_avg_percentile_ranks_rare_multi_terms(
+    spark, dv_index, dv_corpus, ref
+):
+    """weighted_avg, percentile_ranks (exact), rare_terms, and
+    multi_terms over the match set's doc-values — every number
+    recomputed from the independent reference's match set +
+    metadata."""
+    match_q = {"match": {"content": "gunaba"}}
+    body = {
+        "query": match_q,
+        "aggs": {
+            "wavg": {"weighted_avg": {
+                "value": {"field": "n_chars"},
+                "weight": {"field": "n_chars"},
+            }},
+            "ranks": {"percentile_ranks": {
+                "field": "n_chars", "values": [5000, 9000, 100000],
+            }},
+            "rare": {"rare_terms": {
+                "field": "lang", "max_doc_count": 3,
+            }},
+            "multi": {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "n_chars"}],
+                "size": 5,
+            }},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    match_docs = sorted(d for d, _ in _ref_hits(match_q, ref))
+    meta = ref["meta"]
+    nc = [int(meta.loc[d, "n_chars"]) for d in match_docs]
+    lang = [meta.loc[d, "lang"] for d in match_docs]
+    # weighted_avg with weight == value: sum(v^2)/sum(v)
+    (wrow,) = res.aggregations["wavg"].collect()
+    assert wrow.value == pytest.approx(
+        sum(v * v for v in nc) / sum(nc)
+    )
+    # exact percentile ranks
+    got_ranks = {
+        r.key: r.value for r in res.aggregations["ranks"].collect()
+    }
+    for v in (5000.0, 9000.0, 100000.0):
+        want = 100.0 * sum(1 for x in nc if x <= v) / len(nc)
+        assert got_ranks[v] == pytest.approx(want), v
+    # rare_terms: langs with <= 3 matching docs, count asc then key
+    from collections import Counter
+
+    cnt = Counter(lang)
+    want_rare = sorted(
+        ((c, k) for k, c in cnt.items() if c <= 3)
+    )
+    got_rare = [
+        (r.doc_count, r.key)
+        for r in res.aggregations["rare"].orderBy(
+            "doc_count", "key"
+        ).collect()
+    ]
+    assert got_rare == want_rare
+    # multi_terms: (lang, n_chars) tuples, top-5 by count desc
+    pair_cnt = Counter(zip(lang, nc))
+    want_multi = sorted(
+        ((-c, k[0], k[1]) for k, c in pair_cnt.items())
+    )[:5]
+    got_multi = [
+        (-r.doc_count, r.lang, r.n_chars)
+        for r in res.aggregations["multi"].orderBy(
+            "bucket_rank"
+        ).collect()
+    ]
+    assert got_multi == want_multi and len(got_multi) == 5
+
+
+def test_bucket_script_and_selector(spark, dv_index, dv_corpus):
+    """bucket_script (painless-lite params arithmetic -> derived
+    bucket column) and bucket_selector (predicate drops buckets) over
+    a histogram frame — verified against hand computation on the
+    collected buckets; non-grammar scripts stay loud failures."""
+    base_hist = {
+        "histogram": {"field": "n_chars", "interval": 2000},
+        "aggs": {
+            "sum_chars": {"sum": {"field": "n_chars"}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {
+                    "s": "sum_chars", "n": "_count",
+                },
+                "script": "params.s / params.n - 1",
+            }},
+        },
+    }
+    body = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"hist": dict(base_hist)},
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    hist = res.aggregations["hist"].orderBy("key").collect()
+    assert len(hist) >= 3
+    for r in hist:
+        assert r.ratio == pytest.approx(
+            r.sum_chars / r.doc_count - 1
+        )
+    # selector keeps only buckets with more than one doc
+    sel = {
+        "histogram": {"field": "n_chars", "interval": 2000},
+        "aggs": {
+            "keep": {"bucket_selector": {
+                "buckets_path": {"n": "_count"},
+                "script": "params.n > 1",
+            }},
+        },
+    }
+    body2 = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"hist": sel},
+    }
+    kept = search(
+        spark, dv_index, body2, corpus_path=dv_corpus
+    ).aggregations["hist"].orderBy("key").collect()
+    want = [(r.key, r.doc_count) for r in hist if r.doc_count > 1]
+    assert [(r.key, r.doc_count) for r in kept] == want
+    assert len(kept) < len(hist)  # the selector actually dropped some
+    # out-of-grammar script: loud failure, not silent partial eval
+    bad = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"hist": {
+            "histogram": {"field": "n_chars", "interval": 2000},
+            "aggs": {"x": {"bucket_script": {
+                "buckets_path": {"n": "_count"},
+                "script": "Math.log(params.n)",
+            }}},
+        }},
+    }
+    with pytest.raises(NotImplementedError):
+        search(spark, dv_index, bad, corpus_path=dv_corpus)
