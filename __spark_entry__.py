@@ -2610,6 +2610,181 @@ def dsl_pipeline_aggs(spark, sf_dir):
     return out
 
 
+def dsl_adjacency_matrix(spark, sf_dir):
+    """`adjacency_matrix` aggregation (index/dsl.py): named filter
+    buckets PLUS their pairwise intersections over one shared match
+    set — the co-occurrence-dashboard body. Each named filter compiles
+    through the bool-tree compiler once; singles and pairs are counted
+    joins; empty buckets are omitted (the OpenSearch contract). Pair
+    labels are 'a&b' with names in sorted order. The oracle recomputes
+    the match set and every set intersection in DuckDB."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "adj": {"adjacency_matrix": {"filters": {
+                    "en": {"term": {"lang": "en"}},
+                    "small": {"range": {"n_chars": {"lt": 300}}},
+                    "zh": {"term": {"lang": "zh"}},
+                }}},
+            },
+        },
+        corpus_path=cpath,
+    )
+    return res.aggregations["adj"].select("query_id", "key", "doc_count")
+
+
+def dsl_metric_aggs_family(spark, sf_dir):
+    """The round-5 metric/bucket agg family in one body (index/
+    dsl.py): `weighted_avg` (sum(v*w)/sum(w) over doc-values),
+    `percentile_ranks` (EXACT percentage of match-set values <= each
+    requested value — no t-digest approximation), `rare_terms` (the
+    long tail: buckets with doc_count <= max_doc_count, the inverse
+    of terms' head), and `multi_terms` (composite-key top buckets,
+    count desc then keys asc). All four share ONE materialized match
+    set; each is a single grouped aggregation over the doc-values
+    sidecar join. Long format (agg, key, val); the oracle recomputes
+    every number from the tokenized match set in DuckDB."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "wavg": {"weighted_avg": {
+                    "value": {"field": "n_chars"},
+                    "weight": {"field": "n_chars"},
+                }},
+                "ranks": {"percentile_ranks": {
+                    "field": "n_chars", "values": [150, 300, 450],
+                }},
+                "rare": {"rare_terms": {
+                    "field": "source", "max_doc_count": 5,
+                }},
+                "multi": {"multi_terms": {
+                    "terms": [{"field": "lang"}, {"field": "source"}],
+                    "size": 8,
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    parts = [
+        res.aggregations["wavg"].select(
+            F.lit("wavg").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("value"), 6).alias("val"),
+        ),
+        res.aggregations["ranks"].select(
+            F.lit("rank").alias("agg"),
+            F.col("key").cast("long").cast("string").alias("key"),
+            F.round(F.col("value"), 6).alias("val"),
+        ),
+        res.aggregations["rare"].select(
+            F.lit("rare").alias("agg"), F.col("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        res.aggregations["multi"].select(
+            F.lit("multi").alias("agg"),
+            F.concat_ws(
+                "|",
+                F.col("bucket_rank").cast("string"),
+                "lang", "source",
+            ).alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dsl_bucket_scripts(spark, sf_dir):
+    """bucket_script / bucket_selector / serial_diff / moving_fn
+    pipeline aggregations over a histogram frame (index/aggs.py::
+    bucket_pipeline + script_expr): a painless-lite params script
+    derives a per-bucket ratio column, serial_diff takes a lag-2
+    count difference, moving_fn averages the 3 buckets before each
+    one, and bucket_selector then DROPS buckets with <= 2 docs —
+    window algebra runs over the FULL frame before the selector
+    filters it (the OpenSearch evaluation order). Long format; null
+    window edges omitted; the oracle replays the same window algebra
+    with DuckDB window functions."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "hist": {
+                    "histogram": {"field": "n_chars", "interval": 100},
+                    "aggs": {
+                        "sum_chars": {"sum": {"field": "n_chars"}},
+                        "ratio": {"bucket_script": {
+                            "buckets_path": {
+                                "s": "sum_chars", "n": "_count",
+                            },
+                            "script": "params.s / params.n",
+                        }},
+                        "sdiff": {"serial_diff": {
+                            "buckets_path": "_count", "lag": 2,
+                        }},
+                        "mavg": {"moving_fn": {
+                            "buckets_path": "_count",
+                            "window": 3,
+                            "script":
+                                "MovingFunctions.unweightedAvg(values)",
+                        }},
+                        "keep": {"bucket_selector": {
+                            "buckets_path": {"n": "_count"},
+                            "script": "params.n > 2",
+                        }},
+                    },
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    hist = res.aggregations["hist"]
+    key = F.col("key").cast("long").cast("string")
+    parts = [
+        hist.select(
+            F.lit("count").alias("agg"), key.alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        hist.select(
+            F.lit("ratio").alias("agg"), key.alias("key"),
+            F.round(F.col("ratio"), 6).alias("val"),
+        ),
+        hist.filter(F.col("sdiff").isNotNull()).select(
+            F.lit("sdiff").alias("agg"), key.alias("key"),
+            F.col("sdiff").cast("double").alias("val"),
+        ),
+        hist.filter(F.col("mavg").isNotNull()).select(
+            F.lit("mavg").alias("agg"), key.alias("key"),
+            F.round(F.col("mavg"), 6).alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsl_sort_page(spark, sf_dir):
     """Field-sorted deep page (the OpenSearch `sort` + `from` body):
     the match set is materialized once, joined against the doc-values
@@ -5033,6 +5208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_sliced_scroll": dsl_sliced_scroll,
         "dsl_terms_order": dsl_terms_order,
         "dsl_count_mget": dsl_count_mget,
+        "dsl_adjacency_matrix": dsl_adjacency_matrix,
+        "dsl_metric_aggs_family": dsl_metric_aggs_family,
+        "dsl_bucket_scripts": dsl_bucket_scripts,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8022,6 +8200,128 @@ SELECT 'avg_bucket', '*',
        round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
 UNION ALL
 SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
+"""
+    sql["dsl_adjacency_matrix"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+flt AS (
+  SELECT query_id, doc_id,
+         (lang = 'en') AS f_en,
+         (n_chars < 300) AS f_small,
+         (lang = 'zh') AS f_zh
+  FROM matched
+),
+singles AS (
+  SELECT query_id, 'en' AS key, count(*) FILTER (f_en) AS doc_count
+  FROM flt GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'small', count(*) FILTER (f_small) FROM flt GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'zh', count(*) FILTER (f_zh) FROM flt GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'en&small', count(*) FILTER (f_en AND f_small)
+  FROM flt GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'en&zh', count(*) FILTER (f_en AND f_zh)
+  FROM flt GROUP BY 1
+  UNION ALL
+  SELECT query_id, 'small&zh', count(*) FILTER (f_small AND f_zh)
+  FROM flt GROUP BY 1
+)
+SELECT query_id, key, doc_count FROM singles WHERE doc_count > 0
+"""
+    sql["dsl_metric_aggs_family"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, n_chars, source,
+         unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.n_chars,
+         tok.source
+  FROM q JOIN tok USING (term)
+),
+wavg AS (
+  SELECT 'wavg' AS agg, '*' AS key,
+         round(sum(CAST(n_chars AS DOUBLE) * n_chars)
+               / sum(CAST(n_chars AS DOUBLE)), 6) AS val
+  FROM matched
+),
+ranks AS (
+  SELECT 'rank' AS agg, CAST(v AS VARCHAR) AS key,
+         round(100.0 * sum(CASE WHEN n_chars <= v THEN 1 ELSE 0 END)
+               / count(*), 6) AS val
+  FROM matched, (VALUES (150), (300), (450)) AS vals(v)
+  GROUP BY v
+),
+rare AS (
+  SELECT 'rare' AS agg, source AS key,
+         CAST(count(*) AS DOUBLE) AS val
+  FROM matched GROUP BY source HAVING count(*) <= 5
+),
+multi AS (
+  SELECT 'multi' AS agg,
+         CAST(row_number() OVER (
+           ORDER BY count(*) DESC, lang, source
+         ) AS VARCHAR) || '|' || lang || '|' || source AS key,
+         CAST(count(*) AS DOUBLE) AS val
+  FROM matched GROUP BY lang, source
+  ORDER BY count(*) DESC, lang, source
+  LIMIT 8
+)
+SELECT * FROM wavg UNION ALL SELECT * FROM ranks
+UNION ALL SELECT * FROM rare UNION ALL SELECT * FROM multi
+"""
+    sql["dsl_bucket_scripts"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+hist AS (
+  SELECT query_id, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS k,
+         count(*) AS doc_count, sum(n_chars) AS sum_chars
+  FROM matched GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+    CAST(sum_chars AS DOUBLE) / doc_count AS ratio,
+    doc_count - lag(doc_count, 2) OVER
+      (PARTITION BY query_id ORDER BY k) AS sdiff,
+    avg(CAST(doc_count AS DOUBLE)) OVER
+      (PARTITION BY query_id ORDER BY k
+       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mavg
+  FROM hist
+),
+kept AS (SELECT * FROM w WHERE doc_count > 2)
+SELECT 'count' AS agg, CAST(k AS VARCHAR) AS key,
+       CAST(doc_count AS DOUBLE) AS val FROM kept
+UNION ALL
+SELECT 'ratio', CAST(k AS VARCHAR), round(ratio, 6) FROM kept
+UNION ALL
+SELECT 'sdiff', CAST(k AS VARCHAR), CAST(sdiff AS DOUBLE) FROM kept
+WHERE sdiff IS NOT NULL
+UNION ALL
+SELECT 'mavg', CAST(k AS VARCHAR), round(mavg, 6) FROM kept
+WHERE mavg IS NOT NULL
 """
     sql["dsl_global_agg"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
