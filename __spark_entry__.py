@@ -2785,6 +2785,57 @@ def dsl_bucket_scripts(spark, sf_dir):
     return out
 
 
+def dsl_script_score(spark, sf_dir):
+    """script_score + rank_feature queries (index/booltree.py):
+    query_id 0 re-scores a match query's hits with a painless-lite
+    script (_score * saturation(doc['n_chars'].value, 300)) compiled
+    to a native Column expression — one left join against the
+    doc-values sidecar, no Python UDF; query_id 1 boosts the same
+    match query with a `should` rank_feature clause (score + 0.5 *
+    saturation(n_chars, 300)). Both re-ranked by (score, original
+    doc_id) for oracle-stable ties; the oracle recomputes BM25 and
+    the feature algebra in DuckDB."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    bodies = [
+        {
+            "query": {"script_score": {
+                "query": {"match": {"text": "data merge"}},
+                "script": {
+                    "source": (
+                        "_score * saturation(doc['n_chars'].value,"
+                        " params.k)"
+                    ),
+                    "params": {"k": 300},
+                },
+            }},
+            "size": 50,
+        },
+        {
+            "query": {"bool": {
+                "must": [{"match": {"text": "data merge"}}],
+                "should": [{"rank_feature": {
+                    "field": "n_chars",
+                    "saturation": {"pivot": 300},
+                    "boost": 0.5,
+                }}],
+            }},
+            "size": 50,
+        },
+    ]
+    parts = [
+        dsl_search(spark, idx, b, corpus_path=cpath, query_id=i).hits
+        for i, b in enumerate(bodies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 def dsl_sort_page(spark, sf_dir):
     """Field-sorted deep page (the OpenSearch `sort` + `from` body):
     the match set is materialized once, joined against the doc-values
@@ -5211,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_adjacency_matrix": dsl_adjacency_matrix,
         "dsl_metric_aggs_family": dsl_metric_aggs_family,
         "dsl_bucket_scripts": dsl_bucket_scripts,
+        "dsl_script_score": dsl_script_score,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8200,6 +8252,51 @@ SELECT 'avg_bucket', '*',
        round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
 UNION ALL
 SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
+"""
+    sql["dsl_script_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (
+  VALUES (CAST(0 AS BIGINT), 'data merge'),
+         (CAST(1 AS BIGINT), 'data merge')
+),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score
+        FROM scored GROUP BY 1, 2),
+adj AS (
+  SELECT query_id, tot.doc_id,
+         CASE WHEN query_id = 0
+           THEN score * (n_chars / (n_chars + 300.0))
+           ELSE score + 0.5 * (n_chars / (n_chars + 300.0))
+         END AS score
+  FROM tot JOIN documents d ON d.doc_id = tot.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM adj
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
     sql["dsl_adjacency_matrix"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

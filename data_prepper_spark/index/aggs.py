@@ -377,16 +377,17 @@ def bucket_pipeline(
     return out
 
 
-def script_expr(script: str, paths: dict):
-    """Compile a painless-lite bucket script — `params.X` references
-    over arithmetic (+ - * / %), comparisons, and numeric literals —
-    into a Spark Column. `paths` maps each param name to the bucket
-    column it reads (buckets_path resolution happens in the DSL
-    layer). The grammar overlaps Python's expression syntax, so the
-    stdlib ast parser does the lexing; anything outside the
-    whitelisted node set (calls, subscripts, boolean operators beyond
-    comparison chains) fails loudly — a silent partial evaluation
-    would corrupt dashboards."""
+def painless_expr(script: str, resolve, calls: dict | None = None):
+    """Compile a painless-lite expression into a Spark Column:
+    arithmetic (+ - * / %), single comparisons, unary minus, numeric
+    literals, `params.X` / `doc['field'].value` / bare-name
+    references (all routed through `resolve(kind, name)` with kind in
+    'param' | 'doc' | 'name'), and whitelisted function calls
+    (`calls` maps "Math.log" / "saturation" / ... to Column
+    builders). The grammar overlaps Python's expression syntax, so
+    the stdlib ast parser does the lexing; anything outside the
+    whitelisted node set fails loudly — a silent partial evaluation
+    would corrupt scores or dashboards."""
     import ast
 
     _BIN = {
@@ -404,6 +405,15 @@ def script_expr(script: str, paths: dict):
         ast.Eq: lambda a, b: a == b,
         ast.NotEq: lambda a, b: a != b,
     }
+
+    def _call_name(n):
+        if isinstance(n.func, ast.Name):
+            return n.func.id
+        if isinstance(n.func, ast.Attribute) and isinstance(
+            n.func.value, ast.Name
+        ):
+            return f"{n.func.value.id}.{n.func.attr}"
+        return None
 
     def ev(n):
         if isinstance(n, ast.Expression):
@@ -423,24 +433,54 @@ def script_expr(script: str, paths: dict):
         if isinstance(n, ast.Attribute) and isinstance(
             n.value, ast.Name
         ) and n.value.id == "params":
-            if n.attr not in paths:
-                raise KeyError(
-                    f"bucket script references params.{n.attr} with no "
-                    f"matching buckets_path (have: {sorted(paths)})"
-                )
-            return F.col(paths[n.attr]).cast("double")
+            return resolve("param", n.attr)
+        if (
+            isinstance(n, ast.Attribute) and n.attr == "value"
+            and isinstance(n.value, ast.Subscript)
+            and isinstance(n.value.value, ast.Name)
+            and n.value.value.id == "doc"
+            and isinstance(n.value.slice, ast.Constant)
+        ):
+            return resolve("doc", str(n.value.slice.value))
+        if isinstance(n, ast.Name):
+            return resolve("name", n.id)
+        if isinstance(n, ast.Call) and calls:
+            fname = _call_name(n)
+            if fname in calls:
+                return calls[fname](*[ev(a) for a in n.args])
         raise NotImplementedError(
-            f"bucket script construct {ast.dump(n)} in '{script}'"
+            f"script construct {ast.dump(n)} in '{script}'"
         )
 
     try:
         tree = ast.parse(script.strip(), mode="eval")
     except SyntaxError as e:
         raise NotImplementedError(
-            f"bucket script '{script}' is not in the supported "
-            "params/arithmetic/comparison grammar"
+            f"script '{script}' is not in the supported painless-lite "
+            "grammar"
         ) from e
     return ev(tree)
+
+
+def script_expr(script: str, paths: dict):
+    """Bucket-script flavor of painless_expr: `params.X` references
+    resolve to bucket-frame columns via `paths` (buckets_path
+    resolution happens in the DSL layer); no function calls, no doc
+    values — bucket pipelines see only the bucket frame."""
+
+    def resolve(kind, name):
+        if kind == "param":
+            if name not in paths:
+                raise KeyError(
+                    f"bucket script references params.{name} with no "
+                    f"matching buckets_path (have: {sorted(paths)})"
+                )
+            return F.col(paths[name]).cast("double")
+        raise NotImplementedError(
+            f"bucket script reference {kind}:{name} in '{script}'"
+        )
+
+    return painless_expr(script, resolve)
 
 
 def sibling_bucket_metric(

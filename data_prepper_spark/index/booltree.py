@@ -200,6 +200,50 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             },
             boost=float(spec.get("boost", 1.0)),
         )
+    if kind == "script_score":
+        # ScriptScoreQuery: the child query decides matching; the
+        # painless-lite script replaces its score (_score, params.X
+        # literals, doc['field'].value sidecar reads, Math.* +
+        # saturation/sigmoid calls); min_score drops docs below it
+        child = spec.get("query", {"match_all": {}})
+        sc = spec["script"]
+        src = sc["source"] if isinstance(sc, dict) else str(sc)
+        params = sc.get("params", {}) if isinstance(sc, dict) else {}
+        return _IR(
+            "sscore",
+            must=[_parse(child, dv_cols, texts)],
+            spec={
+                "source": src,
+                "params": params,
+                "min_score": spec.get("min_score"),
+            },
+            boost=float(spec.get("boost", 1.0)),
+        )
+    if kind == "rank_feature":
+        # RankFeatureQuery: matches docs whose feature field is
+        # present and positive; score = boost * fn(value) with fn one
+        # of saturation (v/(v+pivot), pivot required — this engine
+        # has no per-field feature stats to derive a default from),
+        # log (ln(scaling_factor*v + 1)), sigmoid
+        # (v^exp / (v^exp + pivot^exp)), linear (v)
+        fns = [k for k in ("saturation", "log", "sigmoid", "linear")
+               if k in spec]
+        if len(fns) > 1:
+            raise NotImplementedError(
+                f"rank_feature with multiple functions {fns}"
+            )
+        fn = fns[0] if fns else "saturation"
+        conf = spec.get(fn, {}) if fn != "linear" else {}
+        if fn == "saturation" and "pivot" not in conf:
+            raise NotImplementedError(
+                "rank_feature saturation without an explicit pivot "
+                "(no per-field feature stats to derive the default)"
+            )
+        return _IR(
+            "rankf", field=spec["field"],
+            spec={"fn": fn, "conf": conf},
+            boost=float(spec.get("boost", 1.0)),
+        )
     if kind == "match_all":
         return _IR("all")
     if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
@@ -554,6 +598,115 @@ def _function_score(spark, index_dir, ir, rec) -> DataFrame:
     return cur.select("ord", out.alias("score"))
 
 
+_SCRIPT_CALLS = {
+    "Math.log": F.log,          # painless Math.log is natural log
+    "Math.log10": F.log10,
+    "Math.sqrt": F.sqrt,
+    "Math.abs": F.abs,
+    "Math.exp": F.exp,
+    "Math.pow": lambda a, b: F.pow(a, b),
+    "Math.max": lambda a, b: F.greatest(a, b),
+    "Math.min": lambda a, b: F.least(a, b),
+    # Lucene feature functions exposed to script_score
+    "saturation": lambda v, k: v / (v + k),
+    "sigmoid": lambda v, k, a: (
+        F.pow(v, a) / (F.pow(v, a) + F.pow(k, a))
+    ),
+}
+
+
+def _script_score(spark, index_dir, ir, rec) -> DataFrame:
+    """ScriptScoreQuery execution: the child's (ord, score) frame is
+    the match set; referenced doc['field'] values arrive via ONE
+    ord-equi-join against the vocabulary-thin doc-values sidecar (a
+    recording pre-pass collects the fields, so unreferenced columns
+    never leave the parquet scan); the painless-lite script is
+    compiled to a native Column expression — no Python UDF, the plan
+    stays match-set-sized and whole-stage-codegen'd. Missing feature
+    values read as 0.0 (documented divergence from painless's
+    hard-throwing doc[].value on empty — a null-poisoned score would
+    be silent)."""
+    from .aggs import painless_expr
+
+    cfg = ir.spec
+    cur = rec(ir.must[0])
+    doc_fields: set = set()
+
+    def record(kind, name):
+        if kind == "doc":
+            doc_fields.add(name)
+        return F.lit(0.0)
+
+    painless_expr(cfg["source"], record, _SCRIPT_CALLS)
+    if doc_fields:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+        missing = doc_fields - set(dv.columns)
+        if missing:
+            raise NotImplementedError(
+                f"script_score fields {sorted(missing)} not in "
+                "doc-values sidecar (attach_doc_values first)"
+            )
+        cur = cur.join(
+            dv.select("ord", *sorted(doc_fields)), "ord", "left"
+        )
+
+    def resolve(kind, name):
+        if kind == "doc":
+            return F.coalesce(F.col(name).cast("double"), F.lit(0.0))
+        if kind == "param":
+            if name not in cfg["params"]:
+                raise KeyError(
+                    f"script_score references params.{name} with no "
+                    f"matching params entry (have: "
+                    f"{sorted(cfg['params'])})"
+                )
+            return F.lit(float(cfg["params"][name]))
+        if kind == "name" and name == "_score":
+            return F.col("score")
+        raise NotImplementedError(
+            f"script_score reference {kind}:{name}"
+        )
+
+    expr = painless_expr(cfg["source"], resolve, _SCRIPT_CALLS)
+    if ir.boost is not None and ir.boost != 1.0:
+        expr = expr * F.lit(float(ir.boost))
+    out = cur.select("ord", expr.cast("double").alias("score"))
+    if cfg["min_score"] is not None:
+        out = out.filter(F.col("score") >= float(cfg["min_score"]))
+    return out
+
+
+def _rank_feature(spark, index_dir, ir) -> DataFrame:
+    """RankFeatureQuery execution: matches every doc whose feature
+    field is present and positive in the doc-values sidecar; score =
+    boost * fn(value). One sidecar scan, no corpus touch — the
+    natural `should` companion that boosts text hits by a stored
+    feature (pagerank, stars, freshness)."""
+    dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    if ir.field not in dv.columns:
+        raise NotImplementedError(
+            f"rank_feature field '{ir.field}' not in doc-values "
+            "sidecar (attach_doc_values first)"
+        )
+    v = F.col(ir.field).cast("double")
+    fn, conf = ir.spec["fn"], ir.spec["conf"]
+    if fn == "saturation":
+        s = v / (v + F.lit(float(conf["pivot"])))
+    elif fn == "log":
+        s = F.log(F.lit(float(conf.get("scaling_factor", 1.0))) * v
+                  + F.lit(1.0))
+    elif fn == "sigmoid":
+        p, e = float(conf["pivot"]), float(conf["exponent"])
+        s = F.pow(v, e) / (F.pow(v, e) + F.lit(p ** e))
+    else:  # linear
+        s = v
+    boost = float(ir.boost if ir.boost is not None else 1.0)
+    return (
+        dv.filter(v.isNotNull() & (v > 0))
+        .select("ord", (F.lit(boost) * s).alias("score"))
+    )
+
+
 def _combine(
     spark: SparkSession, index_dir: str, ir: _IR,
     leaf_scored: DataFrame, corpus_path: str | None,
@@ -606,6 +759,10 @@ def _combine(
                 "ord", (F.col("score") * F.lit(ir.boost)).alias("score")
             )
         return out
+    if ir.kind == "sscore":
+        return _script_score(spark, index_dir, ir, rec)
+    if ir.kind == "rankf":
+        return _rank_feature(spark, index_dir, ir)
     if ir.kind == "dismax":
         # DisjunctionMaxQuery: union children (tagged), best child
         # score + tie_breaker * the rest; matching = any child

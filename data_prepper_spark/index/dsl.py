@@ -29,7 +29,12 @@ doc-values fields, minimum_should_match, and per-clause/per-node
 boolean_search executor), dis_max (tie_breaker), constant_score,
 boosting (negative_boost demotion), function_score (weight +
 field_value_factor functions with per-function filters, score_mode/
-boost_mode algebra), query_string (Lucene mini-syntax: AND/OR/NOT,
+boost_mode algebra), script_score (painless-lite: _score,
+doc['field'].value, params, Math.*/saturation/sigmoid calls —
+compiled to native Columns, min_score cutoff), rank_feature
+(saturation/log/sigmoid/linear over a positive doc-values feature,
+matches feature-present docs — the `should`-clause relevance
+booster), query_string (Lucene mini-syntax: AND/OR/NOT,
 +/- prefixes, parentheses, "quoted phrases", field:value on
 doc-values fields — parsed to a bool tree, same compiler),
 multi_match (fields with ^boosts, each scored as its own per-field
@@ -517,9 +522,11 @@ def search(
             )
     elif kind in (
         "dis_max", "constant_score", "boosting", "function_score",
+        "script_score", "rank_feature",
     ):
         # scoring tree nodes (Lucene DisjunctionMaxQuery /
-        # ConstantScoreQuery / BoostingQuery / FunctionScoreQuery):
+        # ConstantScoreQuery / BoostingQuery / FunctionScoreQuery /
+        # ScriptScoreQuery / RankFeatureQuery):
         # same compiler as nested bool — all text leaves share one
         # bucket-pruned postings scan
         from .booltree import bool_tree_match, bool_tree_search

@@ -1163,3 +1163,102 @@ def test_bucket_script_and_selector(spark, dv_index, dv_corpus):
     }
     with pytest.raises(NotImplementedError):
         search(spark, dv_index, bad, corpus_path=dv_corpus)
+
+
+def test_script_score_query(spark, dv_index, dv_corpus, ref):
+    """script_score: the child query's match set re-scored by a
+    painless-lite script (_score, doc['field'].value sidecar reads,
+    params literals, saturation/Math calls) compiled to a native
+    Column — verified per doc against the reference BM25 partials +
+    metadata; min_score drops docs below it; out-of-grammar scripts
+    stay loud failures."""
+    match_q = {"match": {"content": "gunaba"}}
+    tree = {
+        "script_score": {
+            "query": match_q,
+            "script": {
+                "source": (
+                    "_score * saturation(doc['n_chars'].value,"
+                    " params.k)"
+                ),
+                "params": {"k": 300},
+            },
+        }
+    }
+    got = _engine_hits(spark, dv_index, tree, corpus_path=dv_corpus)
+    meta = ref["meta"]
+    want = sorted(
+        (d, round(s * (meta.loc[d, "n_chars"]
+                       / (meta.loc[d, "n_chars"] + 300.0)), 6))
+        for d, s in _ref_hits(match_q, ref)
+    )
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=2e-5)
+    # min_score keeps only the upper tail (cut at a midpoint between
+    # two adjacent scores so float rounding can't flip membership)
+    ss = sorted(s for _, s in want)
+    cut = (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0
+    tree_ms = {"script_score": {**tree["script_score"],
+                                "min_score": cut}}
+    kept = _engine_hits(spark, dv_index, tree_ms, corpus_path=dv_corpus)
+    assert [d for d, _ in kept] == [d for d, s in want if s >= cut]
+    assert 0 < len(kept) < len(got)
+    # grammar violations fail loudly
+    bad = {"script_score": {
+        "query": match_q,
+        "script": {"source": "System.exit(doc['n_chars'].value)"},
+    }}
+    with pytest.raises(NotImplementedError):
+        _engine_hits(spark, dv_index, bad, corpus_path=dv_corpus)
+
+
+def test_rank_feature_query(spark, dv_index, dv_corpus, ref):
+    """rank_feature as a `should` companion: text score + boost *
+    saturation(feature) for docs with the feature — recomputed from
+    the reference; saturation without a pivot is a loud failure (no
+    per-field feature stats to derive the default from)."""
+    match_q = {"match": {"content": "gunaba"}}
+    tree = {
+        "bool": {
+            "must": [match_q],
+            "should": [{
+                "rank_feature": {
+                    "field": "n_chars",
+                    "saturation": {"pivot": 300},
+                    "boost": 0.5,
+                },
+            }],
+        }
+    }
+    got = _engine_hits(spark, dv_index, tree, corpus_path=dv_corpus)
+    meta = ref["meta"]
+    want = sorted(
+        (d, round(s + 0.5 * (meta.loc[d, "n_chars"]
+                             / (meta.loc[d, "n_chars"] + 300.0)), 6))
+        for d, s in _ref_hits(match_q, ref)
+    )
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=2e-5)
+    # log + sigmoid variants execute (spot-check one doc each)
+    import math
+
+    for fn_spec, fn in (
+        ({"log": {"scaling_factor": 2.0}},
+         lambda v: math.log(2.0 * v + 1.0)),
+        ({"sigmoid": {"pivot": 300, "exponent": 2.0}},
+         lambda v: v**2 / (v**2 + 300.0**2)),
+    ):
+        t = {"rank_feature": {"field": "n_chars", **fn_spec}}
+        hits = _engine_hits(spark, dv_index, t, corpus_path=dv_corpus)
+        d0, s0 = hits[0]
+        assert s0 == pytest.approx(
+            round(fn(float(meta.loc[d0, "n_chars"])), 6), abs=2e-5
+        )
+    with pytest.raises(NotImplementedError):
+        _engine_hits(
+            spark, dv_index,
+            {"rank_feature": {"field": "n_chars", "saturation": {}}},
+            corpus_path=dv_corpus,
+        )
