@@ -2836,6 +2836,26 @@ def dsl_script_score(spark, sf_dir):
     return _rerank_engine_results(out)
 
 
+ANALYZE_TEXTS = [
+    "getUserName snake_case_id HTTPServer2 calls",
+    "def build_index(spark, corpus_path): return 42",
+    "MixedCase the and of tokens",
+]
+
+
+def analyze_api(spark, sf_dir):
+    """_analyze API facade (index/dsl.py::analyze): the index's
+    persisted analyzer chain over ad-hoc text — the debugging surface
+    an OpenSearch user hits first when a query doesn't match. The
+    docs index uses the identity chain, so the oracle is the DuckDB
+    tokenizer twin with lockstep-unnested positions; stop/stem chains
+    are covered by tests/test_dsl.py::test_analyze_api."""
+    from data_prepper_spark.index.dsl import analyze
+
+    _, idx = _docs_index(spark, sf_dir)
+    return analyze(spark, idx, {"text": ANALYZE_TEXTS})
+
+
 def dsl_sort_page(spark, sf_dir):
     """Field-sorted deep page (the OpenSearch `sort` + `from` body):
     the match set is materialized once, joined against the doc-values
@@ -5263,6 +5283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_metric_aggs_family": dsl_metric_aggs_family,
         "dsl_bucket_scripts": dsl_bucket_scripts,
         "dsl_script_score": dsl_script_score,
+        "analyze_api": analyze_api,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8252,6 +8273,18 @@ SELECT 'avg_bucket', '*',
        round(sum(doc_count) / CAST(count(*) AS DOUBLE), 6) FROM w
 UNION ALL
 SELECT 'max_bucket', '*', round(max(avg_chars), 6) FROM w
+"""
+    _az = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')"
+        for i, t in enumerate(ANALYZE_TEXTS)
+    )
+    sql["analyze_api"] = f"""
+WITH t(text_id, txt) AS (VALUES {_az}),
+tok AS (SELECT text_id, {tokenize_sql('txt')} AS l FROM t)
+SELECT text_id,
+       unnest(l) AS token,
+       CAST(unnest(generate_series(0, len(l) - 1)) AS INT) AS position
+FROM tok
 """
     sql["dsl_script_score"] = f"""
 WITH toks AS (

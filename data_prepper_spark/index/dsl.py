@@ -1484,3 +1484,38 @@ def mget(
             ),
         )
     return out
+
+
+def analyze(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict,
+) -> DataFrame:
+    """_analyze API analog: run the INDEX'S persisted analyzer chain
+    (code-aware tokenizer, then the stop/stem filters recorded in
+    stats.json at build time — the exact chain every document and
+    query goes through) over ad-hoc text and return the tokens with
+    their positions. `body["text"]` is a string or list of strings
+    (each gets its own text_id, the OpenSearch multi-text form).
+    Returns (text_id, token, position); positions are post-filter
+    ordinals, matching what the positions sidecar stores — so a
+    phrase query's expected gaps can be read straight off this
+    output. Character offsets are not reported: the tokenizer's
+    camelCase/snake_case splits don't preserve a 1:1 source span
+    (mirrors reference behavior of delegating analysis to the engine,
+    OpenSearchSink's bulk path never re-analyzes client-side).
+    Pure Catalyst — tokenize_col + posexplode, no Python UDF."""
+    from .query import _query_analyzer, load_stats
+
+    texts = body["text"]
+    if isinstance(texts, str):
+        texts = [texts]
+    an = _query_analyzer(load_stats(index_dir))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "text_id long, text string",
+    )
+    return df.select(
+        "text_id",
+        F.posexplode(an(F.col("text"))).alias("position", "token"),
+    ).select("text_id", "token", "position")

@@ -1186,3 +1186,55 @@ def test_explain_flag(spark, index_dir, corpus_path):
              "slice": {"id": 0, "max": 2}, "explain": True},
             corpus_path=corpus_path,
         )
+
+
+def test_analyze_api(spark, index_dir, tmp_path):
+    """_analyze facade (index/dsl.py::analyze): runs the index's
+    persisted analyzer chain over ad-hoc text — identity chain on a
+    plain index (code-aware splits, post-filter positions), stop +
+    stem filters on an index built with them."""
+    import pandas as pd
+
+    from data_prepper_spark.index.dsl import analyze
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    text = "getUserName snake_case_id HTTPServer2 calls"
+    got = analyze(spark, index_dir, {"text": text}).collect()
+    want = tokenize_series(pd.Series([text])).iloc[0]
+    assert [(r.token, r.position) for r in got] == [
+        (t, i) for i, t in enumerate(want)
+    ]
+    # multi-text form: one text_id per input
+    two = analyze(
+        spark, index_dir, {"text": ["alpha beta", "gamma"]}
+    ).collect()
+    assert {(r.text_id, r.token) for r in two} >= {
+        (0, "alpha"), (0, "beta"), (1, "gamma")
+    }
+    # an index built with stop + stem filters applies BOTH, and
+    # positions are post-filter ordinals (what the sidecar stores)
+    from data_prepper_spark.index.build import BuildConfig, build_index
+
+    from pyspark.sql import functions as SF
+
+    corpus = spark.createDataFrame(
+        [("r", "p1", "c", "py", "classes remove the walls")],
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    ).withColumn("content_sha256", SF.sha2(SF.col("content"), 256))
+    cp = str(tmp_path / "c.parquet")
+    corpus.write.parquet(cp)
+    idx = str(tmp_path / "swidx")
+    build_index(
+        spark, cp, idx,
+        BuildConfig(
+            n_buckets=2, hot_group_target=100,
+            stopwords=("the",), stemmer="minimal_english",
+        ),
+    )
+    filtered = analyze(
+        spark, idx, {"text": "the classes beyond the walls"}
+    ).collect()
+    assert [(r.token, r.position) for r in filtered] == [
+        ("classe", 0), ("beyond", 1), ("wall", 2)
+    ]
