@@ -1519,3 +1519,141 @@ def analyze(
         "text_id",
         F.posexplode(an(F.col("text"))).alias("position", "token"),
     ).select("text_id", "token", "position")
+
+
+def validate_query(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict,
+    corpus_path: str | None = None,
+) -> dict:
+    """_validate/query analog: compile the body WITHOUT executing it
+    and report whether this engine supports every clause. Returns
+    {"valid": bool, "error": str | None} — the error carries the
+    compiler's NotImplementedError text naming the offending clause
+    (OpenSearch's `explain=true` error string analog). Compilation is
+    driver-side plan construction only; no Spark job runs, so this is
+    the cheap pre-flight a migrating user runs over their saved
+    search bodies."""
+    try:
+        res = search(
+            spark, index_dir, body, corpus_path=corpus_path
+        )
+        # force lazy agg/hit DataFrames to at least ANALYZE (schema
+        # resolution catches missing doc-values columns) — still no
+        # job execution
+        if res.hits is not None:
+            _ = res.hits.schema
+        for a in res.aggregations.values():
+            _ = a.schema
+        return {"valid": True, "error": None}
+    except (NotImplementedError, KeyError, ValueError) as e:
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+
+def field_caps(spark: SparkSession, index_dir: str) -> DataFrame:
+    """_field_caps analog: enumerate the index's queryable fields and
+    their capabilities — the discovery call dashboards issue before
+    building filter UIs. `content` is the indexed full-text field
+    (searchable, not aggregatable); every doc-values sidecar column
+    is filterable + aggregatable with its parquet-derived type
+    (keyword for strings, long/double for numerics — the same
+    mapping OpenSearch reports). Driver-side schema reads only, no
+    jobs."""
+    import os as _os
+
+    rows = [("content", "text", True, False)]
+    try:
+        dv = spark.read.parquet(_os.path.join(index_dir, "docvalues"))
+        type_map = {
+            "string": "keyword", "bigint": "long", "int": "integer",
+            "double": "double", "float": "float", "boolean": "boolean",
+            "date": "date", "timestamp": "date",
+        }
+        for f in dv.schema.fields:
+            if f.name == "ord":
+                continue
+            rows.append((
+                f.name,
+                type_map.get(f.dataType.simpleString(),
+                             f.dataType.simpleString()),
+                True, True,
+            ))
+    except Exception:
+        pass
+    return spark.createDataFrame(
+        rows,
+        "field string, type string, searchable boolean,"
+        " aggregatable boolean",
+    )
+
+
+def render_template(source: dict, params: dict):
+    """_render/template analog: substitute mustache params into a
+    search-template body. Supports the core of OpenSearch's mustache
+    surface: `{{var}}` substitution anywhere in string values (whole-
+    string matches keep the param's native type, so `"size":
+    "{{size}}"` becomes an int), `{{#toJson}}var{{/toJson}}` for
+    lists/objects, and `{{var}}{{^var}}default{{/var}}` inverted-
+    section defaults. Unresolved params raise KeyError (loud). Pure
+    driver-side dict walk."""
+    import json as _json
+    import re as _re
+
+    _TOJSON = _re.compile(r"^\{\{#toJson\}\}(\w+)\{\{/toJson\}\}$")
+    _INV = _re.compile(
+        r"^\{\{(\w+)\}\}\{\{\^\1\}\}(.*?)\{\{/\1\}\}$", _re.S
+    )
+    _VAR = _re.compile(r"\{\{(\w+)\}\}")
+
+    def sub(v):
+        if isinstance(v, dict):
+            return {k: sub(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [sub(x) for x in v]
+        if not isinstance(v, str):
+            return v
+        m = _TOJSON.match(v)
+        if m:
+            return _json.loads(_json.dumps(params[m.group(1)]))
+        m = _INV.match(v)
+        if m:
+            name, default = m.group(1), m.group(2)
+            got = params.get(name)
+            return got if got not in (None, "") else sub(default)
+        m = _VAR.fullmatch(v)
+        if m:  # whole-string: keep the param's native type
+            if m.group(1) not in params:
+                raise KeyError(f"unresolved template param {m.group(1)}")
+            return params[m.group(1)]
+
+        def rep(mm):
+            if mm.group(1) not in params:
+                raise KeyError(
+                    f"unresolved template param {mm.group(1)}"
+                )
+            return str(params[mm.group(1)])
+
+        return _VAR.sub(rep, v)
+
+    return sub(source)
+
+
+def search_template(
+    spark: SparkSession,
+    index_dir: str,
+    template: dict,
+    corpus_path: str | None = None,
+    query_id: int = 0,
+) -> DSLResult:
+    """_search/template analog: render `template["source"]` with
+    `template["params"]`, then run the resulting body through the
+    compiler — the parameterized-search surface ops teams save in
+    dashboards."""
+    body = render_template(
+        template["source"], template.get("params", {})
+    )
+    return search(
+        spark, index_dir, body, corpus_path=corpus_path,
+        query_id=query_id,
+    )

@@ -1238,3 +1238,77 @@ def test_analyze_api(spark, index_dir, tmp_path):
     assert [(r.token, r.position) for r in filtered] == [
         ("classe", 0), ("beyond", 1), ("wall", 2)
     ]
+
+
+def test_validate_field_caps_and_templates(
+    spark, index_dir, corpus_path
+):
+    """_validate/query (compile-only support check), _field_caps
+    (field discovery), and _search/template + _render/template
+    (mustache-lite substitution: whole-string native types, toJson,
+    inverted-section defaults)."""
+    from data_prepper_spark.index.dsl import (
+        field_caps,
+        render_template,
+        search_template,
+        validate_query,
+    )
+    from data_prepper_spark.index.query import attach_doc_values
+
+    attach_doc_values(spark, index_dir, corpus_path, cols=("lang",))
+    ok = validate_query(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}}},
+    )
+    assert ok == {"valid": True, "error": None}
+    bad = validate_query(
+        spark, index_dir,
+        {"query": {"geo_shape": {"location": {}}}},
+    )
+    assert not bad["valid"] and "geo_shape" in bad["error"]
+    caps = {
+        r.field: (r.type, r.searchable, r.aggregatable)
+        for r in field_caps(spark, index_dir).collect()
+    }
+    assert caps["content"] == ("text", True, False)
+    assert caps["lang"] == ("keyword", True, True)
+    # template rendering: native types, toJson, inverted defaults
+    src = {
+        "query": {"bool": {
+            "must": [{"match": {"content": "{{q}}"}}],
+            "filter": [{"terms": {
+                "lang": "{{#toJson}}langs{{/toJson}}",
+            }}],
+        }},
+        "size": "{{size}}",
+        "_note": "q={{q}} size={{size}}",
+        "_missing": "{{k}}{{^k}}fallback{{/k}}",
+    }
+    body = render_template(
+        src, {"q": "class", "langs": ["python", "go"], "size": 7}
+    )
+    assert body["size"] == 7 and isinstance(body["size"], int)
+    assert body["query"]["bool"]["filter"][0]["terms"]["lang"] == [
+        "python", "go"
+    ]
+    assert body["_note"] == "q=class size=7"
+    assert body["_missing"] == "fallback"
+    with pytest.raises(KeyError):
+        render_template({"x": "{{nope}}"}, {})
+    # end-to-end: template hits == direct body hits
+    del src["_note"], src["_missing"]
+    res_t = search_template(
+        spark, index_dir,
+        {"source": src,
+         "params": {"q": "class", "langs": ["python", "go"],
+                    "size": 7}},
+        corpus_path=corpus_path,
+    )
+    res_d = search(
+        spark, index_dir,
+        render_template(
+            src, {"q": "class", "langs": ["python", "go"], "size": 7}
+        ),
+        corpus_path=corpus_path,
+    )
+    assert _rows(res_t.hits) == _rows(res_d.hits) and res_t.hits.count()
