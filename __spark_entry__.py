@@ -2856,6 +2856,71 @@ def analyze_api(spark, sf_dir):
     return analyze(spark, idx, {"text": ANALYZE_TEXTS})
 
 
+_ROUTED_IDX_CACHE: dict[str, list] = {}
+
+
+def multi_index_search(spark, sf_dir):
+    """Multi-index search (query.topk_multi — the GET
+    idx1,idx2/_search surface over build.build_routed_indexes's
+    per-route sub-indexes): the documents corpus routes into per-lang
+    physical indexes in ONE partitionBy pass, each index scores the
+    query batch with its OWN corpus statistics (per-index idf, the
+    OpenSearch per-index scoring reality — scores are NOT globally
+    renormalized), per-index top-k candidates merge through one
+    aggregation-sized global rank window, `_index` carries
+    provenance. Ties re-ranked by original doc_id (same device as
+    bm25_indexed_engine). The oracle recomputes per-lang BM25 stats
+    and the same merge in DuckDB."""
+    import os as _os
+    import tempfile as _tf
+
+    from data_prepper_spark.index.build import (
+        BuildConfig,
+        build_routed_indexes,
+    )
+    from data_prepper_spark.index.query import topk_multi
+
+    cpath, _ = _docs_index(spark, sf_dir)
+    dirs = _ROUTED_IDX_CACHE.get(sf_dir)
+    if dirs is None:
+        out = _tf.mkdtemp(prefix="dps_routed_")
+        stats = build_routed_indexes(
+            spark, cpath, out, route_col="lang",
+            cfg=BuildConfig(n_buckets=4, hot_group_target=5000),
+        )
+        dirs = [_os.path.join(out, f"index_{la}") for la in sorted(stats)]
+        _ROUTED_IDX_CACHE[sf_dir] = dirs
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        "query_id long, query string",
+    )
+    res = topk_multi(spark, dirs, q, k=50)
+    docs = None
+    for d in dirs:
+        dd = (
+            spark.read.parquet(_os.path.join(d, "docs"))
+            .select("doc_id", "path")
+            .withColumn("_index", F.lit(_os.path.basename(d)))
+        )
+        docs = dd if docs is None else docs.unionByName(dd)
+    j = res.join(docs, ["doc_id", "_index"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"),
+        F.asc(F.col("path").cast("long")),
+        F.asc("_index"),
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "rank",
+            F.col("path").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r"),
+            "_index",
+        )
+    )
+
+
 def dsl_sort_page(spark, sf_dir):
     """Field-sorted deep page (the OpenSearch `sort` + `from` body):
     the match set is materialized once, joined against the doc-values
@@ -5284,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bucket_scripts": dsl_bucket_scripts,
         "dsl_script_score": dsl_script_score,
         "analyze_api": analyze_api,
+        "multi_index_search": multi_index_search,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8285,6 +8351,51 @@ SELECT text_id,
        unnest(l) AS token,
        CAST(unnest(generate_series(0, len(l) - 1)) AS INT) AS position
 FROM tok
+"""
+    _mq = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    sql["multi_index_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, lang, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, lang, count(*)::DOUBLE AS dl
+       FROM toks GROUP BY 1, 2),
+stats AS (SELECT lang, count(*)::DOUBLE AS n, avg(dl) AS avgdl
+          FROM dl GROUP BY 1),
+dfreq AS (SELECT lang, term, count(*)::DOUBLE AS df
+          FROM tf GROUP BY 1, 2),
+qraw(query_id, query) AS (VALUES {_mq}),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.lang,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term AND tf.lang = d.lang
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.lang = tf.lang
+  JOIN stats s ON s.lang = tf.lang
+),
+tot AS (SELECT query_id, doc_id, lang, sum(part) AS score
+        FROM scored GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_id, doc_id, score, 'index_' || lang AS idx,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, doc_id, 'index_' || lang
+         ) AS rank
+  FROM tot
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r,
+       idx AS "_index"
+FROM ranked WHERE rank <= 10
 """
     sql["dsl_script_score"] = f"""
 WITH toks AS (

@@ -1398,7 +1398,49 @@ def search(
             hits=hits.select("query_id", "doc_id"),
         )
 
+    if body.get("docvalue_fields") and hits is not None:
+        hits = _attach_docvalue_fields(
+            spark, index_dir, hits, body["docvalue_fields"]
+        )
+
     return DSLResult(hits, aggs, sugg, explanation=explanation)
+
+
+def _attach_docvalue_fields(spark, index_dir, hits, fields):
+    """`docvalue_fields` body option: widen the hit frame with
+    sidecar columns (the OpenSearch way to return sort/filter fields
+    without _source). Accepts the string and {"field": ...} forms.
+    The sidecar keys on the internal ordinal; hit frames that carry
+    `ord` join directly, `doc_id` frames route through the docs
+    table first — one broadcast-sized hop either way, hits are
+    k-bounded."""
+    import os as _os
+
+    names = [
+        f["field"] if isinstance(f, dict) else str(f) for f in fields
+    ]
+    dv = spark.read.parquet(_os.path.join(index_dir, "docvalues"))
+    missing = set(names) - set(dv.columns)
+    if missing:
+        raise NotImplementedError(
+            f"docvalue_fields {sorted(missing)} not in doc-values "
+            "sidecar (attach_doc_values first)"
+        )
+    dv = dv.select("ord", *names)
+    if "ord" in hits.columns:
+        return hits.join(dv, "ord", "left")
+    if "doc_id" in hits.columns:
+        docs = spark.read.parquet(
+            _os.path.join(index_dir, "docs")
+        ).select("doc_id", "ord")
+        return (
+            hits.join(docs, "doc_id", "left")
+            .join(dv, "ord", "left")
+            .drop("ord")
+        )
+    raise NotImplementedError(
+        "docvalue_fields on a hit frame without ord/doc_id columns"
+    )
 
 
 def msearch(

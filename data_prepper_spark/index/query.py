@@ -3391,3 +3391,49 @@ def topk_deltas(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def topk_multi(
+    spark: SparkSession,
+    index_dirs: list,
+    queries: DataFrame,
+    k: int = 10,
+    mode: str = "exhaustive",
+) -> DataFrame:
+    """Multi-index top-k BM25 — the `GET idx1,idx2/_search` /
+    index-pattern surface (the reference's per-sink dynamic indexes,
+    build.build_routed_indexes, are queried back TOGETHER). Each
+    index scores with its OWN corpus statistics (per-index idf —
+    OpenSearch's per-index scoring reality, scores are not globally
+    renormalized), contributes its local top-k, and one
+    aggregation-sized merge window takes the global top-k per query.
+    Returns (query_id, rank, doc_id, score, _index) with `_index`
+    naming the winning index (basename), rank re-assigned globally.
+
+    Scale shape: per-index scans stay independent (partition pruning
+    per directory, no cross-index shuffle of postings); only the
+    k-per-index-per-query candidate frame — bounded by
+    len(index_dirs) * k * n_queries — crosses into the merge window."""
+    import os as _os
+
+    parts = []
+    for d in index_dirs:
+        parts.append(
+            topk(spark, d, queries, k=k, mode=mode).select(
+                "query_id", "doc_id", "score",
+                F.lit(_os.path.basename(_os.path.normpath(d))).alias(
+                    "_index"
+                ),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("_index")
+    )
+    return (
+        un.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "_index")
+    )

@@ -1312,3 +1312,63 @@ def test_validate_field_caps_and_templates(
         corpus_path=corpus_path,
     )
     assert _rows(res_t.hits) == _rows(res_d.hits) and res_t.hits.count()
+
+
+def test_aliases_and_docvalue_fields(
+    spark, index_dir, corpus_path, tmp_path
+):
+    """Filtered index aliases (index/aliases.py — the OpenSearch
+    multi-tenancy device: alias filter composes UNSCORED with any
+    body) and the `docvalue_fields` body option (hits widened with
+    sidecar columns)."""
+    from data_prepper_spark.index.aliases import (
+        delete_alias,
+        get_aliases,
+        put_alias,
+        search_alias,
+    )
+    from data_prepper_spark.index.query import attach_doc_values
+
+    attach_doc_values(spark, index_dir, corpus_path, cols=("lang",))
+    reg = str(tmp_path / "aliases.json")
+    put_alias(
+        reg, "py_docs", index_dir,
+        filter={"term": {"lang": "python"}},
+    )
+    put_alias(reg, "all_docs", index_dir)
+    assert set(get_aliases(reg)) == {"py_docs", "all_docs"}
+    body = {"query": {"match": {"content": "init"}}, "size": 10_000}
+    flt = search_alias(spark, reg, "py_docs", body,
+                       corpus_path=corpus_path)
+    plain = search_alias(spark, reg, "all_docs", body,
+                         corpus_path=corpus_path)
+    direct = search(spark, index_dir, body, corpus_path=corpus_path)
+    # unfiltered alias == direct search
+    assert _rows(plain.hits) == _rows(direct.hits)
+    # filter narrows to python docs; scores are the UNFILTERED ones
+    # (alias filters don't score — subset, same score per doc)
+    fr = {r.doc_id: r.score for r in flt.hits.collect()}
+    dr = {r.doc_id: r.score for r in direct.hits.collect()}
+    assert fr and set(fr) < set(dr)
+    assert all(dr[d] == s for d, s in fr.items())
+    delete_alias(reg, "py_docs")
+    assert set(get_aliases(reg)) == {"all_docs"}
+    with pytest.raises(KeyError):
+        search_alias(spark, reg, "py_docs", body)
+    # docvalue_fields: hits widened with the sidecar column
+    wide = search(
+        spark, index_dir,
+        {"query": {"match": {"content": "class"}},
+         "docvalue_fields": ["lang"], "size": 5},
+        corpus_path=corpus_path,
+    ).hits
+    rows = wide.collect()
+    assert "lang" in wide.columns and rows
+    assert all(r.lang is not None for r in rows)
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, index_dir,
+            {"query": {"match": {"content": "class"}},
+             "docvalue_fields": ["nope"], "size": 5},
+            corpus_path=corpus_path,
+        )

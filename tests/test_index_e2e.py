@@ -1340,3 +1340,55 @@ def test_positional_paths_honor_tombstones(spark, fixture_dir, tmp_path):
         spark, idx, ph, k=100000, slop=2
     ).toPandas()
     assert did not in set(sl_after.doc_id)
+
+
+def test_topk_multi_index(spark, fixture_dir, corpus_pdf, queries_pdf, tmp_path):
+    """topk_multi (the GET idx1,idx2/_search surface): per-lang routed
+    indexes queried back together — each index scores with its own
+    stats (per-index idf), global merge takes top-k. Verified against
+    a pandas merge of the per-slice oracles (same per-index scoring
+    contract)."""
+    import os
+
+    from data_prepper_spark.index.build import BuildConfig, build_routed_indexes
+    from data_prepper_spark.index.query import topk_multi
+    from data_prepper_spark.oracle import bm25_topk
+
+    out = str(tmp_path / "routedm")
+    build_routed_indexes(
+        spark,
+        os.path.join(fixture_dir, "corpus.parquet"),
+        out,
+        route_col="lang",
+        cfg=BuildConfig(n_buckets=4, hot_group_target=5000),
+    )
+    langs = sorted(corpus_pdf["lang"].unique())
+    dirs = [os.path.join(out, f"index_{la}") for la in langs]
+    qp = queries_pdf.head(4)
+    got = topk_multi(
+        spark, dirs, spark.createDataFrame(qp), k=5
+    ).toPandas()
+    # oracle: per-slice BM25 with slice-local stats, merged per query
+    import pandas as pd
+
+    golds = []
+    for la in langs:
+        sub = corpus_pdf[corpus_pdf["lang"] == la].reset_index(drop=True)
+        g = bm25_topk(sub, qp, k=5)
+        g["_index"] = f"index_{la}"
+        golds.append(g)
+    merged = pd.concat(golds, ignore_index=True)
+    merged = merged.sort_values(
+        ["query_id", "score", "doc_id", "_index"],
+        ascending=[True, False, True, True],
+    )
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    merged = merged[merged["rank"] <= 5].reset_index(drop=True)
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got["doc_id"].values == merged["doc_id"].values).all()
+    assert (got["_index"].values == merged["_index"].values).all()
+    import numpy as np
+
+    assert np.abs(got["score"].values - merged["score"].values).max() < 1e-6
+    # provenance column names real winning indexes from >1 lang
+    assert got["_index"].nunique() > 1
