@@ -63,7 +63,8 @@ each compiled through the tree compiler, zero-count buckets emitted),
 adjacency_matrix (named filters + pairwise intersections, empty
 buckets omitted), missing (doc-values NULL count), weighted_avg,
 percentile_ranks (exact), rare_terms (doc_count <= max_doc_count
-tail), multi_terms (composite-key top buckets)) under ANY query with
+tail), multi_terms (composite-key top buckets), top_metrics (metric
+values of the top-sorted match-set docs)) under ANY query with
 a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
@@ -95,8 +96,10 @@ query-scoped ones (results surface as "<name>.<sub>"). A top-level
 disjoint, complete 1/m shard of the FULL unscored match set keyed by
 pmod(xxhash64(doc_id), m) — the parallel-export device. A top-level
 `suggest` block ({"<name>": {"text"|"prefix": ..., "term"|
-"completion": {...}}}) routes to the dictionary-only suggest
-executor and may appear with or without a query.
+"completion"|"phrase": {...}}}) routes to the dictionary-only
+suggest executors (phrase = whole-phrase did-you-mean over per-token
+candidates, df-unigram ranked) and may appear with or without a
+query.
 Unsupported constructs raise NotImplementedError naming the clause —
 loud, not silent.
 """
@@ -742,7 +745,7 @@ def search(
     # (mq, matched=None) facet-executor protocol — force the match set
     _SET_AGGS = {
         "filters", "missing", "adjacency_matrix", "weighted_avg",
-        "percentile_ranks", "rare_terms", "multi_terms",
+        "percentile_ranks", "rare_terms", "multi_terms", "top_metrics",
     }
     needs_set = any(
         next(iter({k: v for k, v in a.items() if k != "aggs"}))
@@ -1236,6 +1239,46 @@ def search(
                     "bucket_rank", *flds, "doc_count",
                 )
             )
+        elif akind == "top_metrics":
+            # metric values carried by the top-sorted docs of the
+            # match set (the "what's the latest value" agg): one
+            # doc-values join + one rank window over the match set,
+            # ties broken on the internal ordinal
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "top_metrics under this query kind (no match set)"
+                )
+            mspec = aconf["metrics"]
+            if isinstance(mspec, dict):
+                mspec = [mspec]
+            flds = [m["field"] for m in mspec]
+            ((sfld, sdir),) = aconf["sort"].items()
+            size = int(aconf.get("size", 1))
+            need = sorted(set(flds) | {sfld})
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            ).select("ord", *need)
+            order = (
+                F.desc(sfld) if str(sdir).lower() == "desc"
+                else F.asc(sfld)
+            )
+            w_tm = Window.partitionBy(F.lit(1)).orderBy(
+                order, F.asc("ord")
+            )
+            aggs[name] = (
+                agg_matched.join(dv, "ord")
+                .filter(F.col(sfld).isNotNull())
+                .withColumn("metric_rank", F.row_number().over(w_tm))
+                .filter(F.col("metric_rank") <= size)
+                .select(
+                    F.lit(query_id).cast("long").alias("query_id"),
+                    "metric_rank",
+                    F.col(sfld).alias("sort_value"),
+                    *[F.col(f) for f in flds if f != sfld],
+                )
+            )
         elif akind == "filters":
             # named filter buckets: each sub-filter compiles through
             # the tree compiler, intersects the shared match set, and
@@ -1369,15 +1412,22 @@ def search(
                 "exactly one of term|completion"
             )
         ((smode, sconf),) = s.items()
-        if smode not in ("term", "completion"):
+        if smode not in ("term", "completion", "phrase"):
             raise NotImplementedError(f"suggester '{smode}'")
         inputs = spark.createDataFrame(
             [(query_id, str(txt))], "input_id long, text string"
         )
-        sugg[name] = q.suggest(
-            spark, index_dir, inputs, mode=smode,
-            size=int((sconf or {}).get("size", 3)),
-        )
+        if smode == "phrase":
+            sugg[name] = q.phrase_suggest(
+                spark, index_dir, inputs,
+                size=int((sconf or {}).get("size", 3)),
+                max_errors=int((sconf or {}).get("max_errors", 2)),
+            )
+        else:
+            sugg[name] = q.suggest(
+                spark, index_dir, inputs, mode=smode,
+                size=int((sconf or {}).get("size", 3)),
+            )
 
     explanation = None
     if body.get("explain") and hits is not None:

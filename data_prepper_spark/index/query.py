@@ -3437,3 +3437,98 @@ def topk_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score", "_index")
     )
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    index_dir: str,
+    inputs: DataFrame,
+    size: int = 3,
+    per_token: int = 3,
+    max_errors: int = 2,
+) -> DataFrame:
+    """Phrase suggester (OpenSearch `suggest.phrase` analog): whole-
+    phrase did-you-mean built from the term suggester's per-token
+    candidates. Per analyzed token, up to `per_token` dictionary
+    candidates (the token itself at distance 0 when it IS a
+    dictionary term, else edit-distance<=2 corrections); candidate
+    phrases are the cross product bounded by `max_errors` changed
+    tokens, ranked by a document-frequency unigram log-likelihood
+    with a per-edit penalty — a documented mechanism-equivalent of
+    OpenSearch's Laplace-smoothed n-gram LM (this engine keeps no
+    term-bigram table; df IS its unigram evidence). The all-unchanged
+    phrase is excluded (OpenSearch returns corrections, not echoes).
+
+    inputs: (input_id long, text string). Returns (input_id,
+    suggest_rank, suggestion, score double). Scale shape: ONE
+    dictionary-join round trip for every distinct token across the
+    request (the term suggester's equi-join blocking), then a
+    request-sized driver-side combination — candidate counts are
+    per_token**n_tokens bounded by max_errors, never corpus-shaped."""
+    import itertools
+    import math
+
+    from ..tokenizer import tokenize_series
+
+    rows = inputs.select("input_id", "text").collect()  # request-sized
+    out_schema = (
+        "input_id long, suggest_rank int, suggestion string,"
+        " score double"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    import pandas as pd
+
+    toks_per_input = {
+        r["input_id"]: list(tokenize_series(pd.Series([r["text"]]))[0])
+        for r in rows
+    }
+    all_toks = sorted({t for ts in toks_per_input.values() for t in ts})
+    tok_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(all_toks)],
+        "input_id long, text string",
+    )
+    cand = suggest(
+        spark, index_dir, tok_df, mode="term", size=per_token
+    ).collect()
+    # exact dictionary hits (distance 0) — one vocabulary-thin lookup
+    terms = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "term", "df"
+    )
+    exact = {
+        r["term"]: r["df"]
+        for r in terms.filter(F.col("term").isin(all_toks)).collect()
+    }
+    n_terms_total = max(sum(exact.values()), 1)
+    cands: dict[str, list] = {}
+    for t in all_toks:
+        cc = []
+        if t in exact:
+            cc.append((t, exact[t], 0))
+        cc.extend(
+            (r["suggestion"], r["df"], r["distance"])
+            for r in cand
+            if all_toks[r["input_id"]] == t
+        )
+        # unknown token with no candidates: keep it, heavily penalized
+        cands[t] = cc[: per_token + 1] or [(t, 0, 0)]
+
+    def loglik(df_, dist):
+        return math.log((df_ + 1.0) / n_terms_total) - 2.0 * dist
+
+    out = []
+    for input_id, toks in toks_per_input.items():
+        if not toks:
+            continue
+        phrases = []
+        for combo in itertools.product(*(cands[t] for t in toks)):
+            changed = sum(1 for (w, _, _), t in zip(combo, toks) if w != t)
+            if changed == 0 or changed > max_errors:
+                continue
+            phrase = " ".join(w for w, _, _ in combo)
+            score = sum(loglik(d, dist) for _, d, dist in combo)
+            phrases.append((phrase, score))
+        phrases.sort(key=lambda p: (-p[1], p[0]))
+        for rank, (phrase, score) in enumerate(phrases[:size], start=1):
+            out.append((input_id, rank, phrase, float(score)))
+    return spark.createDataFrame(out or [], out_schema)

@@ -1262,3 +1262,29 @@ def test_rank_feature_query(spark, dv_index, dv_corpus, ref):
             {"rank_feature": {"field": "n_chars", "saturation": {}}},
             corpus_path=dv_corpus,
         )
+
+
+def test_top_metrics_agg(spark, dv_index, dv_corpus, ref):
+    """top_metrics: metric values carried by the top-sorted docs of
+    the match set — recomputed from the reference match set +
+    metadata."""
+    match_q = {"match": {"content": "gunaba"}}
+    body = {
+        "query": match_q,
+        "aggs": {"tm": {"top_metrics": {
+            "metrics": [{"field": "n_chars"}],
+            "sort": {"n_chars": "desc"},
+            "size": 3,
+        }}},
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    got = [
+        (r.metric_rank, r.sort_value)
+        for r in res.aggregations["tm"].orderBy("metric_rank").collect()
+    ]
+    meta = ref["meta"]
+    match_docs = [d for d, _ in _ref_hits(match_q, ref)]
+    want = sorted(
+        (int(meta.loc[d, "n_chars"]) for d in match_docs), reverse=True
+    )[:3]
+    assert got == [(i + 1, v) for i, v in enumerate(want)] and len(got) == 3

@@ -1372,3 +1372,45 @@ def test_aliases_and_docvalue_fields(
              "docvalue_fields": ["nope"], "size": 5},
             corpus_path=corpus_path,
         )
+
+
+def test_phrase_suggester(spark, index_dir):
+    """suggest.phrase: whole-phrase did-you-mean — per-token
+    dictionary candidates (term suggester) combined under a df-
+    unigram log-likelihood with per-edit penalty; the unchanged
+    phrase is never echoed, ranks are score-descending, max_errors
+    bounds the changed-token count."""
+    body = {
+        "suggest": {"fix": {
+            "text": "inot main",
+            "phrase": {"size": 5, "max_errors": 2},
+        }},
+    }
+    res = search(spark, index_dir, body)
+    rows = res.suggest["fix"].orderBy("suggest_rank").collect()
+    assert rows, "no phrase suggestions produced"
+    sugs = [r.suggestion for r in rows]
+    assert "init main" in sugs  # the obvious 1-edit correction
+    assert "inot main" not in sugs  # never echo the input
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every suggestion changes 1..max_errors tokens
+    for s in sugs:
+        changed = sum(
+            1 for a, b in zip(s.split(), "inot main".split()) if a != b
+        )
+        assert 1 <= changed <= 2, s
+    # max_errors=1 forbids double corrections
+    one = search(
+        spark, index_dir,
+        {"suggest": {"fix": {
+            "text": "inot mair",
+            "phrase": {"size": 5, "max_errors": 1},
+        }}},
+    ).suggest["fix"].collect()
+    for r in one:
+        changed = sum(
+            1 for a, b in zip(r.suggestion.split(),
+                              "inot mair".split()) if a != b
+        )
+        assert changed == 1, r.suggestion
