@@ -2921,6 +2921,61 @@ def multi_index_search(spark, sf_dir):
     )
 
 
+PHRASE_SUGGEST_INPUTS = ["quary merg", "slom querry", "sline dat"]
+
+
+def phrase_suggester(spark, sf_dir):
+    """Phrase suggester (query.phrase_suggest — OpenSearch
+    `suggest.phrase` analog): per-token dictionary candidates from
+    the term suggester (distance asc, df desc, term asc, top 3; ONE
+    equi-join round trip for all distinct tokens), combined into
+    whole phrases bounded by max_errors, ranked by the df-unigram
+    log-likelihood ln(df+1) - 2*distance per token (no input token
+    is a dictionary term here, so the normalizer is 1 and the oracle
+    is exact). The oracle replays candidates + combination + ranking
+    in DuckDB with its levenshtein."""
+    from data_prepper_spark.index.query import phrase_suggest
+
+    _, idx = _docs_index(spark, sf_dir)
+    inputs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PHRASE_SUGGEST_INPUTS)],
+        "input_id long, text string",
+    )
+    res = phrase_suggest(spark, idx, inputs, size=3)
+    return res.select(
+        "input_id", "suggest_rank", "suggestion",
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def dsl_top_metrics(spark, sf_dir):
+    """top_metrics aggregation (index/dsl.py): the sort-field values
+    of the top-sorted docs in the match set — one doc-values join +
+    one rank window over the match set. Output carries only
+    (metric_rank, sort_value) so internal-ordinal tie-breaks cannot
+    leak (equal sort values produce identical rows either way)."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {"tm": {"top_metrics": {
+                "metrics": [{"field": "n_chars"}],
+                "sort": {"n_chars": "desc"},
+                "size": 5,
+            }}},
+        },
+        corpus_path=cpath,
+    )
+    return res.aggregations["tm"].select(
+        "query_id", "metric_rank", "sort_value"
+    )
+
+
 def dsl_sort_page(spark, sf_dir):
     """Field-sorted deep page (the OpenSearch `sort` + `from` body):
     the match set is materialized once, joined against the doc-values
@@ -5350,6 +5405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_script_score": dsl_script_score,
         "analyze_api": analyze_api,
         "multi_index_search": multi_index_search,
+        "phrase_suggester": phrase_suggester,
+        "dsl_top_metrics": dsl_top_metrics,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8351,6 +8408,66 @@ SELECT text_id,
        unnest(l) AS token,
        CAST(unnest(generate_series(0, len(l) - 1)) AS INT) AS position
 FROM tok
+"""
+    _ps = ", ".join(
+        f"(CAST({i} AS BIGINT), '{w}', {p})"
+        for i, t in enumerate(PHRASE_SUGGEST_INPUTS)
+        for p, w in enumerate(t.split())
+    )
+    sql["phrase_suggester"] = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+inptok(input_id, tok, pos) AS (VALUES {_ps}),
+cand AS (
+  SELECT input_id, pos, term, df,
+         levenshtein(term, tok)::BIGINT AS dist
+  FROM inptok i JOIN dict d
+    ON abs(length(d.term) - length(i.tok)) <= 2 AND d.term <> i.tok
+  WHERE levenshtein(term, tok) <= 2
+  QUALIFY row_number() OVER (PARTITION BY input_id, pos
+                             ORDER BY dist, df DESC, term) <= 3
+),
+combos AS (
+  SELECT c0.input_id,
+         c0.term || ' ' || c1.term AS suggestion,
+         (ln(c0.df + 1) - 2 * c0.dist)
+           + (ln(c1.df + 1) - 2 * c1.dist) AS score
+  FROM cand c0 JOIN cand c1
+    ON c0.input_id = c1.input_id AND c0.pos = 0 AND c1.pos = 1
+),
+ranked AS (
+  SELECT input_id, suggestion, score,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY score DESC, suggestion)
+           AS suggest_rank
+  FROM combos
+)
+SELECT input_id, suggest_rank, suggestion, round(score, 6) AS score_r
+FROM ranked WHERE suggest_rank <= 3
+"""
+    sql["dsl_top_metrics"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+ranked AS (
+  SELECT query_id, n_chars AS sort_value,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_chars DESC) AS metric_rank
+  FROM matched
+)
+SELECT query_id, metric_rank, sort_value
+FROM ranked WHERE metric_rank <= 5
 """
     _mq = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')"
