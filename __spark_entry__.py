@@ -2976,6 +2976,66 @@ def dsl_top_metrics(spark, sf_dir):
     )
 
 
+def dsl_geo_queries(spark, sf_dir):
+    """geo_distance + geo_bounding_box filter leaves (index/
+    booltree.py::_geo_frame): haversine great-circle distance and a
+    dateline-crossing box, both native Column expressions over
+    *_lat/*_lon doc-values (no UDF — the arc formula stays in
+    whole-stage codegen), composed UNSCORED with a scored match
+    clause. Coordinates derive deterministically from n_chars so the
+    DuckDB oracle rebuilds them exactly; query 0 filters by distance,
+    query 1 by a box that wraps the dateline."""
+    import os as _os
+    import tempfile as _tf
+
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    cp2 = _os.path.join(_tf.mkdtemp(prefix="dps_geo_"), "c.parquet")
+    (
+        spark.read.parquet(cpath)
+        .withColumn(
+            "loc_lat",
+            (F.col("n_chars") % 120 - 60 + F.lit(0.25)).cast("double"),
+        )
+        .withColumn(
+            "loc_lon",
+            ((F.col("n_chars") * 7) % 340 - 170 + F.lit(0.5)).cast(
+                "double"
+            ),
+        )
+        .write.mode("overwrite").parquet(cp2)
+    )
+    attach_doc_values(
+        spark, idx, cp2, cols=("lang", "n_chars", "loc_lat", "loc_lon")
+    )
+    bodies = [
+        {"query": {"bool": {
+            "must": [{"match": {"text": "data merge"}}],
+            "filter": [{"geo_distance": {
+                "distance": "3000km",
+                "loc": {"lat": 10.0, "lon": 20.0},
+            }}],
+        }}, "size": 50},
+        {"query": {"bool": {
+            "must": [{"match": {"text": "data merge"}}],
+            "filter": [{"geo_bounding_box": {"loc": {
+                "top_left": {"lat": 60, "lon": 150},
+                "bottom_right": {"lat": -60, "lon": -100},
+            }}}],
+        }}, "size": 50},
+    ]
+    parts = [
+        dsl_search(spark, idx, b, corpus_path=cp2, query_id=i).hits
+        for i, b in enumerate(bodies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 def dsl_sort_page(spark, sf_dir):
     """Field-sorted deep page (the OpenSearch `sort` + `from` body):
     the match set is materialized once, joined against the doc-values
@@ -5407,6 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_index_search": multi_index_search,
         "phrase_suggester": phrase_suggester,
         "dsl_top_metrics": dsl_top_metrics,
+        "dsl_geo_queries": dsl_geo_queries,
         # -- never driver-checked through r04 --
         "http_ingest_roundtrip": http_ingest_roundtrip,
         "anomaly_detector_grades": anomaly_detector_grades,
@@ -8447,6 +8508,61 @@ ranked AS (
 )
 SELECT input_id, suggest_rank, suggestion, round(score, 6) AS score_r
 FROM ranked WHERE suggest_rank <= 3
+"""
+    sql["dsl_geo_queries"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (
+  VALUES (CAST(0 AS BIGINT), 'data merge'),
+         (CAST(1 AS BIGINT), 'data merge')
+),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score
+        FROM scored GROUP BY 1, 2),
+geo AS (
+  SELECT doc_id,
+         CAST(n_chars % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         CAST((n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+),
+flt AS (
+  SELECT t.query_id, t.doc_id, t.score
+  FROM tot t JOIN geo g USING (doc_id)
+  WHERE (t.query_id = 0 AND
+         2.0 * 6371008.8 * asin(sqrt(
+           pow(sin(radians(g.lat - 10.0) / 2), 2)
+           + cos(radians(10.0)) * cos(radians(g.lat))
+             * pow(sin(radians(g.lon - 20.0) / 2), 2)
+         )) <= 3000000.0)
+     OR (t.query_id = 1 AND g.lat BETWEEN -60 AND 60
+         AND (g.lon >= 150 OR g.lon <= -100))
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM flt
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
     sql["dsl_top_metrics"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

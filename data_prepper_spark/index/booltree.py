@@ -244,6 +244,19 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             spec={"fn": fn, "conf": conf},
             boost=float(spec.get("boost", 1.0)),
         )
+    if kind in ("geo_distance", "geo_bounding_box"):
+        # geo filters over lat/lon doc-values (the geoip-enrich
+        # companion): a geo_point field `f` maps to sidecar columns
+        # f_lat / f_lon (this engine's flat doc-values convention,
+        # documented in attach_doc_values usage). Non-scoring leaves,
+        # like every other dv predicate.
+        spec = dict(spec)
+        dist = spec.pop("distance", None)
+        ((field, geo),) = spec.items()
+        return _IR(
+            "geo", field=field,
+            spec={"kind": kind, "distance": dist, "geo": geo},
+        )
     if kind == "match_all":
         return _IR("all")
     if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
@@ -478,6 +491,77 @@ def _dv_frame(
             if op in val:
                 cond = cond & fn(F.lit(val[op]))
     return dv.filter(cond).select("ord", F.lit(0.0).alias("score"))
+
+
+_DIST_UNITS = {
+    "km": 1000.0, "m": 1.0, "mi": 1609.344, "miles": 1609.344,
+    "yd": 0.9144, "ft": 0.3048, "nmi": 1852.0, "cm": 0.01,
+    "mm": 0.001, "in": 0.0254,
+}
+
+
+def _parse_distance_m(s) -> float:
+    """OpenSearch distance strings ("10km", "500m", "3.5mi") ->
+    meters. A bare number means meters (the OpenSearch default)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    txt = str(s).strip().lower()
+    for unit in sorted(_DIST_UNITS, key=len, reverse=True):
+        if txt.endswith(unit):
+            return float(txt[: -len(unit)]) * _DIST_UNITS[unit]
+    return float(txt)
+
+
+_EARTH_R_M = 6371008.8  # mean earth radius, meters
+
+
+def _geo_frame(spark: SparkSession, index_dir: str, ir: _IR) -> DataFrame:
+    """(ord, score=0.0) for a geo predicate leaf. geo_distance is the
+    haversine great-circle distance against the query point (arc
+    formula in native Columns — no UDF, stays in codegen);
+    geo_bounding_box is two range conds with dateline-crossing
+    support (left > right wraps). Field `f` reads sidecar columns
+    f_lat / f_lon."""
+    dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    latc, lonc = f"{ir.field}_lat", f"{ir.field}_lon"
+    missing = {latc, lonc} - set(dv.columns)
+    if missing:
+        raise NotImplementedError(
+            f"geo field '{ir.field}' needs doc-values columns "
+            f"{sorted(missing)} (attach_doc_values with *_lat/*_lon)"
+        )
+    lat, lon = F.col(latc).cast("double"), F.col(lonc).cast("double")
+    spec = ir.spec
+    if spec["kind"] == "geo_distance":
+        g = spec["geo"]
+        qlat, qlon = float(g["lat"]), float(g["lon"])
+        dist_m = _parse_distance_m(spec["distance"])
+        dphi = F.radians(lat - F.lit(qlat))
+        dlmb = F.radians(lon - F.lit(qlon))
+        a = (
+            F.pow(F.sin(dphi / 2), 2)
+            + F.cos(F.radians(F.lit(qlat))) * F.cos(F.radians(lat))
+            * F.pow(F.sin(dlmb / 2), 2)
+        )
+        d = F.lit(2.0 * _EARTH_R_M) * F.asin(F.sqrt(a))
+        cond = d <= F.lit(dist_m)
+    else:  # geo_bounding_box
+        g = spec["geo"]
+        tl, br = g["top_left"], g["bottom_right"]
+        cond = (lat <= F.lit(float(tl["lat"]))) & (
+            lat >= F.lit(float(br["lat"]))
+        )
+        left, right = float(tl["lon"]), float(br["lon"])
+        if left <= right:
+            cond = cond & (lon >= F.lit(left)) & (lon <= F.lit(right))
+        else:  # dateline crossing
+            cond = cond & (
+                (lon >= F.lit(left)) | (lon <= F.lit(right))
+            )
+    return (
+        dv.filter(lat.isNotNull() & lon.isNotNull() & cond)
+        .select("ord", F.lit(0.0).alias("score"))
+    )
 
 
 def _all_ords(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -724,6 +808,8 @@ def _combine(
         return out
     if ir.kind == "dv":
         return _dv_frame(spark, index_dir, ir, corpus_path)
+    if ir.kind == "geo":
+        return _geo_frame(spark, index_dir, ir)
     if ir.kind == "all":
         return _all_ords(spark, index_dir)
 

@@ -20,7 +20,8 @@ RegexpQuery's Java-compatible subset; the literal prefix blocks the
 dictionary join), ids (unscored stored-_id filter),
 knn (k-NN plugin clause -> similarity executors over `vectors_path`:
 exact brute-force cosine, or LSH-bucketed ANN with method="lsh"),
-top-level range/terms/exists on
+top-level range/terms/exists + geo_distance/geo_bounding_box
+(haversine / dateline-aware box over *_lat/*_lon doc-values) on
 doc-values fields (non-scoring filters — sugar for bool/filter with
 one leaf), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
@@ -321,11 +322,14 @@ def search(
         else:
             match_text, _ = _field_arg(spec)
             match_text = str(match_text)
-    elif kind in ("range", "terms", "exists"):
+    elif kind in (
+        "range", "terms", "exists", "geo_distance", "geo_bounding_box",
+    ):
         # top-level non-scoring filter query (the OpenSearch shape
-        # `{"query": {"range": {...}}}`): identical semantics to
-        # bool/filter with one leaf, so route through the tree
-        # compiler — every hit scores 0, ordinal order
+        # `{"query": {"range": {...}}}`; geo filters read *_lat/*_lon
+        # doc-values — the geoip-enrich companion): identical
+        # semantics to bool/filter with one leaf, so route through
+        # the tree compiler — every hit scores 0, ordinal order
         from .booltree import bool_tree_match, bool_tree_search
 
         wrapped = {"bool": {"filter": [node]}}

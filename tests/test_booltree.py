@@ -1288,3 +1288,96 @@ def test_top_metrics_agg(spark, dv_index, dv_corpus, ref):
         (int(meta.loc[d, "n_chars"]) for d in match_docs), reverse=True
     )[:3]
     assert got == [(i + 1, v) for i, v in enumerate(want)] and len(got) == 3
+
+
+def test_geo_queries(spark, dv_index, dv_corpus, ref, tmp_path):
+    """geo_distance (haversine, native Columns) and geo_bounding_box
+    (incl. dateline crossing) as non-scoring filter leaves over
+    *_lat/*_lon doc-values — membership recomputed with an
+    independent numpy haversine; scores stay the text clause's."""
+    import numpy as np
+
+    corpus2 = (
+        spark.read.parquet(dv_corpus)
+        .withColumn(
+            "loc_lat",
+            (F.col("n_chars") % 120 - 60 + F.lit(0.25)).cast("double"),
+        )
+        .withColumn(
+            "loc_lon",
+            ((F.col("n_chars") * 7) % 340 - 170 + F.lit(0.5)).cast(
+                "double"
+            ),
+        )
+    )
+    cp2 = str(tmp_path / "geo_corpus.parquet")
+    corpus2.write.parquet(cp2)
+    from data_prepper_spark.index.query import attach_doc_values
+
+    attach_doc_values(
+        spark, dv_index, cp2,
+        cols=("lang", "n_chars", "loc_lat", "loc_lon"),
+    )
+    try:
+        match_q = {"match": {"content": "gunaba"}}
+        qlat, qlon, dist_km = 10.0, 20.0, 3000.0
+        tree = {"bool": {
+            "must": [match_q],
+            "filter": [{"geo_distance": {
+                "distance": f"{dist_km}km",
+                "loc": {"lat": qlat, "lon": qlon},
+            }}],
+        }}
+        got = _engine_hits(spark, dv_index, tree, corpus_path=cp2)
+        meta = ref["meta"]
+
+        def hav_km(lat, lon):
+            p1, p2 = np.radians(qlat), np.radians(lat)
+            dphi = np.radians(lat - qlat)
+            dlmb = np.radians(lon - qlon)
+            a = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * (
+                np.sin(dlmb / 2) ** 2
+            )
+            return 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+
+        def coords(d):
+            n = int(meta.loc[d, "n_chars"])
+            return (n % 120 - 60 + 0.25, (n * 7) % 340 - 170 + 0.5)
+
+        want = sorted(
+            (d, s) for d, s in _ref_hits(match_q, ref)
+            if hav_km(*coords(d)) <= dist_km
+        )
+        assert [d for d, _ in got] == [d for d, _ in want] and got
+        assert len(got) < len(_ref_hits(match_q, ref))  # filter bites
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=2e-5)
+        # bounding box with dateline crossing (left > right)
+        box = {"bool": {
+            "must": [match_q],
+            "filter": [{"geo_bounding_box": {"loc": {
+                "top_left": {"lat": 60, "lon": 150},
+                "bottom_right": {"lat": -60, "lon": -100},
+            }}}],
+        }}
+        got_b = _engine_hits(spark, dv_index, box, corpus_path=cp2)
+        want_b = sorted(
+            (d, s) for d, s in _ref_hits(match_q, ref)
+            if (
+                -60 <= coords(d)[0] <= 60
+                and (coords(d)[1] >= 150 or coords(d)[1] <= -100)
+            )
+        )
+        assert [d for d, _ in got_b] == [d for d, _ in want_b] and got_b
+        # missing geo columns stay loud
+        with pytest.raises(NotImplementedError):
+            _engine_hits(
+                spark, dv_index,
+                {"geo_distance": {"distance": "1km",
+                                  "nowhere": {"lat": 0, "lon": 0}}},
+                corpus_path=cp2,
+            )
+    finally:
+        attach_doc_values(
+            spark, dv_index, dv_corpus, cols=("lang", "n_chars")
+        )
