@@ -1225,23 +1225,25 @@ def search(
             dv = spark.read.parquet(
                 _os.path.join(index_dir, "docvalues")
             ).select("ord", *flds)
-            grouped = (
+            order = [F.desc("doc_count")] + [F.asc(f) for f in flds]
+            # orderBy().limit() compiles to TakeOrderedAndProject
+            # (per-partition top-size + merge) — the grouped frame can
+            # be key-cardinality-sized at scale, so no global-sort /
+            # single-partition window touches it; the rank window runs
+            # on the <= size rows the limit kept
+            top = (
                 agg_matched.join(dv, "ord")
                 .groupBy(*flds)
                 .agg(F.count("*").alias("doc_count"))
+                .orderBy(*order)
+                .limit(size)
             )
-            w_rank = Window.partitionBy(F.lit(1)).orderBy(
-                F.desc("doc_count"), *[F.asc(f) for f in flds]
-            )
-            aggs[name] = (
-                grouped.withColumn(
-                    "bucket_rank", F.row_number().over(w_rank)
-                )
-                .filter(F.col("bucket_rank") <= size)
-                .select(
-                    F.lit(query_id).cast("long").alias("query_id"),
-                    "bucket_rank", *flds, "doc_count",
-                )
+            w_rank = Window.partitionBy(F.lit(1)).orderBy(*order)
+            aggs[name] = top.withColumn(
+                "bucket_rank", F.row_number().over(w_rank)
+            ).select(
+                F.lit(query_id).cast("long").alias("query_id"),
+                "bucket_rank", *flds, "doc_count",
             )
         elif akind == "top_metrics":
             # metric values carried by the top-sorted docs of the
@@ -1268,20 +1270,26 @@ def search(
                 F.desc(sfld) if str(sdir).lower() == "desc"
                 else F.asc(sfld)
             )
+            # TakeOrderedAndProject over the match set (per-partition
+            # top-size + merge); the rank window only ever sees the
+            # <= size surviving rows — no match-set-sized
+            # single-partition sort
+            top = (
+                agg_matched.join(dv, "ord")
+                .filter(F.col(sfld).isNotNull())
+                .orderBy(order, F.asc("ord"))
+                .limit(size)
+            )
             w_tm = Window.partitionBy(F.lit(1)).orderBy(
                 order, F.asc("ord")
             )
-            aggs[name] = (
-                agg_matched.join(dv, "ord")
-                .filter(F.col(sfld).isNotNull())
-                .withColumn("metric_rank", F.row_number().over(w_tm))
-                .filter(F.col("metric_rank") <= size)
-                .select(
-                    F.lit(query_id).cast("long").alias("query_id"),
-                    "metric_rank",
-                    F.col(sfld).alias("sort_value"),
-                    *[F.col(f) for f in flds if f != sfld],
-                )
+            aggs[name] = top.withColumn(
+                "metric_rank", F.row_number().over(w_tm)
+            ).select(
+                F.lit(query_id).cast("long").alias("query_id"),
+                "metric_rank",
+                F.col(sfld).alias("sort_value"),
+                *[F.col(f) for f in flds if f != sfld],
             )
         elif akind == "filters":
             # named filter buckets: each sub-filter compiles through
