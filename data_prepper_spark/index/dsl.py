@@ -70,7 +70,9 @@ a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
 buckets). A `terms` aggregation takes `order`
-({_count|_key|<metric>: asc|desc}) and may nest metric
+({_count|_key|<metric>: asc|desc}), `include`/`exclude` (anchored
+regex or exact-value list, filtering buckets before the size cut;
+plain terms only) and may nest metric
 sub-aggregations
 (avg/sum/min/max/value_count, any mix of fields) — all folded into
 the one grouped aggregation that counts the buckets — or ONE nested
@@ -823,6 +825,14 @@ def search(
                 out.append((nname, nkind, nconf["field"]))
             return out
 
+        if akind == "terms" and (
+            aconf.get("include") is not None
+            or aconf.get("exclude") is not None
+        ) and (nested or aconf.get("order")):
+            raise NotImplementedError(
+                "terms include/exclude combined with order/nested "
+                "sub-aggregations (plain terms only)"
+            )
         _inner_terms = None
         if akind == "terms" and nested and len(nested) == 1:
             _in, _ispec = next(iter(nested.items()))
@@ -983,6 +993,8 @@ def search(
                 facet_col=aconf["field"],
                 n_buckets_out=int(aconf.get("size", 10)),
                 matched=agg_matched,
+                include=aconf.get("include"),
+                exclude=aconf.get("exclude"),
             )
         elif akind == "range":
             bounds = sorted(

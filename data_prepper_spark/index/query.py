@@ -1345,6 +1345,8 @@ def faceted_search(
     facet_col: str = "lang",
     n_buckets_out: int = 10,
     matched: DataFrame | None = None,
+    include=None,
+    exclude=None,
 ) -> DataFrame:
     """Terms aggregation over the FULL match set (the reference
     stack's opensearch-api `aggs: {terms: {field: ...}}` alongside a
@@ -1368,6 +1370,10 @@ def faceted_search(
     fac = _facet_counts(
         spark, index_dir, corpus_path, queries, facet_col, matched=matched
     )
+    if include is not None:
+        fac = fac.filter(_facet_value_pred(include))
+    if exclude is not None:
+        fac = fac.filter(~_facet_value_pred(exclude))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("doc_count"), F.asc("facet")
     )
@@ -1376,6 +1382,18 @@ def faceted_search(
         .filter(F.col("bucket_rank") <= n_buckets_out)
         .select("query_id", "bucket_rank", "facet", "doc_count")
     )
+
+
+def _facet_value_pred(spec):
+    """terms-agg include/exclude spec -> bucket-key predicate: a list
+    means exact values, a string is a Lucene-style regex (implicitly
+    anchored, whole-value). Applied to the AGGREGATED bucket frame —
+    before the size cut (the OpenSearch contract), after the one
+    grouped count (so the filter is bucket-cardinality-sized, never
+    match-set-sized)."""
+    if isinstance(spec, (list, tuple, set)):
+        return F.col("facet").isin([str(v) for v in spec])
+    return F.col("facet").cast("string").rlike(f"^(?:{spec})$")
 
 
 def terms_metric_facet(

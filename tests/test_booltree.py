@@ -1381,3 +1381,44 @@ def test_geo_queries(spark, dv_index, dv_corpus, ref, tmp_path):
         attach_doc_values(
             spark, dv_index, dv_corpus, cols=("lang", "n_chars")
         )
+
+
+def test_terms_include_exclude(spark, dv_index, dv_corpus, ref):
+    """terms-agg include/exclude: regex (anchored whole-value) or
+    exact-value list filtering buckets BEFORE the size cut —
+    recomputed from the reference; include/exclude under order/nested
+    stays a loud failure."""
+    from collections import Counter
+
+    match_q = {"match": {"content": "gunaba"}}
+    match_docs = [d for d, _ in _ref_hits(match_q, ref)]
+    meta = ref["meta"]
+    cnt = Counter(meta.loc[d, "lang"] for d in match_docs)
+
+    def run(spec):
+        body = {"query": match_q,
+                "aggs": {"by": {"terms": {"field": "lang", **spec}}}}
+        res = search(spark, dv_index, body, corpus_path=dv_corpus)
+        return {
+            r.facet: r.doc_count
+            for r in res.aggregations["by"].collect()
+        }
+
+    langs = sorted(cnt)
+    assert len(langs) >= 2
+    keep = langs[0]
+    # regex include: anchored whole-value
+    assert run({"include": keep}) == {keep: cnt[keep]}
+    # list include
+    two = langs[:2]
+    assert run({"include": two}) == {la: cnt[la] for la in two}
+    # exclude drops exactly that bucket
+    assert run({"exclude": keep}) == {
+        la: c for la, c in cnt.items() if la != keep
+    }
+    # regex with alternation
+    assert run({"include": "|".join(two)}) == {
+        la: cnt[la] for la in two
+    }
+    with pytest.raises(NotImplementedError):
+        run({"include": keep, "order": {"_key": "asc"}})
