@@ -78,8 +78,10 @@ sub-aggregations
 the one grouped aggregation that counts the buckets — or ONE nested
 `terms` sub-aggregation (two-level drill-down buckets, leaf metrics
 allowed; still one grouped pass, aggs.nested_terms_facet).
-`histogram`/`date_histogram` take metric sub-aggs folded into the
-bucket groupBy plus pipeline sub-aggregations: `cumulative_sum`,
+`histogram`/`date_histogram` take `min_doc_count: 0` (+
+`extended_bounds`) for dense bucket ranges (empty buckets at
+doc_count 0 / NULL metrics; numeric intervals only), metric sub-aggs
+folded into the bucket groupBy, plus pipeline sub-aggregations: `cumulative_sum`,
 `derivative`, `serial_diff` (lag-k), `moving_fn`
 (MovingFunctions.unweightedAvg/sum/min/max over the window ending
 just before each bucket), `bucket_script` / `bucket_selector`
@@ -928,6 +930,10 @@ def search(
                 metrics=mets,
                 matched=agg_matched,
             )
+            if int(aconf.get("min_doc_count", 1)) == 0:
+                hist = _densify_histogram(
+                    hist, aconf, query_id,
+                )
             if pipes:
                 hist = agg_exec.bucket_pipeline(hist, "key", pipes)
             if bsort is not None:
@@ -1095,13 +1101,16 @@ def search(
             }[akind]
             aggs[name] = full.select("query_id", *proj)
         elif akind in ("histogram", "date_histogram"):
-            aggs[name] = q.histogram_facet(
+            hist = q.histogram_facet(
                 spark, index_dir, corpus_path, mq,
                 field=aconf["field"],
                 interval=aconf.get("interval"),
                 calendar_interval=aconf.get("calendar_interval"),
                 matched=agg_matched,
             )
+            if int(aconf.get("min_doc_count", 1)) == 0:
+                hist = _densify_histogram(hist, aconf, query_id)
+            aggs[name] = hist
         elif akind == "missing":
             # docs in the match set whose doc-values field is NULL —
             # one row always (doc_count may be 0)
@@ -1478,6 +1487,67 @@ def search(
         )
 
     return DSLResult(hits, aggs, sugg, explanation=explanation)
+
+
+def _densify_histogram(hist, aconf, query_id):
+    """min_doc_count=0: emit EVERY bucket in the observed (or
+    extended_bounds-widened) key range, doc_count 0 and NULL metrics
+    for empty ones — the dense time-series dashboard contract.
+    Numeric-interval histograms only (calendar date buckets stay
+    sparse — loud). The dense key frame is generated from ONE
+    min/max aggregation + sequence/explode (bucket-count-sized,
+    distributed); generated keys reproduce the executor's
+    floor-multiple float expression exactly (k * interval with k
+    integral), so the join back is an exact equi-join. Runs BEFORE
+    pipeline aggregations, so windows see empty buckets (the
+    OpenSearch evaluation order)."""
+    import math
+
+    if aconf.get("calendar_interval"):
+        raise NotImplementedError(
+            "min_doc_count=0 under calendar_interval (numeric "
+            "interval histograms only)"
+        )
+    interval = float(aconf["interval"])
+    eb = aconf.get("extended_bounds") or {}
+    lo_e, hi_e = F.min("key"), F.max("key")
+    if "min" in eb:
+        lo_e = F.least(
+            lo_e,
+            F.lit(math.floor(float(eb["min"]) / interval) * interval),
+        )
+    if "max" in eb:
+        hi_e = F.greatest(
+            hi_e,
+            F.lit(math.floor(float(eb["max"]) / interval) * interval),
+        )
+    key_type = hist.schema["key"].dataType
+    bounds = hist.agg(
+        F.round(lo_e / interval).cast("long").alias("_k0"),
+        F.round(hi_e / interval).cast("long").alias("_kn"),
+    )
+    dense = (
+        bounds.filter(F.col("_k0").isNotNull())
+        .select(
+            "_k0",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_kn") - F.col("_k0"))
+            ).alias("_i"),
+        )
+        .select(
+            ((F.col("_k0") + F.col("_i")) * F.lit(interval))
+            .cast(key_type)
+            .alias("key")
+        )
+    )
+    filled = dense.join(hist.drop("query_id"), "key", "left")
+    return filled.select(
+        F.lit(query_id).cast("long").alias("query_id"),
+        "key",
+        F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        *[c for c in hist.columns
+          if c not in ("query_id", "key", "doc_count")],
+    )
 
 
 def _attach_docvalue_fields(spark, index_dir, hits, fields):

@@ -1422,3 +1422,54 @@ def test_terms_include_exclude(spark, dv_index, dv_corpus, ref):
     }
     with pytest.raises(NotImplementedError):
         run({"include": keep, "order": {"_key": "asc"}})
+
+
+def test_histogram_min_doc_count_zero(spark, dv_index, dv_corpus, ref):
+    """min_doc_count=0 + extended_bounds: dense bucket range (empty
+    buckets at doc_count 0, NULL metrics), pipelines window over the
+    DENSE frame — recomputed from the reference match set."""
+    from collections import Counter
+
+    match_q = {"match": {"content": "gunaba"}}
+    interval = 2000
+    body = {
+        "query": match_q,
+        "aggs": {"hist": {
+            "histogram": {"field": "n_chars", "interval": interval,
+                          "min_doc_count": 0,
+                          "extended_bounds": {"min": 0, "max": 60000}},
+            "aggs": {
+                "avg_nc": {"avg": {"field": "n_chars"}},
+                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+            },
+        }},
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    rows = res.aggregations["hist"].orderBy("key").collect()
+    meta = ref["meta"]
+    cnt = Counter(
+        int(meta.loc[d, "n_chars"]) // interval * interval
+        for d, _ in _ref_hits(match_q, ref)
+    )
+    lo = min(min(cnt), 0)
+    hi = max(max(cnt), 60000 // interval * interval)
+    want_keys = list(range(lo, hi + 1, interval))
+    assert [int(r.key) for r in rows] == want_keys
+    run = 0
+    for r in rows:
+        assert r.doc_count == cnt.get(int(r.key), 0)
+        run += r.doc_count
+        assert r.cum == run  # pipeline ran over the dense frame
+        if r.doc_count == 0:
+            assert r.avg_nc is None  # empty buckets carry NULL metrics
+    assert any(r.doc_count == 0 for r in rows)  # densify actually fired
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, dv_index,
+            {"query": match_q, "aggs": {"h": {
+                "date_histogram": {"field": "n_chars",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 0},
+            }}},
+            corpus_path=dv_corpus,
+        )
