@@ -1003,3 +1003,242 @@ def bool_tree_search(
     return ident.join(F.broadcast(topped), "ord").select(
         "query_id", "rank", "doc_id", "score", "repo", "path", "commit",
     )
+
+# ---------------------------------------------------------------------------
+# explain — per-hit, per-leaf score attribution for tree-compiled queries
+# ---------------------------------------------------------------------------
+
+
+def _label_leaves(ir: _IR, texts: list, counter: list) -> None:
+    """Assign every leaf a stable, parse-order label (rides ir.spec /
+    a side slot). Text leaves: 'L{leaf_id}:match:{text}' (expansion
+    markers use their mode + pattern). DV/geo leaves get 'F{j}:...'
+    with j allocated in parse order via `counter`."""
+    if ir.kind == "text":
+        t = texts[ir.leaf_id]
+        if isinstance(t, dict):
+            ir.text = f"L{ir.leaf_id}:{t['mode']}:{t['pattern']}"
+        else:
+            ir.text = f"L{ir.leaf_id}:match:{t}"
+        return
+    if ir.kind == "dv":
+        ir.leaf_id = counter[0]
+        counter[0] += 1
+        ir.text = f"F{ir.leaf_id}:{ir.spec['kind']}:{ir.field}"
+        return
+    if ir.kind == "geo":
+        ir.leaf_id = counter[0]
+        counter[0] += 1
+        ir.text = f"F{ir.leaf_id}:{ir.spec['kind']}:{ir.field}"
+        return
+    if ir.kind == "rankf":
+        return
+    for role in ("must", "should", "must_not", "filter"):
+        for c in getattr(ir, role) or []:
+            _label_leaves(c, texts, counter)
+    if ir.kind == "fscore":
+        for fn in ir.spec["functions"]:
+            if fn["filter"] is not None:
+                _label_leaves(fn["filter"], texts, counter)
+
+
+def _collect_dv_matches(
+    spark, index_dir, ir: _IR, ords: list, acc: dict
+) -> None:
+    """Fill acc[dv_leaf_label] = set(matching ords among `ords`) for
+    every dv/geo leaf — ONE tiny filtered job per leaf over the
+    vocabulary-thin sidecar (hit-count-sized output; explain is a
+    k-docs diagnostic, never a corpus pass)."""
+    if ir.kind == "dv":
+        f = _dv_frame(spark, index_dir, ir, None)
+        acc[ir.text] = {
+            r["ord"] for r in f.filter(F.col("ord").isin(ords)).collect()
+        }
+        return
+    if ir.kind == "geo":
+        f = _geo_frame(spark, index_dir, ir)
+        acc[ir.text] = {
+            r["ord"] for r in f.filter(F.col("ord").isin(ords)).collect()
+        }
+        return
+    for role in ("must", "should", "must_not", "filter"):
+        for c in getattr(ir, role) or []:
+            _collect_dv_matches(spark, index_dir, c, ords, acc)
+
+
+def _explain_eval(ir: _IR, ord_, scores: dict, dv_sets: dict):
+    """Recursive per-doc evaluation mirroring _combine's algebra
+    exactly; returns (matched, contribs) where contribs is a list of
+    (leaf_label, value) and sum(values) equals the doc's score from
+    the distributed path (asserted in tests). Attribution is linear
+    PER DOC even for dis_max/boosting: the winner/demotion weights
+    are decided per doc, then applied multiplicatively."""
+    if ir.kind == "text":
+        s = scores.get((ir.leaf_id, ord_))
+        if s is None:
+            return False, []
+        b = 1.0 if ir.boost is None else float(ir.boost)
+        return True, [(ir.text, s * b)]
+    if ir.kind in ("dv", "geo"):
+        return (ord_ in dv_sets[ir.text]), [(ir.text, 0.0)]
+    if ir.kind == "all":
+        return True, [("match_all", 0.0)]
+    if ir.kind == "const":
+        m, _ = _explain_eval(ir.filter[0], ord_, scores, dv_sets)
+        if not m:
+            return False, []
+        return True, [
+            (f"constant_score(boost={float(ir.boost)})", float(ir.boost))
+        ]
+    if ir.kind == "boosting":
+        m, contribs = _explain_eval(ir.must[0], ord_, scores, dv_sets)
+        if not m:
+            return False, []
+        nm, _ = _explain_eval(ir.should[0], ord_, scores, dv_sets)
+        if nm:
+            tb = float(ir.tb)
+            contribs = [(lbl, v * tb) for lbl, v in contribs]
+        return True, contribs
+    if ir.kind == "dismax":
+        kids = [
+            _explain_eval(c, ord_, scores, dv_sets) for c in ir.should
+        ]
+        hit = [(i, c) for i, (m, c) in enumerate(kids) if m]
+        if not hit:
+            return False, []
+        tb = float(ir.tb or 0.0)
+        sums = [sum(v for _, v in c) for _, c in hit]
+        win = sums.index(max(sums))
+        contribs = []
+        for j, (_, c) in enumerate(hit):
+            w = 1.0 if j == win else tb
+            contribs.extend((lbl, v * w) for lbl, v in c)
+        b = 1.0 if ir.boost is None else float(ir.boost)
+        if b != 1.0:
+            contribs = [(lbl, v * b) for lbl, v in contribs]
+        return True, contribs
+    if ir.kind in ("fscore", "sscore", "rankf"):
+        raise NotImplementedError(
+            f"explain on a '{ir.kind}' node (score-replacing nodes "
+            "explain as themselves, not per-leaf)"
+        )
+    # bool
+    contribs = []
+    has_pos = bool(ir.must or ir.filter)
+    for c in ir.must:
+        m, cc = _explain_eval(c, ord_, scores, dv_sets)
+        if not m:
+            return False, []
+        contribs.extend(cc)
+    for c in ir.filter:
+        m, cc = _explain_eval(c, ord_, scores, dv_sets)
+        if not m:
+            return False, []
+        # filter context: matches decide, scores never flow (Lucene)
+        contribs.extend((lbl, 0.0) for lbl, _ in cc)
+    sh = [_explain_eval(c, ord_, scores, dv_sets) for c in ir.should]
+    n_hit = sum(1 for m, _ in sh if m)
+    if has_pos:
+        if ir.msm is not None and n_hit < ir.msm:
+            return False, []
+    else:
+        msm = 1 if ir.msm is None else ir.msm
+        if ir.should and n_hit < msm:
+            return False, []
+        if not ir.should and not ir.must_not:
+            contribs = [("match_all", 0.0)]
+    for m, cc in sh:
+        if m:
+            contribs.extend(cc)
+    for c in ir.must_not:
+        m, _ = _explain_eval(c, ord_, scores, dv_sets)
+        if m:
+            return False, []
+    if not has_pos and not ir.should and ir.must_not and not contribs:
+        contribs = [("match_all", 0.0)]
+    b = 1.0 if ir.boost is None else float(ir.boost)
+    if b != 1.0:
+        contribs = [(lbl, v * b) for lbl, v in contribs]
+    return True, contribs
+
+
+def bool_tree_explain(
+    spark: SparkSession,
+    index_dir: str,
+    query: dict,
+    doc_ids: list,
+    query_id: int = 0,
+) -> DataFrame:
+    """The OpenSearch `_explain` API for tree-compiled queries
+    (`GET /index/_explain/{id}` run over a list of docs, or
+    `explain: true` on a `_search` body whose query routed through
+    this compiler): one row per (doc, matching leaf) with that leaf's
+    score contribution after the tree's boost/dis_max/boosting/
+    constant_score algebra — contributions sum to exactly the score
+    bool_tree_search reported (pytest-asserted). Non-matching or
+    tombstoned docs get a single matched=false row, like the API's
+    `"matched": false` response.
+
+    Execution shape: the text leaves resolve through the SAME single
+    bucket-pruned postings scan as search, filtered to the requested
+    ords before collect (hit-count-sized); dv/geo leaves each run one
+    sidecar-thin filtered job. The tree algebra then replays per doc
+    on the driver — explain is a k-docs diagnostic, so the per-doc
+    loop is bounded by the request, never the corpus. Score-replacing
+    nodes (function_score / script_score / rank_feature) raise loud.
+
+    Reference parity: opensearch ExplainRequest as issued by
+    data-prepper's opensearch sink consumers (the reference passes
+    explain bodies through verbatim, cf. SearchConfiguration)."""
+    _sweep_deferred()
+    stats = load_stats(index_dir)
+    from .query import analyze_query_py
+
+    texts: list = []
+    dv_cols = _dv_columns(spark, index_dir)
+    ir = _parse(query, dv_cols, texts)
+    ir = _expand_phrases(ir, lambda t: analyze_query_py(stats, t), texts)
+    _label_leaves(ir, texts, [0])
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    want = [int(d) for d in doc_ids]
+    id2ord = {
+        r["doc_id"]: r["ord"]
+        for r in docs.filter(F.col("doc_id").isin(want))
+        .select("doc_id", "ord").collect()
+    }
+    ords = sorted(id2ord.values())
+    live = {
+        r["ord"]
+        for r in _anti_tombstones(
+            spark, index_dir,
+            spark.createDataFrame([(o,) for o in ords], "ord long"),
+            col="ord",
+        ).collect()
+    } if ords else set()
+
+    scores: dict = {}
+    if texts and ords:
+        ls = _leaf_scores(spark, index_dir, texts, stats)
+        for r in ls.filter(F.col("ord").isin(ords)).collect():
+            scores[(r["leaf_id"], r["ord"])] = r["score"]
+    dv_sets: dict = {}
+    if ords:
+        _collect_dv_matches(spark, index_dir, ir, ords, dv_sets)
+
+    rows = []
+    for d in want:
+        o = id2ord.get(d)
+        matched, contribs = (False, [])
+        if o is not None and o in live:
+            matched, contribs = _explain_eval(ir, o, scores, dv_sets)
+        if matched and contribs:
+            for lbl, v in contribs:
+                rows.append((int(query_id), d, True, lbl, float(v)))
+        else:
+            rows.append((int(query_id), d, False, None, None))
+    return spark.createDataFrame(
+        rows,
+        "query_id long, doc_id long, matched boolean, "
+        "leaf string, contribution double",
+    )

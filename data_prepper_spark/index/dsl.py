@@ -236,6 +236,9 @@ def search(
     # materialized once per body when the query is match_all or a
     # tree-routed bool; every aggregation then shares it
     agg_matched = None
+    # the tree the query compiled to, when it routed through
+    # booltree — explain=true replays its algebra per hit
+    tree_node = None
 
     frm = int(body.get("from", 0))
     _sort = body.get("sort")
@@ -317,6 +320,7 @@ def search(
                 spark, index_dir, node, k=k,
                 corpus_path=corpus_path, query_id=query_id,
             )
+            tree_node = node
             if "aggs" in body:
                 agg_matched = bool_tree_match(
                     spark, index_dir, node, corpus_path
@@ -341,6 +345,7 @@ def search(
             spark, index_dir, wrapped, k=k,
             corpus_path=corpus_path, query_id=query_id,
         )
+        tree_node = wrapped
         if "aggs" in body:
             agg_matched = bool_tree_match(
                 spark, index_dir, wrapped, corpus_path
@@ -496,6 +501,7 @@ def search(
                 spark, index_dir, node, k=k,
                 corpus_path=corpus_path, query_id=query_id,
             )
+            tree_node = node
         if "aggs" in body:
             agg_matched = (
                 bool_tree_match(spark, index_dir, node, corpus_path)
@@ -525,6 +531,7 @@ def search(
             spark, index_dir, tree, k=k,
             corpus_path=corpus_path, query_id=query_id,
         )
+        tree_node = tree
         if "aggs" in body:
             agg_matched = bool_tree_match(
                 spark, index_dir, tree, corpus_path
@@ -1466,20 +1473,40 @@ def search(
     if body.get("explain") and hits is not None:
         # explain=true: per-(hit, matching-term) BM25 breakdown — tf,
         # df, idf, saturation, contribution (query.explain_score; the
-        # contributions sum to each hit's score). Only score-shaped
-        # hit frames (rank/score/doc_id) explain; envelopes stay loud.
-        if not {"doc_id", "score"} <= set(hits.columns) or (
-            match_text is None
-        ):
+        # contributions sum to each hit's score). Tree-routed queries
+        # (nested bool / dis_max / constant_score / boosting /
+        # query_string / dv filters) explain per LEAF instead, through
+        # booltree.bool_tree_explain — contributions after the tree's
+        # boost algebra, still summing to each hit's score. Other
+        # result shapes (envelopes) stay loud.
+        if not {"doc_id", "score"} <= set(hits.columns):
             raise NotImplementedError(
-                "explain on this result shape (match/term score "
-                "queries only)"
+                "explain on this result shape "
+                "(collapse/highlight envelopes)"
             )
-        explanation = q.explain_score(
-            spark, index_dir,
-            qdf("query_id long, query string", (query_id, match_text)),
-            hits=hits.select("query_id", "doc_id"),
-        )
+        if match_text is not None:
+            explanation = q.explain_score(
+                spark, index_dir,
+                qdf(
+                    "query_id long, query string", (query_id, match_text)
+                ),
+                hits=hits.select("query_id", "doc_id"),
+            )
+        elif tree_node is not None:
+            from .booltree import bool_tree_explain
+
+            hit_ids = [
+                r["doc_id"]
+                for r in hits.select("doc_id").collect()  # k-sized page
+            ]
+            explanation = bool_tree_explain(
+                spark, index_dir, tree_node, hit_ids, query_id=query_id,
+            )
+        else:
+            raise NotImplementedError(
+                "explain on this query shape (match/term or "
+                "tree-compiled queries only)"
+            )
 
     if body.get("docvalue_fields") and hits is not None:
         hits = _attach_docvalue_fields(
@@ -1670,6 +1697,32 @@ def mget(
             ),
         )
     return out
+
+
+def explain_doc(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: list,
+    body: dict,
+    query_id: int = 0,
+) -> DataFrame:
+    """`GET /index/_explain/{id}` analog for one or more docs: does
+    this query match each doc, and with what per-leaf score
+    contributions? Unlike `explain: true` on a search (top-k hits
+    only), this answers for ARBITRARY docs — non-matching and
+    tombstoned docs come back as a matched=false row, the API's
+    `"matched": false` contract. Any query clause the tree compiler
+    routes (bool/dis_max/constant_score/boosting/match/term/filters/
+    query_string via parse) is accepted; a bare match/term wraps into
+    a single-leaf bool. Returns (query_id, doc_id, matched, leaf,
+    contribution); contributions sum to the doc's bool_tree_search
+    score (pytest-asserted)."""
+    from .booltree import bool_tree_explain
+
+    qspec = (body or {}).get("query") or body or {"match_all": {}}
+    return bool_tree_explain(
+        spark, index_dir, qspec, doc_ids, query_id=query_id
+    )
 
 
 def analyze(

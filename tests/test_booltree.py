@@ -1473,3 +1473,156 @@ def test_histogram_min_doc_count_zero(spark, dv_index, dv_corpus, ref):
             }}},
             corpus_path=dv_corpus,
         )
+
+
+# ---------------------------------------------------------------------------
+# explain — per-leaf attribution (bool_tree_explain)
+# ---------------------------------------------------------------------------
+
+
+EXPLAIN_TREE = {
+    "bool": {
+        "must": [{"match": {"content": {"query": "bloloba skimuba",
+                                        "boost": 2.0}}}],
+        "should": [{"dis_max": {
+            "queries": [{"match": {"content": "gunaba"}},
+                        {"match": {"content": "dinaba"}}],
+            "tie_breaker": 0.3,
+        }}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }
+}
+
+
+def test_explain_contributions_sum_to_score(spark, dv_index):
+    from data_prepper_spark.index.booltree import bool_tree_explain
+
+    hits = bool_tree_search(
+        spark, dv_index, EXPLAIN_TREE, k=10
+    ).collect()
+    assert hits
+    ids = [r["doc_id"] for r in hits]
+    exp = bool_tree_explain(spark, dv_index, EXPLAIN_TREE, ids).collect()
+    by_doc = {}
+    for r in exp:
+        assert r["matched"] is True
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for h in hits:
+        rows = by_doc[h["doc_id"]]
+        assert sum(r["contribution"] for r in rows) == pytest.approx(
+            h["score"], rel=1e-9
+        )
+        # the filter leaf is listed, matched, and contributes nothing
+        fl = [r for r in rows if r["leaf"].startswith("F0:range")]
+        assert fl and fl[0]["contribution"] == 0.0
+        # the boosted must leaf is present on every hit
+        assert any(
+            r["leaf"].endswith("match:bloloba skimuba") for r in rows
+        )
+
+
+def test_explain_dismax_winner_attribution(spark, dv_index, ref):
+    """For a pure dis_max, the winning child's leaf carries its full
+    leaf score; the loser is scaled by tie_breaker (checked against
+    the independent pandas per-leaf scores)."""
+    from data_prepper_spark.index.booltree import bool_tree_explain
+
+    tree = {"dis_max": {
+        "queries": [{"match": {"content": "spark"}},
+                    {"match": {"content": "merge"}}],
+        "tie_breaker": 0.3,
+    }}
+    hits = bool_tree_search(spark, dv_index, tree, k=5).collect()
+    ids = [r["doc_id"] for r in hits]
+    exp = bool_tree_explain(spark, dv_index, tree, ids).collect()
+    part = ref["part"]
+    for d in ids:
+        ls = {
+            0: sum(part.get((d, t), 0.0) for t in _toks("spark")),
+            1: sum(part.get((d, t), 0.0) for t in _toks("merge")),
+        }
+        present = {i for i in ls if ls[i] > 0}
+        win = max(present, key=lambda i: (ls[i], -i))
+        want = {}
+        for i in present:
+            lbl = "match:spark" if i == 0 else "match:merge"
+            want[lbl] = ls[i] if i == win else 0.3 * ls[i]
+        got = {
+            r["leaf"].split(":", 1)[1]: r["contribution"]
+            for r in exp if r["doc_id"] == d
+        }
+        assert set(got) == set(want)
+        for lbl in want:
+            assert got[lbl] == pytest.approx(want[lbl], rel=1e-9)
+
+
+def test_explain_doc_api_nonmatching_and_missing(spark, dv_index, ref):
+    from data_prepper_spark.index.dsl import explain_doc
+
+    # a doc that can't match (must_not itself) and an absent doc id
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": "data"}}],
+        "must_not": [{"match": {"content": "data"}}],
+    }}}
+    some = ref["doc_ids"][0]
+    out = explain_doc(spark, dv_index, [some, 10**12], body).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["matched"] is False and r["leaf"] is None
+
+
+def test_explain_constant_score_and_boosting(spark, dv_index, ref):
+    from data_prepper_spark.index.dsl import explain_doc
+
+    body = {"query": {"bool": {"should": [
+        {"constant_score": {
+            "filter": {"range": {"n_chars": {"gte": 0}}},
+            "boost": 1.5,
+        }},
+        {"boosting": {
+            "positive": {"match": {"content": "gunaba"}},
+            "negative": {"match": {"content": "dinaba"}},
+            "negative_boost": 0.4,
+        }},
+    ]}}}
+    part = ref["part"]
+    demoted = [
+        d for d in ref["doc_ids"]
+        if part.get((d, "gunaba"), 0.0) > 0
+        and part.get((d, "dinaba"), 0.0) > 0
+    ]
+    assert demoted, "fixture should contain a gunaba+dinaba doc"
+    d = demoted[0]
+    rows = explain_doc(spark, dv_index, [d], body).collect()
+    got = {r["leaf"]: r["contribution"] for r in rows}
+    const = [v for k, v in got.items() if k.startswith("constant_score")]
+    assert const == [1.5]
+    pos_c = [v for k, v in got.items() if k.endswith("match:gunaba")]
+    want = 0.4 * part[(d, "gunaba")]
+    assert pos_c[0] == pytest.approx(want, rel=1e-9)
+
+
+def test_explain_loud_on_score_replacing_nodes(spark, dv_index, ref):
+    from data_prepper_spark.index.booltree import bool_tree_explain
+
+    tree = {"function_score": {
+        "query": {"match": {"content": "data"}},
+        "functions": [{"weight": 2.0}],
+    }}
+    with pytest.raises(NotImplementedError, match="fscore"):
+        bool_tree_explain(spark, dv_index, tree, [ref["doc_ids"][0]])
+
+
+def test_dsl_search_explain_routes_tree(spark, dv_index):
+    res = search(
+        spark, dv_index,
+        {"query": EXPLAIN_TREE, "size": 5, "explain": True},
+    )
+    hits = {r["doc_id"]: r["score"] for r in res.hits.collect()}
+    exp = res.explanation.collect()
+    assert {r["doc_id"] for r in exp} == set(hits)
+    agg = {}
+    for r in exp:
+        agg[r["doc_id"]] = agg.get(r["doc_id"], 0.0) + r["contribution"]
+    for d, s in hits.items():
+        assert agg[d] == pytest.approx(s, rel=1e-9)

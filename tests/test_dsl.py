@@ -720,9 +720,18 @@ def test_suggest_block_routes(spark, index_dir):
     want2 = q.suggest(spark, index_dir, inputs2, mode="completion", size=5)
     got2 = _rows(res.suggest["comp"])
     assert got2 == _rows(want2) and got2
+    # phrase suggester routes too (round 5); unknown modes stay loud
+    ph = search(
+        spark, index_dir,
+        {"suggest": {"p": {"text": "clas", "phrase": {"size": 2}}}},
+    )
+    assert set(ph.suggest) == {"p"}
+    assert {"input_id", "suggestion", "score"} <= set(
+        ph.suggest["p"].columns
+    )
     with pytest.raises(NotImplementedError):
         search(spark, index_dir, {"suggest": {"x": {"text": "a",
-                                                    "phrase": {}}}})
+                                                    "shingle": {}}}})
 
 
 def test_match_phrase_prefix(spark, index_dir, corpus_path, corpus_pdf):
