@@ -2123,6 +2123,62 @@ def dsl_boost_dismax(spark, sf_dir):
     return _rerank_engine_results(out)
 
 
+EXPLAIN_TREE_Q = {"bool": {
+    "must": [{"match": {"text": {"query": "data query", "boost": 2.0}}}],
+    "should": [{"dis_max": {
+        "queries": [{"match": {"text": "spark"}},
+                    {"match": {"text": "merge"}}],
+        "tie_breaker": 0.3,
+    }}],
+    "filter": [{"range": {"n_chars": {"gte": 150}}}],
+}}
+
+
+def dsl_explain_tree(spark, sf_dir):
+    """explain=true for tree-compiled queries (index/booltree.py::
+    bool_tree_explain, round 5): per-(hit, leaf) score attribution
+    for a nested bool with a boosted must leaf, a dis_max should
+    (winner keeps its full leaf score, the loser is scaled by
+    tie_breaker), and an unscored range filter leaf (contribution
+    exactly 0.0). Contributions sum to each hit's search score. The
+    oracle recomputes per-leaf BM25 from the raw table and replays
+    the same attribution algebra; hits fixed by the usual
+    re-rank-by-original-id trick."""
+    from data_prepper_spark.index.booltree import (
+        bool_tree_explain,
+        bool_tree_search,
+    )
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = bool_tree_search(spark, idx, EXPLAIN_TREE_Q, k=50).select(
+        "query_id", "doc_id", "score", "path"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    hits = (
+        res.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "path")
+    )
+    rows = hits.collect()  # the 10-hit explain page
+    exp = bool_tree_explain(
+        spark, idx, EXPLAIN_TREE_Q, [r["doc_id"] for r in rows]
+    )
+    ident = spark.createDataFrame(
+        [(r["doc_id"], int(r["path"])) for r in rows],
+        "doc_id long, orig_id long",
+    )
+    return exp.join(F.broadcast(ident), "doc_id").select(
+        "query_id",
+        F.col("orig_id").alias("doc_id"),
+        "leaf",
+        F.round("contribution", 6).alias("contribution_r"),
+    )
+
+
 RESCORE_BODY = {
     "query": {"bool": {
         "must": [{"match": {"text": "data query"}}],
@@ -5449,6 +5505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionization": sessionization,
         "inverted_index_stats": inverted_index_stats,
+        # -- round-5 continuation (never driver-checked) --
+        "dsl_explain_tree": dsl_explain_tree,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -8002,6 +8060,76 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+"""
+
+    # explain over a tree query: per-leaf BM25 recompute, then the
+    # attribution algebra — boosted must leaf at 2x, dis_max winner
+    # (first-child ties) full / loser at tie_breaker, filter leaf 0.0
+    sql["dsl_explain_tree"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leafraw(leaf_id, txt) AS (VALUES
+  (0, 'data query'), (1, 'spark'), (2, 'merge')),
+leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
+          FROM leafraw),
+ls AS (
+  SELECT lq.leaf_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM leafq lq
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = lq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT d.doc_id,
+         max(CASE WHEN ls.leaf_id = 0 THEN ls.score END) AS ls0,
+         max(CASE WHEN ls.leaf_id = 1 THEN ls.score END) AS ls1,
+         max(CASE WHEN ls.leaf_id = 2 THEN ls.score END) AS ls2
+  FROM documents d JOIN ls ON ls.doc_id = d.doc_id
+  WHERE d.n_chars >= 150
+  GROUP BY 1
+),
+m AS (
+  SELECT doc_id, ls0, ls1, ls2,
+         2.0 * ls0 + coalesce(
+           greatest(coalesce(ls1, 0), coalesce(ls2, 0))
+           + 0.3 * (coalesce(ls1, 0) + coalesce(ls2, 0)
+                    - greatest(coalesce(ls1, 0), coalesce(ls2, 0))),
+           0) AS score
+  FROM piv WHERE ls0 IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, ls0, ls1, ls2,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM m
+),
+top AS (SELECT * FROM ranked WHERE rank <= 10)
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+       'L0:match:data query' AS leaf,
+       round(2.0 * ls0, 6) AS contribution_r
+FROM top
+UNION ALL
+SELECT CAST(0 AS BIGINT), doc_id, 'L1:match:spark',
+       round(CASE WHEN ls2 IS NULL OR ls1 >= ls2 THEN ls1
+                  ELSE 0.3 * ls1 END, 6)
+FROM top WHERE ls1 IS NOT NULL
+UNION ALL
+SELECT CAST(0 AS BIGINT), doc_id, 'L2:match:merge',
+       round(CASE WHEN ls1 IS NULL OR ls2 > ls1 THEN ls2
+                  ELSE 0.3 * ls2 END, 6)
+FROM top WHERE ls2 IS NOT NULL
+UNION ALL
+SELECT CAST(0 AS BIGINT), doc_id, 'F0:range:n_chars', 0.0
+FROM top
 """
 
     # rescore: final = 0.8 * (must + coalesce(should)) + 1.5 *
