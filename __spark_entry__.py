@@ -2179,6 +2179,95 @@ def dsl_explain_tree(spark, sf_dir):
     )
 
 
+_TAGS_CORPUS_CACHE: dict = {}
+
+
+def _tags_corpus(spark, sf_dir, cpath):
+    """Derived corpus with a multi-valued keyword column `tags`
+    (lang + source + a size band — deterministic) and a per-doc
+    `required_matches`, for the array-doc-values entries."""
+    import tempfile
+
+    hit = _TAGS_CORPUS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    dpath = tempfile.mkdtemp(prefix="dps_tags_") + "/corpus.parquet"
+    (
+        spark.read.parquet(cpath)
+        .withColumn(
+            "tags",
+            F.array(
+                "lang",
+                F.concat(F.lit("src_"), F.col("source")),
+                F.concat(
+                    F.lit("band"),
+                    (F.col("n_chars") / 100).cast("long").cast("string"),
+                ),
+            ),
+        )
+        .withColumn(
+            "required_matches", (F.col("n_chars") % 2 + 1).cast("long")
+        )
+        .coalesce(2).write.mode("overwrite").parquet(dpath)
+    )
+    _TAGS_CORPUS_CACHE[sf_dir] = dpath
+    return dpath
+
+
+def dsl_terms_set(spark, sf_dir):
+    """`terms_set` query over a multi-valued keyword field
+    (index/booltree.py array doc-values, round 5): doc matches when
+    >= N of the supplied terms appear in its `tags` array, N read
+    per doc from the `required_matches` sidecar column and clamped
+    to >= 1 (Lucene CoveringQuery). Non-scoring filter, whole match
+    set returned; the oracle replays the covering count with DuckDB
+    list functions."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _tags_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "tags", "required_matches"),
+    )
+    body = {"query": {"terms_set": {"tags": {
+        "terms": ["en", "band1", "src_src3"],
+        "minimum_should_match_field": "required_matches",
+    }}}, "size": 10**9}
+    hits = dsl_search(spark, idx, body, corpus_path=cpath).hits
+    return hits.select(
+        "query_id", F.col("path").cast("long").alias("doc_id")
+    )
+
+
+def array_terms_agg(spark, sf_dir):
+    """terms aggregation over a multi-valued keyword field
+    (query._facet_counts array explode, round 5): one bucket per
+    DISTINCT element per matching doc (Lucene SORTED_SET doc-values
+    dedup), buckets ordered (doc_count desc, value asc). match_all
+    scope so the oracle is a plain unnest + count."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _tags_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "tags", "required_matches"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match_all": {}}, "size": 0,
+         "aggs": {"by_tag": {"terms": {"field": "tags",
+                                       "size": 100000}}}},
+        corpus_path=cpath,
+    )
+    return res.aggregations["by_tag"].select(
+        "query_id", "bucket_rank", "facet", "doc_count"
+    )
+
+
 RESCORE_BODY = {
     "query": {"bool": {
         "must": [{"match": {"text": "data query"}}],
@@ -5507,6 +5596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_stats": inverted_index_stats,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
+        "dsl_terms_set": dsl_terms_set,
+        "array_terms_agg": array_terms_agg,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -8130,6 +8221,44 @@ FROM top WHERE ls2 IS NOT NULL
 UNION ALL
 SELECT CAST(0 AS BIGINT), doc_id, 'F0:range:n_chars', 0.0
 FROM top
+"""
+
+    # terms_set: covering count over the derived tags list, per-doc
+    # minimum clamped to >= 1 (Lucene CoveringQuery)
+    sql["dsl_terms_set"] = """
+WITH tagged AS (
+  SELECT doc_id,
+         [lang, 'src_' || source,
+          'band' || CAST(n_chars // 100 AS VARCHAR)] AS tags,
+         n_chars % 2 + 1 AS required_matches
+  FROM documents
+)
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id
+FROM tagged
+WHERE len(list_intersect(tags, ['en', 'band1', 'src_src3']))
+      >= greatest(required_matches, 1)
+"""
+
+    # terms agg over the array column: unnest DISTINCT elements per
+    # doc, count, order (doc_count desc, value asc)
+    sql["array_terms_agg"] = """
+WITH tagged AS (
+  SELECT doc_id,
+         [lang, 'src_' || source,
+          'band' || CAST(n_chars // 100 AS VARCHAR)] AS tags
+  FROM documents
+),
+el AS (
+  SELECT DISTINCT doc_id, unnest(tags) AS facet FROM tagged
+),
+cnt AS (
+  SELECT facet, count(*) AS doc_count FROM el GROUP BY 1
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       row_number() OVER (ORDER BY doc_count DESC, facet)
+         AS bucket_rank,
+       facet, doc_count
+FROM cnt
 """
 
     # rescore: final = 0.8 * (must + coalesce(should)) + 1.5 *

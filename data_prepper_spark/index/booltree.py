@@ -296,6 +296,27 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             "max_expansions": cap,
         })
         return _IR("text", leaf_id=len(texts) - 1, text=None, boost=boost)
+    if kind == "terms_set":
+        # CoveringQuery: doc matches when >= N of the supplied terms
+        # appear in its (multi-valued) keyword field, N read per doc
+        # from minimum_should_match_field or computed by a
+        # painless-lite minimum_should_match_script (params.num_terms
+        # = len(terms)). Non-scoring, like every dv predicate here.
+        ((field, conf),) = spec.items()
+        if field not in dv_cols:
+            raise NotImplementedError(
+                f"'terms_set' on field '{field}': no doc-values "
+                "sidecar column (attach_doc_values first)"
+            )
+        if (
+            "minimum_should_match_field" not in conf
+            and "minimum_should_match_script" not in conf
+        ):
+            raise NotImplementedError(
+                "terms_set needs minimum_should_match_field or "
+                "minimum_should_match_script (the OpenSearch contract)"
+            )
+        return _IR("dv", field=field, spec={"kind": kind, "val": conf})
     if kind in ("range", "exists") or (
         kind in ("term", "terms")
         and next(iter(spec)) in dv_cols
@@ -461,35 +482,98 @@ def _dv_frame(
         )
     c = F.col(ir.field)
     kind, val = ir.spec["kind"], ir.spec["val"]
-    if kind == "term":
-        cond = c == F.lit(val)
-    elif kind == "terms":
-        cond = c.isin(list(val))
-    elif kind == "exists":
-        cond = c.isNotNull()
-    elif kind == "prefix":
-        cond = c.cast("string").startswith(str(val))
-    elif kind == "wildcard":
-        # Lucene wildcard over the stored keyword value: escape LIKE
-        # metas, then * -> %, ? -> _
-        pat = (
-            str(val)
-            .replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
-            .replace("*", "%").replace("?", "_")
-        )
-        cond = c.cast("string").like(pat)
-    elif kind == "regexp":
-        # Lucene RegexpQuery on a keyword field: implicitly anchored
-        # (whole-value match), Java-regex-compatible subset.
-        cond = c.cast("string").rlike("^(?:" + str(val) + ")$")
-    else:  # range
+    # a multi-valued keyword field (array<...> sidecar column —
+    # OpenSearch arrays index every element): predicates match when
+    # ANY element satisfies them, exactly Lucene's per-value postings
+    is_array = dict(dv.dtypes).get(ir.field, "").startswith("array")
+
+    def pred(x):
+        """Per-value predicate; applied to the scalar column or, for
+        arrays, to each element via F.exists (stays in codegen)."""
+        if kind == "term":
+            return x == F.lit(val)
+        if kind == "prefix":
+            return x.cast("string").startswith(str(val))
+        if kind == "wildcard":
+            # Lucene wildcard over the stored keyword value: escape
+            # LIKE metas, then * -> %, ? -> _
+            pat = (
+                str(val)
+                .replace("\\", "\\\\")
+                .replace("%", r"\%").replace("_", r"\_")
+                .replace("*", "%").replace("?", "_")
+            )
+            return x.cast("string").like(pat)
+        if kind == "regexp":
+            # Lucene RegexpQuery on a keyword field: implicitly
+            # anchored (whole-value), Java-regex-compatible subset.
+            return x.cast("string").rlike("^(?:" + str(val) + ")$")
+        # range
         cond = F.lit(True)
         for op, fn in (
-            ("gte", c.__ge__), ("gt", c.__gt__),
-            ("lte", c.__le__), ("lt", c.__lt__),
+            ("gte", x.__ge__), ("gt", x.__gt__),
+            ("lte", x.__le__), ("lt", x.__lt__),
         ):
             if op in val:
                 cond = cond & fn(F.lit(val[op]))
+        return cond
+
+    if kind == "exists":
+        # an empty array is a missing field (the OpenSearch mapping:
+        # [] indexes nothing, so exists does not match)
+        cond = (
+            c.isNotNull() & (F.size(c) > 0) if is_array else c.isNotNull()
+        )
+    elif kind == "terms":
+        vals = [str(v) if isinstance(v, str) else v for v in val]
+        if is_array:
+            cond = F.arrays_overlap(
+                c, F.array(*[F.lit(v) for v in vals])
+            )
+        else:
+            cond = c.isin(list(val))
+    elif kind == "terms_set":
+        arr = c if is_array else F.array(c)
+        terms = [str(t) for t in val["terms"]]
+        inter = F.size(F.array_intersect(
+            F.array_distinct(arr), F.array(*[F.lit(t) for t in terms])
+        ))
+        if "minimum_should_match_field" in val:
+            mf = val["minimum_should_match_field"]
+            if mf not in dv.columns:
+                raise NotImplementedError(
+                    f"terms_set minimum_should_match_field '{mf}' not "
+                    "in doc-values sidecar"
+                )
+            req = F.col(mf).cast("int")
+        else:
+            from .aggs import painless_expr
+
+            sc = val["minimum_should_match_script"]
+            src = sc["source"] if isinstance(sc, dict) else str(sc)
+
+            def resolve(rk, name):
+                if rk == "doc":
+                    if name not in dv.columns:
+                        raise NotImplementedError(
+                            f"terms_set script field '{name}' not in "
+                            "doc-values sidecar"
+                        )
+                    return F.col(name).cast("double")
+                if rk == "param" and name == "num_terms":
+                    return F.lit(float(len(terms)))
+                raise NotImplementedError(
+                    f"terms_set script reference {rk}:{name}"
+                )
+
+            req = painless_expr(src, resolve, _SCRIPT_CALLS).cast("int")
+        # Lucene CoveringQuery reads the per-doc minimum and clamps it
+        # to >= 1 (a disjunction must match at least one clause)
+        cond = inter >= F.greatest(req, F.lit(1))
+    elif is_array:
+        cond = c.isNotNull() & F.exists(c, pred)
+    else:
+        cond = pred(c)
     return dv.filter(cond).select("ord", F.lit(0.0).alias("score"))
 
 

@@ -332,10 +332,12 @@ def search(
             match_text = str(match_text)
     elif kind in (
         "range", "terms", "exists", "geo_distance", "geo_bounding_box",
+        "terms_set",
     ):
         # top-level non-scoring filter query (the OpenSearch shape
         # `{"query": {"range": {...}}}`; geo filters read *_lat/*_lon
-        # doc-values — the geoip-enrich companion): identical
+        # doc-values — the geoip-enrich companion; terms_set covers
+        # multi-valued keyword fields): identical
         # semantics to bool/filter with one leaf, so route through
         # the tree compiler — every hit scores 0, ordinal order
         from .booltree import bool_tree_match, bool_tree_search

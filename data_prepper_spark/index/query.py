@@ -1247,17 +1247,28 @@ def _facet_counts(
             "query_id", "term_id", "idf", "bucket"
         )
         matched = _match_set(spark, index_dir, qt)
+    def _facet_col_of(df: DataFrame):
+        # a multi-valued keyword field (array<...> column) buckets the
+        # doc once per DISTINCT element — Lucene's per-doc SORTED_SET
+        # doc values dedup values within a doc before counting
+        if dict(df.dtypes).get(facet_col, "").startswith("array"):
+            return F.explode(
+                F.array_distinct(F.col(facet_col))
+            ).alias("facet")
+        return F.col(facet_col).alias("facet")
+
     dv = _doc_values(spark, index_dir, facet_col)
     if dv is not None:
         attributed = matched.join(
-            dv.select("ord", F.col(facet_col).alias("facet")), "ord"
+            dv.select("ord", _facet_col_of(dv)), "ord"
         )
     else:
         ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
             "ord", "repo", "path", "commit"
         )
-        attrs = spark.read.parquet(corpus_path).select(
-            "repo", "path", "commit", F.col(facet_col).alias("facet")
+        corpus = spark.read.parquet(corpus_path)
+        attrs = corpus.select(
+            "repo", "path", "commit", _facet_col_of(corpus)
         )
         attributed = matched.join(ident, "ord").join(
             attrs, ["repo", "path", "commit"]

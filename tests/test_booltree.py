@@ -1626,3 +1626,193 @@ def test_dsl_search_explain_routes_tree(spark, dv_index):
         agg[r["doc_id"]] = agg.get(r["doc_id"], 0.0) + r["contribution"]
     for d, s in hits.items():
         assert agg[d] == pytest.approx(s, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# array doc-values (multi-valued keyword fields) + terms_set
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def arr_corpus(spark, fixture_dir, tmp_path_factory):
+    """Fixture corpus + a multi-valued keyword column `tags`
+    (deterministic: the lang plus a size band, sometimes duplicated
+    to exercise per-doc dedup) and a per-doc `required_matches`."""
+    d = str(tmp_path_factory.mktemp("arrc"))
+    out = os.path.join(d, "corpus.parquet")
+    base = spark.read.parquet(
+        os.path.join(fixture_dir, "corpus.parquet")
+    ).withColumn("n_chars", F.length("content").cast("long"))
+    (
+        base.withColumn(
+            "tags",
+            F.when(
+                F.col("n_chars") % 3 == 0,
+                F.array("lang", F.concat(F.lit("band"),
+                                         (F.col("n_chars") / 10000)
+                                         .cast("long").cast("string")),
+                        F.col("lang")),  # duplicate element on purpose
+            ).otherwise(
+                F.array("lang", F.concat(F.lit("band"),
+                                         (F.col("n_chars") / 10000)
+                                         .cast("long").cast("string"))),
+            ),
+        )
+        .withColumn(
+            "required_matches", (F.col("n_chars") % 2 + 1).cast("long")
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def arr_index(spark, arr_corpus, tmp_path_factory):
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import attach_doc_values
+
+    d = str(tmp_path_factory.mktemp("arridx"))
+    build_index(spark, arr_corpus, d,
+                BuildConfig(n_buckets=8, hot_group_target=2_000))
+    attach_doc_values(
+        spark, d, arr_corpus,
+        cols=("lang", "n_chars", "tags", "required_matches"),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def arr_ref(arr_corpus):
+    corpus = pd.read_parquet(arr_corpus)
+    corpus = corpus.assign(doc_id=corpus_doc_ids(corpus))
+    return corpus.set_index("doc_id")[
+        ["tags", "required_matches", "lang", "n_chars"]
+    ]
+
+
+def _arr_match_set(spark, arr_index, tree) -> set:
+    got = bool_tree_search(spark, arr_index, tree, k=10**6).collect()
+    return {r["doc_id"] for r in got}
+
+
+def test_term_and_exists_on_array_docvalues(spark, arr_index, arr_ref):
+    got = _arr_match_set(
+        spark, arr_index,
+        {"bool": {"filter": [{"term": {"tags": "band1"}}]}},
+    )
+    want = {
+        d for d, r in arr_ref.iterrows() if "band1" in list(r["tags"])
+    }
+    assert got == want and want
+    # exists on an array field: every fixture doc has tags
+    got = _arr_match_set(
+        spark, arr_index,
+        {"bool": {"filter": [{"exists": {"field": "tags"}}]}},
+    )
+    assert got == set(arr_ref.index)
+
+
+def test_terms_and_prefix_on_array_docvalues(spark, arr_index, arr_ref):
+    tree = {"bool": {"filter": [
+        {"terms": {"tags": ["band2", "band3"]}}
+    ]}}
+    got = _arr_match_set(spark, arr_index, tree)
+    want = {
+        d for d, r in arr_ref.iterrows()
+        if {"band2", "band3"} & set(r["tags"])
+    }
+    assert got == want and want
+    tree = {"bool": {"filter": [{"prefix": {"tags": "band"}}]}}
+    got = _arr_match_set(spark, arr_index, tree)
+    want = {
+        d for d, r in arr_ref.iterrows()
+        if any(str(t).startswith("band") for t in r["tags"])
+    }
+    assert got == want and want
+
+
+def test_terms_set_msm_field(spark, arr_index, arr_ref):
+    """CoveringQuery: per-doc minimum from a sidecar field."""
+    supplied = ["band0", "band1", "python"]
+    tree = {"bool": {"filter": [{"terms_set": {"tags": {
+        "terms": supplied,
+        "minimum_should_match_field": "required_matches",
+    }}}]}}
+    got = _arr_match_set(spark, arr_index, tree)
+    want = {
+        d for d, r in arr_ref.iterrows()
+        if len(set(supplied) & set(r["tags"]))
+        >= max(1, int(r["required_matches"]))
+    }
+    assert got == want and want
+    # and some doc must actually need 2 matches for the test to bite
+    assert any(int(r["required_matches"]) == 2
+               for _, r in arr_ref.iterrows())
+
+
+def test_terms_set_msm_script(spark, arr_index, arr_ref):
+    supplied = ["band0", "band1", "python", "go"]
+    tree = {"bool": {"filter": [{"terms_set": {"tags": {
+        "terms": supplied,
+        "minimum_should_match_script": {
+            "source": "Math.min(params.num_terms, "
+                      "doc['required_matches'].value)",
+        },
+    }}}]}}
+    got = _arr_match_set(spark, arr_index, tree)
+    want = {
+        d for d, r in arr_ref.iterrows()
+        if len(set(supplied) & set(r["tags"]))
+        >= max(1, min(len(supplied), int(r["required_matches"])))
+    }
+    assert got == want and want
+
+
+def test_terms_set_requires_msm(spark, arr_index):
+    with pytest.raises(NotImplementedError, match="minimum_should_match"):
+        bool_tree_search(
+            spark, arr_index,
+            {"bool": {"filter": [
+                {"terms_set": {"tags": {"terms": ["band0"]}}}
+            ]}},
+            k=5,
+        ).collect()
+
+
+def test_terms_agg_over_array_field(spark, arr_index, arr_corpus, arr_ref):
+    """terms agg on a multi-valued field: one bucket per distinct
+    element per doc (per-doc dedup — the duplicated lang tag counts
+    once)."""
+    res = search(
+        spark, arr_index,
+        {"query": {"match_all": {}}, "size": 0,
+         "aggs": {"by_tag": {"terms": {"field": "tags", "size": 100}}}},
+        corpus_path=arr_corpus,
+    )
+    got = {
+        (r["facet"], r["doc_count"])
+        for r in res.aggregations["by_tag"].collect()
+    }
+    from collections import Counter
+
+    cnt = Counter()
+    for _, r in arr_ref.iterrows():
+        for t in set(r["tags"]):
+            cnt[t] += 1
+    assert got == {(t, n) for t, n in cnt.items()}
+
+
+def test_terms_set_top_level_and_dsl_routing(spark, arr_index, arr_ref):
+    body = {"query": {"terms_set": {"tags": {
+        "terms": ["band0", "band1", "python"],
+        "minimum_should_match_field": "required_matches",
+    }}}, "size": 10**6}
+    hits = search(spark, arr_index, body).hits.collect()
+    got = {r["doc_id"] for r in hits}
+    supplied = {"band0", "band1", "python"}
+    want = {
+        d for d, r in arr_ref.iterrows()
+        if len(supplied & set(r["tags"]))
+        >= max(1, int(r["required_matches"]))
+    }
+    assert got == want and all(r["score"] == 0.0 for r in hits)
