@@ -2214,6 +2214,113 @@ def _tags_corpus(spark, sf_dir, cpath):
     return dpath
 
 
+_GEO_CORPUS_CACHE: dict = {}
+
+
+def _geo_corpus(spark, sf_dir, cpath):
+    """Derived corpus with deterministic loc_lat/loc_lon (same
+    formula as dsl_geo_queries so oracles can rebuild them exactly)."""
+    import tempfile
+
+    hit = _GEO_CORPUS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    dpath = tempfile.mkdtemp(prefix="dps_geoc_") + "/corpus.parquet"
+    (
+        spark.read.parquet(cpath)
+        .withColumn(
+            "loc_lat",
+            (F.col("n_chars") % 120 - 60 + F.lit(0.25)).cast("double"),
+        )
+        .withColumn(
+            "loc_lon",
+            ((F.col("n_chars") * 7) % 340 - 170 + F.lit(0.5)).cast(
+                "double"
+            ),
+        )
+        .coalesce(2).write.mode("overwrite").parquet(dpath)
+    )
+    _GEO_CORPUS_CACHE[sf_dir] = dpath
+    return dpath
+
+
+def dsl_geo_aggs(spark, sf_dir):
+    """geo_centroid + geo_bounds + geotile_grid aggregations
+    (index/dsl.py, round 5) under one match query sharing ONE
+    materialized match set: centroid = coordinate means, bounds =
+    min/max box, geotile_grid = Web-Mercator z/x/y keys computed in
+    native Columns. Output is one long (part, key, value) frame so
+    all three aggs hash under a single oracle, which rebuilds the
+    coordinates and replays the tile math in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _geo_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "loc_lat", "loc_lon"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"text": "data merge"}}, "size": 0,
+         "aggs": {
+             "cent": {"geo_centroid": {"field": "loc"}},
+             "bnds": {"geo_bounds": {"field": "loc"}},
+             "grid": {"geotile_grid": {"field": "loc",
+                                       "precision": 4,
+                                       "size": 10000}},
+         }},
+        corpus_path=cpath,
+    )
+    cent = res.aggregations["cent"]
+    bnds = res.aggregations["bnds"]
+    grid = res.aggregations["grid"]
+    long_rows = (
+        cent.select(
+            "query_id", F.lit("geo_centroid").alias("part"),
+            F.lit("lat").alias("key"),
+            F.round("lat", 6).alias("value_r"),
+        )
+        .unionByName(cent.select(
+            "query_id", F.lit("geo_centroid").alias("part"),
+            F.lit("lon").alias("key"),
+            F.round("lon", 6).alias("value_r"),
+        ))
+        .unionByName(cent.select(
+            "query_id", F.lit("geo_centroid").alias("part"),
+            F.lit("count").alias("key"),
+            F.col("count").cast("double").alias("value_r"),
+        ))
+        .unionByName(bnds.select(
+            "query_id", F.lit("geo_bounds").alias("part"),
+            F.lit("top").alias("key"),
+            F.round("top", 6).alias("value_r"),
+        ))
+        .unionByName(bnds.select(
+            "query_id", F.lit("geo_bounds").alias("part"),
+            F.lit("bottom").alias("key"),
+            F.round("bottom", 6).alias("value_r"),
+        ))
+        .unionByName(bnds.select(
+            "query_id", F.lit("geo_bounds").alias("part"),
+            F.lit("left").alias("key"),
+            F.round("left", 6).alias("value_r"),
+        ))
+        .unionByName(bnds.select(
+            "query_id", F.lit("geo_bounds").alias("part"),
+            F.lit("right").alias("key"),
+            F.round("right", 6).alias("value_r"),
+        ))
+        .unionByName(grid.select(
+            "query_id", F.lit("geotile_grid").alias("part"),
+            F.col("key"),
+            F.col("doc_count").cast("double").alias("value_r"),
+        ))
+    )
+    return long_rows
+
+
 def dsl_terms_set(spark, sf_dir):
     """`terms_set` query over a multi-valued keyword field
     (index/booltree.py array doc-values, round 5): doc matches when
@@ -5598,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
         "array_terms_agg": array_terms_agg,
+        "dsl_geo_aggs": dsl_geo_aggs,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -8221,6 +8329,65 @@ FROM top WHERE ls2 IS NOT NULL
 UNION ALL
 SELECT CAST(0 AS BIGINT), doc_id, 'F0:range:n_chars', 0.0
 FROM top
+"""
+
+    # geo aggs: deterministic coords rebuilt, Web-Mercator tile math
+    # replayed in SQL; match set = disjunctive 'data merge'
+    sql["dsl_geo_aggs"] = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'merge')),
+pts AS (
+  SELECT d.doc_id,
+         CAST(d.n_chars % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         CAST((d.n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE) AS lon
+  FROM documents d JOIN m USING (doc_id)
+),
+cent AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, 'geo_centroid' AS part,
+         k AS key, v AS value_r
+  FROM (
+    SELECT round(avg(lat), 6) AS vlat, round(avg(lon), 6) AS vlon,
+           count(*)::DOUBLE AS vcnt
+    FROM pts
+  ), (VALUES ('lat'), ('lon'), ('count')) t(k),
+  LATERAL (SELECT CASE k WHEN 'lat' THEN vlat WHEN 'lon' THEN vlon
+                         ELSE vcnt END AS v)
+),
+bnds AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, 'geo_bounds' AS part,
+         k AS key, v AS value_r
+  FROM (
+    SELECT round(max(lat), 6) AS vt, round(min(lat), 6) AS vb,
+           round(min(lon), 6) AS vl, round(max(lon), 6) AS vr
+    FROM pts
+  ), (VALUES ('top'), ('bottom'), ('left'), ('right')) t(k),
+  LATERAL (SELECT CASE k WHEN 'top' THEN vt WHEN 'bottom' THEN vb
+                         WHEN 'left' THEN vl ELSE vr END AS v)
+),
+tiles AS (
+  SELECT doc_id,
+         least(floor((lon + 180.0) / 360.0 * 16.0), 15)::BIGINT AS x,
+         greatest(least(floor(
+           (1.0 - ln(tan(radians(
+              greatest(least(lat, 85.05112877980659),
+                       -85.05112877980659)))
+              + 1.0 / cos(radians(
+              greatest(least(lat, 85.05112877980659),
+                       -85.05112877980659)))) / pi())
+           / 2.0 * 16.0), 15), 0)::BIGINT AS y
+  FROM pts
+),
+grid AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, 'geotile_grid' AS part,
+         '4/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS key,
+         count(*)::DOUBLE AS value_r
+  FROM tiles GROUP BY 3
+)
+SELECT * FROM cent UNION ALL SELECT * FROM bnds
+UNION ALL SELECT * FROM grid
 """
 
     # terms_set: covering count over the derived tags list, per-doc

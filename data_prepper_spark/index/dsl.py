@@ -763,6 +763,7 @@ def search(
     _SET_AGGS = {
         "filters", "missing", "adjacency_matrix", "weighted_avg",
         "percentile_ranks", "rare_terms", "multi_terms", "top_metrics",
+        "geo_centroid", "geo_bounds", "geotile_grid",
     }
     needs_set = any(
         next(iter({k: v for k, v in a.items() if k != "aggs"}))
@@ -1321,6 +1322,111 @@ def search(
                 F.col(sfld).alias("sort_value"),
                 *[F.col(f) for f in flds if f != sfld],
             )
+        elif akind in ("geo_centroid", "geo_bounds", "geotile_grid"):
+            # geo aggregations over the *_lat/*_lon doc-values
+            # convention (the geo filter leaves' storage): centroid =
+            # arithmetic mean of coordinates (the OpenSearch
+            # geo_centroid contract for points), bounds = min/max box,
+            # geotile_grid = Web-Mercator z/x/y tile keys computed in
+            # native Columns (floor/tan/log stay in codegen — no UDF,
+            # no corpus touch; one grouped count, tile-cardinality-
+            # bound). Latitude clamps to the Mercator limit exactly as
+            # OpenSearch GeoTileUtils does.
+            import math as _math
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    f"{akind} under this query kind (no match set)"
+                )
+            fld = aconf["field"]
+            latc, lonc = f"{fld}_lat", f"{fld}_lon"
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            )
+            missing = {latc, lonc} - set(dv.columns)
+            if missing:
+                raise NotImplementedError(
+                    f"geo field '{fld}' needs doc-values columns "
+                    f"{sorted(missing)} (attach_doc_values with "
+                    "*_lat/*_lon)"
+                )
+            pts = (
+                agg_matched.join(dv.select("ord", latc, lonc), "ord")
+                .filter(
+                    F.col(latc).isNotNull() & F.col(lonc).isNotNull()
+                )
+                .select(
+                    "query_id",
+                    F.col(latc).cast("double").alias("_lat"),
+                    F.col(lonc).cast("double").alias("_lon"),
+                )
+            )
+            if akind == "geo_centroid":
+                aggs[name] = pts.groupBy("query_id").agg(
+                    F.avg("_lat").alias("lat"),
+                    F.avg("_lon").alias("lon"),
+                    F.count("*").alias("count"),
+                )
+            elif akind == "geo_bounds":
+                aggs[name] = pts.groupBy("query_id").agg(
+                    F.max("_lat").alias("top"),
+                    F.min("_lat").alias("bottom"),
+                    F.min("_lon").alias("left"),
+                    F.max("_lon").alias("right"),
+                )
+            else:  # geotile_grid
+                z = int(aconf.get("precision", 7))
+                size = int(aconf.get("size", 10000))
+                n = float(2 ** z)
+                mx = 85.05112877980659  # Mercator latitude limit
+                lat = F.greatest(
+                    F.least(F.col("_lat"), F.lit(mx)), F.lit(-mx)
+                )
+                latr = F.radians(lat)
+                x = F.least(
+                    F.floor(
+                        (F.col("_lon") + F.lit(180.0))
+                        / F.lit(360.0) * F.lit(n)
+                    ),
+                    F.lit(int(n) - 1),
+                ).cast("long")
+                y = F.greatest(
+                    F.least(
+                        F.floor(
+                            (
+                                F.lit(1.0)
+                                - F.log(
+                                    F.tan(latr)
+                                    + F.lit(1.0) / F.cos(latr)
+                                ) / F.lit(_math.pi)
+                            ) / F.lit(2.0) * F.lit(n)
+                        ),
+                        F.lit(int(n) - 1),
+                    ),
+                    F.lit(0),
+                ).cast("long")
+                key = F.concat_ws(
+                    "/", F.lit(str(z)),
+                    x.cast("string"), y.cast("string"),
+                )
+                cnt = (
+                    pts.select("query_id", key.alias("key"))
+                    .groupBy("query_id", "key")
+                    .agg(F.count("*").alias("doc_count"))
+                )
+                wg = Window.partitionBy("query_id").orderBy(
+                    F.desc("doc_count"), F.asc("key")
+                )
+                aggs[name] = (
+                    cnt.withColumn(
+                        "bucket_rank", F.row_number().over(wg)
+                    )
+                    .filter(F.col("bucket_rank") <= size)
+                    .select(
+                        "query_id", "bucket_rank", "key", "doc_count"
+                    )
+                )
         elif akind == "filters":
             # named filter buckets: each sub-filter compiles through
             # the tree compiler, intersects the shared match set, and
