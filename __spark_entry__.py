@@ -2214,6 +2214,62 @@ def _tags_corpus(spark, sf_dir, cpath):
     return dpath
 
 
+def dsl_misc_queries(spark, sf_dir):
+    """distance_feature + pinned + script + wrapper queries through
+    the Query-DSL front end (index/booltree.py, round 5): q0 boosts a
+    match by numeric proximity (score = BM25 + boost*pivot/(pivot+
+    |n_chars-origin|)), q1 pins three ids ahead of the organic
+    matches (pin i scores PIN_BASE - i), q2 is a painless-lite filter
+    over doc-values (modulo + equality, non-scoring), q3 wraps q0's
+    query in the base64 `wrapper` envelope and must reproduce q0's
+    rows exactly. Oracle replays each algebra over the raw table."""
+    import base64 as _b64
+    import json as _json
+    import os as _os
+
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    pin_paths = ["3", "7", "11"]
+    pin_map = {
+        r["path"]: r["doc_id"]
+        for r in spark.read.parquet(_os.path.join(idx, "docs"))
+        .filter(F.col("path").isin(pin_paths))
+        .select("path", "doc_id").collect()
+    }
+    pin_ids = [pin_map[p] for p in pin_paths if p in pin_map]
+    q0 = {"bool": {
+        "must": [{"match": {"text": "data query"}}],
+        "should": [{"distance_feature": {
+            "field": "n_chars", "origin": 300, "pivot": 50,
+            "boost": 2.0,
+        }}],
+    }}
+    bodies = [
+        {"query": q0, "size": 50},
+        {"query": {"pinned": {"ids": pin_ids,
+                              "organic": {"match": {"text":
+                                                    "data query"}}}},
+         "size": 50},
+        {"query": {"script": {"script": {
+            "source": "doc['n_chars'].value % 7 == 0",
+        }}}, "size": 10**9},
+        {"query": {"wrapper": {"query": _b64.b64encode(
+            _json.dumps(q0).encode()
+        ).decode()}}, "size": 50},
+    ]
+    parts = [
+        dsl_search(spark, idx, b, corpus_path=cpath, query_id=i).hits
+        for i, b in enumerate(bodies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 _GEO_CORPUS_CACHE: dict = {}
 
 
@@ -5706,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_terms_set": dsl_terms_set,
         "array_terms_agg": array_terms_agg,
         "dsl_geo_aggs": dsl_geo_aggs,
+        "dsl_misc_queries": dsl_misc_queries,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -8329,6 +8386,61 @@ FROM top WHERE ls2 IS NOT NULL
 UNION ALL
 SELECT CAST(0 AS BIGINT), doc_id, 'F0:range:n_chars', 0.0
 FROM top
+"""
+
+    # misc queries: distance_feature proximity boost, pinned order,
+    # painless-lite filter, wrapper == its inner query
+    sql["dsl_misc_queries"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT DISTINCT unnest({tokenize_sql("'data query'")}) AS term),
+ls AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, m.doc_id,
+         m.score + 2.0 * 50.0 / (50.0 + abs(d.n_chars - 300)) AS score
+  FROM ls m JOIN documents d USING (doc_id)
+),
+pins(doc_id, pos) AS (VALUES (3, 0), (7, 1), (11, 2)),
+q1 AS (
+  SELECT CAST(1 AS BIGINT), p.doc_id, 1e9 - p.pos
+  FROM pins p JOIN documents USING (doc_id)
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), m.doc_id, m.score
+  FROM ls m WHERE m.doc_id NOT IN (SELECT doc_id FROM pins)
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT), doc_id, 0.0 FROM documents
+  WHERE n_chars % 7 = 0
+),
+q3 AS (SELECT CAST(3 AS BIGINT), doc_id, score FROM q0),
+allq AS (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1
+  UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM allq
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """
 
     # geo aggs: deterministic coords rebuilt, Web-Mercator tile math

@@ -244,6 +244,55 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             spec={"fn": fn, "conf": conf},
             boost=float(spec.get("boost", 1.0)),
         )
+    if kind == "wrapper":
+        # base64-encoded JSON query envelope (the OpenSearch wrapper
+        # query): decode and compile the inner tree in place
+        import base64
+        import json
+
+        raw = spec["query"] if isinstance(spec, dict) else str(spec)
+        inner = json.loads(base64.b64decode(raw))
+        return _parse(inner, dv_cols, texts)
+    if kind == "pinned":
+        # PinnedQueryBuilder: the listed doc ids rank first, in list
+        # order, ahead of every organic match (mechanism-equivalent
+        # scores: pin i gets PIN_BASE - i, organic keeps its BM25 —
+        # Lucene implements the same ordering with boosted TermQueries
+        # over a CappedScoreQuery; this engine has no float-cap needs
+        # because BM25 scores are orders of magnitude below PIN_BASE)
+        if "ids" not in spec:
+            raise NotImplementedError(
+                "pinned without 'ids' (the 'docs' form is multi-index)"
+            )
+        return _IR(
+            "pinned",
+            must=[_parse(spec.get("organic", {"match_all": {}}),
+                         dv_cols, texts)],
+            spec={"ids": [int(i) for i in spec["ids"]]},
+        )
+    if kind == "distance_feature":
+        # DistanceFeatureQuery: matches docs with the field present,
+        # score = boost * pivot / (pivot + distance(origin, value)).
+        # Geo form reads the *_lat/*_lon doc-values pair (origin =
+        # {lat, lon}, pivot = a distance string); numeric form reads
+        # one numeric doc-values column (origin/pivot numbers) — the
+        # recency/proximity `should` companion.
+        origin = spec["origin"]
+        return _IR(
+            "distf", field=spec["field"],
+            spec={"origin": origin, "pivot": spec["pivot"]},
+            boost=float(spec.get("boost", 1.0)),
+        )
+    if kind == "script":
+        # script query (filter context): a painless-lite boolean over
+        # doc-values columns decides matching; never scores (Lucene
+        # ScriptQuery is a filter)
+        sc = spec["script"]
+        src = sc["source"] if isinstance(sc, dict) else str(sc)
+        params = sc.get("params", {}) if isinstance(sc, dict) else {}
+        return _IR(
+            "scriptq", spec={"source": src, "params": params},
+        )
     if kind in ("geo_distance", "geo_bounding_box"):
         # geo filters over lat/lon doc-values (the geoip-enrich
         # companion): a geo_point field `f` maps to sidecar columns
@@ -356,7 +405,8 @@ def _expand_phrases(ir: _IR, analyze_py, texts: list) -> _IR:
                             boost=1.0))
         return _IR("bool", must=kids, should=[], must_not=[], filter=[],
                    msm=None, boost=ir.boost)
-    if ir.kind in ("bool", "dismax", "const", "boosting", "fscore"):
+    if ir.kind in ("bool", "dismax", "const", "boosting", "fscore",
+                   "sscore", "pinned"):
         for role in ("must", "should", "must_not", "filter"):
             setattr(ir, role, [
                 _expand_phrases(c, analyze_py, texts)
@@ -875,6 +925,108 @@ def _rank_feature(spark, index_dir, ir) -> DataFrame:
     )
 
 
+def _distance_feature(spark, index_dir, ir) -> DataFrame:
+    """DistanceFeatureQuery execution: one sidecar scan, score =
+    boost * pivot / (pivot + distance). Geo distance is the same
+    native-Column haversine as _geo_frame; numeric distance is
+    |value - origin|. No corpus touch, stays in codegen."""
+    dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    origin, pivot = ir.spec["origin"], ir.spec["pivot"]
+    boost = float(ir.boost if ir.boost is not None else 1.0)
+    if isinstance(origin, dict):  # geo form
+        latc, lonc = f"{ir.field}_lat", f"{ir.field}_lon"
+        missing = {latc, lonc} - set(dv.columns)
+        if missing:
+            raise NotImplementedError(
+                f"distance_feature geo field '{ir.field}' needs "
+                f"doc-values columns {sorted(missing)}"
+            )
+        lat = F.col(latc).cast("double")
+        lon = F.col(lonc).cast("double")
+        qlat, qlon = float(origin["lat"]), float(origin["lon"])
+        piv = _parse_distance_m(pivot)
+        dphi = F.radians(lat - F.lit(qlat))
+        dlmb = F.radians(lon - F.lit(qlon))
+        a = (
+            F.pow(F.sin(dphi / 2), 2)
+            + F.cos(F.radians(F.lit(qlat))) * F.cos(F.radians(lat))
+            * F.pow(F.sin(dlmb / 2), 2)
+        )
+        dist = F.lit(2.0 * _EARTH_R_M) * F.asin(F.sqrt(a))
+        present = lat.isNotNull() & lon.isNotNull()
+    else:  # numeric form
+        if ir.field not in dv.columns:
+            raise NotImplementedError(
+                f"distance_feature field '{ir.field}' not in "
+                "doc-values sidecar"
+            )
+        v = F.col(ir.field).cast("double")
+        piv = float(pivot)
+        dist = F.abs(v - F.lit(float(origin)))
+        present = v.isNotNull()
+    score = F.lit(boost) * F.lit(float(piv)) / (F.lit(float(piv)) + dist)
+    return dv.filter(present).select("ord", score.alias("score"))
+
+
+def _script_filter(spark, index_dir, ir) -> DataFrame:
+    """script query (filter context): compile the painless-lite
+    boolean to a native Column over the doc-values sidecar — one
+    vocabulary-thin scan, no UDF. Missing numeric values read as
+    null and fail the comparison (docs without the field don't
+    match — the painless doc[].value contract, minus the throw)."""
+    from .aggs import painless_expr
+
+    dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+    cfg = ir.spec
+
+    def resolve(kind, name):
+        if kind == "doc":
+            if name not in dv.columns:
+                raise NotImplementedError(
+                    f"script query field '{name}' not in doc-values "
+                    "sidecar (attach_doc_values first)"
+                )
+            return F.col(name).cast("double")
+        if kind == "param":
+            if name not in cfg["params"]:
+                raise KeyError(
+                    f"script query references params.{name} with no "
+                    f"matching entry (have: {sorted(cfg['params'])})"
+                )
+            return F.lit(float(cfg["params"][name]))
+        raise NotImplementedError(f"script query reference {kind}:{name}")
+
+    cond = painless_expr(cfg["source"], resolve, _SCRIPT_CALLS)
+    return dv.filter(cond.cast("boolean")).select(
+        "ord", F.lit(0.0).alias("score")
+    )
+
+
+_PIN_BASE = 1.0e9  # far above any BM25 sum; pin i scores PIN_BASE - i
+
+
+def _pinned(spark, index_dir, ir, rec) -> DataFrame:
+    """PinnedQuery execution: the listed doc ids (resolved to ords by
+    one broadcast join against the docs table) score PIN_BASE - i in
+    list order; organic matches keep their scores and pinned ids are
+    dropped from the organic side so each doc appears once. Missing
+    ids simply don't match (the OpenSearch behavior)."""
+    ids = ir.spec["ids"]
+    organic = rec(ir.must[0])
+    pins = spark.createDataFrame(
+        [(int(d), _PIN_BASE - i) for i, d in enumerate(ids)],
+        "doc_id long, score double",
+    )
+    docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id"
+    )
+    pinned = docs.join(F.broadcast(pins), "doc_id").select("ord", "score")
+    organic = organic.join(
+        F.broadcast(pinned.select("ord")), "ord", "left_anti"
+    )
+    return pinned.unionByName(organic)
+
+
 def _combine(
     spark: SparkSession, index_dir: str, ir: _IR,
     leaf_scored: DataFrame, corpus_path: str | None,
@@ -933,6 +1085,12 @@ def _combine(
         return _script_score(spark, index_dir, ir, rec)
     if ir.kind == "rankf":
         return _rank_feature(spark, index_dir, ir)
+    if ir.kind == "distf":
+        return _distance_feature(spark, index_dir, ir)
+    if ir.kind == "scriptq":
+        return _script_filter(spark, index_dir, ir)
+    if ir.kind == "pinned":
+        return _pinned(spark, index_dir, ir, rec)
     if ir.kind == "dismax":
         # DisjunctionMaxQuery: union children (tagged), best child
         # score + tie_breaker * the rest; matching = any child
@@ -1201,7 +1359,8 @@ def _explain_eval(ir: _IR, ord_, scores: dict, dv_sets: dict):
         if b != 1.0:
             contribs = [(lbl, v * b) for lbl, v in contribs]
         return True, contribs
-    if ir.kind in ("fscore", "sscore", "rankf"):
+    if ir.kind in ("fscore", "sscore", "rankf", "distf", "scriptq",
+                   "pinned"):
         raise NotImplementedError(
             f"explain on a '{ir.kind}' node (score-replacing nodes "
             "explain as themselves, not per-leaf)"

@@ -542,19 +542,22 @@ def search(
             )
     elif kind in (
         "dis_max", "constant_score", "boosting", "function_score",
-        "script_score", "rank_feature",
+        "script_score", "rank_feature", "distance_feature", "pinned",
+        "script", "wrapper",
     ):
         # scoring tree nodes (Lucene DisjunctionMaxQuery /
         # ConstantScoreQuery / BoostingQuery / FunctionScoreQuery /
-        # ScriptScoreQuery / RankFeatureQuery):
-        # same compiler as nested bool — all text leaves share one
-        # bucket-pruned postings scan
+        # ScriptScoreQuery / RankFeatureQuery / DistanceFeatureQuery /
+        # PinnedQuery) plus the script filter query and the base64
+        # wrapper envelope: same compiler as nested bool — all text
+        # leaves share one bucket-pruned postings scan
         from .booltree import bool_tree_match, bool_tree_search
 
         hits = bool_tree_search(
             spark, index_dir, node, k=k,
             corpus_path=corpus_path, query_id=query_id,
         )
+        tree_node = node
         if "aggs" in body:
             agg_matched = bool_tree_match(
                 spark, index_dir, node, corpus_path

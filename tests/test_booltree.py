@@ -1816,3 +1816,96 @@ def test_terms_set_top_level_and_dsl_routing(spark, arr_index, arr_ref):
         >= max(1, int(r["required_matches"]))
     }
     assert got == want and all(r["score"] == 0.0 for r in hits)
+
+
+# ---------------------------------------------------------------------------
+# distance_feature / pinned / script / wrapper queries
+# ---------------------------------------------------------------------------
+
+
+def test_distance_feature_numeric_should(spark, dv_index, ref):
+    """Numeric distance_feature as the recency-boost should clause:
+    score = must BM25 + boost * pivot / (pivot + |n_chars - origin|),
+    checked against the pandas per-leaf reference."""
+    tree = {"bool": {
+        "must": [{"match": {"content": "gunaba"}}],
+        "should": [{"distance_feature": {
+            "field": "n_chars", "origin": 20000, "pivot": 5000,
+            "boost": 2.0,
+        }}],
+    }}
+    got = dict(_engine_hits(spark, dv_index, tree))
+    part, meta = ref["part"], ref["meta"]
+    want = {}
+    for d in ref["doc_ids"]:
+        base = part.get((d, "gunaba"), 0.0)
+        if base <= 0:
+            continue
+        nch = float(meta.loc[d, "n_chars"])
+        want[d] = round(
+            base + 2.0 * 5000.0 / (5000.0 + abs(nch - 20000.0)), 6
+        )
+    assert got == want and want
+
+
+def test_pinned_query_order(spark, dv_index, ref):
+    from data_prepper_spark.index.dsl import search
+
+    organic = {"match": {"content": "gunaba"}}
+    org_hits = bool_tree_search(
+        spark, dv_index, organic, k=10
+    ).collect()
+    org_ids = [r["doc_id"] for r in sorted(org_hits,
+                                           key=lambda r: r["rank"])]
+    # pin: one organic hit (promoted out of its spot) + one
+    # non-matching doc; both must lead, in pin order
+    non_match = next(
+        d for d in ref["doc_ids"]
+        if ref["part"].get((d, "gunaba"), 0.0) == 0
+    )
+    pins = [org_ids[3], non_match]
+    res = search(
+        spark, dv_index,
+        {"query": {"pinned": {"ids": pins, "organic": organic}},
+         "size": 10},
+    ).hits.collect()
+    ranked = [r["doc_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert ranked[:2] == pins
+    # organic tail keeps its order, minus the promoted doc
+    want_tail = [d for d in org_ids if d != org_ids[3]][:8]
+    assert ranked[2:] == want_tail
+
+
+def test_script_query_filters_docvalues(spark, dv_index, ref):
+    tree = {"bool": {"filter": [{"script": {"script": {
+        "source": "doc['n_chars'].value % 2 == 0",
+    }}}]}}
+    got = {d for d, _ in _engine_hits(spark, dv_index, tree)}
+    want = {
+        d for d in ref["doc_ids"]
+        if int(ref["meta"].loc[d, "n_chars"]) % 2 == 0
+    }
+    assert got == want and want
+    # params + comparison form
+    tree = {"bool": {"filter": [{"script": {"script": {
+        "source": "doc['n_chars'].value > params.cut",
+        "params": {"cut": 20000},
+    }}}]}}
+    got = {d for d, _ in _engine_hits(spark, dv_index, tree)}
+    want = {
+        d for d in ref["doc_ids"]
+        if int(ref["meta"].loc[d, "n_chars"]) > 20000
+    }
+    assert got == want and want
+
+
+def test_wrapper_query_decodes(spark, dv_index):
+    import base64
+    import json
+
+    wrapped = {"wrapper": {"query": base64.b64encode(
+        json.dumps(NESTED_TREE).encode()
+    ).decode()}}
+    assert _engine_hits(spark, dv_index, wrapped) == _engine_hits(
+        spark, dv_index, NESTED_TREE
+    )
