@@ -3093,6 +3093,133 @@ def dsl_bucket_scripts(spark, sf_dir):
     return out
 
 
+def dsl_stats_aggs_family(spark, sf_dir):
+    """string_stats + median_absolute_deviation + boxplot
+    aggregations (index/aggs.py, round-5 continuation) under one
+    match query sharing ONE materialized match set. string_stats
+    computes length stats plus the Shannon entropy (base 2) of the
+    character distribution across every `source` value — the
+    OpenSearch definition — via one exploded-character grouped agg;
+    MAD and boxplot are EXACT percentile forms (linear interpolation,
+    DuckDB quantile_cont parity; percentile_approx is the documented
+    100-TB swap). Long format (agg, key, val); the oracle recomputes
+    every number from the tokenized match set in DuckDB."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "sstats": {"string_stats": {"field": "source"}},
+                "mad": {"median_absolute_deviation": {
+                    "field": "n_chars",
+                }},
+                "box": {"boxplot": {"field": "n_chars"}},
+            },
+        },
+        corpus_path=cpath,
+    )
+    ss = res.aggregations["sstats"]
+    mad = res.aggregations["mad"]
+    box = res.aggregations["box"]
+    parts = [
+        ss.select(
+            F.lit("sstats").alias("agg"), F.lit("count").alias("key"),
+            F.col("count").cast("double").alias("val"),
+        ),
+        ss.select(
+            F.lit("sstats").alias("agg"), F.lit("min_length").alias("key"),
+            F.col("min_length").cast("double").alias("val"),
+        ),
+        ss.select(
+            F.lit("sstats").alias("agg"), F.lit("max_length").alias("key"),
+            F.col("max_length").cast("double").alias("val"),
+        ),
+        ss.select(
+            F.lit("sstats").alias("agg"), F.lit("avg_length").alias("key"),
+            F.round(F.col("avg_length"), 6).alias("val"),
+        ),
+        ss.select(
+            F.lit("sstats").alias("agg"), F.lit("entropy").alias("key"),
+            F.round(F.col("entropy"), 6).alias("val"),
+        ),
+        mad.select(
+            F.lit("mad").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("mad"), 6).alias("val"),
+        ),
+    ]
+    for c in ("min_v", "q1", "q2", "q3", "max_v"):
+        parts.append(box.select(
+            F.lit("box").alias("agg"), F.lit(c).alias("key"),
+            F.round(F.col(c), 6).alias("val"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dsl_matrix_scripted(spark, sf_dir):
+    """matrix_stats + scripted_metric aggregations (index/aggs.py,
+    round-5 continuation). matrix_stats runs over the deterministic
+    loc_lat/loc_lon doc-values pair: ONE grouped aggregation
+    accumulates the raw power sums (Σx..Σx⁴ per field, Σxy per pair)
+    and every moment — mean, population variance, skewness, kurtosis
+    (plain m4/m2², not excess), covariance, correlation — derives
+    algebraically from those sums, so the oracle reproduces each
+    number from the same sums in SQL. scripted_metric is the
+    distributed-safe subset: a painless-lite map expression over
+    doc['n_chars'].value + params compiled to ONE native Column,
+    algebraic reduce (init/combine = Spark's partial aggregation —
+    the only shape that distributes). Long format (agg, key, val)."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _geo_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "loc_lat", "loc_lon"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "mx": {"matrix_stats": {
+                    "fields": ["loc_lat", "loc_lon"],
+                }},
+                "sq": {"scripted_metric": {
+                    "map_script": (
+                        "doc['n_chars'].value * doc['n_chars'].value"
+                        " + params.c"
+                    ),
+                    "params": {"c": 7},
+                    "reduce": "sum",
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    mx = res.aggregations["mx"]
+    sq = res.aggregations["sq"]
+    out = mx.select(
+        F.lit("matrix").alias("agg"),
+        F.concat_ws("|", "field_a", "field_b", "stat").alias("key"),
+        F.round(F.col("value"), 6).alias("val"),
+    ).unionByName(sq.select(
+        F.lit("scripted").alias("agg"), F.lit("*").alias("key"),
+        F.round(F.col("value"), 6).alias("val"),
+    ))
+    return out
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -5763,6 +5890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_terms_agg": array_terms_agg,
         "dsl_geo_aggs": dsl_geo_aggs,
         "dsl_misc_queries": dsl_misc_queries,
+        "dsl_stats_aggs_family": dsl_stats_aggs_family,
+        "dsl_matrix_scripted": dsl_matrix_scripted,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9293,6 +9422,131 @@ multi AS (
 )
 SELECT * FROM wavg UNION ALL SELECT * FROM ranks
 UNION ALL SELECT * FROM rare UNION ALL SELECT * FROM multi
+"""
+    sql["dsl_stats_aggs_family"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, source, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.source, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+base AS (
+  SELECT count(*) AS c, min(length(source)) AS mn,
+         max(length(source)) AS mx,
+         avg(CAST(length(source) AS DOUBLE)) AS av
+  FROM matched
+),
+cf AS (
+  SELECT ch, count(*) AS c
+  FROM (SELECT unnest(string_split(source, '')) AS ch FROM matched)
+  GROUP BY ch
+),
+ent AS (
+  SELECT -sum((CAST(cf.c AS DOUBLE) / tt.t)
+              * log2(CAST(cf.c AS DOUBLE) / tt.t)) AS e
+  FROM cf, (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cf) tt
+),
+med AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS m
+        FROM matched),
+madv AS (
+  SELECT quantile_cont(abs(CAST(n_chars AS DOUBLE) - med.m), 0.5) AS v
+  FROM matched, med
+),
+box AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS q2,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3,
+         CAST(max(n_chars) AS DOUBLE) AS mx
+  FROM matched
+)
+SELECT 'sstats' AS agg, 'count' AS key, CAST(c AS DOUBLE) AS val FROM base
+UNION ALL SELECT 'sstats', 'min_length', CAST(mn AS DOUBLE) FROM base
+UNION ALL SELECT 'sstats', 'max_length', CAST(mx AS DOUBLE) FROM base
+UNION ALL SELECT 'sstats', 'avg_length', round(av, 6) FROM base
+UNION ALL SELECT 'sstats', 'entropy', round(e, 6) FROM ent
+UNION ALL SELECT 'mad', '*', round(v, 6) FROM madv
+UNION ALL SELECT 'box', 'min_v', round(mn, 6) FROM box
+UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
+UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
+UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
+UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_matrix_scripted"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+geo AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars % 120 - 60 + 0.25 AS DOUBLE) AS a,
+         CAST((n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE) AS b
+  FROM matched
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(a) AS s1a, sum(a*a) AS s2a, sum(a*a*a) AS s3a,
+         sum(a*a*a*a) AS s4a,
+         sum(b) AS s1b, sum(b*b) AS s2b, sum(b*b*b) AS s3b,
+         sum(b*b*b*b) AS s4b,
+         sum(a*b) AS sxy
+  FROM geo
+),
+m1 AS (
+  SELECT n, s1a/n AS ma, s1b/n AS mb,
+         s2a/n AS r2a, s3a/n AS r3a, s4a/n AS r4a,
+         s2b/n AS r2b, s3b/n AS r3b, s4b/n AS r4b,
+         sxy/n AS rxy
+  FROM s
+),
+m2 AS (
+  SELECT n, ma, mb,
+         r2a - ma*ma AS v2a,
+         r3a - 3*ma*r2a + 2*ma*ma*ma AS m3a,
+         r4a - 4*ma*r3a + 6*ma*ma*r2a - 3*ma*ma*ma*ma AS m4a,
+         r2b - mb*mb AS v2b,
+         r3b - 3*mb*r2b + 2*mb*mb*mb AS m3b,
+         r4b - 4*mb*r3b + 6*mb*mb*r2b - 3*mb*mb*mb*mb AS m4b,
+         rxy - ma*mb AS cov
+  FROM m1
+),
+sq AS (
+  SELECT sum(CAST(n_chars AS DOUBLE) * n_chars + 7) AS v FROM matched
+)
+SELECT 'matrix' AS agg, 'loc_lat|loc_lat|count' AS key,
+       round(n, 6) AS val FROM m2
+UNION ALL SELECT 'matrix', 'loc_lat|loc_lat|mean', round(ma, 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lat|loc_lat|variance',
+  round(v2a, 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lat|loc_lat|skewness',
+  round(m3a / power(v2a, 1.5), 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lat|loc_lat|kurtosis',
+  round(m4a / (v2a * v2a), 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lon|loc_lon|count', round(n, 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lon|loc_lon|mean', round(mb, 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lon|loc_lon|variance',
+  round(v2b, 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lon|loc_lon|skewness',
+  round(m3b / power(v2b, 1.5), 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lon|loc_lon|kurtosis',
+  round(m4b / (v2b * v2b), 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lat|loc_lon|covariance',
+  round(cov, 6) FROM m2
+UNION ALL SELECT 'matrix', 'loc_lat|loc_lon|correlation',
+  round(cov / sqrt(v2a * v2b), 6) FROM m2
+UNION ALL SELECT 'scripted', '*', round(v, 6) FROM sq
 """
     sql["dsl_bucket_scripts"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -531,3 +531,292 @@ def bucket_sort(
     if size is not None:
         out = out.filter(F.col("__r") <= int(frm) + int(size))
     return out.withColumn("bucket_order", F.col("__r")).drop("__r")
+
+
+def string_stats_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`string_stats` aggregation (opensearch-api `aggs:
+    {string_stats: {field}}`): count / min_length / max_length /
+    avg_length of a keyword field over the full match set, plus the
+    Shannon entropy (base 2) of the CHARACTER distribution across
+    every value — the OpenSearch definition. Two grouped
+    aggregations: one over the values for the length stats, one over
+    the exploded characters for entropy; both are match-set-sized,
+    never corpus-sized, and the character explode is bounded by total
+    value bytes (keyword fields are short). Returns (query_id, count,
+    min_length, max_length, avg_length, entropy)."""
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    v = F.col(field)
+    vals = at.where(v.isNotNull()).select(
+        "query_id", v.alias("val"), F.length(v).alias("len")
+    )
+    base = vals.groupBy("query_id").agg(
+        F.count("*").alias("count"),
+        F.min("len").alias("min_length"),
+        F.max("len").alias("max_length"),
+        F.avg(F.col("len").cast("double")).alias("avg_length"),
+    )
+    chars = vals.select(
+        "query_id", F.explode(F.split("val", "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    cf = chars.groupBy("query_id", "ch").agg(F.count("*").alias("c"))
+    tot = cf.groupBy("query_id").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    ent = (
+        cf.join(tot, "query_id")
+        .groupBy("query_id")
+        .agg((-F.sum(p * F.log2(p))).alias("entropy"))
+    )
+    return base.join(ent, "query_id", "left")
+
+
+def mad_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`median_absolute_deviation` aggregation: median(|x - median|)
+    over the match set. OpenSearch computes it on a t-digest sketch;
+    this executor is EXACT (Spark `percentile`, linear interpolation
+    — same convention as DuckDB quantile_cont) so the value oracle
+    can recompute it bit-for-bit; swap F.percentile for
+    F.percentile_approx for the fixed-state 100-TB path (same shape:
+    two grouped aggregations, the 1-row-per-query median frame
+    broadcast back). Returns (query_id, mad)."""
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    v = F.col(field).cast("double")
+    med = at.groupBy("query_id").agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
+    )
+    return (
+        at.join(F.broadcast(med), "query_id")
+        .groupBy("query_id")
+        .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("mad"))
+    )
+
+
+def boxplot_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`boxplot` aggregation: min / q1 / q2 / q3 / max of a numeric
+    field over the match set in ONE grouped aggregation (exact
+    percentiles, linear interpolation — DuckDB quantile_cont parity;
+    OpenSearch's t-digest analog is the percentile_approx swap).
+    Returns (query_id, min_v, q1, q2, q3, max_v)."""
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    v = F.col(field).cast("double")
+    return at.groupBy("query_id").agg(
+        F.min(v).alias("min_v"),
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.5)).alias("q2"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def matrix_stats_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    fields: list,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`matrix_stats` aggregation over a list of numeric fields:
+    per-field count / mean / variance / skewness / kurtosis and
+    pairwise covariance / correlation, complete-case (docs missing
+    ANY field are excluded — the OpenSearch contract). ONE grouped
+    aggregation accumulates the raw power sums (Σx, Σx², Σx³, Σx⁴
+    per field, Σxy per pair); all moments derive from those sums in
+    a fixed algebraic order, so the value oracle reproduces every
+    number from the same sums. Conventions documented for parity:
+    population moments (divide by n), kurtosis is plain m4/m2² (not
+    excess) — matching OpenSearch's definition where a normal
+    distribution scores ~3. Returns long-format rows
+    (query_id, field_a, field_b, stat, value): field_b == field_a
+    for the per-field stats."""
+    fields = list(dict.fromkeys(fields))
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, fields, matched=matched
+    )
+    cond = None
+    for f in fields:
+        c = F.col(f).isNotNull()
+        cond = c if cond is None else (cond & c)
+    at = at.where(cond)
+    exprs = [F.count("*").alias("n")]
+    for f in fields:
+        x = F.col(f).cast("double")
+        exprs += [
+            F.sum(x).alias(f"s1_{f}"),
+            F.sum(x * x).alias(f"s2_{f}"),
+            F.sum(x * x * x).alias(f"s3_{f}"),
+            F.sum(x * x * x * x).alias(f"s4_{f}"),
+        ]
+    for i, fa in enumerate(fields):
+        for fb in fields[i + 1:]:
+            exprs.append(
+                F.sum(
+                    F.col(fa).cast("double") * F.col(fb).cast("double")
+                ).alias(f"sxy_{fa}_{fb}")
+            )
+    sums = at.groupBy("query_id").agg(*exprs)
+    n = F.col("n").cast("double")
+    rows = []
+
+    def _mom(f):
+        mean = F.col(f"s1_{f}") / n
+        m2 = F.col(f"s2_{f}") / n - mean * mean
+        m3 = (
+            F.col(f"s3_{f}") / n
+            - F.lit(3.0) * mean * (F.col(f"s2_{f}") / n)
+            + F.lit(2.0) * mean * mean * mean
+        )
+        m4 = (
+            F.col(f"s4_{f}") / n
+            - F.lit(4.0) * mean * (F.col(f"s3_{f}") / n)
+            + F.lit(6.0) * mean * mean * (F.col(f"s2_{f}") / n)
+            - F.lit(3.0) * mean * mean * mean * mean
+        )
+        return mean, m2, m3, m4
+
+    for f in fields:
+        mean, m2, m3, m4 = _mom(f)
+        per = [
+            ("count", n),
+            ("mean", mean),
+            ("variance", m2),
+            ("skewness", m3 / F.pow(m2, F.lit(1.5))),
+            ("kurtosis", m4 / (m2 * m2)),
+        ]
+        for stat, expr in per:
+            rows.append(
+                sums.select(
+                    "query_id",
+                    F.lit(f).alias("field_a"),
+                    F.lit(f).alias("field_b"),
+                    F.lit(stat).alias("stat"),
+                    expr.alias("value"),
+                )
+            )
+    for i, fa in enumerate(fields):
+        for fb in fields[i + 1:]:
+            mean_a, m2a, _, _ = _mom(fa)
+            mean_b, m2b, _, _ = _mom(fb)
+            cov = F.col(f"sxy_{fa}_{fb}") / n - mean_a * mean_b
+            corr = cov / F.sqrt(m2a * m2b)
+            for stat, expr in (("covariance", cov), ("correlation", corr)):
+                rows.append(
+                    sums.select(
+                        "query_id",
+                        F.lit(fa).alias("field_a"),
+                        F.lit(fb).alias("field_b"),
+                        F.lit(stat).alias("stat"),
+                        expr.alias("value"),
+                    )
+                )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_SM_CALLS = {
+    "Math.log": F.log,
+    "Math.sqrt": F.sqrt,
+    "Math.abs": F.abs,
+    "Math.pow": lambda a, b: F.pow(a, b),
+    "Math.max": F.greatest,
+    "Math.min": F.least,
+}
+
+_SM_REDUCE = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def scripted_metric_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    map_script: str,
+    reduce: str = "sum",
+    params: dict | None = None,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`scripted_metric` aggregation, distributed-safe subset: the
+    map_script is a painless-lite expression over doc['field'].value
+    + params (compiled to ONE native Column — no Python in the hot
+    path), and the reduce is an algebraic aggregate
+    (sum/avg/min/max/count). OpenSearch's free-form init/combine/
+    reduce scripts assume a single-shard accumulator object and
+    cannot distribute safely; here init+combine ARE Spark's partial
+    aggregation (map-side combine), which is the only shape that
+    scales — arbitrary stateful scripts raise loudly instead of
+    silently computing shard-order-dependent results. Returns
+    (query_id, value)."""
+    import re as _re
+
+    fields = list(dict.fromkeys(
+        _re.findall(r"doc\['([^']+)'\]", map_script)
+    ))
+    if not fields:
+        raise NotImplementedError(
+            "scripted_metric map_script must reference at least one "
+            "doc['field'].value"
+        )
+    if reduce not in _SM_REDUCE:
+        raise NotImplementedError(
+            f"scripted_metric reduce '{reduce}' "
+            f"(supported: {sorted(_SM_REDUCE)})"
+        )
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, fields, matched=matched
+    )
+    p = params or {}
+
+    def resolve(kind, name):
+        if kind == "doc":
+            if name not in fields:
+                raise KeyError(name)
+            return F.col(name).cast("double")
+        if kind == "param":
+            if name not in p:
+                raise KeyError(
+                    f"scripted_metric references params.{name} with no "
+                    f"matching params entry (have: {sorted(p)})"
+                )
+            return F.lit(float(p[name]))
+        raise NotImplementedError(
+            f"scripted_metric reference {kind}:{name}"
+        )
+
+    mapped = painless_expr(map_script, resolve, calls=_SM_CALLS)
+    return at.groupBy("query_id").agg(
+        _SM_REDUCE[reduce](mapped).alias("value")
+    )

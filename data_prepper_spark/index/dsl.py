@@ -1430,6 +1430,44 @@ def search(
                         "query_id", "bucket_rank", "key", "doc_count"
                     )
                 )
+        elif akind == "string_stats":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.string_stats_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], matched=agg_matched,
+            )
+        elif akind == "median_absolute_deviation":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.mad_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], matched=agg_matched,
+            )
+        elif akind == "boxplot":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.boxplot_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], matched=agg_matched,
+            )
+        elif akind == "matrix_stats":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.matrix_stats_facet(
+                spark, index_dir, corpus_path, mq,
+                fields=list(aconf["fields"]), matched=agg_matched,
+            )
+        elif akind == "scripted_metric":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.scripted_metric_facet(
+                spark, index_dir, corpus_path, mq,
+                map_script=aconf["map_script"],
+                reduce=aconf.get("reduce", "sum"),
+                params=aconf.get("params"),
+                matched=agg_matched,
+            )
         elif akind == "filters":
             # named filter buckets: each sub-filter compiles through
             # the tree compiler, intersects the shared match set, and

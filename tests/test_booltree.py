@@ -1909,3 +1909,87 @@ def test_wrapper_query_decodes(spark, dv_index):
     assert _engine_hits(spark, dv_index, wrapped) == _engine_hits(
         spark, dv_index, NESTED_TREE
     )
+
+
+def test_stats_family_matrix_scripted_aggs(spark, dv_index, dv_corpus):
+    """string_stats (length stats + character entropy),
+    median_absolute_deviation, boxplot, matrix_stats (raw power-sum
+    moments), and scripted_metric (painless-lite map + algebraic
+    reduce) under a top-level range query — every number recomputed
+    in pandas/numpy from the same match set."""
+    import collections
+    import math
+
+    import numpy as np
+
+    body = {
+        "query": {"range": {"n_chars": {"gte": 20000}}},
+        "aggs": {
+            "sstats": {"string_stats": {"field": "lang"}},
+            "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+            "box": {"boxplot": {"field": "n_chars"}},
+            "mx": {"matrix_stats": {"fields": ["n_chars"]}},
+            "sq": {"scripted_metric": {
+                "map_script":
+                    "Math.sqrt(doc['n_chars'].value) + params.c",
+                "params": {"c": 2},
+                "reduce": "avg",
+            }},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    pdf = pd.read_parquet(dv_corpus)
+    sel = pdf[pdf["n_chars"] >= 20000]
+
+    lens = sel["lang"].str.len()
+    (srow,) = res.aggregations["sstats"].collect()
+    assert srow["count"] == len(sel)
+    assert srow["min_length"] == int(lens.min())
+    assert srow["max_length"] == int(lens.max())
+    assert srow["avg_length"] == pytest.approx(lens.mean())
+    cc = collections.Counter("".join(sel["lang"]))
+    t = sum(cc.values())
+    ent = -sum(c / t * math.log2(c / t) for c in cc.values())
+    assert srow["entropy"] == pytest.approx(ent)
+
+    x = sel["n_chars"].to_numpy(dtype=float)
+    med = np.percentile(x, 50)
+    (mrow,) = res.aggregations["mad"].collect()
+    assert mrow["mad"] == pytest.approx(
+        np.percentile(np.abs(x - med), 50)
+    )
+
+    (brow,) = res.aggregations["box"].collect()
+    assert brow["min_v"] == x.min()
+    assert brow["q1"] == pytest.approx(np.percentile(x, 25))
+    assert brow["q2"] == pytest.approx(med)
+    assert brow["q3"] == pytest.approx(np.percentile(x, 75))
+    assert brow["max_v"] == x.max()
+
+    mean = x.mean()
+    m2 = ((x - mean) ** 2).mean()
+    m3 = ((x - mean) ** 3).mean()
+    m4 = ((x - mean) ** 4).mean()
+    got = {
+        r["stat"]: r["value"]
+        for r in res.aggregations["mx"].collect()
+    }
+    assert got["count"] == len(x)
+    assert got["mean"] == pytest.approx(mean)
+    assert got["variance"] == pytest.approx(m2, rel=1e-9)
+    assert got["skewness"] == pytest.approx(m3 / m2 ** 1.5, rel=1e-6)
+    assert got["kurtosis"] == pytest.approx(m4 / m2 ** 2, rel=1e-6)
+
+    (qrow,) = res.aggregations["sq"].collect()
+    assert qrow["value"] == pytest.approx((np.sqrt(x) + 2).mean())
+
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, dv_index,
+            {"query": {"match_all": {}},
+             "aggs": {"sq": {"scripted_metric": {
+                 "map_script": "doc['n_chars'].value",
+                 "reduce": "product",
+             }}}},
+            corpus_path=dv_corpus,
+        )
