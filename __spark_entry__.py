@@ -2271,6 +2271,46 @@ def dsl_misc_queries(spark, sf_dir):
 
 
 _GEO_CORPUS_CACHE: dict = {}
+_NET_CORPUS_CACHE: dict = {}
+
+
+def _net_corpus(spark, sf_dir, cpath):
+    """Derived corpus with deterministic ip / mtime / loc_lat /
+    loc_lon columns (all pure functions of n_chars so oracles can
+    rebuild them exactly in SQL)."""
+    import tempfile
+
+    hit = _NET_CORPUS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    dpath = tempfile.mkdtemp(prefix="dps_netc_") + "/corpus.parquet"
+    nc = F.col("n_chars")
+    (
+        spark.read.parquet(cpath)
+        .withColumn(
+            "ip",
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                (nc % 200).cast("string"),
+                ((nc * 3) % 250).cast("string"),
+                ((nc * 7) % 256).cast("string"),
+            ),
+        )
+        .withColumn(
+            "mtime",
+            F.timestamp_seconds(F.lit(1451606400) + nc * 3600),
+        )
+        .withColumn(
+            "loc_lat", (nc % 120 - 60 + F.lit(0.25)).cast("double")
+        )
+        .withColumn(
+            "loc_lon", ((nc * 7) % 340 - 170 + F.lit(0.5)).cast("double")
+        )
+        .coalesce(2).write.mode("overwrite").parquet(dpath)
+    )
+    _NET_CORPUS_CACHE[sf_dir] = dpath
+    return dpath
 
 
 def _geo_corpus(spark, sf_dir, cpath):
@@ -3217,6 +3257,79 @@ def dsl_matrix_scripted(spark, sf_dir):
         F.lit("scripted").alias("agg"), F.lit("*").alias("key"),
         F.round(F.col("value"), 6).alias("val"),
     ))
+    return out
+
+
+def dsl_range_aggs_family(spark, sf_dir):
+    """date_range + ip_range + geo_distance bucket aggregations
+    (index/aggs.py round-5 continuation) under one match query
+    sharing ONE materialized match set and ONE generic range
+    executor (_spec_ranges_facet: per-range membership flags as one
+    array column, explode + single grouped count, zero-doc buckets
+    emitted via a broadcast-literal left join — overlapping ranges
+    land docs in every containing bucket, the OpenSearch contract).
+    date bounds parse as UTC ISO; IPv4 converts to a 32-bit int in
+    native Columns incl. a CIDR mask bucket; geo rings use the same
+    haversine as the geo_distance query leaf with km units. Long
+    format (agg, key, val); the oracle rebuilds ip/mtime/loc from
+    n_chars and replays every bound in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "ip", "mtime", "loc_lat", "loc_lon"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "dr": {"date_range": {
+                    "field": "mtime",
+                    "ranges": [
+                        {"to": "2016-02-01"},
+                        {"from": "2016-02-01", "to": "2016-03-01"},
+                        {"from": "2016-03-01"},
+                    ],
+                }},
+                "ipr": {"ip_range": {
+                    "field": "ip",
+                    "ranges": [
+                        {"to": "10.100.0.0"},
+                        {"from": "10.100.0.0"},
+                        {"mask": "10.64.0.0/10"},
+                    ],
+                }},
+                "gd": {"geo_distance": {
+                    "field": "loc",
+                    "origin": {"lat": 10.25, "lon": 20.5},
+                    "unit": "km",
+                    "ranges": [
+                        {"to": 3000},
+                        {"from": 3000, "to": 8000},
+                        {"from": 8000},
+                    ],
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    parts = []
+    for aname in ("dr", "ipr", "gd"):
+        parts.append(res.aggregations[aname].select(
+            F.lit(aname).alias("agg"),
+            F.concat_ws(
+                "|", F.col("bucket_rank").cast("string"), "key"
+            ).alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 
@@ -5892,6 +6005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_misc_queries": dsl_misc_queries,
         "dsl_stats_aggs_family": dsl_stats_aggs_family,
         "dsl_matrix_scripted": dsl_matrix_scripted,
+        "dsl_range_aggs_family": dsl_range_aggs_family,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9476,6 +9590,64 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_range_aggs_family"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+d AS (
+  SELECT doc_id,
+         1451606400 + n_chars * 3600 AS ep,
+         167772160 + (n_chars % 200) * 65536
+           + ((n_chars * 3) % 250) * 256 + ((n_chars * 7) % 256) AS ipv,
+         CAST(n_chars % 120 - 60 + 0.25 AS DOUBLE) AS a,
+         CAST((n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE) AS b
+  FROM matched
+),
+g AS (
+  SELECT doc_id, ep, ipv,
+         2 * 6371008.8 * asin(sqrt(
+           power(sin(radians(a - 10.25) / 2), 2)
+           + cos(radians(10.25)) * cos(radians(a))
+             * power(sin(radians(b - 20.5) / 2), 2)
+         )) AS dist
+  FROM d
+)
+SELECT 'dr' AS agg, '0|*-2016-02-01' AS key,
+  CAST(sum(CASE WHEN ep < 1454284800 THEN 1 ELSE 0 END) AS DOUBLE) AS val
+FROM g
+UNION ALL SELECT 'dr', '1|2016-02-01-2016-03-01',
+  CAST(sum(CASE WHEN ep >= 1454284800 AND ep < 1456790400
+           THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+UNION ALL SELECT 'dr', '2|2016-03-01-*',
+  CAST(sum(CASE WHEN ep >= 1456790400 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM g
+UNION ALL SELECT 'ipr', '0|*-10.100.0.0',
+  CAST(sum(CASE WHEN ipv < 174325760 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM g
+UNION ALL SELECT 'ipr', '1|10.100.0.0-*',
+  CAST(sum(CASE WHEN ipv >= 174325760 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM g
+UNION ALL SELECT 'ipr', '2|10.64.0.0/10',
+  CAST(sum(CASE WHEN ipv >= 171966464 AND ipv < 176160768
+           THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+UNION ALL SELECT 'gd', '0|*-3000',
+  CAST(sum(CASE WHEN dist < 3000000 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM g
+UNION ALL SELECT 'gd', '1|3000-8000',
+  CAST(sum(CASE WHEN dist >= 3000000 AND dist < 8000000
+           THEN 1 ELSE 0 END) AS DOUBLE) FROM g
+UNION ALL SELECT 'gd', '2|8000-*',
+  CAST(sum(CASE WHEN dist >= 8000000 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM g
 """
     sql["dsl_matrix_scripted"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -820,3 +820,208 @@ def scripted_metric_facet(
     return at.groupBy("query_id").agg(
         _SM_REDUCE[reduce](mapped).alias("value")
     )
+
+
+def _spec_ranges_facet(
+    spark: SparkSession, qids: DataFrame, at: DataFrame, v, specs: list
+) -> DataFrame:
+    """Generic [from, to) range-bucket counter shared by date_range /
+    ip_range / geo_distance aggregations. Per-range membership flags
+    are built as ONE array column over the match set (ranges may
+    overlap — a doc lands in every containing range, the OpenSearch
+    contract), exploded and counted in one grouped aggregation; every
+    range then emits its bucket even at doc_count 0 via a left join
+    against the literal spec frame (bounded: len(specs) rows × the
+    body's query ids — the crossJoin side is a broadcast literal,
+    never data-sized). Returns (query_id, bucket_rank, key,
+    doc_count) in spec order."""
+    flags = []
+    for key, lo, hi in specs:
+        cond = v.isNotNull()
+        if lo is not None:
+            cond = cond & (v >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (v < F.lit(float(hi)))
+        flags.append(F.when(cond, F.lit(key)))
+    arr = F.filter(F.array(*flags), lambda x: x.isNotNull())
+    counts = (
+        at.select("query_id", F.explode(arr).alias("key"))
+        .groupBy("query_id", "key")
+        .agg(F.count("*").alias("doc_count"))
+    )
+    spec_df = spark.createDataFrame(
+        [(i, k) for i, (k, _, _) in enumerate(specs)],
+        "bucket_rank int, key string",
+    )
+    return (
+        qids.select("query_id").distinct()
+        .crossJoin(F.broadcast(spec_df))
+        .join(counts, ["query_id", "key"], "left")
+        .fillna(0, subset=["doc_count"])
+        .select("query_id", "bucket_rank", "key", "doc_count")
+    )
+
+
+def _range_key(r: dict) -> str:
+    if r.get("key") is not None:
+        return str(r["key"])
+    frm = r.get("from")
+    to = r.get("to")
+    return (
+        f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+    )
+
+
+def _date_epoch(val):
+    """Range bound -> epoch seconds (float). Strings are ISO dates /
+    datetimes interpreted as UTC; numbers are epoch MILLIS (the
+    OpenSearch date-field default). Date-math ('now-1d') raises."""
+    from datetime import datetime, timezone
+
+    if val is None:
+        return None
+    if isinstance(val, (int, float)):
+        return float(val) / 1000.0
+    s = str(val)
+    if "now" in s or "||" in s:
+        raise NotImplementedError(f"date-math range bound '{s}'")
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def date_range_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    ranges: list,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`date_range` aggregation: [from, to) buckets over a timestamp
+    doc-values field. Values compare as epoch seconds (timestamp ->
+    double cast — timezone-free, Spark timestamps are UTC micros
+    internally); bounds parse via _date_epoch. One match-set pass
+    regardless of range count."""
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    v = F.col(field).cast("timestamp").cast("double")
+    specs = [
+        (_range_key(r), _date_epoch(r.get("from")), _date_epoch(r.get("to")))
+        for r in ranges
+    ]
+    return _spec_ranges_facet(spark, queries, at, v, specs)
+
+
+def _ip4_int(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    for part in (a, b, c, d):
+        if not 0 <= part <= 255:
+            raise ValueError(f"bad IPv4 '{s}'")
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def ip_range_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    ranges: list,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`ip_range` aggregation over an IPv4 keyword field: from
+    (inclusive) / to (exclusive) bounds, or `mask` CIDR buckets
+    ('10.0.0.0/25' -> [network, broadcast+1)). The dotted-quad field
+    converts to a 32-bit integer in native Columns (split + weighted
+    sum — no UDF); docs with non-IPv4 values fall out of every
+    bucket via the null flag. IPv6 raises loudly."""
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    p = F.split(F.col(field), r"\.")
+    ok = (F.size(p) == 4) & F.col(field).rlike(
+        r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+    )
+    v = F.when(
+        ok,
+        p.getItem(0).cast("long") * F.lit(16777216)
+        + p.getItem(1).cast("long") * F.lit(65536)
+        + p.getItem(2).cast("long") * F.lit(256)
+        + p.getItem(3).cast("long"),
+    ).cast("double")
+    specs = []
+    for r in ranges:
+        if ":" in str(r.get("from", "")) + str(r.get("to", "")) + str(
+            r.get("mask", "")
+        ):
+            raise NotImplementedError("ip_range over IPv6 addresses")
+        if r.get("mask") is not None:
+            base, bits = str(r["mask"]).split("/")
+            nbits = int(bits)
+            size = 1 << (32 - nbits)
+            lo = _ip4_int(base) & ~(size - 1)
+            specs.append((r.get("key") or str(r["mask"]), lo, lo + size))
+        else:
+            lo = _ip4_int(str(r["from"])) if r.get("from") else None
+            hi = _ip4_int(str(r["to"])) if r.get("to") else None
+            specs.append((_range_key(r), lo, hi))
+    return _spec_ranges_facet(spark, queries, at, v, specs)
+
+
+_GEO_UNIT_M = {
+    "m": 1.0, "meters": 1.0,
+    "km": 1000.0, "kilometers": 1000.0,
+    "mi": 1609.344, "miles": 1609.344,
+    "ft": 0.3048, "yd": 0.9144, "cm": 0.01, "mm": 0.001,
+    "nmi": 1852.0, "NM": 1852.0,
+}
+
+
+def geo_distance_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    origin: dict,
+    ranges: list,
+    unit: str = "m",
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`geo_distance` aggregation: concentric [from, to) distance
+    rings around an origin point. Distance is the same native-Column
+    haversine the geo_distance QUERY leaf uses (booltree._geo_frame —
+    arc formula, mean earth radius 6371008.8 m, zero UDFs); range
+    bounds are given in `unit` (default meters) and converted once on
+    the driver. Field `f` reads sidecar columns f_lat / f_lon."""
+    mult = _GEO_UNIT_M.get(unit)
+    if mult is None:
+        raise NotImplementedError(f"geo_distance unit '{unit}'")
+    latc, lonc = f"{field}_lat", f"{field}_lon"
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [latc, lonc],
+        matched=matched,
+    )
+    lat, lon = F.col(latc).cast("double"), F.col(lonc).cast("double")
+    qlat, qlon = float(origin["lat"]), float(origin["lon"])
+    dphi = F.radians(lat - F.lit(qlat))
+    dlmb = F.radians(lon - F.lit(qlon))
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(F.radians(F.lit(qlat))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(dlmb / 2), 2)
+    )
+    v = F.when(
+        lat.isNotNull() & lon.isNotNull(),
+        F.lit(2.0 * 6371008.8) * F.asin(F.sqrt(a)),
+    )
+    specs = []
+    for r in ranges:
+        lo = None if r.get("from") is None else float(r["from"]) * mult
+        hi = None if r.get("to") is None else float(r["to"]) * mult
+        specs.append((_range_key(r), lo, hi))
+    return _spec_ranges_facet(spark, queries, at, v, specs)

@@ -1430,6 +1430,32 @@ def search(
                         "query_id", "bucket_rank", "key", "doc_count"
                     )
                 )
+        elif akind == "date_range":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.date_range_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], ranges=list(aconf["ranges"]),
+                matched=agg_matched,
+            )
+        elif akind == "ip_range":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.ip_range_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], ranges=list(aconf["ranges"]),
+                matched=agg_matched,
+            )
+        elif akind == "geo_distance":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.geo_distance_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"], origin=aconf["origin"],
+                ranges=list(aconf["ranges"]),
+                unit=aconf.get("unit", "m"),
+                matched=agg_matched,
+            )
         elif akind == "string_stats":
             from . import aggs as agg_exec
 

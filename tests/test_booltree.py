@@ -1993,3 +1993,120 @@ def test_stats_family_matrix_scripted_aggs(spark, dv_index, dv_corpus):
              }}}},
             corpus_path=dv_corpus,
         )
+
+
+def test_date_ip_geo_distance_range_aggs(
+    spark, dv_index, dv_corpus, tmp_path_factory
+):
+    """date_range / ip_range (incl. CIDR mask) / geo_distance bucket
+    aggregations: [from, to) membership, overlapping buckets,
+    zero-doc buckets emitted, every count recomputed in pandas from
+    the same derived columns."""
+    import math
+    import os as _os
+
+    from data_prepper_spark.index.query import attach_doc_values
+
+    d = str(tmp_path_factory.mktemp("nrc"))
+    out = _os.path.join(d, "corpus.parquet")
+    nc = F.col("n_chars")
+    (
+        spark.read.parquet(dv_corpus)
+        .withColumn("mtime", F.timestamp_seconds(
+            F.lit(1451606400) + (nc % 2000) * 3600
+        ))
+        .withColumn("ip", F.concat_ws(
+            ".", F.lit("10"), (nc % 200).cast("string"),
+            ((nc * 3) % 250).cast("string"),
+            ((nc * 7) % 256).cast("string"),
+        ))
+        .withColumn("loc_lat", (nc % 120 - 60 + F.lit(0.25)).cast("double"))
+        .withColumn(
+            "loc_lon", ((nc * 7) % 340 - 170 + F.lit(0.5)).cast("double")
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+    attach_doc_values(
+        spark, dv_index, out,
+        cols=("lang", "n_chars", "mtime", "ip", "loc_lat", "loc_lon"),
+    )
+    res = search(
+        spark, dv_index,
+        {
+            "query": {"range": {"n_chars": {"gte": 20000}}},
+            "aggs": {
+                "dr": {"date_range": {"field": "mtime", "ranges": [
+                    {"to": "2016-01-20"},
+                    {"from": "2016-01-20", "to": "2016-02-10"},
+                    {"from": "2016-02-10"},
+                    {"from": "2099-01-01", "key": "future"},
+                ]}},
+                "ipr": {"ip_range": {"field": "ip", "ranges": [
+                    {"to": "10.100.0.0"},
+                    {"from": "10.100.0.0"},
+                    {"mask": "10.64.0.0/10"},
+                ]}},
+                "gd": {"geo_distance": {
+                    "field": "loc",
+                    "origin": {"lat": 10.25, "lon": 20.5},
+                    "unit": "km",
+                    "ranges": [{"to": 3000}, {"from": 3000, "to": 9000},
+                               {"from": 9000}],
+                }},
+            },
+        },
+        corpus_path=out,
+    )
+    pdf = pd.read_parquet(out)
+    sel = pdf[pdf["n_chars"] >= 20000]
+    ncv = sel["n_chars"].astype(int)
+
+    ep = 1451606400 + (ncv % 2000) * 3600
+    b1, b2 = 1453248000, 1455062400  # 2016-01-20, 2016-02-10 UTC
+    dr = {r["key"]: (r["doc_count"], r["bucket_rank"])
+          for r in res.aggregations["dr"].collect()}
+    assert dr["*-2016-01-20"] == (int((ep < b1).sum()), 0)
+    assert dr["2016-01-20-2016-02-10"] == (
+        int(((ep >= b1) & (ep < b2)).sum()), 1
+    )
+    assert dr["2016-02-10-*"] == (int((ep >= b2).sum()), 2)
+    assert dr["future"] == (0, 3)  # zero-doc bucket still emitted
+
+    ipv = (
+        (10 << 24) + (ncv % 200) * 65536 + ((ncv * 3) % 250) * 256
+        + ((ncv * 7) % 256)
+    )
+    lo = (10 << 24) + (100 << 16)
+    ipr = {r["key"]: r["doc_count"]
+           for r in res.aggregations["ipr"].collect()}
+    assert ipr["*-10.100.0.0"] == int((ipv < lo).sum())
+    assert ipr["10.100.0.0-*"] == int((ipv >= lo).sum())
+    mask_lo = (10 << 24) + (64 << 16)
+    assert ipr["10.64.0.0/10"] == int(
+        ((ipv >= mask_lo) & (ipv < mask_lo + (1 << 22))).sum()
+    )
+    # overlap: the mask bucket double-counts docs also in from/to ones
+    assert ipr["*-10.100.0.0"] + ipr["10.100.0.0-*"] == len(sel)
+
+    lat = (ncv % 120 - 60 + 0.25).astype(float)
+    lon = ((ncv * 7) % 340 - 170 + 0.5).astype(float)
+
+    def hav(la, lo_):
+        dphi = math.radians(la - 10.25)
+        dlmb = math.radians(lo_ - 20.5)
+        a = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(math.radians(10.25)) * math.cos(math.radians(la))
+            * math.sin(dlmb / 2) ** 2
+        )
+        return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+    dists = [hav(la, lo_) for la, lo_ in zip(lat, lon)]
+    gd = {r["key"]: r["doc_count"]
+          for r in res.aggregations["gd"].collect()}
+    assert gd["*-3000"] == sum(1 for x in dists if x < 3e6)
+    assert gd["3000-9000"] == sum(1 for x in dists if 3e6 <= x < 9e6)
+    assert gd["9000-*"] == sum(1 for x in dists if x >= 9e6)
+
+    # restore the module-scoped sidecar for any later test
+    attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
