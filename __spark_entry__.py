@@ -3333,6 +3333,60 @@ def dsl_range_aggs_family(spark, sf_dir):
     return out
 
 
+def dsl_geohash_autohist(spark, sf_dir):
+    """geohash_grid + auto_date_histogram aggregations (index/
+    aggs.py round-5 continuation) under one match query. geohash keys
+    are 5·precision interleaved bits (longitude first) computed with
+    constant-folded native shift/and terms and a literal base-32
+    array — no UDF; auto_date_histogram picks the smallest ladder
+    interval whose exact bucket count floor(max/i)-floor(min/i)+1
+    fits `buckets` (1-row driver gate), then runs one fixed-width
+    histogram. Long format (agg, key, val); the oracle replays the
+    bit interleave and the ladder CASE in generated SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "ip", "mtime", "loc_lat", "loc_lon"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "gh": {"geohash_grid": {"field": "loc",
+                                        "precision": 4,
+                                        "size": 10000}},
+                "auto": {"auto_date_histogram": {
+                    "field": "mtime", "buckets": 8,
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    gh = res.aggregations["gh"].select(
+        F.lit("gh").alias("agg"),
+        F.concat_ws(
+            "|", F.col("bucket_rank").cast("string"), "key"
+        ).alias("key"),
+        F.col("doc_count").cast("double").alias("val"),
+    )
+    auto = res.aggregations["auto"].select(
+        F.lit("auto").alias("agg"),
+        F.concat_ws(
+            "|",
+            F.col("interval_s").cast("string"),
+            F.col("key").cast("string"),
+        ).alias("key"),
+        F.col("doc_count").cast("double").alias("val"),
+    )
+    return gh.unionByName(auto)
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6006,6 +6060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_stats_aggs_family": dsl_stats_aggs_family,
         "dsl_matrix_scripted": dsl_matrix_scripted,
         "dsl_range_aggs_family": dsl_range_aggs_family,
+        "dsl_geohash_autohist": dsl_geohash_autohist,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9590,6 +9645,77 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    # geohash (precision 4): generate the 20-bit interleave + base-32
+    # render in SQL from the same constants the executor uses
+    _ghp, _ghb32 = 4, "0123456789bcdefghjkmnpqrstuvwxyz"
+    _ghbits = 5 * _ghp
+    _ghterms = " + ".join(
+        [f"(((lonq >> {_ghp * 5 // 2 - 1 - i}) & 1) << {_ghbits - 1 - 2 * i})"
+         for i in range(_ghbits - _ghbits // 2)]
+        + [f"(((latq >> {_ghbits // 2 - 1 - i}) & 1) << {_ghbits - 2 - 2 * i})"
+           for i in range(_ghbits // 2)]
+    )
+    _ghchars = " || ".join(
+        f"substr('{_ghb32}', CAST(((inter >> {5 * (_ghp - 1 - c)}) & 31)"
+        " + 1 AS INT), 1)"
+        for c in range(_ghp)
+    )
+    _ladder = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+               86400, 604800, 2592000, 7776000, 31536000, 157680000,
+               315360000, 630720000, 1576800000, 3153600000]
+    _lcase = "CASE " + " ".join(
+        f"WHEN floor(mx/{i}) - floor(mn/{i}) + 1 <= 8 THEN {i}"
+        for i in _ladder
+    ) + f" ELSE {_ladder[-1]} END"
+    sql["dsl_geohash_autohist"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+pts AS (
+  SELECT doc_id,
+         CAST(1451606400 + n_chars * 3600 AS DOUBLE) AS ep,
+         least(CAST(floor((CAST(n_chars % 120 - 60 + 0.25 AS DOUBLE)
+               + 90.0) / 180.0 * 1024.0) AS BIGINT), 1023) AS latq,
+         least(CAST(floor((CAST((n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE)
+               + 180.0) / 360.0 * 1024.0) AS BIGINT), 1023) AS lonq
+  FROM matched
+),
+hashed AS (
+  SELECT doc_id, ep, {_ghterms} AS inter FROM pts
+),
+keyed AS (SELECT doc_id, ep, {_ghchars} AS gh FROM hashed),
+ghc AS (
+  SELECT gh, count(*) AS doc_count FROM keyed GROUP BY gh
+),
+ghr AS (
+  SELECT gh, doc_count,
+         row_number() OVER (ORDER BY doc_count DESC, gh ASC) AS rnk
+  FROM ghc
+),
+ext AS (SELECT min(ep) AS mn, max(ep) AS mx FROM keyed),
+iv AS (SELECT {_lcase} AS interval_s FROM ext),
+auto AS (
+  SELECT CAST(iv.interval_s AS BIGINT) AS interval_s,
+         CAST(floor(ep / iv.interval_s) * iv.interval_s AS BIGINT) AS k,
+         count(*) AS doc_count
+  FROM keyed, iv GROUP BY 1, 2
+)
+SELECT 'gh' AS agg, CAST(rnk AS VARCHAR) || '|' || gh AS key,
+       CAST(doc_count AS DOUBLE) AS val
+FROM ghr
+UNION ALL
+SELECT 'auto', CAST(interval_s AS VARCHAR) || '|' || CAST(k AS VARCHAR),
+       CAST(doc_count AS DOUBLE)
+FROM auto
 """
     sql["dsl_range_aggs_family"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -1025,3 +1025,149 @@ def geo_distance_facet(
         hi = None if r.get("to") is None else float(r["to"]) * mult
         specs.append((_range_key(r), lo, hi))
     return _spec_ranges_facet(spark, queries, at, v, specs)
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_grid_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    precision: int = 5,
+    size: int = 10000,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`geohash_grid` aggregation: standard geohash cell keys at the
+    given precision (1..12 base-32 chars = 5·precision bits,
+    longitude first, MSB-interleaved), computed entirely in native
+    Columns — quantize lat/lon to integer grids, interleave the bits
+    with constant-folded shift/and/or terms, then map each 5-bit
+    group through a literal base-32 array. No UDF, no corpus touch;
+    one grouped count bounded by cell cardinality, top `size` cells
+    by doc_count desc then key asc. Field `f` reads sidecar columns
+    f_lat / f_lon (the geo leaves' storage convention)."""
+    p = int(precision)
+    if not 1 <= p <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    latc, lonc = f"{field}_lat", f"{field}_lon"
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [latc, lonc],
+        matched=matched,
+    ).filter(F.col(latc).isNotNull() & F.col(lonc).isNotNull())
+    lat = F.col(latc).cast("double")
+    lon = F.col(lonc).cast("double")
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_q = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(2 ** nlon))),
+        F.lit((1 << nlon) - 1),
+    ).cast("long")
+    lat_q = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(2 ** nlat))),
+        F.lit((1 << nlat) - 1),
+    ).cast("long")
+    inter = F.lit(0).cast("long")
+    for i in range(nlon):
+        bit = F.shiftright(lon_q, nlon - 1 - i).bitwiseAND(F.lit(1))
+        inter = inter + F.shiftleft(bit, nbits - 1 - 2 * i)
+    for i in range(nlat):
+        bit = F.shiftright(lat_q, nlat - 1 - i).bitwiseAND(F.lit(1))
+        inter = inter + F.shiftleft(bit, nbits - 2 - 2 * i)
+    b32 = F.array(*[F.lit(ch) for ch in _GEOHASH_B32])
+    chars = [
+        F.element_at(
+            b32,
+            (
+                F.shiftright(inter, 5 * (p - 1 - c)).bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for c in range(p)
+    ]
+    key = F.concat(*chars)
+    cnt = (
+        at.select("query_id", key.alias("key"))
+        .groupBy("query_id", "key")
+        .agg(F.count("*").alias("doc_count"))
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.desc("doc_count"), F.asc("key")
+    )
+    return (
+        cnt.withColumn("bucket_rank", F.row_number().over(wg))
+        .filter(F.col("bucket_rank") <= int(size))
+        .select("query_id", "bucket_rank", "key", "doc_count")
+    )
+
+
+# The OpenSearch auto_date_histogram rounding ladder, in seconds:
+# 1s 5s 10s 30s / 1m 5m 10m 30m / 1h 3h 12h / 1d 7d / 30d 90d /
+# 1y 5y 10y 20y 50y 100y (fixed-duration form — documented: calendar
+# months/years approximate as 30/365 days so the bucket keys stay
+# pure epoch arithmetic an oracle can replay).
+_AUTO_LADDER_S = [
+    1, 5, 10, 30,
+    60, 300, 600, 1800,
+    3600, 10800, 43200,
+    86400, 604800,
+    2592000, 7776000,
+    31536000, 157680000, 315360000, 630720000, 1576800000, 3153600000,
+]
+
+
+def auto_date_histogram_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    buckets: int = 10,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`auto_date_histogram` aggregation: pick the smallest interval
+    from the rounding ladder whose bucket count over the match-set
+    extent fits `buckets`, then one fixed-width histogram at that
+    interval. The extent is a 1-row-per-query min/max aggregation
+    collected to the driver (the same bounded driver-gate pattern as
+    the corpus-stats broadcast — never data-sized); the ladder walk
+    uses the EXACT bucket count floor(max/i) - floor(min/i) + 1 so a
+    SQL oracle can replay the choice deterministically. Returns
+    (query_id, interval_s, key, doc_count) with `key` the bucket's
+    epoch-second lower bound."""
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    v = F.col(field).cast("timestamp").cast("double")
+    ext = (
+        at.groupBy("query_id")
+        .agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+        .collect()
+    )
+    import math as _math
+
+    rows = []
+    for r in ext:
+        chosen = _AUTO_LADDER_S[-1]
+        for i in _AUTO_LADDER_S:
+            if _math.floor(r["mx"] / i) - _math.floor(r["mn"] / i) + 1 <= int(
+                buckets
+            ):
+                chosen = i
+                break
+        rows.append((int(r["query_id"]), int(chosen)))
+    if not rows:
+        rows = [(-1, _AUTO_LADDER_S[-1])]  # keep the frame non-degenerate
+    idf = spark.createDataFrame(rows, "query_id long, interval_s long")
+    key = (
+        F.floor(v / F.col("interval_s")) * F.col("interval_s")
+    ).cast("long")
+    return (
+        at.join(F.broadcast(idf), "query_id")
+        .select("query_id", "interval_s", key.alias("key"))
+        .groupBy("query_id", "interval_s", "key")
+        .agg(F.count("*").alias("doc_count"))
+    )

@@ -1430,6 +1430,25 @@ def search(
                         "query_id", "bucket_rank", "key", "doc_count"
                     )
                 )
+        elif akind == "geohash_grid":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.geohash_grid_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                precision=int(aconf.get("precision", 5)),
+                size=int(aconf.get("size", 10000)),
+                matched=agg_matched,
+            )
+        elif akind == "auto_date_histogram":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.auto_date_histogram_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                buckets=int(aconf.get("buckets", 10)),
+                matched=agg_matched,
+            )
         elif akind == "date_range":
             from . import aggs as agg_exec
 

@@ -2110,3 +2110,107 @@ def test_date_ip_geo_distance_range_aggs(
 
     # restore the module-scoped sidecar for any later test
     attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
+
+
+def _ref_geohash(lat, lon, p):
+    """Independent textbook geohash encoder (midpoint bisection)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_iv, lon_iv = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, [], True
+    ch = 0
+    for _ in range(5 * p):
+        iv, v = (lon_iv, lon) if even else (lat_iv, lat)
+        mid = (iv[0] + iv[1]) / 2
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            iv[0] = mid
+        else:
+            iv[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_grid_and_auto_date_histogram(
+    spark, dv_index, dv_corpus, tmp_path_factory
+):
+    """geohash_grid: native bit-interleaved cell keys match an
+    independent textbook encoder (and the classic u4pru example);
+    auto_date_histogram: ladder choice + bucket counts recomputed in
+    pandas."""
+    import math
+    import os as _os
+
+    from data_prepper_spark.index.query import attach_doc_values
+
+    assert _ref_geohash(57.64911, 10.40744, 5) == "u4pru"  # known value
+
+    d = str(tmp_path_factory.mktemp("ghc"))
+    out = _os.path.join(d, "corpus.parquet")
+    nc = F.col("n_chars")
+    (
+        spark.read.parquet(dv_corpus)
+        .withColumn("mtime", F.timestamp_seconds(
+            F.lit(1451606400) + (nc % 5000) * 977
+        ))
+        .withColumn("loc_lat", (nc % 120 - 60 + F.lit(0.25)).cast("double"))
+        .withColumn(
+            "loc_lon", ((nc * 7) % 340 - 170 + F.lit(0.5)).cast("double")
+        )
+        .write.mode("overwrite").parquet(out)
+    )
+    attach_doc_values(
+        spark, dv_index, out,
+        cols=("lang", "n_chars", "mtime", "loc_lat", "loc_lon"),
+    )
+    res = search(
+        spark, dv_index,
+        {
+            "query": {"range": {"n_chars": {"gte": 20000}}},
+            "aggs": {
+                "gh": {"geohash_grid": {"field": "loc", "precision": 4}},
+                "auto": {"auto_date_histogram": {
+                    "field": "mtime", "buckets": 8,
+                }},
+            },
+        },
+        corpus_path=out,
+    )
+    pdf = pd.read_parquet(out)
+    sel = pdf[pdf["n_chars"] >= 20000]
+    ncv = sel["n_chars"].astype(int)
+    lat = (ncv % 120 - 60 + 0.25).astype(float)
+    lon = ((ncv * 7) % 340 - 170 + 0.5).astype(float)
+    want = {}
+    for la, lo in zip(lat, lon):
+        k = _ref_geohash(la, lo, 4)
+        want[k] = want.get(k, 0) + 1
+    got = {r["key"]: r["doc_count"]
+           for r in res.aggregations["gh"].collect()}
+    assert got == want
+    ranks = [
+        (r["bucket_rank"], r["doc_count"], r["key"])
+        for r in res.aggregations["gh"].collect()
+    ]
+    assert sorted(ranks) == sorted(
+        ranks, key=lambda t: (t[0],)
+    )  # rank follows (count desc, key asc)
+
+    ep = (1451606400 + (ncv % 5000) * 977).astype(float)
+    ladder = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+              86400, 604800, 2592000, 7776000, 31536000]
+    chosen = next(
+        i for i in ladder
+        if math.floor(ep.max() / i) - math.floor(ep.min() / i) + 1 <= 8
+    )
+    rows = res.aggregations["auto"].collect()
+    assert all(r["interval_s"] == chosen for r in rows)
+    want_h = (ep // chosen * chosen).astype(int).value_counts().to_dict()
+    assert {r["key"]: r["doc_count"] for r in rows} == want_h
+    assert len(rows) <= 8
+
+    attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
