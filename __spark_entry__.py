@@ -3387,6 +3387,77 @@ def dsl_geohash_autohist(spark, sf_dir):
     return gh.unionByName(auto)
 
 
+def dsl_sampler_aggs(spark, sf_dir):
+    """sampler + diversified_sampler bucket aggregations (index/
+    dsl.py round-5 continuation): sub-aggs (terms, avg, value_count)
+    run over the top-shard_size BM25-scored docs; ties break on the
+    stored identity key so the oracle replays the cut exactly (the
+    2-term query keeps per-doc scores bit-identical across engines —
+    <= 2 partials, no reassociation). diversified_sampler first caps
+    docs per lang (row_number over value-cardinality partitions),
+    then cuts. Long format (agg, key, val); the DuckDB oracle
+    recomputes BM25, replays both cuts with the same tie-break
+    (path = CAST(doc_id AS VARCHAR) in this corpus), and
+    re-aggregates."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "smp": {
+                    "sampler": {"shard_size": 40},
+                    "aggs": {
+                        "langs": {"terms": {"field": "lang", "size": 10}},
+                        "mean": {"avg": {"field": "n_chars"}},
+                    },
+                },
+                "div": {
+                    "diversified_sampler": {
+                        "shard_size": 25, "field": "lang",
+                        "max_docs_per_value": 8,
+                    },
+                    "aggs": {
+                        "mean": {"avg": {"field": "n_chars"}},
+                        "cnt": {"value_count": {"field": "n_chars"}},
+                    },
+                },
+            },
+        },
+        corpus_path=cpath,
+    )
+    parts = [
+        res.aggregations["smp.langs"].select(
+            F.lit("smp_langs").alias("agg"),
+            F.concat_ws(
+                "|", F.col("bucket_rank").cast("string"), "facet"
+            ).alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        res.aggregations["smp.mean"].select(
+            F.lit("smp_mean").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("avg_v"), 6).alias("val"),
+        ),
+        res.aggregations["div.mean"].select(
+            F.lit("div_mean").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("avg_v"), 6).alias("val"),
+        ),
+        res.aggregations["div.cnt"].select(
+            F.lit("div_cnt").alias("agg"), F.lit("*").alias("key"),
+            F.col("n").cast("double").alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6061,6 +6132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_matrix_scripted": dsl_matrix_scripted,
         "dsl_range_aggs_family": dsl_range_aggs_family,
         "dsl_geohash_autohist": dsl_geohash_autohist,
+        "dsl_sampler_aggs": dsl_sampler_aggs,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9645,6 +9717,72 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_sampler_aggs"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q JOIN dfreq d USING (term) JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score
+        FROM scored GROUP BY 1, 2),
+attributed AS (
+  SELECT t.query_id, t.doc_id, t.score, d.lang, d.n_chars
+  FROM tot t JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+  ) AS rnk
+  FROM attributed
+),
+smp AS (SELECT * FROM ranked WHERE rnk <= 40),
+smp_langs AS (
+  SELECT lang, count(*) AS c,
+         row_number() OVER (ORDER BY count(*) DESC, lang) AS brnk
+  FROM smp GROUP BY lang
+),
+divg AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, lang
+    ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+  ) AS g
+  FROM attributed
+),
+surv AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+  ) AS rnk
+  FROM divg WHERE g <= 8
+),
+divs AS (SELECT * FROM surv WHERE rnk <= 25)
+SELECT 'smp_langs' AS agg,
+       CAST(brnk AS VARCHAR) || '|' || lang AS key,
+       CAST(c AS DOUBLE) AS val
+FROM smp_langs WHERE brnk <= 10
+UNION ALL
+SELECT 'smp_mean', '*',
+       round(avg(CAST(n_chars AS DOUBLE)), 6) FROM smp
+UNION ALL
+SELECT 'div_mean', '*',
+       round(avg(CAST(n_chars AS DOUBLE)), 6) FROM divs
+UNION ALL
+SELECT 'div_cnt', '*', CAST(count(*) AS DOUBLE) FROM divs
 """
     # geohash (precision 4): generate the 20-bit interleave + base-32
     # render in SQL from the same constants the executor uses

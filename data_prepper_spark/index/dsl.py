@@ -1430,6 +1430,92 @@ def search(
                         "query_id", "bucket_rank", "key", "doc_count"
                     )
                 )
+        elif akind in ("sampler", "diversified_sampler"):
+            # sampled bucket: sub-aggregations run over the top
+            # shard_size docs by BM25 score. Score ties break on the
+            # stored identity key (repo, path, commit) — NOT the
+            # internal hash id — so an external oracle can replay the
+            # cut exactly; diversified_sampler first caps docs per
+            # doc-values value (row_number over value-cardinality
+            # partitions, never a match-set-sized window). The
+            # top-shard_size cut is orderBy+limit =
+            # TakeOrderedAndProject — k-bounded, valid because a body
+            # compiles one query_id. The sampled set then feeds the
+            # SAME matched-accepting executors the unsampled aggs
+            # use; results surface as "<name>.<sub>".
+            import os as _os
+
+            if match_text is None:
+                raise NotImplementedError(
+                    f"{akind} under this query kind (needs a scored "
+                    "text match set)"
+                )
+            if not nested:
+                raise ValueError(f"{akind} needs sub-aggregations")
+            shard_size = int(aconf.get("shard_size", 100))
+            ident = spark.read.parquet(
+                _os.path.join(index_dir, "docs")
+            ).select("ord", "repo", "path", "commit")
+            scored = q.scored_match_set(spark, index_dir, mq).join(
+                ident, "ord"
+            )
+            tie = [F.asc("repo"), F.asc("path"), F.asc("commit")]
+            if akind == "diversified_sampler":
+                fld = aconf["field"]
+                cap = int(aconf.get("max_docs_per_value", 1))
+                dv = q._doc_values(spark, index_dir, fld)
+                if dv is None:
+                    raise NotImplementedError(
+                        f"diversified_sampler field '{fld}' needs a "
+                        "doc-values sidecar (attach_doc_values)"
+                    )
+                wv = Window.partitionBy("query_id", fld).orderBy(
+                    F.desc("score"), *tie
+                )
+                scored = (
+                    scored.join(dv, "ord")
+                    .withColumn("__g", F.row_number().over(wv))
+                    .filter(F.col("__g") <= cap)
+                )
+            sampled = (
+                scored.orderBy(F.desc("score"), *tie)
+                .limit(shard_size)
+                .select("query_id", "ord")
+            )
+            for sn, nspec in nested.items():
+                ssub = {k: v for k, v in nspec.items() if k != "aggs"}
+                ((skind, sconf),) = ssub.items()
+                if skind == "terms":
+                    aggs[f"{name}.{sn}"] = q.faceted_search(
+                        spark, index_dir, corpus_path, mq,
+                        sconf["field"],
+                        n_buckets_out=int(sconf.get("size", 10)),
+                        matched=sampled,
+                    )
+                elif skind in (
+                    "stats", "avg", "min", "max", "sum", "value_count"
+                ):
+                    full = q.stats_facets(
+                        spark, index_dir, corpus_path, mq,
+                        field=sconf["field"], matched=sampled,
+                    )
+                    proj = {
+                        "stats": ["n", "min_v", "max_v", "sum_v", "avg_v"],
+                        "avg": ["avg_v"], "min": ["min_v"],
+                        "max": ["max_v"], "sum": ["sum_v"],
+                        "value_count": ["n"],
+                    }[skind]
+                    aggs[f"{name}.{sn}"] = full.select("query_id", *proj)
+                elif skind == "cardinality":
+                    aggs[f"{name}.{sn}"] = q.cardinality_facet(
+                        spark, index_dir, corpus_path, mq,
+                        field=sconf["field"], matched=sampled,
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"sub-aggregation '{skind}' under {akind} "
+                        "(terms/metrics/cardinality)"
+                    )
         elif akind == "geohash_grid":
             from . import aggs as agg_exec
 

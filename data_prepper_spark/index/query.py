@@ -2543,17 +2543,15 @@ def percentiles_facet(
     return attributed.groupBy("query_id").agg(*cols)
 
 
-def _scored_attributed(
+def scored_match_set(
     spark: SparkSession,
     index_dir: str,
-    corpus_path: str,
     queries: DataFrame,
-    field: str,
 ) -> DataFrame:
-    """(query_id, ord, doc_id, repo, path, commit, <field>, score) —
-    the FULL scored match set with one stored field attached (shared
-    by collapse_search and top_hits_facet): pruned postings scan, BM25
-    decode, tombstone anti-join, doc-values-else-corpus attribution."""
+    """(query_id, ord, doc_id, score) — the FULL scored match set:
+    pruned postings scan, BM25 decode, tombstone anti-join, stored
+    _id attached for oracle-stable tie-breaks. The shared scoring
+    front of _scored_attributed and the sampler aggregations."""
     stats = load_stats(index_dir)
     qt = query_terms(spark, index_dir, queries, stats["n_docs"]).select(
         "query_id", "term_id", "idf", "bucket"
@@ -2570,6 +2568,26 @@ def _scored_attributed(
         .agg(F.sum("partial").alias("score"))
     )
     scored = _anti_tombstones(spark, index_dir, scored, col="ord")
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id"
+    )
+    return scored.join(ident, "ord").select(
+        "query_id", "ord", "doc_id", "score"
+    )
+
+
+def _scored_attributed(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+) -> DataFrame:
+    """(query_id, ord, doc_id, repo, path, commit, <field>, score) —
+    the FULL scored match set with one stored field attached (shared
+    by collapse_search and top_hits_facet): pruned postings scan, BM25
+    decode, tombstone anti-join, doc-values-else-corpus attribution."""
+    scored = scored_match_set(spark, index_dir, queries).drop("doc_id")
     ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
         "ord", "doc_id", "repo", "path", "commit"
     )

@@ -2214,3 +2214,71 @@ def test_geohash_grid_and_auto_date_histogram(
     assert len(rows) <= 8
 
     attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
+
+
+def test_sampler_and_diversified_sampler(spark, dv_index, dv_corpus, ref):
+    """sampler / diversified_sampler buckets: sub-aggs (terms, avg,
+    value_count) computed over the top-shard_size scored docs — the
+    cut and the per-value diversity cap recomputed from the
+    independent BM25 reference."""
+    tree = {"match": {"content": "gunaba"}}
+    body = {
+        "query": tree,
+        "aggs": {
+            "smp": {
+                "sampler": {"shard_size": 7},
+                "aggs": {
+                    "langs": {"terms": {"field": "lang"}},
+                    "mean": {"avg": {"field": "n_chars"}},
+                },
+            },
+            "div": {
+                "diversified_sampler": {
+                    "shard_size": 5, "field": "lang",
+                    "max_docs_per_value": 2,
+                },
+                "aggs": {"cnt": {"value_count": {"field": "n_chars"}}},
+            },
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    assert set(res.aggregations) == {"smp.langs", "smp.mean", "div.cnt"}
+
+    # the engine tie-breaks equal scores on the stored identity key
+    cpdf = pd.read_parquet(dv_corpus)
+    cpdf = cpdf.assign(doc_id=corpus_doc_ids(cpdf))
+    idmap = {
+        r.doc_id: (r.repo, r.path, r.commit) for r in cpdf.itertuples()
+    }
+    scored = []
+    for d in ref["doc_ids"]:
+        ok, s = _eval(tree, d, ref)
+        if ok:
+            scored.append((d, s))
+    assert len(scored) > 7
+    meta = ref["meta"]
+    top = sorted(scored, key=lambda t: (-t[1], idmap[t[0]]))[:7]
+    langs = [meta.loc[d, "lang"] for d, _ in top]
+    want_counts = pd.Series(langs).value_counts().to_dict()
+    got_counts = {
+        r["facet"]: r["doc_count"]
+        for r in res.aggregations["smp.langs"].collect()
+    }
+    assert got_counts == want_counts
+    (mrow,) = res.aggregations["smp.mean"].collect()
+    want_mean = (
+        sum(int(meta.loc[d, "n_chars"]) for d, _ in top) / len(top)
+    )
+    assert mrow["avg_v"] == pytest.approx(want_mean)
+
+    # diversified: cap 2 per lang FIRST, then top 5 of the survivors
+    by_lang = {}
+    surv = []
+    for d, s in sorted(scored, key=lambda t: (-t[1], idmap[t[0]])):
+        lg = meta.loc[d, "lang"]
+        if by_lang.get(lg, 0) < 2:
+            by_lang[lg] = by_lang.get(lg, 0) + 1
+            surv.append((d, s))
+    want_n = len(surv[:5])
+    (crow,) = res.aggregations["div.cnt"].collect()
+    assert crow["n"] == want_n
