@@ -3458,6 +3458,74 @@ def dsl_sampler_aggs(spark, sf_dir):
     return out
 
 
+def dsl_body_knobs(spark, sf_dir):
+    """Search-body envelope knobs (round-5 continuation):
+    `track_total_hits` (exact full-match-set cardinality on
+    DSLResult.total — never the size-cut page, relation 'eq'),
+    top-level `min_score` (score-suffix cutoff applied to the final
+    hit page), and `indices_boost` (query.topk_multi boosts= — a
+    per-index multiplier applied BEFORE the k-bounded global merge,
+    here over the per-lang routed sub-indexes with en doubled and zh
+    halved). Long format (agg, key, val); the oracle recomputes the
+    match-set count, the BM25 score cutoff, and the boosted per-index
+    merge in SQL."""
+    import os as _os
+
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import topk_multi
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}},
+         "size": 500, "min_score": 1.0, "track_total_hits": True},
+        corpus_path=cpath,
+    )
+    total = res.total.select(
+        F.lit("total").alias("agg"), F.lit("*").alias("key"),
+        F.col("total_hits").cast("double").alias("val"),
+    )
+    kept = res.hits.agg(F.count("*").alias("n")).select(
+        F.lit("minscore").alias("agg"), F.lit("*").alias("key"),
+        F.col("n").cast("double").alias("val"),
+    )
+    dirs = _routed_dirs(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(0, "data merge")], "query_id long, query string"
+    )
+    # fetch 50, re-rank by original doc_id, cut to 10 — the same
+    # tie-stability device bm25_indexed_engine documents
+    mres = topk_multi(
+        spark, dirs, q, k=50,
+        boosts={"index_en": 2.0, "index_zh": 0.5},
+    )
+    docs = None
+    for d in dirs:
+        dd = (
+            spark.read.parquet(_os.path.join(d, "docs"))
+            .select("doc_id", "path")
+            .withColumn("_index", F.lit(_os.path.basename(d)))
+        )
+        docs = dd if docs is None else docs.unionByName(dd)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    multi = (
+        mres.join(docs, ["doc_id", "_index"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.lit("multi").alias("agg"),
+            F.concat_ws(
+                "|", F.col("rnk").cast("string"), "_index",
+                F.col("path"),
+            ).alias("key"),
+            F.round("score", 6).alias("val"),
+        )
+    )
+    return total.unionByName(kept).unionByName(multi)
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -3530,6 +3598,32 @@ def analyze_api(spark, sf_dir):
 
 
 _ROUTED_IDX_CACHE: dict[str, list] = {}
+
+
+def _routed_dirs(spark, sf_dir) -> list:
+    """Per-lang routed sub-indexes over the documents corpus (built
+    once per sf_dir per process; deterministic, so sharing cannot
+    couple entries). Shared by multi_index_search and
+    dsl_body_knobs."""
+    import os as _os
+    import tempfile as _tf
+
+    from data_prepper_spark.index.build import (
+        BuildConfig,
+        build_routed_indexes,
+    )
+
+    cpath, _ = _docs_index(spark, sf_dir)
+    dirs = _ROUTED_IDX_CACHE.get(sf_dir)
+    if dirs is None:
+        out = _tf.mkdtemp(prefix="dps_routed_")
+        stats = build_routed_indexes(
+            spark, cpath, out, route_col="lang",
+            cfg=BuildConfig(n_buckets=4, hot_group_target=5000),
+        )
+        dirs = [_os.path.join(out, f"index_{la}") for la in sorted(stats)]
+        _ROUTED_IDX_CACHE[sf_dir] = dirs
+    return dirs
 
 
 def multi_index_search(spark, sf_dir):
@@ -6133,6 +6227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_range_aggs_family": dsl_range_aggs_family,
         "dsl_geohash_autohist": dsl_geohash_autohist,
         "dsl_sampler_aggs": dsl_sampler_aggs,
+        "dsl_body_knobs": dsl_body_knobs,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9717,6 +9812,76 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_body_knobs"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+toks AS (
+  SELECT doc_id, lang, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q JOIN dfreq d USING (term) JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score
+        FROM scored GROUP BY 1, 2),
+ltf AS (SELECT doc_id, lang, term, count(*)::DOUBLE AS tf
+        FROM toks GROUP BY 1, 2, 3),
+ldl AS (SELECT doc_id, lang, count(*)::DOUBLE AS dl
+        FROM toks GROUP BY 1, 2),
+lstats AS (SELECT lang, count(*)::DOUBLE AS n, avg(dl) AS avgdl
+           FROM ldl GROUP BY 1),
+ldfreq AS (SELECT lang, term, count(*)::DOUBLE AS df
+           FROM ltf GROUP BY 1, 2),
+lscored AS (
+  SELECT q.query_id, ltf.doc_id, ltf.lang,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * ltf.tf * ({K1} + 1)
+           / (ltf.tf + {K1} * (1 - {B} + {B} * ldl.dl / s.avgdl)) AS part
+  FROM q
+  JOIN ldfreq d USING (term)
+  JOIN ltf ON ltf.term = q.term AND ltf.lang = d.lang
+  JOIN ldl ON ldl.doc_id = ltf.doc_id AND ldl.lang = ltf.lang
+  JOIN lstats s ON s.lang = ltf.lang
+),
+ltot AS (
+  SELECT query_id, doc_id, lang,
+         sum(part) * (CASE lang WHEN 'en' THEN 2.0
+                                WHEN 'zh' THEN 0.5
+                                ELSE 1.0 END) AS score
+  FROM lscored GROUP BY 1, 2, 3
+),
+lranked AS (
+  SELECT query_id, doc_id, lang, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rnk
+  FROM ltot
+)
+SELECT 'total' AS agg, '*' AS key,
+  CAST(count(DISTINCT (q.query_id, toks.doc_id)) AS DOUBLE) AS val
+FROM q JOIN toks USING (term)
+UNION ALL
+SELECT 'minscore', '*',
+  CAST(sum(CASE WHEN score >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM tot
+UNION ALL
+SELECT 'multi',
+  CAST(rnk AS VARCHAR) || '|index_' || lang || '|'
+    || CAST(doc_id AS VARCHAR),
+  round(score, 6)
+FROM lranked WHERE rnk <= 10
 """
     sql["dsl_sampler_aggs"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

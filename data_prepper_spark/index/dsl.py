@@ -125,11 +125,16 @@ class DSLResult:
         aggregations: dict,
         suggest: dict | None = None,
         explanation: DataFrame | None = None,
+        total: DataFrame | None = None,
     ):
         self.hits = hits
         self.aggregations = aggregations
         self.suggest = suggest or {}
         self.explanation = explanation
+        # track_total_hits=true: (query_id, total_hits) — the EXACT
+        # full-match-set cardinality (OpenSearch's relation "eq";
+        # this engine never returns the capped "gte" form)
+        self.total = total
 
 
 def _field_arg(spec):
@@ -1716,6 +1721,63 @@ def search(
             .select(*keep)
         )
 
+    if body.get("min_score") is not None and hits is not None:
+        # top-level min_score: drop hits scoring below the cutoff.
+        # Score ordering makes the cutoff a suffix of the ranking, so
+        # surviving ranks stay contiguous (OpenSearch applies the
+        # same filter before the page is cut). Applied after rescore
+        # — the rescored score is the one the cutoff sees.
+        if "score" not in hits.columns:
+            raise NotImplementedError(
+                "min_score on this result shape (no score column — "
+                "field-sorted or unscored paths)"
+            )
+        hits = hits.filter(
+            F.col("score") >= F.lit(float(body["min_score"]))
+        )
+
+    total = None
+    if body.get("track_total_hits"):
+        # exact full-match-set cardinality (never the size-cut page):
+        # reuse the body's materialized match set when one exists,
+        # else build it once from the match text
+        if agg_matched is not None:
+            total = agg_matched.groupBy("query_id").agg(
+                F.count("*").alias("total_hits")
+            )
+        elif match_text is not None:
+            from .query import load_stats
+
+            stats = load_stats(index_dir)
+            qt = q.query_terms(
+                spark, index_dir,
+                qdf("query_id long, query string", (query_id, match_text)),
+                stats["n_docs"], stats=stats,
+            ).select("query_id", "term_id", "idf", "bucket")
+            total = q._match_set(spark, index_dir, qt).groupBy(
+                "query_id"
+            ).agg(F.count("*").alias("total_hits"))
+        elif kind == "match_all":
+            total = q.match_all_ords(
+                spark, index_dir, query_id=query_id
+            ).groupBy("query_id").agg(F.count("*").alias("total_hits"))
+        elif tree_node is not None:
+            from .booltree import bool_tree_match
+
+            total = (
+                bool_tree_match(
+                    spark, index_dir, tree_node, corpus_path
+                )
+                .select(F.lit(query_id).cast("long").alias("query_id"))
+                .groupBy("query_id")
+                .agg(F.count("*").alias("total_hits"))
+            )
+        else:
+            raise NotImplementedError(
+                f"track_total_hits under query clause '{kind}' "
+                "(no materializable match set)"
+            )
+
     sugg: dict = {}
     for name, sspec in (body.get("suggest") or {}).items():
         # {"<name>": {"text"|"prefix": "...", "term"|"completion":
@@ -1793,7 +1855,7 @@ def search(
             spark, index_dir, hits, body["docvalue_fields"]
         )
 
-    return DSLResult(hits, aggs, sugg, explanation=explanation)
+    return DSLResult(hits, aggs, sugg, explanation=explanation, total=total)
 
 
 def _densify_histogram(hist, aconf, query_id):

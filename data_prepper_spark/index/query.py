@@ -3446,6 +3446,7 @@ def topk_multi(
     queries: DataFrame,
     k: int = 10,
     mode: str = "exhaustive",
+    boosts: dict | None = None,
 ) -> DataFrame:
     """Multi-index top-k BM25 — the `GET idx1,idx2/_search` /
     index-pattern surface (the reference's per-sink dynamic indexes,
@@ -3454,6 +3455,8 @@ def topk_multi(
     OpenSearch's per-index scoring reality, scores are not globally
     renormalized), contributes its local top-k, and one
     aggregation-sized merge window takes the global top-k per query.
+    `boosts` maps index basename -> multiplier applied to that
+    index's scores BEFORE the merge (the `indices_boost` body key).
     Returns (query_id, rank, doc_id, score, _index) with `_index`
     naming the winning index (basename), rank re-assigned globally.
 
@@ -3465,12 +3468,13 @@ def topk_multi(
 
     parts = []
     for d in index_dirs:
+        base = _os.path.basename(_os.path.normpath(d))
+        b = float((boosts or {}).get(base, 1.0))
         parts.append(
             topk(spark, d, queries, k=k, mode=mode).select(
-                "query_id", "doc_id", "score",
-                F.lit(_os.path.basename(_os.path.normpath(d))).alias(
-                    "_index"
-                ),
+                "query_id", "doc_id",
+                (F.col("score") * F.lit(b)).alias("score"),
+                F.lit(base).alias("_index"),
             )
         )
     un = parts[0]

@@ -2282,3 +2282,59 @@ def test_sampler_and_diversified_sampler(spark, dv_index, dv_corpus, ref):
     want_n = len(surv[:5])
     (crow,) = res.aggregations["div.cnt"].collect()
     assert crow["n"] == want_n
+
+
+def test_track_total_hits_min_score_and_indices_boost(
+    spark, dv_index, dv_corpus, ref
+):
+    """track_total_hits (exact full-match-set cardinality on
+    DSLResult.total), top-level min_score (score-suffix cutoff), and
+    topk_multi boosts (indices_boost analog) — all recomputed from
+    the independent reference."""
+    tree = {"match": {"content": "gunaba"}}
+    scored = []
+    for d in ref["doc_ids"]:
+        ok, s = _eval(tree, d, ref)
+        if ok:
+            scored.append((d, s))
+    cut = sorted(s for _, s in scored)[len(scored) // 2]
+
+    res = search(
+        spark, dv_index,
+        {"query": tree, "size": 10**6, "min_score": cut,
+         "track_total_hits": True},
+        corpus_path=dv_corpus,
+    )
+    (trow,) = res.total.collect()
+    assert trow["total_hits"] == len(scored)
+    want_kept = sum(1 for _, s in scored if s >= cut)
+    assert res.hits.count() == want_kept
+    assert 0 < want_kept < len(scored)
+
+    # track_total_hits under a tree-compiled query reuses the shared
+    # match set
+    res2 = search(
+        spark, dv_index,
+        {"query": {"bool": {"filter": [
+            {"range": {"n_chars": {"gte": 20000}}}
+        ]}}, "track_total_hits": True},
+        corpus_path=dv_corpus,
+    )
+    pdf = pd.read_parquet(dv_corpus)
+    (t2,) = res2.total.collect()
+    assert t2["total_hits"] == int((pdf["n_chars"] >= 20000).sum())
+
+    from data_prepper_spark.index.query import topk, topk_multi
+
+    q = spark.createDataFrame(
+        [(0, "gunaba")], "query_id long, query string"
+    )
+    plain = topk_multi(spark, [dv_index], q, k=5)
+    boosted = topk_multi(spark, [dv_index], q, k=5, boosts={
+        os.path.basename(os.path.normpath(dv_index)): 3.0
+    })
+    pl = {r["doc_id"]: r["score"] for r in plain.collect()}
+    bo = {r["doc_id"]: r["score"] for r in boosted.collect()}
+    assert set(pl) == set(bo)
+    for d in pl:
+        assert bo[d] == pytest.approx(3.0 * pl[d])
