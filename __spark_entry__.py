@@ -2307,6 +2307,20 @@ def _net_corpus(spark, sf_dir, cpath):
         .withColumn(
             "loc_lon", ((nc * 7) % 340 - 170 + F.lit(0.5)).cast("double")
         )
+        .withColumn("chunks", F.filter(
+            F.array(
+                F.struct(F.lit("head").alias("kind"),
+                         (nc % 100).cast("long").alias("len")),
+                F.struct(F.lit("body").alias("kind"),
+                         (nc % 350).cast("long").alias("len")),
+                F.when(
+                    nc % 3 == 0,
+                    F.struct(F.lit("xtra").alias("kind"),
+                             (nc % 400).cast("long").alias("len")),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ))
         .coalesce(2).write.mode("overwrite").parquet(dpath)
     )
     _NET_CORPUS_CACHE[sf_dir] = dpath
@@ -3524,6 +3538,78 @@ def dsl_body_knobs(spark, sf_dir):
         )
     )
     return total.unionByName(kept).unionByName(multi)
+
+
+def dsl_nested_docs(spark, sf_dir):
+    """nested query + nested/reverse_nested aggregations (round-5
+    continuation) over an array<struct> doc-values column — the
+    Spark-native analog of Lucene's hidden sub-documents. The query
+    requires kind='xtra' AND len>=200 to co-occur on ONE element
+    (F.exists with a compiled per-element predicate — zero UDFs, zero
+    explodes on the query path); the aggregation explodes the match
+    set's elements ONCE, bucketing element kinds with both the
+    element count and the reverse_nested DISTINCT-PARENT count from
+    the same grouped pass, plus an element-level avg. Long format
+    (agg, key, val); the oracle rebuilds the elements from n_chars
+    arithmetic and replays every count in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath, cols=("lang", "n_chars", "chunks"),
+    )
+    nq = dsl_search(
+        spark, idx,
+        {"query": {"nested": {
+            "path": "chunks",
+            "query": {"bool": {"must": [
+                {"term": {"chunks.kind": "xtra"}},
+                {"range": {"chunks.len": {"gte": 200}}},
+            ]}},
+        }}, "size": 0, "track_total_hits": True},
+        corpus_path=cpath,
+    )
+    agg = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}}, "size": 0,
+         "aggs": {"ch": {
+             "nested": {"path": "chunks"},
+             "aggs": {
+                 "kinds": {"terms": {"field": "chunks.kind"},
+                           "aggs": {"parents": {"reverse_nested": {}}}},
+                 "mean_len": {"avg": {"field": "chunks.len"}},
+             },
+         }}},
+        corpus_path=cpath,
+    )
+    kinds = agg.aggregations["ch.kinds"]
+    parts = [
+        nq.total.select(
+            F.lit("nq").alias("agg"), F.lit("*").alias("key"),
+            F.col("total_hits").cast("double").alias("val"),
+        ),
+        kinds.select(
+            F.lit("kinds").alias("agg"),
+            F.concat_ws(
+                "|", F.col("bucket_rank").cast("string"), "key"
+            ).alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        kinds.select(
+            F.lit("parents").alias("agg"), F.col("key").alias("key"),
+            F.col("parent_count").cast("double").alias("val"),
+        ),
+        agg.aggregations["ch.mean_len"].select(
+            F.lit("mean").alias("agg"), F.lit("*").alias("key"),
+            F.round(F.col("value"), 6).alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def dsl_script_score(spark, sf_dir):
@@ -6228,6 +6314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_geohash_autohist": dsl_geohash_autohist,
         "dsl_sampler_aggs": dsl_sampler_aggs,
         "dsl_body_knobs": dsl_body_knobs,
+        "dsl_nested_docs": dsl_nested_docs,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9812,6 +9899,48 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_nested_docs"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+-- elements per matched doc: head(n%100), body(n%350), xtra(n%400)
+-- when n%3=0 — the same n_chars arithmetic _net_corpus uses
+el AS (
+  SELECT doc_id, 'head' AS kind, n_chars % 100 AS len FROM matched
+  UNION ALL
+  SELECT doc_id, 'body', n_chars % 350 FROM matched
+  UNION ALL
+  SELECT doc_id, 'xtra', n_chars % 400 FROM matched
+  WHERE n_chars % 3 = 0
+),
+kinds AS (
+  SELECT kind, count(*) AS doc_count,
+         count(DISTINCT doc_id) AS parent_count,
+         row_number() OVER (ORDER BY count(*) DESC, kind) AS rnk
+  FROM el GROUP BY kind
+),
+nq AS (
+  SELECT count(*) AS n FROM documents
+  WHERE n_chars % 3 = 0 AND n_chars % 400 >= 200
+)
+SELECT 'nq' AS agg, '*' AS key, CAST(n AS DOUBLE) AS val FROM nq
+UNION ALL
+SELECT 'kinds', CAST(rnk AS VARCHAR) || '|' || kind,
+       CAST(doc_count AS DOUBLE) FROM kinds
+UNION ALL
+SELECT 'parents', kind, CAST(parent_count AS DOUBLE) FROM kinds
+UNION ALL
+SELECT 'mean', '*',
+  round(avg(CAST(len AS DOUBLE)), 6) FROM el
 """
     sql["dsl_body_knobs"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

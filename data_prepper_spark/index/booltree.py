@@ -366,6 +366,31 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
                 "minimum_should_match_script (the OpenSearch contract)"
             )
         return _IR("dv", field=field, spec={"kind": kind, "val": conf})
+    if kind == "nested":
+        # nested query over an array<struct> doc-values column (the
+        # Spark-native analog of Lucene's hidden sub-documents): the
+        # doc matches when SOME element satisfies ALL inner
+        # conditions — the co-occurrence semantics that separate
+        # nested from flat object mappings. Inner query: bool (must/
+        # filter/should/must_not, minimum_should_match) over term/
+        # terms/range/exists/prefix/wildcard leaves on "path.field".
+        # Non-scoring (score_mode "none"); scoring modes raise loudly
+        # rather than silently flattening.
+        path = spec["path"]
+        if path not in dv_cols:
+            raise NotImplementedError(
+                f"nested path '{path}': no doc-values sidecar column "
+                "(attach an array<struct> column first)"
+            )
+        if spec.get("score_mode", "none") != "none":
+            raise NotImplementedError(
+                f"nested score_mode '{spec['score_mode']}' "
+                "(only 'none' — inner leaves are filters)"
+            )
+        return _IR(
+            "dv", field=path,
+            spec={"kind": "nested", "val": spec["query"]},
+        )
     if kind in ("range", "exists") or (
         kind in ("term", "terms")
         and next(iter(spec)) in dv_cols
@@ -517,6 +542,81 @@ def _leaf_scores(
     )
 
 
+def _nested_elem_pred(node: dict, path: str, e):
+    """Compile a nested query's INNER tree into one predicate over
+    the struct element `e` (the F.exists lambda variable). Field
+    names strip the 'path.' prefix and resolve through e.getField —
+    everything stays a single codegen'd boolean expression. bool
+    composes with Lucene semantics: must/filter AND, must_not NOT,
+    should counted against minimum_should_match (default 1 when no
+    must/filter clauses, else 0)."""
+    ((k, sp),) = node.items()
+    if k == "bool":
+        def kids(role):
+            cl = sp.get(role, [])
+            return cl if isinstance(cl, list) else [cl]
+
+        cond = F.lit(True)
+        for cl in kids("must") + kids("filter"):
+            cond = cond & _nested_elem_pred(cl, path, e)
+        for cl in kids("must_not"):
+            cond = cond & ~_nested_elem_pred(cl, path, e)
+        should = kids("should")
+        if should:
+            msm = sp.get("minimum_should_match")
+            if msm is None:
+                msm = (
+                    0 if (kids("must") or kids("filter")) else 1
+                )
+            msm = int(msm)
+            if msm > 0:
+                n = None
+                for cl in should:
+                    t = F.when(
+                        _nested_elem_pred(cl, path, e), F.lit(1)
+                    ).otherwise(F.lit(0))
+                    n = t if n is None else n + t
+                cond = cond & (n >= F.lit(msm))
+        return cond
+
+    def fld(name):
+        if name.startswith(path + "."):
+            name = name[len(path) + 1:]
+        return e.getField(name)
+
+    if k == "exists":
+        return fld(sp["field"]).isNotNull()
+    ((field, val),) = sp.items()
+    x = fld(field)
+    if k == "term":
+        v = val.get("value") if isinstance(val, dict) else val
+        return x == F.lit(v)
+    if k == "terms":
+        return x.isin(list(val))
+    if k == "prefix":
+        v = val.get("value") if isinstance(val, dict) else val
+        return x.cast("string").startswith(str(v))
+    if k == "wildcard":
+        v = val.get("value") if isinstance(val, dict) else val
+        pat = (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        return x.cast("string").like(pat)
+    if k == "range":
+        cond = F.lit(True)
+        for op, fn in (
+            ("gte", x.__ge__), ("gt", x.__gt__),
+            ("lte", x.__le__), ("lt", x.__lt__),
+        ):
+            if op in val:
+                cond = cond & fn(F.lit(val[op]))
+        return cond
+    raise NotImplementedError(f"nested inner clause '{k}'")
+
+
 def _dv_frame(
     spark: SparkSession, index_dir: str, ir: _IR,
     corpus_path: str | None,
@@ -568,6 +668,17 @@ def _dv_frame(
                 cond = cond & fn(F.lit(val[op]))
         return cond
 
+    if kind == "nested":
+        # SOME element satisfies the whole inner tree: compile the
+        # inner query to ONE per-element predicate and evaluate it
+        # with F.exists — stays in codegen, zero UDFs, zero explodes
+        # on the query path
+        cond = (
+            c.isNotNull()
+            & (F.size(c) > 0)
+            & F.exists(c, lambda e: _nested_elem_pred(val, ir.field, e))
+        )
+        return dv.filter(cond).select("ord", F.lit(0.0).alias("score"))
     if kind == "exists":
         # an empty array is a missing field (the OpenSearch mapping:
         # [] indexes nothing, so exists does not match)

@@ -337,12 +337,13 @@ def search(
             match_text = str(match_text)
     elif kind in (
         "range", "terms", "exists", "geo_distance", "geo_bounding_box",
-        "terms_set",
+        "terms_set", "nested",
     ):
         # top-level non-scoring filter query (the OpenSearch shape
         # `{"query": {"range": {...}}}`; geo filters read *_lat/*_lon
         # doc-values — the geoip-enrich companion; terms_set covers
-        # multi-valued keyword fields): identical
+        # multi-valued keyword fields; nested evaluates its inner
+        # tree per array<struct> element): identical
         # semantics to bool/filter with one leaf, so route through
         # the tree compiler — every hit scores 0, ordinal order
         from .booltree import bool_tree_match, bool_tree_search
@@ -1435,6 +1436,94 @@ def search(
                         "query_id", "bucket_rank", "key", "doc_count"
                     )
                 )
+        elif akind == "nested":
+            # nested aggregation: explode the match set's
+            # array<struct> elements ONCE; sub-aggs aggregate over
+            # ELEMENTS (doc_count = element count, the OpenSearch
+            # nested-agg contract). A terms sub-agg nesting a
+            # reverse_nested sub-agg additionally reports the
+            # DISTINCT-PARENT count per bucket — both counts come out
+            # of the same grouped aggregation, no second explode.
+            from . import aggs as agg_exec
+
+            npath = aconf["path"]
+            if not nested:
+                raise ValueError("nested agg needs sub-aggregations")
+            at = agg_exec.attributed_fields(
+                spark, index_dir, corpus_path, mq, [npath],
+                matched=agg_matched,
+            )
+            ex = at.select(
+                "query_id", "ord", F.explode(npath).alias("__e")
+            )
+
+            def _strip(f):
+                return (
+                    f[len(npath) + 1:]
+                    if f.startswith(npath + ".") else f
+                )
+
+            for sn, nspec in nested.items():
+                ssub = {k2: v2 for k2, v2 in nspec.items() if k2 != "aggs"}
+                ((skind, sconf),) = ssub.items()
+                if skind == "terms":
+                    key = F.col("__e").getField(_strip(sconf["field"]))
+                    has_rev = any(
+                        next(iter(
+                            {k3: v3 for k3, v3 in g.items() if k3 != "aggs"}
+                        )) == "reverse_nested"
+                        for g in (nspec.get("aggs") or {}).values()
+                    )
+                    cnt = ex.groupBy(
+                        "query_id", key.alias("key")
+                    ).agg(
+                        F.count("*").alias("doc_count"),
+                        F.count_distinct("ord").alias("parent_count"),
+                    )
+                    wn = Window.partitionBy("query_id").orderBy(
+                        F.desc("doc_count"), F.asc("key")
+                    )
+                    cols = ["query_id", "bucket_rank", "key", "doc_count"]
+                    if has_rev:
+                        cols.append("parent_count")
+                    aggs[f"{name}.{sn}"] = (
+                        cnt.withColumn(
+                            "bucket_rank", F.row_number().over(wn)
+                        )
+                        .filter(
+                            F.col("bucket_rank")
+                            <= int(sconf.get("size", 10))
+                        )
+                        .select(*cols)
+                    )
+                elif skind in (
+                    "avg", "sum", "min", "max", "value_count", "stats"
+                ):
+                    v = F.col("__e").getField(
+                        _strip(sconf["field"])
+                    ).cast("double")
+                    g = ex.groupBy("query_id")
+                    if skind == "stats":
+                        aggs[f"{name}.{sn}"] = g.agg(
+                            F.count(v).alias("n"),
+                            F.min(v).alias("min_v"),
+                            F.max(v).alias("max_v"),
+                            F.sum(v).alias("sum_v"),
+                            F.avg(v).alias("avg_v"),
+                        )
+                    else:
+                        fn = {
+                            "avg": F.avg, "sum": F.sum, "min": F.min,
+                            "max": F.max, "value_count": F.count,
+                        }[skind]
+                        aggs[f"{name}.{sn}"] = g.agg(
+                            fn(v).alias("value")
+                        )
+                else:
+                    raise NotImplementedError(
+                        f"sub-aggregation '{skind}' under nested "
+                        "(terms [+reverse_nested] / metrics)"
+                    )
         elif akind in ("sampler", "diversified_sampler"):
             # sampled bucket: sub-aggregations run over the top
             # shard_size docs by BM25 score. Score ties break on the

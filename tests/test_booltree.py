@@ -2338,3 +2338,109 @@ def test_track_total_hits_min_score_and_indices_boost(
     assert set(pl) == set(bo)
     for d in pl:
         assert bo[d] == pytest.approx(3.0 * pl[d])
+
+
+def test_nested_query_and_nested_agg(
+    spark, dv_index, dv_corpus, tmp_path_factory
+):
+    """nested query (co-occurrence on ONE array<struct> element — the
+    semantics flat object mappings cannot express) and nested /
+    reverse_nested aggregations, recomputed in pandas from the same
+    derived elements."""
+    import os as _os
+
+    from data_prepper_spark.index.query import attach_doc_values
+
+    d = str(tmp_path_factory.mktemp("nstc"))
+    out = _os.path.join(d, "corpus.parquet")
+    nc = F.col("n_chars")
+    third = F.when(
+        nc % 3 == 0,
+        F.struct(
+            F.lit("xtra").alias("kind"),
+            (nc % 400).cast("long").alias("len"),
+        ),
+    )
+    (
+        spark.read.parquet(dv_corpus)
+        .withColumn("chunks", F.filter(
+            F.array(
+                F.struct(F.lit("head").alias("kind"),
+                         (nc % 100).cast("long").alias("len")),
+                F.struct(F.lit("body").alias("kind"),
+                         (nc % 350).cast("long").alias("len")),
+                third,
+            ),
+            lambda x: x.isNotNull(),
+        ))
+        .write.mode("overwrite").parquet(out)
+    )
+    attach_doc_values(
+        spark, dv_index, out, cols=("lang", "n_chars", "chunks")
+    )
+
+    pdf = pd.read_parquet(out)
+
+    def elems(row):
+        n = int(row)
+        out_e = [("head", n % 100), ("body", n % 350)]
+        if n % 3 == 0:
+            out_e.append(("xtra", n % 400))
+        return out_e
+
+    # nested query: an element that is BOTH kind=xtra AND len>=200 —
+    # docs where the conditions hold only across DIFFERENT elements
+    # must not match
+    res = search(
+        spark, dv_index,
+        {"query": {"nested": {
+            "path": "chunks",
+            "query": {"bool": {"must": [
+                {"term": {"chunks.kind": "xtra"}},
+                {"range": {"chunks.len": {"gte": 200}}},
+            ]}},
+        }}, "size": 10**6, "track_total_hits": True},
+        corpus_path=out,
+    )
+    want = sum(
+        1 for v in pdf["n_chars"]
+        if any(k == "xtra" and ln >= 200 for k, ln in elems(v))
+    )
+    flat_want = sum(
+        1 for v in pdf["n_chars"]
+        if any(k == "xtra" for k, _ in elems(v))
+        and any(ln >= 200 for _, ln in elems(v))
+    )
+    (trow,) = res.total.collect()
+    assert trow["total_hits"] == want
+    assert want < flat_want  # the co-occurrence constraint bites
+
+    # nested agg + reverse_nested + element metric under a range query
+    res2 = search(
+        spark, dv_index,
+        {"query": {"range": {"n_chars": {"gte": 20000}}},
+         "aggs": {"ch": {
+             "nested": {"path": "chunks"},
+             "aggs": {
+                 "kinds": {"terms": {"field": "chunks.kind"},
+                           "aggs": {"parents": {"reverse_nested": {}}}},
+                 "mean_len": {"avg": {"field": "chunks.len"}},
+             },
+         }}},
+        corpus_path=out,
+    )
+    sel = pdf[pdf["n_chars"] >= 20000]["n_chars"]
+    all_elems = [e for v in sel for e in elems(v)]
+    want_counts = pd.Series([k for k, _ in all_elems]).value_counts()
+    got = {r["key"]: (r["doc_count"], r["parent_count"])
+           for r in res2.aggregations["ch.kinds"].collect()}
+    for k, (dc, pc) in got.items():
+        assert dc == int(want_counts[k])
+    assert got["head"][1] == len(sel)  # every doc has a head element
+    assert got["xtra"][1] == sum(1 for v in sel if v % 3 == 0)
+    (mrow,) = res2.aggregations["ch.mean_len"].collect()
+    assert mrow["value"] == pytest.approx(
+        sum(ln for _, ln in all_elems) / len(all_elems)
+    )
+
+    attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
