@@ -3612,6 +3612,94 @@ def dsl_nested_docs(spark, sf_dir):
     return out
 
 
+def dsl_pipeline_aggs2(spark, sf_dir):
+    """Round-5-continuation pipeline aggregations: `normalize`
+    (percent_of_sum + rescale_0_1 — unbounded window over the
+    bucket-sized frame) and `moving_percentiles` (exact percentile
+    over the window ending just before each bucket) as parent pipes
+    on a histogram, plus `extended_stats_bucket` (population
+    variance/std from exact power sums) and `percentiles_bucket`
+    (exact) as sibling pipes re-aggregating the same frame. Long
+    format (agg, key, val); the oracle replays the window algebra
+    with DuckDB window functions."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "hist": {
+                    "histogram": {"field": "n_chars", "interval": 100},
+                    "aggs": {
+                        "pct": {"normalize": {
+                            "buckets_path": "_count",
+                            "method": "percent_of_sum",
+                        }},
+                        "r01": {"normalize": {
+                            "buckets_path": "_count",
+                            "method": "rescale_0_1",
+                        }},
+                        "mp": {"moving_percentiles": {
+                            "buckets_path": "_count", "window": 3,
+                            "percent": 50.0,
+                        }},
+                    },
+                },
+                "xs": {"extended_stats_bucket": {
+                    "buckets_path": "hist>_count",
+                }},
+                "pb": {"percentiles_bucket": {
+                    "buckets_path": "hist>_count",
+                    "percents": [25, 50, 75],
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    hist = res.aggregations["hist"]
+    key = F.col("key").cast("long").cast("string")
+    parts = [
+        hist.select(
+            F.lit("count").alias("agg"), key.alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        hist.select(
+            F.lit("pct").alias("agg"), key.alias("key"),
+            F.round(F.col("pct"), 6).alias("val"),
+        ),
+        hist.select(
+            F.lit("r01").alias("agg"), key.alias("key"),
+            F.round(F.col("r01"), 6).alias("val"),
+        ),
+        hist.filter(F.col("mp").isNotNull()).select(
+            F.lit("mp").alias("agg"), key.alias("key"),
+            F.round(F.col("mp"), 6).alias("val"),
+        ),
+    ]
+    xs = res.aggregations["xs"]
+    for c, nm in (("n", "n"), ("min_v", "min"), ("max_v", "max"),
+                  ("sum_v", "sum"), ("avg_v", "avg"),
+                  ("variance", "variance"), ("std_dev", "std_dev")):
+        parts.append(xs.select(
+            F.lit("xs").alias("agg"), F.lit(nm).alias("key"),
+            F.round(F.col(c).cast("double"), 6).alias("val"),
+        ))
+    parts.append(res.aggregations["pb"].select(
+        F.lit("pb").alias("agg"),
+        F.col("percent").cast("long").cast("string").alias("key"),
+        F.round(F.col("value"), 6).alias("val"),
+    ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6315,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_sampler_aggs": dsl_sampler_aggs,
         "dsl_body_knobs": dsl_body_knobs,
         "dsl_nested_docs": dsl_nested_docs,
+        "dsl_pipeline_aggs2": dsl_pipeline_aggs2,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9899,6 +9988,56 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_pipeline_aggs2"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+hist AS (
+  SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS k,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM matched GROUP BY 1
+),
+w AS (
+  SELECT k, c,
+         c / sum(c) OVER () AS pct,
+         (c - min(c) OVER ()) / (max(c) OVER () - min(c) OVER ()) AS r01,
+         quantile_cont(c, 0.5) OVER (
+           ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+         ) AS mp,
+         row_number() OVER (ORDER BY k) AS rn
+  FROM hist
+),
+xs AS (
+  SELECT count(*) AS n, min(c) AS mn, max(c) AS mx, sum(c) AS sm,
+         avg(c) AS av,
+         sum(c * c) / count(*) - (sum(c) / count(*)) * (sum(c) / count(*))
+           AS variance
+  FROM hist
+)
+SELECT 'count' AS agg, CAST(k AS VARCHAR) AS key, c AS val FROM w
+UNION ALL SELECT 'pct', CAST(k AS VARCHAR), round(pct, 6) FROM w
+UNION ALL SELECT 'r01', CAST(k AS VARCHAR), round(r01, 6) FROM w
+UNION ALL SELECT 'mp', CAST(k AS VARCHAR), round(mp, 6) FROM w
+  WHERE rn > 1
+UNION ALL SELECT 'xs', 'n', CAST(n AS DOUBLE) FROM xs
+UNION ALL SELECT 'xs', 'min', mn FROM xs
+UNION ALL SELECT 'xs', 'max', mx FROM xs
+UNION ALL SELECT 'xs', 'sum', sm FROM xs
+UNION ALL SELECT 'xs', 'avg', round(av, 6) FROM xs
+UNION ALL SELECT 'xs', 'variance', round(variance, 6) FROM xs
+UNION ALL SELECT 'xs', 'std_dev', round(sqrt(variance), 6) FROM xs
+UNION ALL SELECT 'pb', '25', round(quantile_cont(c, 0.25), 6) FROM hist
+UNION ALL SELECT 'pb', '50', round(quantile_cont(c, 0.50), 6) FROM hist
+UNION ALL SELECT 'pb', '75', round(quantile_cont(c, 0.75), 6) FROM hist
 """
     sql["dsl_nested_docs"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

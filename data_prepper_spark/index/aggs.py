@@ -363,6 +363,45 @@ def bucket_pipeline(
             out = out.withColumn(
                 out_col, fn(path).over(w.rowsBetween(-window, -1))
             )
+        elif kind == "normalize":
+            # rescale bucket metrics against the FULL frame
+            # (unbounded window per query — bucket-cardinality-sized,
+            # never data-sized): the OpenSearch normalize pipeline
+            v = F.col(path).cast("double")
+            wall = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            method = str((conf or {}).get("method", "rescale_0_1"))
+            mn, mx = F.min(v).over(wall), F.max(v).over(wall)
+            avg, sm = F.avg(v).over(wall), F.sum(v).over(wall)
+            if method == "rescale_0_1":
+                expr = (v - mn) / (mx - mn)
+            elif method == "percent_of_sum":
+                expr = v / sm
+            elif method == "mean":
+                expr = (v - avg) / (mx - mn)
+            elif method == "z-score":
+                n_ = F.count(v).over(wall).cast("double")
+                var = F.avg(v * v).over(wall) - avg * avg
+                expr = (v - avg) / F.sqrt(var * n_ / (n_ - 1))
+            else:
+                raise NotImplementedError(
+                    f"normalize method '{method}'"
+                )
+            out = out.withColumn(out_col, expr)
+        elif kind == "moving_percentiles":
+            # exact percentile over the window ending just before
+            # each bucket (aggregate-over-window; the OpenSearch
+            # version reads a t-digest — percentile_approx is the
+            # sketch swap)
+            window = int(conf["window"])
+            pct = float((conf or {}).get("percent", 50.0)) / 100.0
+            out = out.withColumn(
+                out_col,
+                F.percentile(
+                    F.col(path).cast("double"), F.lit(pct)
+                ).over(w.rowsBetween(-window, -1)),
+            )
         elif kind == "bucket_script":
             out = out.withColumn(
                 out_col, script_expr(conf["script"], conf["paths"])
@@ -484,14 +523,53 @@ def script_expr(script: str, paths: dict):
 
 
 def sibling_bucket_metric(
-    buckets: DataFrame, kind: str, path_col: str
+    buckets: DataFrame, kind: str, path_col: str, conf: dict | None = None
 ) -> DataFrame:
     """Sibling pipeline aggregations (avg_bucket / sum_bucket /
-    min_bucket / max_bucket / stats_bucket): one re-aggregation of the
-    parent's bucket frame. Returns (query_id, value) — or the 5-col
-    stats row for stats_bucket."""
+    min_bucket / max_bucket / stats_bucket / extended_stats_bucket /
+    percentiles_bucket): one re-aggregation of the parent's bucket
+    frame. Returns (query_id, value), the 5-col stats row, the
+    8-col extended row (population variance/std from exact power
+    sums), or long (query_id, percent, value) rows for
+    percentiles_bucket (exact — the frame is bucket-sized)."""
     g = buckets.groupBy("query_id")
     v = F.col(path_col)
+    if kind == "percentiles_bucket":
+        x = v.cast("double")
+        percents = [
+            float(p) for p in
+            (conf or {}).get("percents", (1, 5, 25, 50, 75, 95, 99))
+        ]
+        parts = []
+        for p in percents:
+            parts.append(g.agg(
+                F.percentile(x, F.lit(p / 100.0)).alias("value")
+            ).select(
+                "query_id", F.lit(p).alias("percent"), "value"
+            ))
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+    if kind == "extended_stats_bucket":
+        x = v.cast("double")
+        agg = g.agg(
+            F.count(x).alias("n"),
+            F.min(x).alias("min_v"),
+            F.max(x).alias("max_v"),
+            F.sum(x).alias("sum_v"),
+            F.sum(x * x).alias("sum_sq"),
+        )
+        nn = F.col("n").cast("double")
+        var = F.col("sum_sq") / nn - (
+            F.col("sum_v") / nn
+        ) * (F.col("sum_v") / nn)
+        return agg.select(
+            "query_id", "n", "min_v", "max_v", "sum_v",
+            (F.col("sum_v") / nn).alias("avg_v"),
+            var.alias("variance"),
+            F.sqrt(var).alias("std_dev"),
+        )
     if kind == "stats_bucket":
         return g.agg(
             F.count(v).alias("n"),

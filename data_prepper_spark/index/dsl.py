@@ -805,7 +805,7 @@ def search(
     # compute them after the parents exist
     _SIBLING_PIPES = {
         "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-        "stats_bucket",
+        "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
     }
     sibling_specs = {
         name: aspec for name, aspec in agg_body.items()
@@ -921,7 +921,7 @@ def search(
                     mets.append((nname, nkind, nconf["field"]))
                 elif nkind in (
                     "cumulative_sum", "derivative", "serial_diff",
-                    "moving_fn",
+                    "moving_fn", "normalize", "moving_percentiles",
                 ):
                     path = nconf["buckets_path"]
                     path = "doc_count" if path == "_count" else path
@@ -1745,7 +1745,7 @@ def search(
                 "in this body"
             )
         aggs[name] = agg_exec.sibling_bucket_metric(
-            aggs[parent], skind, col
+            aggs[parent], skind, col, conf=sconf
         )
 
     if "rescore" in body and hits is not None:

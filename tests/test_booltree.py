@@ -2444,3 +2444,74 @@ def test_nested_query_and_nested_agg(
     )
 
     attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
+
+
+def test_normalize_moving_percentiles_and_sibling_stats(
+    spark, dv_index, dv_corpus
+):
+    """normalize (rescale_0_1 / percent_of_sum) + moving_percentiles
+    parent pipes and extended_stats_bucket / percentiles_bucket
+    sibling pipes — all recomputed in pandas over the same bucket
+    frame."""
+    import numpy as np
+
+    body = {
+        "query": {"range": {"n_chars": {"gte": 15000}}},
+        "aggs": {
+            "hist": {
+                "histogram": {"field": "n_chars", "interval": 5000},
+                "aggs": {
+                    "pct": {"normalize": {
+                        "buckets_path": "_count",
+                        "method": "percent_of_sum",
+                    }},
+                    "r01": {"normalize": {
+                        "buckets_path": "_count",
+                        "method": "rescale_0_1",
+                    }},
+                    "mp": {"moving_percentiles": {
+                        "buckets_path": "_count", "window": 3,
+                        "percent": 50.0,
+                    }},
+                },
+            },
+            "xs": {"extended_stats_bucket": {
+                "buckets_path": "hist>_count",
+            }},
+            "pb": {"percentiles_bucket": {
+                "buckets_path": "hist>_count",
+                "percents": [25, 50, 75],
+            }},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    pdf = pd.read_parquet(dv_corpus)
+    sel = pdf[pdf["n_chars"] >= 15000]["n_chars"]
+    counts = (
+        (sel // 5000 * 5000).value_counts().sort_index()
+    )
+    c = counts.to_numpy(dtype=float)
+    rows = sorted(
+        res.aggregations["hist"].collect(), key=lambda r: r["key"]
+    )
+    assert [r["doc_count"] for r in rows] == [int(x) for x in c]
+    for i, r in enumerate(rows):
+        assert r["pct"] == pytest.approx(c[i] / c.sum())
+        assert r["r01"] == pytest.approx(
+            (c[i] - c.min()) / (c.max() - c.min())
+        )
+        if i == 0:
+            assert r["mp"] is None
+        else:
+            lo = max(0, i - 3)
+            assert r["mp"] == pytest.approx(
+                float(np.percentile(c[lo:i], 50))
+            )
+    (xs,) = res.aggregations["xs"].collect()
+    assert xs["n"] == len(c)
+    assert xs["variance"] == pytest.approx(c.var(), rel=1e-9)
+    assert xs["std_dev"] == pytest.approx(c.std(), rel=1e-9)
+    pb = {r["percent"]: r["value"]
+          for r in res.aggregations["pb"].collect()}
+    for p in (25.0, 50.0, 75.0):
+        assert pb[p] == pytest.approx(float(np.percentile(c, p)))
