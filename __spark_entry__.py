@@ -3700,6 +3700,77 @@ def dsl_pipeline_aggs2(spark, sf_dir):
     return out
 
 
+def dsl_runtime_fields(spark, sf_dir):
+    """runtime_mappings (round-5 continuation): a per-query derived
+    field (chars_h = n_chars / 100, painless-lite with params,
+    emit() wrapper) compiled onto the doc-values sidecar as ONE
+    native expression — used as a top-level range filter
+    (track_total_hits counts the match set), and as the field of
+    stats / histogram / exact-percentiles aggregations under a match
+    query. Nothing is written; the derived column exists only inside
+    the compiled plan (the OpenSearch runtime-field contract). Long
+    format (agg, key, val); the oracle recomputes the expression and
+    every aggregate in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    rt = {
+        "chars_h": {
+            "type": "double",
+            "script": {
+                "source": "emit(doc['n_chars'].value / params.d)",
+                "params": {"d": 100.0},
+            },
+        },
+    }
+    nq = dsl_search(
+        spark, idx,
+        {"query": {"range": {"chars_h": {"gte": 2.0, "lt": 4.5}}},
+         "runtime_mappings": rt, "size": 0, "track_total_hits": True},
+        corpus_path=cpath,
+    )
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}},
+         "runtime_mappings": rt, "size": 0,
+         "aggs": {
+             "st": {"stats": {"field": "chars_h"}},
+             "h": {"histogram": {"field": "chars_h", "interval": 0.5}},
+             "p": {"percentiles": {"field": "chars_h",
+                                   "percents": [50.0]}},
+         }},
+        corpus_path=cpath,
+    )
+    st = res.aggregations["st"]
+    parts = [
+        nq.total.select(
+            F.lit("range").alias("agg"), F.lit("*").alias("key"),
+            F.col("total_hits").cast("double").alias("val"),
+        ),
+    ]
+    for c, nm in (("n", "n"), ("min_v", "min"), ("max_v", "max"),
+                  ("sum_v", "sum"), ("avg_v", "avg")):
+        parts.append(st.select(
+            F.lit("st").alias("agg"), F.lit(nm).alias("key"),
+            F.round(F.col(c).cast("double"), 6).alias("val"),
+        ))
+    parts.append(res.aggregations["h"].select(
+        F.lit("h").alias("agg"),
+        F.col("key").cast("string").alias("key"),
+        F.col("doc_count").cast("double").alias("val"),
+    ))
+    parts.append(res.aggregations["p"].select(
+        F.lit("p50").alias("agg"), F.lit("*").alias("key"),
+        F.round(F.col("p50"), 6).alias("val"),
+    ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6404,6 +6475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_body_knobs": dsl_body_knobs,
         "dsl_nested_docs": dsl_nested_docs,
         "dsl_pipeline_aggs2": dsl_pipeline_aggs2,
+        "dsl_runtime_fields": dsl_runtime_fields,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -9988,6 +10060,43 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_runtime_fields"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id,
+         CAST(tok.n_chars AS DOUBLE) / 100.0 AS ck
+  FROM q JOIN tok USING (term)
+),
+rng AS (
+  SELECT count(*) AS n FROM documents
+  WHERE CAST(n_chars AS DOUBLE) / 100.0 >= 2.0
+    AND CAST(n_chars AS DOUBLE) / 100.0 < 4.5
+),
+st AS (
+  SELECT count(*) AS n, min(ck) AS mn, max(ck) AS mx, sum(ck) AS sm,
+         avg(ck) AS av
+  FROM matched
+),
+h AS (
+  SELECT floor(ck / 0.5) * 0.5 AS k, count(*) AS c
+  FROM matched GROUP BY 1
+)
+SELECT 'range' AS agg, '*' AS key, CAST(n AS DOUBLE) AS val FROM rng
+UNION ALL SELECT 'st', 'n', CAST(n AS DOUBLE) FROM st
+UNION ALL SELECT 'st', 'min', round(mn, 6) FROM st
+UNION ALL SELECT 'st', 'max', round(mx, 6) FROM st
+UNION ALL SELECT 'st', 'sum', round(sm, 6) FROM st
+UNION ALL SELECT 'st', 'avg', round(av, 6) FROM st
+UNION ALL SELECT 'h', CAST(k AS VARCHAR), CAST(c AS DOUBLE) FROM h
+UNION ALL SELECT 'p50', '*', round(quantile_cont(ck, 0.5), 6)
+FROM matched
 """
     sql["dsl_pipeline_aggs2"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

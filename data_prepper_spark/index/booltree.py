@@ -124,13 +124,14 @@ class _IR:
             setattr(self, s, kw.get(s))
 
 
-def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
+def _parse(node: dict, dv_cols: set, texts: list,
+           runtime: dict | None = None) -> _IR:
     ((kind, spec),) = node.items()
     if kind == "bool":
         def kids(role):
             cl = spec.get(role, [])
             cl = cl if isinstance(cl, list) else [cl]
-            return [_parse(c, dv_cols, texts) for c in cl]
+            return [_parse(c, dv_cols, texts, runtime) for c in cl]
 
         msm = spec.get("minimum_should_match")
         return _IR(
@@ -145,7 +146,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
     if kind == "dis_max":
         return _IR(
             "dismax",
-            should=[_parse(c, dv_cols, texts)
+            should=[_parse(c, dv_cols, texts, runtime)
                     for c in spec.get("queries", [])],
             tb=float(spec.get("tie_breaker", 0.0)),
             boost=float(spec.get("boost", 1.0)),
@@ -153,7 +154,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
     if kind == "constant_score":
         return _IR(
             "const",
-            filter=[_parse(spec["filter"], dv_cols, texts)],
+            filter=[_parse(spec["filter"], dv_cols, texts, runtime)],
             boost=float(spec.get("boost", 1.0)),
         )
     if kind == "boosting":
@@ -162,8 +163,8 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         # multiplied by negative_boost (they are NOT excluded)
         return _IR(
             "boosting",
-            must=[_parse(spec["positive"], dv_cols, texts)],
-            should=[_parse(spec["negative"], dv_cols, texts)],
+            must=[_parse(spec["positive"], dv_cols, texts, runtime)],
+            should=[_parse(spec["negative"], dv_cols, texts, runtime)],
             tb=float(spec.get("negative_boost", 0.5)),
         )
     if kind == "function_score":
@@ -182,7 +183,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         for f in fns:
             parsed.append({
                 "filter": (
-                    _parse(f["filter"], dv_cols, texts)
+                    _parse(f["filter"], dv_cols, texts, runtime)
                     if "filter" in f else None
                 ),
                 "weight": (
@@ -192,7 +193,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
             })
         return _IR(
             "fscore",
-            must=[_parse(child, dv_cols, texts)],
+            must=[_parse(child, dv_cols, texts, runtime)],
             spec={
                 "functions": parsed,
                 "score_mode": spec.get("score_mode", "multiply"),
@@ -211,7 +212,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         params = sc.get("params", {}) if isinstance(sc, dict) else {}
         return _IR(
             "sscore",
-            must=[_parse(child, dv_cols, texts)],
+            must=[_parse(child, dv_cols, texts, runtime)],
             spec={
                 "source": src,
                 "params": params,
@@ -252,7 +253,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
 
         raw = spec["query"] if isinstance(spec, dict) else str(spec)
         inner = json.loads(base64.b64decode(raw))
-        return _parse(inner, dv_cols, texts)
+        return _parse(inner, dv_cols, texts, runtime)
     if kind == "pinned":
         # PinnedQueryBuilder: the listed doc ids rank first, in list
         # order, ahead of every organic match (mechanism-equivalent
@@ -267,7 +268,7 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         return _IR(
             "pinned",
             must=[_parse(spec.get("organic", {"match_all": {}}),
-                         dv_cols, texts)],
+                         dv_cols, texts, runtime)],
             spec={"ids": [int(i) for i in spec["ids"]]},
         )
     if kind == "distance_feature":
@@ -393,17 +394,22 @@ def _parse(node: dict, dv_cols: set, texts: list) -> _IR:
         )
     if kind in ("range", "exists") or (
         kind in ("term", "terms")
-        and next(iter(spec)) in dv_cols
+        and next(iter(spec)) in (dv_cols | set(runtime or {}))
     ):
         ((field, val),) = spec.items()
         if kind == "exists":
             field, val = spec["field"], None
-        if field not in dv_cols:
+        if field not in dv_cols and field not in (runtime or {}):
             raise NotImplementedError(
                 f"'{kind}' on field '{field}': no doc-values sidecar "
                 "column (attach_doc_values first)"
             )
-        return _IR("dv", field=field, spec={"kind": kind, "val": val})
+        leaf_spec = {"kind": kind, "val": val}
+        if runtime and field in runtime:
+            # runtime field: the leaf computes its column from the
+            # sidecar at filter time (painless-lite, zero UDFs)
+            leaf_spec["rt"] = runtime[field]
+        return _IR("dv", field=field, spec=leaf_spec)
     if kind in ("match", "term"):
         ((_f, v),) = spec.items()
         text = str(v.get("query", v.get("value"))) if isinstance(v, dict) else str(v)
@@ -542,6 +548,56 @@ def _leaf_scores(
     )
 
 
+def runtime_field_col(conf: dict, dv_cols: set):
+    """Compile one runtime_mappings entry into a native Column over
+    the doc-values sidecar. `conf` is the OpenSearch form
+    {"type": "double"|"long", "script": {"source": "emit(<expr>)",
+    "params": {...}}} (the emit() wrapper is optional; a bare
+    expression works). <expr> is painless-lite over
+    doc['field'].value references resolving to sidecar columns plus
+    params and Math.* calls — no UDF, the derived column stays in
+    codegen and costs nothing when unused. Keyword/string scripts
+    raise loudly (the numeric subset is what the expression compiler
+    supports)."""
+    import re as _re
+
+    from .aggs import painless_expr
+
+    sc = conf.get("script", conf)
+    src = sc["source"] if isinstance(sc, dict) else str(sc)
+    params = (sc.get("params") or {}) if isinstance(sc, dict) else {}
+    m = _re.fullmatch(r"\s*emit\((.*)\)\s*", src, flags=_re.DOTALL)
+    if m:
+        src = m.group(1)
+    typ = str(conf.get("type", "double"))
+    if typ not in ("double", "long", "float", "integer"):
+        raise NotImplementedError(
+            f"runtime field type '{typ}' (numeric types only)"
+        )
+
+    def resolve(rk, name):
+        if rk == "doc":
+            if name not in dv_cols:
+                raise NotImplementedError(
+                    f"runtime script field '{name}' not in doc-values "
+                    "sidecar"
+                )
+            return F.col(name).cast("double")
+        if rk == "param":
+            if name not in params:
+                raise KeyError(
+                    f"runtime script references params.{name} with no "
+                    f"matching params entry (have: {sorted(params)})"
+                )
+            return F.lit(float(params[name]))
+        raise NotImplementedError(f"runtime script reference {rk}:{name}")
+
+    col = painless_expr(src, resolve, _SCRIPT_CALLS)
+    return col.cast("long") if typ in ("long", "integer") else col.cast(
+        "double"
+    )
+
+
 def _nested_elem_pred(node: dict, path: str, e):
     """Compile a nested query's INNER tree into one predicate over
     the struct element `e` (the F.exists lambda variable). Field
@@ -621,12 +677,24 @@ def _dv_frame(
     spark: SparkSession, index_dir: str, ir: _IR,
     corpus_path: str | None,
 ) -> DataFrame:
-    """(ord, score=0.0) for a doc-values predicate leaf."""
+    """(ord, score=0.0) for a doc-values predicate leaf. A leaf
+    carrying an `rt` spec is a RUNTIME FIELD: its column derives from
+    the sidecar's stored columns at filter time (painless-lite
+    compiled to one native expression — per-query, nothing written,
+    the OpenSearch runtime_mappings contract)."""
     try:
         dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
     except Exception:
         dv = None
-    if dv is None or ir.field not in dv.columns:
+    if dv is None:
+        raise NotImplementedError(
+            f"field '{ir.field}' not in doc-values sidecar"
+        )
+    if ir.spec.get("rt") is not None:
+        dv = dv.withColumn(
+            ir.field, runtime_field_col(ir.spec["rt"], set(dv.columns))
+        )
+    elif ir.field not in dv.columns:
         raise NotImplementedError(
             f"field '{ir.field}' not in doc-values sidecar"
         )
@@ -1303,6 +1371,7 @@ def bool_tree_match(
     index_dir: str,
     query: dict,
     corpus_path: str | None = None,
+    runtime: dict | None = None,
 ) -> DataFrame:
     """Full (ord, score) match set of an arbitrary query tree —
     the front half of bool_tree_search, exposed so aggregations can
@@ -1313,7 +1382,7 @@ def bool_tree_match(
 
     texts: list = []
     dv_cols = _dv_columns(spark, index_dir)
-    ir = _parse(query, dv_cols, texts)
+    ir = _parse(query, dv_cols, texts, runtime)
     ir = _expand_phrases(ir, lambda t: analyze_query_py(stats, t), texts)
     if texts:
         leaf_scored = _leaf_scores(spark, index_dir, texts, stats)
@@ -1332,11 +1401,14 @@ def bool_tree_search(
     k: int = 10,
     corpus_path: str | None = None,
     query_id: int = 0,
+    runtime: dict | None = None,
 ) -> DataFrame:
     """Top-k over a nested bool tree. Returns the boolean_search shape
     (query_id, rank, doc_id, score, repo, path, commit), tie-break
     (score desc, ord asc) — identical to every other ranked path."""
-    matched = bool_tree_match(spark, index_dir, query, corpus_path)
+    matched = bool_tree_match(
+        spark, index_dir, query, corpus_path, runtime=runtime
+    )
     # rank over a materialized query_id column (not a bare lit) so the
     # optimizer's WindowGroupLimit bounds each map partition to k rows
     # before the single-partition merge — same shape as boolean_search
@@ -1522,6 +1594,7 @@ def bool_tree_explain(
     query: dict,
     doc_ids: list,
     query_id: int = 0,
+    runtime: dict | None = None,
 ) -> DataFrame:
     """The OpenSearch `_explain` API for tree-compiled queries
     (`GET /index/_explain/{id}` run over a list of docs, or
@@ -1550,7 +1623,7 @@ def bool_tree_explain(
 
     texts: list = []
     dv_cols = _dv_columns(spark, index_dir)
-    ir = _parse(query, dv_cols, texts)
+    ir = _parse(query, dv_cols, texts, runtime)
     ir = _expand_phrases(ir, lambda t: analyze_query_py(stats, t), texts)
     _label_leaves(ir, texts, [0])
 

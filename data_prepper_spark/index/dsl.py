@@ -47,7 +47,21 @@ simple_query_string, more_like_this, span_term / span_near (slop,
 in_order, span_term sub-clauses) / span_first (end-bounded) over the
 positions sidecar — tightest-span-first ranking, intervals (`match`
 rule: analyzed terms, max_gaps default unlimited, ordered flag —
-routed to the same span executor)), `size`, `from` (score-ordered
+routed to the same span executor),
+nested ({"nested": {"path", "query"}} over an array<struct>
+doc-values column: the inner bool/term/terms/range/exists/prefix/
+wildcard tree compiles to ONE per-element predicate evaluated with
+F.exists — co-occurrence on a single element, score_mode "none")),
+`runtime_mappings` (per-query derived fields: painless-lite
+emit(<expr>) over doc['field'].value + params compiled onto the
+doc-values sidecar as a native expression — usable as range/term/
+terms/exists filter leaves anywhere a tree compiles, and as the
+field of stats/avg/min/max/sum/value_count/histogram/percentiles
+aggregations; nothing is written), `min_score` (top-level
+score-suffix cutoff on the final page, applied after rescore),
+`track_total_hits` (DSLResult.total = exact full-match-set
+cardinality — match/term, tree-compiled, and match_all queries),
+`size`, `from` (score-ordered
 deep pages on match/term; any supported query kind with `sort`),
 `sort` on doc-values fields (replaces score ordering — the match set
 is materialized once, sidecar-joined, and paged with absolute ranks;
@@ -65,7 +79,28 @@ adjacency_matrix (named filters + pairwise intersections, empty
 buckets omitted), missing (doc-values NULL count), weighted_avg,
 percentile_ranks (exact), rare_terms (doc_count <= max_doc_count
 tail), multi_terms (composite-key top buckets), top_metrics (metric
-values of the top-sorted match-set docs)) under ANY query with
+values of the top-sorted match-set docs),
+string_stats (length stats + character-distribution Shannon
+entropy), median_absolute_deviation / boxplot (exact percentile
+forms; percentile_approx is the documented sketch swap),
+matrix_stats (per-field count/mean/variance/skewness/kurtosis +
+pairwise covariance/correlation from ONE grouped pass of raw power
+sums; population moments, kurtosis = m4/m2²), scripted_metric
+(distributed-safe subset: painless-lite map expression + algebraic
+sum/avg/min/max/count reduce — init/combine ARE Spark's partial
+aggregation; free-form stateful scripts raise), date_range /
+ip_range (IPv4 + CIDR mask buckets, dotted-quad -> int32 in native
+Columns) / geo_distance rings (haversine, unit-converted bounds) via
+one generic overlapping-[from,to) executor with zero-doc buckets
+emitted, geohash_grid (5·precision interleaved bits -> base-32 keys,
+all native bit math), auto_date_histogram (smallest ladder interval
+whose exact bucket count fits `buckets`; 1-row driver gate),
+sampler / diversified_sampler (sub-aggs over the top-shard_size
+scored docs, identity-key tie-break so oracles can replay the cut;
+diversified caps docs per doc-values value first), nested
+({"nested": {"path"}} + sub-aggs over exploded elements: terms
+[+reverse_nested distinct-parent counts from the same grouped pass]
+and element metrics)) under ANY query with
 a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
@@ -87,13 +122,17 @@ folded into the bucket groupBy, plus pipeline sub-aggregations: `cumulative_sum`
 just before each bucket), `bucket_script` / `bucket_selector`
 (painless-lite params arithmetic over a dict buckets_path — derived
 columns / bucket-dropping predicates), all window algebra over the
-bucket frame (buckets_path "_count" or a sibling metric), and
+bucket frame (buckets_path "_count" or a sibling metric),
+`normalize` (rescale_0_1 / percent_of_sum / mean / z-score against
+the full bucket frame), `moving_percentiles` (exact percentile over
+the window ending just before each bucket), and
 `bucket_sort` (sort/from/size on buckets). `composite` (sources: terms/histogram/date_histogram, any
 mix, per-source asc/desc order) enumerates ALL key combinations in
 composite-key order with exclusive `after`-key pagination — the
 scalable bucket-export aggregation — and takes metric sub-aggs.
 Top-level sibling pipelines `avg_bucket`/`sum_bucket`/`min_bucket`/
-`max_bucket`/`stats_bucket` re-aggregate a parent's buckets via
+`max_bucket`/`stats_bucket`/`extended_stats_bucket`/
+`percentiles_bucket` re-aggregate a parent's buckets via
 buckets_path "parent>metric" or "parent>_count". `global` buckets
 compute sub-aggregations over the whole live corpus alongside
 query-scoped ones (results surface as "<name>.<sub>"). A top-level
@@ -231,6 +270,11 @@ def search(
         # the final page is cut
         k = max(k, int(body["rescore"].get("window_size", 10)))
     node = body.get("query", {"match_all": {}})
+    # runtime_mappings: per-query derived fields compiled onto the
+    # doc-values sidecar (booltree.runtime_field_col) — usable as
+    # range/term/terms/exists filter leaves anywhere a tree compiles,
+    # and as metric/histogram aggregation fields below
+    _rt = body.get("runtime_mappings") or None
     ((kind, spec),) = node.items()
 
     def qdf(schema: str, row: tuple) -> DataFrame:
@@ -281,7 +325,7 @@ def search(
                 "bool": {"filter": [node]}
             }
             matched = bool_tree_match(
-                spark, index_dir, wrapped, corpus_path
+                spark, index_dir, wrapped, corpus_path, runtime=_rt
             ).select(
                 F.lit(query_id).cast("long").alias("query_id"), "ord"
             )
@@ -324,11 +368,12 @@ def search(
             hits = bool_tree_search(
                 spark, index_dir, node, k=k,
                 corpus_path=corpus_path, query_id=query_id,
+                runtime=_rt,
             )
             tree_node = node
             if "aggs" in body:
                 agg_matched = bool_tree_match(
-                    spark, index_dir, node, corpus_path
+                    spark, index_dir, node, corpus_path, runtime=_rt
                 ).select(
                     F.lit(query_id).cast("long").alias("query_id"), "ord"
                 )
@@ -351,12 +396,12 @@ def search(
         wrapped = {"bool": {"filter": [node]}}
         hits = bool_tree_search(
             spark, index_dir, wrapped, k=k,
-            corpus_path=corpus_path, query_id=query_id,
+            corpus_path=corpus_path, query_id=query_id, runtime=_rt,
         )
         tree_node = wrapped
         if "aggs" in body:
             agg_matched = bool_tree_match(
-                spark, index_dir, wrapped, corpus_path
+                spark, index_dir, wrapped, corpus_path, runtime=_rt
             ).select(
                 F.lit(query_id).cast("long").alias("query_id"), "ord"
             )
@@ -508,11 +553,12 @@ def search(
             hits = bool_tree_search(
                 spark, index_dir, node, k=k,
                 corpus_path=corpus_path, query_id=query_id,
+                runtime=_rt,
             )
             tree_node = node
         if "aggs" in body:
             agg_matched = (
-                bool_tree_match(spark, index_dir, node, corpus_path)
+                bool_tree_match(spark, index_dir, node, corpus_path, runtime=_rt)
                 .select(
                     F.lit(query_id).cast("long").alias("query_id"), "ord"
                 )
@@ -537,12 +583,12 @@ def search(
         )
         hits = bool_tree_search(
             spark, index_dir, tree, k=k,
-            corpus_path=corpus_path, query_id=query_id,
+            corpus_path=corpus_path, query_id=query_id, runtime=_rt,
         )
         tree_node = tree
         if "aggs" in body:
             agg_matched = bool_tree_match(
-                spark, index_dir, tree, corpus_path
+                spark, index_dir, tree, corpus_path, runtime=_rt
             ).select(
                 F.lit(query_id).cast("long").alias("query_id"), "ord"
             )
@@ -561,12 +607,12 @@ def search(
 
         hits = bool_tree_search(
             spark, index_dir, node, k=k,
-            corpus_path=corpus_path, query_id=query_id,
+            corpus_path=corpus_path, query_id=query_id, runtime=_rt,
         )
         tree_node = node
         if "aggs" in body:
             agg_matched = bool_tree_match(
-                spark, index_dir, node, corpus_path
+                spark, index_dir, node, corpus_path, runtime=_rt
             ).select(
                 F.lit(query_id).cast("long").alias("query_id"), "ord"
             )
@@ -860,6 +906,86 @@ def search(
             _isub = {k: v for k, v in _ispec.items() if k != "aggs"}
             if list(_isub) == ["terms"]:
                 _inner_terms = (_in, _isub["terms"], _ispec.get("aggs"))
+        if _rt and isinstance(aconf, dict) and aconf.get("field") in _rt:
+            # aggregation over a RUNTIME field: derive the column
+            # from the sidecar once (same compiled expression the
+            # filter leaves use), join the match set, then one
+            # grouped aggregation — metric family, histogram, and
+            # exact percentiles supported
+            import os as _os
+
+            from .booltree import runtime_field_col
+
+            rt_matched = agg_matched
+            if rt_matched is None:
+                if match_text is None:
+                    raise NotImplementedError(
+                        "runtime-field agg under this query kind "
+                        "(no match set)"
+                    )
+                from .query import load_stats
+
+                _st = load_stats(index_dir)
+                _qt = q.query_terms(
+                    spark, index_dir,
+                    qdf("query_id long, query string",
+                        (query_id, match_text)),
+                    _st["n_docs"], stats=_st,
+                ).select("query_id", "term_id", "idf", "bucket")
+                rt_matched = q._match_set(spark, index_dir, _qt)
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            )
+            fcol = runtime_field_col(
+                _rt[aconf["field"]], set(dv.columns)
+            )
+            at = rt_matched.join(
+                dv.withColumn("__rtf", fcol).select("ord", "__rtf"),
+                "ord",
+            )
+            v = F.col("__rtf").cast("double")
+            if akind in (
+                "stats", "avg", "min", "max", "sum", "value_count"
+            ):
+                full = at.groupBy("query_id").agg(
+                    F.count(v).alias("n"),
+                    F.min(v).alias("min_v"),
+                    F.max(v).alias("max_v"),
+                    F.sum(v).alias("sum_v"),
+                    F.avg(v).alias("avg_v"),
+                )
+                proj = {
+                    "stats": ["n", "min_v", "max_v", "sum_v", "avg_v"],
+                    "avg": ["avg_v"], "min": ["min_v"],
+                    "max": ["max_v"], "sum": ["sum_v"],
+                    "value_count": ["n"],
+                }[akind]
+                aggs[name] = full.select("query_id", *proj)
+            elif akind == "histogram":
+                step = float(aconf["interval"])
+                key = F.floor(v / F.lit(step)) * F.lit(step)
+                aggs[name] = (
+                    at.withColumn("key", key)
+                    .groupBy("query_id", "key")
+                    .agg(F.count("*").alias("doc_count"))
+                )
+            elif akind == "percentiles":
+                cols = []
+                for pv in aconf.get(
+                    "percents", (25.0, 50.0, 75.0, 95.0, 99.0)
+                ):
+                    cols.append(
+                        F.percentile(v, F.lit(float(pv) / 100.0)).alias(
+                            f"p{float(pv):g}".replace(".", "_")
+                        )
+                    )
+                aggs[name] = at.groupBy("query_id").agg(*cols)
+            else:
+                raise NotImplementedError(
+                    f"aggregation '{akind}' over a runtime field "
+                    "(metrics/histogram/percentiles)"
+                )
+            continue
         if akind == "global":
             # global bucket: sub-aggregations computed over the WHOLE
             # live corpus regardless of the body's query — compiled as
@@ -1066,7 +1192,7 @@ def search(
             named = {
                 bname: bool_tree_match(
                     spark, index_dir, {"bool": {"filter": [fq]}},
-                    corpus_path,
+                    corpus_path, runtime=_rt,
                 ).select("ord")
                 for bname, fq in aconf["filters"].items()
             }
@@ -1708,7 +1834,7 @@ def search(
             for bname, fq in aconf["filters"].items():
                 m = bool_tree_match(
                     spark, index_dir, {"bool": {"filter": [fq]}},
-                    corpus_path,
+                    corpus_path, runtime=_rt,
                 ).select("ord")
                 parts.append(
                     agg_matched.join(m, "ord")
@@ -1774,7 +1900,8 @@ def search(
         import os as _os
 
         rsm = bool_tree_match(
-            spark, index_dir, conf["rescore_query"], corpus_path
+            spark, index_dir, conf["rescore_query"], corpus_path,
+            runtime=_rt,
         )
         ident = spark.read.parquet(
             _os.path.join(index_dir, "docs")
@@ -1855,7 +1982,7 @@ def search(
 
             total = (
                 bool_tree_match(
-                    spark, index_dir, tree_node, corpus_path
+                    spark, index_dir, tree_node, corpus_path, runtime=_rt
                 )
                 .select(F.lit(query_id).cast("long").alias("query_id"))
                 .groupBy("query_id")
@@ -1942,6 +2069,15 @@ def search(
     if body.get("docvalue_fields") and hits is not None:
         hits = _attach_docvalue_fields(
             spark, index_dir, hits, body["docvalue_fields"]
+        )
+    if body.get("fields") and hits is not None:
+        # the `fields` retrieval param: same sidecar attach as
+        # docvalue_fields (this engine's stored fields ARE the
+        # doc-values); entries may be strings or {"field": name}
+        hits = _attach_docvalue_fields(
+            spark, index_dir, hits,
+            [f["field"] if isinstance(f, dict) else f
+             for f in body["fields"]],
         )
 
     return DSLResult(hits, aggs, sugg, explanation=explanation, total=total)

@@ -2515,3 +2515,77 @@ def test_normalize_moving_percentiles_and_sibling_stats(
           for r in res.aggregations["pb"].collect()}
     for p in (25.0, 50.0, 75.0):
         assert pb[p] == pytest.approx(float(np.percentile(c, p)))
+
+
+def test_runtime_mappings(spark, dv_index, dv_corpus):
+    """runtime_mappings: per-query derived fields compiled onto the
+    doc-values sidecar — range filter leaves inside a bool tree, a
+    top-level filter query, and metric/histogram/percentiles aggs,
+    all recomputed in pandas from the same expression."""
+    import numpy as np
+
+    rt = {
+        "chars_k": {
+            "type": "double",
+            "script": {
+                "source": "emit(doc['n_chars'].value / params.d)",
+                "params": {"d": 1000.0},
+            },
+        },
+    }
+    pdf = pd.read_parquet(dv_corpus)
+    ck = pdf["n_chars"].to_numpy(dtype=float) / 1000.0
+
+    res = search(
+        spark, dv_index,
+        {"query": {"range": {"chars_k": {"gte": 20.0, "lt": 40.0}}},
+         "runtime_mappings": rt, "size": 0, "track_total_hits": True},
+        corpus_path=dv_corpus,
+    )
+    (trow,) = res.total.collect()
+    assert trow["total_hits"] == int(((ck >= 20.0) & (ck < 40.0)).sum())
+
+    res2 = search(
+        spark, dv_index,
+        {"query": {"bool": {"must": [
+            {"match": {"content": "gunaba"}},
+        ], "filter": [
+            {"range": {"chars_k": {"gte": 5.0}}},
+        ]}},
+         "runtime_mappings": rt, "size": 10**6},
+        corpus_path=dv_corpus,
+    )
+    assert res2.hits.count() > 0  # the leaf compiled inside the tree
+
+    res3 = search(
+        spark, dv_index,
+        {"query": {"range": {"n_chars": {"gte": 20000}}},
+         "runtime_mappings": rt,
+         "aggs": {
+             "st": {"stats": {"field": "chars_k"}},
+             "h": {"histogram": {"field": "chars_k", "interval": 5.0}},
+             "p": {"percentiles": {"field": "chars_k",
+                                   "percents": [50.0]}},
+         }},
+        corpus_path=dv_corpus,
+    )
+    sel = ck[pdf["n_chars"].to_numpy() >= 20000]
+    (st,) = res3.aggregations["st"].collect()
+    assert st["n"] == len(sel)
+    assert st["avg_v"] == pytest.approx(sel.mean())
+    assert st["min_v"] == pytest.approx(sel.min())
+    hist = {r["key"]: r["doc_count"]
+            for r in res3.aggregations["h"].collect()}
+    want = pd.Series(np.floor(sel / 5.0) * 5.0).value_counts().to_dict()
+    assert hist == want
+    (prow,) = res3.aggregations["p"].collect()
+    assert prow["p50"] == pytest.approx(float(np.percentile(sel, 50)))
+
+    with pytest.raises(NotImplementedError):
+        search(
+            spark, dv_index,
+            {"query": {"range": {"n_chars": {"gte": 20000}}},
+             "runtime_mappings": rt,
+             "aggs": {"c": {"cardinality": {"field": "chars_k"}}}},
+            corpus_path=dv_corpus,
+        )
