@@ -3771,6 +3771,64 @@ def dsl_runtime_fields(spark, sf_dir):
     return out
 
 
+def dsl_script_fields_lookup(spark, sf_dir):
+    """script_fields (per-hit derived values through the
+    runtime-field painless-lite compiler, joined onto the k-bounded
+    hit page) + the terms-lookup rewrite (values fetched from another
+    indexed doc by stored _id — the driver-side GET OpenSearch itself
+    performs — then compiled as a literal terms leaf). Long format
+    (agg, key, val): top-10 'data merge' hits re-ranked by original
+    doc_id carry half-n_chars script values; the lookup query counts
+    docs sharing doc 7's lang. The oracle recomputes BM25, the
+    derived value, and the lookup join in SQL."""
+    import os as _os
+
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}}, "size": 50,
+         "script_fields": {"half": {"script": {
+             "source": "emit(doc['n_chars'].value / 2)",
+         }}}},
+        corpus_path=cpath,
+    )
+    docs = spark.read.parquet(_os.path.join(idx, "docs")).select(
+        "doc_id", "path"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(F.col("path").cast("long"))
+    )
+    sf = (
+        res.hits.join(docs, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.lit("sf").alias("agg"),
+            F.concat_ws(
+                "|", F.col("rnk").cast("string"), F.col("path")
+            ).alias("key"),
+            F.col("half").alias("val"),
+        )
+    )
+    lk_id = docs.where(F.col("path") == "7").collect()[0]["doc_id"]
+    lres = dsl_search(
+        spark, idx,
+        {"query": {"terms": {"lang": {
+            "index": idx, "id": int(lk_id), "path": "lang",
+        }}}, "size": 0, "track_total_hits": True},
+        corpus_path=cpath,
+    )
+    lk = lres.total.select(
+        F.lit("lk").alias("agg"), F.lit("*").alias("key"),
+        F.col("total_hits").cast("double").alias("val"),
+    )
+    return sf.unionByName(lk)
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6476,6 +6534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested_docs": dsl_nested_docs,
         "dsl_pipeline_aggs2": dsl_pipeline_aggs2,
         "dsl_runtime_fields": dsl_runtime_fields,
+        "dsl_script_fields_lookup": dsl_script_fields_lookup,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -10060,6 +10119,45 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_script_fields_lookup"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q JOIN dfreq d USING (term) JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score
+        FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT t.query_id, t.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY t.query_id ORDER BY t.score DESC, t.doc_id
+         ) AS rnk
+  FROM tot t JOIN documents d USING (doc_id)
+),
+lk AS (
+  SELECT count(*) AS n FROM documents
+  WHERE lang = (SELECT lang FROM documents WHERE doc_id = 7)
+)
+SELECT 'sf' AS agg,
+       CAST(rnk AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_chars AS DOUBLE) / 2 AS val
+FROM ranked WHERE rnk <= 10
+UNION ALL
+SELECT 'lk', '*', CAST(n AS DOUBLE) FROM lk
 """
     sql["dsl_runtime_fields"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -176,6 +176,61 @@ class DSLResult:
         self.total = total
 
 
+def _resolve_terms_lookup(spark, node):
+    """OpenSearch terms-lookup ({"terms": {field: {"index", "id",
+    "path"}}}): fetch the lookup document's field values once on the
+    driver — the same GET OpenSearch itself performs before rewriting
+    — and replace the leaf with a literal terms list. One 1-row
+    ord-join per lookup leaf, request-bounded; the rewritten tree
+    then compiles like any other terms leaf."""
+    import os as _os
+
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k == "terms" and isinstance(v, dict) and len(v) == 1:
+            ((f, spec),) = v.items()
+            if isinstance(spec, dict) and "index" in spec:
+                idx = spec["index"]
+                did = int(spec["id"])
+                path = spec["path"]
+                docs = (
+                    spark.read.parquet(_os.path.join(idx, "docs"))
+                    .select("ord", "doc_id")
+                    .where(F.col("doc_id") == did)
+                )
+                dv = spark.read.parquet(
+                    _os.path.join(idx, "docvalues")
+                )
+                if path not in dv.columns:
+                    raise NotImplementedError(
+                        f"terms lookup path '{path}' not in the "
+                        "lookup index's doc-values sidecar"
+                    )
+                row = docs.join(dv, "ord").select(path).collect()
+                vals: list = []
+                if row and row[0][0] is not None:
+                    v0 = row[0][0]
+                    vals = (
+                        list(v0) if isinstance(v0, (list, tuple))
+                        else [v0]
+                    )
+                out[k] = {f: vals}
+                continue
+        if isinstance(v, dict):
+            out[k] = _resolve_terms_lookup(spark, v)
+        elif isinstance(v, list):
+            out[k] = [
+                _resolve_terms_lookup(spark, x)
+                if isinstance(x, dict) else x
+                for x in v
+            ]
+        else:
+            out[k] = v
+    return out
+
+
 def _field_arg(spec):
     """{'field': 'x'} or {'field': {'query'|'value': 'x', ...}} ->
     (text, options)."""
@@ -270,6 +325,11 @@ def search(
         # the final page is cut
         k = max(k, int(body["rescore"].get("window_size", 10)))
     node = body.get("query", {"match_all": {}})
+    if '"index"' in repr(node) or "'index'" in repr(node):
+        # a terms-lookup leaf may hide anywhere in the tree; the
+        # rewrite walk is cheap and fires only on dict specs carrying
+        # an "index" key
+        node = _resolve_terms_lookup(spark, node)
     # runtime_mappings: per-query derived fields compiled onto the
     # doc-values sidecar (booltree.runtime_field_col) — usable as
     # range/term/terms/exists filter leaves anywhere a tree compiles,
@@ -2079,6 +2139,42 @@ def search(
             [f["field"] if isinstance(f, dict) else f
              for f in body["fields"]],
         )
+    if body.get("script_fields") and hits is not None:
+        # script_fields: per-hit derived values — the same
+        # painless-lite compiler runtime fields use, evaluated on the
+        # sidecar and joined onto the k-bounded hit page
+        import os as _os
+
+        from .booltree import runtime_field_col
+
+        dv = spark.read.parquet(_os.path.join(index_dir, "docvalues"))
+        cols = ["ord"]
+        proj = dv
+        for fname, conf in body["script_fields"].items():
+            proj = proj.withColumn(
+                fname,
+                runtime_field_col(
+                    {"type": "double", "script": conf.get("script", conf)},
+                    set(dv.columns),
+                ),
+            )
+            cols.append(fname)
+        proj = proj.select(*cols)
+        if "ord" in hits.columns:
+            hits = hits.join(proj, "ord", "left")
+        elif "doc_id" in hits.columns:
+            docs = spark.read.parquet(
+                _os.path.join(index_dir, "docs")
+            ).select("doc_id", "ord")
+            hits = (
+                hits.join(docs, "doc_id", "left")
+                .join(proj, "ord", "left")
+                .drop("ord")
+            )
+        else:
+            raise NotImplementedError(
+                "script_fields on a hit frame without ord/doc_id"
+            )
 
     return DSLResult(hits, aggs, sugg, explanation=explanation, total=total)
 

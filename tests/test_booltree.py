@@ -2589,3 +2589,53 @@ def test_runtime_mappings(spark, dv_index, dv_corpus):
              "aggs": {"c": {"cardinality": {"field": "chars_k"}}}},
             corpus_path=dv_corpus,
         )
+
+
+def test_script_fields_and_terms_lookup(spark, dv_index, dv_corpus):
+    """script_fields (per-hit derived values via the runtime-field
+    compiler) and the terms-lookup rewrite (values fetched from
+    another doc, driver-side GET then literal leaf)."""
+    res = search(
+        spark, dv_index,
+        {"query": {"match": {"content": "gunaba"}},
+         "script_fields": {
+             "half": {"script": {
+                 "source": "emit(doc['n_chars'].value / 2)",
+             }},
+         }},
+        corpus_path=dv_corpus,
+    )
+    pdf = pd.read_parquet(dv_corpus)
+    byid = dict(zip(pdf["path"], pdf["content"].str.len()))
+    ident = {
+        r["doc_id"]: r["path"]
+        for r in spark.read.parquet(
+            os.path.join(dv_index, "docs")
+        ).select("doc_id", "path").collect()
+    }
+    rows = res.hits.collect()
+    assert rows and all(
+        r["half"] == pytest.approx(byid[ident[r["doc_id"]]] / 2)
+        for r in rows
+    )
+
+    # terms lookup: use the dv_index itself as the lookup index — the
+    # doc's `lang` value becomes the terms list
+    some = spark.read.parquet(
+        os.path.join(dv_index, "docs")
+    ).select("doc_id", "ord").limit(1).collect()[0]
+    dvpdf = spark.read.parquet(
+        os.path.join(dv_index, "docvalues")
+    ).where(F.col("ord") == some["ord"]).collect()[0]
+    res2 = search(
+        spark, dv_index,
+        {"query": {"terms": {"lang": {
+            "index": dv_index, "id": int(some["doc_id"]),
+            "path": "lang",
+        }}}, "size": 10**6, "track_total_hits": True},
+        corpus_path=dv_corpus,
+    )
+    (t,) = res2.total.collect()
+    assert t["total_hits"] == int(
+        (pdf["lang"] == dvpdf["lang"]).sum()
+    )
