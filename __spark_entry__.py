@@ -3829,6 +3829,55 @@ def dsl_script_fields_lookup(spark, sf_dir):
     return sf.unionByName(lk)
 
 
+def dsl_cumulative_cardinality(spark, sf_dir):
+    """Per-bucket cardinality + cumulative_cardinality under a
+    histogram (round-5 continuation): the running distinct count is
+    EXACT via the first-seen-bucket trick — min(bucket) per value,
+    count the debuts per bucket, one running-sum window over the
+    bucket frame (never a per-bucket re-scan of earlier buckets; at
+    scale the debut frame is value-cardinality-sized). Long format
+    (agg, key, val); the oracle replays the debut counting in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}}, "size": 0,
+         "aggs": {"hist": {
+             "histogram": {"field": "n_chars", "interval": 100},
+             "aggs": {
+                 "langs": {"cardinality": {"field": "lang"}},
+                 "cum": {"cumulative_cardinality": {
+                     "buckets_path": "langs",
+                 }},
+             },
+         }}},
+        corpus_path=cpath,
+    )
+    hist = res.aggregations["hist"]
+    key = F.col("key").cast("long").cast("string")
+    parts = [
+        hist.select(
+            F.lit("count").alias("agg"), key.alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        hist.select(
+            F.lit("langs").alias("agg"), key.alias("key"),
+            F.col("langs").cast("double").alias("val"),
+        ),
+        hist.select(
+            F.lit("cum").alias("agg"), key.alias("key"),
+            F.col("cum").cast("double").alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6535,6 +6584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_pipeline_aggs2": dsl_pipeline_aggs2,
         "dsl_runtime_fields": dsl_runtime_fields,
         "dsl_script_fields_lookup": dsl_script_fields_lookup,
+        "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -10119,6 +10169,42 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_cumulative_cardinality"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, lang, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.lang, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+sel AS (
+  SELECT doc_id, lang,
+         CAST(floor(n_chars / 100) * 100 AS BIGINT) AS k
+  FROM matched
+),
+hist AS (
+  SELECT k, count(*) AS c, count(DISTINCT lang) AS nl
+  FROM sel GROUP BY k
+),
+debut AS (
+  SELECT k, count(*) AS n
+  FROM (SELECT lang, min(k) AS k FROM sel GROUP BY lang)
+  GROUP BY k
+),
+cum AS (
+  SELECT h.k, h.c, h.nl,
+         sum(coalesce(d.n, 0)) OVER (ORDER BY h.k) AS cc
+  FROM hist h LEFT JOIN debut d ON d.k = h.k
+)
+SELECT 'count' AS agg, CAST(k AS VARCHAR) AS key,
+       CAST(c AS DOUBLE) AS val FROM cum
+UNION ALL SELECT 'langs', CAST(k AS VARCHAR), CAST(nl AS DOUBLE) FROM cum
+UNION ALL SELECT 'cum', CAST(k AS VARCHAR), CAST(cc AS DOUBLE) FROM cum
 """
     sql["dsl_script_fields_lookup"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -701,6 +701,20 @@ def search(
                 vectors, qdf_v, k=kk, vec_col=field,
                 nbits=int(conf.get("nbits", 8)), dim=len(vec),
             )
+        elif conf.get("method") == "hnsw":
+            # graph-based ANN: build (or reuse) the layered neighbor
+            # table, then fixed-schedule beam search — the OpenSearch
+            # k-NN plugin's HNSW method analog
+            from ..datapipe.hnsw import hnsw_build, hnsw_topk
+
+            edges = hnsw_build(
+                vectors, vec_col=field, dim=len(vec),
+                m_edges=int(conf.get("m", 8)),
+            )
+            hits = hnsw_topk(
+                vectors, edges, qdf_v, k=kk, vec_col=field,
+                beam=int(conf.get("ef_search", 16)),
+            )
         else:
             hits = cosine_topk(vectors, qdf_v, k=kk, vec_col=field)
     elif kind == "ids":
@@ -1101,10 +1115,15 @@ def search(
             from . import aggs as agg_exec
 
             mets, pipes, bsort = [], [], None
+            cards, cumcards = [], []
             for nname, n in nested.items():
                 ((nkind, nconf),) = n.items()
                 if nkind in _METRIC_SUBAGGS:
                     mets.append((nname, nkind, nconf["field"]))
+                elif nkind == "cardinality":
+                    cards.append((nname, nconf["field"]))
+                elif nkind == "cumulative_cardinality":
+                    cumcards.append((nname, nconf["buckets_path"]))
                 elif nkind in (
                     "cumulative_sum", "derivative", "serial_diff",
                     "moving_fn", "normalize", "moving_percentiles",
@@ -1139,6 +1158,71 @@ def search(
                 hist = _densify_histogram(
                     hist, aconf, query_id,
                 )
+            if cards or cumcards:
+                # per-bucket cardinality: one distinct-count grouped
+                # pass per field; cumulative_cardinality: EXACT
+                # running distinct count via the first-seen-bucket
+                # trick — min(bucket) per value, count the debuts per
+                # bucket, running-sum over the ordered frame (never a
+                # per-bucket re-scan of all earlier buckets)
+                card_fields = dict(cards)
+                for cname, cfield in cards:
+                    at2 = agg_exec.attributed_fields(
+                        spark, index_dir, corpus_path, mq,
+                        [aconf["field"], cfield], matched=agg_matched,
+                    )
+                    k2 = agg_exec.histogram_key(
+                        F.col(aconf["field"]),
+                        aconf.get("interval"),
+                        aconf.get("calendar_interval"),
+                    )
+                    pb = (
+                        at2.groupBy("query_id", k2.alias("key"))
+                        .agg(F.count_distinct(F.col(cfield)).alias(cname))
+                    )
+                    hist = hist.join(pb, ["query_id", "key"], "left")
+                for ccname, ccpath in cumcards:
+                    if ccpath not in card_fields:
+                        raise NotImplementedError(
+                            f"cumulative_cardinality buckets_path "
+                            f"'{ccpath}' must name a sibling "
+                            "cardinality sub-aggregation"
+                        )
+                    cfield = card_fields[ccpath]
+                    at2 = agg_exec.attributed_fields(
+                        spark, index_dir, corpus_path, mq,
+                        [aconf["field"], cfield], matched=agg_matched,
+                    )
+                    k2 = agg_exec.histogram_key(
+                        F.col(aconf["field"]),
+                        aconf.get("interval"),
+                        aconf.get("calendar_interval"),
+                    )
+                    debut = (
+                        at2.select(
+                            "query_id", k2.alias("key"),
+                            F.col(cfield).alias("__v"),
+                        )
+                        .groupBy("query_id", "__v")
+                        .agg(F.min("key").alias("key"))
+                        .groupBy("query_id", "key")
+                        .agg(F.count("*").alias("__new"))
+                    )
+                    hist = (
+                        hist.join(debut, ["query_id", "key"], "left")
+                        .fillna(0, subset=["__new"])
+                        .withColumn(
+                            ccname,
+                            F.sum("__new").over(
+                                Window.partitionBy("query_id")
+                                .orderBy(F.asc("key"))
+                                .rowsBetween(
+                                    Window.unboundedPreceding, 0
+                                )
+                            ),
+                        )
+                        .drop("__new")
+                    )
             if pipes:
                 hist = agg_exec.bucket_pipeline(hist, "key", pipes)
             if bsort is not None:

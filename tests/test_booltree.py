@@ -2639,3 +2639,38 @@ def test_script_fields_and_terms_lookup(spark, dv_index, dv_corpus):
     assert t["total_hits"] == int(
         (pdf["lang"] == dvpdf["lang"]).sum()
     )
+
+
+def test_cardinality_and_cumulative_cardinality_under_histogram(
+    spark, dv_index, dv_corpus
+):
+    """per-bucket cardinality + cumulative_cardinality (exact running
+    distinct via first-seen-bucket debuts) under a histogram,
+    recomputed in pandas."""
+    res = search(
+        spark, dv_index,
+        {"query": {"range": {"n_chars": {"gte": 15000}}},
+         "aggs": {"hist": {
+             "histogram": {"field": "n_chars", "interval": 10000},
+             "aggs": {
+                 "langs": {"cardinality": {"field": "lang"}},
+                 "cum": {"cumulative_cardinality": {
+                     "buckets_path": "langs",
+                 }},
+             },
+         }}},
+        corpus_path=dv_corpus,
+    )
+    pdf = pd.read_parquet(dv_corpus)
+    sel = pdf[pdf["n_chars"] >= 15000].copy()
+    sel["key"] = sel["n_chars"] // 10000 * 10000
+    rows = sorted(
+        res.aggregations["hist"].collect(), key=lambda r: r["key"]
+    )
+    seen: set = set()
+    for r in rows:
+        grp = sel[sel["key"] == r["key"]]
+        assert r["langs"] == grp["lang"].nunique()
+        seen |= set(grp["lang"])
+        assert r["cum"] == len(seen)
+    assert rows[-1]["cum"] == sel["lang"].nunique()

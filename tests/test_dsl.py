@@ -694,6 +694,15 @@ def test_knn_query_routes_to_similarity(spark, index_dir, tmp_path):
     ).hits.collect()
     assert sorted(lsh, key=lambda r: r.rank)[0].vec_id == 17
 
+    hnsw = search(
+        spark, index_dir,
+        {"query": {"knn": {"embedding": {
+            "vector": qvec, "k": 5, "method": "hnsw",
+            "ef_search": 12}}}},
+        vectors_path=vpath,
+    ).hits.collect()
+    assert sorted(hnsw, key=lambda r: r.rank)[0].vec_id == 17
+
 
 def test_suggest_block_routes(spark, index_dir):
     """`suggest` body block -> query.suggest: term (did-you-mean) and
