@@ -156,7 +156,7 @@ def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
     from pyspark.sql import functions as F
 
     from ..index.build import BuildConfig, build_index
-    from ..streaming.pipeline import _next_seq
+    from ..streaming.pipeline import next_delta_seq
 
     bulk_dir = os.path.join(spool_dir, "bulk")
     files = sorted(
@@ -186,7 +186,7 @@ def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
     n_indexed = docs.count()
     delta_dir = None
     if n_indexed:
-        seq = _next_seq(index_root)
+        seq = next_delta_seq(index_root)
         delta_dir = os.path.join(index_root, f"delta={seq}")
         staging = os.path.join(delta_dir, "_staging_corpus")
         docs.write.mode("overwrite").parquet(staging)
@@ -226,3 +226,88 @@ def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
         "deleted": int(n_deleted),
         "delta_dir": delta_dir,
     }
+
+
+def update_by_query(
+    spark, index_root: str, query: str, transform, cfg=None
+) -> dict:
+    """`_update_by_query` over a delta-tree store: every doc matching
+    the disjunctive free-text query — across EVERY delta — is
+    re-indexed as its transformed version in ONE new delta and the
+    original is tombstoned in place: Lucene's update mechanism
+    (update = delete + reindex a new version), with the
+    (repo, path, commit) identity — the _id — preserved so queries
+    resolve to exactly one live version.
+
+    `transform(df) -> df` maps the matched corpus rows (the deltas'
+    staged-corpus columns) to their updated form; content_sha256 is
+    recomputed engine-side afterwards (the build's per-row invariant)
+    so a transform cannot smuggle a stale hash.
+
+    Ordering: the new delta is built BEFORE the originals are
+    tombstoned — a crash in between leaves both versions visible
+    (a duplicate, never data loss), and a re-run converges because
+    the match set anti-joins tombstones.
+
+    Scale shape: per delta, one bucket-pruned ids-only postings match
+    + one identity join against the skinny docs table; the rebuild
+    covers ONLY matched docs; tombstone appends are
+    matched-set-sized. No unmatched posting is ever rewritten —
+    updating 1% of a 10^12-doc tree builds a 10^10-doc delta and
+    writes 10^10 skinny tombstone rows, zero other bytes.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import fsio
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import _match_set, load_stats, query_terms
+    from ..streaming.pipeline import next_delta_seq
+
+    deltas = [
+        p for p in fsio.listdir(index_root)
+        if os.path.basename(p.rstrip("/")).startswith("delta=")
+    ]
+    if not deltas:
+        raise ValueError(f"no delta=* indexes under {index_root}")
+    seq = next_delta_seq(index_root)
+    q = spark.createDataFrame([(0, query)], "query_id long, query string")
+    matched_rows = None
+    tomb = []
+    for d in sorted(deltas):
+        stats = load_stats(d)
+        qt = query_terms(spark, d, q, stats["n_docs"], stats=stats).select(
+            "query_id", "term_id", "idf", "bucket"
+        )
+        m = _match_set(spark, d, qt).select("ord").distinct()
+        ident = spark.read.parquet(os.path.join(d, "docs")).select(
+            "ord", "repo", "path", "commit"
+        )
+        hit = m.join(ident, "ord")
+        staged = spark.read.parquet(os.path.join(d, "_staging_corpus"))
+        rows = staged.join(
+            hit.select("repo", "path", "commit"),
+            ["repo", "path", "commit"],
+        )
+        matched_rows = (
+            rows if matched_rows is None else matched_rows.unionByName(rows)
+        )
+        tomb.append((d, m))
+    out = transform(matched_rows)
+    out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    out = out.persist()
+    n = out.count()
+    if n == 0:
+        out.unpersist()
+        return {"updated": 0, "delta_dir": None}
+    delta_dir = os.path.join(index_root, f"delta={seq}")
+    staging = os.path.join(delta_dir, "_staging_corpus")
+    out.write.mode("overwrite").parquet(staging)
+    build_index(
+        spark, staging, delta_dir,
+        cfg or BuildConfig(n_buckets=8, hot_group_target=10_000),
+    )
+    for d, m in tomb:
+        if m.take(1):
+            m.write.mode("append").parquet(os.path.join(d, "tombstones"))
+    out.unpersist()
+    return {"updated": int(n), "delta_dir": delta_dir}

@@ -232,6 +232,27 @@ def maybe_compact(
     return stats
 
 
+def next_delta_seq(index_root: str) -> int:
+    """Next free NUMERIC delta sequence: one past the highest existing
+    delta number, counting BOTH plain `delta=N` dirs (streaming
+    epochs, bulk applies) and compacted `delta=cN` dirs — so a new
+    delta can never collide with or clobber an existing one
+    regardless of which writer produced it. (_next_seq below is the
+    compaction-name counter; it deliberately reads only cN names.)"""
+    from .. import fsio
+
+    seq = 0
+    for d in fsio.listdir(index_root):
+        base = fsio.basename(d.rstrip("/"))
+        if not base.startswith("delta="):
+            continue
+        name = base.split("=", 1)[1]
+        num = name[1:] if name.startswith("c") else name
+        if num.isdigit():
+            seq = max(seq, int(num) + 1)
+    return seq
+
+
 def _next_seq(index_root: str) -> int:
     from .. import fsio
 

@@ -139,3 +139,120 @@ def test_bulk_endpoint_and_delta_lifecycle(spark, tmp_path):
 
         stats = _json.loads(open(f"{out}/stats.json").read())
         assert stats["n_docs"] == 3  # 4 indexed - 1 deleted
+
+
+def _spool_and_apply(spark, tmp_path, root, tag, lines):
+    import os
+
+    spool = str(tmp_path / f"spool_{tag}" / "bulk")
+    os.makedirs(spool, exist_ok=True)
+    with open(os.path.join(spool, "0.ndjson"), "w") as f:
+        for ln in lines:
+            f.write(json.dumps(ln) + "\n")
+    return bulk_apply(spark, str(tmp_path / f"spool_{tag}"), root)
+
+
+def test_second_bulk_apply_gets_a_fresh_delta(spark, tmp_path):
+    """Regression: delta naming must count plain delta=N dirs — a
+    second apply with index ops must NOT reuse (and clobber)
+    delta=0."""
+    import os
+
+    from data_prepper_spark.index.query import topk_deltas
+
+    root = str(tmp_path / "root")
+    r1 = _spool_and_apply(spark, tmp_path, root, "a", [
+        {"op": "index", "index": "logs", "id": "1",
+         "content": "alpha bravo", "doc_json": None},
+    ])
+    r2 = _spool_and_apply(spark, tmp_path, root, "b", [
+        {"op": "index", "index": "logs", "id": "2",
+         "content": "charlie delta", "doc_json": None},
+    ])
+    assert r1["delta_dir"] != r2["delta_dir"]
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("delta=")
+    ) == ["delta=0", "delta=1"]
+    q = spark.createDataFrame(
+        [(0, "alpha"), (1, "charlie")], "query_id long, query string"
+    )
+    hits = topk_deltas(spark, root, q, k=5).collect()
+    assert {r["query_id"] for r in hits} == {0, 1}  # both docs live
+
+
+def test_update_by_query(spark, tmp_path):
+    """_update_by_query over the delta tree: matched docs re-index as
+    transformed versions in ONE new delta, originals tombstone in
+    place, _id preserved; unmatched docs untouched; sha256 recomputed
+    engine-side."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from data_prepper_spark.index.query import topk_deltas
+    from data_prepper_spark.sources.bulk_api import update_by_query
+
+    root = str(tmp_path / "uroot")
+    _spool_and_apply(spark, tmp_path, root, "u1", [
+        {"op": "index", "index": "logs", "id": "1",
+         "content": "alpha bravo common", "doc_json": None},
+        {"op": "index", "index": "logs", "id": "2",
+         "content": "charlie delta common", "doc_json": None},
+    ])
+    _spool_and_apply(spark, tmp_path, root, "u2", [
+        {"op": "index", "index": "logs", "id": "3",
+         "content": "alpha echo common", "doc_json": None},
+    ])
+
+    res = update_by_query(
+        spark, root, "alpha",
+        lambda df: df.withColumn(
+            "content", F.regexp_replace("content", "alpha", "omega")
+        ),
+    )
+    assert res["updated"] == 2
+    assert os.path.basename(res["delta_dir"]) == "delta=2"
+
+    def ids(q):
+        qs = spark.createDataFrame(
+            [(0, q)], "query_id long, query string"
+        )
+        return sorted(
+            r["path"] for r in topk_deltas(spark, root, qs, k=10)
+            .join(
+                _all_docs(spark, root), ["doc_id"]
+            ).select("path").collect()
+        )
+
+    def _all_docs(spark, root):
+        parts = None
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("delta="):
+                continue
+            dd = spark.read.parquet(
+                os.path.join(root, d, "docs")
+            ).select("doc_id", "path")
+            parts = dd if parts is None else parts.unionByName(dd)
+        return parts.dropDuplicates(["doc_id"])
+
+    assert ids("omega") == ["1", "3"]      # updated versions live
+    assert ids("alpha") == []              # originals tombstoned
+    assert ids("charlie") == ["2"]         # unmatched doc untouched
+    # _id (path) preserved, content_sha256 recomputed
+    new_rows = spark.read.parquet(
+        os.path.join(res["delta_dir"], "_staging_corpus")
+    ).collect()
+    import hashlib
+    for r in new_rows:
+        assert "omega" in r["content"]
+        assert r["content_sha256"] == hashlib.sha256(
+            r["content"].encode()
+        ).hexdigest()
+    # idempotent-converging: re-running the same update matches 0 docs
+    res2 = update_by_query(
+        spark, root, "alpha",
+        lambda df: df.withColumn(
+            "content", F.regexp_replace("content", "alpha", "omega")
+        ),
+    )
+    assert res2["updated"] == 0
