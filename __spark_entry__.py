@@ -3878,6 +3878,64 @@ def dsl_cumulative_cardinality(spark, sf_dir):
     return out
 
 
+def update_by_query_roundtrip(spark, sf_dir):
+    """_update_by_query over a delta tree (sources/bulk_api.py): the
+    documents corpus splits into two deltas (doc_id parity), every
+    doc matching token 'data' re-indexes as a regexp-transformed new
+    version ('data' -> 'datum') in ONE new delta while the originals
+    tombstone in place (_id preserved; content_sha256 recomputed
+    engine-side). Long format (agg, key, val): the updated count plus
+    post-update live-match counts for both tokens via topk_deltas
+    (which anti-joins per-delta tombstones). The oracle replays the
+    token match, the regexp transform, and the post-update
+    re-tokenization in SQL."""
+    import os as _os
+    import tempfile as _tf
+
+    from data_prepper_spark.index.build import BuildConfig, build_index
+    from data_prepper_spark.index.query import topk_deltas
+    from data_prepper_spark.sources.bulk_api import update_by_query
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        (F.col("doc_id") % 2).alias("__half"),
+    )
+    root = _tf.mkdtemp(prefix="dps_ubq_")
+    cfg = BuildConfig(n_buckets=4, hot_group_target=5000)
+    for half in (0, 1):
+        delta = _os.path.join(root, f"delta={half}")
+        staging = _os.path.join(delta, "_staging_corpus")
+        corpus.where(F.col("__half") == half).drop("__half").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        build_index(spark, staging, delta, cfg)
+    res = update_by_query(
+        spark, root, "data",
+        lambda df: df.withColumn(
+            "content", F.regexp_replace("content", "data", "datum")
+        ),
+        cfg=cfg,
+    )
+
+    def _live(tok):
+        qs = spark.createDataFrame(
+            [(0, tok)], "query_id long, query string"
+        )
+        return topk_deltas(spark, root, qs, k=100000).count()
+
+    rows = [
+        ("updated", "*", float(res["updated"])),
+        ("old_hits", "*", float(_live("data"))),
+        ("new_hits", "*", float(_live("datum"))),
+    ]
+    return spark.createDataFrame(rows, "agg string, key string, val double")
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6585,6 +6643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_runtime_fields": dsl_runtime_fields,
         "dsl_script_fields_lookup": dsl_script_fields_lookup,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
+        "update_by_query_roundtrip": update_by_query_roundtrip,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -10169,6 +10228,33 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["update_by_query_roundtrip"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+  ) WHERE term = 'data'
+),
+newdocs AS (
+  SELECT d.doc_id,
+         CASE WHEN m.doc_id IS NOT NULL
+              THEN regexp_replace(d.text, 'data', 'datum', 'g')
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN matched m USING (doc_id)
+),
+tok_new AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM newdocs
+)
+SELECT 'updated' AS agg, '*' AS key,
+       CAST((SELECT count(*) FROM matched) AS DOUBLE) AS val
+UNION ALL
+SELECT 'old_hits', '*',
+  CAST(count(DISTINCT doc_id) AS DOUBLE)
+FROM tok_new WHERE term = 'data'
+UNION ALL
+SELECT 'new_hits', '*',
+  CAST(count(DISTINCT doc_id) AS DOUBLE)
+FROM tok_new WHERE term = 'datum'
 """
     sql["dsl_cumulative_cardinality"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
