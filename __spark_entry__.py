@@ -3936,6 +3936,43 @@ def update_by_query_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, "agg string, key string, val double")
 
 
+def dsl_collapse_inner_hits(spark, sf_dir):
+    """collapse + inner_hits (round-5 continuation): each collapsed
+    group on the returned page carries its own top-2 hits from the
+    SAME per-group window top_hits_facet runs, semi-joined to the
+    k-bounded page. Long format keyed on (lang, hit_rank) with
+    rounded scores — rank-within-ties is identity-free so duplicate
+    docs cannot flip the hash. The oracle recomputes BM25, the
+    per-group ranking, and the group sizes in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}},
+         "collapse": {"field": "lang", "inner_hits": {"size": 2}}},
+        corpus_path=cpath,
+    )
+    page = res.hits.select(
+        F.lit("page").alias("agg"), F.col("lang").alias("key"),
+        F.round("score", 6).alias("val"),
+    )
+    ih = res.inner_hits.select(
+        F.lit("ih").alias("agg"),
+        F.concat_ws(
+            "|", "lang", F.col("hit_rank").cast("string")
+        ).alias("key"),
+        F.round("score", 6).alias("val"),
+    )
+    cnt = res.inner_hits.select(
+        F.lit("cnt").alias("agg"), F.col("lang").alias("key"),
+        F.col("doc_count").cast("double").alias("val"),
+    ).distinct()
+    return page.unionByName(ih).unionByName(cnt)
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6644,6 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_script_fields_lookup": dsl_script_fields_lookup,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
         "update_by_query_roundtrip": update_by_query_roundtrip,
+        "dsl_collapse_inner_hits": dsl_collapse_inner_hits,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -10228,6 +10266,56 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_collapse_inner_hits"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS part
+  FROM q JOIN dfreq d USING (term) JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+tot AS (SELECT query_id, doc_id, sum(part) AS score
+        FROM scored GROUP BY 1, 2),
+attributed AS (
+  SELECT t.query_id, t.doc_id, t.score, d.lang
+  FROM tot t JOIN documents d USING (doc_id)
+),
+grp AS (
+  SELECT lang, score,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id
+         ) AS hit_rank,
+         count(*) OVER (PARTITION BY lang) AS doc_count
+  FROM attributed
+),
+best AS (
+  SELECT lang, score,
+         row_number() OVER (ORDER BY score DESC, lang) AS page_rank
+  FROM grp WHERE hit_rank = 1
+)
+SELECT 'page' AS agg, lang AS key, round(score, 6) AS val
+FROM best WHERE page_rank <= 10
+UNION ALL
+SELECT 'ih', lang || '|' || CAST(hit_rank AS VARCHAR), round(score, 6)
+FROM grp
+WHERE hit_rank <= 2
+  AND lang IN (SELECT lang FROM best WHERE page_rank <= 10)
+UNION ALL
+SELECT DISTINCT 'cnt', lang, CAST(doc_count AS DOUBLE)
+FROM grp
+WHERE lang IN (SELECT lang FROM best WHERE page_rank <= 10)
 """
     sql["update_by_query_roundtrip"] = f"""
 WITH matched AS (

@@ -165,11 +165,16 @@ class DSLResult:
         suggest: dict | None = None,
         explanation: DataFrame | None = None,
         total: DataFrame | None = None,
+        inner_hits: DataFrame | None = None,
     ):
         self.hits = hits
         self.aggregations = aggregations
         self.suggest = suggest or {}
         self.explanation = explanation
+        # collapse inner_hits: per collapsed group on the returned
+        # page, its top-`size` hits (query_id, <field>, doc_count,
+        # hit_rank, doc_id, score, repo, path, commit)
+        self.inner_hits = inner_hits
         # track_total_hits=true: (query_id, total_hits) — the EXACT
         # full-match-set cardinality (OpenSearch's relation "eq";
         # this engine never returns the capped "gte" form)
@@ -342,6 +347,7 @@ def search(
 
     hits = None
     match_text = None
+    _inner_hits_frame = None
     # materialized once per body when the query is match_all or a
     # tree-routed bool; every aggregation then shares it
     agg_matched = None
@@ -848,10 +854,30 @@ def search(
         elif "collapse" in body:
             if corpus_path is None:
                 raise ValueError("collapse needs corpus_path")
+            cfield = body["collapse"]["field"]
             hits = q.collapse_search(
                 spark, index_dir, corpus_path, mq,
-                field=body["collapse"]["field"], k=k,
+                field=cfield, k=k,
             )
+            ih_conf = body["collapse"].get("inner_hits")
+            if ih_conf:
+                # inner_hits: per collapsed group, its top-`size` hits
+                # (the SAME per-group window top_hits_facet runs),
+                # limited to the groups on the returned page — one
+                # k-bounded semi-join, surfaced as DSLResult.
+                # inner_hits (query_id, <field>, doc_count, hit_rank,
+                # doc_id, score, ...)
+                ih = q.top_hits_facet(
+                    spark, index_dir, corpus_path, mq,
+                    group_field=cfield,
+                    size=int(ih_conf.get("size", 3)),
+                )
+                _inner_hits_frame = ih.join(
+                    F.broadcast(hits.select("query_id", cfield)),
+                    ["query_id", cfield],
+                )
+            else:
+                _inner_hits_frame = None
         elif "highlight" in body:
             from ..datapipe.textstats import snippet_col
             from ..tokenizer import tokenize_col
@@ -2260,7 +2286,10 @@ def search(
                 "script_fields on a hit frame without ord/doc_id"
             )
 
-    return DSLResult(hits, aggs, sugg, explanation=explanation, total=total)
+    return DSLResult(
+        hits, aggs, sugg, explanation=explanation, total=total,
+        inner_hits=_inner_hits_frame,
+    )
 
 
 def _densify_histogram(hist, aconf, query_id):

@@ -2674,3 +2674,41 @@ def test_cardinality_and_cumulative_cardinality_under_histogram(
         seen |= set(grp["lang"])
         assert r["cum"] == len(seen)
     assert rows[-1]["cum"] == sel["lang"].nunique()
+
+
+def test_collapse_inner_hits(spark, dv_index, dv_corpus, ref):
+    """collapse + inner_hits: each collapsed group on the returned
+    page carries its own top-`size` hits, recomputed from the
+    independent BM25 reference."""
+    tree = {"match": {"content": "gunaba"}}
+    res = search(
+        spark, dv_index,
+        {"query": tree,
+         "collapse": {"field": "lang", "inner_hits": {"size": 2}}},
+        corpus_path=dv_corpus,
+    )
+    page_groups = {r["lang"] for r in res.hits.collect()}
+    ih = res.inner_hits.collect()
+    assert {r["lang"] for r in ih} <= page_groups
+    scored = []
+    for d in ref["doc_ids"]:
+        ok, s = _eval(tree, d, ref)
+        if ok:
+            scored.append((d, s))
+    meta = ref["meta"]
+    for lg in page_groups:
+        grp = sorted(
+            ((s, d) for d, s in scored if meta.loc[d, "lang"] == lg),
+            key=lambda t: (-t[0], t[1]),
+        )
+        got = sorted(
+            (r["hit_rank"], round(r["score"], 6))
+            for r in ih if r["lang"] == lg
+        )
+        want = [
+            (i + 1, round(s, 6)) for i, (s, _) in enumerate(grp[:2])
+        ]
+        assert got == want
+        assert all(
+            r["doc_count"] == len(grp) for r in ih if r["lang"] == lg
+        )
