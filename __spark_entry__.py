@@ -3973,6 +3973,46 @@ def dsl_collapse_inner_hits(spark, sf_dir):
     return page.unionByName(ih).unionByName(cnt)
 
 
+def dsl_variable_width_hist(spark, sf_dir):
+    """variable_width_histogram, the deterministic equal-frequency
+    variant (index/aggs.py): OpenSearch's streaming clustering is
+    shard-order-dependent and unreproducible by an external oracle,
+    so this engine documents exact quantile boundaries +
+    strict-below assignment instead — same dashboard shape
+    (value-adaptive bucket widths, per-bucket min/max/avg/count),
+    replayable contract. Long format (agg, key=bucket|stat, val); the
+    oracle recomputes the boundaries with quantile_cont and replays
+    the assignment in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars"))
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}}, "size": 0,
+         "aggs": {"vw": {"variable_width_histogram": {
+             "field": "n_chars", "buckets": 4,
+         }}}},
+        corpus_path=cpath,
+    )
+    vw = res.aggregations["vw"]
+    parts = []
+    for c, nm in (("min_v", "min"), ("max_v", "max"),
+                  ("avg_v", "avg"), ("doc_count", "count")):
+        parts.append(vw.select(
+            F.lit("vw").alias("agg"),
+            F.concat_ws(
+                "|", F.col("bucket").cast("string"), F.lit(nm)
+            ).alias("key"),
+            F.round(F.col(c).cast("double"), 6).alias("val"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def dsl_script_score(spark, sf_dir):
     """script_score + rank_feature queries (index/booltree.py):
     query_id 0 re-scores a match query's hits with a painless-lite
@@ -6682,6 +6722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
         "update_by_query_roundtrip": update_by_query_roundtrip,
         "dsl_collapse_inner_hits": dsl_collapse_inner_hits,
+        "dsl_variable_width_hist": dsl_variable_width_hist,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -10266,6 +10307,46 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_variable_width_hist"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id,
+         CAST(tok.n_chars AS DOUBLE) AS v
+  FROM q JOIN tok USING (term)
+),
+bnds AS (
+  SELECT round(quantile_cont(v, 0.25), 9) AS b1,
+         round(quantile_cont(v, 0.50), 9) AS b2,
+         round(quantile_cont(v, 0.75), 9) AS b3
+  FROM matched
+),
+assigned AS (
+  SELECT v,
+         (CASE WHEN b1 < v THEN 1 ELSE 0 END)
+         + (CASE WHEN b2 < v THEN 1 ELSE 0 END)
+         + (CASE WHEN b3 < v THEN 1 ELSE 0 END) AS bucket
+  FROM matched, bnds
+),
+g AS (
+  SELECT bucket, min(v) AS mn, max(v) AS mx, avg(v) AS av,
+         count(*) AS c
+  FROM assigned GROUP BY bucket
+)
+SELECT 'vw' AS agg, CAST(bucket AS VARCHAR) || '|min' AS key,
+       round(mn, 6) AS val FROM g
+UNION ALL SELECT 'vw', CAST(bucket AS VARCHAR) || '|max',
+  round(mx, 6) FROM g
+UNION ALL SELECT 'vw', CAST(bucket AS VARCHAR) || '|avg',
+  round(av, 6) FROM g
+UNION ALL SELECT 'vw', CAST(bucket AS VARCHAR) || '|count',
+  CAST(c AS DOUBLE) FROM g
 """
     sql["dsl_collapse_inner_hits"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

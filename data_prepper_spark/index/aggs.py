@@ -1249,3 +1249,53 @@ def auto_date_histogram_facet(
         .groupBy("query_id", "interval_s", "key")
         .agg(F.count("*").alias("doc_count"))
     )
+
+
+def variable_width_histogram_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    buckets: int = 10,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`variable_width_histogram` aggregation, DETERMINISTIC variant:
+    OpenSearch's implementation is a shard-order-dependent streaming
+    clustering no external oracle can reproduce; this engine instead
+    gives equal-frequency buckets with exact quantile boundaries —
+    the same dashboard shape (per-bucket min/max/avg/doc_count, value
+    -adaptive widths) with a replayable contract. Boundaries are the
+    i/buckets percentiles (ONE grouped aggregation, 1 row per query,
+    broadcast back); assignment counts boundaries strictly below the
+    value (boundaries rounded to 9 dp so engines agree at exact-tie
+    boundaries); the bucket stats are one more grouped aggregation.
+    No match-set-sized window anywhere. Returns (query_id, bucket,
+    min_v, max_v, avg_v, doc_count), bucket in 0..buckets-1 (empty
+    buckets omitted — duplicates can collapse neighbors)."""
+    nb = int(buckets)
+    if nb < 2:
+        raise ValueError("variable_width_histogram needs buckets >= 2")
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    v = F.col(field).cast("double")
+    at = at.where(v.isNotNull())
+    bnds = at.groupBy("query_id").agg(
+        F.percentile(
+            v, F.array(*[F.lit(i / nb) for i in range(1, nb)])
+        ).alias("__bnds")
+    )
+    j = at.join(F.broadcast(bnds), "query_id")
+    bidx = F.size(
+        F.filter(F.col("__bnds"), lambda b: F.round(b, 9) < v)
+    )
+    return (
+        j.groupBy("query_id", bidx.alias("bucket"))
+        .agg(
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.avg(v).alias("avg_v"),
+            F.count("*").alias("doc_count"),
+        )
+    )

@@ -1906,6 +1906,15 @@ def search(
                         f"sub-aggregation '{skind}' under {akind} "
                         "(terms/metrics/cardinality)"
                     )
+        elif akind == "variable_width_histogram":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.variable_width_histogram_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                buckets=int(aconf.get("buckets", 10)),
+                matched=agg_matched,
+            )
         elif akind == "geohash_grid":
             from . import aggs as agg_exec
 

@@ -2712,3 +2712,40 @@ def test_collapse_inner_hits(spark, dv_index, dv_corpus, ref):
         assert all(
             r["doc_count"] == len(grp) for r in ih if r["lang"] == lg
         )
+
+
+def test_variable_width_histogram(spark, dv_index, dv_corpus):
+    """variable_width_histogram (deterministic equal-frequency
+    variant): quantile boundaries + strict-below assignment,
+    recomputed in numpy."""
+    import numpy as np
+
+    res = search(
+        spark, dv_index,
+        {"query": {"range": {"n_chars": {"gte": 15000}}},
+         "aggs": {"vw": {"variable_width_histogram": {
+             "field": "n_chars", "buckets": 4,
+         }}}},
+        corpus_path=dv_corpus,
+    )
+    pdf = pd.read_parquet(dv_corpus)
+    x = pdf[pdf["n_chars"] >= 15000]["n_chars"].to_numpy(dtype=float)
+    bnds = [round(float(np.percentile(x, 100 * i / 4)), 9)
+            for i in (1, 2, 3)]
+    want: dict = {}
+    for v in x:
+        b = sum(1 for q in bnds if q < v)
+        mn, mx, sm, n = want.get(b, (v, v, 0.0, 0))
+        want[b] = (min(mn, v), max(mx, v), sm + v, n + 1)
+    rows = {r["bucket"]: r for r in res.aggregations["vw"].collect()}
+    assert set(rows) == set(want)
+    total = 0
+    for b, (mn, mx, sm, n) in want.items():
+        r = rows[b]
+        assert (r["min_v"], r["max_v"], r["doc_count"]) == (mn, mx, n)
+        assert r["avg_v"] == pytest.approx(sm / n)
+        total += n
+    assert total == len(x)
+    # roughly equal-frequency
+    counts = [r["doc_count"] for r in rows.values()]
+    assert max(counts) <= 2 * min(counts) + len(x) // 4
