@@ -2307,6 +2307,13 @@ def _net_corpus(spark, sf_dir, cpath):
         .withColumn(
             "loc_lon", ((nc * 7) % 340 - 170 + F.lit(0.5)).cast("double")
         )
+        .withColumn(
+            "team",
+            F.when(
+                nc % 3 == 0,
+                F.concat(F.lit("t"), (nc % 2).cast("string")),
+            ),
+        )
         .withColumn("chunks", F.filter(
             F.array(
                 F.struct(F.lit("head").alias("kind"),
@@ -4007,6 +4014,60 @@ def dsl_variable_width_hist(spark, sf_dir):
             ).alias("key"),
             F.round(F.col(c).cast("double"), 6).alias("val"),
         ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dsl_agg_knobs(spark, sf_dir):
+    """Aggregation knobs (round-5 continuation): histogram `offset`
+    (every boundary shifted — floor((v-off)/step)*step+off), terms
+    `missing` (docs without the field bucket under the given value;
+    without it they are skipped, the OpenSearch default), and keyed
+    overlapping numeric `range` buckets routed through the same
+    generic [from, to) executor the date/ip/geo ranges use. Long
+    format (agg, key, val); the oracle rebuilds the nullable `team`
+    column from n_chars and replays every count in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath, cols=("lang", "n_chars", "team"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}}, "size": 0,
+         "aggs": {
+             "h": {"histogram": {"field": "n_chars", "interval": 100,
+                                 "offset": 50}},
+             "tm": {"terms": {"field": "team", "missing": "none",
+                              "size": 10}},
+             "r": {"range": {"field": "n_chars", "ranges": [
+                 {"to": 300, "key": "small"},
+                 {"from": 200, "key": "big"},
+                 {"from": 250, "to": 260, "key": "mid"},
+             ]}},
+         }},
+        corpus_path=cpath,
+    )
+    parts = [
+        res.aggregations["h"].select(
+            F.lit("h").alias("agg"),
+            F.col("key").cast("long").cast("string").alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        res.aggregations["tm"].select(
+            F.lit("tm").alias("agg"), F.col("facet").alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+        res.aggregations["r"].select(
+            F.lit("r").alias("agg"), F.col("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -6723,6 +6784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_by_query_roundtrip": update_by_query_roundtrip,
         "dsl_collapse_inner_hits": dsl_collapse_inner_hits,
         "dsl_variable_width_hist": dsl_variable_width_hist,
+        "dsl_agg_knobs": dsl_agg_knobs,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -10307,6 +10369,49 @@ UNION ALL SELECT 'box', 'q1', round(q1, 6) FROM box
 UNION ALL SELECT 'box', 'q2', round(q2, 6) FROM box
 UNION ALL SELECT 'box', 'q3', round(q3, 6) FROM box
 UNION ALL SELECT 'box', 'max_v', round(mx, 6) FROM box
+"""
+    sql["dsl_agg_knobs"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars,
+         CASE WHEN tok.n_chars % 3 = 0
+              THEN 't' || CAST(tok.n_chars % 2 AS VARCHAR) END AS team
+  FROM q JOIN tok USING (term)
+),
+h AS (
+  SELECT CAST(floor((n_chars - 50) / 100) * 100 + 50 AS BIGINT) AS k,
+         count(*) AS c
+  FROM matched GROUP BY 1
+),
+tm AS (
+  SELECT coalesce(team, 'none') AS t, count(*) AS c,
+         row_number() OVER (ORDER BY count(*) DESC,
+                            coalesce(team, 'none')) AS rnk
+  FROM matched GROUP BY 1
+)
+SELECT 'h' AS agg, CAST(k AS VARCHAR) AS key, CAST(c AS DOUBLE) AS val
+FROM h
+UNION ALL
+SELECT 'tm', t, CAST(c AS DOUBLE) FROM tm WHERE rnk <= 10
+UNION ALL
+SELECT 'r', 'small',
+  CAST(sum(CASE WHEN n_chars < 300 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM matched
+UNION ALL
+SELECT 'r', 'big',
+  CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS DOUBLE)
+FROM matched
+UNION ALL
+SELECT 'r', 'mid',
+  CAST(sum(CASE WHEN n_chars >= 250 AND n_chars < 260
+           THEN 1 ELSE 0 END) AS DOUBLE)
+FROM matched
 """
     sql["dsl_variable_width_hist"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

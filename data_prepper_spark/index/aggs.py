@@ -88,11 +88,18 @@ def attributed_fields(
     return matched.join(ident, "ord").join(attrs, ["repo", "path", "commit"])
 
 
-def histogram_key(col, interval=None, calendar_interval=None):
+def histogram_key(col, interval=None, calendar_interval=None,
+                  offset: float = 0.0):
     """The bucket-key expression histogram / date_histogram use:
-    floor(v / interval) * interval for numeric fields,
-    date_trunc(calendar_interval, v) rendered as OpenSearch's
-    key_as_string for date fields."""
+    floor((v - offset) / interval) * interval + offset for numeric
+    fields (`offset` shifts every boundary, the OpenSearch histogram
+    offset option), date_trunc(calendar_interval, v) rendered as
+    OpenSearch's key_as_string for date fields (offset unsupported
+    there — raises)."""
+    if offset and calendar_interval is not None:
+        raise NotImplementedError(
+            "histogram offset with calendar_interval"
+        )
     if calendar_interval is not None:
         unit = {
             "minute": "minute", "1m": "minute",
@@ -114,7 +121,11 @@ def histogram_key(col, interval=None, calendar_interval=None):
     if interval is None or float(interval) <= 0:
         raise ValueError("histogram needs a positive interval")
     step = float(interval)
-    return F.floor(col.cast("double") / F.lit(step)) * F.lit(step)
+    off = float(offset or 0.0)
+    return (
+        F.floor((col.cast("double") - F.lit(off)) / F.lit(step))
+        * F.lit(step) + F.lit(off)
+    )
 
 
 def composite_aggregate(
@@ -276,6 +287,7 @@ def histogram_metric_facet(
     interval=None,
     calendar_interval=None,
     metrics: list = (),
+    offset: float = 0.0,
     matched: DataFrame | None = None,
 ) -> DataFrame:
     """histogram / date_histogram with metric sub-aggregations folded
@@ -289,7 +301,8 @@ def histogram_metric_facet(
         [field] + [f for _, _, f in metrics], matched=matched,
     )
     key = histogram_key(
-        F.col(field), interval=interval, calendar_interval=calendar_interval
+        F.col(field), interval=interval,
+        calendar_interval=calendar_interval, offset=offset,
     )
     return (
         attributed.withColumn("key", key)

@@ -1178,6 +1178,7 @@ def search(
                 interval=aconf.get("interval"),
                 calendar_interval=aconf.get("calendar_interval"),
                 metrics=mets,
+                offset=float(aconf.get("offset", 0)),
                 matched=agg_matched,
             )
             if int(aconf.get("min_doc_count", 1)) == 0:
@@ -1316,6 +1317,33 @@ def search(
                 matched=agg_matched,
                 include=aconf.get("include"),
                 exclude=aconf.get("exclude"),
+                missing=aconf.get("missing"),
+            )
+        elif akind == "range" and any(
+            "key" in r for r in aconf["ranges"]
+        ):
+            # keyed (possibly overlapping) numeric ranges route
+            # through the same generic [from, to) executor the
+            # date/ip/geo range aggs use — custom keys, overlap, and
+            # zero-doc buckets all come with it
+            from . import aggs as agg_exec
+            from .aggs import _range_key
+
+            at = agg_exec.attributed_fields(
+                spark, index_dir, corpus_path, mq,
+                [aconf["field"]], matched=agg_matched,
+            )
+            specs = [
+                (
+                    _range_key(r),
+                    None if r.get("from") is None else float(r["from"]),
+                    None if r.get("to") is None else float(r["to"]),
+                )
+                for r in aconf["ranges"]
+            ]
+            aggs[name] = agg_exec._spec_ranges_facet(
+                spark, mq, at, F.col(aconf["field"]).cast("double"),
+                specs,
             )
         elif akind == "range":
             bounds = sorted(
@@ -1421,9 +1449,14 @@ def search(
                 field=aconf["field"],
                 interval=aconf.get("interval"),
                 calendar_interval=aconf.get("calendar_interval"),
+                offset=float(aconf.get("offset", 0)),
                 matched=agg_matched,
             )
             if int(aconf.get("min_doc_count", 1)) == 0:
+                if float(aconf.get("offset", 0)):
+                    raise NotImplementedError(
+                        "histogram offset with min_doc_count=0"
+                    )
                 hist = _densify_histogram(hist, aconf, query_id)
             aggs[name] = hist
         elif akind == "missing":

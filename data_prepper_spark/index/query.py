@@ -1233,6 +1233,7 @@ def _facet_counts(
     queries: DataFrame,
     facet_col: str,
     matched: DataFrame | None = None,
+    missing=None,
 ) -> DataFrame:
     """Uncapped (query_id, facet, doc_count) over ONE index's full
     match set — the shared core of faceted_search (which ranks it)
@@ -1273,6 +1274,16 @@ def _facet_counts(
         attributed = matched.join(ident, "ord").join(
             attrs, ["repo", "path", "commit"]
         )
+    if missing is not None:
+        # terms-agg `missing` param: docs without the field bucket
+        # under the given value instead of being skipped
+        attributed = attributed.withColumn(
+            "facet", F.coalesce(F.col("facet"), F.lit(missing))
+        )
+    else:
+        # the OpenSearch default: docs missing the field are not
+        # bucketed at all
+        attributed = attributed.where(F.col("facet").isNotNull())
     return attributed.groupBy("query_id", "facet").agg(
         F.count("*").alias("doc_count")
     )
@@ -1358,6 +1369,7 @@ def faceted_search(
     matched: DataFrame | None = None,
     include=None,
     exclude=None,
+    missing=None,
 ) -> DataFrame:
     """Terms aggregation over the FULL match set (the reference
     stack's opensearch-api `aggs: {terms: {field: ...}}` alongside a
@@ -1379,7 +1391,8 @@ def faceted_search(
     With the sidecar the plan is facet-cardinality-bound, never
     corpus-bound."""
     fac = _facet_counts(
-        spark, index_dir, corpus_path, queries, facet_col, matched=matched
+        spark, index_dir, corpus_path, queries, facet_col,
+        matched=matched, missing=missing,
     )
     if include is not None:
         fac = fac.filter(_facet_value_pred(include))
@@ -2463,6 +2476,7 @@ def histogram_facet(
     field: str,
     interval: float | None = None,
     calendar_interval: str | None = None,
+    offset: float = 0.0,
     matched: DataFrame | None = None,
 ) -> DataFrame:
     """histogram / date_histogram aggregation alongside a query
@@ -2502,7 +2516,11 @@ def histogram_facet(
         if interval is None or float(interval) <= 0:
             raise ValueError("histogram needs a positive interval")
         step = float(interval)
-        key = F.floor(v.cast("double") / F.lit(step)) * F.lit(step)
+        off = float(offset or 0.0)
+        key = (
+            F.floor((v.cast("double") - F.lit(off)) / F.lit(step))
+            * F.lit(step) + F.lit(off)
+        )
     return (
         attributed.withColumn("key", key)
         .groupBy("query_id", "key")

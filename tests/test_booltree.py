@@ -2749,3 +2749,77 @@ def test_variable_width_histogram(spark, dv_index, dv_corpus):
     # roughly equal-frequency
     counts = [r["doc_count"] for r in rows.values()]
     assert max(counts) <= 2 * min(counts) + len(x) // 4
+
+
+def test_histogram_offset_terms_missing_keyed_ranges(
+    spark, dv_index, dv_corpus, tmp_path_factory
+):
+    """histogram `offset`, terms-agg `missing` param (and the
+    missing-docs-skipped default), and keyed overlapping numeric
+    `range` buckets — recomputed in pandas."""
+    import os as _os
+
+    from data_prepper_spark.index.query import attach_doc_values
+
+    # corpus with a nullable keyword column
+    d = str(tmp_path_factory.mktemp("mk"))
+    out = _os.path.join(d, "corpus.parquet")
+    (
+        spark.read.parquet(dv_corpus)
+        .withColumn("team", F.when(
+            F.col("n_chars") % 3 == 0, F.concat(
+                F.lit("t"), (F.col("n_chars") % 2).cast("string")
+            )
+        ))
+        .write.mode("overwrite").parquet(out)
+    )
+    attach_doc_values(
+        spark, dv_index, out, cols=("lang", "n_chars", "team")
+    )
+    res = search(
+        spark, dv_index,
+        {"query": {"range": {"n_chars": {"gte": 15000}}},
+         "aggs": {
+             "h": {"histogram": {"field": "n_chars",
+                                 "interval": 10000,
+                                 "offset": 2500}},
+             "tm": {"terms": {"field": "team", "missing": "none"}},
+             "ts": {"terms": {"field": "team"}},
+             "r": {"range": {"field": "n_chars", "ranges": [
+                 {"to": 30000, "key": "small"},
+                 {"from": 20000, "key": "big"},
+                 {"from": 25000, "to": 26000, "key": "mid"},
+             ]}},
+         }},
+        corpus_path=out,
+    )
+    pdf = pd.read_parquet(out)
+    sel = pdf[pdf["n_chars"] >= 15000]
+    nc = sel["n_chars"].astype(int)
+
+    hist = {r["key"]: r["doc_count"]
+            for r in res.aggregations["h"].collect()}
+    want = ((nc - 2500) // 10000 * 10000 + 2500).astype(
+        float
+    ).value_counts().to_dict()
+    assert hist == want
+
+    tm = {r["facet"]: r["doc_count"]
+          for r in res.aggregations["tm"].collect()}
+    teams = sel["team"]
+    assert tm["none"] == int(teams.isna().sum())
+    for t in ("t0", "t1"):
+        if (teams == t).any():
+            assert tm[t] == int((teams == t).sum())
+    ts = {r["facet"]: r["doc_count"]
+          for r in res.aggregations["ts"].collect()}
+    assert None not in ts and sum(ts.values()) == int(teams.notna().sum())
+
+    rr = {r["key"]: r["doc_count"]
+          for r in res.aggregations["r"].collect()}
+    assert rr["small"] == int((nc < 30000).sum())
+    assert rr["big"] == int((nc >= 20000).sum())
+    assert rr["mid"] == int(((nc >= 25000) & (nc < 26000)).sum())
+    assert rr["small"] + rr["big"] >= len(sel)  # overlap double-counts
+
+    attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
