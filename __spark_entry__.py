@@ -2001,6 +2001,62 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+HYBRID_TEXTS = ["spark", "data", "merge"]
+
+
+def dsl_hybrid_search(spark, sf_dir):
+    """OpenSearch `hybrid` query (the neural-search plugin's
+    lexical + k-NN combination) through the Query-DSL front end
+    (index/dsl.py::_hybrid_hits): each body pairs a BM25 `match`
+    sub-query with an exact-kNN cosine sub-query over the embeddings
+    table (vec_id == the stored _id — the k-NN-plugin same-index
+    mapping), normalizes each sub-result list per query with min_max
+    (plugin constants: single-result lists pin to 1.0, exact-zero
+    normalized scores floor at 0.001), and combines per-doc by the
+    weighted arithmetic mean over PRESENT sub-scores (weights
+    0.7/0.3; a doc missing from one list contributes neither
+    numerator nor denominator for it). pagination_depth and the knn k
+    cover the whole corpus, so the normalization windows see the full
+    match lists and the oracle replays them without boundary-tie
+    ambiguity. Output re-ranked by (score, numeric doc id) like the
+    other *_engine entries."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    epath = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(epath)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    parts = []
+    for i, text in enumerate(HYBRID_TEXTS):
+        body = {
+            "query": {"hybrid": {
+                "queries": [
+                    {"match": {"text": text}},
+                    {"knn": {"embedding": {"vector": qvecs[i], "k": 500}}},
+                ],
+                "pagination_depth": 1000,
+                "combination": {
+                    "technique": "arithmetic_mean",
+                    "parameters": {"weights": [0.7, 0.3]},
+                },
+            }},
+            "size": 50,
+        }
+        parts.append(
+            dsl_search(
+                spark, idx, body, corpus_path=cpath, query_id=i,
+                vectors_path=epath,
+            ).hits
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _rerank_engine_results(out)
+
+
 def dsl_filters_missing_aggs(spark, sf_dir):
     """`filters` (named buckets via the tree compiler, zero-count
     buckets emitted) and `missing` aggregations under one match body —
@@ -6785,6 +6841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_collapse_inner_hits": dsl_collapse_inner_hits,
         "dsl_variable_width_hist": dsl_variable_width_hist,
         "dsl_agg_knobs": dsl_agg_knobs,
+        "dsl_hybrid_search": dsl_hybrid_search,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -7904,6 +7961,92 @@ FROM ranked WHERE rank <= 10
     # the DSL knn clause routes to the same executor, so the same
     # recompute oracles it
     sql["dsl_knn_search"] = sql["cosine_topk_bruteforce"]
+
+    # hybrid: full recompute of both sub-query score lists, the
+    # min_max normalization (single-result 1.0 / zero-floor 0.001 —
+    # the neural-search plugin's constants), and the weighted
+    # arithmetic mean over present sub-scores (0.7 lexical / 0.3 knn)
+    _hyb_values = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(HYBRID_TEXTS)
+    )
+    sql["dsl_hybrid_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qmap(query_id, query) AS (VALUES {_hyb_values}),
+q AS (
+  SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+  FROM qmap
+),
+bm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS s
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bmn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER w = min(s) OVER w THEN 1.0
+              ELSE (s - min(s) OVER w) / (max(s) OVER w - min(s) OVER w)
+         END AS ns0
+  FROM bm WINDOW w AS (PARTITION BY query_id)
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < 3
+),
+cos AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          CAST(qv.qvec AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(qv.qvec AS DOUBLE[]),
+                                      CAST(qv.qvec AS DOUBLE[])))) AS s
+  FROM embeddings e
+  JOIN documents doc ON doc.doc_id = e.vec_id
+  CROSS JOIN qv
+),
+cosn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER w = min(s) OVER w THEN 1.0
+              ELSE (s - min(s) OVER w) / (max(s) OVER w - min(s) OVER w)
+         END AS ns0
+  FROM cos WINDOW w AS (PARTITION BY query_id)
+),
+u AS (
+  SELECT query_id, doc_id,
+         CASE WHEN ns0 <= 0 THEN 0.001 ELSE ns0 END AS ns, 0.7 AS w
+  FROM bmn
+  UNION ALL
+  SELECT query_id, doc_id,
+         CASE WHEN ns0 <= 0 THEN 0.001 ELSE ns0 END AS ns, 0.3 AS w
+  FROM cosn
+),
+comb AS (
+  SELECT query_id, doc_id, sum(ns * w) / sum(w) AS score
+  FROM u GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
 
     from data_prepper_spark.datapipe.textstats import BPE_REGEX
 

@@ -43,6 +43,13 @@ BM25, type=best_fields max / most_fields sum — needs `corpus_path`
 with the field columns), combined_fields (BM25F: weighted tf folded
 before saturation, one combined idf — `index_dir` must be a FIELDED
 index from bm25f.build_fielded_index) —
+hybrid (the neural-search plugin's lexical + k-NN combination:
+sub-queries run to pagination_depth, min_max/l2 per-list score
+normalization with the plugin's 1.0-single-result / 0.001-floor
+constants, weighted arithmetic/geometric/harmonic-mean combination
+over present sub-scores — missing sub-scores excluded from numerator
+and denominator; configured inline or via the body's
+`search_pipeline.phase_results_processors[].normalization-processor`),
 simple_query_string, more_like_this, span_term / span_near (slop,
 in_order, span_term sub-clauses) / span_first (end-bounded) over the
 positions sidecar — tightest-span-first ranking, intervals (`match`
@@ -256,6 +263,200 @@ def _parse_field_boosts(fields, kind: str) -> dict[str, float]:
     if not out:
         raise ValueError(f"{kind} needs a non-empty 'fields' list")
     return out
+
+
+def _hybrid_pipeline_conf(spec: dict, body: dict, n_sub: int):
+    """Resolve (normalization_technique, combination_technique,
+    weights) for a `hybrid` query. OpenSearch configures these on a
+    SEARCH PIPELINE's normalization-processor
+    (phase_results_processors[].normalization-processor.{normalization,
+    combination}); the body may carry that pipeline inline under
+    `search_pipeline`, or the hybrid spec may carry `normalization`/
+    `combination` directly (engine convenience). Defaults mirror the
+    plugin: min_max + arithmetic_mean, equal weights."""
+    norm = {"technique": "min_max"}
+    comb = {"technique": "arithmetic_mean"}
+    pipe = body.get("search_pipeline") or {}
+    for proc in pipe.get("phase_results_processors", []):
+        np_ = proc.get("normalization-processor")
+        if np_:
+            norm = np_.get("normalization", norm) or norm
+            comb = np_.get("combination", comb) or comb
+    if "normalization" in spec:
+        norm = spec["normalization"]
+    if "combination" in spec:
+        comb = spec["combination"]
+    norm_t = (norm or {}).get("technique", "min_max")
+    comb_t = (comb or {}).get("technique", "arithmetic_mean")
+    weights = ((comb or {}).get("parameters") or {}).get("weights")
+    if weights is None:
+        weights = [1.0] * n_sub
+    if len(weights) != n_sub:
+        raise ValueError(
+            f"hybrid combination weights length {len(weights)} != "
+            f"{n_sub} sub-queries"
+        )
+    return norm_t, comb_t, [float(w) for w in weights]
+
+
+def _hybrid_hits(
+    spark, index_dir, spec, body, k, corpus_path, vectors_path, query_id
+):
+    """OpenSearch `hybrid` query (the neural-search plugin's
+    lexical + k-NN combination): each sub-query runs independently to
+    `pagination_depth` results, every sub-result list is NORMALIZED
+    per query (min_max: (s-min)/(max-min), single-result lists pin to
+    1.0 and exact-zero normalized scores floor at 0.001 — the
+    plugin's MinMaxScoreNormalizationTechnique constants; l2:
+    s/sqrt(Σs²) over the list), and per-doc scores COMBINE by the
+    weighted arithmetic / geometric / harmonic mean over the
+    sub-queries that returned the doc (missing sub-scores are
+    excluded from numerator AND denominator — the plugin marks them
+    absent rather than zero). k-NN sub-hits key by `vec_id`, which by
+    the k-NN-plugin mapping IS the stored `_id` (vectors live in the
+    same index as the text); doc identity is re-joined from the
+    index's docs table and tombstones are honored. Everything is
+    k-bounded: per-sub-query frames are `pagination_depth` rows per
+    query, so the window normalization and the combine groupBy never
+    see corpus-sized frames."""
+    import os as _os
+
+    from . import query as q
+
+    subs = spec.get("queries") or []
+    if not isinstance(subs, list) or not subs:
+        raise ValueError("hybrid needs a non-empty 'queries' list")
+    depth = int(spec.get("pagination_depth", max(k, 10)))
+    norm_t, comb_t, weights = _hybrid_pipeline_conf(spec, body, len(subs))
+    docs = spark.read.parquet(_os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    frames = []
+    for i, sub in enumerate(subs):
+        r = search(
+            spark, index_dir, {"query": sub, "size": depth},
+            corpus_path=corpus_path, query_id=query_id,
+            vectors_path=vectors_path,
+        )
+        h = r.hits
+        # executors differ in identity columns; normalize every
+        # sub-frame to the index ORDINAL (the engine's dense doc key).
+        # Sub-frames are depth-bounded, so they broadcast into the
+        # docs scan — identical shape to _resolve_ords.
+        if "vec_id" in h.columns:
+            # k-NN sub-hits: vec_id IS the stored _id (the k-NN-plugin
+            # mapping puts vectors in the same index as the text)
+            h = (
+                docs.join(
+                    F.broadcast(
+                        h.select(
+                            "query_id",
+                            F.col("vec_id").cast("string").alias("path"),
+                            F.col("cosine").cast("double").alias("s"),
+                        )
+                    ),
+                    "path",
+                )
+                .select("query_id", "ord", "s")
+            )
+        elif "ord" in h.columns:
+            h = h.select(
+                "query_id", "ord", F.col("score").cast("double").alias("s")
+            )
+        elif "path" in h.columns:
+            h = (
+                docs.join(
+                    F.broadcast(
+                        h.select(
+                            "query_id",
+                            "path",
+                            F.col("score").cast("double").alias("s"),
+                        )
+                    ),
+                    "path",
+                )
+                .select("query_id", "ord", "s")
+            )
+        else:
+            h = (
+                docs.select("ord", F.col("doc_id").alias("_d"))
+                .join(
+                    F.broadcast(
+                        h.select(
+                            "query_id",
+                            F.col("doc_id").alias("_d"),
+                            F.col("score").cast("double").alias("s"),
+                        )
+                    ),
+                    "_d",
+                )
+                .select("query_id", "ord", "s")
+            )
+        w = Window.partitionBy("query_id")
+        if norm_t == "min_max":
+            mn = F.min("s").over(w)
+            mx = F.max("s").over(w)
+            ns = F.when(mx == mn, F.lit(1.0)).otherwise(
+                (F.col("s") - mn) / (mx - mn)
+            )
+            ns = F.when(ns <= F.lit(0.0), F.lit(0.001)).otherwise(ns)
+        elif norm_t == "l2":
+            nrm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(w))
+            ns = F.when(nrm == F.lit(0.0), F.lit(0.001)).otherwise(
+                F.col("s") / nrm
+            )
+        else:
+            raise NotImplementedError(
+                f"hybrid normalization technique '{norm_t}' "
+                "(min_max, l2)"
+            )
+        frames.append(
+            h.withColumn("ns", ns)
+            .withColumn("w", F.lit(weights[i]))
+            .select("query_id", "ord", "ns", "w")
+        )
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    if comb_t == "arithmetic_mean":
+        comb = (F.sum(F.col("ns") * F.col("w")) / F.sum("w")).alias("score")
+    elif comb_t == "geometric_mean":
+        # the plugin's geometric/harmonic techniques count only
+        # POSITIVE sub-scores (l2 normalization preserves a negative
+        # cosine's sign); a doc with no positive sub-score combines
+        # to 0
+        pw = F.when(F.col("ns") > 0, F.col("w"))
+        num = F.sum(pw * F.log(F.col("ns")))
+        den = F.sum(pw)
+        comb = (
+            F.when(den.isNull(), F.lit(0.0)).otherwise(F.exp(num / den))
+        ).alias("score")
+    elif comb_t == "harmonic_mean":
+        pw = F.when(F.col("ns") > 0, F.col("w"))
+        num = F.sum(pw)
+        den = F.sum(pw / F.col("ns"))
+        comb = (
+            F.when(num.isNull(), F.lit(0.0)).otherwise(num / den)
+        ).alias("score")
+    else:
+        raise NotImplementedError(
+            f"hybrid combination technique '{comb_t}' "
+            "(arithmetic_mean, geometric_mean, harmonic_mean)"
+        )
+    grouped = allf.groupBy("query_id", "ord").agg(comb)
+    out = docs.join(F.broadcast(grouped), "ord")
+    out = q._anti_tombstones(spark, index_dir, out, col="ord")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("ord")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "score", "repo", "path",
+            "commit",
+        )
+    )
 
 
 def _clause_text(clause: dict) -> str:
@@ -825,6 +1026,11 @@ def search(
             docs, fields[0], source_ids=[int(i) for i in ids],
             id_col=id_col,
             m=int(spec.get("max_query_terms", 5)), k=k,
+        )
+    elif kind == "hybrid":
+        hits = _hybrid_hits(
+            spark, index_dir, spec, body, k=k, corpus_path=corpus_path,
+            vectors_path=vectors_path, query_id=query_id,
         )
     else:
         raise NotImplementedError(f"query clause '{kind}'")

@@ -704,6 +704,178 @@ def test_knn_query_routes_to_similarity(spark, index_dir, tmp_path):
     assert sorted(hnsw, key=lambda r: r.rank)[0].vec_id == 17
 
 
+def test_hybrid_query(spark, tmp_path):
+    """`hybrid` query (the neural-search plugin): each sub-query's
+    list min_max- or l2-normalizes per query, per-doc scores combine
+    by the weighted arithmetic/geometric/harmonic mean over PRESENT
+    sub-scores. The engine result must equal a pandas recompute
+    composed from the direct executors (q.topk + cosine_topk) — the
+    DSL adds routing + the normalize/combine algebra, nothing else.
+    Covers: inline config, search_pipeline config form, the
+    single-result-list 1.0 pin, and the loud-failure paths."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from data_prepper_spark.datapipe.similarity import cosine_topk
+    from data_prepper_spark.index.build import BuildConfig, build_index
+
+    # numeric-path corpus so vec_id (long) can BE the stored _id
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        toks = [words[(i + j) % len(words)] for j in range(3 + i % 4)]
+        if i == 7:
+            toks.append("uniqueterm")  # single-doc match list
+        rows.append(("r", str(i), "c", "py", " ".join(toks)))
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    import hashlib
+
+    pdf["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in pdf.content
+    ]
+    cpath = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(cpath)
+    idx = str(tmp_path / "index")
+    build_index(spark, cpath, idx, BuildConfig(n_buckets=4))
+
+    base = rng.standard_normal((30, 8)).astype("float32")
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    vpath = str(tmp_path / "vecs")
+    vecs.write.parquet(vpath)
+    qvec = [float(x) for x in base[3]]
+
+    # reference sub-lists from the direct executors
+    lex = q.topk(
+        spark, idx,
+        spark.createDataFrame(
+            [(0, "alpha beta")], "query_id long, query string"
+        ),
+        k=100,
+    ).toPandas()
+    docs = pd.read_parquet(os.path.join(idx, "docs"))
+    id2path = dict(zip(docs.doc_id, docs.path))
+    lex["key"] = lex.doc_id.map(id2path).astype(int)
+    knn = cosine_topk(
+        vecs,
+        spark.createDataFrame(
+            [(0, qvec)], "query_id long, qvec array<double>"
+        ),
+        k=30,
+    ).toPandas()
+    knn["key"] = knn.vec_id.astype(int)
+
+    def norm(s, technique):
+        s = np.asarray(s, dtype=float)
+        if technique == "min_max":
+            if s.max() == s.min():
+                return np.ones_like(s)
+            ns = (s - s.min()) / (s.max() - s.min())
+            return np.where(ns <= 0.0, 0.001, ns)
+        nrm = math.sqrt((s * s).sum())
+        return s / nrm if nrm else np.full_like(s, 0.001)
+
+    def combine(technique, weights, lex_s, knn_s):
+        # per-key weighted mean over PRESENT sub-scores
+        out = {}
+        for key in set(lex_s) | set(knn_s):
+            ws, parts = [], []
+            for w, d in zip(weights, (lex_s, knn_s)):
+                if key in d:
+                    ws.append(w)
+                    parts.append(d[key])
+            if technique == "arithmetic_mean":
+                sc = sum(w * p for w, p in zip(ws, parts)) / sum(ws)
+            else:
+                # geometric/harmonic count only POSITIVE sub-scores
+                pos = [(w, p) for w, p in zip(ws, parts) if p > 0]
+                if not pos:
+                    sc = 0.0
+                elif technique == "geometric_mean":
+                    sc = math.exp(
+                        sum(w * math.log(p) for w, p in pos)
+                        / sum(w for w, _ in pos)
+                    )
+                else:  # harmonic
+                    sc = sum(w for w, _ in pos) / sum(
+                        w / p for w, p in pos
+                    )
+            out[key] = sc
+        return out
+
+    def expect(norm_t, comb_t, weights, k=10):
+        lex_s = dict(zip(lex.key, norm(lex.score, norm_t)))
+        knn_s = dict(zip(knn.key, norm(knn.cosine, norm_t)))
+        comb = combine(comb_t, weights, lex_s, knn_s)
+        # engine tie-break: ord asc; ord order == build order here?
+        # paths are "0".."29" so ord follows the STRING sort — replay
+        # it via the docs table's ord
+        path2ord = dict(zip(docs.path.astype(int), docs.ord))
+        ranked = sorted(
+            comb.items(), key=lambda kv: (-kv[1], path2ord[kv[0]])
+        )[:k]
+        return [(kk, round(sc, 9)) for kk, sc in ranked]
+
+    def run(spec_extra=None, body_extra=None, k=10):
+        spec = {
+            "queries": [
+                {"match": {"content": "alpha beta"}},
+                {"knn": {"embedding": {"vector": qvec, "k": 30}}},
+            ],
+            "pagination_depth": 100,
+        }
+        spec.update(spec_extra or {})
+        body = {"query": {"hybrid": spec}, "size": k}
+        body.update(body_extra or {})
+        res = search(spark, idx, body, vectors_path=vpath)
+        hits = sorted(res.hits.collect(), key=lambda r: r.rank)
+        return [(int(r.path), round(r.score, 9)) for r in hits]
+
+    # 1. defaults: min_max + arithmetic_mean, equal weights
+    assert run() == expect("min_max", "arithmetic_mean", [1.0, 1.0])
+    # 2. inline weights
+    got = run({"combination": {
+        "technique": "arithmetic_mean",
+        "parameters": {"weights": [0.7, 0.3]},
+    }})
+    assert got == expect("min_max", "arithmetic_mean", [0.7, 0.3])
+    # 3. l2 + geometric via the search-pipeline config form
+    got = run(body_extra={"search_pipeline": {
+        "phase_results_processors": [{"normalization-processor": {
+            "normalization": {"technique": "l2"},
+            "combination": {"technique": "geometric_mean"},
+        }}],
+    }})
+    assert got == expect("l2", "geometric_mean", [1.0, 1.0])
+    # 4. harmonic
+    got = run({"combination": {"technique": "harmonic_mean"}})
+    assert got == expect("min_max", "harmonic_mean", [1.0, 1.0])
+    # 5. a single-result sub-list pins to 1.0 under min_max
+    got = run({"queries": [
+        {"match": {"content": "uniqueterm"}},
+        {"knn": {"embedding": {"vector": qvec, "k": 30}}},
+    ]})
+    single = dict(got)
+    assert single[7] >= 0.5  # doc 7: lexical ns pinned at 1.0
+    # 6. loud failures
+    with pytest.raises(NotImplementedError, match="normalization"):
+        run({"normalization": {"technique": "z_score"}})
+    with pytest.raises(ValueError, match="weights"):
+        run({"combination": {"parameters": {"weights": [1.0]}}})
+    with pytest.raises(ValueError, match="queries"):
+        search(
+            spark, idx, {"query": {"hybrid": {"queries": []}}},
+            vectors_path=vpath,
+        )
+
+
 def test_suggest_block_routes(spark, index_dir):
     """`suggest` body block -> query.suggest: term (did-you-mean) and
     completion (prefix) suggesters, identical to direct executor
