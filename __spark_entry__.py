@@ -2001,6 +2001,46 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+def scroll_export(spark, sf_dir):
+    """OpenSearch scroll API analog (index/dsl.py::scroll): pages the
+    FULL match set of a query in _doc (ordinal) order with a
+    STATELESS continuation token (base64 body + last-ordinal cursor —
+    no pinned server context; immutable segments make the cursor a
+    point-in-time read). Pages until exhaustion with size=37 (odd, so
+    the last page is partial) and returns the union tagged with the
+    page count; the oracle recomputes the match set and
+    ceil(n/37) — proving the loop served every doc exactly once in
+    exactly the right number of pages. Page-boundary mechanics
+    (disjointness, ord monotonicity, short-page termination) are
+    pytest-verified (test_dsl.py::test_scroll_api)."""
+    from data_prepper_spark.index.dsl import scroll
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    pages = []
+    page, sid = scroll(
+        spark, idx,
+        {"query": {"match": {"text": "data merge"}}, "size": 37},
+        corpus_path=cpath,
+    )
+    guard = 0
+    while True:
+        rows = page.select(
+            "query_id", F.col("path").cast("long").alias("doc_id")
+        )
+        if rows.limit(1).count() > 0:
+            pages.append(rows)
+        if sid is None:
+            break
+        guard += 1
+        if guard > 1000:
+            raise RuntimeError("scroll did not terminate")
+        page, sid = scroll(spark, idx, scroll_id=sid, corpus_path=cpath)
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("n_pages", F.lit(len(pages)).cast("long"))
+
+
 HYBRID_TEXTS = ["spark", "data", "merge"]
 
 
@@ -6842,6 +6882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_variable_width_hist": dsl_variable_width_hist,
         "dsl_agg_knobs": dsl_agg_knobs,
         "dsl_hybrid_search": dsl_hybrid_search,
+        "scroll_export": scroll_export,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11289,6 +11330,23 @@ tok AS (
 )
 SELECT DISTINCT q.query_id, tok.doc_id
 FROM q JOIN tok USING (term)
+"""
+    # scroll: union of all pages must be EXACTLY the match set, and
+    # the page count must be ceil(n/size) — the loop served every doc
+    # once, no repeats, no gaps
+    sql["scroll_export"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)
+),
+n AS (SELECT query_id, count(*) AS cnt FROM matched GROUP BY 1)
+SELECT m.query_id, m.doc_id, CAST(CEIL(n.cnt / 37.0) AS BIGINT) AS n_pages
+FROM matched m JOIN n USING (query_id)
 """
     sql["dsl_terms_order"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -2638,6 +2638,123 @@ def _attach_docvalue_fields(spark, index_dir, hits, fields):
     )
 
 
+def _body_match_ords(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict,
+    corpus_path: str | None,
+    query_id: int,
+) -> DataFrame:
+    """(query_id, ord) full match set of a body's query — the shared
+    front half of scroll / track_total_hits-style consumers. Routes
+    match_all -> the live-docs scan, text match/term -> the ids-only
+    postings decode, and every tree-eligible node (bool, dv filters,
+    term-on-keyword) -> the tree compiler. Tombstones are anti-joined
+    inside each executor."""
+    from . import query as q
+    from .booltree import _dv_columns, bool_tree_match
+
+    node = body.get("query", {"match_all": {}})
+    ((kind, spec),) = node.items()
+    rt = body.get("runtime_mappings") or None
+    if kind == "match_all":
+        return q.match_all_ords(spark, index_dir, query_id=query_id)
+    if kind in ("match", "term") and not (
+        kind == "term" and next(iter(spec)) in _dv_columns(spark, index_dir)
+    ):
+        text, _ = _field_arg(spec)
+        stats = q.load_stats(index_dir)
+        qt = q.query_terms(
+            spark, index_dir,
+            spark.createDataFrame(
+                [(query_id, str(text))], "query_id long, query string"
+            ),
+            stats["n_docs"], stats=stats,
+        ).select("query_id", "term_id", "idf", "bucket")
+        return q._match_set(spark, index_dir, qt)
+    if kind == "bool":
+        tree = node
+    elif kind in (
+        "range", "terms", "exists", "term", "geo_distance",
+        "geo_bounding_box", "terms_set", "nested",
+    ):
+        tree = {"bool": {"filter": [node]}}
+    else:
+        raise NotImplementedError(f"scroll over query clause '{kind}'")
+    return bool_tree_match(
+        spark, index_dir, tree, corpus_path, runtime=rt
+    ).select(F.lit(query_id).cast("long").alias("query_id"), "ord")
+
+
+def scroll(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict | None = None,
+    scroll_id: str | None = None,
+    corpus_path: str | None = None,
+    query_id: int = 0,
+):
+    """OpenSearch scroll API analog (`_search?scroll=...` then
+    `POST _search/scroll`): pages a query's FULL match set in `_doc`
+    (index-ordinal) order, `body["size"]` docs per page.
+
+    The continuation token is STATELESS — base64 JSON carrying the
+    original body and the last ordinal served — so any worker/driver
+    can serve any page with no pinned server context (OpenSearch
+    keeps a per-scroll search context alive instead; the engine's
+    index segments are immutable, so cursor-after-ordinal gives the
+    same point-in-time read on a static index for free, and delta
+    writes land in NEW directories that a listed-at-first-page reader
+    never sees — reference behavior per
+    data-prepper-plugins/opensearch-source's scroll reader). Each
+    page is one bounded job: the ids-only match set, `ord > cursor`,
+    TakeOrderedAndProject(size) — no deep-pagination window state.
+    The match set is recomputed per page (the stateless trade-off,
+    ids-only and bucket-pruned); for large exports prefer the
+    `slice` body (sliced_scan) which runs max INDEPENDENT jobs.
+
+    First call: pass `body` (with optional "size", default 10).
+    Continuations: pass `scroll_id` alone. Returns
+    (hits DataFrame (query_id, doc_id, repo, path, commit, ord),
+    next_scroll_id | None) — next_scroll_id is None when the match
+    set is exhausted (the page came back short)."""
+    import base64 as _b64
+    import json as _json
+    import os as _os
+
+    if scroll_id is not None:
+        state = _json.loads(_b64.b64decode(scroll_id).decode())
+        body = state["body"]
+        after = int(state["after_ord"])
+    elif body is not None:
+        after = -1
+    else:
+        raise ValueError("scroll needs body or scroll_id")
+    size = int(body.get("size", 10))
+    matched = _body_match_ords(
+        spark, index_dir, body, corpus_path, query_id
+    ).filter(F.col("ord") > F.lit(after))
+    ident = spark.read.parquet(_os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    page_ords = matched.orderBy(F.asc("ord")).limit(size)
+    # size-bounded page broadcasts into the docs scan — works
+    # unchanged at 10^12 docs (same shape as _resolve_ords)
+    page = ident.join(F.broadcast(page_ords), "ord").select(
+        "query_id", "doc_id", "repo", "path", "commit", "ord"
+    )
+    meta = page.agg(
+        F.count("*").alias("n"), F.max("ord").alias("mx")
+    ).collect()[0]
+    if meta["n"] < size or meta["n"] == 0:
+        nxt = None
+    else:
+        nxt = _b64.b64encode(
+            _json.dumps({"body": body, "after_ord": int(meta["mx"])}).encode()
+        ).decode()
+    return page, nxt
+
+
 def msearch(
     spark: SparkSession,
     index_dir: str,

@@ -876,6 +876,79 @@ def test_hybrid_query(spark, tmp_path):
         )
 
 
+def test_scroll_api(spark, index_dir, corpus_path):
+    """scroll(): stateless-cursor paging of the full match set in
+    _doc (ordinal) order — pages are disjoint, ordinal-monotonic,
+    full-sized except the last, and their union is exactly the match
+    set; match_all and bool-tree queries page too; unsupported kinds
+    fail loudly."""
+    from data_prepper_spark.index.dsl import scroll
+
+    body = {"query": {"match": {"content": "class"}}, "size": 7}
+    full = q._match_set(
+        spark, index_dir,
+        q.query_terms(
+            spark, index_dir,
+            spark.createDataFrame(
+                [(0, "class")], "query_id long, query string"
+            ),
+            q.load_stats(index_dir)["n_docs"],
+        ).select("query_id", "term_id", "idf", "bucket"),
+    )
+    want_ords = sorted(r.ord for r in full.select("ord").collect())
+
+    seen, page_sizes, last_max = [], [], -1
+    page, sid = scroll(spark, index_dir, body, corpus_path=corpus_path)
+    while True:
+        rows = sorted(page.collect(), key=lambda r: r.ord)
+        if rows:
+            assert rows[0].ord > last_max  # monotonic across pages
+            last_max = rows[-1].ord
+            seen.extend(r.ord for r in rows)
+            page_sizes.append(len(rows))
+        if sid is None:
+            break
+        page, sid = scroll(spark, index_dir, scroll_id=sid)
+    assert seen == want_ords  # complete, disjoint, ordered
+    assert all(s == 7 for s in page_sizes[:-1])
+    assert 0 < page_sizes[-1] <= 7
+
+    # match_all pages the whole live corpus
+    n_docs = q.load_stats(index_dir)["n_docs"]
+    page, sid = scroll(
+        spark, index_dir, {"query": {"match_all": {}}, "size": 1000}
+    )
+    got = page.count()
+    total = got
+    while sid is not None:
+        page, sid = scroll(spark, index_dir, scroll_id=sid)
+        total += page.count()
+    assert total == n_docs
+
+    # bool tree scroll == tree match set
+    from data_prepper_spark.index.booltree import bool_tree_match
+
+    tree = {"bool": {"should": [{"match": {"content": "class"}},
+                                {"match": {"content": "def"}}],
+                     "minimum_should_match": 1}}
+    page, sid = scroll(
+        spark, index_dir, {"query": tree, "size": 10**6},
+        corpus_path=corpus_path,
+    )
+    assert sid is None or page.count() == 10**6
+    want = bool_tree_match(spark, index_dir, tree, corpus_path).count()
+    assert page.count() == want
+
+    with pytest.raises(NotImplementedError, match="scroll"):
+        scroll(
+            spark, index_dir,
+            {"query": {"match_phrase": {"content": "a b"}}},
+            corpus_path=corpus_path,
+        )
+    with pytest.raises(ValueError, match="scroll"):
+        scroll(spark, index_dir)
+
+
 def test_suggest_block_routes(spark, index_dir):
     """`suggest` body block -> query.suggest: term (did-you-mean) and
     completion (prefix) suggesters, identical to direct executor
