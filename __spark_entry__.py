@@ -2001,6 +2001,53 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+def dsl_ip_prefix(spark, sf_dir):
+    """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
+    buckets the match set by the /prefix_length network of an IPv4
+    doc-values field — all native bit math (dotted-quad -> int32,
+    mask, re-render), one grouped pass. Two aggs under one body share
+    the materialized match set: /12 plain keys and /20 with
+    append_prefix_length (keys carry '/20'), each echoing
+    prefix_length + netmask per bucket like OpenSearch. Oracle
+    rebuilds the deterministic ip column from n_chars and replays the
+    mask arithmetic in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "ip", "mtime", "loc_lat", "loc_lon"),
+    )
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "size": 0,
+            "aggs": {
+                "p12": {"ip_prefix": {
+                    "field": "ip", "prefix_length": 12,
+                }},
+                "p20": {"ip_prefix": {
+                    "field": "ip", "prefix_length": 20,
+                    "append_prefix_length": True,
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    parts = [
+        res.aggregations[a].select(
+            F.lit(a).alias("agg"), "query_id", "key",
+            F.col("prefix_length").cast("long").alias("prefix_length"),
+            "netmask", "doc_count",
+        )
+        for a in ("p12", "p20")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def scroll_export(spark, sf_dir):
     """OpenSearch scroll API analog (index/dsl.py::scroll): pages the
     FULL match set of a query in _doc (ordinal) order with a
@@ -6883,6 +6930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_agg_knobs": dsl_agg_knobs,
         "dsl_hybrid_search": dsl_hybrid_search,
         "scroll_export": scroll_export,
+        "dsl_ip_prefix": dsl_ip_prefix,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11182,6 +11230,52 @@ UNION ALL SELECT 'gd', '1|3000-8000',
 UNION ALL SELECT 'gd', '2|8000-*',
   CAST(sum(CASE WHEN dist >= 8000000 THEN 1 ELSE 0 END) AS DOUBLE)
 FROM g
+"""
+    # ip_prefix: replay the mask arithmetic over the deterministic ip
+    # column ( /12 plain keys, /20 with '/20' appended )
+    sql["dsl_ip_prefix"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT q.query_id, tok.doc_id, tok.n_chars
+  FROM q JOIN tok USING (term)
+),
+d AS (
+  SELECT query_id,
+         167772160 + (n_chars % 200) * 65536
+           + ((n_chars * 3) % 250) * 256 + ((n_chars * 7) % 256) AS ipv
+  FROM matched
+),
+p12 AS (
+  SELECT query_id, (ipv // 1048576) * 1048576 AS net,
+         count(*) AS doc_count
+  FROM d GROUP BY 1, 2
+),
+p20 AS (
+  SELECT query_id, (ipv // 4096) * 4096 AS net, count(*) AS doc_count
+  FROM d GROUP BY 1, 2
+)
+SELECT 'p12' AS agg, query_id,
+       CAST(net // 16777216 % 256 AS VARCHAR) || '.'
+         || CAST(net // 65536 % 256 AS VARCHAR) || '.'
+         || CAST(net // 256 % 256 AS VARCHAR) || '.'
+         || CAST(net % 256 AS VARCHAR) AS key,
+       CAST(12 AS BIGINT) AS prefix_length,
+       '255.240.0.0' AS netmask, doc_count
+FROM p12
+UNION ALL
+SELECT 'p20', query_id,
+       CAST(net // 16777216 % 256 AS VARCHAR) || '.'
+         || CAST(net // 65536 % 256 AS VARCHAR) || '.'
+         || CAST(net // 256 % 256 AS VARCHAR) || '.'
+         || CAST(net % 256 AS VARCHAR) || '/20',
+       CAST(20 AS BIGINT), '255.255.240.0', doc_count
+FROM p20
 """
     sql["dsl_matrix_scripted"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

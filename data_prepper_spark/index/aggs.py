@@ -1063,6 +1063,75 @@ def ip_range_facet(
     return _spec_ranges_facet(spark, queries, at, v, specs)
 
 
+def ip_prefix_facet(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    field: str,
+    prefix_length: int,
+    is_ipv6: bool = False,
+    append_prefix_length: bool = False,
+    min_doc_count: int = 1,
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """`ip_prefix` aggregation: buckets docs by the /prefix_length
+    network of an IPv4 keyword field. Key is the masked network
+    address re-rendered dotted-quad (optionally with '/len' appended
+    — the agg's append_prefix_length knob), plus the echo columns
+    OpenSearch returns per bucket (prefix_length, netmask). All
+    native bit math on the int-converted quad — one grouped pass,
+    same shape as every bucket facet. IPv6 raises loudly (no ipv6
+    fixture surface)."""
+    if is_ipv6:
+        raise NotImplementedError("ip_prefix over IPv6 addresses")
+    nbits = int(prefix_length)
+    if not (0 < nbits <= 32):
+        raise ValueError("ip_prefix prefix_length must be in 1..32")
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries, [field], matched=matched
+    )
+    p = F.split(F.col(field), r"\.")
+    ok = F.col(field).rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    v = F.when(
+        ok,
+        p.getItem(0).cast("long") * F.lit(16777216)
+        + p.getItem(1).cast("long") * F.lit(65536)
+        + p.getItem(2).cast("long") * F.lit(256)
+        + p.getItem(3).cast("long"),
+    )
+    size = 1 << (32 - nbits)
+    net = (v.bitwiseAND(F.lit(~(size - 1) & 0xFFFFFFFF))).alias("net")
+    quad = F.concat_ws(
+        ".",
+        (F.col("net") / F.lit(16777216)).cast("long") % 256,
+        (F.col("net") / F.lit(65536)).cast("long") % 256,
+        (F.col("net") / F.lit(256)).cast("long") % 256,
+        F.col("net") % 256,
+    )
+    key = (
+        F.concat(quad, F.lit(f"/{nbits}")) if append_prefix_length else quad
+    )
+    mask_int = (~(size - 1)) & 0xFFFFFFFF
+    netmask = ".".join(
+        str((mask_int >> s) & 255) for s in (24, 16, 8, 0)
+    )
+    return (
+        at.withColumn("net", net)
+        .filter(F.col("net").isNotNull())
+        .groupBy("query_id", "net")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= int(min_doc_count))
+        .select(
+            "query_id",
+            key.alias("key"),
+            F.lit(nbits).alias("prefix_length"),
+            F.lit(netmask).alias("netmask"),
+            "doc_count",
+        )
+    )
+
+
 _GEO_UNIT_M = {
     "m": 1.0, "meters": 1.0,
     "km": 1000.0, "kilometers": 1000.0,

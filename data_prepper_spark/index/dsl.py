@@ -99,7 +99,9 @@ aggregation; free-form stateful scripts raise), date_range /
 ip_range (IPv4 + CIDR mask buckets, dotted-quad -> int32 in native
 Columns) / geo_distance rings (haversine, unit-converted bounds) via
 one generic overlapping-[from,to) executor with zero-doc buckets
-emitted, geohash_grid (5·precision interleaved bits -> base-32 keys,
+emitted, ip_prefix (/N network buckets over an IPv4 doc-values
+field — native mask bit math, append_prefix_length / min_doc_count
+knobs, per-bucket prefix_length + netmask echo), geohash_grid (5·precision interleaved bits -> base-32 keys,
 all native bit math), auto_date_histogram (smallest ladder interval
 whose exact bucket count fits `buckets`; 1-row driver gate),
 sampler / diversified_sampler (sub-aggs over the top-shard_size
@@ -2187,6 +2189,20 @@ def search(
             aggs[name] = agg_exec.ip_range_facet(
                 spark, index_dir, corpus_path, mq,
                 field=aconf["field"], ranges=list(aconf["ranges"]),
+                matched=agg_matched,
+            )
+        elif akind == "ip_prefix":
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.ip_prefix_facet(
+                spark, index_dir, corpus_path, mq,
+                field=aconf["field"],
+                prefix_length=int(aconf["prefix_length"]),
+                is_ipv6=bool(aconf.get("is_ipv6", False)),
+                append_prefix_length=bool(
+                    aconf.get("append_prefix_length", False)
+                ),
+                min_doc_count=int(aconf.get("min_doc_count", 1)),
                 matched=agg_matched,
             )
         elif akind == "geo_distance":

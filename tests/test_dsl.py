@@ -876,6 +876,24 @@ def test_hybrid_query(spark, tmp_path):
         )
 
 
+def test_ip_prefix_guardrails(spark, index_dir, corpus_path):
+    """ip_prefix loud failures: IPv6 unimplemented, prefix_length
+    bounds enforced."""
+    from data_prepper_spark.index.aggs import ip_prefix_facet
+
+    mq = spark.createDataFrame([(0, "class")], "query_id long, query string")
+    with pytest.raises(NotImplementedError, match="IPv6"):
+        ip_prefix_facet(
+            spark, index_dir, corpus_path, mq, field="ip",
+            prefix_length=64, is_ipv6=True,
+        )
+    with pytest.raises(ValueError, match="prefix_length"):
+        ip_prefix_facet(
+            spark, index_dir, corpus_path, mq, field="ip",
+            prefix_length=0,
+        )
+
+
 def test_scroll_api(spark, index_dir, corpus_path):
     """scroll(): stateless-cursor paging of the full match set in
     _doc (ordinal) order — pages are disjoint, ordinal-monotonic,
