@@ -4905,6 +4905,48 @@ def dsl_span_near(spark, sf_dir):
     )
 
 
+def dsl_span_or_not(spark, sf_dir):
+    """span_or + span_not over the positions sidecar
+    (index/positions.py::span_near_topk exclude/alternative plumbing,
+    routed from the DSL's span_or/span_not clauses —
+    SpanOrQuery/SpanNotQuery semantics, cf. reference passthrough of
+    OpenSearch span bodies). Query 0: span_or alternatives {data|hash}
+    then merge, ordered slop 6 (positions of the alternatives merged
+    into one clause slot). Query 1: include (data..merge, slop 6,
+    ordered) excluding spans with 'join' inside [first, last]. Query
+    2: same include, exclude 'scan' within [first-1, last+2]
+    (pre/post). For 2-clause ORDERED includes the executor's
+    per-start greedy chains are exactly the width-minimal picks and
+    exclusion windows only grow with the second position, so the
+    oracle's greedy-chain SQL is the true span semantics."""
+    from data_prepper_spark import fsio
+    from data_prepper_spark.index.positions import build_positions, span_near_topk
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    if not fsio.isdir(f"{idx}/positions"):
+        build_positions(spark, cpath, idx)
+    tie = F.col("path").cast("long")
+    a = span_near_topk(
+        spark, idx, [["data", "hash"], "merge"], slop=6, in_order=True,
+        k=1_000_000, query_id=0, tie_expr=tie,
+    )
+    b = span_near_topk(
+        spark, idx, ["data", "merge"], slop=6, in_order=True,
+        k=1_000_000, query_id=1, tie_expr=tie,
+        exclude=["join"],
+    )
+    c = span_near_topk(
+        spark, idx, ["data", "merge"], slop=6, in_order=True,
+        k=1_000_000, query_id=2, tie_expr=tie,
+        exclude=["scan"], excl_pre=1, excl_post=2,
+    )
+    return a.unionByName(b).unionByName(c).select(
+        "query_id", "rank",
+        F.col("path").cast("long").alias("doc_id"),
+        "min_width",
+    )
+
+
 def dsl_global_agg(spark, sf_dir):
     """`global` aggregation: sub-aggregations over the WHOLE live
     corpus alongside query-scoped ones in the same body (index/dsl.py
@@ -6931,6 +6973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_hybrid_search": dsl_hybrid_search,
         "scroll_export": scroll_export,
         "dsl_ip_prefix": dsl_ip_prefix,
+        "dsl_span_or_not": dsl_span_or_not,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11566,6 +11609,57 @@ q1 AS (
   GROUP BY 2 HAVING min(abs(m.p - d.p) - 1) <= 3
 ),
 u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY min_width, doc_id) AS rank,
+       doc_id, min_width
+FROM u
+"""
+    sql["dsl_span_or_not"] = f"""
+WITH base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+  FROM base
+),
+d AS (SELECT doc_id, p FROM pos WHERE tok = 'data'),
+h AS (SELECT doc_id, p FROM pos WHERE tok = 'hash'),
+m AS (SELECT doc_id, p FROM pos WHERE tok = 'merge'),
+j AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+s AS (SELECT doc_id, p FROM pos WHERE tok = 'scan'),
+dh AS (SELECT * FROM d UNION ALL SELECT * FROM h),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, dh.doc_id,
+         CAST(min(m.p - dh.p - 1) AS INT) AS min_width
+  FROM dh JOIN m USING (doc_id) WHERE m.p > dh.p
+  GROUP BY 2 HAVING min(m.p - dh.p - 1) <= 6
+),
+chains AS (
+  SELECT d.doc_id, d.p AS p1, min(m.p) AS p2
+  FROM d JOIN m USING (doc_id) WHERE m.p > d.p
+  GROUP BY d.doc_id, d.p
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, c.doc_id,
+         CAST(min(c.p2 - c.p1 - 1) AS INT) AS min_width
+  FROM chains c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM j
+    WHERE j.doc_id = c.doc_id AND j.p BETWEEN c.p1 AND c.p2
+  )
+  GROUP BY 2 HAVING min(c.p2 - c.p1 - 1) <= 6
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id, c.doc_id,
+         CAST(min(c.p2 - c.p1 - 1) AS INT) AS min_width
+  FROM chains c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s
+    WHERE s.doc_id = c.doc_id AND s.p BETWEEN c.p1 - 1 AND c.p2 + 2
+  )
+  GROUP BY 2 HAVING min(c.p2 - c.p1 - 1) <= 6
+),
+u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1
+      UNION ALL SELECT * FROM q2)
 SELECT query_id,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY min_width, doc_id) AS rank,

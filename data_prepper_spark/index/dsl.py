@@ -706,55 +706,97 @@ def search(
             k=k,
             max_expansions=int(opts.get("max_expansions", 50)),
         )
-    elif kind in ("span_near", "span_term", "span_first"):
+    elif kind in (
+        "span_near", "span_term", "span_first", "span_or", "span_not"
+    ):
         # span family over the positions sidecar: span_term values
         # are TERM-level (not analyzed — the OpenSearch contract);
-        # hits rank tightest-span-first (positions.span_near_topk)
+        # hits rank tightest-span-first (positions.span_near_topk).
+        # span_or merges alternative term positions per clause slot
+        # (SpanOrQuery); span_not drops spans holding an exclude-term
+        # position within [first-pre, last+post] (SpanNotQuery) —
+        # everything compiles to ONE positional scan.
         from .positions import span_near_topk
 
-        def _span_terms(clause):
-            ((ck, cs),) = clause.items()
-            if ck != "span_term":
-                raise NotImplementedError(
-                    f"span sub-clause '{ck}' (span_term only)"
-                )
-            t, _ = _field_arg(cs)
-            return str(t)
+        def _span_parse(ck: str, cs: dict) -> dict:
+            if ck == "span_term":
+                t, _ = _field_arg(cs)
+                return {
+                    "clauses": [str(t)], "slop": 0, "in_order": True,
+                    "exclude": [], "pre": 0, "post": 0,
+                }
+            if ck == "span_or":
+                if not cs.get("clauses"):
+                    raise ValueError("span_or needs non-empty clauses")
+                alts = []
+                for c in cs["clauses"]:
+                    ((sk, ss),) = c.items()
+                    if sk != "span_term":
+                        raise NotImplementedError(
+                            f"span_or sub-clause '{sk}' (span_term only)"
+                        )
+                    t, _ = _field_arg(ss)
+                    alts.append(str(t))
+                return {
+                    "clauses": [alts], "slop": 0, "in_order": True,
+                    "exclude": [], "pre": 0, "post": 0,
+                }
+            if ck == "span_near":
+                if not cs.get("clauses"):
+                    raise ValueError("span_near needs non-empty clauses")
+                cls = []
+                for c in cs["clauses"]:
+                    ((sk, ss),) = c.items()
+                    if sk not in ("span_term", "span_or"):
+                        raise NotImplementedError(
+                            f"span_near sub-clause '{sk}' "
+                            "(span_term/span_or only)"
+                        )
+                    cls.extend(_span_parse(sk, ss)["clauses"])
+                return {
+                    "clauses": cls,
+                    "slop": int(cs.get("slop", 0)),
+                    "in_order": bool(cs.get("in_order", True)),
+                    "exclude": [], "pre": 0, "post": 0,
+                }
+            if ck == "span_not":
+                ((ik2, is2),) = cs["include"].items()
+                inc = _span_parse(ik2, is2)
+                if inc["exclude"]:
+                    raise NotImplementedError("nested span_not")
+                ((ek, es),) = cs["exclude"].items()
+                if ek not in ("span_term", "span_or"):
+                    raise NotImplementedError(
+                        f"span_not exclude '{ek}' (span_term/span_or "
+                        "— unit-length spans only)"
+                    )
+                ex_terms: list = []
+                for c in _span_parse(ek, es)["clauses"]:
+                    ex_terms.extend([c] if isinstance(c, str) else c)
+                dist = int(cs.get("dist", 0))
+                return {
+                    **inc,
+                    "exclude": ex_terms,
+                    "pre": int(cs.get("pre", dist)),
+                    "post": int(cs.get("post", dist)),
+                }
+            raise NotImplementedError(f"span clause '{ck}'")
 
-        if kind == "span_term":
-            t, _ = _field_arg(spec)
-            hits = span_near_topk(
-                spark, index_dir, [str(t)], slop=0, k=k,
-                query_id=query_id,
-            )
-        elif kind == "span_near":
-            if not spec.get("clauses"):
-                raise ValueError("span_near needs non-empty clauses")
-            hits = span_near_topk(
-                spark, index_dir,
-                [_span_terms(c) for c in spec["clauses"]],
-                slop=int(spec.get("slop", 0)),
-                in_order=bool(spec.get("in_order", True)),
-                k=k, query_id=query_id,
-            )
-        else:  # span_first: {"match": <span clause>, "end": N}
-            inner = spec["match"]
-            ((ik, ispec),) = inner.items()
-            if ik == "span_term":
-                t, _ = _field_arg(ispec)
-                cl, sl, io = [str(t)], 0, True
-            elif ik == "span_near":
-                cl = [_span_terms(c) for c in ispec["clauses"]]
-                sl = int(ispec.get("slop", 0))
-                io = bool(ispec.get("in_order", True))
-            else:
-                raise NotImplementedError(
-                    f"span_first match '{ik}' (span_term/span_near)"
-                )
-            hits = span_near_topk(
-                spark, index_dir, cl, slop=sl, in_order=io, k=k,
-                query_id=query_id, max_end=int(spec["end"]),
-            )
+        max_end = None
+        if kind == "span_first":
+            # span_first: {"match": <span clause>, "end": N}
+            ((ik, ispec),) = spec["match"].items()
+            sp = _span_parse(ik, ispec)
+            max_end = int(spec["end"])
+        else:
+            sp = _span_parse(kind, spec)
+        hits = span_near_topk(
+            spark, index_dir, sp["clauses"],
+            slop=sp["slop"], in_order=sp["in_order"],
+            k=k, query_id=query_id, max_end=max_end,
+            exclude=sp["exclude"],
+            excl_pre=sp["pre"], excl_post=sp["post"],
+        )
     elif kind == "intervals":
         # intervals `match` rule (Lucene IntervalsSource.match): the
         # query text ANALYZES to terms; a doc matches when a minimal

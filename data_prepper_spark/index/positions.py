@@ -465,7 +465,13 @@ def sloppy_phrase_topk(
     )
 
 
-def _span_stats_udf(slop: int, in_order: bool, max_end: int | None):
+def _span_stats_udf(
+    slop: int,
+    in_order: bool,
+    max_end: int | None,
+    excl_pre: int = 0,
+    excl_post: int = 0,
+):
     """(ti, positions) rows -> (min_width, freq) per candidate doc
     under Lucene span-near semantics with unit-length (span_term)
     sub-spans: a match picks one position per clause; its WIDTH is
@@ -482,20 +488,45 @@ def _span_stats_udf(slop: int, in_order: bool, max_end: int | None):
     `max_end` (span_first) additionally requires the match span to
     end at position <= max_end (exclusive-end convention, 0-based).
 
+    Rows sharing a ti are SPAN_OR alternatives: their position lists
+    are merged before the scan (Lucene SpanOrQuery over unit-length
+    sub-spans — the union of the alternatives' spans).
+
+    Rows with ti == -1 carry SPAN_NOT exclude positions: an otherwise
+    matching span whose [first - excl_pre, last + excl_post] window
+    holds any exclude position is dropped from both min_width and
+    freq (Lucene SpanNotQuery pre/post semantics over unit-length
+    exclude spans).
+
     Divergence from Lucene, documented: with DUPLICATE clause terms
     the unordered scan may let two clauses share one physical
     position (Lucene forbids overlapping sub-spans); distinct terms
-    are unaffected (one term occupies one position per slot)."""
+    are unaffected (one term occupies one position per slot). For a
+    span_near INCLUDE under span_not, exclusion tests the spans this
+    enumerator produces (the per-start minimal chains / smallest
+    covering windows), not every combinatorial pick."""
     import bisect
 
     @F.pandas_udf("min_width int, freq int")
     def fn(arrs: pd.Series) -> pd.DataFrame:
         out_w, out_f = [], []
         for arr in arrs:
-            by_ti = {
-                int(e["ti"]): sorted(int(p) for p in e["positions"])
-                for e in arr
-            }
+            by_ti: dict = {}
+            for e in arr:
+                by_ti.setdefault(int(e["ti"]), []).extend(
+                    int(p) for p in e["positions"]
+                )
+            for ti_k in by_ti:
+                by_ti[ti_k] = sorted(set(by_ti[ti_k]))
+            excl = by_ti.pop(-1, [])
+
+            def _excluded(first: int, last: int) -> bool:
+                if not excl:
+                    return False
+                lo = first - excl_pre
+                j = bisect.bisect_left(excl, lo)
+                return j < len(excl) and excl[j] <= last + excl_post
+
             n = len(by_ti)
             lists = [by_ti[i] for i in range(n)]
             min_w = None
@@ -514,6 +545,8 @@ def _span_stats_udf(slop: int, in_order: bool, max_end: int | None):
                     if not ok:
                         break  # larger starts can only fail too
                     if max_end is not None and prev + 1 > max_end:
+                        continue
+                    if _excluded(p1, prev):
                         continue
                     w = prev - p1 - (n - 1)
                     if min_w is None or w < min_w:
@@ -534,7 +567,9 @@ def _span_stats_udf(slop: int, in_order: bool, max_end: int | None):
                     if counts[t] == 1:
                         have += 1
                     while have == n:
-                        if max_end is None or a + 1 <= max_end:
+                        if (
+                            max_end is None or a + 1 <= max_end
+                        ) and not _excluded(items[left][0], a):
                             w = a - items[left][0] - (n - 1)
                             if min_w is None or w < min_w:
                                 min_w = w
@@ -556,13 +591,16 @@ def _span_stats_udf(slop: int, in_order: bool, max_end: int | None):
 def span_near_topk(
     spark: SparkSession,
     index_dir: str,
-    clauses: list[str],
+    clauses: list,
     slop: int = 0,
     in_order: bool = True,
     k: int = 10,
     query_id: int = 0,
     max_end: int | None = None,
     tie_expr=None,
+    exclude: list[str] | None = None,
+    excl_pre: int = 0,
+    excl_post: int = 0,
 ) -> DataFrame:
     """Lucene span_near over the positions sidecar: `clauses` are
     span_term values (TERM-level — span_term is not analyzed, the
@@ -570,6 +608,14 @@ def span_near_topk(
     some pick's width (interleaving positions between first and last)
     is <= `slop`, ordered when `in_order`. `max_end` adds the
     span_first constraint (match span must end at <= max_end).
+
+    A clause may be a LIST of terms — span_or over span_terms: the
+    clause matches at the union of the alternatives' positions
+    (SpanOrQuery.java semantics for unit-length sub-spans). `exclude`
+    terms implement span_not: a candidate span is rejected when any
+    exclude-term position lies in [first - excl_pre, last + excl_post]
+    (SpanNotQuery pre/post). Docs whose only spans are excluded drop
+    out of the result entirely.
 
     Ranks hits by (min_width asc, doc_id asc) — tightest span first —
     and returns (query_id, rank, doc_id, min_width, span_freq, repo,
@@ -579,29 +625,43 @@ def span_near_topk(
     the positions scan, counted join keeps only docs holding ALL
     clause terms, then ONE Arrow-batched scan per surviving doc over
     its already-grouped position lists — no corpus I/O, no extra
-    shuffle beyond the candidate groupBy. index_dir may be a LIST of
-    delta dirs (see _dirs)."""
+    shuffle beyond the candidate groupBy. Exclude terms ride the same
+    scan as ti=-1 rows (left-present: docs without the exclude term
+    simply carry no -1 row). index_dir may be a LIST of delta dirs
+    (see _dirs)."""
     dirs = _dirs(index_dir)
+    rows = []
+    for i, c in enumerate(clauses):
+        alts = [c] if isinstance(c, str) else list(c)
+        if not alts:
+            raise ValueError("span_or needs non-empty clauses")
+        for t in alts:
+            rows.append((int(query_id), i, t))
+    for t in exclude or []:
+        rows.append((int(query_id), -1, t))
     q = spark.createDataFrame(
-        [(int(query_id), i, t) for i, t in enumerate(clauses)],
-        "query_id long, ti int, term string",
+        rows, "query_id long, ti int, term string"
     )
     n = len(clauses)
     pos = _read_positions(spark, dirs).filter(
-        F.col("term").isin(list(set(clauses)))
+        F.col("term").isin(sorted({t for _, _, t in rows}))
     )
     j = q.join(pos, "term").select("query_id", "ti", "doc_id", "positions")
     grouped = (
         j.groupBy("query_id", "doc_id")
         .agg(
-            F.count_distinct("ti").alias("_nt"),
+            F.count_distinct(
+                F.when(F.col("ti") >= 0, F.col("ti"))
+            ).alias("_nt"),
             F.array_sort(
                 F.collect_list(F.struct("ti", "positions"))
             ).alias("_arr"),
         )
         .filter(F.col("_nt") == F.lit(n))
     )
-    st = _span_stats_udf(slop, in_order, max_end)(F.col("_arr"))
+    st = _span_stats_udf(slop, in_order, max_end, excl_pre, excl_post)(
+        F.col("_arr")
+    )
     scored = (
         grouped.withColumn("_st", st)
         .withColumn("min_width", F.col("_st")["min_width"])

@@ -1266,13 +1266,191 @@ def test_span_queries(spark, index_dir, corpus_path, corpus_pdf):
         ident[(r.repo, r.path, r.commit)] for r in sf
     } == set(brute([t0[2]], 0, True, max_end=3))
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="span_or"):
         search(
             spark, index_dir,
             {"query": {"span_near": {"clauses": [
                 {"span_or": {"clauses": []}},
             ], "slop": 0}}},
         )
+    with pytest.raises(NotImplementedError, match="span_near sub-clause"):
+        search(
+            spark, index_dir,
+            {"query": {"span_near": {"clauses": [
+                {"span_first": {
+                    "match": {"span_term": {"content": "x"}}, "end": 1,
+                }},
+            ], "slop": 0}}},
+        )
+
+
+def test_span_or_not(spark, index_dir, corpus_path, corpus_pdf):
+    """span_or (alternative terms per clause slot, positions merged)
+    and span_not (exclude-term positions within [first-pre, last+post]
+    reject the span) against brute-force checks on raw token streams.
+    For ORDERED 2-clause includes the executor's per-start greedy
+    chains are exactly the minimal picks (larger second positions only
+    widen the exclusion window), so the brute here — all picks, window
+    exclusion — is the true Lucene semantics, not an implementation
+    echo. Unordered span_or is checked pick-exhaustively (no
+    excludes); span_not consistency properties close the loop."""
+    import itertools
+
+    from data_prepper_spark.index.positions import build_positions
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        build_positions(spark, corpus_path, index_dir)
+    toks = tokenize_series(corpus_pdf.content)
+    ident = {
+        (r.repo, r.path, r.commit): i
+        for i, r in enumerate(corpus_pdf.itertuples())
+    }
+
+    def brute(clauses, slop, in_order, exclude=(), pre=0, post=0):
+        out = {}
+        for i, tk in enumerate(toks):
+            pos = []
+            for c in clauses:
+                alts = {c} if isinstance(c, str) else set(c)
+                pos.append([p for p, t in enumerate(tk) if t in alts])
+            if any(not v for v in pos):
+                continue
+            ex = [p for p, t in enumerate(tk) if t in exclude]
+            best = None
+            for pick in itertools.product(*pos):
+                if in_order and any(
+                    pick[j + 1] <= pick[j] for j in range(len(pick) - 1)
+                ):
+                    continue
+                lo, hi = min(pick), max(pick)
+                if any(lo - pre <= e <= hi + post for e in ex):
+                    continue
+                w = hi - lo - (len(pick) - 1)
+                if best is None or w < best:
+                    best = w
+            if best is not None and best <= slop:
+                out[i] = best
+        return out
+
+    t0 = toks.iloc[0]
+    # three DISTINCT tokens (duplicate clause terms are the documented
+    # unordered divergence vs Lucene — keep the brute exact)
+    firsts: dict = {}
+    for p, t in enumerate(t0):
+        firsts.setdefault(t, p)
+    uniq = list(firsts)
+    assert len(uniq) >= 5, "fixture doc 0 too repetitive"
+    a, b, c = uniq[2], uniq[3], uniq[4]
+
+    def got_for(body):
+        hits = search(spark, index_dir, {**body, "size": 100_000}).hits
+        return {
+            ident[(r.repo, r.path, r.commit)]: r.min_width
+            for r in hits.collect()
+        }
+
+    # span_or inside span_near, ordered and unordered
+    or_clause = {"span_or": {"clauses": [
+        {"span_term": {"content": a}}, {"span_term": {"content": b}},
+    ]}}
+    for in_order in (True, False):
+        got = got_for({"query": {"span_near": {
+            "clauses": [or_clause, {"span_term": {"content": c}}],
+            "slop": 8, "in_order": in_order,
+        }}})
+        assert got == brute([[a, b], c], 8, in_order), in_order
+    # bare span_or == union of the span_term match sets, width 0
+    got = got_for({"query": or_clause})
+    assert got == brute([[a, b]], 0, True)
+
+    # span_not: ordered 2-clause include, exclude a term that occurs
+    # between the include terms somewhere (so the clause does work)
+    ex_brute_all = brute([a, c], 10, True)
+    ex_term = None
+    for i, w in ex_brute_all.items():
+        tk = toks.iloc[i]
+        pa = [p for p, t in enumerate(tk) if t == a]
+        pc = [p for p, t in enumerate(tk) if t == c]
+        for p1 in pa:
+            nxt = [p for p in pc if p > p1]
+            if not nxt:
+                continue
+            p2 = min(nxt)
+            if p2 - p1 > 1:
+                ex_term = tk[p1 + 1]
+                break
+        if ex_term:
+            break
+    assert ex_term is not None, "fixture lacks an interleaved token"
+    for pre, post, dist in [(0, 0, None), (None, None, 2), (1, 3, None)]:
+        spec = {
+            "include": {"span_near": {
+                "clauses": [
+                    {"span_term": {"content": a}},
+                    {"span_term": {"content": c}},
+                ],
+                "slop": 10, "in_order": True,
+            }},
+            "exclude": {"span_term": {"content": ex_term}},
+        }
+        if dist is not None:
+            spec["dist"] = dist
+            epre = epost = dist
+        else:
+            spec["pre"], spec["post"] = pre, post
+            epre, epost = pre, post
+        got = got_for({"query": {"span_not": spec}})
+        want = brute(
+            [a, c], 10, True, exclude={ex_term}, pre=epre, post=epost
+        )
+        assert got == want, (pre, post, dist)
+        # consistency: span_not ⊆ plain include, widths never shrink
+        assert set(got) <= set(ex_brute_all)
+        assert all(got[i] >= ex_brute_all[i] for i in got)
+    # the exclusion must have actually removed or widened something
+    got0 = got_for({"query": {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"content": a}},
+            {"span_term": {"content": c}},
+        ], "slop": 10, "in_order": True}},
+        "exclude": {"span_term": {"content": ex_term}},
+    }}})
+    assert got0 != ex_brute_all
+
+    # span_or as the exclude (union of exclude positions)
+    got = got_for({"query": {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"content": a}},
+            {"span_term": {"content": c}},
+        ], "slop": 10, "in_order": True}},
+        "exclude": {"span_or": {"clauses": [
+            {"span_term": {"content": ex_term}},
+            {"span_term": {"content": b}},
+        ]}},
+    }}})
+    assert got == brute([a, c], 10, True, exclude={ex_term, b})
+
+    # span_first over span_not composes
+    got = got_for({"query": {"span_first": {
+        "match": {"span_not": {
+            "include": {"span_term": {"content": a}},
+            "exclude": {"span_term": {"content": ex_term}},
+            "pre": 1, "post": 1,
+        }},
+        "end": 12,
+    }}})
+    want = {}
+    for i, tk in enumerate(toks):
+        ex = [p for p, t in enumerate(tk) if t == ex_term]
+        ps = [
+            p for p, t in enumerate(tk)
+            if t == a and p + 1 <= 12
+            and not any(p - 1 <= e <= p + 1 for e in ex)
+        ]
+        if ps:
+            want[i] = 0
+    assert got == want
 
 
 def test_match_bool_prefix(spark, index_dir, corpus_pdf):
