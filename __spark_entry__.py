@@ -4915,10 +4915,14 @@ def dsl_span_or_not(spark, sf_dir):
     into one clause slot). Query 1: include (data..merge, slop 6,
     ordered) excluding spans with 'join' inside [first, last]. Query
     2: same include, exclude 'scan' within [first-1, last+2]
-    (pre/post). For 2-clause ORDERED includes the executor's
-    per-start greedy chains are exactly the width-minimal picks and
-    exclusion windows only grow with the second position, so the
-    oracle's greedy-chain SQL is the true span semantics."""
+    (pre/post). Query 3: span_containing — the same include's spans
+    KEPT only when a 'join' position lies inside [first, last]
+    (SpanContainingQuery; span_within yields the identical doc set).
+    For 2-clause ORDERED includes the executor's per-start greedy
+    chains are exactly the width-minimal picks and exclusion windows
+    only grow with the second position, so the oracle's greedy-chain
+    SQL is the true span semantics (containment too: Lucene checks
+    the spans its big iterator produces — the same minimal chains)."""
     from data_prepper_spark import fsio
     from data_prepper_spark.index.positions import build_positions, span_near_topk
 
@@ -4940,7 +4944,12 @@ def dsl_span_or_not(spark, sf_dir):
         k=1_000_000, query_id=2, tie_expr=tie,
         exclude=["scan"], excl_pre=1, excl_post=2,
     )
-    return a.unionByName(b).unionByName(c).select(
+    d = span_near_topk(
+        spark, idx, ["data", "merge"], slop=6, in_order=True,
+        k=1_000_000, query_id=3, tie_expr=tie,
+        require=["join"],
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).select(
         "query_id", "rank",
         F.col("path").cast("long").alias("doc_id"),
         "min_width",
@@ -11658,8 +11667,18 @@ q2 AS (
   )
   GROUP BY 2 HAVING min(c.p2 - c.p1 - 1) <= 6
 ),
+q3 AS (
+  SELECT CAST(3 AS BIGINT) AS query_id, c.doc_id,
+         CAST(min(c.p2 - c.p1 - 1) AS INT) AS min_width
+  FROM chains c
+  WHERE EXISTS (
+    SELECT 1 FROM j
+    WHERE j.doc_id = c.doc_id AND j.p BETWEEN c.p1 AND c.p2
+  )
+  GROUP BY 2 HAVING min(c.p2 - c.p1 - 1) <= 6
+),
 u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1
-      UNION ALL SELECT * FROM q2)
+      UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
 SELECT query_id,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY min_width, doc_id) AS rank,

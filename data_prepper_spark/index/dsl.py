@@ -707,23 +707,39 @@ def search(
             max_expansions=int(opts.get("max_expansions", 50)),
         )
     elif kind in (
-        "span_near", "span_term", "span_first", "span_or", "span_not"
+        "span_near", "span_term", "span_first", "span_or", "span_not",
+        "span_containing", "span_within",
     ):
         # span family over the positions sidecar: span_term values
         # are TERM-level (not analyzed — the OpenSearch contract);
         # hits rank tightest-span-first (positions.span_near_topk).
         # span_or merges alternative term positions per clause slot
         # (SpanOrQuery); span_not drops spans holding an exclude-term
-        # position within [first-pre, last+post] (SpanNotQuery) —
+        # position within [first-pre, last+post] (SpanNotQuery);
+        # span_containing/span_within keep big spans enclosing a
+        # little-span position (identical match set either direction;
+        # ranking always by the big span's width, documented) —
         # everything compiles to ONE positional scan.
         from .positions import span_near_topk
+
+        def _unit_terms(label: str, clause: dict) -> list:
+            ((sk, ss),) = clause.items()
+            if sk not in ("span_term", "span_or"):
+                raise NotImplementedError(
+                    f"{label} '{sk}' (span_term/span_or — "
+                    "unit-length spans only)"
+                )
+            out: list = []
+            for c in _span_parse(sk, ss)["clauses"]:
+                out.extend([c] if isinstance(c, str) else c)
+            return out
 
         def _span_parse(ck: str, cs: dict) -> dict:
             if ck == "span_term":
                 t, _ = _field_arg(cs)
                 return {
                     "clauses": [str(t)], "slop": 0, "in_order": True,
-                    "exclude": [], "pre": 0, "post": 0,
+                    "exclude": [], "pre": 0, "post": 0, "require": None,
                 }
             if ck == "span_or":
                 if not cs.get("clauses"):
@@ -739,7 +755,7 @@ def search(
                     alts.append(str(t))
                 return {
                     "clauses": [alts], "slop": 0, "in_order": True,
-                    "exclude": [], "pre": 0, "post": 0,
+                    "exclude": [], "pre": 0, "post": 0, "require": None,
                 }
             if ck == "span_near":
                 if not cs.get("clauses"):
@@ -757,28 +773,34 @@ def search(
                     "clauses": cls,
                     "slop": int(cs.get("slop", 0)),
                     "in_order": bool(cs.get("in_order", True)),
-                    "exclude": [], "pre": 0, "post": 0,
+                    "exclude": [], "pre": 0, "post": 0, "require": None,
                 }
             if ck == "span_not":
                 ((ik2, is2),) = cs["include"].items()
                 inc = _span_parse(ik2, is2)
                 if inc["exclude"]:
                     raise NotImplementedError("nested span_not")
-                ((ek, es),) = cs["exclude"].items()
-                if ek not in ("span_term", "span_or"):
-                    raise NotImplementedError(
-                        f"span_not exclude '{ek}' (span_term/span_or "
-                        "— unit-length spans only)"
-                    )
-                ex_terms: list = []
-                for c in _span_parse(ek, es)["clauses"]:
-                    ex_terms.extend([c] if isinstance(c, str) else c)
                 dist = int(cs.get("dist", 0))
                 return {
                     **inc,
-                    "exclude": ex_terms,
+                    "exclude": _unit_terms(
+                        "span_not exclude", cs["exclude"]
+                    ),
                     "pre": int(cs.get("pre", dist)),
                     "post": int(cs.get("post", dist)),
+                }
+            if ck in ("span_containing", "span_within"):
+                ((bk, bs),) = cs["big"].items()
+                big = _span_parse(bk, bs)
+                if big["require"] is not None:
+                    raise NotImplementedError(
+                        f"nested {ck}"
+                    )
+                return {
+                    **big,
+                    "require": _unit_terms(
+                        f"{ck} little", cs["little"]
+                    ),
                 }
             raise NotImplementedError(f"span clause '{ck}'")
 
@@ -796,6 +818,7 @@ def search(
             k=k, query_id=query_id, max_end=max_end,
             exclude=sp["exclude"],
             excl_pre=sp["pre"], excl_post=sp["post"],
+            require=sp["require"],
         )
     elif kind == "intervals":
         # intervals `match` rule (Lucene IntervalsSource.match): the

@@ -471,6 +471,7 @@ def _span_stats_udf(
     max_end: int | None,
     excl_pre: int = 0,
     excl_post: int = 0,
+    has_require: bool = False,
 ):
     """(ti, positions) rows -> (min_width, freq) per candidate doc
     under Lucene span-near semantics with unit-length (span_term)
@@ -498,6 +499,14 @@ def _span_stats_udf(
     freq (Lucene SpanNotQuery pre/post semantics over unit-length
     exclude spans).
 
+    With has_require=True, rows with ti == -2 carry SPAN_CONTAINING
+    little-span positions: a big span is kept only when some require
+    position lies INSIDE [first, last] (SpanContainingQuery over
+    unit-length little spans — containment tests the spans this
+    enumerator produces, matching Lucene, whose big-span iterator is
+    also per-start minimal). A doc with no require rows never
+    matches.
+
     Divergence from Lucene, documented: with DUPLICATE clause terms
     the unordered scan may let two clauses share one physical
     position (Lucene forbids overlapping sub-spans); distinct terms
@@ -519,13 +528,19 @@ def _span_stats_udf(
             for ti_k in by_ti:
                 by_ti[ti_k] = sorted(set(by_ti[ti_k]))
             excl = by_ti.pop(-1, [])
+            req = by_ti.pop(-2, [])
 
             def _excluded(first: int, last: int) -> bool:
-                if not excl:
-                    return False
-                lo = first - excl_pre
-                j = bisect.bisect_left(excl, lo)
-                return j < len(excl) and excl[j] <= last + excl_post
+                if excl:
+                    lo = first - excl_pre
+                    j = bisect.bisect_left(excl, lo)
+                    if j < len(excl) and excl[j] <= last + excl_post:
+                        return True
+                if has_require:
+                    j = bisect.bisect_left(req, first)
+                    if not (j < len(req) and req[j] <= last):
+                        return True  # no little span inside
+                return False
 
             n = len(by_ti)
             lists = [by_ti[i] for i in range(n)]
@@ -601,6 +616,7 @@ def span_near_topk(
     exclude: list[str] | None = None,
     excl_pre: int = 0,
     excl_post: int = 0,
+    require: list[str] | None = None,
 ) -> DataFrame:
     """Lucene span_near over the positions sidecar: `clauses` are
     span_term values (TERM-level — span_term is not analyzed, the
@@ -615,7 +631,11 @@ def span_near_topk(
     terms implement span_not: a candidate span is rejected when any
     exclude-term position lies in [first - excl_pre, last + excl_post]
     (SpanNotQuery pre/post). Docs whose only spans are excluded drop
-    out of the result entirely.
+    out of the result entirely. `require` terms implement
+    span_containing/span_within: a span is kept only when some
+    require-term position lies inside [first, last] (unit-length
+    little spans; ranking always uses the enclosing big span's
+    width — identical match set to Lucene, ordering documented).
 
     Ranks hits by (min_width asc, doc_id asc) — tightest span first —
     and returns (query_id, rank, doc_id, min_width, span_freq, repo,
@@ -630,6 +650,8 @@ def span_near_topk(
     simply carry no -1 row). index_dir may be a LIST of delta dirs
     (see _dirs)."""
     dirs = _dirs(index_dir)
+    if require is not None and not require:
+        raise ValueError("require needs at least one term")
     rows = []
     for i, c in enumerate(clauses):
         alts = [c] if isinstance(c, str) else list(c)
@@ -639,6 +661,8 @@ def span_near_topk(
             rows.append((int(query_id), i, t))
     for t in exclude or []:
         rows.append((int(query_id), -1, t))
+    for t in require or []:
+        rows.append((int(query_id), -2, t))
     q = spark.createDataFrame(
         rows, "query_id long, ti int, term string"
     )
@@ -659,9 +683,10 @@ def span_near_topk(
         )
         .filter(F.col("_nt") == F.lit(n))
     )
-    st = _span_stats_udf(slop, in_order, max_end, excl_pre, excl_post)(
-        F.col("_arr")
-    )
+    st = _span_stats_udf(
+        slop, in_order, max_end, excl_pre, excl_post,
+        has_require=require is not None,
+    )(F.col("_arr"))
     scored = (
         grouped.withColumn("_st", st)
         .withColumn("min_width", F.col("_st")["min_width"])

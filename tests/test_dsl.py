@@ -1452,6 +1452,70 @@ def test_span_or_not(spark, index_dir, corpus_path, corpus_pdf):
             want[i] = 0
     assert got == want
 
+    # span_containing / span_within: big spans (a .. c, ordered) that
+    # enclose a little-span position. The brute enumerates the SAME
+    # spans Lucene's big-span iterator produces — per-start minimal
+    # (greedy) chains — because containment is checked against
+    # produced spans, not all combinatorial picks.
+    def brute_containing(big, slop, little):
+        out = {}
+        for i, tk in enumerate(toks):
+            pa = [p for p, t in enumerate(tk) if t == big[0]]
+            pc = sorted(p for p, t in enumerate(tk) if t == big[1])
+            lt = [p for p, t in enumerate(tk) if t in little]
+            best = None
+            import bisect as bi
+
+            for p1 in pa:
+                j = bi.bisect_right(pc, p1)
+                if j == len(pc):
+                    break
+                p2 = pc[j]
+                if not any(p1 <= e <= p2 for e in lt):
+                    continue
+                w = p2 - p1 - 1
+                if best is None or w < best:
+                    best = w
+            if best is not None and best <= slop:
+                out[i] = best
+        return out
+
+    want_c = brute_containing([a, c], 10, {ex_term})
+    assert want_c, "containing test would be vacuous"
+    for skind in ("span_containing", "span_within"):
+        got = got_for({"query": {skind: {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"content": a}},
+                {"span_term": {"content": c}},
+            ], "slop": 10, "in_order": True}},
+            "little": {"span_term": {"content": ex_term}},
+        }}})
+        assert got == want_c, skind
+    # containing + not partition the include's spans per doc: a doc in
+    # the plain include match set appears in at least one side
+    got_n = got_for({"query": {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"content": a}},
+            {"span_term": {"content": c}},
+        ], "slop": 10, "in_order": True}},
+        "exclude": {"span_term": {"content": ex_term}},
+    }}})
+    assert set(ex_brute_all) == set(want_c) | set(got_n)
+
+    # little as span_or widens the containing match set
+    got = got_for({"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"content": a}},
+            {"span_term": {"content": c}},
+        ], "slop": 10, "in_order": True}},
+        "little": {"span_or": {"clauses": [
+            {"span_term": {"content": ex_term}},
+            {"span_term": {"content": b}},
+        ]}},
+    }}})
+    assert got == brute_containing([a, c], 10, {ex_term, b})
+    assert set(want_c) <= set(got)
+
 
 def test_match_bool_prefix(spark, index_dir, corpus_pdf):
     """match_bool_prefix routes to bool_prefix_search; disjunctive
