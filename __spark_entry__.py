@@ -4956,6 +4956,76 @@ def dsl_span_or_not(spark, sf_dir):
     )
 
 
+def join_field_search(spark, sf_dir):
+    """Parent/child join-field queries (index/joinfield.py — the
+    OpenSearch `join` field type modeled as doc-values columns
+    join_name/join_parent; all relation resolution is equi-joins).
+    Deterministic relation over the documents corpus: doc_id%5==0 ->
+    parent 'question' (_id = its path), others children of the block
+    parent. Query 0: has_child (children matching 'data merge',
+    min_children=2) -> parent docs + child counts. Query 1:
+    has_parent (parents matching 'hash') -> their children. Query 2:
+    parent_id for one block. score_mode='none' keeps ranks
+    order-free, so the output is the exact SET contract (no rank
+    column); score aggregation is pytest-verified against the numpy
+    BM25 oracle (test_join_field_queries)."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    corpus = spark.read.parquet(cpath)
+    did = F.col("path").cast("long")
+    aug = corpus.withColumn(
+        "join_name",
+        F.when(did % 5 == 0, F.lit("question")).otherwise(F.lit("answer")),
+    ).withColumn(
+        "join_parent",
+        F.when(did % 5 == 0, F.lit(None).cast("string")).otherwise(
+            (did - did % 5).cast("string")
+        ),
+    )
+    from data_prepper_spark import fsio
+
+    apath = cpath.replace("corpus.parquet", "corpus_join.parquet")
+    if not fsio.isdir(apath):
+        aug.write.mode("overwrite").parquet(apath)
+    attach_doc_values(
+        spark, idx, apath,
+        cols=("lang", "n_chars", "source", "join_name", "join_parent"),
+    )
+    q0 = dsl_search(spark, idx, {
+        "query": {"has_child": {
+            "type": "answer", "min_children": 2,
+            "query": {"match": {"content": "data merge"}},
+        }},
+        "size": 1_000_000,
+    }, corpus_path=cpath).hits.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+    q1 = dsl_search(spark, idx, {
+        "query": {"has_parent": {
+            "parent_type": "question",
+            "query": {"match": {"content": "hash"}},
+        }},
+        "size": 1_000_000,
+    }, corpus_path=cpath).hits.select(
+        F.lit(1).cast("long").alias("query_id"),
+        F.col("path").cast("long").alias("doc_id"),
+        F.lit(0).cast("long").alias("n_children"),
+    )
+    q2 = dsl_search(spark, idx, {
+        "query": {"parent_id": {"type": "answer", "id": "10"}},
+        "size": 1_000_000,
+    }).hits.select(
+        F.lit(2).cast("long").alias("query_id"),
+        F.col("path").cast("long").alias("doc_id"),
+        F.lit(0).cast("long").alias("n_children"),
+    )
+    return q0.unionByName(q1).unionByName(q2)
+
+
 def dsl_global_agg(spark, sf_dir):
     """`global` aggregation: sub-aggregations over the WHOLE live
     corpus alongside query-scoped ones in the same body (index/dsl.py
@@ -6983,6 +7053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll_export": scroll_export,
         "dsl_ip_prefix": dsl_ip_prefix,
         "dsl_span_or_not": dsl_span_or_not,
+        "join_field_search": join_field_search,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11684,6 +11755,50 @@ SELECT query_id,
                           ORDER BY min_width, doc_id) AS rank,
        doc_id, min_width
 FROM u
+"""
+    sql["join_field_search"] = f"""
+WITH rel AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'question' ELSE 'answer' END
+           AS join_name,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE CAST(doc_id - doc_id % 5 AS VARCHAR) END
+           AS join_parent
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+m0 AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data', 'merge')
+),
+ch AS (
+  SELECT r.join_parent, count(*) AS n_children
+  FROM m0 JOIN rel r USING (doc_id)
+  WHERE r.join_name = 'answer'
+  GROUP BY 1 HAVING count(*) >= 2
+),
+q0 AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, d.doc_id,
+         CAST(ch.n_children AS BIGINT) AS n_children
+  FROM ch JOIN documents d ON CAST(d.doc_id AS VARCHAR) = ch.join_parent
+),
+m1 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
+par AS (
+  SELECT m1.doc_id FROM m1 JOIN rel USING (doc_id)
+  WHERE join_name = 'question'
+),
+q1 AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, r.doc_id,
+         CAST(0 AS BIGINT) AS n_children
+  FROM rel r JOIN par p ON r.join_parent = CAST(p.doc_id AS VARCHAR)
+),
+q2 AS (
+  SELECT CAST(2 AS BIGINT) AS query_id, doc_id,
+         CAST(0 AS BIGINT) AS n_children
+  FROM rel WHERE join_name = 'answer' AND join_parent = '10'
+)
+SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
 """
     sql["dsl_sort_page"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -51,10 +51,17 @@ over present sub-scores — missing sub-scores excluded from numerator
 and denominator; configured inline or via the body's
 `search_pipeline.phase_results_processors[].normalization-processor`),
 simple_query_string, more_like_this, span_term / span_near (slop,
-in_order, span_term sub-clauses) / span_first (end-bounded) over the
+in_order, span_term/span_or sub-clauses) / span_first (end-bounded)
+/ span_or (alternative terms, positions merged) / span_not
+(exclude-window pre/post/dist rejection) / span_containing +
+span_within (big spans enclosing a little-span position) over the
 positions sidecar — tightest-span-first ranking, intervals (`match`
 rule: analyzed terms, max_gaps default unlimited, ordered flag —
 routed to the same span executor),
+has_child / has_parent / parent_id (the `join` field type modeled
+as join_name/join_parent doc-values columns — index/joinfield.py;
+score_mode none/sum/max/min/avg, min_children/max_children, parent
+score propagation; relation resolution is equi-joins only),
 nested ({"nested": {"path", "query"}} over an array<struct>
 doc-values column: the inner bool/term/terms/range/exists/prefix/
 wildcard tree compiles to ONE per-element predicate evaluated with
@@ -991,6 +998,39 @@ def search(
             )
         else:
             hits = cosine_topk(vectors, qdf_v, k=kk, vec_col=field)
+    elif kind in ("has_child", "has_parent", "parent_id"):
+        # join-field relation queries over the doc-values-modeled
+        # parent/child mapping (join_name / join_parent columns —
+        # index/joinfield.py). Inner queries run through the normal
+        # tree compiler; relation resolution is equi-joins only.
+        from . import joinfield as jf
+
+        if kind == "has_child":
+            hits = jf.has_child_search(
+                spark, index_dir, spec["query"],
+                child_type=str(spec["type"]),
+                score_mode=str(spec.get("score_mode", "none")),
+                min_children=int(spec.get("min_children", 1)),
+                max_children=(
+                    int(spec["max_children"])
+                    if "max_children" in spec else None
+                ),
+                k=k, query_id=query_id, corpus_path=corpus_path,
+            )
+        elif kind == "has_parent":
+            hits = jf.has_parent_search(
+                spark, index_dir, spec["query"],
+                parent_type=str(spec["parent_type"]),
+                score=bool(spec.get("score", False)),
+                k=k, query_id=query_id, corpus_path=corpus_path,
+            )
+        else:
+            hits = jf.parent_id_search(
+                spark, index_dir,
+                child_type=str(spec["type"]),
+                parent_id=str(spec["id"]),
+                k=k, query_id=query_id,
+            )
     elif kind == "ids":
         # {"ids": {"values": [...]}} — unscored identity filter on the
         # stored _id (the engine's `path`, the same mapping the _bulk

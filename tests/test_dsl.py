@@ -1937,3 +1937,118 @@ def test_phrase_suggester(spark, index_dir):
                               "inot mair".split()) if a != b
         )
         assert changed == 1, r.suggestion
+
+
+def test_join_field_queries(
+    spark, index_dir, corpus_pdf, queries_pdf, tmp_path
+):
+    """has_child / has_parent / parent_id over the join-field
+    doc-values model (index/joinfield.py): expected sets and
+    score_mode aggregates recomputed in pandas from the numpy BM25
+    oracle — the inner query's per-doc scores come from
+    oracle.bm25_topk, so child-score aggregation is independently
+    derived, not an engine echo."""
+    import numpy as np
+    import pandas as pd
+
+    from data_prepper_spark.index.query import attach_doc_values
+    from data_prepper_spark.oracle import bm25_topk
+
+    # deterministic relation: sorted-path rank r; r%4==0 -> parent
+    # ("question", _id = path), others children of the block parent
+    ps = sorted(corpus_pdf.path)
+    rank = {p: i for i, p in enumerate(ps)}
+    aug = corpus_pdf.copy()
+    aug["join_name"] = [
+        "question" if rank[p] % 4 == 0 else "answer" for p in aug.path
+    ]
+    aug["join_parent"] = [
+        None if rank[p] % 4 == 0 else ps[rank[p] - rank[p] % 4]
+        for p in aug.path
+    ]
+    aug["n_chars"] = aug.content.str.len()
+    apath = str(tmp_path / "aug.parquet")
+    aug.to_parquet(apath)
+    attach_doc_values(
+        spark, index_dir, apath,
+        cols=("lang", "n_chars", "join_name", "join_parent"),
+    )
+
+    text = queries_pdf.iloc[0]["query"]
+    qdf = pd.DataFrame({"query_id": [0], "query": [text]})
+    gold = bm25_topk(corpus_pdf, qdf, k=len(corpus_pdf))
+    # oracle doc_id is xxh64(repo,path,commit) — map to row position
+    from data_prepper_spark.oracle import corpus_doc_ids
+
+    pdf = corpus_pdf.reset_index(drop=True)
+    row_of = {d: i for i, d in enumerate(corpus_doc_ids(pdf))}
+    score_of = {row_of[d]: s for d, s in zip(gold.doc_id, gold.score)}
+    matched = set(score_of)
+
+    child_rows = [
+        i for i in matched if aug.iloc[i]["join_name"] == "answer"
+    ]
+    per_parent: dict = {}
+    for i in child_rows:
+        per_parent.setdefault(aug.iloc[i]["join_parent"], []).append(
+            score_of[i]
+        )
+
+    for score_mode, agg in [
+        ("none", lambda v: 0.0), ("sum", sum), ("max", max),
+        ("min", min), ("avg", lambda v: sum(v) / len(v)),
+    ]:
+        body = {"query": {"has_child": {
+            "type": "answer", "score_mode": score_mode,
+            "min_children": 2,
+            "query": {"match": {"content": text}},
+        }}, "size": 100_000}
+        hits = search(spark, index_dir, body).hits.collect()
+        got = {r.path: (r.score, r.n_children) for r in hits}
+        want = {
+            p: (float(agg(v)), len(v))
+            for p, v in per_parent.items() if len(v) >= 2
+        }
+        assert set(got) == set(want), score_mode
+        for p in want:
+            assert got[p][1] == want[p][1]
+            assert abs(got[p][0] - want[p][0]) < 1e-6, (score_mode, p)
+
+    # max_children caps the other side
+    hits = search(spark, index_dir, {"query": {"has_child": {
+        "type": "answer", "query": {"match": {"content": text}},
+        "min_children": 1, "max_children": 2,
+    }}, "size": 100_000}).hits.collect()
+    assert {r.path for r in hits} == {
+        p for p, v in per_parent.items() if 1 <= len(v) <= 2
+    }
+
+    # has_parent: children of matching parents, score propagated
+    parent_rows = [
+        i for i in matched if aug.iloc[i]["join_name"] == "question"
+    ]
+    want_kids = {}
+    for i in parent_rows:
+        pp = pdf.iloc[i]["path"]
+        for j, r in aug.iterrows():
+            if r["join_parent"] == pp:
+                want_kids[r["path"]] = score_of[i]
+    for score in (False, True):
+        hits = search(spark, index_dir, {"query": {"has_parent": {
+            "parent_type": "question", "score": score,
+            "query": {"match": {"content": text}},
+        }}, "size": 100_000}).hits.collect()
+        got = {r.path: r.score for r in hits}
+        assert set(got) == set(want_kids), score
+        for p in got:
+            exp = want_kids[p] if score else 0.0
+            assert abs(got[p] - exp) < 1e-6, (score, p)
+
+    # parent_id: the one block's children
+    some_parent = ps[0]
+    hits = search(spark, index_dir, {"query": {"parent_id": {
+        "type": "answer", "id": some_parent,
+    }}, "size": 100_000}).hits.collect()
+    assert {r.path for r in hits} == set(
+        aug[aug.join_parent == some_parent].path
+    )
