@@ -4956,6 +4956,36 @@ def dsl_span_or_not(spark, sf_dir):
     )
 
 
+def _join_dv_index(spark, sf_dir):
+    """Shared by the join_field_* entries: the cached documents index
+    with the deterministic parent/child relation (doc_id%5==0 ->
+    'question' parent, others children of the block parent) attached
+    as join_name/join_parent doc-values. Re-attaches on every call —
+    the established attach-before-use entry contract."""
+    from data_prepper_spark import fsio
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    did = F.col("path").cast("long")
+    aug = spark.read.parquet(cpath).withColumn(
+        "join_name",
+        F.when(did % 5 == 0, F.lit("question")).otherwise(F.lit("answer")),
+    ).withColumn(
+        "join_parent",
+        F.when(did % 5 == 0, F.lit(None).cast("string")).otherwise(
+            (did - did % 5).cast("string")
+        ),
+    )
+    apath = cpath.replace("corpus.parquet", "corpus_join.parquet")
+    if not fsio.isdir(apath):
+        aug.write.mode("overwrite").parquet(apath)
+    attach_doc_values(
+        spark, idx, apath,
+        cols=("lang", "n_chars", "source", "join_name", "join_parent"),
+    )
+    return cpath, idx
+
+
 def join_field_search(spark, sf_dir):
     """Parent/child join-field queries (index/joinfield.py — the
     OpenSearch `join` field type modeled as doc-values columns
@@ -4970,29 +5000,8 @@ def join_field_search(spark, sf_dir):
     column); score aggregation is pytest-verified against the numpy
     BM25 oracle (test_join_field_queries)."""
     from data_prepper_spark.index.dsl import search as dsl_search
-    from data_prepper_spark.index.query import attach_doc_values
 
-    cpath, idx = _docs_index(spark, sf_dir)
-    corpus = spark.read.parquet(cpath)
-    did = F.col("path").cast("long")
-    aug = corpus.withColumn(
-        "join_name",
-        F.when(did % 5 == 0, F.lit("question")).otherwise(F.lit("answer")),
-    ).withColumn(
-        "join_parent",
-        F.when(did % 5 == 0, F.lit(None).cast("string")).otherwise(
-            (did - did % 5).cast("string")
-        ),
-    )
-    from data_prepper_spark import fsio
-
-    apath = cpath.replace("corpus.parquet", "corpus_join.parquet")
-    if not fsio.isdir(apath):
-        aug.write.mode("overwrite").parquet(apath)
-    attach_doc_values(
-        spark, idx, apath,
-        cols=("lang", "n_chars", "source", "join_name", "join_parent"),
-    )
+    cpath, idx = _join_dv_index(spark, sf_dir)
     q0 = dsl_search(spark, idx, {
         "query": {"has_child": {
             "type": "answer", "min_children": 2,
@@ -5024,6 +5033,48 @@ def join_field_search(spark, sf_dir):
         F.lit(0).cast("long").alias("n_children"),
     )
     return q0.unionByName(q1).unionByName(q2)
+
+
+def join_field_aggs(spark, sf_dir):
+    """children / parent pivot aggregations (index/joinfield.py::
+    pivot_relation routed from the DSL aggs — OpenSearch
+    ChildrenAggregator/ParentAggregator): under the match 'data
+    merge', `children` pivots to the matched docs' answer-children
+    (doc_count + per-lang terms sub-buckets over the pivoted set) and
+    `parent` pivots matched answers to their DISTINCT parents. Long
+    format (scope, facet, doc_count); the oracle replays the pivot
+    with the same doc_id%5 relation in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _join_dv_index(spark, sf_dir)
+    res = dsl_search(spark, idx, {
+        "query": {"match": {"content": "data merge"}},
+        "aggs": {
+            "kids": {
+                "children": {"type": "answer"},
+                "aggs": {
+                    "by_lang": {"terms": {"field": "lang", "size": 100}},
+                },
+            },
+            "qs": {"parent": {"type": "answer"}},
+        },
+    }, corpus_path=cpath)
+    a = res.aggregations["kids"].select(
+        F.lit("children_total").alias("scope"),
+        F.lit("").alias("facet"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+    b = res.aggregations["kids.by_lang"].select(
+        F.lit("children_by_lang").alias("scope"),
+        F.col("facet").cast("string").alias("facet"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+    c = res.aggregations["qs"].select(
+        F.lit("parents_total").alias("scope"),
+        F.lit("").alias("facet"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def dsl_global_agg(spark, sf_dir):
@@ -7054,6 +7105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_ip_prefix": dsl_ip_prefix,
         "dsl_span_or_not": dsl_span_or_not,
         "join_field_search": join_field_search,
+        "join_field_aggs": join_field_aggs,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11799,6 +11851,51 @@ q2 AS (
   FROM rel WHERE join_name = 'answer' AND join_parent = '10'
 )
 SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+"""
+    sql["join_field_aggs"] = f"""
+WITH rel AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'question' ELSE 'answer' END
+           AS join_name,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE CAST(doc_id - doc_id % 5 AS VARCHAR) END
+           AS join_parent
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('data', 'merge')),
+kids AS (
+  SELECT r.doc_id FROM rel r
+  JOIN m ON r.join_parent = CAST(m.doc_id AS VARCHAR)
+  WHERE r.join_name = 'answer'
+),
+a AS (
+  SELECT 'children_total' AS scope, '' AS facet,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM kids
+),
+b AS (
+  SELECT 'children_by_lang' AS scope, d.lang AS facet,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM kids k JOIN documents d USING (doc_id) GROUP BY 2
+),
+par AS (
+  SELECT DISTINCT r.join_parent
+  FROM m JOIN rel r USING (doc_id)
+  WHERE r.join_name = 'answer' AND r.join_parent IS NOT NULL
+),
+parx AS (
+  SELECT p.join_parent FROM par p
+  JOIN documents d ON CAST(d.doc_id AS VARCHAR) = p.join_parent
+),
+c AS (
+  SELECT 'parents_total' AS scope, '' AS facet,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM parx
+)
+SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
 """
     sql["dsl_sort_page"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

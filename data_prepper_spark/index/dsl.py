@@ -116,7 +116,9 @@ scored docs, identity-key tie-break so oracles can replay the cut;
 diversified caps docs per doc-values value first), nested
 ({"nested": {"path"}} + sub-aggs over exploded elements: terms
 [+reverse_nested distinct-parent counts from the same grouped pass]
-and element metrics)) under ANY query with
+and element metrics), children / parent (join-field pivot buckets —
+the match set pivots across join_parent via equi-joins, doc_count +
+terms/metric sub-aggs over the pivoted set)) under ANY query with
 a materializable match set
 (match, term, bool, match_all — the set is built ONCE per body and
 shared by every aggregation in it; match_all + aggs = corpus-wide
@@ -1031,6 +1033,33 @@ def search(
                 parent_id=str(spec["id"]),
                 k=k, query_id=query_id,
             )
+        if "aggs" in body:
+            if kind == "has_child":
+                m = jf.has_child_search(
+                    spark, index_dir, spec["query"],
+                    child_type=str(spec["type"]),
+                    min_children=int(spec.get("min_children", 1)),
+                    max_children=(
+                        int(spec["max_children"])
+                        if "max_children" in spec else None
+                    ),
+                    k=None, corpus_path=corpus_path,
+                )
+            elif kind == "has_parent":
+                m = jf.has_parent_search(
+                    spark, index_dir, spec["query"],
+                    parent_type=str(spec["parent_type"]),
+                    k=None, corpus_path=corpus_path,
+                )
+            else:
+                m = jf.parent_id_search(
+                    spark, index_dir,
+                    child_type=str(spec["type"]),
+                    parent_id=str(spec["id"]), k=None,
+                )
+            agg_matched = m.select(
+                F.lit(query_id).cast("long").alias("query_id"), "ord"
+            )
     elif kind == "ids":
         # {"ids": {"values": [...]}} — unscored identity filter on the
         # stored _id (the engine's `path`, the same mapping the _bulk
@@ -1232,6 +1261,7 @@ def search(
         "filters", "missing", "adjacency_matrix", "weighted_avg",
         "percentile_ranks", "rare_terms", "multi_terms", "top_metrics",
         "geo_centroid", "geo_bounds", "geotile_grid",
+        "children", "parent",
     }
     needs_set = any(
         next(iter({k: v for k, v in a.items() if k != "aggs"}))
@@ -1414,6 +1444,69 @@ def search(
             )
             for sn, sdf in subres.aggregations.items():
                 aggs[f"{name}.{sn}"] = sdf
+        elif akind in ("children", "parent"):
+            # join-field pivot buckets (OpenSearch ChildrenAggregator
+            # / ParentAggregator): the body's match set pivots across
+            # join_parent (index/joinfield.py — equi-joins only),
+            # then sub-aggregations run over the pivoted ord set with
+            # the same matched= executors. Surfaces <name>
+            # (query_id, doc_count) and <name>.<sub>.
+            from . import joinfield as jf
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    f"'{akind}' agg under this query kind (needs a "
+                    "materializable match set)"
+                )
+            rel = (
+                aconf.get("type") or aconf.get("parent_type")
+                if isinstance(aconf, dict) else None
+            )
+            pivoted = jf.pivot_relation(
+                spark, index_dir,
+                agg_matched.select("query_id", "ord"),
+                direction=akind,
+                rel_type=(str(rel) if rel else None),
+            )
+            if nested:
+                pivoted = pivoted.persist()
+                q._deferred_unpersist.append(pivoted)
+            aggs[name] = pivoted.groupBy("query_id").agg(
+                F.count("*").alias("doc_count")
+            )
+            for sn, nspec in (nested or {}).items():
+                ssub = {
+                    kk: vv for kk, vv in nspec.items() if kk != "aggs"
+                }
+                ((sk, sc),) = ssub.items()
+                if sk == "terms":
+                    aggs[f"{name}.{sn}"] = q.faceted_search(
+                        spark, index_dir, corpus_path, mq,
+                        facet_col=sc["field"],
+                        n_buckets_out=int(sc.get("size", 10)),
+                        matched=pivoted,
+                    )
+                elif sk in (
+                    "stats", "avg", "min", "max", "sum", "value_count"
+                ):
+                    full = q.stats_facets(
+                        spark, index_dir, corpus_path, mq,
+                        field=sc["field"], matched=pivoted,
+                    )
+                    proj = {
+                        "stats": ["n", "min_v", "max_v", "sum_v", "avg_v"],
+                        "avg": ["avg_v"],
+                        "min": ["min_v"],
+                        "max": ["max_v"],
+                        "sum": ["sum_v"],
+                        "value_count": ["n"],
+                    }[sk]
+                    aggs[f"{name}.{sn}"] = full.select("query_id", *proj)
+                else:
+                    raise NotImplementedError(
+                        f"sub-aggregation '{sk}' under {akind} "
+                        "(terms / metric family only)"
+                    )
         elif akind == "composite":
             from . import aggs as agg_exec
 

@@ -83,7 +83,7 @@ def has_child_search(
     score_mode: str = "none",
     min_children: int = 1,
     max_children: int | None = None,
-    k: int = 10,
+    k: int | None = 10,
     query_id: int = 0,
     corpus_path: str | None = None,
 ) -> DataFrame:
@@ -94,7 +94,8 @@ def has_child_search(
     BM25 scores (none -> 0.0, the OpenSearch default) plus a child
     count for min_children/max_children, then joined to the parents'
     identity rows on the stored _id. Returns the ranked search shape
-    + n_children."""
+    + n_children; k=None returns the pre-rank (ord, score,
+    n_children) match frame (the aggs protocol)."""
     if score_mode not in _SCORE_MODES:
         raise ValueError(f"score_mode '{score_mode}' not in {_SCORE_MODES}")
     from .booltree import bool_tree_match
@@ -130,6 +131,8 @@ def has_child_search(
         per_parent, ident["path"] == per_parent["join_parent"]
     ).select("ord", "score", "n_children")
     parents = _anti_tombstones(spark, index_dir, parents, col="ord")
+    if k is None:
+        return parents
     return _ranked(parents, ident, k, query_id, ["n_children"])
 
 
@@ -139,7 +142,7 @@ def has_parent_search(
     parent_query: dict,
     parent_type: str,
     score: bool = False,
-    k: int = 10,
+    k: int | None = 10,
     query_id: int = 0,
     corpus_path: str | None = None,
 ) -> DataFrame:
@@ -148,7 +151,8 @@ def has_parent_search(
     parent_type, identity-joined for the stored _id, then ONE dv
     equi-join finds all docs whose join_parent is a matching parent.
     score=True propagates the parent's BM25 score to every child
-    (OpenSearch `score` flag); default scores 0.0."""
+    (OpenSearch `score` flag); default scores 0.0. k=None returns
+    the pre-rank (ord, score) match frame (the aggs protocol)."""
     from .booltree import bool_tree_match
 
     parents = bool_tree_match(
@@ -171,7 +175,59 @@ def has_parent_search(
         .select("ord", F.col("_pscore").alias("score"))
     )
     kids = _anti_tombstones(spark, index_dir, kids, col="ord")
+    if k is None:
+        return kids
     return _ranked(kids, ident, k, query_id, [])
+
+
+def pivot_relation(
+    spark: SparkSession,
+    index_dir: str,
+    matched: DataFrame,
+    direction: str,
+    rel_type: str | None = None,
+) -> DataFrame:
+    """(query_id, ord) match frame -> (query_id, ord) of RELATED docs
+    across the join field — the `children` / `parent` aggregation
+    pivot (OpenSearch ChildrenAggregator / ParentAggregator).
+
+    direction='children': docs whose join_parent is a matched doc's
+    stored _id (restricted to join_name == rel_type when given).
+    direction='parent': the DISTINCT parents of matched child docs
+    (children restricted to join_name == rel_type when given).
+
+    Both directions are one identity join + one dv equi-join; the
+    parent direction dedups on the parent key BEFORE joining identity
+    so a million matched children of one parent collapse to one key
+    row pre-join."""
+    dv = _dv(spark, index_dir)
+    ident = _ident(spark, index_dir)
+    if direction == "children":
+        pkeys = (
+            matched.join(ident, "ord")
+            .select("query_id", F.col("path").alias("_pkey"))
+        )
+        kids = dv.filter(F.col("join_parent").isNotNull())
+        if rel_type:
+            kids = kids.filter(F.col("join_name") == F.lit(rel_type))
+        out = kids.join(
+            pkeys, kids["join_parent"] == pkeys["_pkey"]
+        ).select("query_id", "ord")
+    elif direction == "parent":
+        pk = matched.join(dv, "ord").filter(
+            F.col("join_parent").isNotNull()
+        )
+        if rel_type:
+            pk = pk.filter(F.col("join_name") == F.lit(rel_type))
+        keys = pk.select(
+            "query_id", F.col("join_parent").alias("_pkey")
+        ).distinct()
+        out = keys.join(
+            ident, ident["path"] == keys["_pkey"]
+        ).select("query_id", "ord")
+    else:
+        raise ValueError(f"direction '{direction}'")
+    return _anti_tombstones(spark, index_dir, out, col="ord")
 
 
 def parent_id_search(
@@ -179,18 +235,21 @@ def parent_id_search(
     index_dir: str,
     child_type: str,
     parent_id: str,
-    k: int = 10,
+    k: int | None = 10,
     query_id: int = 0,
 ) -> DataFrame:
     """Children of one parent (ParentIdQuery): a pure doc-values
     predicate — join_name == type AND join_parent == id. Unscored
-    (0.0), ranked by ordinal like other identity filters."""
+    (0.0), ranked by ordinal like other identity filters. k=None
+    returns the pre-rank (ord, score) match frame."""
     dv = _dv(spark, index_dir)
     kids = dv.filter(
         (F.col("join_name") == F.lit(child_type))
         & (F.col("join_parent") == F.lit(str(parent_id)))
     ).select("ord", F.lit(0.0).alias("score"))
     kids = _anti_tombstones(spark, index_dir, kids, col="ord")
+    if k is None:
+        return kids
     ident = _ident(spark, index_dir)
     m = kids.withColumn("query_id", F.lit(query_id).cast("long"))
     w = Window.partitionBy("query_id").orderBy(F.asc("ord"))

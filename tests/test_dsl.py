@@ -2052,3 +2052,94 @@ def test_join_field_queries(
     assert {r.path for r in hits} == set(
         aug[aug.join_parent == some_parent].path
     )
+
+
+def test_join_field_aggs(
+    spark, index_dir, corpus_path, corpus_pdf, queries_pdf
+):
+    """children / parent pivot aggregations and aggs under join-field
+    queries: expected pivoted sets + lang buckets recomputed in
+    pandas. Relies on the dv relation attached by
+    test_join_field_queries' deterministic rule (re-derived here)."""
+    import pandas as pd
+
+    from data_prepper_spark.index.query import attach_doc_values
+    from data_prepper_spark.oracle import bm25_topk, corpus_doc_ids
+
+    ps = sorted(corpus_pdf.path)
+    rank = {p: i for i, p in enumerate(ps)}
+    aug = corpus_pdf.reset_index(drop=True).copy()
+    aug["join_name"] = [
+        "question" if rank[p] % 4 == 0 else "answer" for p in aug.path
+    ]
+    aug["join_parent"] = [
+        None if rank[p] % 4 == 0 else ps[rank[p] - rank[p] % 4]
+        for p in aug.path
+    ]
+    import tempfile
+
+    apath = tempfile.mkdtemp(prefix="dps_join_") + "/aug.parquet"
+    aug.to_parquet(apath)
+    attach_doc_values(
+        spark, index_dir, apath,
+        cols=("lang", "join_name", "join_parent"),
+    )
+
+    text = queries_pdf.iloc[0]["query"]
+    qdf = pd.DataFrame({"query_id": [0], "query": [text]})
+    gold = bm25_topk(corpus_pdf, qdf, k=len(corpus_pdf))
+    row_of = {d: i for i, d in enumerate(corpus_doc_ids(aug))}
+    matched = {row_of[d] for d in gold.doc_id}
+
+    # children agg: match -> the matched docs' children of type answer
+    res = search(spark, index_dir, {
+        "query": {"match": {"content": text}},
+        "aggs": {"kids": {
+            "children": {"type": "answer"},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 100}}},
+        }},
+    }, corpus_path=corpus_path)
+    matched_paths = set(aug.iloc[sorted(matched)].path)
+    kid_rows = aug[
+        aug.join_parent.isin(matched_paths) & (aug.join_name == "answer")
+    ]
+    got_count = {r.query_id: r.doc_count for r in res.aggregations["kids"].collect()}
+    assert got_count == {0: len(kid_rows)}
+    got_lang = {
+        r.facet: r.doc_count
+        for r in res.aggregations["kids.by_lang"].collect()
+    }
+    assert got_lang == kid_rows.lang.value_counts().to_dict()
+
+    # parent agg: matched answers -> their distinct parents
+    res = search(spark, index_dir, {
+        "query": {"match": {"content": text}},
+        "aggs": {"qs": {
+            "parent": {"type": "answer"},
+            "aggs": {"chars": {"value_count": {"field": "lang"}}},
+        }},
+    }, corpus_path=corpus_path)
+    par_paths = set(
+        aug.iloc[sorted(matched)]
+        .loc[lambda d: d.join_name == "answer"].join_parent
+    )
+    got = {r.query_id: r.doc_count for r in res.aggregations["qs"].collect()}
+    assert got == {0: len(par_paths)}
+
+    # aggs under a has_child query: lang buckets over matched parents
+    res = search(spark, index_dir, {
+        "query": {"has_child": {
+            "type": "answer", "query": {"match": {"content": text}},
+        }},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 100}}},
+        "size": 10,
+    }, corpus_path=corpus_path)
+    child_matched = aug.iloc[sorted(matched)].loc[
+        lambda d: d.join_name == "answer"
+    ]
+    parents_hit = aug[aug.path.isin(set(child_matched.join_parent))]
+    got = {
+        r.facet: r.doc_count
+        for r in res.aggregations["by_lang"].collect()
+    }
+    assert got == parents_hit.lang.value_counts().to_dict()
