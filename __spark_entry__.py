@@ -5077,6 +5077,76 @@ def join_field_aggs(spark, sf_dir):
     return a.unionByName(b).unionByName(c)
 
 
+def dsl_rate_ttest(spark, sf_dir):
+    """t_test metric aggregation (Welch heteroscedastic + pooled
+    homoscedastic over n_chars between lang groups; aggs.t_test_agg —
+    one attributed pass, conditional algebraic power sums) and `rate`
+    under a daily date_histogram (sum(n_chars)/24 and doc_count/24
+    per day, unit=hour via ChronoUnit ratios) under the match 'data
+    merge'. Long format (agg, key, val) rounded to 6; the p-value
+    column (pure-Python incomplete beta, no DuckDB analog) is
+    pytest-verified against textbook critical values instead
+    (test_t_test_rate_aggs)."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath, cols=("lang", "n_chars", "mtime")
+    )
+    res = dsl_search(spark, idx, {
+        "query": {"match": {"content": "data merge"}},
+        "size": 0,
+        "aggs": {
+            "tw": {"t_test": {
+                "a": {"field": "n_chars",
+                      "filter": {"term": {"lang": "en"}}},
+                "b": {"field": "n_chars",
+                      "filter": {"term": {"lang": "de"}}},
+                "type": "heteroscedastic",
+            }},
+            "tp": {"t_test": {
+                "a": {"field": "n_chars",
+                      "filter": {"term": {"lang": "en"}}},
+                "b": {"field": "n_chars",
+                      "filter": {"term": {"lang": "de"}}},
+                "type": "homoscedastic",
+            }},
+            "h": {
+                "date_histogram": {"field": "mtime",
+                                   "calendar_interval": "day"},
+                "aggs": {
+                    "sr": {"rate": {"field": "n_chars",
+                                    "unit": "hour"}},
+                    "cr": {"rate": {"unit": "hour"}},
+                },
+            },
+        },
+    }, corpus_path=cpath)
+    out = None
+    for nm in ("tw", "tp"):
+        t = res.aggregations[nm].select(
+            F.lit(nm).alias("agg"),
+            F.lit("t").alias("key"),
+            F.round(F.col("t_stat"), 6).alias("val"),
+        ).unionByName(res.aggregations[nm].select(
+            F.lit(nm).alias("agg"),
+            F.lit("df").alias("key"),
+            F.round(F.col("df"), 6).alias("val"),
+        ))
+        out = t if out is None else out.unionByName(t)
+    h = res.aggregations["h"]
+    for col in ("sr", "cr"):
+        r = h.select(
+            F.lit(f"rate_{col}").alias("agg"),
+            F.col("key").cast("string").alias("key"),
+            F.round(F.col(col), 6).alias("val"),
+        )
+        out = out.unionByName(r)
+    return out
+
+
 def dsl_global_agg(spark, sf_dir):
     """`global` aggregation: sub-aggregations over the WHOLE live
     corpus alongside query-scoped ones in the same body (index/dsl.py
@@ -7106,6 +7176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_span_or_not": dsl_span_or_not,
         "join_field_search": join_field_search,
         "join_field_aggs": join_field_aggs,
+        "dsl_rate_ttest": dsl_rate_ttest,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11347,6 +11418,68 @@ UNION ALL
 SELECT 'auto', CAST(interval_s AS VARCHAR) || '|' || CAST(k AS VARCHAR),
        CAST(doc_count AS DOUBLE)
 FROM auto
+"""
+    sql["dsl_rate_ttest"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (SELECT DISTINCT tok.doc_id FROM q JOIN tok USING (term)),
+d AS (
+  SELECT m.doc_id, doc.lang, CAST(doc.n_chars AS DOUBLE) AS x,
+         1451606400 + doc.n_chars * 3600 AS ep
+  FROM matched m JOIN documents doc USING (doc_id)
+),
+st AS (
+  SELECT
+    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) AS na,
+    sum(CASE WHEN lang = 'en' THEN x END) AS sa1,
+    sum(CASE WHEN lang = 'en' THEN x * x END) AS sa2,
+    CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS DOUBLE) AS nb,
+    sum(CASE WHEN lang = 'de' THEN x END) AS sb1,
+    sum(CASE WHEN lang = 'de' THEN x * x END) AS sb2
+  FROM d
+),
+calc AS (
+  SELECT na, nb, sa1 / na AS ma, sb1 / nb AS mb,
+         (sa2 - sa1 * sa1 / na) / (na - 1) AS va,
+         (sb2 - sb1 * sb1 / nb) / (nb - 1) AS vb
+  FROM st
+),
+tt AS (
+  SELECT 'tw' AS agg, 't' AS key,
+         round((ma - mb) / sqrt(va / na + vb / nb), 6) AS val
+  FROM calc
+  UNION ALL
+  SELECT 'tw', 'df',
+         round(power(va / na + vb / nb, 2)
+               / (power(va / na, 2) / (na - 1)
+                  + power(vb / nb, 2) / (nb - 1)), 6)
+  FROM calc
+  UNION ALL
+  SELECT 'tp', 't',
+         round((ma - mb) / sqrt(
+           ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+           * (1.0 / na + 1.0 / nb)), 6)
+  FROM calc
+  UNION ALL
+  SELECT 'tp', 'df', round(na + nb - 2, 6) FROM calc
+),
+buck AS (
+  SELECT strftime(date_trunc('day', to_timestamp(ep)),
+                  '%Y-%m-%dT%H:%M:%S') AS key,
+         sum(x) AS sx, count(*) AS c
+  FROM d GROUP BY 1
+),
+rates AS (
+  SELECT 'rate_sr' AS agg, key, round(sx / 24.0, 6) AS val FROM buck
+  UNION ALL
+  SELECT 'rate_cr', key, round(c / 24.0, 6) FROM buck
+)
+SELECT * FROM tt UNION ALL SELECT * FROM rates
 """
     sql["dsl_range_aggs_family"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -1381,3 +1381,219 @@ def variable_width_histogram_facet(
             F.count("*").alias("doc_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t_test — two-sample Student's t metric aggregation
+# ---------------------------------------------------------------------------
+
+
+def _betainc_py(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — standard Lentz
+    modified continued fraction (the textbook numerical method; no
+    SciPy in this environment). Accurate to ~1e-10 for the t-test
+    p-value range."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+
+    def cf(a: float, b: float, x: float) -> float:
+        tiny = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c = 1.0
+        d = 1.0 - qab * x / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 3e-12:
+                break
+        return h
+
+    lbeta = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    front = math.exp(lbeta)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * cf(a, b, x) / a
+    return 1.0 - _betainc_py(b, a, 1.0 - x)
+
+
+def t_p_value(t: float, df: float) -> float:
+    """Two-tailed Student's t p-value: I_{df/(df+t^2)}(df/2, 1/2)."""
+    if df <= 0:
+        return float("nan")
+    return _betainc_py(df / 2.0, 0.5, df / (df + t * t))
+
+
+def _filter_pred(flt: dict | None):
+    """term/range filter spec -> native Column predicate over the
+    attributed frame (the t_test a/b `filter` subset; anything the
+    frame can't express raises loudly)."""
+    if flt is None:
+        return F.lit(True)
+    ((fk, fs),) = flt.items()
+    if fk == "term":
+        ((fld, val),) = fs.items()
+        if isinstance(val, dict):
+            val = val["value"]
+        return F.col(fld) == F.lit(val)
+    if fk == "range":
+        ((fld, conds),) = fs.items()
+        p = F.lit(True)
+        for op, v in conds.items():
+            c = F.col(fld)
+            p = p & {
+                "gte": c >= F.lit(v), "gt": c > F.lit(v),
+                "lte": c <= F.lit(v), "lt": c < F.lit(v),
+            }[op]
+        return p
+    raise NotImplementedError(f"t_test filter '{fk}' (term/range only)")
+
+
+def t_test_agg(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str,
+    queries: DataFrame,
+    a_conf: dict,
+    b_conf: dict,
+    ttype: str = "heteroscedastic",
+    matched: DataFrame | None = None,
+) -> DataFrame:
+    """OpenSearch `t_test` metric aggregation: Student's t statistic
+    + two-tailed p-value between two numeric series drawn from the
+    match set (TTestAggregator semantics).
+
+    type='paired': both fields on the SAME docs; t over the
+    per-doc differences. 'heteroscedastic' (the OpenSearch default,
+    Welch): independent groups a/b — each a field plus an optional
+    term/range `filter` — with the Welch-Satterthwaite df.
+    'homoscedastic': pooled variance, df = na+nb-2.
+
+    Physical shape: ONE attributed-fields pass (dv-sidecar join),
+    conditional algebraic sums (n, Σx, Σx²) per group in ONE grouped
+    aggregation — variance and t are closed forms of the sums, so the
+    whole thing is a single exchange. The p-value (regularized
+    incomplete beta) runs in an Arrow-batched UDF over the ONE result
+    row per query."""
+    import pandas as pd
+
+    fields = [a_conf["field"], b_conf["field"]]
+    filt_fields = []
+    for c in (a_conf, b_conf):
+        f = c.get("filter")
+        if f:
+            ((_, fs),) = f.items()
+            filt_fields.append(next(iter(fs)))
+    at = attributed_fields(
+        spark, index_dir, corpus_path, queries,
+        fields + filt_fields, matched=matched,
+    )
+    fa, fb = a_conf["field"], b_conf["field"]
+    # every quotient via try_divide: a degenerate group (n < 2, or a
+    # filter matching nothing) yields NULL stats instead of an ANSI
+    # DIVIDE_BY_ZERO job abort — the distributed-safe failure mode
+    dv_ = F.try_divide
+    if ttype == "paired":
+        if a_conf.get("filter") or b_conf.get("filter"):
+            raise ValueError("paired t_test cannot take filters")
+        d = (F.col(fa) - F.col(fb)).cast("double")
+        g = at.groupBy("query_id").agg(
+            F.count(d).alias("n"),
+            F.sum(d).alias("s1"),
+            F.sum(d * d).alias("s2"),
+        )
+        n = F.col("n").cast("double")
+        mean = dv_(F.col("s1"), n)
+        var = dv_(
+            F.col("s2") - dv_(F.col("s1") * F.col("s1"), n), n - 1
+        )
+        stat = g.select(
+            "query_id",
+            dv_(mean, F.sqrt(dv_(var, n))).alias("t_stat"),
+            (n - 1).alias("df"),
+        )
+    elif ttype in ("heteroscedastic", "homoscedastic"):
+        pa = _filter_pred(a_conf.get("filter"))
+        pb = _filter_pred(b_conf.get("filter"))
+        va = F.when(pa, F.col(fa).cast("double"))
+        vb = F.when(pb, F.col(fb).cast("double"))
+        g = at.groupBy("query_id").agg(
+            F.count(va).alias("na"),
+            F.sum(va).alias("sa1"),
+            F.sum(va * va).alias("sa2"),
+            F.count(vb).alias("nb"),
+            F.sum(vb).alias("sb1"),
+            F.sum(vb * vb).alias("sb2"),
+        )
+        na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+        ma, mb = dv_(F.col("sa1"), na), dv_(F.col("sb1"), nb)
+        sa2 = dv_(
+            F.col("sa2") - dv_(F.col("sa1") * F.col("sa1"), na), na - 1
+        )
+        sb2 = dv_(
+            F.col("sb2") - dv_(F.col("sb1") * F.col("sb1"), nb), nb - 1
+        )
+        if ttype == "heteroscedastic":
+            se2 = dv_(sa2, na) + dv_(sb2, nb)
+            dfc = dv_(
+                se2 * se2,
+                dv_(dv_(sa2, na) ** 2, na - 1)
+                + dv_(dv_(sb2, nb) ** 2, nb - 1),
+            )
+        else:
+            sp2 = dv_(
+                (na - 1) * sa2 + (nb - 1) * sb2, na + nb - 2
+            )
+            se2 = sp2 * (dv_(F.lit(1.0), na) + dv_(F.lit(1.0), nb))
+            dfc = na + nb - 2
+        stat = g.select(
+            "query_id",
+            dv_(ma - mb, F.sqrt(se2)).alias("t_stat"),
+            dfc.cast("double").alias("df"),
+        )
+    else:
+        raise ValueError(f"t_test type '{ttype}'")
+
+    def _pvals(t, df):
+        # plain-series body: the module uses `from __future__ import
+        # annotations`, so hint-style pandas_udf inference can't run
+        return pd.Series(
+            [
+                t_p_value(float(tv), float(dv))
+                if pd.notna(tv) and pd.notna(dv) else float("nan")
+                for tv, dv in zip(t, df)
+            ]
+        )
+
+    pval = F.pandas_udf(_pvals, "double")
+
+    return stat.withColumn(
+        "p_value", pval(F.col("t_stat"), F.col("df"))
+    )

@@ -58,6 +58,7 @@ span_within (big spans enclosing a little-span position) over the
 positions sidecar — tightest-span-first ranking, intervals (`match`
 rule: analyzed terms, max_gaps default unlimited, ordered flag —
 routed to the same span executor),
+match_none (the empty match set — zero hits, zero agg rows),
 has_child / has_parent / parent_id (the `join` field type modeled
 as join_name/join_parent doc-values columns — index/joinfield.py;
 score_mode none/sum/max/min/avg, min_children/max_children, parent
@@ -99,7 +100,11 @@ entropy), median_absolute_deviation / boxplot (exact percentile
 forms; percentile_approx is the documented sketch swap),
 matrix_stats (per-field count/mean/variance/skewness/kurtosis +
 pairwise covariance/correlation from ONE grouped pass of raw power
-sums; population moments, kurtosis = m4/m2²), scripted_metric
+sums; population moments, kurtosis = m4/m2²), t_test (paired /
+Welch heteroscedastic / pooled homoscedastic Student's t + two-tailed
+p-value via a pure-Python regularized incomplete beta; a/b take
+term/range filters; degenerate groups yield NULL via try_divide),
+scripted_metric
 (distributed-safe subset: painless-lite map expression + algebraic
 sum/avg/min/max/count reduce — init/combine ARE Spark's partial
 aggregation; free-form stateful scripts raise), date_range /
@@ -134,7 +139,10 @@ allowed; still one grouped pass, aggs.nested_terms_facet).
 `histogram`/`date_histogram` take `min_doc_count: 0` (+
 `extended_bounds`) for dense bucket ranges (empty buckets at
 doc_count 0 / NULL metrics; numeric intervals only), metric sub-aggs
-folded into the bucket groupBy, plus pipeline sub-aggregations: `cumulative_sum`,
+folded into the bucket groupBy — including `rate` under
+date_histogram (sum(field) or doc_count per bucket divided by
+interval/unit, ChronoUnit average-duration ratios) — plus pipeline
+sub-aggregations: `cumulative_sum`,
 `derivative`, `serial_diff` (lag-k), `moving_fn`
 (MovingFunctions.unweightedAvg/sum/min/max over the window ending
 just before each bucket), `bucket_script` / `bucket_selector`
@@ -634,6 +642,18 @@ def search(
         if "aggs" in body:
             agg_matched = q.match_all_ords(
                 spark, index_dir, query_id=query_id
+            )
+    elif kind == "match_none":
+        # MatchNoDocsQuery: the empty match set, with the standard
+        # hit shape so pagination/aggs downstream see zero rows
+        hits = spark.createDataFrame(
+            [],
+            "query_id long, rank int, doc_id long, score double, "
+            "repo string, path string, commit string",
+        )
+        if "aggs" in body:
+            agg_matched = spark.createDataFrame(
+                [], "query_id long, ord long"
             )
     elif kind in ("match", "term"):
         from .booltree import _dv_columns, bool_tree_match, bool_tree_search
@@ -1547,11 +1567,28 @@ def search(
             from . import aggs as agg_exec
 
             mets, pipes, bsort = [], [], None
-            cards, cumcards = [], []
+            cards, cumcards, rates = [], [], []
             for nname, n in nested.items():
                 ((nkind, nconf),) = n.items()
                 if nkind in _METRIC_SUBAGGS:
                     mets.append((nname, nkind, nconf["field"]))
+                elif nkind == "rate":
+                    # rate: per-bucket sum(field) (doc_count when no
+                    # field) divided by bucket-interval/unit; the
+                    # ratio uses java.time ChronoUnit average
+                    # durations (month = 2,629,746 s — the OpenSearch
+                    # convention), so it's a constant per body and
+                    # the rate is a post-scale of one folded metric
+                    if akind != "date_histogram":
+                        raise NotImplementedError(
+                            "rate outside date_histogram"
+                        )
+                    rfield = nconf.get("field")
+                    if rfield:
+                        mets.append((f"__rate_{nname}", "sum", rfield))
+                    rates.append(
+                        (nname, rfield, str(nconf.get("unit", "day")))
+                    )
                 elif nkind == "cardinality":
                     cards.append((nname, nconf["field"]))
                 elif nkind == "cumulative_cardinality":
@@ -1591,6 +1628,34 @@ def search(
                 hist = _densify_histogram(
                     hist, aconf, query_id,
                 )
+            if rates:
+                _CHRONO_S = {
+                    "second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800, "month": 2629746,
+                    "quarter": 7889238, "year": 31556952,
+                }
+                ci = str(aconf.get("calendar_interval"))
+                iv = {
+                    "1m": "minute", "1h": "hour", "1d": "day",
+                    "1w": "week", "1M": "month", "1q": "quarter",
+                    "1y": "year",
+                }.get(ci, ci)
+                if iv not in _CHRONO_S:
+                    raise NotImplementedError(f"rate under '{ci}'")
+                for rname, rfield, runit in rates:
+                    if runit not in _CHRONO_S:
+                        raise NotImplementedError(f"rate unit '{runit}'")
+                    ratio = _CHRONO_S[iv] / _CHRONO_S[runit]
+                    src = (
+                        F.col(f"__rate_{rname}") if rfield
+                        else F.col("doc_count")
+                    )
+                    hist = hist.withColumn(
+                        rname,
+                        (src.cast("double") / F.lit(float(ratio))),
+                    )
+                    if rfield:
+                        hist = hist.drop(f"__rate_{rname}")
             if cards or cumcards:
                 # per-bucket cardinality: one distinct-count grouped
                 # pass per field; cumulative_cardinality: EXACT
@@ -1830,6 +1895,19 @@ def search(
                 )
             aggs[name] = q.significant_terms(
                 spark, index_dir, mq, size=int(aconf.get("size", 10)),
+                matched=agg_matched,
+            )
+        elif akind == "t_test":
+            # two-sample Student's t (paired / Welch heteroscedastic /
+            # homoscedastic) — aggs.t_test_agg: one attributed pass,
+            # conditional algebraic sums, Arrow-batched incomplete
+            # beta for the two-tailed p-value
+            from . import aggs as agg_exec
+
+            aggs[name] = agg_exec.t_test_agg(
+                spark, index_dir, corpus_path, mq,
+                a_conf=aconf["a"], b_conf=aconf["b"],
+                ttype=str(aconf.get("type", "heteroscedastic")),
                 matched=agg_matched,
             )
         elif akind in ("stats", "avg", "min", "max", "sum", "value_count"):

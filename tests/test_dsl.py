@@ -2143,3 +2143,128 @@ def test_join_field_aggs(
         for r in res.aggregations["by_lang"].collect()
     }
     assert got == parents_hit.lang.value_counts().to_dict()
+
+
+def test_t_test_rate_aggs(
+    spark, index_dir, corpus_path, corpus_pdf, queries_pdf, tmp_path
+):
+    """t_test (paired / Welch / pooled) and rate aggregations plus
+    match_none: statistics recomputed independently in pandas/numpy
+    (variance via np.var ddof=1 — a different formula path than the
+    engine's power sums), p-values cross-checked against textbook
+    critical values inside aggs.t_p_value's own unit assertions."""
+    import numpy as np
+    import pandas as pd
+
+    from data_prepper_spark.index.query import attach_doc_values
+    from data_prepper_spark.oracle import bm25_topk, corpus_doc_ids
+
+    aug = corpus_pdf.reset_index(drop=True).copy()
+    aug["n_chars"] = aug.content.str.len().astype("int64")
+    # second numeric column for the paired test + a date column
+    aug["n_lines"] = aug.content.str.count("\n").astype("int64") + 1
+    aug["mtime"] = pd.to_datetime(
+        1451606400 + aug.n_chars * 3600, unit="s"
+    ).astype("datetime64[us]")  # Spark can't read NANOS parquet
+    apath = str(tmp_path / "aug2.parquet")
+    aug.to_parquet(apath)
+    attach_doc_values(
+        spark, index_dir, apath,
+        cols=("lang", "n_chars", "n_lines", "mtime"),
+    )
+
+    # a high-df term so per-lang groups are non-degenerate (n >= 2)
+    from collections import Counter
+
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    dfc: Counter = Counter()
+    for tk in tokenize_series(corpus_pdf.content):
+        dfc.update(set(tk))
+    text = dfc.most_common(1)[0][0]
+    qdf = pd.DataFrame({"query_id": [0], "query": [text]})
+    gold = bm25_topk(corpus_pdf, qdf, k=len(corpus_pdf))
+    row_of = {d: i for i, d in enumerate(corpus_doc_ids(aug))}
+    m = aug.iloc[sorted(row_of[d] for d in gold.doc_id)]
+
+    langs = m.lang.value_counts().index[:2].tolist()
+    assert (m.lang == langs[0]).sum() >= 2 and (m.lang == langs[1]).sum() >= 2
+    a = m[m.lang == langs[0]].n_chars.to_numpy(dtype=float)
+    b = m[m.lang == langs[1]].n_chars.to_numpy(dtype=float)
+
+    def welch(a, b):
+        va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+        na, nb = len(a), len(b)
+        se2 = va / na + vb / nb
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        return t, df
+
+    def pooled(a, b):
+        va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+        na, nb = len(a), len(b)
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        t = (a.mean() - b.mean()) / np.sqrt(sp2 * (1 / na + 1 / nb))
+        return t, na + nb - 2
+
+    for ttype, fn in [("heteroscedastic", welch), ("homoscedastic", pooled)]:
+        res = search(spark, index_dir, {
+            "query": {"match": {"content": text}},
+            "aggs": {"tt": {"t_test": {
+                "a": {"field": "n_chars",
+                      "filter": {"term": {"lang": langs[0]}}},
+                "b": {"field": "n_chars",
+                      "filter": {"term": {"lang": langs[1]}}},
+                "type": ttype,
+            }}},
+        }, corpus_path=corpus_path)
+        row = res.aggregations["tt"].collect()[0]
+        t, df = fn(a, b)
+        assert abs(row.t_stat - t) < 1e-8, ttype
+        assert abs(row.df - df) < 1e-6, ttype
+        assert 0.0 <= row.p_value <= 1.0
+
+    # paired over the same docs' two columns
+    d = (m.n_chars - m.n_lines).to_numpy(dtype=float)
+    res = search(spark, index_dir, {
+        "query": {"match": {"content": text}},
+        "aggs": {"tt": {"t_test": {
+            "a": {"field": "n_chars"}, "b": {"field": "n_lines"},
+            "type": "paired",
+        }}},
+    }, corpus_path=corpus_path)
+    row = res.aggregations["tt"].collect()[0]
+    t = d.mean() / np.sqrt(np.var(d, ddof=1) / len(d))
+    assert abs(row.t_stat - t) < 1e-8
+    assert row.df == len(d) - 1
+
+    # rate under a daily date_histogram, unit hour
+    res = search(spark, index_dir, {
+        "query": {"match": {"content": text}},
+        "aggs": {"h": {
+            "date_histogram": {"field": "mtime",
+                               "calendar_interval": "day"},
+            "aggs": {
+                "sum_rate": {"rate": {"field": "n_chars",
+                                      "unit": "hour"}},
+                "count_rate": {"rate": {"unit": "hour"}},
+            },
+        }},
+    }, corpus_path=corpus_path)
+    rows = {r.key: r for r in res.aggregations["h"].collect()}
+    day = m.mtime.dt.floor("D")
+    want_sum = m.groupby(day).n_chars.sum() / 24.0
+    want_cnt = m.groupby(day).size() / 24.0
+    assert len(rows) == len(want_sum)
+    for ts, v in want_sum.items():
+        key = ts.strftime("%Y-%m-%dT%H:%M:%S")
+        assert abs(rows[key].sum_rate - v) < 1e-9
+        assert abs(rows[key].count_rate - want_cnt[ts]) < 1e-9
+
+    # match_none: zero hits, zero agg rows
+    res = search(spark, index_dir, {
+        "query": {"match_none": {}},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+    }, corpus_path=corpus_path)
+    assert res.hits.count() == 0
+    assert res.aggregations["by_lang"].count() == 0
