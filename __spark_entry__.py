@@ -4915,7 +4915,10 @@ def dsl_span_or_not(spark, sf_dir):
     into one clause slot). Query 1: include (data..merge, slop 6,
     ordered) excluding spans with 'join' inside [first, last]. Query
     2: same include, exclude 'scan' within [first-1, last+2]
-    (pre/post). Query 3: span_containing — the same include's spans
+    (pre/post). Query 4: span_multi — prefix 'dat' expanded against
+    the term dictionary (df-capped top_terms rewrite,
+    query.expand_pattern_terms) into span_or alternatives before
+    merge. Query 3: span_containing — the same include's spans
     KEPT only when a 'join' position lies inside [first, last]
     (SpanContainingQuery; span_within yields the identical doc set).
     For 2-clause ORDERED includes the executor's per-start greedy
@@ -4949,7 +4952,16 @@ def dsl_span_or_not(spark, sf_dir):
         k=1_000_000, query_id=3, tie_expr=tie,
         require=["join"],
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).select(
+    from data_prepper_spark.index.query import expand_pattern_terms
+
+    alts = expand_pattern_terms(spark, idx, "dat", "prefix", 50)
+    e = span_near_topk(
+        spark, idx, [alts, "merge"], slop=6, in_order=True,
+        k=1_000_000, query_id=4, tie_expr=tie,
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    ).select(
         "query_id", "rank",
         F.col("path").cast("long").alias("doc_id"),
         "min_width",
@@ -11898,6 +11910,20 @@ q0 AS (
   FROM dh JOIN m USING (doc_id) WHERE m.p > dh.p
   GROUP BY 2 HAVING min(m.p - dh.p - 1) <= 6
 ),
+vocab AS (
+  SELECT tok AS term, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1
+),
+exp AS (
+  SELECT term FROM vocab WHERE term LIKE 'dat%'
+  ORDER BY df DESC, term LIMIT 50
+),
+dm AS (SELECT doc_id, p FROM pos WHERE tok IN (SELECT term FROM exp)),
+q4 AS (
+  SELECT CAST(4 AS BIGINT) AS query_id, dm.doc_id,
+         CAST(min(m.p - dm.p - 1) AS INT) AS min_width
+  FROM dm JOIN m USING (doc_id) WHERE m.p > dm.p
+  GROUP BY 2 HAVING min(m.p - dm.p - 1) <= 6
+),
 chains AS (
   SELECT d.doc_id, d.p AS p1, min(m.p) AS p2
   FROM d JOIN m USING (doc_id) WHERE m.p > d.p
@@ -11934,7 +11960,8 @@ q3 AS (
   GROUP BY 2 HAVING min(c.p2 - c.p1 - 1) <= 6
 ),
 u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1
-      UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3)
+      UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+      UNION ALL SELECT * FROM q4)
 SELECT query_id,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY min_width, doc_id) AS rank,

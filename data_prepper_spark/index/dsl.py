@@ -54,8 +54,10 @@ simple_query_string, more_like_this, span_term / span_near (slop,
 in_order, span_term/span_or sub-clauses) / span_first (end-bounded)
 / span_or (alternative terms, positions merged) / span_not
 (exclude-window pre/post/dist rejection) / span_containing +
-span_within (big spans enclosing a little-span position) over the
-positions sidecar — tightest-span-first ranking, intervals (`match`
+span_within (big spans enclosing a little-span position) /
+span_multi (prefix/fuzzy/wildcard/regexp expanded against the term
+dictionary into span_or alternatives, df-capped top_terms rewrite)
+over the positions sidecar — tightest-span-first ranking, intervals (`match`
 rule: analyzed terms, max_gaps default unlimited, ordered flag —
 routed to the same span executor),
 match_none (the empty match set — zero hits, zero agg rows),
@@ -737,7 +739,7 @@ def search(
         )
     elif kind in (
         "span_near", "span_term", "span_first", "span_or", "span_not",
-        "span_containing", "span_within",
+        "span_containing", "span_within", "span_multi",
     ):
         # span family over the positions sidecar: span_term values
         # are TERM-level (not analyzed — the OpenSearch contract);
@@ -753,9 +755,9 @@ def search(
 
         def _unit_terms(label: str, clause: dict) -> list:
             ((sk, ss),) = clause.items()
-            if sk not in ("span_term", "span_or"):
+            if sk not in ("span_term", "span_or", "span_multi"):
                 raise NotImplementedError(
-                    f"{label} '{sk}' (span_term/span_or — "
+                    f"{label} '{sk}' (span_term/span_or/span_multi — "
                     "unit-length spans only)"
                 )
             out: list = []
@@ -792,10 +794,10 @@ def search(
                 cls = []
                 for c in cs["clauses"]:
                     ((sk, ss),) = c.items()
-                    if sk not in ("span_term", "span_or"):
+                    if sk not in ("span_term", "span_or", "span_multi"):
                         raise NotImplementedError(
                             f"span_near sub-clause '{sk}' "
-                            "(span_term/span_or only)"
+                            "(span_term/span_or/span_multi only)"
                         )
                     cls.extend(_span_parse(sk, ss)["clauses"])
                 return {
@@ -817,6 +819,29 @@ def search(
                     ),
                     "pre": int(cs.get("pre", dist)),
                     "post": int(cs.get("post", dist)),
+                }
+            if ck == "span_multi":
+                # SpanMultiTermQueryWrapper: the inner prefix/fuzzy/
+                # wildcard/regexp expands against the term dictionary
+                # (df-capped, the top_terms rewrite) into span_or
+                # alternatives — one clause slot, merged positions
+                ((mk, ms),) = cs["match"].items()
+                if mk not in ("prefix", "fuzzy", "wildcard", "regexp"):
+                    raise NotImplementedError(
+                        f"span_multi match '{mk}'"
+                    )
+                t, opts = _field_arg(ms)
+                alts = q.expand_pattern_terms(
+                    spark, index_dir, str(t), mk,
+                    int(opts.get("max_expansions", 50)),
+                )
+                if not alts:
+                    # empty expansion matches nothing: a term outside
+                    # the analyzer's alphabet can never be indexed
+                    alts = ["\x00"]
+                return {
+                    "clauses": [alts], "slop": 0, "in_order": True,
+                    "exclude": [], "pre": 0, "post": 0, "require": None,
                 }
             if ck in ("span_containing", "span_within"):
                 ((bk, bs),) = cs["big"].items()

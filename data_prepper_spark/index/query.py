@@ -823,6 +823,45 @@ def expanded_search(
     )
 
 
+def expand_pattern_terms(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    match: str = "prefix",
+    max_expansions: int = 50,
+) -> list[str]:
+    """Dictionary expansion of ONE pattern to its concrete terms —
+    the span_multi rewrite (SpanMultiTermQueryWrapper): highest-df
+    terms first (deterministic term tie-break), capped at
+    `max_expansions`. Reuses expanded_search's blocked equi-join
+    against the term dictionary (no BroadcastNestedLoopJoin at any
+    dictionary size); the returned list is request-bounded, so the
+    collect is ≤ max_expansions strings."""
+    if match not in ("prefix", "fuzzy", "wildcard", "regexp"):
+        raise ValueError(f"unknown match mode: {match}")
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    pats = spark.createDataFrame(
+        [(0, str(pattern))], "query_id long, pattern string"
+    )
+    if match == "wildcard":
+        pats = pats.withColumn(
+            "pattern",
+            F.translate(
+                F.regexp_replace("pattern", r"([%_])", r"\\$1"), "*?", "%_"
+            ),
+        )
+    rows = pats.collect()
+    deletes = _term_deletes_df(spark, index_dir) if match == "fuzzy" else None
+    matched = _blocked_dictionary_match(terms, pats, rows, match, deletes)
+    capped = (
+        matched.orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+        .select("term")
+        .collect()
+    )
+    return [r.term for r in capped]
+
+
 def _delete_neighborhood(col: str, depth: int):
     """Column expr: array of strings reachable from `col` by deleting
     up to `depth` (1 or 2) characters, the string itself included —

@@ -2268,3 +2268,89 @@ def test_t_test_rate_aggs(
     }, corpus_path=corpus_path)
     assert res.hits.count() == 0
     assert res.aggregations["by_lang"].count() == 0
+
+
+def test_span_multi(spark, index_dir, corpus_path, corpus_pdf):
+    """span_multi: prefix/wildcard expansion against the term
+    dictionary feeding span_or alternatives — match sets and widths
+    agree with a brute union over the matching vocabulary; empty
+    expansions yield zero hits."""
+    from data_prepper_spark.index.positions import build_positions
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    if not os.path.isdir(os.path.join(index_dir, "positions")):
+        build_positions(spark, corpus_path, index_dir)
+    toks = tokenize_series(corpus_pdf.content)
+    ident = {
+        (r.repo, r.path, r.commit): i
+        for i, r in enumerate(corpus_pdf.itertuples())
+    }
+    vocab = sorted({t for tk in toks for t in tk})
+    t0 = toks.iloc[0]
+    # a prefix expanding to <= 30 terms so the engine's df-capped
+    # top_terms rewrite (max_expansions=50) can't differ from the
+    # brute's full union
+    pref, alts = None, set()
+    for seed in t0:
+        if len(seed) < 4:
+            continue
+        cand = {t for t in vocab if t.startswith(seed[:3])}
+        if 1 <= len(cand) <= 30:
+            pref, alts = seed[:3], cand
+            break
+    assert pref, "no low-fanout prefix in fixture doc 0"
+
+    def got_for(body):
+        hits = search(spark, index_dir, {**body, "size": 100_000}).hits
+        return {
+            ident[(r.repo, r.path, r.commit)]: r.min_width
+            for r in hits.collect()
+        }
+
+    got = got_for({"query": {"span_multi": {
+        "match": {"prefix": {"content": pref}},
+    }}})
+    want = {
+        i: 0 for i, tk in enumerate(toks) if any(t in alts for t in tk)
+    }
+    assert got == want
+
+    # inside span_near, next to a plain term
+    import itertools
+
+    partner = next(t for t in t0 if not t.startswith(pref))
+    got = got_for({"query": {"span_near": {
+        "clauses": [
+            {"span_multi": {"match": {"prefix": {"content": pref}}}},
+            {"span_term": {"content": partner}},
+        ],
+        "slop": 5, "in_order": False,
+    }}})
+    want = {}
+    for i, tk in enumerate(toks):
+        pa = [p for p, t in enumerate(tk) if t in alts]
+        pb = [p for p, t in enumerate(tk) if t == partner]
+        best = None
+        for x, y in itertools.product(pa, pb):
+            if x == y:
+                continue
+            w = abs(x - y) - 1
+            if best is None or w < best:
+                best = w
+        if best is not None and best <= 5:
+            want[i] = best
+    assert got == want
+
+    # wildcard form matches the prefix form
+    got_w = got_for({"query": {"span_multi": {
+        "match": {"wildcard": {"content": pref + "*"}},
+    }}})
+    assert set(got_w) == set(got_for({"query": {"span_multi": {
+        "match": {"prefix": {"content": pref}},
+    }}}))
+
+    # empty expansion -> zero hits, loudly nothing
+    got = got_for({"query": {"span_multi": {
+        "match": {"prefix": {"content": "zzzzzzqqq"}},
+    }}})
+    assert got == {}
