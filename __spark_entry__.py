@@ -5159,6 +5159,97 @@ def dsl_rate_ttest(spark, sf_dir):
     return out
 
 
+def bulk_update_roundtrip(spark, sf_dir):
+    """`_bulk` update actions end-to-end (sources/bulk_api.py —
+    partial-doc merge against the prior live version, delete +
+    reindex, doc_as_upsert): ingest a documents sample via the live
+    listener, then POST updates appending ' zzupdated' to every
+    doc_id%40==0 doc plus one upsert of a brand-new id; return each
+    LIVE doc's tokenized length across the delta tree (tombstones
+    honored). The oracle recomputes the post-update token counts
+    straight off the parquet table — updated docs +1 token, others
+    unchanged, the upsert present — so merge + tombstone + rebuild
+    is value-checked."""
+    import json as _json
+    import os as _os
+    import tempfile
+    import urllib.request
+
+    from data_prepper_spark import fsio
+    from data_prepper_spark.sources.bulk_api import bulk_apply
+    from data_prepper_spark.sources.http import HttpSource
+
+    sample = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    spool = tempfile.mkdtemp(prefix="bulkup_spool_")
+    root = tempfile.mkdtemp(prefix="bulkup_idxroot_")
+
+    def post(port, lines):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/_bulk",
+            data=("\n".join(lines) + "\n").encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        resp = _json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert resp["errors"] is False
+        return resp
+
+    with HttpSource(spool) as src:
+        for i in range(0, len(sample), 100):
+            lines = []
+            for r in sample[i : i + 100]:
+                lines.append(_json.dumps(
+                    {"index": {"_index": "docs", "_id": str(r.doc_id)}}
+                ))
+                lines.append(_json.dumps({"content": r.text}))
+            post(src.port, lines)
+        bulk_apply(spark, spool, root)
+        lines = []
+        for r in sample:
+            if r.doc_id % 40 == 0:
+                lines.append(_json.dumps(
+                    {"update": {"_index": "docs", "_id": str(r.doc_id)}}
+                ))
+                lines.append(_json.dumps(
+                    {"doc": {"content": r.text + " zzupdated"}}
+                ))
+        lines.append(_json.dumps(
+            {"update": {"_index": "docs", "_id": "99999991"}}
+        ))
+        lines.append(_json.dumps({
+            "doc": {"content": "fresh upsert doc zz"},
+            "doc_as_upsert": True,
+        }))
+        post(src.port, lines)
+        bulk_apply(spark, spool, root)
+
+    out = None
+    for d in sorted(
+        p for p in fsio.listdir(root)
+        if _os.path.basename(p.rstrip("/")).startswith("delta=")
+    ):
+        docs = spark.read.parquet(_os.path.join(d, "docs")).select(
+            "ord", "path", "dl"
+        )
+        tpath = _os.path.join(d, "tombstones")
+        if fsio.isdir(tpath):
+            docs = docs.join(
+                spark.read.parquet(tpath).select("ord"),
+                "ord", "left_anti",
+            )
+        part = docs.select(
+            F.col("path").cast("long").alias("doc_id"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def dsl_global_agg(spark, sf_dir):
     """`global` aggregation: sub-aggregations over the WHOLE live
     corpus alongside query-scoped ones in the same body (index/dsl.py
@@ -7189,6 +7280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_field_search": join_field_search,
         "join_field_aggs": join_field_aggs,
         "dsl_rate_ttest": dsl_rate_ttest,
+        "bulk_update_roundtrip": bulk_update_roundtrip,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -7658,6 +7750,25 @@ FROM events
 WHERE event_id % 20 = 0
 """
 
+    sql["bulk_update_roundtrip"] = f"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+post AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 = 0 THEN text || ' zzupdated'
+              ELSE text END AS text
+  FROM sample
+  UNION ALL
+  SELECT 99999991, 'fresh upsert doc zz'
+),
+toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM post
+),
+dl AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1)
+SELECT p.doc_id, CAST(COALESCE(dl.n, 0) AS BIGINT) AS dl
+FROM post p LEFT JOIN dl USING (doc_id)
+"""
     sql["bulk_ingest_roundtrip"] = f"""
 WITH sample AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0

@@ -8,7 +8,8 @@ wire shape. This module is the ACCEPTING side of that contract so a
 pipeline pointed at OpenSearch can point here instead:
 
 - `parse_bulk` implements the NDJSON action-line grammar
-  (index / create / delete; update is reported per-item as
+  (index / create / delete / update with partial `doc` bodies +
+  doc_as_upsert; scripted updates are reported per-item as
   unsupported, never a request-level failure) and produces both the
   per-item response the caller gets back and the flat op rows the
   engine ingests.
@@ -122,15 +123,47 @@ def parse_bulk(body: bytes, default_index: str | None = None):
                 "status": 200, "result": "deleted",
             }})
         elif op == "update":
-            # per-item unsupported (scripted partial updates need the
-            # stored source); the request-level contract still holds
-            items.append({op: {"status": 400, "error": {
-                "type": "illegal_argument_exception",
-                "reason": "update actions are not supported",
-            }}})
-            errors = True
-            if i < n:  # consume the update's document line
-                i += 1
+            # partial-doc update (delete + reindex of the merged
+            # source at apply time; `doc_as_upsert` seeds missing
+            # docs). Scripted updates stay per-item unsupported.
+            if i >= n:
+                raise ValueError("update action without a document line")
+            try:
+                body_doc = json.loads(lines[i])
+            except ValueError:
+                raise ValueError("Malformed document line")
+            i += 1
+            if index is None or "_id" not in meta:
+                items.append({op: {"status": 400, "error": {
+                    "type": "illegal_argument_exception",
+                    "reason": "update needs _index and _id",
+                }}})
+                errors = True
+                continue
+            if "script" in body_doc or "doc" not in body_doc:
+                items.append({op: {"status": 400, "error": {
+                    "type": "illegal_argument_exception",
+                    "reason": "update supports partial `doc` bodies "
+                    "(scripted updates are not supported)",
+                }}})
+                errors = True
+                continue
+            ops.append({
+                "op": "update",
+                "index": str(index),
+                "id": str(meta["_id"]),
+                "content": "",
+                "doc_json": json.dumps({
+                    "doc": body_doc["doc"],
+                    "doc_as_upsert": bool(
+                        body_doc.get("doc_as_upsert", False)
+                    ),
+                }, separators=(",", ":")),
+            })
+            items.append({op: {
+                "_index": str(index), "_id": str(meta["_id"]),
+                "status": 200, "result": "updated",
+            }})
         else:
             raise ValueError(f"Unknown bulk action '{op}'")
     return items, ops, errors
@@ -177,12 +210,106 @@ def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
         F.lit("bulk").alias("commit"),
         F.col("content"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.col("doc_json"),
     )
     # last-write-wins WITHIN the batch (two index actions for the same
     # _id in one apply keep the later op-file's row; across applies a
     # re-indexed doc lives in two deltas and both contribute — the
     # documented delta-union semantics compaction resolves)
     docs = docs.dropDuplicates(["repo", "path", "commit"])
+
+    # -- update actions: delete + reindex of the recursively merged
+    # source. Updates resolve against the PRE-REQUEST store state
+    # (prior live version = latest non-tombstoned delta row for the
+    # _id; the per-delta staged corpus carries doc_json as the
+    # _source analog — older deltas without it fall back to
+    # {"content": ...}); missing prior + doc_as_upsert seeds from the
+    # partial. The per-id fan-in is request-bounded, so collects here
+    # are <= #update actions.
+    from .. import fsio
+
+    deltas_before = sorted(
+        p for p in (
+            fsio.listdir(index_root) if fsio.isdir(index_root) else []
+        )
+        if os.path.basename(p.rstrip("/")).startswith("delta=")
+    )
+    upd_rows = ops.filter(F.col("op") == "update").select(
+        "index", "id", "doc_json"
+    ).collect()
+    n_updated = n_upd_noop = 0
+    upd_keys_df = None
+    if upd_rows:
+        partials: dict = {}
+        for r in upd_rows:  # file order = bulk order; last wins
+            partials[(r["index"], r["id"])] = json.loads(r["doc_json"])
+        keys_df = spark.createDataFrame(
+            [(ix, did) for ix, did in partials],
+            "repo string, path string",
+        )
+        prior: dict = {}
+        for d in deltas_before:  # ascending: later deltas overwrite
+            ident = spark.read.parquet(os.path.join(d, "docs")).select(
+                "ord", "repo", "path", "commit"
+            )
+            tpath = os.path.join(d, "tombstones")
+            if fsio.isdir(tpath):
+                ident = ident.join(
+                    spark.read.parquet(tpath).select("ord"),
+                    "ord", "left_anti",
+                )
+            staged = spark.read.parquet(
+                os.path.join(d, "_staging_corpus")
+            )
+            cols = ["repo", "path", "content"] + (
+                ["doc_json"] if "doc_json" in staged.columns else []
+            )
+            hit = staged.select(*cols).join(
+                ident.select("repo", "path", "commit"),
+                ["repo", "path"],
+            ).join(F.broadcast(keys_df), ["repo", "path"])
+            for r in hit.collect():
+                prior[(r["repo"], r["path"])] = r
+        merged_rows = []
+        for key, pc in partials.items():
+            p = prior.get(key)
+            if p is None:
+                if not pc.get("doc_as_upsert"):
+                    n_upd_noop += 1
+                    continue
+                src: dict = {}
+            else:
+                pj = p.asDict().get("doc_json")
+                src = json.loads(pj) if pj else {"content": p["content"]}
+            merged = _deep_merge(src, pc["doc"])
+            content = merged.get("content")
+            if not isinstance(content, str):
+                content = json.dumps(merged, separators=(",", ":"))
+            merged_rows.append((
+                key[0], key[1], "bulk", content,
+                json.dumps(merged, separators=(",", ":")),
+            ))
+            n_updated += 1
+        if merged_rows:
+            mdf = spark.createDataFrame(
+                merged_rows,
+                "repo string, path string, commit string, "
+                "content string, doc_json string",
+            ).withColumn(
+                "content_sha256", F.sha2(F.col("content"), 256)
+            ).select(
+                "repo", "path", "commit", "content",
+                "content_sha256", "doc_json",
+            )
+            # updated versions replace any same-id index action in
+            # this request (update resolves later in bulk order)
+            docs = mdf.unionByName(
+                docs.join(
+                    mdf.select("repo", "path"),
+                    ["repo", "path"], "left_anti",
+                )
+            )
+            upd_keys_df = mdf.select("repo", "path").distinct()
     n_indexed = docs.count()
     delta_dir = None
     if n_indexed:
@@ -194,6 +321,20 @@ def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
             spark, staging, delta_dir,
             cfg or BuildConfig(n_buckets=8, hot_group_target=10_000),
         )
+
+    # tombstone the PRIOR versions of updated ids — only on the
+    # pre-request deltas (the new delta holds the updated version and
+    # must stay live)
+    if upd_keys_df is not None:
+        for d in deltas_before:
+            ident = spark.read.parquet(os.path.join(d, "docs")).select(
+                "ord", "repo", "path"
+            )
+            hit = ident.join(F.broadcast(upd_keys_df), ["repo", "path"])
+            if hit.take(1):
+                hit.select("ord").write.mode("append").parquet(
+                    os.path.join(d, "tombstones")
+                )
 
     dels = ops.filter(F.col("op") == "delete").select(
         F.col("index").alias("repo"), F.col("id").alias("path")
@@ -224,8 +365,22 @@ def bulk_apply(spark, spool_dir: str, index_root: str, cfg=None) -> dict:
     return {
         "indexed": int(n_indexed),
         "deleted": int(n_deleted),
+        "updated": int(n_updated),
+        "update_noops": int(n_upd_noop),
         "delta_dir": delta_dir,
     }
+
+
+def _deep_merge(dst: dict, src: dict) -> dict:
+    """OpenSearch partial-doc merge: objects merge recursively,
+    everything else (scalars, arrays) replaces."""
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def update_by_query(

@@ -45,18 +45,27 @@ def test_parse_bulk_grammar():
             {"delete": {"_index": "logs", "_id": "a"}},
             {"update": {"_index": "logs", "_id": "b"}},
             {"doc": {"x": 1}},
+            {"update": {"_index": "logs", "_id": "c"}},
+            {"script": {"source": "ctx._source.x++"}},  # 400
             {"delete": {"_index": "logs"}},  # missing _id -> item error
         )
     )
     assert [next(iter(i)) for i in items] == [
-        "index", "create", "delete", "update", "delete",
+        "index", "create", "delete", "update", "update", "delete",
     ]
     assert items[0]["index"]["status"] == 201
     assert items[2]["delete"]["result"] == "deleted"
-    assert items[3]["update"]["status"] == 400
-    assert items[4]["delete"]["status"] == 400
+    assert items[3]["update"]["status"] == 200
+    assert items[3]["update"]["result"] == "updated"
+    assert items[4]["update"]["status"] == 400  # scripted
+    assert items[5]["delete"]["status"] == 400
     assert errors is True
-    assert [o["op"] for o in ops] == ["index", "index", "delete"]
+    assert [o["op"] for o in ops] == ["index", "index", "delete", "update"]
+    import json as _json
+
+    assert _json.loads(ops[3]["doc_json"]) == {
+        "doc": {"x": 1}, "doc_as_upsert": False,
+    }
     # schemaless doc indexes its compact JSON
     assert ops[1]["content"] == '{"message":"no content field"}'
     # default index + auto id
@@ -256,3 +265,99 @@ def test_update_by_query(spark, tmp_path):
         ),
     )
     assert res2["updated"] == 0
+
+
+def test_bulk_update_lifecycle(spark, tmp_path):
+    """update actions: partial-doc merge against the prior live
+    version (delete + reindex), doc_as_upsert seeding, missing-doc
+    no-ops, update-beats-index within one request, and searchability
+    of the merged content."""
+    from data_prepper_spark.index.query import topk_deltas
+
+    root = str(tmp_path / "idxroot")
+    with HttpSource(str(tmp_path / "spool")) as src:
+        code, resp = _post(
+            src.port, "/_bulk",
+            _nd(
+                {"index": {"_index": "logs", "_id": "1"}},
+                {"content": "alpha beta", "sev": "info",
+                 "ctx": {"pod": "a", "zone": "z1"}},
+                {"index": {"_index": "logs", "_id": "2"}},
+                {"content": "gamma delta"},
+            ),
+        )
+        assert code == 200 and resp["errors"] is False
+        st = bulk_apply(spark, src.spool_dir, root)
+        assert st["indexed"] == 2 and st["updated"] == 0
+
+        # partial update: content replaced, nested ctx merged
+        code, resp = _post(
+            src.port, "/_bulk",
+            _nd(
+                {"update": {"_index": "logs", "_id": "1"}},
+                {"doc": {"content": "alpha epsilon",
+                         "ctx": {"zone": "z2"}}},
+                {"update": {"_index": "logs", "_id": "missing"}},
+                {"doc": {"content": "never lands"}},
+                {"update": {"_index": "logs", "_id": "up"}},
+                {"doc": {"content": "upserted zeta"},
+                 "doc_as_upsert": True},
+            ),
+        )
+        assert code == 200 and resp["errors"] is False
+        st = bulk_apply(spark, src.spool_dir, root)
+        assert st["updated"] == 2 and st["update_noops"] == 1
+
+        from data_prepper_spark.xxh64 import doc_id_of
+
+        def did(i):
+            return doc_id_of("logs", i, "bulk")
+
+        def hits_for(word):
+            q = spark.createDataFrame(
+                [(0, word)], "query_id long, query string"
+            )
+            return {
+                r.doc_id for r in topk_deltas(spark, root, q, k=10).collect()
+            }
+
+        assert hits_for("epsilon") == {did("1")}
+        assert hits_for("beta") == set()      # old version tombstoned
+        assert hits_for("alpha") == {did("1")}  # exactly one live version
+        assert hits_for("zeta") == {did("up")}  # upsert landed
+        assert hits_for("never") == set()     # missing-doc no-op
+
+        # merged _source survives: next partial update sees z2 + pod
+        code, resp = _post(
+            src.port, "/_bulk",
+            _nd(
+                {"update": {"_index": "logs", "_id": "1"}},
+                {"doc": {"note": "third"}},
+            ),
+        )
+        st = bulk_apply(spark, src.spool_dir, root)
+        assert st["updated"] == 1
+        import glob
+        import os as _os
+
+        staged = sorted(glob.glob(_os.path.join(root, "delta=*")))[-1]
+        import pandas as pd
+
+        sdf = pd.read_parquet(_os.path.join(staged, "_staging_corpus"))
+        src_doc = json.loads(sdf[sdf.path == "1"].iloc[0].doc_json)
+        assert src_doc["ctx"] == {"pod": "a", "zone": "z2"}
+        assert src_doc["note"] == "third"
+        assert src_doc["content"] == "alpha epsilon"
+
+        # update-beats-index for the same _id in ONE request
+        code, resp = _post(
+            src.port, "/_bulk",
+            _nd(
+                {"index": {"_index": "logs", "_id": "9"}},
+                {"content": "omega one"},
+                {"update": {"_index": "logs", "_id": "9"}},
+                {"doc": {"content": "omega two"}, "doc_as_upsert": True},
+            ),
+        )
+        st = bulk_apply(spark, src.spool_dir, root)
+        assert hits_for("two") == {did("9")} and hits_for("one") == set()
