@@ -5250,6 +5250,41 @@ def bulk_update_roundtrip(spark, sf_dir):
     return out
 
 
+def dsl_geo_line(spark, sf_dir):
+    """geo_line aggregation: the match set's points as a sort-ordered
+    track truncated to `size` (WindowGroupLimit rank — every map
+    partition holds <= size rows pre-merge, never a match-set
+    collect). Points/sort come from the deterministic derived columns
+    (_net_corpus: loc_lat/loc_lon/mtime are pure functions of
+    n_chars), tie-break (sort, lat, lon) is oracle-replayable —
+    residual ties are identical rows, so any permutation hashes
+    equal."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "mtime", "loc_lat", "loc_lon"),
+    )
+    res = dsl_search(spark, idx, {
+        "query": {"match": {"content": "data merge"}},
+        "size": 0,
+        "aggs": {"track": {"geo_line": {
+            "point": {"field": "loc"},
+            "sort": {"field": "mtime"},
+            "size": 40,
+        }}},
+    }, corpus_path=cpath)
+    return res.aggregations["track"].select(
+        F.col("seq").cast("long").alias("seq"),
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        F.col("sort_value").cast("string").alias("sort_value"),
+    )
+
+
 def dsl_global_agg(spark, sf_dir):
     """`global` aggregation: sub-aggregations over the WHOLE live
     corpus alongside query-scoped ones in the same body (index/dsl.py
@@ -7281,6 +7316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_field_aggs": join_field_aggs,
         "dsl_rate_ttest": dsl_rate_ttest,
         "bulk_update_roundtrip": bulk_update_roundtrip,
+        "dsl_geo_line": dsl_geo_line,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -11603,6 +11639,32 @@ rates AS (
   SELECT 'rate_cr', key, round(c / 24.0, 6) FROM buck
 )
 SELECT * FROM tt UNION ALL SELECT * FROM rates
+"""
+    sql["dsl_geo_line"] = f"""
+WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+tok AS (
+  SELECT doc_id, n_chars, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT tok.doc_id, tok.n_chars FROM q JOIN tok USING (term)
+),
+d AS (
+  SELECT doc_id,
+         1451606400 + n_chars * 3600 AS ep,
+         CAST(n_chars % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         CAST((n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE) AS lon
+  FROM matched
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY ep, lat, lon) AS seq,
+         round(lon, 6) AS lon, round(lat, 6) AS lat,
+         strftime(to_timestamp(ep), '%Y-%m-%d %H:%M:%S') AS sort_value
+  FROM d
+)
+SELECT seq, lon, lat, sort_value FROM ranked WHERE seq <= 40
 """
     sql["dsl_range_aggs_family"] = f"""
 WITH qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),

@@ -113,7 +113,9 @@ aggregation; free-form stateful scripts raise), date_range /
 ip_range (IPv4 + CIDR mask buckets, dotted-quad -> int32 in native
 Columns) / geo_distance rings (haversine, unit-converted bounds) via
 one generic overlapping-[from,to) executor with zero-doc buckets
-emitted, ip_prefix (/N network buckets over an IPv4 doc-values
+emitted, geo_line (the match set's points as a sort-ordered track
+truncated to `size`; WindowGroupLimit rank, never a match-set
+collect), ip_prefix (/N network buckets over an IPv4 doc-values
 field — native mask bit math, append_prefix_length / min_doc_count
 knobs, per-bucket prefix_length + netmask echo), geohash_grid (5·precision interleaved bits -> base-32 keys,
 all native bit math), auto_date_histogram (smallest ladder interval
@@ -1305,7 +1307,7 @@ def search(
     _SET_AGGS = {
         "filters", "missing", "adjacency_matrix", "weighted_avg",
         "percentile_ranks", "rare_terms", "multi_terms", "top_metrics",
-        "geo_centroid", "geo_bounds", "geotile_grid",
+        "geo_centroid", "geo_bounds", "geotile_grid", "geo_line",
         "children", "parent",
     }
     needs_set = any(
@@ -2168,6 +2170,63 @@ def search(
                 "metric_rank",
                 F.col(sfld).alias("sort_value"),
                 *[F.col(f) for f in flds if f != sfld],
+            )
+        elif akind == "geo_line":
+            # {"geo_line": {"point": {"field"}, "sort": {"field"},
+            #   "size", "sort_order"}} — the match set's points as a
+            # sort-ordered track, truncated to `size` (OpenSearch
+            # GeoLine contract, default cap 10000). Long format
+            # (query_id, seq, lon, lat, sort_value); the rank filter
+            # compiles to WindowGroupLimit so each map partition
+            # holds <= size rows before the merge — never a full-
+            # match-set collect. Tie-break (sort, lat, lon, ord):
+            # deterministic, and rows identical in the first three
+            # are interchangeable so oracles can replay the order.
+            import os as _os
+
+            if agg_matched is None:
+                raise NotImplementedError(
+                    "geo_line under this query kind (no match set)"
+                )
+            fld = aconf["point"]["field"]
+            srt = aconf["sort"]["field"]
+            size = int(aconf.get("size", 10000))
+            asc_ = str(aconf.get("sort_order", "asc")) == "asc"
+            latc, lonc = f"{fld}_lat", f"{fld}_lon"
+            dv = spark.read.parquet(
+                _os.path.join(index_dir, "docvalues")
+            )
+            missing = {latc, lonc, srt} - set(dv.columns)
+            if missing:
+                raise NotImplementedError(
+                    f"geo_line needs doc-values columns "
+                    f"{sorted(missing)}"
+                )
+            pts = (
+                agg_matched.join(
+                    dv.select("ord", latc, lonc, srt), "ord"
+                )
+                .filter(
+                    F.col(latc).isNotNull() & F.col(lonc).isNotNull()
+                    & F.col(srt).isNotNull()
+                )
+                .select(
+                    "query_id", "ord",
+                    F.col(latc).cast("double").alias("lat"),
+                    F.col(lonc).cast("double").alias("lon"),
+                    F.col(srt).alias("sort_value"),
+                )
+            )
+            sdir = F.asc("sort_value") if asc_ else F.desc("sort_value")
+            w = Window.partitionBy("query_id").orderBy(
+                sdir, F.asc("lat"), F.asc("lon"), F.asc("ord")
+            )
+            aggs[name] = (
+                pts.withColumn("seq", F.row_number().over(w))
+                .filter(F.col("seq") <= size)
+                .select(
+                    "query_id", "seq", "lon", "lat", "sort_value"
+                )
             )
         elif akind in ("geo_centroid", "geo_bounds", "geotile_grid"):
             # geo aggregations over the *_lat/*_lon doc-values

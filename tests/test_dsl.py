@@ -2354,3 +2354,62 @@ def test_span_multi(spark, index_dir, corpus_path, corpus_pdf):
         "match": {"prefix": {"content": "zzzzzzqqq"}},
     }}})
     assert got == {}
+
+
+def test_geo_line_desc(spark, index_dir, corpus_path, corpus_pdf, tmp_path):
+    """geo_line sort_order=desc + size truncation: order and cut
+    recomputed in pandas from the attached point/sort columns."""
+    import pandas as pd
+
+    from data_prepper_spark.index.query import attach_doc_values
+    from data_prepper_spark.oracle import bm25_topk, corpus_doc_ids
+
+    aug = corpus_pdf.reset_index(drop=True).copy()
+    aug["n_chars"] = aug.content.str.len().astype("int64")
+    aug["loc_lat"] = (aug.n_chars % 120 - 60 + 0.25).astype(float)
+    aug["loc_lon"] = ((aug.n_chars * 7) % 340 - 170 + 0.5).astype(float)
+    apath = str(tmp_path / "geo.parquet")
+    aug.to_parquet(apath)
+    attach_doc_values(
+        spark, index_dir, apath,
+        cols=("lang", "n_chars", "loc_lat", "loc_lon"),
+    )
+    text = "zq"
+    # any token guaranteed present: use the most common first token
+    from collections import Counter
+
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    dfc: Counter = Counter()
+    for tk in tokenize_series(corpus_pdf.content):
+        dfc.update(set(tk))
+    text = dfc.most_common(1)[0][0]
+    qdf = pd.DataFrame({"query_id": [0], "query": [text]})
+    gold = bm25_topk(corpus_pdf, qdf, k=len(corpus_pdf))
+    row_of = {d: i for i, d in enumerate(corpus_doc_ids(aug))}
+    m = aug.iloc[sorted(row_of[d] for d in gold.doc_id)]
+
+    res = search(spark, index_dir, {
+        "query": {"match": {"content": text}},
+        "size": 0,
+        "aggs": {"track": {"geo_line": {
+            "point": {"field": "loc"},
+            "sort": {"field": "n_chars"},
+            "size": 25, "sort_order": "desc",
+        }}},
+    }, corpus_path=corpus_path)
+    got = (
+        res.aggregations["track"].orderBy("seq").toPandas()
+    )
+    want = (
+        m.sort_values(
+            ["n_chars", "loc_lat", "loc_lon"],
+            ascending=[False, True, True], kind="mergesort",
+        )
+        .head(25)
+        .reset_index(drop=True)
+    )
+    assert len(got) == min(25, len(m))
+    assert got.sort_value.tolist() == want.n_chars.tolist()
+    assert got.lat.tolist() == want.loc_lat.tolist()
+    assert got.lon.tolist() == want.loc_lon.tolist()
