@@ -2803,6 +2803,20 @@ FSCORE_BODIES = [
         }},
         "size": 10**6,
     },
+    {
+        "query": {"function_score": {
+            "query": {"match": {"text": "data"}},
+            "functions": [
+                {"gauss": {"n_chars": {
+                    "origin": 400, "scale": 200,
+                    "offset": 10, "decay": 0.5,
+                }}},
+            ],
+            "boost_mode": "multiply",
+            "min_score": 0.25,
+        }},
+        "size": 10**6,
+    },
 ]
 
 
@@ -2813,7 +2827,9 @@ def dsl_score_functions(spark, sf_dir):
     BoostingQuery); b1 folds two functions — a filter-gated constant
     weight and a log1p field_value_factor over the n_chars doc-values
     column — with score_mode=sum then multiplies into the BM25 query
-    score; b2 the single-function shorthand with boost_mode=sum.
+    score; b2 the single-function shorthand with boost_mode=sum; b3
+    a gauss DECAY over n_chars (Lucene DecayFunction math) with
+    min_score excluding low finals.
     Function values come from the vocabulary-thin doc-values sidecar
     (ord-equi-join) — the corpus is never rescanned, so the plan is
     match-set-sized at any corpus scale. The oracle replays the exact
@@ -9989,7 +10005,7 @@ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 leafraw(leaf_id, txt) AS (VALUES
-  (0, 'data query'), (1, 'spark'), (2, 'merge')),
+  (0, 'data query'), (1, 'spark'), (2, 'merge'), (3, 'data')),
 leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
           FROM leafraw),
 ls AS (
@@ -10211,7 +10227,7 @@ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 leafraw(leaf_id, txt) AS (VALUES
-  (0, 'data query'), (1, 'spark'), (2, 'merge')),
+  (0, 'data query'), (1, 'spark'), (2, 'merge'), (3, 'data')),
 leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
           FROM leafraw),
 ls AS (
@@ -10430,7 +10446,7 @@ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 leafraw(leaf_id, txt) AS (VALUES
-  (0, 'data query'), (1, 'spark'), (2, 'merge')),
+  (0, 'data query'), (1, 'spark'), (2, 'merge'), (3, 'data')),
 leafq AS (SELECT DISTINCT leaf_id, unnest({tokenize_sql('txt')}) AS term
           FROM leafraw),
 ls AS (
@@ -10466,8 +10482,20 @@ b2 AS (
   FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 1) s
   JOIN documents t ON t.doc_id = s.doc_id
 ),
+b3 AS (
+  SELECT CAST(3 AS BIGINT) AS query_id, s.doc_id, s.score * g.gv AS score
+  FROM (SELECT doc_id, score FROM ls WHERE leaf_id = 3) s
+  JOIN (
+    SELECT doc_id,
+           exp(-(power(greatest(0.0, abs(n_chars::DOUBLE - 400) - 10), 2))
+               / (2.0 * (power(200.0, 2) / (2.0 * ln(2.0))))) AS gv
+    FROM documents
+  ) g ON g.doc_id = s.doc_id
+  WHERE s.score * g.gv >= 0.25
+),
 allq AS (
   SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+  UNION ALL SELECT * FROM b3
 ),
 ranked AS (
   SELECT query_id, doc_id, score,

@@ -32,11 +32,16 @@ an ARBITRARY tree with exact Lucene semantics:
   matching `negative` are demoted by `negative_boost` (Lucene
   BoostingQuery: demoted, never excluded).
 * `function_score` — the child query decides matching; each function
-  (weight and/or field_value_factor over a doc-values column, gated
+  (weight and/or field_value_factor over a doc-values column,
+  gauss/exp/linear DECAY over a numeric doc-values column — Lucene
+  DecayFunction math, missing value = neutral 1.0 — or a
+  deterministic seeded `random_score` via xxhash64(ord, seed), gated
   by an optional per-function filter) yields a value, `score_mode`
-  folds the applicable values (neutral 1.0 when none apply) and
-  `boost_mode` combines the fold with the query score (Lucene
-  FunctionScoreQuery).
+  folds the applicable values (neutral 1.0 when none apply),
+  `max_boost` caps the fold, `boost_mode` combines it with the query
+  score, and `min_score` excludes docs whose combined score falls
+  below it (Lucene FunctionScoreQuery; min_score applies BEFORE the
+  node boost, which wraps outside like BoostQuery).
 
 * `prefix` / `wildcard` / `fuzzy` LEAVES (Lucene multi-term queries,
   scoring_boolean rewrite): on a text field the pattern expands
@@ -177,10 +182,24 @@ def _parse(node: dict, dv_cols: set, texts: list,
         if fns is None:
             fns = [{
                 k: v for k, v in spec.items()
-                if k in ("field_value_factor", "weight")
+                if k in (
+                    "field_value_factor", "weight", "random_score",
+                    "gauss", "exp", "linear",
+                )
             }]
         parsed = []
         for f in fns:
+            decay = None
+            for dk in ("gauss", "exp", "linear"):
+                if dk in f:
+                    ((dfld, dconf),) = f[dk].items()
+                    decay = {
+                        "kind": dk, "field": dfld,
+                        "origin": float(dconf["origin"]),
+                        "scale": float(dconf["scale"]),
+                        "offset": float(dconf.get("offset", 0.0)),
+                        "decay": float(dconf.get("decay", 0.5)),
+                    }
             parsed.append({
                 "filter": (
                     _parse(f["filter"], dv_cols, texts, runtime)
@@ -190,6 +209,11 @@ def _parse(node: dict, dv_cols: set, texts: list,
                     float(f["weight"]) if "weight" in f else None
                 ),
                 "fvf": f.get("field_value_factor"),
+                "decay": decay,
+                "random": (
+                    int(f["random_score"].get("seed", 0))
+                    if "random_score" in f else None
+                ),
             })
         return _IR(
             "fscore",
@@ -198,6 +222,14 @@ def _parse(node: dict, dv_cols: set, texts: list,
                 "functions": parsed,
                 "score_mode": spec.get("score_mode", "multiply"),
                 "boost_mode": spec.get("boost_mode", "multiply"),
+                "max_boost": (
+                    float(spec["max_boost"])
+                    if "max_boost" in spec else None
+                ),
+                "min_score": (
+                    float(spec["min_score"])
+                    if "min_score" in spec else None
+                ),
             },
             boost=float(spec.get("boost", 1.0)),
         )
@@ -934,6 +966,60 @@ def _function_score(spark, index_dir, ir, rec) -> DataFrame:
                     f"field_value_factor modifier '{mod}'"
                 )
             cur = cur.withColumn(col, val).drop("_v")
+        elif fn["decay"] is not None:
+            # numeric decay (Lucene DecayFunction math over the
+            # dv column; date decay = the same math on epoch numbers)
+            import math as _math
+
+            dc = fn["decay"]
+            if dv is None:
+                dv = spark.read.parquet(
+                    os.path.join(index_dir, "docvalues")
+                )
+            if dc["field"] not in dv.columns:
+                raise NotImplementedError(
+                    f"decay field '{dc['field']}' not in doc-values "
+                    "sidecar (attach_doc_values first)"
+                )
+            cur = cur.join(
+                dv.select("ord", F.col(dc["field"]).alias("_v")),
+                "ord", "left",
+            )
+            dist = F.greatest(
+                F.lit(0.0),
+                F.abs(F.col("_v").cast("double") - F.lit(dc["origin"]))
+                - F.lit(dc["offset"]),
+            )
+            if dc["kind"] == "gauss":
+                sigma2 = -(dc["scale"] ** 2) / (
+                    2.0 * _math.log(dc["decay"])
+                )
+                val = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+            elif dc["kind"] == "exp":
+                lam = _math.log(dc["decay"]) / dc["scale"]
+                val = F.exp(F.lit(lam) * dist)
+            else:  # linear
+                s = dc["scale"] / (1.0 - dc["decay"])
+                val = F.greatest(
+                    F.lit(0.0), (F.lit(s) - dist) / F.lit(s)
+                )
+            # missing dv value -> neutral 1.0 (OpenSearch skips docs
+            # without the field)
+            cur = cur.withColumn(
+                col,
+                F.when(F.col("_v").isNull(), F.lit(1.0)).otherwise(val),
+            ).drop("_v")
+        elif fn["random"] is not None:
+            # deterministic pseudo-random in [0, 1): seeded
+            # xxhash64 of the ordinal — reproducible across runs and
+            # parallelism (never rand(), which is partition-dependent)
+            cur = cur.withColumn(
+                col,
+                F.pmod(
+                    F.xxhash64(F.col("ord"), F.lit(fn["random"])),
+                    F.lit(2 ** 31),
+                ).cast("double") / F.lit(float(2 ** 31)),
+            )
         else:
             cur = cur.withColumn(col, F.lit(1.0))
         if fn["weight"] is not None:
@@ -975,6 +1061,8 @@ def _function_score(spark, index_dir, ir, rec) -> DataFrame:
         )
     else:
         raise NotImplementedError(f"score_mode '{sm}'")
+    if cfg.get("max_boost") is not None:
+        folded = F.least(folded, F.lit(float(cfg["max_boost"])))
     cur = cur.withColumn("_fs", folded)
     bm = cfg["boost_mode"]
     qs, fs = F.col("score"), F.col("_fs")
@@ -992,7 +1080,12 @@ def _function_score(spark, index_dir, ir, rec) -> DataFrame:
         out = (qs + fs) / F.lit(2.0)
     else:
         raise NotImplementedError(f"boost_mode '{bm}'")
-    return cur.select("ord", out.alias("score"))
+    res = cur.select("ord", out.alias("score"))
+    if cfg.get("min_score") is not None:
+        # min_score excludes docs whose FINAL combined score falls
+        # below it (the FunctionScoreQuery contract)
+        res = res.filter(F.col("score") >= float(cfg["min_score"]))
+    return res
 
 
 _SCRIPT_CALLS = {

@@ -195,6 +195,24 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
                 if not fok:
                     continue
             v = 1.0
+            for dk in ("gauss", "exp", "linear"):
+                if dk not in f:
+                    continue
+                ((fld, dconf),) = f[dk].items()
+                x = float(meta.loc[doc, fld])
+                origin = float(dconf["origin"])
+                scale = float(dconf["scale"])
+                off = float(dconf.get("offset", 0.0))
+                dec = float(dconf.get("decay", 0.5))
+                dist = max(0.0, abs(x - origin) - off)
+                if dk == "gauss":
+                    sigma2 = -(scale ** 2) / (2.0 * math.log(dec))
+                    v = math.exp(-(dist ** 2) / (2.0 * sigma2))
+                elif dk == "exp":
+                    v = math.exp(math.log(dec) / scale * dist)
+                else:
+                    s2 = scale / (1.0 - dec)
+                    v = max(0.0, (s2 - dist) / s2)
             if "field_value_factor" in f:
                 fvf = f["field_value_factor"]
                 x = float(meta.loc[doc, fvf["field"]]) * float(
@@ -227,6 +245,8 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
             S = min(vals)
         else:
             S = vals[0]
+        if "max_boost" in spec:
+            S = min(S, float(spec["max_boost"]))
         bm = spec.get("boost_mode", "multiply")
         out = {
             "multiply": s * S,
@@ -236,6 +256,11 @@ def _eval(node: dict, doc: int, ref: dict) -> tuple[bool, float]:
             "min": min(s, S),
             "avg": (s + S) / 2,
         }[bm]
+        # min_score applies to the combined function score; the node
+        # boost wraps OUTSIDE (Lucene BoostQuery around
+        # FunctionScoreQuery)
+        if "min_score" in spec and out < float(spec["min_score"]):
+            return False, 0.0
         return True, out * float(spec.get("boost", 1.0))
     assert kind == "bool", kind
     msm = spec.get("minimum_should_match")
@@ -2823,3 +2848,61 @@ def test_histogram_offset_terms_missing_keyed_ranges(
     assert rr["small"] + rr["big"] >= len(sel)  # overlap double-counts
 
     attach_doc_values(spark, dv_index, dv_corpus, cols=("lang", "n_chars"))
+
+
+def test_function_score_decay_random(spark, dv_index, ref):
+    """function_score decay functions (gauss/exp/linear over the
+    doc-values column), max_boost capping, min_score exclusion —
+    scores match the independent pandas reference; random_score is
+    deterministic, in [0,1), and seed-sensitive."""
+    for dk in ("gauss", "exp", "linear"):
+        tree = {"function_score": {
+            "query": {"match": {"content": "gunaba"}},
+            "functions": [
+                {dk: {"n_chars": {
+                    "origin": 300, "scale": 150,
+                    "offset": 20, "decay": 0.4,
+                }}},
+            ],
+            "boost_mode": "multiply",
+        }}
+        want = _ref_hits(tree, ref)
+        got = _engine_hits(spark, dv_index, tree)
+        assert len(got) == len(want) > 3, dk
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd and gs == pytest.approx(ws, abs=2e-6), dk
+
+    # max_boost caps the fold; min_score drops low finals
+    tree = {"function_score": {
+        "query": {"match": {"content": "gunaba"}},
+        "functions": [
+            {"field_value_factor": {"field": "n_chars",
+                                    "factor": 0.05}},
+        ],
+        "score_mode": "sum", "boost_mode": "multiply",
+        "max_boost": 4.0, "min_score": 3.0,
+    }}
+    want = _ref_hits(tree, ref)
+    got = _engine_hits(spark, dv_index, tree)
+    assert got and len(got) == len(want)
+    base = _ref_hits({"match": {"content": "gunaba"}}, ref)
+    assert len(got) < len(base)  # min_score actually excluded docs
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and gs == pytest.approx(ws, abs=2e-6)
+
+    # random_score: deterministic per seed, varies across docs,
+    # [0,1) range, replace mode exposes the raw value
+    tree = {"function_score": {
+        "query": {"match": {"content": "gunaba"}},
+        "functions": [{"random_score": {"seed": 7}}],
+        "boost_mode": "replace",
+    }}
+    got1 = _engine_hits(spark, dv_index, tree)
+    got2 = _engine_hits(spark, dv_index, tree)
+    assert got1 == got2  # rerun-stable
+    scores = [s for _, s in got1]
+    assert all(0.0 <= s < 1.0 for s in scores)
+    assert len(set(scores)) > 1
+    tree["function_score"]["functions"] = [{"random_score": {"seed": 8}}]
+    got3 = _engine_hits(spark, dv_index, tree)
+    assert got3 != got1  # seed-sensitive
