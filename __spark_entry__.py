@@ -2001,6 +2001,46 @@ def dsl_knn_search(spark, sf_dir):
     )
 
 
+def dsl_knn_filtered(spark, sf_dir):
+    """Filtered k-NN (the OpenSearch k-NN plugin's efficient
+    filtering): the `filter` clause applies BEFORE the vector search
+    — k results all satisfy it, never a post-filter returning < k —
+    as a native predicate on the vector table (pushes into the
+    parquet scan). Query 0 filters term label=1, query 1 range
+    label>=2; oracle restricts the cosine recompute identically."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    epath = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(epath)
+    qrows = (
+        emb.filter(F.col("vec_id") < 2)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    flts = [
+        {"term": {"label": 1}},
+        {"range": {"label": {"gte": 2}}},
+    ]
+    parts = [
+        dsl_search(
+            spark, "",
+            {"query": {"knn": {"embedding": {
+                "vector": [float(x) for x in r["embedding"]],
+                "k": 10,
+                "filter": flts[int(r["vec_id"])],
+            }}}},
+            query_id=int(r["vec_id"]),
+            vectors_path=epath,
+        ).hits
+        for r in qrows
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "query_id", "rank", "vec_id",
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
 def dsl_ip_prefix(spark, sf_dir):
     """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
     buckets the match set by the /prefix_length network of an IPv4
@@ -7333,6 +7373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_rate_ttest": dsl_rate_ttest,
         "bulk_update_roundtrip": bulk_update_roundtrip,
         "dsl_geo_line": dsl_geo_line,
+        "dsl_knn_filtered": dsl_knn_filtered,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -8471,6 +8512,30 @@ FROM ranked WHERE rank <= 10
     # the DSL knn clause routes to the same executor, so the same
     # recompute oracles it
     sql["dsl_knn_search"] = sql["cosine_topk_bruteforce"]
+
+    sql["dsl_knn_filtered"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < 2
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))))
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE (q.query_id = 0 AND e.label = 1)
+     OR (q.query_id = 1 AND e.label >= 2)
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rank <= 10
+"""
 
     # hybrid: full recompute of both sub-query score lists, the
     # min_max normalization (single-result 1.0 / zero-floor 0.001 —

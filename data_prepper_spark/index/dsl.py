@@ -1023,6 +1023,15 @@ def search(
         vec = [float(x) for x in conf["vector"]]
         kk = int(conf.get("k", k))
         vectors = spark.read.parquet(vectors_path)
+        if conf.get("filter") is not None:
+            # OpenSearch efficient k-NN filtering: the filter applies
+            # BEFORE the search (k results all satisfy it — never a
+            # post-filter that returns < k). term/range predicates
+            # compile to native Columns on the vector table, so they
+            # push into the parquet scan.
+            from .aggs import _filter_pred
+
+            vectors = vectors.filter(_filter_pred(conf["filter"]))
         qdf_v = spark.createDataFrame(
             [(query_id, vec)], "query_id long, qvec array<double>"
         )
