@@ -2041,6 +2041,27 @@ def dsl_knn_filtered(spark, sf_dir):
     )
 
 
+def dsl_source_page(spark, sf_dir):
+    """`_source` retrieval (includes filtering): the top-10 match
+    page widened with the stored row as ONE JSON column (identity
+    equi-join, page-sized cost; include patterns are fnmatch on
+    stored column names). The oracle rebuilds the exact JSON string
+    (sorted keys) over the same BM25 top-10."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    res = dsl_search(spark, idx, {
+        "query": {"match": {"content": "data merge"}},
+        "size": 10,
+        "_source": ["lang", "n_chars"],
+    }, corpus_path=cpath)
+    return res.hits.select(
+        "query_id", "rank",
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("_source").alias("source_json"),
+    )
+
+
 def dsl_ip_prefix(spark, sf_dir):
     """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
     buckets the match set by the /prefix_length network of an IPv4
@@ -7374,6 +7395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_update_roundtrip": bulk_update_roundtrip,
         "dsl_geo_line": dsl_geo_line,
         "dsl_knn_filtered": dsl_knn_filtered,
+        "dsl_source_page": dsl_source_page,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -12157,6 +12179,41 @@ SELECT query_id,
                           ORDER BY min_width, doc_id) AS rank,
        doc_id, min_width
 FROM u
+"""
+    sql["dsl_source_page"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qraw(query_id, query) AS (VALUES (CAST(0 AS BIGINT), 'data merge')),
+q AS (SELECT DISTINCT query_id, unnest({tokenize_sql('query')}) AS term
+      FROM qraw),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN dfreq d USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.rank, r.doc_id,
+       '{{"lang":"' || d.lang || '","n_chars":' || d.n_chars || '}}'
+         AS source_json
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rank <= 10
 """
     sql["dsl_span_or_not"] = f"""
 WITH base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),

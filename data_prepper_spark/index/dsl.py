@@ -61,6 +61,9 @@ over the positions sidecar — tightest-span-first ranking, intervals (`match`
 rule: analyzed terms, max_gaps default unlimited, ordered flag —
 routed to the same span executor),
 match_none (the empty match set — zero hits, zero agg rows),
+`_source` retrieval (true / include-list / includes+excludes with
+fnmatch wildcards — the stored row as one JSON column, page-sized
+identity join),
 has_child / has_parent / parent_id (the `join` field type modeled
 as join_name/join_parent doc-values columns — index/joinfield.py;
 score_mode none/sum/max/min/avg, min_children/max_children, parent
@@ -2918,6 +2921,60 @@ def search(
             raise NotImplementedError(
                 "script_fields on a hit frame without ord/doc_id"
             )
+
+    if body.get("_source") and hits is not None and corpus_path:
+        # `_source` retrieval: the stored document as ONE JSON string
+        # column (the engine's corpus row IS the source). true = all
+        # stored columns; a list/str = include patterns;
+        # {includes, excludes} = both — `*` wildcards, fnmatch
+        # semantics on column names. Attach is an identity equi-join
+        # onto the k-bounded page, so cost is page-sized.
+        import fnmatch as _fn
+
+        src = body["_source"]
+        if isinstance(src, (str, list)):
+            src = {"includes": [src] if isinstance(src, str) else src}
+        elif src is True:
+            src = {}
+        corpus = spark.read.parquet(corpus_path)
+        cand = [
+            c for c in corpus.columns
+            if c not in ("repo", "path", "commit", "content_sha256")
+        ]
+        inc = src.get("includes") or ["*"]
+        exc = src.get("excludes") or []
+        keep = [
+            c for c in cand
+            if any(_fn.fnmatch(c, p) for p in inc)
+            and not any(_fn.fnmatch(c, p) for p in exc)
+        ]
+        if not keep:
+            raise ValueError(
+                f"_source patterns match no stored fields "
+                f"(have: {sorted(cand)})"
+            )
+        idcols = [
+            c for c in ("repo", "path", "commit") if c in hits.columns
+        ]
+        if not idcols and "doc_id" in hits.columns:
+            # minimal hit shapes (query_id, rank, doc_id, score):
+            # resolve identity from the skinny docs table first
+            import os as _os
+
+            ident = spark.read.parquet(
+                _os.path.join(index_dir, "docs")
+            ).select("doc_id", "repo", "path", "commit")
+            hits = hits.join(ident, "doc_id", "left")
+            idcols = ["repo", "path", "commit"]
+        if not idcols:
+            raise NotImplementedError(
+                "_source on a hit frame without identity columns"
+            )
+        proj = corpus.select(
+            *idcols,
+            F.to_json(F.struct(*sorted(keep))).alias("_source"),
+        )
+        hits = hits.join(proj, idcols, "left")
 
     return DSLResult(
         hits, aggs, sugg, explanation=explanation, total=total,

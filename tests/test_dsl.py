@@ -2413,3 +2413,50 @@ def test_geo_line_desc(spark, index_dir, corpus_path, corpus_pdf, tmp_path):
     assert got.sort_value.tolist() == want.n_chars.tolist()
     assert got.lat.tolist() == want.loc_lat.tolist()
     assert got.lon.tolist() == want.loc_lon.tolist()
+
+
+def test_source_filtering(spark, index_dir, corpus_path, corpus_pdf):
+    """_source retrieval: true / include-list / includes+excludes
+    wildcard forms attach the stored row as one JSON column; contents
+    match the corpus row exactly; no-match patterns raise."""
+    body = {"query": {"match": {"content": "gunaba"}}, "size": 5}
+    base = search(spark, index_dir, body, corpus_path=corpus_path).hits
+    if base.count() == 0:
+        from data_prepper_spark.tokenizer import tokenize_series
+
+        tok = tokenize_series(corpus_pdf.content.iloc[:1]).iloc[0][0]
+        body = {"query": {"match": {"content": tok}}, "size": 5}
+
+    got = search(
+        spark, index_dir, {**body, "_source": True},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert got
+    pdf = corpus_pdf.set_index(["repo", "path", "commit"])
+    import json as _json
+
+    for r in got:
+        src = _json.loads(r._source)
+        row = pdf.loc[(r.repo, r.path, r.commit)]
+        assert src["content"] == row.content
+        assert src["lang"] == row.lang
+        assert "content_sha256" not in src
+
+    got = search(
+        spark, index_dir, {**body, "_source": ["lang"]},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert all(set(_json.loads(r._source)) == {"lang"} for r in got)
+
+    got = search(
+        spark, index_dir,
+        {**body, "_source": {"includes": ["*"], "excludes": ["cont*"]}},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert all("content" not in _json.loads(r._source) for r in got)
+
+    with pytest.raises(ValueError, match="_source"):
+        search(
+            spark, index_dir, {**body, "_source": ["nope*"]},
+            corpus_path=corpus_path,
+        ).hits.collect()
