@@ -2062,6 +2062,34 @@ def dsl_source_page(spark, sf_dir):
     )
 
 
+def dsl_highlight_page(spark, sf_dir):
+    """Tagged highlight fragments (datapipe/textstats.py::
+    highlight_col — transform-with-index match positions, greedy
+    non-overlapping anchors via one aggregate, tagged render; all
+    codegen): top-10 'data' hits with their FIRST fragment (the
+    window around the earliest match — exactly SQL-replayable; the
+    greedy multi-fragment selection is pytest-replayed in
+    test_highlight_fragments). Also checks the fragment count stays
+    within number_of_fragments."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    res = dsl_search(spark, idx, {
+        "query": {"match": {"content": "data"}},
+        "size": 10,
+        "highlight": {
+            "fields": {"content": {"number_of_fragments": 3}},
+            "pre_tags": ["[H]"], "post_tags": ["[/H]"],
+        },
+    }, corpus_path=cpath)
+    return res.hits.select(
+        "query_id", "rank",
+        F.col("path").cast("long").alias("doc_id"),
+        F.element_at("highlight", 1).alias("frag1"),
+        (F.size("highlight") <= 3).alias("within_cap"),
+    )
+
+
 def dsl_ip_prefix(spark, sf_dir):
     """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
     buckets the match set by the /prefix_length network of an IPv4
@@ -7396,6 +7424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_geo_line": dsl_geo_line,
         "dsl_knn_filtered": dsl_knn_filtered,
         "dsl_source_page": dsl_source_page,
+        "dsl_highlight_page": dsl_highlight_page,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -12214,6 +12243,59 @@ SELECT r.query_id, r.rank, r.doc_id,
          AS source_json
 FROM ranked r JOIN documents d USING (doc_id)
 WHERE r.rank <= 10
+"""
+    sql["dsl_highlight_page"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({K1} + 1)
+             / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term = 'data'
+  GROUP BY 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+),
+page AS (SELECT * FROM ranked WHERE rank <= 10),
+pos AS (
+  SELECT b.doc_id, t.tok, t.p - 1 AS p
+  FROM (SELECT doc_id, {tokenize_sql('text')} AS arr FROM documents) b
+  JOIN page USING (doc_id),
+  LATERAL (
+    SELECT unnest(b.arr) AS tok, generate_subscripts(b.arr, 1) AS p
+  ) t
+),
+anchor AS (
+  SELECT doc_id, min(p) AS p0,
+         max(p) AS pmax
+  FROM pos WHERE tok = 'data' GROUP BY 1
+),
+frag AS (
+  SELECT pos.doc_id,
+         string_agg(
+           CASE WHEN pos.tok = 'data'
+                THEN '[H]' || pos.tok || '[/H]' ELSE pos.tok END,
+           ' ' ORDER BY pos.p
+         ) AS frag1
+  FROM pos JOIN anchor USING (doc_id)
+  WHERE pos.p BETWEEN greatest(anchor.p0 - 5, 0) AND anchor.p0 + 5
+  GROUP BY 1
+)
+SELECT pg.query_id, pg.rank, pg.doc_id, f.frag1, TRUE AS within_cap
+FROM page pg JOIN frag f USING (doc_id)
 """
     sql["dsl_span_or_not"] = f"""
 WITH base AS (SELECT doc_id, {tokenize_sql('text')} AS toks FROM documents),

@@ -357,6 +357,63 @@ def snippet_col(text_col: Column, terms: Column, width: int = 5) -> Column:
     )
 
 
+def highlight_col(
+    text_col: Column,
+    terms: Column,
+    width: int = 5,
+    max_fragments: int = 5,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> Column:
+    """OpenSearch-style highlight fragments: up to `max_fragments`
+    non-overlapping ±width-token windows around match positions, the
+    matched tokens wrapped in pre/post tags (the <em> contract).
+    Pure Catalyst — transform-with-index finds match positions,
+    aggregate picks greedy non-overlapping fragment anchors, slice +
+    transform renders each fragment; codegen end to end, no Python
+    per row. Returns array<string> (empty when nothing matches)."""
+    toks = tokenize_col(text_col)
+    pos = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(F.array_contains(terms, t), i),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    # greedy non-overlapping anchors: accept a position only when it
+    # clears the previous fragment's window; cap at max_fragments
+    anchors = F.aggregate(
+        pos,
+        F.expr("CAST(array() AS array<int>)"),
+        lambda acc, p: F.when(
+            (F.size(acc) < max_fragments)
+            & (
+                (F.size(acc) == F.lit(0))
+                | (p > F.element_at(acc, -1) + 2 * width)
+            ),
+            F.concat(acc, F.array(p.cast("int"))),
+        ).otherwise(acc),
+    )
+    n = F.size(toks)
+
+    def frag(p):
+        start0 = F.greatest(p - width, F.lit(0))
+        end0 = F.least(p + width, n - 1)
+        window = F.slice(toks, start0 + 1, end0 - start0 + 1)
+        return F.array_join(
+            F.transform(
+                window,
+                lambda t: F.when(
+                    F.array_contains(terms, t),
+                    F.concat(F.lit(pre_tag), t, F.lit(post_tag)),
+                ).otherwise(t),
+            ),
+            " ",
+        )
+
+    return F.transform(anchors, frag)
+
+
 def hash_split(
     df,
     id_col: str,

@@ -1280,14 +1280,29 @@ def search(
             else:
                 _inner_hits_frame = None
         elif "highlight" in body:
-            from ..datapipe.textstats import snippet_col
+            from ..datapipe.textstats import highlight_col, snippet_col
             from ..tokenizer import tokenize_col
 
             if corpus_path is None:
                 raise ValueError("highlight needs corpus_path")
             top = q.topk_with_docs(spark, index_dir, mq, k=k)
-            text_field = next(
-                iter((body["highlight"].get("fields") or {"content": {}}))
+            hconf = body["highlight"]
+            hfields = hconf.get("fields") or {"content": {}}
+            text_field = next(iter(hfields))
+            fconf = hfields[text_field] or {}
+            pre = (
+                fconf.get("pre_tags") or hconf.get("pre_tags")
+                or ["<em>"]
+            )[0]
+            post = (
+                fconf.get("post_tags") or hconf.get("post_tags")
+                or ["</em>"]
+            )[0]
+            nfrag = int(
+                fconf.get(
+                    "number_of_fragments",
+                    hconf.get("number_of_fragments", 5),
+                )
             )
             corpus = spark.read.parquet(corpus_path).select(
                 "repo", "path", "commit",
@@ -1298,6 +1313,14 @@ def search(
                 top.join(corpus, ["repo", "path", "commit"])
                 .withColumn(
                     "snippet", snippet_col(F.col("__text"), qterms)
+                )
+                .withColumn(
+                    "highlight",
+                    highlight_col(
+                        F.col("__text"), qterms,
+                        max_fragments=nfrag,
+                        pre_tag=pre, post_tag=post,
+                    ),
                 )
                 .drop("__text")
             )

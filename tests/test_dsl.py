@@ -2460,3 +2460,54 @@ def test_source_filtering(spark, index_dir, corpus_path, corpus_pdf):
             spark, index_dir, {**body, "_source": ["nope*"]},
             corpus_path=corpus_path,
         ).hits.collect()
+
+
+def test_highlight_fragments(spark, index_dir, corpus_path, corpus_pdf):
+    """Tagged highlight fragments: matched tokens wrapped in
+    pre/post tags, fragments non-overlapping and capped at
+    number_of_fragments — verified against a pure-Python replay of
+    the greedy anchor selection on the raw token stream."""
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    toks = tokenize_series(corpus_pdf.content)
+    from collections import Counter
+
+    dfc: Counter = Counter()
+    for tk in toks:
+        dfc.update(set(tk))
+    term = dfc.most_common(1)[0][0]
+
+    hl = search(
+        spark, index_dir,
+        {"query": {"match": {"content": term}}, "size": 5,
+         "highlight": {
+             "fields": {"content": {"number_of_fragments": 3}},
+             "pre_tags": ["[H]"], "post_tags": ["[/H]"],
+         }},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert hl
+    ident = {
+        (r.repo, r.path, r.commit): i
+        for i, r in enumerate(corpus_pdf.itertuples())
+    }
+    width = 5
+    for r in hl:
+        tk = toks.iloc[ident[(r.repo, r.path, r.commit)]]
+        pos = [i for i, t in enumerate(tk) if t == term]
+        anchors = []
+        for p in pos:
+            if len(anchors) >= 3:
+                break
+            if not anchors or p > anchors[-1] + 2 * width:
+                anchors.append(p)
+        want = []
+        for p in anchors:
+            lo, hi = max(p - width, 0), min(p + width, len(tk) - 1)
+            want.append(" ".join(
+                f"[H]{t}[/H]" if t == term else t
+                for t in tk[lo:hi + 1]
+            ))
+        assert list(r.highlight) == want, (r.path,)
+        assert 1 <= len(r.highlight) <= 3
+        assert all("[H]" in f for f in r.highlight)
