@@ -46,6 +46,16 @@ NAMES = [
     # it on the executed plan), fields/weights broadcast
     "bm25f_engine",
     "dsl_nested_bool_search",
+    # round-5 continuation: join-field relations must be equi-joins
+    # (one groupBy on the parent key, no nested loops); span family
+    # stays one positional scan; t_test is one grouped pass of
+    # conditional sums; geo_line's rank must be WindowGroupLimit;
+    # filtered knn pushes the predicate into the vector scan
+    "join_field_search",
+    "dsl_span_or_not",
+    "dsl_rate_ttest",
+    "dsl_geo_line",
+    "dsl_knn_filtered",
 ]
 
 KEEP = re.compile(
@@ -67,12 +77,16 @@ time). Load-bearing properties:
 - index queries scan ONLY the postings partitions their terms hash
   to: PartitionFilters / bucket IN (...) (directory-level pruning)
 - the dedup/LSH family shows hash joins on band/bucket keys — NO
-  CartesianProduct and no nested-loop join over unbounded sides. The
-  two BroadcastNestedLoopJoin(Cross) occurrences below are deliberate
-  bounded-side crosses: bm25_topk broadcasts the ONE-ROW corpus-stats
-  aggregate, and cosine_topk_bruteforce IS the exact brute-force
-  baseline, broadcasting the (tiny, fixed) query-vector side into the
-  scan — the scan side never shuffles
+  CartesianProduct and no nested-loop join over unbounded sides.
+  Every BroadcastNestedLoopJoin(Cross) below is a deliberate
+  bounded-side cross: bm25_topk (and the blockmax/boolean index
+  paths) broadcast the ONE-ROW corpus-stats aggregate, and the
+  cosine/knn baselines broadcast the (tiny, fixed) query-vector side
+  into the scan — the scan side never shuffles. dsl_knn_filtered
+  additionally proves the knn `filter` lands IN the vector scan
+  (PushedFilters: EqualTo(label,1) / GreaterThanOrEqual(label,2));
+  join_field_search is BroadcastHashJoin + HashAggregate only; and
+  dsl_geo_line's rank shows WindowGroupLimit above the exchange
 """
 
 
