@@ -2090,6 +2090,42 @@ def dsl_highlight_page(spark, sf_dir):
     )
 
 
+def ppl_pipeline(spark, sf_dir):
+    """PPL — the OpenSearch SQL plugin's piped query language
+    (index/ppl.py): each command compiles to a declarative DataFrame
+    transformation, so Catalyst owns pushdown/pruning/partial aggs.
+    Pipeline A: where + stats (avg/count/distinct_count) by lang +
+    sort; pipeline B: `top 2 source by lang` (count groupBy + rank
+    window). Long format (scope, key, val); the oracle replays both
+    pipelines in SQL over the same derived columns."""
+    from data_prepper_spark.index.ppl import ppl_query
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    a = ppl_query(
+        spark, idx,
+        "source=docs | where n_chars > 200 "
+        "| stats avg(n_chars) as avg_chars, count() as c, "
+        "distinct_count(source) as ds by lang",
+    )
+    arows = None
+    for metric in ("avg_chars", "c", "ds"):
+        part = a.select(
+            F.lit(metric).alias("scope"),
+            F.col("lang").alias("key"),
+            F.round(F.col(metric).cast("double"), 6).alias("val"),
+        )
+        arows = part if arows is None else arows.unionByName(part)
+    b = ppl_query(spark, idx, "source=docs | top 2 source by lang")
+    brows = b.select(
+        F.lit("top").alias("scope"),
+        F.concat_ws("|", "lang", "source").alias("key"),
+        F.col("count").cast("double").alias("val"),
+    )
+    return arows.unionByName(brows)
+
+
 def dsl_ip_prefix(spark, sf_dir):
     """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
     buckets the match set by the /prefix_length network of an IPv4
@@ -7425,6 +7461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_knn_filtered": dsl_knn_filtered,
         "dsl_source_page": dsl_source_page,
         "dsl_highlight_page": dsl_highlight_page,
+        "ppl_pipeline": ppl_pipeline,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -12243,6 +12280,34 @@ SELECT r.query_id, r.rank, r.doc_id,
          AS source_json
 FROM ranked r JOIN documents d USING (doc_id)
 WHERE r.rank <= 10
+"""
+    sql["ppl_pipeline"] = """
+WITH a AS (
+  SELECT lang, round(avg(n_chars::DOUBLE), 6) AS avg_chars,
+         count(*)::DOUBLE AS c,
+         count(DISTINCT source)::DOUBLE AS ds
+  FROM documents WHERE n_chars > 200 GROUP BY 1
+),
+arows AS (
+  SELECT 'avg_chars' AS scope, lang AS key, avg_chars AS val FROM a
+  UNION ALL SELECT 'c', lang, c FROM a
+  UNION ALL SELECT 'ds', lang, ds FROM a
+),
+counted AS (
+  SELECT lang, source, count(*)::DOUBLE AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, source, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, source) AS r
+  FROM counted
+),
+brows AS (
+  SELECT 'top' AS scope, lang || '|' || source AS key, cnt AS val
+  FROM ranked WHERE r <= 2
+)
+SELECT * FROM arows UNION ALL SELECT * FROM brows
 """
     sql["dsl_highlight_page"] = f"""
 WITH toks AS (

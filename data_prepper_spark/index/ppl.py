@@ -1,0 +1,287 @@
+"""PPL (Piped Processing Language) compiler.
+
+OpenSearch's second query surface (the SQL plugin's `_plugins/_ppl`
+endpoint — what Dashboards' observability views speak; reference
+users point Data Prepper output at OpenSearch and query it with PPL
+as often as with the DSL). A PPL query is a source followed by a
+pipeline of commands:
+
+    source=docs | where lang = 'en' and n_chars > 200
+                | stats avg(n_chars) as a, count() as c by lang
+                | sort - c | head 5
+
+This module compiles that string ONTO the DataFrame API — each
+command is a declarative transformation (filter / select /
+withColumn / groupBy.agg / orderBy / limit / dropDuplicates), so
+Catalyst owns the physical plan: predicate pushdown, column pruning
+and partial aggregation all apply exactly as if the user had written
+the DataFrame chain by hand. Nothing here collects or loops.
+
+Supported commands (the documented subset; anything else raises):
+
+- ``source=<name>`` / ``search source=<name> <expr>`` — the live doc
+  set: identity columns + every doc-values sidecar column (+
+  `content` from the corpus when a later command references it).
+  Tombstones are filtered (same contract as every index-backed API).
+- ``where <expr>`` — boolean filter. Expressions are the SQL subset
+  both engines share (=, !=, <, <=, >, >=, and/or/not, in, like,
+  arithmetic, function calls); PPL's single-= equality IS Spark
+  SQL's, so expressions pass to ``F.expr`` verbatim after identifier
+  backtick-quoting.
+- ``fields [+|-] a, b`` — project (keep, or with ``-`` drop).
+- ``eval x = <expr>`` — derived column (comma-separated pairs).
+- ``rename a as b [, ...]``
+- ``stats <agg> [as name] [, ...] [by f1, f2]`` — aggs: count(),
+  count(f), sum/avg/min/max/stddev_samp/stddev_pop/var_samp/var_pop,
+  distinct_count(f)/dc(f) (exact), percentile(f, p) (exact).
+- ``sort [+|-]f1, [+|-]f2`` — ``-`` descending (PPL convention).
+- ``head N`` — limit.
+- ``dedup f1 [, f2]`` — first row per key set (dropDuplicates).
+- ``top [N] f [by g]`` / ``rare [N] f [by g]`` — most/least frequent
+  values (count groupBy + rank window; N default 10).
+- ``parse <field> '<regex>'`` — extract named groups as columns
+  (regexp_extract per group — the PPL parse command).
+- ``grok <field> '<pattern>'`` — route through the grok processor's
+  pattern library (operators/parse.py), e.g. '%{IP:client}'.
+
+Reference: the PPL command/function set mirrors the public
+opensearch-project/sql PPL documentation; this is an independent
+Spark-first implementation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _split_pipes(ppl: str) -> list[str]:
+    """Split on top-level `|`, respecting single/double quotes."""
+    parts, buf, q = [], [], None
+    for ch in ppl:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch == "|":
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+_AGG_RE = re.compile(
+    r"^\s*(?P<fn>[a-z_]+)\s*\(\s*(?P<arg>[^)]*)\s*\)"
+    r"(?:\s+as\s+(?P<name>\w+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _agg_col(spec: str):
+    m = _AGG_RE.match(spec)
+    if not m:
+        raise ValueError(f"stats aggregation '{spec}'")
+    fn = m.group("fn").lower()
+    arg = m.group("arg").strip()
+    name = m.group("name")
+    if fn == "count":
+        col = F.count(F.col(arg)) if arg else F.count(F.lit(1))
+        dflt = f"count({arg})" if arg else "count()"
+    elif fn in ("distinct_count", "dc"):
+        col = F.count_distinct(F.col(arg))
+        dflt = f"distinct_count({arg})"
+    elif fn in (
+        "sum", "avg", "min", "max",
+        "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+    ):
+        col = getattr(F, fn)(F.col(arg))
+        dflt = f"{fn}({arg})"
+    elif fn == "percentile":
+        field, p = [a.strip() for a in arg.split(",")]
+        col = F.expr(
+            f"percentile(`{field}`, {float(p) / 100.0})"
+        )
+        dflt = f"percentile({field},{p})"
+    else:
+        raise NotImplementedError(f"stats function '{fn}'")
+    return col.alias(name or dflt)
+
+
+def ppl_base(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_path: str | None = None,
+    with_content: bool = False,
+) -> DataFrame:
+    """The PPL source table: live identity rows widened with every
+    doc-values column (ord-equi-join against the vocabulary-thin
+    sidecar), tombstones filtered; `content` joins in from the
+    corpus only when requested (column pruning then drops whatever a
+    given pipeline never touches)."""
+    from .query import _anti_tombstones
+
+    ident = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        "ord", "doc_id", "repo", "path", "commit"
+    )
+    ident = _anti_tombstones(spark, index_dir, ident, col="ord")
+    try:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues"))
+        ident = ident.join(dv, "ord", "left")
+    except Exception:
+        pass
+    if with_content:
+        if corpus_path is None:
+            raise ValueError("this pipeline reads `content` — pass "
+                             "corpus_path")
+        corpus = spark.read.parquet(corpus_path).select(
+            "repo", "path", "commit", "content"
+        )
+        ident = ident.join(corpus, ["repo", "path", "commit"], "left")
+    return ident.drop("ord")
+
+
+def ppl_query(
+    spark: SparkSession,
+    index_dir: str,
+    ppl: str,
+    corpus_path: str | None = None,
+) -> DataFrame:
+    """Compile and run one PPL pipeline (see module docstring for the
+    command subset). Returns the resulting DataFrame."""
+    cmds = _split_pipes(ppl)
+    if not cmds:
+        raise ValueError("empty PPL query")
+    head = cmds[0]
+    m = re.match(
+        r"^(?:search\s+)?source\s*=\s*(\w+)\s*(.*)$", head, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"PPL must start with source=...: '{head}'")
+    with_content = "content" in ppl
+    df = ppl_base(
+        spark, index_dir, corpus_path, with_content=with_content
+    )
+    if m.group(2).strip():
+        df = df.filter(F.expr(m.group(2).strip()))
+    for cmd in cmds[1:]:
+        kw, _, rest = cmd.partition(" ")
+        kw = kw.lower()
+        rest = rest.strip()
+        if kw == "where":
+            df = df.filter(F.expr(rest))
+        elif kw == "fields":
+            drop = rest.startswith("-")
+            cols = [
+                c.strip()
+                for c in rest.lstrip("+-").split(",") if c.strip()
+            ]
+            df = df.drop(*cols) if drop else df.select(*cols)
+        elif kw == "eval":
+            # comma-split at top level (no nested-paren commas in
+            # the supported subset beyond function calls)
+            for pair in re.split(r",(?![^()]*\))", rest):
+                name, _, expr = pair.partition("=")
+                df = df.withColumn(
+                    name.strip(), F.expr(expr.strip())
+                )
+        elif kw == "rename":
+            for pair in rest.split(","):
+                pm = re.match(
+                    r"^\s*(\w+)\s+as\s+(\w+)\s*$", pair, re.IGNORECASE
+                )
+                if not pm:
+                    raise ValueError(f"rename clause '{pair}'")
+                df = df.withColumnRenamed(pm.group(1), pm.group(2))
+        elif kw == "stats":
+            parts = re.split(
+                r"\s+by\s+", rest, maxsplit=1, flags=re.IGNORECASE
+            )
+            agg_part = parts[0]
+            by_cols = (
+                [c.strip() for c in parts[1].split(",")]
+                if len(parts) > 1 else []
+            )
+            aggs = [
+                _agg_col(a)
+                for a in re.split(r",(?![^()]*\))", agg_part)
+                if a.strip()
+            ]
+            df = (
+                df.groupBy(*by_cols).agg(*aggs)
+                if by_cols else df.agg(*aggs)
+            )
+        elif kw == "sort":
+            keys = []
+            for c in rest.split(","):
+                c = c.strip()
+                if c.startswith("-"):
+                    keys.append(F.desc(c[1:].strip()))
+                else:
+                    keys.append(F.asc(c.lstrip("+").strip()))
+            df = df.orderBy(*keys)
+        elif kw == "head":
+            df = df.limit(int(rest or 10))
+        elif kw == "dedup":
+            cols = [c.strip() for c in rest.split(",") if c.strip()]
+            df = df.dropDuplicates(cols)
+        elif kw in ("top", "rare"):
+            tm = re.match(
+                r"^(?:(\d+)\s+)?([\w,\s]+?)(?:\s+by\s+([\w,\s]+))?$",
+                rest, re.IGNORECASE,
+            )
+            if not tm:
+                raise ValueError(f"{kw} clause '{rest}'")
+            n = int(tm.group(1) or 10)
+            fields = [c.strip() for c in tm.group(2).split(",")]
+            bys = (
+                [c.strip() for c in tm.group(3).split(",")]
+                if tm.group(3) else []
+            )
+            from pyspark.sql import Window
+
+            counted = df.groupBy(*(bys + fields)).agg(
+                F.count(F.lit(1)).alias("count")
+            )
+            order = (
+                F.desc("count") if kw == "top" else F.asc("count")
+            )
+            w = Window.partitionBy(*bys).orderBy(
+                order, *[F.asc(f) for f in fields]
+            )
+            df = (
+                counted.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= n)
+                .drop("_r")
+            )
+        elif kw == "parse":
+            pm = re.match(
+                r"^(\w+)\s+'(.*)'\s*$", rest, re.DOTALL
+            )
+            if not pm:
+                raise ValueError(f"parse clause '{rest}'")
+            field, pattern = pm.group(1), pm.group(2)
+            for gi, gname in enumerate(
+                re.findall(r"\(\?P?<(\w+)>", pattern), start=1
+            ):
+                df = df.withColumn(
+                    gname,
+                    F.regexp_extract(F.col(field), pattern, gi),
+                )
+        elif kw == "grok":
+            pm = re.match(r"^(\w+)\s+'(.*)'\s*$", rest, re.DOTALL)
+            if not pm:
+                raise ValueError(f"grok clause '{rest}'")
+            from ..operators.parse import grok
+
+            df = grok(df, source=pm.group(1), pattern=pm.group(2))
+        else:
+            raise NotImplementedError(f"PPL command '{kw}'")
+    return df

@@ -1,0 +1,145 @@
+"""PPL (Piped Processing Language) compiler — index/ppl.py.
+
+The OpenSearch SQL plugin's second query surface compiled onto the
+DataFrame API; expectations recomputed independently in pandas over
+the same attached doc-values columns."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from data_prepper_spark.index.ppl import ppl_query
+
+
+@pytest.fixture(scope="module")
+def ppl_env(spark, index_dir, fixture_dir, corpus_pdf, tmp_path_factory):
+    from data_prepper_spark.index.query import attach_doc_values
+
+    aug = corpus_pdf.reset_index(drop=True).copy()
+    aug["n_chars"] = aug.content.str.len().astype("int64")
+    d = tmp_path_factory.mktemp("ppl")
+    apath = str(d / "aug.parquet")
+    aug.to_parquet(apath)
+    attach_doc_values(
+        spark, index_dir, apath, cols=("lang", "n_chars")
+    )
+    corpus_path = os.path.join(fixture_dir, "corpus.parquet")
+    return index_dir, corpus_path, aug
+
+
+def test_ppl_where_stats_sort(spark, ppl_env):
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | where n_chars > 200 and lang != 'sql' "
+        "| stats avg(n_chars) as a, count() as c, "
+        "distinct_count(lang) as dl by lang "
+        "| sort - c, lang | head 3",
+    ).toPandas()
+    m = aug[(aug.n_chars > 200) & (aug.lang != "sql")]
+    want = (
+        m.groupby("lang")
+        .agg(a=("n_chars", "mean"), c=("n_chars", "size"))
+        .reset_index()
+        .assign(dl=1)
+        .sort_values(["c", "lang"], ascending=[False, True],
+                     kind="mergesort")
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.c.tolist() == want.c.tolist()
+    assert got.a.tolist() == pytest.approx(want.a.tolist())
+    assert got.dl.tolist() == [1, 1, 1]
+
+
+def test_ppl_eval_fields_rename_dedup_head(spark, ppl_env):
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | eval kb = n_chars / 1000.0, "
+        "tag = concat(lang, '-x') "
+        "| rename n_chars as size | fields lang, size, kb, tag "
+        "| dedup lang | sort lang",
+    ).toPandas()
+    assert got.columns.tolist() == ["lang", "size", "kb", "tag"]
+    assert got.lang.tolist() == sorted(aug.lang.unique())
+    for r in got.itertuples():
+        # Spark parses the 1000.0 literal as DECIMAL in ANSI mode
+        assert float(r.kb) == pytest.approx(r.size / 1000.0)
+        assert r.tag == f"{r.lang}-x"
+
+
+def test_ppl_top_rare(spark, ppl_env):
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx, "source=docs | top 2 lang",
+    ).toPandas()
+    vc = aug.lang.value_counts()
+    # rank with lang tie-break ascending
+    want = (
+        vc.rename_axis("lang").reset_index(name="count")
+        .sort_values(["count", "lang"], ascending=[False, True],
+                     kind="mergesort")
+        .head(2)
+    )
+    assert got.sort_values("count", ascending=False).lang.tolist() == \
+        want.lang.tolist()
+    rare = ppl_query(
+        spark, idx, "source=docs | rare 2 lang",
+    ).toPandas()
+    wr = (
+        vc.rename_axis("lang").reset_index(name="count")
+        .sort_values(["count", "lang"], ascending=[True, True],
+                     kind="mergesort")
+        .head(2)
+    )
+    assert rare.sort_values("count").lang.tolist() == wr.lang.tolist()
+
+
+def test_ppl_search_filter_percentile_parse(spark, ppl_env):
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "search source=docs lang = 'python' "
+        "| stats percentile(n_chars, 50) as p50, count() as c",
+    ).toPandas()
+    m = aug[aug.lang == "python"]
+    assert got.c.iloc[0] == len(m)
+    import numpy as np
+
+    assert got.p50.iloc[0] == pytest.approx(
+        float(np.percentile(m.n_chars, 50, method="linear"))
+    )
+
+    # parse named groups out of path
+    got = ppl_query(
+        spark, idx,
+        r"source=docs | parse path 'src/(?<pkg>\w+)/(?<file>[\w.]+)' "
+        "| fields path, pkg, file | sort path | head 5",
+    ).toPandas()
+    import re as _re
+
+    for r in got.itertuples():
+        m2 = _re.search(r"src/(\w+)/([\w.]+)", r.path)
+        assert r.pkg == m2.group(1) and r.file == m2.group(2)
+
+
+def test_ppl_content_and_errors(spark, ppl_env):
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | where length(content) = n_chars "
+        "| stats count() as c",
+        corpus_path=cpath,
+    ).toPandas()
+    assert got.c.iloc[0] == len(aug)
+    with pytest.raises(ValueError, match="content"):
+        ppl_query(spark, idx, "source=docs | fields content")
+    with pytest.raises(NotImplementedError, match="PPL command"):
+        ppl_query(spark, idx, "source=docs | frobnicate x")
+    with pytest.raises(ValueError, match="source"):
+        ppl_query(spark, idx, "fields lang")
