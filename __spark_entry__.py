@@ -2126,6 +2126,29 @@ def ppl_pipeline(spark, sf_dir):
     return arows.unionByName(brows)
 
 
+def sql_api_query(spark, sf_dir):
+    """OpenSearch SQL plugin facade (index/ppl.py::sql_query): the
+    statement executes with Spark SQL over the live doc view
+    (identity + dv sidecar, tombstones filtered). The oracle is the
+    LITERAL same statement in DuckDB over the documents table —
+    shared ANSI dialect, zero translation."""
+    from data_prepper_spark.index.ppl import sql_query
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("lang", "n_chars", "source"))
+    return sql_query(
+        spark, idx,
+        "SELECT lang, count(*) AS c, max(n_chars) AS mx, "
+        "round(avg(n_chars), 6) AS avg_chars "
+        "FROM docs WHERE n_chars > 150 GROUP BY lang "
+        "HAVING count(*) > 3",
+    ).select(
+        "lang", F.col("c").cast("long").alias("c"),
+        F.col("mx").cast("long").alias("mx"), "avg_chars",
+    )
+
+
 def dsl_ip_prefix(spark, sf_dir):
     """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
     buckets the match set by the /prefix_length network of an IPv4
@@ -7462,6 +7485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_source_page": dsl_source_page,
         "dsl_highlight_page": dsl_highlight_page,
         "ppl_pipeline": ppl_pipeline,
+        "sql_api_query": sql_api_query,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -12280,6 +12304,13 @@ SELECT r.query_id, r.rank, r.doc_id,
          AS source_json
 FROM ranked r JOIN documents d USING (doc_id)
 WHERE r.rank <= 10
+"""
+    sql["sql_api_query"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS c,
+       CAST(max(n_chars) AS BIGINT) AS mx,
+       round(avg(n_chars::DOUBLE), 6) AS avg_chars
+FROM documents WHERE n_chars > 150 GROUP BY lang
+HAVING count(*) > 3
 """
     sql["ppl_pipeline"] = """
 WITH a AS (

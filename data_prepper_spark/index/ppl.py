@@ -148,6 +148,30 @@ def ppl_base(
     return ident.drop("ord")
 
 
+def sql_query(
+    spark: SparkSession,
+    index_dir: str,
+    sql: str,
+    corpus_path: str | None = None,
+    view: str = "docs",
+) -> DataFrame:
+    """OpenSearch SQL plugin facade (`POST /_plugins/_sql` body
+    queries): the statement runs against the live doc table —
+    identity + doc-values sidecar columns, tombstones filtered —
+    registered as temp view `view`, executed by Spark SQL (the
+    shared ANSI SELECT subset: WHERE / GROUP BY / HAVING / ORDER BY
+    / LIMIT / joins / window functions — strictly more than the
+    plugin's dialect). `content` joins in from the corpus only when
+    the statement references it, so column pruning keeps unrelated
+    statements corpus-free."""
+    base = ppl_base(
+        spark, index_dir, corpus_path,
+        with_content="content" in sql,
+    )
+    base.createOrReplaceTempView(view)
+    return spark.sql(sql)
+
+
 def ppl_query(
     spark: SparkSession,
     index_dir: str,

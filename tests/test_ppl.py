@@ -143,3 +143,31 @@ def test_ppl_content_and_errors(spark, ppl_env):
         ppl_query(spark, idx, "source=docs | frobnicate x")
     with pytest.raises(ValueError, match="source"):
         ppl_query(spark, idx, "fields lang")
+
+
+def test_sql_facade(spark, ppl_env):
+    """_plugins/_sql facade: Spark SQL over the live doc view —
+    grouped aggregation + HAVING + ORDER BY verified against pandas;
+    tombstoned docs invisible (shares ppl_base)."""
+    from data_prepper_spark.index.ppl import sql_query
+
+    idx, cpath, aug = ppl_env
+    got = sql_query(
+        spark, idx,
+        "SELECT lang, count(*) AS c, max(n_chars) AS mx "
+        "FROM docs WHERE n_chars > 100 GROUP BY lang "
+        "HAVING count(*) > 5 ORDER BY c DESC, lang",
+    ).toPandas()
+    m = aug[aug.n_chars > 100]
+    want = (
+        m.groupby("lang")
+        .agg(c=("n_chars", "size"), mx=("n_chars", "max"))
+        .reset_index()
+        .query("c > 5")
+        .sort_values(["c", "lang"], ascending=[False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.c.tolist() == want.c.tolist()
+    assert got.mx.tolist() == want.mx.tolist()
