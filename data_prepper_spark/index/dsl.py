@@ -1712,9 +1712,12 @@ def search(
                         F.col(f"__rate_{rname}") if rfield
                         else F.col("doc_count")
                     )
+                    # empty densified buckets carry NULL metrics —
+                    # their rate is 0, not NULL (nothing/interval)
                     hist = hist.withColumn(
                         rname,
-                        (src.cast("double") / F.lit(float(ratio))),
+                        F.coalesce(src.cast("double"), F.lit(0.0))
+                        / F.lit(float(ratio)),
                     )
                     if rfield:
                         hist = hist.drop(f"__rate_{rname}")
