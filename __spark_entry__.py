@@ -2149,6 +2149,51 @@ def sql_api_query(spark, sf_dir):
     )
 
 
+GEO_SHAPE_POLY = [
+    [-120.0, -40.0], [0.0, -55.0], [130.0, -30.0], [90.0, 45.0],
+    [-60.0, 50.0], [-120.0, -40.0],
+]
+
+
+def dsl_geo_shape(spark, sf_dir):
+    """geo_shape query over point doc-values (index/booltree.py —
+    the literal query shape's edges unroll into one native-Column
+    ray-casting parity expression, no UDF): query 0 a pentagon
+    intersects, query 1 the same shape disjoint, query 2 an
+    envelope. The oracle replays the identical edge-by-edge parity
+    test in SQL."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    dpath = _net_corpus(spark, sf_dir, cpath)
+    attach_doc_values(
+        spark, idx, dpath,
+        cols=("lang", "n_chars", "loc_lat", "loc_lon"),
+    )
+    bodies = [
+        ({"type": "polygon", "coordinates": [GEO_SHAPE_POLY]},
+         "intersects"),
+        ({"type": "polygon", "coordinates": [GEO_SHAPE_POLY]},
+         "disjoint"),
+        ({"type": "envelope", "coordinates": [[-60, 40], [80, -20]]},
+         "intersects"),
+    ]
+    out = None
+    for i, (shape, rel) in enumerate(bodies):
+        hits = dsl_search(spark, idx, {
+            "query": {"geo_shape": {"loc": {
+                "shape": shape, "relation": rel,
+            }}},
+            "size": 1_000_000,
+        }).hits.select(
+            F.lit(i).cast("long").alias("query_id"),
+            F.col("path").cast("long").alias("doc_id"),
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
 def dsl_ip_prefix(spark, sf_dir):
     """`ip_prefix` aggregation (index/aggs.py::ip_prefix_facet):
     buckets the match set by the /prefix_length network of an IPv4
@@ -7486,6 +7531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_highlight_page": dsl_highlight_page,
         "ppl_pipeline": ppl_pipeline,
         "sql_api_query": sql_api_query,
+        "dsl_geo_shape": dsl_geo_shape,
         # -- round-5 second-half additions (never driver-checked) --
         "dsl_composite_aggs": dsl_composite_aggs,
         "dsl_nested_terms": dsl_nested_terms,
@@ -12311,6 +12357,25 @@ SELECT lang, CAST(count(*) AS BIGINT) AS c,
        round(avg(n_chars::DOUBLE), 6) AS avg_chars
 FROM documents WHERE n_chars > 150 GROUP BY lang
 HAVING count(*) > 3
+"""
+    sql["dsl_geo_shape"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(n_chars % 120 - 60 + 0.25 AS DOUBLE) AS lat,
+         CAST((n_chars * 7) % 340 - 170 + 0.5 AS DOUBLE) AS lon
+  FROM documents
+),
+poly AS (
+  SELECT doc_id, lat, lon,
+         (CASE WHEN (((-40.0) > lat) <> ((-55.0) > lat)) AND (lon < (-120.0) + (lat - (-40.0)) * ((0.0) - (-120.0)) / ((-55.0) - (-40.0))) THEN 1 ELSE 0 END + CASE WHEN (((-55.0) > lat) <> ((-30.0) > lat)) AND (lon < (0.0) + (lat - (-55.0)) * ((130.0) - (0.0)) / ((-30.0) - (-55.0))) THEN 1 ELSE 0 END + CASE WHEN (((-30.0) > lat) <> ((45.0) > lat)) AND (lon < (130.0) + (lat - (-30.0)) * ((90.0) - (130.0)) / ((45.0) - (-30.0))) THEN 1 ELSE 0 END + CASE WHEN (((45.0) > lat) <> ((50.0) > lat)) AND (lon < (90.0) + (lat - (45.0)) * ((-60.0) - (90.0)) / ((50.0) - (45.0))) THEN 1 ELSE 0 END + CASE WHEN (((50.0) > lat) <> ((-40.0) > lat)) AND (lon < (-60.0) + (lat - (50.0)) * ((-120.0) - (-60.0)) / ((-40.0) - (50.0))) THEN 1 ELSE 0 END) % 2 = 1 AS inside
+  FROM d
+)
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id FROM poly WHERE inside
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id FROM poly WHERE NOT inside
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id FROM d
+WHERE lat BETWEEN -20 AND 40 AND lon BETWEEN -60 AND 80
 """
     sql["ppl_pipeline"] = """
 WITH a AS (

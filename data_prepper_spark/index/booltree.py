@@ -326,6 +326,24 @@ def _parse(node: dict, dv_cols: set, texts: list,
         return _IR(
             "scriptq", spec={"source": src, "params": params},
         )
+    if kind == "geo_shape":
+        # {"geo_shape": {"<field>": {"shape": {"type": "envelope"|
+        #   "polygon"|"multipolygon", "coordinates": ...},
+        #   "relation": "intersects"|"within"|"disjoint"}}} over
+        # geo_point doc-values — the query SHAPE is a request-side
+        # literal, so the point-in-polygon test unrolls its edges
+        # into a fixed native-Column expression (no UDF)
+        ((field, conf),) = spec.items()
+        return _IR(
+            "geo", field=field,
+            spec={
+                "kind": "geo_shape",
+                "shape": conf["shape"],
+                "relation": str(
+                    conf.get("relation", "intersects")
+                ).lower(),
+            },
+        )
     if kind in ("geo_distance", "geo_bounding_box"):
         # geo filters over lat/lon doc-values (the geoip-enrich
         # companion): a geo_point field `f` maps to sidecar columns
@@ -890,6 +908,65 @@ def _geo_frame(spark: SparkSession, index_dir: str, ir: _IR) -> DataFrame:
         )
         d = F.lit(2.0 * _EARTH_R_M) * F.asin(F.sqrt(a))
         cond = d <= F.lit(dist_m)
+    elif spec["kind"] == "geo_shape":
+        # point-vs-shape: envelope = the bounding-box conds; polygon
+        # = ray casting with the literal ring unrolled edge by edge
+        # (horizontal edges skipped — they never flip the parity of
+        # an eastward ray; points exactly ON an edge are undefined,
+        # as in Lucene's tessellation). relation intersects|within
+        # keep inside points, disjoint keeps outside points.
+        shape = spec["shape"]
+        rel = spec["relation"]
+        if rel not in ("intersects", "within", "disjoint"):
+            raise NotImplementedError(
+                f"geo_shape relation '{rel}' (a point cannot "
+                "'contains' a shape)"
+            )
+        st = str(shape["type"]).lower()
+
+        def _poly_inside(rings) -> "F.Column":
+            # parity of eastward-ray crossings over the OUTER ring
+            # (holes: subsequent rings flip parity too — GeoJSON)
+            crossings = F.lit(0)
+            for ring in rings:
+                pts = [(float(x), float(y)) for x, y in ring]
+                for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+                    if y1 == y2:
+                        continue
+                    t = (lat - F.lit(y1)) / F.lit(y2 - y1)
+                    xcross = F.lit(x1) + t * F.lit(x2 - x1)
+                    crosses = (
+                        ((F.lit(y1) > lat) != (F.lit(y2) > lat))
+                        & (lon < xcross)
+                    )
+                    crossings = crossings + F.when(
+                        crosses, F.lit(1)
+                    ).otherwise(F.lit(0))
+            return crossings % 2 == 1
+
+        if st == "envelope":
+            (l_, t_), (r_, b_) = shape["coordinates"]
+            inside = (lat <= F.lit(float(t_))) & (
+                lat >= F.lit(float(b_))
+            )
+            l_, r_ = float(l_), float(r_)
+            if l_ <= r_:
+                inside = inside & (lon >= F.lit(l_)) & (
+                    lon <= F.lit(r_)
+                )
+            else:  # dateline crossing
+                inside = inside & (
+                    (lon >= F.lit(l_)) | (lon <= F.lit(r_))
+                )
+        elif st == "polygon":
+            inside = _poly_inside(shape["coordinates"])
+        elif st == "multipolygon":
+            inside = F.lit(False)
+            for poly in shape["coordinates"]:
+                inside = inside | _poly_inside(poly)
+        else:
+            raise NotImplementedError(f"geo_shape type '{st}'")
+        cond = ~inside if rel == "disjoint" else inside
     else:  # geo_bounding_box
         g = spec["geo"]
         tl, br = g["top_left"], g["bottom_right"]

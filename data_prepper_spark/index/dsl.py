@@ -687,7 +687,7 @@ def search(
             match_text = str(match_text)
     elif kind in (
         "range", "terms", "exists", "geo_distance", "geo_bounding_box",
-        "terms_set", "nested",
+        "geo_shape", "terms_set", "nested",
     ):
         # top-level non-scoring filter query (the OpenSearch shape
         # `{"query": {"range": {...}}}`; geo filters read *_lat/*_lon

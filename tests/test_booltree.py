@@ -2906,3 +2906,88 @@ def test_function_score_decay_random(spark, dv_index, ref):
     tree["function_score"]["functions"] = [{"random_score": {"seed": 8}}]
     got3 = _engine_hits(spark, dv_index, tree)
     assert got3 != got1  # seed-sensitive
+
+
+def test_geo_shape_query(spark, dv_index, dv_corpus, tmp_path):
+    """geo_shape over point doc-values: envelope == the equivalent
+    bounding box; polygon (with a hole) via literal-edge ray casting
+    matches a pure-Python point-in-polygon replay; multipolygon and
+    the disjoint relation honored."""
+    import os
+
+    from data_prepper_spark.index.dsl import search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    pdf = pd.read_parquet(dv_corpus)
+    pdf["loc_lat"] = (pdf.n_chars % 120 - 60 + 0.25).astype(float)
+    pdf["loc_lon"] = ((pdf.n_chars * 7) % 340 - 170 + 0.5).astype(float)
+    gpath = str(tmp_path / "geo.parquet")
+    pdf.to_parquet(gpath)
+    # superset attach so the module's other tests keep lang/n_chars
+    attach_doc_values(
+        spark, dv_index, gpath,
+        cols=("lang", "n_chars", "loc_lat", "loc_lon"),
+    )
+    pts = pdf.set_index("path")[["loc_lat", "loc_lon"]]
+
+    def got_for(shape, relation="intersects"):
+        res = search(spark, dv_index, {
+            "query": {"geo_shape": {"loc": {
+                "shape": shape, "relation": relation,
+            }}},
+            "size": 100_000,
+        })
+        return {r.path for r in res.hits.collect()}
+
+    def ray_inside(rings, x, y):
+        inside = False
+        for ring in rings:
+            p = [(float(a), float(b)) for a, b in ring]
+            for (x1, y1), (x2, y2) in zip(p, p[1:]):
+                if y1 == y2:
+                    continue
+                if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (
+                    x2 - x1
+                ) / (y2 - y1):
+                    inside = not inside
+        return inside
+
+    # envelope == bounding box
+    env = {"type": "envelope", "coordinates": [[-60, 40], [80, -20]]}
+    got = got_for(env)
+    want = {
+        p for p, r in pts.iterrows()
+        if -20 <= r.loc_lat <= 40 and -60 <= r.loc_lon <= 80
+    }
+    assert got == want and want
+
+    # polygon with a hole
+    outer = [[-100, -50], [100, -50], [100, 50], [-100, 50],
+             [-100, -50]]
+    hole = [[-20, -10], [20, -10], [20, 10], [-20, 10], [-20, -10]]
+    poly = {"type": "polygon", "coordinates": [outer, hole]}
+    got = got_for(poly)
+    want = {
+        p for p, r in pts.iterrows()
+        if ray_inside([outer, hole], r.loc_lon, r.loc_lat)
+    }
+    assert got == want and want
+
+    # disjoint = complement (within the non-null coord set)
+    got_d = got_for(poly, relation="disjoint")
+    assert got_d == set(pts.index) - want
+
+    # multipolygon: union of two disjoint boxes
+    b1 = [[[-170, -60], [-50, -60], [-50, 0], [-170, 0], [-170, -60]]]
+    b2 = [[[30, 10], [160, 10], [160, 58], [30, 58], [30, 10]]]
+    mp = {"type": "multipolygon", "coordinates": [b1, b2]}
+    got = got_for(mp)
+    want = {
+        p for p, r in pts.iterrows()
+        if ray_inside(b1, r.loc_lon, r.loc_lat)
+        or ray_inside(b2, r.loc_lon, r.loc_lat)
+    }
+    assert got == want and want
+
+    with pytest.raises(NotImplementedError, match="relation"):
+        got_for(env, relation="contains")
