@@ -20,10 +20,14 @@ RegexpQuery's Java-compatible subset; the literal prefix blocks the
 dictionary join), ids (unscored stored-_id filter),
 knn (k-NN plugin clause -> similarity executors over `vectors_path`:
 exact brute-force cosine, or LSH-bucketed ANN with method="lsh"),
-top-level range/terms/exists + geo_distance/geo_bounding_box
-(haversine / dateline-aware box over *_lat/*_lon doc-values) on
+top-level range/terms/exists + geo_distance/geo_bounding_box/
+geo_shape (haversine / dateline-aware box / envelope +
+polygon-with-holes + multipolygon via literal-edge ray-casting
+parity, intersects|within|disjoint — all over *_lat/*_lon
+doc-values) on
 doc-values fields (non-scoring filters — sugar for bool/filter with
-one leaf), bool must/should/must_not/filter —
+one leaf), knn `filter` (pre-search predicate pushed into the
+vector scan), bool must/should/must_not/filter —
 ARBITRARILY NESTED, with range/term/terms/exists filter leaves on
 doc-values fields, minimum_should_match, and per-clause/per-node
 `boost` (booltree.py; flat text-only bool bodies keep the single-scan
