@@ -2096,8 +2096,11 @@ def ppl_pipeline(spark, sf_dir):
     transformation, so Catalyst owns pushdown/pruning/partial aggs.
     Pipeline A: where + stats (avg/count/distinct_count) by lang +
     sort; pipeline B: `top 2 source by lang` (count groupBy + rank
-    window). Long format (scope, key, val); the oracle replays both
-    pipelines in SQL over the same derived columns."""
+    window); pipeline C: span() histogram buckets; pipeline D:
+    index-backed `where match(content, ...)` (the match set comes
+    from the inverted index as a semi-join — no text scan). Long
+    format (scope, key, val); the oracle replays every pipeline in
+    SQL over the same derived columns."""
     from data_prepper_spark.index.ppl import ppl_query
     from data_prepper_spark.index.query import attach_doc_values
 
@@ -2123,7 +2126,24 @@ def ppl_pipeline(spark, sf_dir):
         F.concat_ws("|", "lang", "source").alias("key"),
         F.col("count").cast("double").alias("val"),
     )
-    return arows.unionByName(brows)
+    c = ppl_query(
+        spark, idx,
+        "source=docs | stats count() as c by span(n_chars, 200)",
+    ).select(
+        F.lit("span").alias("scope"),
+        F.col("span").cast("long").cast("string").alias("key"),
+        F.col("c").cast("double").alias("val"),
+    )
+    d = ppl_query(
+        spark, idx,
+        "source=docs | where match(content, 'data merge') "
+        "| stats count() as c",
+    ).select(
+        F.lit("match").alias("scope"),
+        F.lit("").alias("key"),
+        F.col("c").cast("double").alias("val"),
+    )
+    return arows.unionByName(brows).unionByName(c).unionByName(d)
 
 
 def sql_api_query(spark, sf_dir):
@@ -12377,7 +12397,7 @@ UNION ALL
 SELECT CAST(2 AS BIGINT), doc_id FROM d
 WHERE lat BETWEEN -20 AND 40 AND lon BETWEEN -60 AND 80
 """
-    sql["ppl_pipeline"] = """
+    sql["ppl_pipeline"] = f"""
 WITH a AS (
   SELECT lang, round(avg(n_chars::DOUBLE), 6) AS avg_chars,
          count(*)::DOUBLE AS c,
@@ -12402,8 +12422,24 @@ ranked AS (
 brows AS (
   SELECT 'top' AS scope, lang || '|' || source AS key, cnt AS val
   FROM ranked WHERE r <= 2
+),
+crows AS (
+  SELECT 'span' AS scope,
+         CAST(CAST(floor(n_chars / 200.0) * 200 AS BIGINT) AS VARCHAR)
+           AS key,
+         count(*)::DOUBLE AS val
+  FROM documents GROUP BY 2
+),
+mtok AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+  ) WHERE term IN ('data', 'merge')
+),
+drows AS (
+  SELECT 'match' AS scope, '' AS key, count(*)::DOUBLE AS val FROM mtok
 )
 SELECT * FROM arows UNION ALL SELECT * FROM brows
+UNION ALL SELECT * FROM crows UNION ALL SELECT * FROM drows
 """
     sql["dsl_highlight_page"] = f"""
 WITH toks AS (

@@ -27,13 +27,21 @@ Supported commands (the documented subset; anything else raises):
   both engines share (=, !=, <, <=, >, >=, and/or/not, in, like,
   arithmetic, function calls); PPL's single-= equality IS Spark
   SQL's, so expressions pass to ``F.expr`` verbatim after identifier
-  backtick-quoting.
+  backtick-quoting. ``where match(content, '<text>')`` is the PPL
+  relevance function: it routes to the INVERTED INDEX (the
+  disjunctive match set as a semi-join on doc_id) instead of
+  scanning text — the pipeline stays index-bound.
 - ``fields [+|-] a, b`` — project (keep, or with ``-`` drop).
 - ``eval x = <expr>`` — derived column (comma-separated pairs).
 - ``rename a as b [, ...]``
 - ``stats <agg> [as name] [, ...] [by f1, f2]`` — aggs: count(),
   count(f), sum/avg/min/max/stddev_samp/stddev_pop/var_samp/var_pop,
-  distinct_count(f)/dc(f) (exact), percentile(f, p) (exact).
+  distinct_count(f)/dc(f) (exact), percentile(f, p) (exact). A `by`
+  key may be ``span(field, interval)`` — the PPL histogram bucket
+  (floor(field/interval)*interval, emitted as column `span`).
+- ``eventstats <agg> [as name] [, ...] [by f1, f2]`` — the same
+  aggregates attached to EVERY row (a window aggregate over the
+  `by` partition; rows are not collapsed).
 - ``sort [+|-]f1, [+|-]f2`` — ``-`` descending (PPL convention).
 - ``head N`` — limit.
 - ``dedup f1 [, f2]`` — first row per key set (dropDuplicates).
@@ -112,7 +120,7 @@ def _agg_col(spec: str):
         dflt = f"percentile({field},{p})"
     else:
         raise NotImplementedError(f"stats function '{fn}'")
-    return col.alias(name or dflt)
+    return col, (name or dflt)
 
 
 def ppl_base(
@@ -189,7 +197,12 @@ def ppl_query(
     )
     if not m:
         raise ValueError(f"PPL must start with source=...: '{head}'")
-    with_content = "content" in ppl
+    # `where match(content, ...)` resolves through the INDEX, so it
+    # must not force the corpus join — drop relevance calls before
+    # sniffing for a real `content` column reference
+    with_content = "content" in re.sub(
+        r"match\s*\([^)]*\)", "", ppl, flags=re.IGNORECASE
+    )
     df = ppl_base(
         spark, index_dir, corpus_path, with_content=with_content
     )
@@ -200,7 +213,33 @@ def ppl_query(
         kw = kw.lower()
         rest = rest.strip()
         if kw == "where":
-            df = df.filter(F.expr(rest))
+            mm = re.match(
+                r"^match\s*\(\s*(\w+)\s*,\s*'([^']*)'\s*\)\s*$",
+                rest, re.IGNORECASE,
+            )
+            if mm:
+                # PPL relevance function: the match set comes from
+                # the inverted index (bucket-pruned postings scan),
+                # never a text scan — one doc_id semi-join
+                from . import query as q
+
+                stats = q.load_stats(index_dir)
+                qt = q.query_terms(
+                    spark, index_dir,
+                    spark.createDataFrame(
+                        [(0, mm.group(2))],
+                        "query_id long, query string",
+                    ),
+                    stats["n_docs"], stats=stats,
+                ).select("query_id", "term_id", "idf", "bucket")
+                ords = q._match_set(spark, index_dir, qt).select("ord")
+                ident = spark.read.parquet(
+                    os.path.join(index_dir, "docs")
+                ).select("ord", "doc_id")
+                mids = ords.join(ident, "ord").select("doc_id")
+                df = df.join(mids, "doc_id", "left_semi")
+            else:
+                df = df.filter(F.expr(rest))
         elif kw == "fields":
             drop = rest.startswith("-")
             cols = [
@@ -224,24 +263,51 @@ def ppl_query(
                 if not pm:
                     raise ValueError(f"rename clause '{pair}'")
                 df = df.withColumnRenamed(pm.group(1), pm.group(2))
-        elif kw == "stats":
+        elif kw in ("stats", "eventstats"):
             parts = re.split(
                 r"\s+by\s+", rest, maxsplit=1, flags=re.IGNORECASE
             )
             agg_part = parts[0]
-            by_cols = (
-                [c.strip() for c in parts[1].split(",")]
-                if len(parts) > 1 else []
-            )
+            by_cols = []
+            if len(parts) > 1:
+                for c in re.split(r",(?![^()]*\))", parts[1]):
+                    c = c.strip()
+                    sm = re.match(
+                        r"^span\s*\(\s*(\w+)\s*,\s*([\d.]+)\s*\)$",
+                        c, re.IGNORECASE,
+                    )
+                    if sm:
+                        step = float(sm.group(2))
+                        df = df.withColumn(
+                            "span",
+                            F.floor(
+                                F.col(sm.group(1)).cast("double")
+                                / F.lit(step)
+                            ) * F.lit(step),
+                        )
+                        by_cols.append("span")
+                    else:
+                        by_cols.append(c)
             aggs = [
                 _agg_col(a)
                 for a in re.split(r",(?![^()]*\))", agg_part)
                 if a.strip()
             ]
-            df = (
-                df.groupBy(*by_cols).agg(*aggs)
-                if by_cols else df.agg(*aggs)
-            )
+            if kw == "eventstats":
+                from pyspark.sql import Window
+
+                w = (
+                    Window.partitionBy(*by_cols)
+                    if by_cols else Window.partitionBy(F.lit(1))
+                )
+                for col, nm in aggs:
+                    df = df.withColumn(nm, col.over(w))
+            else:
+                named = [col.alias(nm) for col, nm in aggs]
+                df = (
+                    df.groupBy(*by_cols).agg(*named)
+                    if by_cols else df.agg(*named)
+                )
         elif kw == "sort":
             keys = []
             for c in rest.split(","):

@@ -171,3 +171,58 @@ def test_sql_facade(spark, ppl_env):
     assert got.lang.tolist() == want.lang.tolist()
     assert got.c.tolist() == want.c.tolist()
     assert got.mx.tolist() == want.mx.tolist()
+
+
+def test_ppl_span_eventstats_match(spark, ppl_env):
+    """span() histogram buckets in stats-by, eventstats window
+    aggregates (rows preserved), and index-backed `where match()` —
+    all recomputed in pandas (match set from the numpy BM25 oracle's
+    matched docs)."""
+    import numpy as np
+
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | stats count() as c, avg(n_chars) as a "
+        "by span(n_chars, 200) | sort span",
+    ).toPandas()
+    m = aug.copy()
+    m["span"] = (m.n_chars // 200 * 200).astype(float)
+    want = (
+        m.groupby("span")
+        .agg(c=("n_chars", "size"), a=("n_chars", "mean"))
+        .reset_index()
+        .sort_values("span")
+    )
+    assert got.span.tolist() == want.span.tolist()
+    assert got.c.tolist() == want.c.tolist()
+    assert got.a.tolist() == pytest.approx(want.a.tolist())
+
+    got = ppl_query(
+        spark, idx,
+        "source=docs | eventstats avg(n_chars) as lang_avg by lang "
+        "| fields path, lang, n_chars, lang_avg",
+    ).toPandas()
+    assert len(got) == len(aug)  # rows preserved
+    la = aug.groupby("lang").n_chars.mean()
+    for r in got.itertuples():
+        assert r.lang_avg == pytest.approx(la[r.lang])
+
+    # where match(): the inverted index decides membership
+    from collections import Counter
+
+    from data_prepper_spark.oracle import bm25_topk, corpus_doc_ids
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    dfc: Counter = Counter()
+    for tk in tokenize_series(aug.content):
+        dfc.update(set(tk))
+    term = dfc.most_common(3)[2][0]
+    got = ppl_query(
+        spark, idx,
+        f"source=docs | where match(content, '{term}') "
+        "| stats count() as c",
+    ).toPandas()
+    qdf = pd.DataFrame({"query_id": [0], "query": [term]})
+    gold = bm25_topk(aug, qdf, k=len(aug))
+    assert got.c.iloc[0] == len(gold)
