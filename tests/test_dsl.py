@@ -1418,6 +1418,23 @@ def test_span_or_not(spark, index_dir, corpus_path, corpus_pdf):
     }}})
     assert got0 != ex_brute_all
 
+    # UNORDERED span_not: the two-pointer minimal covering windows
+    # are exact here too — a non-excluded pick's window contains a
+    # non-excluded minimal window of smaller width (exclusion zones
+    # shrink with the window), so the all-picks brute is the true
+    # semantics
+    got = got_for({"query": {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"content": c}},
+            {"span_term": {"content": a}},
+        ], "slop": 10, "in_order": False}},
+        "exclude": {"span_term": {"content": ex_term}},
+        "pre": 1, "post": 1,
+    }}})
+    assert got == brute(
+        [c, a], 10, False, exclude={ex_term}, pre=1, post=1
+    )
+
     # span_or as the exclude (union of exclude positions)
     got = got_for({"query": {"span_not": {
         "include": {"span_near": {"clauses": [
