@@ -47,6 +47,10 @@ Supported commands (the documented subset; anything else raises):
 - ``dedup f1 [, f2]`` — first row per key set (dropDuplicates).
 - ``top [N] f [by g]`` / ``rare [N] f [by g]`` — most/least frequent
   values (count groupBy + rank window; N default 10).
+- ``lookup '<parquet_path>' <key> [, <key2>]`` — enrich join against
+  a side table (the PPL lookup command): LEFT join on the key
+  columns, the lookup side broadcast when small (AQE's decision —
+  the translate/enrich operator's shape).
 - ``parse <field> '<regex>'`` — extract named groups as columns
   (regexp_extract per group — the PPL parse command).
 - ``grok <field> '<pattern>'`` — route through the grok processor's
@@ -351,6 +355,15 @@ def ppl_query(
                 .filter(F.col("_r") <= n)
                 .drop("_r")
             )
+        elif kw == "lookup":
+            lm = re.match(
+                r"^'([^']+)'\s+([\w,\s]+)$", rest
+            )
+            if not lm:
+                raise ValueError(f"lookup clause '{rest}'")
+            keys = [c.strip() for c in lm.group(2).split(",")]
+            side = spark.read.parquet(lm.group(1))
+            df = df.join(side, keys, "left")
         elif kw == "parse":
             pm = re.match(
                 r"^(\w+)\s+'(.*)'\s*$", rest, re.DOTALL

@@ -226,3 +226,30 @@ def test_ppl_span_eventstats_match(spark, ppl_env):
     qdf = pd.DataFrame({"query_id": [0], "query": [term]})
     gold = bm25_topk(aug, qdf, k=len(aug))
     assert got.c.iloc[0] == len(gold)
+
+
+def test_ppl_lookup(spark, ppl_env, tmp_path):
+    """lookup command: LEFT enrich join against a side parquet table
+    on the key column; unmatched keys keep null enrichment."""
+    idx, cpath, aug = ppl_env
+    side = pd.DataFrame({
+        "lang": ["python", "java"],
+        "family": ["dynamic", "jvm"],
+    })
+    spath = str(tmp_path / "side.parquet")
+    side.to_parquet(spath)
+    got = ppl_query(
+        spark, idx,
+        f"source=docs | lookup '{spath}' lang "
+        "| stats count() as c by family",
+    ).toPandas()
+    fam = dict(zip(side.lang, side.family))
+    want = aug.lang.map(fam).value_counts(dropna=False).to_dict()
+    got_d = {
+        (None if pd.isna(r.family) else r.family): r.c
+        for r in got.itertuples()
+    }
+    want_d = {
+        (None if pd.isna(k) else k): v for k, v in want.items()
+    }
+    assert got_d == want_d
