@@ -53,7 +53,10 @@ normalization with the plugin's 1.0-single-result / 0.001-floor
 constants, weighted arithmetic/geometric/harmonic-mean combination
 over present sub-scores — missing sub-scores excluded from numerator
 and denominator; configured inline or via the body's
-`search_pipeline.phase_results_processors[].normalization-processor`),
+`search_pipeline.phase_results_processors[].normalization-processor`;
+search pipelines also carry request_processors[].filter_query —
+wrapping the body's query so hits AND aggs narrow — and
+response_processors[].rename_field / truncate_hits),
 simple_query_string, more_like_this, span_term / span_near (slop,
 in_order, span_term/span_or sub-clauses) / span_first (end-bounded)
 / span_or (alternative terms, positions merged) / span_not
@@ -561,6 +564,21 @@ def search(
         # the final page is cut
         k = max(k, int(body["rescore"].get("window_size", 10)))
     node = body.get("query", {"match_all": {}})
+    # search-pipeline REQUEST processors (OpenSearch search pipelines;
+    # the response processors run at the end of this function):
+    # filter_query wraps the body's query so the extra filter applies
+    # to hits AND aggregations — exactly the processor's contract
+    _pipe = body.get("search_pipeline") or {}
+    for proc in _pipe.get("request_processors", []):
+        ((pk, pconf),) = proc.items()
+        if pk == "filter_query":
+            node = {"bool": {
+                "must": [node], "filter": [pconf["query"]],
+            }}
+        else:
+            raise NotImplementedError(
+                f"search-pipeline request processor '{pk}'"
+            )
     if '"index"' in repr(node) or "'index'" in repr(node):
         # a terms-lookup leaf may hide anywhere in the tree; the
         # rewrite walk is cheap and fires only on dict specs carrying
@@ -3005,6 +3023,26 @@ def search(
             F.to_json(F.struct(*sorted(keep))).alias("_source"),
         )
         hits = hits.join(proj, idcols, "left")
+
+    # search-pipeline RESPONSE processors: page-shaped transforms
+    for proc in _pipe.get("response_processors", []):
+        ((pk, pconf),) = proc.items()
+        if hits is None:
+            break
+        if pk == "rename_field":
+            hits = hits.withColumnRenamed(
+                str(pconf["field"]), str(pconf["target_field"])
+            )
+        elif pk == "truncate_hits":
+            ts = int(pconf.get("target_size", 10))
+            if "rank" in hits.columns:
+                hits = hits.filter(F.col("rank") <= ts)
+            else:
+                hits = hits.limit(ts)
+        else:
+            raise NotImplementedError(
+                f"search-pipeline response processor '{pk}'"
+            )
 
     return DSLResult(
         hits, aggs, sugg, explanation=explanation, total=total,

@@ -2528,3 +2528,69 @@ def test_highlight_fragments(spark, index_dir, corpus_path, corpus_pdf):
         assert list(r.highlight) == want, (r.path,)
         assert 1 <= len(r.highlight) <= 3
         assert all("[H]" in f for f in r.highlight)
+
+
+def test_search_pipeline_processors(
+    spark, index_dir, corpus_path, corpus_pdf
+):
+    """search-pipeline processors: filter_query narrows hits AND
+    aggregations (the request processor runs before agg match-set
+    materialization); rename_field + truncate_hits reshape the
+    page."""
+    from collections import Counter
+
+    from data_prepper_spark.index.query import attach_doc_values
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    aug = corpus_pdf.reset_index(drop=True).copy()
+    aug["n_chars"] = aug.content.str.len().astype("int64")
+    import tempfile
+
+    apath = tempfile.mkdtemp(prefix="dps_sp_") + "/aug.parquet"
+    aug.to_parquet(apath)
+    attach_doc_values(spark, index_dir, apath, cols=("lang", "n_chars"))
+
+    dfc: Counter = Counter()
+    toks = tokenize_series(corpus_pdf.content)
+    for tk in toks:
+        dfc.update(set(tk))
+    term = dfc.most_common(1)[0][0]
+    langs = sorted(aug.lang.unique())
+    keep = langs[0]
+
+    body = {
+        "query": {"match": {"content": term}},
+        "size": 100_000,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 50}}},
+        "search_pipeline": {
+            "request_processors": [
+                {"filter_query": {
+                    "query": {"term": {"lang": keep}},
+                }},
+            ],
+            "response_processors": [
+                {"rename_field": {"field": "score",
+                                  "target_field": "relevance"}},
+                {"truncate_hits": {"target_size": 7}},
+            ],
+        },
+    }
+    res = search(spark, index_dir, body, corpus_path=corpus_path)
+    rows = res.hits.collect()
+    assert rows and len(rows) <= 7
+    assert "relevance" in res.hits.columns
+    assert "score" not in res.hits.columns
+    # every hit satisfies the injected filter
+    lang_of = dict(zip(aug.path, aug.lang))
+    assert all(lang_of[r.path] == keep for r in rows)
+    # aggregations see the filtered match set too
+    buckets = {
+        r.facet: r.doc_count
+        for r in res.aggregations["by_lang"].collect()
+    }
+    assert set(buckets) == {keep}
+    matched = {
+        i for i, tk in enumerate(toks) if term in tk
+    }
+    want = sum(1 for i in matched if aug.iloc[i].lang == keep)
+    assert buckets[keep] == want
