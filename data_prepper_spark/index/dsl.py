@@ -3281,6 +3281,23 @@ def msearch(
     ]
 
 
+def msearch_template(
+    spark: SparkSession,
+    index_dir: str,
+    entries: list,
+    corpus_path: str | None = None,
+) -> list:
+    """_msearch/template analog: each entry carries {"source": <body
+    template>, "params": {...}}; every entry renders through the
+    mustache-lite engine then the batch executes as one msearch
+    (query_id = position)."""
+    bodies = [
+        render_template(e["source"], e.get("params", {}))
+        for e in entries
+    ]
+    return msearch(spark, index_dir, bodies, corpus_path=corpus_path)
+
+
 def count(
     spark: SparkSession,
     index_dir: str,

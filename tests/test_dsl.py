@@ -2594,3 +2594,41 @@ def test_search_pipeline_processors(
     }
     want = sum(1 for i in matched if aug.iloc[i].lang == keep)
     assert buckets[keep] == want
+
+
+def test_msearch_template(spark, index_dir, corpus_path, corpus_pdf):
+    """_msearch/template: rendered bodies equal their hand-written
+    forms query by query."""
+    from collections import Counter
+
+    from data_prepper_spark.index.dsl import msearch_template
+    from data_prepper_spark.tokenizer import tokenize_series
+
+    dfc: Counter = Counter()
+    for tk in tokenize_series(corpus_pdf.content):
+        dfc.update(set(tk))
+    t1, t2 = [t for t, _ in dfc.most_common(2)]
+    res = msearch_template(
+        spark, index_dir,
+        [
+            {"source": {"query": {"match": {"content": "{{q}}"}},
+                        "size": "{{k}}"},
+             "params": {"q": t1, "k": 4}},
+            {"source": {"query": {"match": {"content": "{{q}}"}},
+                        "size": "{{k}}"},
+             "params": {"q": t2, "k": 2}},
+        ],
+        corpus_path=corpus_path,
+    )
+    assert len(res) == 2
+    r0 = res[0].hits.collect()
+    r1 = res[1].hits.collect()
+    assert len(r0) == 4 and len(r1) == 2
+    want0 = search(
+        spark, index_dir,
+        {"query": {"match": {"content": t1}}, "size": 4},
+        corpus_path=corpus_path,
+    ).hits.collect()
+    assert [(r.doc_id, r.rank) for r in r0] == [
+        (r.doc_id, r.rank) for r in want0
+    ]
