@@ -2143,7 +2143,59 @@ def ppl_pipeline(spark, sf_dir):
         F.lit("").alias("key"),
         F.col("c").cast("double").alias("val"),
     )
-    return arows.unionByName(brows).unionByName(c).unionByName(d)
+    # pipeline E: patterns (log-template skeleton) + fillnull; the
+    # skeleton of 'srcN' under pattern [a-z] is the digit suffix
+    e = ppl_query(
+        spark, idx,
+        "source=docs | patterns source new_field=pf pattern='[a-z]' "
+        "| eval g = if(n_chars > 300, null, n_chars) "
+        "| fillnull with -1 in g "
+        "| stats count() as c, sum(g) as sg by pf",
+    )
+    erows = None
+    for metric in ("c", "sg"):
+        part = e.select(
+            F.lit("pat_" + metric).alias("scope"),
+            F.col("pf").alias("key"),
+            F.col(metric).cast("double").alias("val"),
+        )
+        erows = part if erows is None else erows.unionByName(part)
+    # pipeline F: trendline sma/wma per row (order = sort path), NULL
+    # until the 3-row window fills
+    f = ppl_query(
+        spark, idx,
+        "source=docs | where lang = 'en' | sort path "
+        "| trendline sma(3, n_chars) as t3, wma(3, n_chars) as w3 "
+        "| fields path, t3, w3",
+    )
+    frows = None
+    for metric in ("t3", "w3"):
+        part = f.select(
+            F.lit(metric).alias("scope"),
+            F.col("path").alias("key"),
+            F.round(F.col(metric), 6).alias("val"),
+        )
+        frows = part if frows is None else frows.unionByName(part)
+    # pipeline G: flatten (struct subfields promoted) + expand (one
+    # row per array element; empty arrays drop)
+    g = ppl_query(
+        spark, idx,
+        "source=docs "
+        "| eval st = named_struct('half', n_chars div 2) "
+        "| flatten st "
+        "| eval arr = filter(sequence(1, 3), x -> x <= int(n_chars) % 3) "
+        "| expand arr as k "
+        "| stats count() as rows_out, sum(half) as sh, sum(k) as sk",
+    ).select(
+        F.lit("expand").alias("scope"),
+        F.lit("").alias("key"),
+        (F.col("rows_out") + F.col("sh") + F.col("sk"))
+        .cast("double").alias("val"),
+    )
+    return (
+        arows.unionByName(brows).unionByName(c).unionByName(d)
+        .unionByName(erows).unionByName(frows).unionByName(g)
+    )
 
 
 def sql_api_query(spark, sf_dir):
@@ -12437,9 +12489,51 @@ mtok AS (
 ),
 drows AS (
   SELECT 'match' AS scope, '' AS key, count(*)::DOUBLE AS val FROM mtok
+),
+epat AS (
+  SELECT regexp_replace(source, '[a-z]', '', 'g') AS pf,
+         CASE WHEN n_chars > 300 THEN -1 ELSE n_chars END AS g
+  FROM documents
+),
+eagg AS (
+  SELECT pf, count(*)::DOUBLE AS c, sum(g)::DOUBLE AS sg
+  FROM epat GROUP BY 1
+),
+erows AS (
+  SELECT 'pat_c' AS scope, pf AS key, c AS val FROM eagg
+  UNION ALL SELECT 'pat_sg', pf, sg FROM eagg
+),
+fen AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, n_chars::DOUBLE AS x
+  FROM documents WHERE lang = 'en'
+),
+fwin AS (
+  SELECT key,
+    CASE WHEN count(*) OVER w = 3
+         THEN round(avg(x) OVER w, 6) END AS t3,
+    CASE WHEN count(*) OVER w = 3
+         THEN round((lag(x, 2) OVER o * 1 + lag(x, 1) OVER o * 2
+                     + x * 3) / 6.0, 6) END AS w3
+  FROM fen
+  WINDOW w AS (ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         o AS (ORDER BY key)
+),
+frows AS (
+  SELECT 't3' AS scope, key, t3 AS val FROM fwin
+  UNION ALL SELECT 'w3', key, w3 FROM fwin
+),
+grows AS (
+  SELECT 'expand' AS scope, '' AS key,
+         (sum(n_chars % 3)
+          + sum((n_chars // 2) * (n_chars % 3))
+          + sum(((n_chars % 3) * (n_chars % 3 + 1)) // 2)
+         )::DOUBLE AS val
+  FROM documents
 )
 SELECT * FROM arows UNION ALL SELECT * FROM brows
 UNION ALL SELECT * FROM crows UNION ALL SELECT * FROM drows
+UNION ALL SELECT * FROM erows UNION ALL SELECT * FROM frows
+UNION ALL SELECT * FROM grows
 """
     sql["dsl_highlight_page"] = f"""
 WITH toks AS (

@@ -55,6 +55,29 @@ Supported commands (the documented subset; anything else raises):
   (regexp_extract per group — the PPL parse command).
 - ``grok <field> '<pattern>'`` — route through the grok processor's
   pattern library (operators/parse.py), e.g. '%{IP:client}'.
+- ``patterns <field> [new_field=<n>] [pattern='<regex>']`` — the PPL
+  log-template command (simple_pattern method): the pattern is the
+  text with every char matching ``pattern`` (default alphanumerics,
+  ``[a-zA-Z\\d]``) removed, leaving the punctuation skeleton; one
+  native regexp_replace, output column ``patterns_field`` unless
+  renamed.
+- ``fillnull with <literal> in f1 [, f2]`` /
+  ``fillnull using f1=<literal> [, f2=<literal>]`` — null
+  replacement (coalesce with the literal; literals are SQL literals).
+- ``trendline [sort [+|-]<key>] sma(N, f) [as alias] [, ...]`` — the
+  PPL moving-average command. ``sma`` = mean of the current row and
+  the N-1 prior rows, ``wma`` = the linearly-weighted form (weight N
+  for the newest). Rows before the window fills emit NULL (the PPL
+  contract). Order comes from the command's own ``sort`` clause or,
+  absent that, the nearest preceding ``sort`` command (required —
+  a moving average over undefined order is nondeterministic). The
+  window is a GLOBAL ordered frame: like OpenSearch (which computes
+  trendline over the final result page), use it after the pipeline
+  has narrowed the row set.
+- ``expand <field> [as alias]`` — one row per element of an array
+  column (explode; rows with null/empty arrays drop, matching PPL).
+- ``flatten <field>`` — promote a struct column's subfields to
+  top-level columns (the struct column itself is dropped).
 
 Reference: the PPL command/function set mirrors the public
 opensearch-project/sql PPL documentation; this is an independent
@@ -95,6 +118,22 @@ _AGG_RE = re.compile(
     r"(?:\s+as\s+(?P<name>\w+))?\s*$",
     re.IGNORECASE,
 )
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (the regex lookahead trick
+    breaks on nested calls like filter(sequence(1,3), x -> ...))."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p for p in out if p.strip()]
 
 
 def _agg_col(spec: str):
@@ -212,6 +251,7 @@ def ppl_query(
     )
     if m.group(2).strip():
         df = df.filter(F.expr(m.group(2).strip()))
+    last_sort: list[tuple[str, bool]] = []
     for cmd in cmds[1:]:
         kw, _, rest = cmd.partition(" ")
         kw = kw.lower()
@@ -254,7 +294,7 @@ def ppl_query(
         elif kw == "eval":
             # comma-split at top level (no nested-paren commas in
             # the supported subset beyond function calls)
-            for pair in re.split(r",(?![^()]*\))", rest):
+            for pair in _split_top(rest):
                 name, _, expr = pair.partition("=")
                 df = df.withColumn(
                     name.strip(), F.expr(expr.strip())
@@ -274,7 +314,7 @@ def ppl_query(
             agg_part = parts[0]
             by_cols = []
             if len(parts) > 1:
-                for c in re.split(r",(?![^()]*\))", parts[1]):
+                for c in _split_top(parts[1]):
                     c = c.strip()
                     sm = re.match(
                         r"^span\s*\(\s*(\w+)\s*,\s*([\d.]+)\s*\)$",
@@ -294,7 +334,7 @@ def ppl_query(
                         by_cols.append(c)
             aggs = [
                 _agg_col(a)
-                for a in re.split(r",(?![^()]*\))", agg_part)
+                for a in _split_top(agg_part)
                 if a.strip()
             ]
             if kw == "eventstats":
@@ -314,12 +354,16 @@ def ppl_query(
                 )
         elif kw == "sort":
             keys = []
+            last_sort = []
             for c in rest.split(","):
                 c = c.strip()
                 if c.startswith("-"):
                     keys.append(F.desc(c[1:].strip()))
+                    last_sort.append((c[1:].strip(), False))
                 else:
-                    keys.append(F.asc(c.lstrip("+").strip()))
+                    nm = c.lstrip("+").strip()
+                    keys.append(F.asc(nm))
+                    last_sort.append((nm, True))
             df = df.orderBy(*keys)
         elif kw == "head":
             df = df.limit(int(rest or 10))
@@ -385,6 +429,119 @@ def ppl_query(
             from ..operators.parse import grok
 
             df = grok(df, source=pm.group(1), pattern=pm.group(2))
+        elif kw == "patterns":
+            pm = re.match(
+                r"^(\w+)"
+                r"(?:\s+new_field\s*=\s*'?(\w+)'?)?"
+                r"(?:\s+pattern\s*=\s*'([^']*)')?\s*$",
+                rest,
+            )
+            if not pm:
+                raise ValueError(f"patterns clause '{rest}'")
+            out = pm.group(2) or "patterns_field"
+            rex = pm.group(3) or r"[a-zA-Z\d]"
+            df = df.withColumn(
+                out, F.regexp_replace(F.col(pm.group(1)), rex, "")
+            )
+        elif kw == "fillnull":
+            um = re.match(r"^using\s+(.*)$", rest, re.IGNORECASE)
+            wm = re.match(
+                r"^with\s+(.+?)\s+in\s+([\w,\s]+)$", rest,
+                re.IGNORECASE,
+            )
+            if um:
+                for pair in _split_top(um.group(1)):
+                    name, _, lit = pair.partition("=")
+                    name = name.strip()
+                    df = df.withColumn(
+                        name,
+                        F.coalesce(F.col(name), F.expr(lit.strip())),
+                    )
+            elif wm:
+                lit = F.expr(wm.group(1).strip())
+                for c in wm.group(2).split(","):
+                    c = c.strip()
+                    df = df.withColumn(c, F.coalesce(F.col(c), lit))
+            else:
+                raise ValueError(f"fillnull clause '{rest}'")
+        elif kw == "trendline":
+            from pyspark.sql import Window
+
+            sm = re.match(
+                r"^sort\s+([+-]?)\s*(\w+)\s+(.*)$", rest,
+                re.IGNORECASE,
+            )
+            if sm:
+                order = [
+                    F.desc(sm.group(2))
+                    if sm.group(1) == "-" else F.asc(sm.group(2))
+                ]
+                rest = sm.group(3)
+            elif last_sort:
+                order = [
+                    F.asc(n) if a else F.desc(n)
+                    for n, a in last_sort
+                ]
+            else:
+                raise ValueError(
+                    "trendline needs its own `sort <key>` clause or "
+                    "a preceding sort command (moving averages over "
+                    "undefined order are nondeterministic)"
+                )
+            for spec in _split_top(rest):
+                tm = re.match(
+                    r"^\s*(sma|wma)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+                    r"(?:\s+as\s+(\w+))?\s*$",
+                    spec, re.IGNORECASE,
+                )
+                if not tm:
+                    raise ValueError(f"trendline spec '{spec}'")
+                kind = tm.group(1).lower()
+                n = int(tm.group(2))
+                fld = tm.group(3)
+                alias = tm.group(4) or f"{fld}_trendline"
+                wn = Window.orderBy(*order).rowsBetween(-(n - 1), 0)
+                vals = F.collect_list(
+                    F.col(fld).cast("double")
+                ).over(wn)
+                if kind == "sma":
+                    avg = F.aggregate(
+                        vals, F.lit(0.0), lambda a, x: a + x
+                    ) / F.lit(float(n))
+                else:
+                    # linear weights 1..n, newest element heaviest;
+                    # collect_list over the frame is oldest-first
+                    avg = F.aggregate(
+                        F.zip_with(
+                            vals,
+                            F.sequence(F.lit(1), F.lit(n)),
+                            lambda x, i: x * i.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ) / F.lit(float(n * (n + 1) / 2))
+                df = df.withColumn(
+                    alias,
+                    F.when(F.size(vals) == n, avg),
+                )
+        elif kw == "expand":
+            em = re.match(
+                r"^(\w+)(?:\s+as\s+(\w+))?\s*$", rest, re.IGNORECASE
+            )
+            if not em:
+                raise ValueError(f"expand clause '{rest}'")
+            fld, alias = em.group(1), em.group(2) or em.group(1)
+            df = df.withColumn("__x", F.explode(F.col(fld)))
+            df = df.drop(fld).withColumnRenamed("__x", alias)
+        elif kw == "flatten":
+            fld = rest.strip()
+            sub = [
+                f.name
+                for f in df.schema[fld].dataType.fields  # type: ignore[union-attr]
+            ]
+            df = df.select(
+                "*", *[F.col(f"{fld}.{s}").alias(s) for s in sub]
+            ).drop(fld)
         else:
             raise NotImplementedError(f"PPL command '{kw}'")
     return df

@@ -253,3 +253,109 @@ def test_ppl_lookup(spark, ppl_env, tmp_path):
         (None if pd.isna(k) else k): v for k, v in want.items()
     }
     assert got_d == want_d
+
+
+def test_ppl_patterns_fillnull(spark, ppl_env):
+    """patterns: simple_pattern log-template (alphanumerics removed,
+    punctuation skeleton kept); fillnull both syntaxes."""
+    import re as _re
+
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | patterns path | "
+        "eval gap = if(n_chars > 300, null, n_chars) | "
+        "fillnull with -1 in gap | "
+        "eval gap2 = if(lang = 'python', null, lang) | "
+        "fillnull using gap2 = 'none' | "
+        "fields path, patterns_field, gap, gap2, lang, n_chars",
+    ).toPandas().sort_values("path").reset_index(drop=True)
+    want = aug.sort_values("path").reset_index(drop=True)
+    assert got.patterns_field.tolist() == [
+        _re.sub(r"[a-zA-Z\d]", "", p) for p in want.path
+    ]
+    exp_gap = want.n_chars.where(want.n_chars <= 300, -1)
+    assert got.gap.tolist() == exp_gap.tolist()
+    exp2 = want.lang.where(want.lang != "python", "none")
+    assert got.gap2.tolist() == exp2.tolist()
+    # custom removal pattern + renamed output column
+    got2 = ppl_query(
+        spark, idx,
+        "source=docs | patterns path new_field=skel pattern='[a-z]' "
+        "| fields path, skel",
+    ).toPandas().sort_values("path").reset_index(drop=True)
+    assert got2.skel.tolist() == [
+        _re.sub(r"[a-z]", "", p) for p in want.path
+    ]
+
+
+def test_ppl_trendline(spark, ppl_env):
+    """trendline sma/wma vs pandas rolling; leading rows NULL until
+    the window fills; order from the preceding sort command."""
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | sort path "
+        "| trendline sma(3, n_chars) as t3, wma(3, n_chars) as w3 "
+        "| fields path, n_chars, t3, w3",
+    ).toPandas().reset_index(drop=True)
+    want = aug.sort_values("path").reset_index(drop=True)
+    assert got.path.tolist() == want.path.tolist()
+    sma = want.n_chars.rolling(3).mean()
+    wma = (
+        want.n_chars.rolling(3)
+        .apply(lambda v: (v * [1, 2, 3]).sum() / 6.0)
+    )
+    assert got.t3.isna().tolist() == sma.isna().tolist()
+    assert got.t3.dropna().tolist() == pytest.approx(
+        sma.dropna().tolist()
+    )
+    assert got.w3.dropna().tolist() == pytest.approx(
+        wma.dropna().tolist()
+    )
+    # trendline's own sort clause (descending), no prior sort command
+    got2 = ppl_query(
+        spark, idx,
+        "source=docs | trendline sort -path sma(2, n_chars) "
+        "| fields path, n_chars_trendline",
+    ).toPandas()
+    want2 = aug.sort_values("path", ascending=False).reset_index(
+        drop=True
+    )
+    m2 = want2.n_chars.rolling(2).mean()
+    g2 = got2.set_index("path").n_chars_trendline
+    exp = dict(zip(want2.path, m2))
+    for p, v in exp.items():
+        gv = g2[p]
+        if pd.isna(v):
+            assert pd.isna(gv)
+        else:
+            assert gv == pytest.approx(v)
+    with pytest.raises(ValueError, match="trendline needs"):
+        ppl_query(spark, idx, "source=docs | trendline sma(2, n_chars)")
+
+
+def test_ppl_expand_flatten(spark, ppl_env):
+    """expand: one row per array element (null arrays drop);
+    flatten: struct subfields promoted, struct column dropped."""
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs "
+        "| eval st = named_struct('half', n_chars div 2, 'l2', lang) "
+        "| flatten st "
+        "| eval arr = filter(sequence(1, 3), x -> x <= int(n_chars) % 3) "
+        "| expand arr as k "
+        "| fields path, half, l2, k",
+    ).toPandas()
+    assert "st" not in got.columns
+    rows = []
+    for r in aug.itertuples():
+        for k in range(1, int(r.n_chars) % 3 + 1):
+            rows.append((r.path, r.n_chars // 2, r.lang, k))
+    want = pd.DataFrame(rows, columns=["path", "half", "l2", "k"])
+    got = got.sort_values(["path", "k"]).reset_index(drop=True)
+    want = want.sort_values(["path", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"half": "int64", "k": "int64"}), want
+    )
