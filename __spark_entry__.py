@@ -105,15 +105,17 @@ def bm25_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_indexed_sql() -> str:
+def _bm25_indexed_sql(where: str = "") -> str:
     """Oracle for the physical-index path: same BM25 math keyed by
-    query_id, tie-break (score desc, doc_id asc)."""
+    query_id, tie-break (score desc, doc_id asc). `where` narrows the
+    corpus (the PIT oracle scores over the frozen subset ONLY —
+    corpus stats included)."""
     terms_values = ", ".join(
         f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(BM25_QUERY_TERMS)
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+  SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents {where}
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
@@ -7012,6 +7014,66 @@ def bulk_ingest_roundtrip(spark, sf_dir):
     )
 
 
+def pit_search_isolation(spark, sf_dir):
+    """Point-in-time search (index/pit.py — OpenSearch
+    `_search/point_in_time`): delta A = documents with doc_id%10==0
+    is bulk-applied; a PIT opens, pinning the delta listing AND the
+    per-delta tombstone file set; THEN delta B (doc_id%10==5) is
+    applied and half of A (doc_id%20==0) is bulk-deleted. topk_pit
+    over the reference query set must replay BM25 over EXACTLY the
+    frozen subset — the later ingest and the later delete are both
+    invisible to the PIT (the live topk_deltas view sees both).
+    Oracle: the indexed-BM25 SQL restricted to the frozen subset
+    (corpus stats included — global N/avgdl/df come from the pinned
+    deltas only)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from data_prepper_spark.index.pit import open_pit, topk_pit
+    from data_prepper_spark.sources.bulk_api import bulk_apply
+
+    root = tempfile.mkdtemp(prefix="pit_root_")
+
+    def _apply(tag, lines):
+        spool = tempfile.mkdtemp(prefix=f"pit_spool_{tag}_")
+        bdir = _os.path.join(spool, "bulk")
+        _os.makedirs(bdir, exist_ok=True)
+        with open(_os.path.join(bdir, "0.ndjson"), "w") as f:
+            for ln in lines:
+                f.write(_json.dumps(ln) + "\n")
+        bulk_apply(spark, spool, root)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 10 == 0).collect()
+    _apply("a", [
+        {"op": "index", "index": "docs", "id": str(r.doc_id),
+         "content": r.text, "doc_json": None}
+        for r in a
+    ])
+    pit = open_pit(root)
+    b = docs.where(F.col("doc_id") % 10 == 5).collect()
+    _apply("b", [
+        {"op": "index", "index": "docs", "id": str(r.doc_id),
+         "content": r.text, "doc_json": None}
+        for r in b
+    ] + [
+        {"op": "delete", "index": "docs", "id": str(r.doc_id),
+         "content": None, "doc_json": None}
+        for r in a if r.doc_id % 20 == 0
+    ])
+    q = spark.createDataFrame(
+        list(enumerate(BM25_QUERY_TERMS)), "query_id long, query string"
+    )
+    # k=25 head, then re-rank ties by the ORIGINAL numeric id (the
+    # engine tie-breaks on its hashed doc_id; the oracle on doc_id)
+    res = topk_pit(spark, root, pit, q, k=25)
+    ident = spark.read.parquet(
+        _os.path.join(root, "delta=0", "docs")
+    ).select("doc_id", F.col("path").alias("path"))
+    return _rerank_engine_results(res.drop("rank").join(ident, "doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -7568,6 +7630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionization": sessionization,
         "inverted_index_stats": inverted_index_stats,
+        # -- round-5 session-6 additions (never driver-checked) --
+        "pit_search_isolation": pit_search_isolation,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
@@ -9243,6 +9307,9 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
 """
 
     sql["bm25_indexed_engine"] = _bm25_indexed_sql()
+    sql["pit_search_isolation"] = _bm25_indexed_sql(
+        where="WHERE doc_id % 10 = 0"
+    )
     # reindex must be result-identical to the source index, so it
     # shares the source's oracle verbatim
     sql["reindex_engine"] = _bm25_indexed_sql()

@@ -111,6 +111,14 @@ def rmtree(path: str) -> None:
         pass
 
 
+def remove(path: str) -> None:
+    """Single-file delete; raises if absent (callers that need
+    must-exist semantics — e.g. closing a PIT token — want the loud
+    failure, unlike rmtree's idempotent sweep)."""
+    f, p = resolve(path)
+    f.delete_file(p)
+
+
 def open_input_file(path: str):
     """Random-access input file handle (works for bare paths and URIs;
     pass to pyarrow.parquet.ParquetFile)."""

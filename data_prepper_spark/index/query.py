@@ -3386,6 +3386,8 @@ def topk_deltas(
     index_root: str,
     queries: DataFrame,
     k: int = 10,
+    deltas: list[str] | None = None,
+    tombstone_files: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k BM25 directly over the streamed delta indexes under
     index_root (the foreachBatch output of
@@ -3399,16 +3401,23 @@ def topk_deltas(
     tie-break on the resolved doc_id. Scan cost is a pruned read per
     delta — the O(#deltas) fan-in this trades away is what
     compact_deltas exists to reclaim.
+
+    `deltas` / `tombstone_files` pin an explicit view (the PIT path,
+    index/pit.py): an explicit delta list replaces the live listing,
+    and an explicit per-delta tombstone file list replaces the live
+    tombstone set (an empty list means "no deletes visible"), so the
+    frozen view ignores both later ingests and later deletes.
     """
     import json as _json
 
     from .. import fsio
 
-    deltas = [
-        p
-        for p in fsio.listdir(index_root)
-        if os.path.basename(p.rstrip("/")).startswith("delta=")
-    ]
+    if deltas is None:
+        deltas = [
+            p
+            for p in fsio.listdir(index_root)
+            if os.path.basename(p.rstrip("/")).startswith("delta=")
+        ]
     if not deltas:
         raise ValueError(f"no delta=* indexes under {index_root}")
     stats = [
@@ -3470,8 +3479,18 @@ def topk_deltas(
         # per-delta tombstones (the _bulk facade's delete path writes
         # them): anti-join each delta's own set before identity
         # resolution — same visibility contract as the single-index
-        # paths
-        part = _anti_tombstones(spark, d, part, col="ord")
+        # paths. A pinned view (PIT) reads ONLY the pinned part
+        # files; deletes appended after open stay invisible to it.
+        if tombstone_files is not None:
+            pinned = tombstone_files.get(d, [])
+            if pinned:
+                tombs = (
+                    spark.read.parquet(*pinned)
+                    .select("ord").distinct()
+                )
+                part = part.join(tombs, "ord", "left_anti")
+        else:
+            part = _anti_tombstones(spark, d, part, col="ord")
         part = (
             part
             .join(

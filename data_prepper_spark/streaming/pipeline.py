@@ -226,10 +226,19 @@ def maybe_compact(
     # listed before compaction could double-count the merged run under
     # the old name (ADVICE r04). Pre-delete max keeps names monotonic.
     seq = _next_seq(index_root)
+    # PIT-aware disposal: a victim pinned by a live point-in-time
+    # reader is RETIRED (moved under retired/) instead of deleted —
+    # Lucene's incRef'd-segment semantics; close_pit GCs retirees
     for d in victims:
-        fsio.rmtree(d)
+        _dispose_victim(index_root, d)
     fsio.move(tmp, os.path.join(index_root, f"delta=c{seq}"))
     return stats
+
+
+def _dispose_victim(index_root: str, delta_dir: str) -> None:
+    from ..index.pit import retire_victim
+
+    retire_victim(index_root, delta_dir)
 
 
 def next_delta_seq(index_root: str) -> int:
@@ -238,27 +247,43 @@ def next_delta_seq(index_root: str) -> int:
     epochs, bulk applies) and compacted `delta=cN` dirs — so a new
     delta can never collide with or clobber an existing one
     regardless of which writer produced it. (_next_seq below is the
-    compaction-name counter; it deliberately reads only cN names.)"""
+    compaction-name counter; it deliberately reads only cN names.)
+    PIT-retired deltas (index_root/retired/) keep their names
+    reserved: a reused name would let a NEW delta shadow the pinned
+    one when a point-in-time token resolves."""
     from .. import fsio
 
     seq = 0
-    for d in fsio.listdir(index_root):
-        base = fsio.basename(d.rstrip("/"))
-        if not base.startswith("delta="):
-            continue
-        name = base.split("=", 1)[1]
+    for d in _delta_names_everywhere(index_root):
+        name = d.split("=", 1)[1]
         num = name[1:] if name.startswith("c") else name
         if num.isdigit():
             seq = max(seq, int(num) + 1)
     return seq
 
 
-def _next_seq(index_root: str) -> int:
+def _delta_names_everywhere(index_root: str) -> list[str]:
+    """delta=* basenames both live and PIT-retired — the namespace a
+    new delta name must not collide with."""
     from .. import fsio
 
+    names = [
+        fsio.basename(d.rstrip("/"))
+        for d in fsio.listdir(index_root)
+    ]
+    retired = os.path.join(index_root, "retired")
+    if fsio.exists(retired):
+        names += [
+            fsio.basename(d.rstrip("/"))
+            for d in fsio.listdir(retired)
+        ]
+    return [n for n in names if n.startswith("delta=")]
+
+
+def _next_seq(index_root: str) -> int:
     seq = 0
-    for d in fsio.listdir(index_root):
-        name = fsio.basename(d).split("=", 1)[-1]
+    for d in _delta_names_everywhere(index_root):
+        name = d.split("=", 1)[-1]
         if name.startswith("c") and name[1:].isdigit():
             seq = max(seq, int(name[1:]) + 1)
     return seq
@@ -282,7 +307,8 @@ def _recover_compaction(index_root: str, tmp: str) -> None:
         # donate its name to the merged run
         seq = _next_seq(index_root)
         for v in json.loads(fsio.read_text(vj)):
-            fsio.rmtree(v)
+            if fsio.exists(v):
+                _dispose_victim(index_root, v)
         fsio.move(tmp, os.path.join(index_root, f"delta=c{seq}"))
     else:
         fsio.rmtree(tmp)
