@@ -557,6 +557,14 @@ def search(
     analog)."""
     from . import query as q
 
+    if '"id"' in repr(body) or "'id'" in repr(body):
+        # stored-script resolution (index/scripts.py): any
+        # {"script": {"id": ...}} anywhere in the body becomes the
+        # stored inline source before compilation; cheap walk, fires
+        # only when an "id" key exists somewhere
+        from .scripts import resolve_stored_scripts
+
+        body = resolve_stored_scripts(index_dir, body)
     k = int(body.get("size", 10))
     k_out = k
     if "rescore" in body:

@@ -1,0 +1,122 @@
+"""Stored scripts (index/scripts.py): the `_scripts/<id>` registry +
+`{"script": {"id": ...}}` resolution inside any _search body. The
+contract: a stored-id body behaves EXACTLY like the same body with
+the source inlined (request params win), unknown ids fail loudly,
+delete revokes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_prepper_spark.index.dsl import search
+from data_prepper_spark.index.scripts import (
+    delete_script,
+    get_script,
+    put_script,
+    resolve_stored_scripts,
+)
+
+SRC = "_score * saturation(doc['n_chars'].value, params.k)"
+
+
+@pytest.fixture(scope="module")
+def env(spark, index_dir, fixture_dir, corpus_pdf, tmp_path_factory):
+    from data_prepper_spark.index.query import attach_doc_values
+
+    aug = corpus_pdf.reset_index(drop=True).copy()
+    aug["n_chars"] = aug.content.str.len().astype("int64")
+    d = tmp_path_factory.mktemp("scripts")
+    apath = str(d / "aug.parquet")
+    aug.to_parquet(apath)
+    attach_doc_values(spark, index_dir, apath, cols=("n_chars",))
+    return index_dir, os.path.join(fixture_dir, "corpus.parquet")
+
+
+def _hits(spark, idx, body):
+    return sorted(
+        (r.rank, r.doc_id, round(r.score, 6))
+        for r in search(spark, idx, body).hits.collect()
+    )
+
+
+def test_stored_script_equals_inline(spark, env):
+    idx, cpath = env
+    put_script(idx, "sat_chars", SRC)
+    assert get_script(idx, "sat_chars") == {
+        "lang": "painless", "source": SRC,
+    }
+    inline = {
+        "query": {"script_score": {
+            "query": {"match": {"content": "gunaba"}},
+            "script": {"source": SRC, "params": {"k": 300}},
+        }},
+        "size": 20,
+    }
+    stored = {
+        "query": {"script_score": {
+            "query": {"match": {"content": "gunaba"}},
+            "script": {"id": "sat_chars", "params": {"k": 300}},
+        }},
+        "size": 20,
+    }
+    hi = _hits(spark, idx, inline)
+    hs = _hits(spark, idx, stored)
+    assert hi == hs and hi
+    # request params win: a different k must change the scores
+    stored_k = {
+        "query": {"script_score": {
+            "query": {"match": {"content": "gunaba"}},
+            "script": {"id": "sat_chars", "params": {"k": 10}},
+        }},
+        "size": 20,
+    }
+    assert _hits(spark, idx, stored_k) != hs
+
+
+def test_resolve_walk_and_lifecycle(spark, env):
+    idx, _ = env
+    put_script(idx, "tmp_s", "doc['n_chars'].value * 2")
+    body = {
+        "query": {"bool": {"must": [
+            {"script_score": {
+                "query": {"match_all": {}},
+                "script": {"id": "tmp_s"},
+            }},
+        ]}},
+        "aggs": {"x": {"bucket_script": {
+            "script": {"id": "tmp_s"}, "paths": {},
+        }}},
+    }
+    resolved = resolve_stored_scripts(idx, body)
+    # every id replaced by the stored source, original body unmutated
+    ss = resolved["query"]["bool"]["must"][0]["script_score"]["script"]
+    assert ss["source"] == "doc['n_chars'].value * 2"
+    assert resolved["aggs"]["x"]["bucket_script"]["script"][
+        "source"
+    ] == "doc['n_chars'].value * 2"
+    assert body["aggs"]["x"]["bucket_script"]["script"] == {"id": "tmp_s"}
+    # inline specs pass through untouched
+    inline_body = {"script": {"source": "1 + 1", "id_like": 1}}
+    assert resolve_stored_scripts(idx, inline_body) == inline_body
+    delete_script(idx, "tmp_s")
+    with pytest.raises(ValueError, match="unknown stored script"):
+        get_script(idx, "tmp_s")
+    with pytest.raises(ValueError, match="unknown stored script"):
+        resolve_stored_scripts(idx, body)
+    with pytest.raises(ValueError, match="unknown stored script"):
+        delete_script(idx, "tmp_s")
+    with pytest.raises(ValueError, match="invalid script id"):
+        put_script(idx, "a/b", "1")
+
+
+def test_unknown_id_in_search_fails_loudly(spark, env):
+    idx, _ = env
+    with pytest.raises(ValueError, match="unknown stored script"):
+        search(spark, idx, {
+            "query": {"script_score": {
+                "query": {"match_all": {}},
+                "script": {"id": "never_put"},
+            }},
+        })
