@@ -7074,6 +7074,65 @@ def pit_search_isolation(spark, sf_dir):
     return _rerank_engine_results(res.drop("rank").join(ident, "doc_id"))
 
 
+def dsl_moving_avg(spark, sf_dir):
+    """Legacy `moving_avg` pipeline aggregation (index/aggs.py::
+    bucket_pipeline): simple / linear / ewma models over the shift-0
+    window (the `window` buckets ending just before the current;
+    partial windows compute, first bucket NULL) on a histogram bucket
+    frame — window algebra over an aggregation-sized frame, zero
+    extra scans. The oracle replays each model in DuckDB: simple =
+    windowed list mean, linear = index-lambda weights 1..n, ewma =
+    list_reduce left fold from the oldest value (identical fold order
+    to the Spark aggregate, so values match exactly). The holt model
+    is pytest-verified (struct-accumulator folds aren't expressible
+    in DuckDB's element-typed list_reduce)."""
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("n_chars",))
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {"hist": {
+                "histogram": {"field": "n_chars", "interval": 100},
+                "aggs": {
+                    "ma_s": {"moving_avg": {
+                        "buckets_path": "_count", "window": 3,
+                    }},
+                    "ma_l": {"moving_avg": {
+                        "buckets_path": "_count", "window": 3,
+                        "model": "linear",
+                    }},
+                    "ma_e": {"moving_avg": {
+                        "buckets_path": "_count", "window": 4,
+                        "model": "ewma", "settings": {"alpha": 0.4},
+                    }},
+                },
+            }},
+        },
+        corpus_path=cpath,
+    )
+    hist = res.aggregations["hist"]
+    key = F.col("key").cast("long").cast("string")
+    parts = [
+        hist.select(
+            F.lit("count").alias("agg"), key.alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+    ]
+    for m in ("ma_s", "ma_l", "ma_e"):
+        parts.append(hist.select(
+            F.lit(m).alias("agg"), key.alias("key"),
+            F.round(F.col(m), 6).alias("val"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -7632,6 +7691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_stats": inverted_index_stats,
         # -- round-5 session-6 additions (never driver-checked) --
         "pit_search_isolation": pit_search_isolation,
+        "dsl_moving_avg": dsl_moving_avg,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
@@ -9310,6 +9370,40 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
     sql["pit_search_isolation"] = _bm25_indexed_sql(
         where="WHERE doc_id % 10 = 0"
     )
+    sql["dsl_moving_avg"] = f"""
+WITH mtok AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+  ) WHERE term IN ('data', 'merge')
+),
+hist AS (
+  SELECT CAST(floor(d.n_chars / 100.0) * 100 AS BIGINT) AS k,
+         count(*)::DOUBLE AS cnt
+  FROM documents d JOIN mtok USING (doc_id)
+  GROUP BY 1
+),
+win AS (
+  SELECT k, cnt,
+    list(cnt) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS l3,
+    list(cnt) OVER (ORDER BY k ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS l4
+  FROM hist
+),
+calc AS (
+  SELECT k, cnt,
+    round(list_sum(l3) / len(l3), 6) AS ma_s,
+    round(
+      list_sum(list_transform(l3, (x, i) -> x * CAST(i AS DOUBLE)))
+      / (len(l3) * (len(l3) + 1) / 2.0), 6) AS ma_l,
+    round(list_reduce(
+      l4, (a, x) -> x * CAST(0.4 AS DOUBLE) + a * CAST(0.6 AS DOUBLE)
+    ), 6) AS ma_e
+  FROM win
+)
+SELECT 'count' AS agg, CAST(k AS VARCHAR) AS key, cnt AS val FROM calc
+UNION ALL SELECT 'ma_s', CAST(k AS VARCHAR), ma_s FROM calc
+UNION ALL SELECT 'ma_l', CAST(k AS VARCHAR), ma_l FROM calc
+UNION ALL SELECT 'ma_e', CAST(k AS VARCHAR), ma_e FROM calc
+"""
     # reindex must be result-identical to the source index, so it
     # shares the source's oracle verbatim
     sql["reindex_engine"] = _bm25_indexed_sql()

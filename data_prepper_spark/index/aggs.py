@@ -376,6 +376,94 @@ def bucket_pipeline(
             out = out.withColumn(
                 out_col, fn(path).over(w.rowsBetween(-window, -1))
             )
+        elif kind == "moving_avg":
+            # the legacy moving_avg pipeline (moving_fn's
+            # predecessor — OpenSearch still accepts it and the
+            # model set is what its users reach for): same shift-0
+            # frame as moving_fn (the `window` buckets ending just
+            # before the current), but PARTIAL windows compute (the
+            # documented contract: second bucket = first value;
+            # only the first bucket is NULL). models:
+            #   simple — unweighted mean
+            #   linear — weights 1..n, newest heaviest
+            #   ewma   — a=settings.alpha (0.3) fold from oldest,
+            #            acc0 = oldest value
+            #   holt   — double exponential smoothing: s0=v0,
+            #            b0=v1-v0 (0 if n==1), then
+            #            s_i = a*v_i + (1-a)(s+b),
+            #            b_i = beta*(s_i - s) + (1-beta)*b; emits s.
+            # holt_winters needs a season period (and a cost model
+            # this engine has no seasonal fixtures for) — loud
+            # NotImplementedError, like `predict`.
+            model = str((conf or {}).get("model", "simple"))
+            if model not in ("simple", "linear", "ewma", "holt"):
+                raise NotImplementedError(
+                    f"moving_avg model '{model}'"
+                )
+            if (conf or {}).get("predict"):
+                raise NotImplementedError("moving_avg predict")
+            window = int((conf or {}).get("window", 5))
+            st = (conf or {}).get("settings") or {}
+            alpha = float(st.get("alpha", 0.3))
+            beta = float(st.get("beta", 0.1))
+            vals = F.collect_list(F.col(path).cast("double")).over(
+                w.rowsBetween(-window, -1)
+            )
+            n_ = F.size(vals)
+            tail = F.slice(
+                vals, 2, F.greatest(n_ - 1, F.lit(0))
+            )
+            if model == "simple":
+                expr = (
+                    F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+                    / n_.cast("double")
+                )
+            elif model == "linear":
+                num = F.aggregate(
+                    F.zip_with(
+                        vals,
+                        F.sequence(F.lit(1), F.greatest(n_, F.lit(1))),
+                        lambda x, i: x * i.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                den = (
+                    n_.cast("double") * (n_ + 1).cast("double") / 2.0
+                )
+                expr = num / den
+            elif model == "ewma":
+                expr = F.aggregate(
+                    tail,
+                    F.element_at(vals, 1),
+                    lambda a, x: x * alpha + a * (1.0 - alpha),
+                )
+            else:  # holt
+                init = F.struct(
+                    F.element_at(vals, 1).alias("s"),
+                    F.when(
+                        n_ >= 2,
+                        F.element_at(vals, 2) - F.element_at(vals, 1),
+                    ).otherwise(F.lit(0.0)).alias("b"),
+                )
+
+                def _holt_step(acc, x):
+                    new_s = (
+                        x * alpha
+                        + (acc["s"] + acc["b"]) * (1.0 - alpha)
+                    )
+                    new_b = (
+                        (new_s - acc["s"]) * beta
+                        + acc["b"] * (1.0 - beta)
+                    )
+                    return F.struct(
+                        new_s.alias("s"), new_b.alias("b")
+                    )
+
+                expr = F.aggregate(tail, init, _holt_step)["s"]
+            out = out.withColumn(
+                out_col, F.when(n_ > 0, expr)
+            )
         elif kind == "normalize":
             # rescale bucket metrics against the FULL frame
             # (unbounded window per query — bucket-cardinality-sized,

@@ -1687,7 +1687,8 @@ def search(
                     cumcards.append((nname, nconf["buckets_path"]))
                 elif nkind in (
                     "cumulative_sum", "derivative", "serial_diff",
-                    "moving_fn", "normalize", "moving_percentiles",
+                    "moving_fn", "moving_avg", "normalize",
+                    "moving_percentiles",
                 ):
                     path = nconf["buckets_path"]
                     path = "doc_count" if path == "_count" else path

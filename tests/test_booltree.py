@@ -2991,3 +2991,84 @@ def test_geo_shape_query(spark, dv_index, dv_corpus, tmp_path):
 
     with pytest.raises(NotImplementedError, match="relation"):
         got_for(env, relation="contains")
+
+
+def test_moving_avg_models(spark, dv_index, dv_corpus):
+    """legacy moving_avg pipeline: simple / linear / ewma / holt over
+    the shift-0 window (partial windows compute; first bucket NULL) —
+    each model replayed in pure Python on the collected counts."""
+    body = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"hist": {
+            "histogram": {"field": "n_chars", "interval": 2000},
+            "aggs": {
+                "ma_s": {"moving_avg": {
+                    "buckets_path": "_count", "window": 3,
+                }},
+                "ma_l": {"moving_avg": {
+                    "buckets_path": "_count", "window": 3,
+                    "model": "linear",
+                }},
+                "ma_e": {"moving_avg": {
+                    "buckets_path": "_count", "window": 4,
+                    "model": "ewma", "settings": {"alpha": 0.4},
+                }},
+                "ma_h": {"moving_avg": {
+                    "buckets_path": "_count", "window": 4,
+                    "model": "holt",
+                    "settings": {"alpha": 0.5, "beta": 0.2},
+                }},
+            },
+        }},
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    hist = res.aggregations["hist"].orderBy("key").collect()
+    assert len(hist) >= 5
+    counts = [float(r.doc_count) for r in hist]
+
+    def ewma(vs, a):
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = a * v + (1 - a) * acc
+        return acc
+
+    def holt(vs, a, b):
+        s = vs[0]
+        t = (vs[1] - vs[0]) if len(vs) >= 2 else 0.0
+        for v in vs[1:]:
+            s_new = a * v + (1 - a) * (s + t)
+            t = b * (s_new - s) + (1 - b) * t
+            s = s_new
+        return s
+
+    for i, r in enumerate(hist):
+        if i == 0:
+            assert r.ma_s is None and r.ma_l is None
+            assert r.ma_e is None and r.ma_h is None
+            continue
+        w3 = counts[max(0, i - 3):i]
+        w4 = counts[max(0, i - 4):i]
+        n = len(w3)
+        assert r.ma_s == pytest.approx(sum(w3) / n)
+        lin = sum(v * (j + 1) for j, v in enumerate(w3)) / (
+            n * (n + 1) / 2
+        )
+        assert r.ma_l == pytest.approx(lin)
+        assert r.ma_e == pytest.approx(ewma(w4, 0.4))
+        assert r.ma_h == pytest.approx(holt(w4, 0.5, 0.2))
+
+    for bad in (
+        {"model": "holt_winters"},
+        {"predict": 3},
+    ):
+        body_bad = {
+            "query": {"match": {"content": "gunaba"}},
+            "aggs": {"hist": {
+                "histogram": {"field": "n_chars", "interval": 2000},
+                "aggs": {"x": {"moving_avg": {
+                    "buckets_path": "_count", "window": 3, **bad,
+                }}},
+            }},
+        }
+        with pytest.raises(NotImplementedError):
+            search(spark, dv_index, body_bad, corpus_path=dv_corpus)
