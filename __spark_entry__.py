@@ -2194,9 +2194,38 @@ def ppl_pipeline(spark, sf_dir):
         (F.col("rows_out") + F.col("sh") + F.col("sk"))
         .cast("double").alias("val"),
     )
+    # pipeline H: kmeans (deterministic seeds = 3 smallest distinct
+    # values, 1 Lloyd iteration; integer inputs make the means exact
+    # doubles, so the oracle's replay is bit-identical)
+    h = ppl_query(
+        spark, idx,
+        "source=docs | kmeans centroids=3 iterations=1 fields=n_chars "
+        "| stats count() as c, sum(n_chars) as s by ClusterID",
+    )
+    hrows = None
+    for metric in ("c", "s"):
+        part = h.select(
+            F.lit("km_" + metric).alias("scope"),
+            F.col("ClusterID").cast("string").alias("key"),
+            F.col(metric).cast("double").alias("val"),
+        )
+        hrows = part if hrows is None else hrows.unionByName(part)
+    # pipeline I: ad (per-category trailing z-grade, verbose keeps
+    # every anomalous row; the oracle replays the window algebra)
+    irows = ppl_query(
+        spark, idx,
+        "source=docs | ad field=n_chars category_field=lang "
+        "time_field=path sample_size=8 output_after=2 threshold=1.0 "
+        "verbose=true | fields path, grade",
+    ).select(
+        F.lit("ad").alias("scope"),
+        F.col("path").alias("key"),
+        F.round(F.col("grade"), 6).alias("val"),
+    )
     return (
         arows.unionByName(brows).unionByName(c).unionByName(d)
         .unionByName(erows).unionByName(frows).unionByName(g)
+        .unionByName(hrows).unionByName(irows)
     )
 
 
@@ -12690,11 +12719,72 @@ grows AS (
           + sum(((n_chars % 3) * (n_chars % 3 + 1)) // 2)
          )::DOUBLE AS val
   FROM documents
+),
+kcent0 AS (
+  SELECT row_number() OVER (ORDER BY v) - 1 AS ci, v FROM (
+    SELECT DISTINCT n_chars::DOUBLE AS v FROM documents
+    ORDER BY v LIMIT 3
+  )
+),
+kassign0 AS (
+  SELECT d.doc_id, d.n_chars,
+         (SELECT ci FROM kcent0
+          ORDER BY (d.n_chars - v) * (d.n_chars - v), ci
+          LIMIT 1) AS c0
+  FROM documents d
+),
+kcent1 AS (
+  SELECT k0.ci, coalesce(k1.v, k0.v) AS v
+  FROM kcent0 k0
+  LEFT JOIN (
+    SELECT c0 AS ci, avg(n_chars::DOUBLE) AS v
+    FROM kassign0 GROUP BY 1
+  ) k1 USING (ci)
+),
+kassign1 AS (
+  SELECT d.doc_id, d.n_chars,
+         (SELECT ci FROM kcent1
+          ORDER BY (d.n_chars - v) * (d.n_chars - v), ci
+          LIMIT 1) AS c
+  FROM documents d
+),
+kagg AS (
+  SELECT c, count(*)::DOUBLE AS cnt, sum(n_chars)::DOUBLE AS s
+  FROM kassign1 GROUP BY 1
+),
+hrows AS (
+  SELECT 'km_c' AS scope, CAST(c AS VARCHAR) AS key, cnt AS val FROM kagg
+  UNION ALL SELECT 'km_s', CAST(c AS VARCHAR), s FROM kagg
+),
+adwin AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+         n_chars::DOUBLE AS x,
+         avg(n_chars::DOUBLE) OVER w AS mu,
+         stddev_samp(n_chars::DOUBLE) OVER w AS sd,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM documents
+  WINDOW w AS (PARTITION BY lang ORDER BY CAST(doc_id AS VARCHAR)
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+),
+adg AS (
+  SELECT key,
+         CASE WHEN sd > 0
+              THEN least(1.0, greatest(0.0, abs(x - mu) / sd - 1.0))
+         END AS grade,
+         rn
+  FROM adwin
+),
+irows AS (
+  SELECT 'ad' AS scope, key, round(grade, 6) AS val
+  FROM adg WHERE grade > 0 AND rn > 2
 )
 SELECT * FROM arows UNION ALL SELECT * FROM brows
 UNION ALL SELECT * FROM crows UNION ALL SELECT * FROM drows
 UNION ALL SELECT * FROM erows UNION ALL SELECT * FROM frows
-UNION ALL SELECT * FROM grows
+UNION ALL SELECT * FROM grows UNION ALL SELECT * FROM hrows
+UNION ALL SELECT * FROM irows
 """
     sql["dsl_highlight_page"] = f"""
 WITH toks AS (

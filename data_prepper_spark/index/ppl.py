@@ -78,6 +78,27 @@ Supported commands (the documented subset; anything else raises):
   column (explode; rows with null/empty arrays drop, matching PPL).
 - ``flatten <field>`` — promote a struct column's subfields to
   top-level columns (the struct column itself is dropped).
+- ``kmeans centroids=K iterations=N fields=a[,b...]`` — the PPL
+  k-means command: appends ``ClusterID``. DETERMINISTIC variant of
+  the plugin's sampler: seeds are the K smallest distinct field
+  tuples, then N Lloyd iterations where assignment is a native
+  argmin-over-literal-centroids expression (no UDF, no shuffle
+  beyond one groupBy per iteration) and the new means come back as
+  K driver-side floats — the 100-TB work (assignment) stays
+  distributed, the driver holds K·d numbers. Euclidean only
+  (``distance_type`` other than EUCLIDEAN raises). Rows with null
+  fields are dropped. ``fields=`` is required (the plugin's
+  all-numeric default would make results depend on upstream column
+  sets).
+- ``ad field=<num> time_field=<col> [category_field=<col>]
+  [sample_size=N] [output_after=N] [threshold=X] [verbose=true]`` —
+  the PPL anomaly-detection command routed through the engine's
+  anomaly_detector operator (operators/anomaly.py — trailing-window
+  z-grade, the documented RCF mechanism swap): emits the anomalous
+  rows with `deviation_from_expected` + `grade` appended. With
+  category_field the trailing stats window partitions per category;
+  without it the chunked global path runs (no single-partition
+  window).
 
 Reference: the PPL command/function set mirrors the public
 opensearch-project/sql PPL documentation; this is an independent
@@ -164,6 +185,59 @@ def _agg_col(spec: str):
     else:
         raise NotImplementedError(f"stats function '{fn}'")
     return col, (name or dflt)
+
+
+def _kmeans_assign(
+    df: DataFrame, fields: list[str], k: int, iters: int
+) -> DataFrame:
+    """Deterministic Lloyd k-means over numeric columns: seeds = the
+    k smallest distinct field tuples; each iteration is ONE
+    distributed groupBy (means per cluster) + a k·d-float collect;
+    assignment is a codegen argmin over literal centroids."""
+    vals = [F.col(f).cast("double") for f in fields]
+    for f in fields:
+        df = df.filter(F.col(f).isNotNull())
+    seeds = (
+        df.select(*[v.alias(f"__f{i}") for i, v in enumerate(vals)])
+        .distinct()
+        .orderBy(*[f"__f{i}" for i in range(len(fields))])
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(r[i]) for i in range(len(fields))] for r in seeds]
+
+    def assign(cs) -> Column:
+        arr = F.array(*[
+            F.struct(
+                sum(
+                    ((v - F.lit(c[i])) * (v - F.lit(c[i]))
+                     for i, v in enumerate(vals)),
+                    F.lit(0.0),
+                ).alias("d"),
+                F.lit(ci).alias("i"),
+            )
+            for ci, c in enumerate(cs)
+        ])
+        # struct compare orders by (d, i): ties land on the lowest
+        # centroid index in every engine that replays this
+        return F.array_min(arr)["i"]
+
+    for _ in range(iters):
+        rows = (
+            df.withColumn("__c", assign(cents))
+            .groupBy("__c")
+            .agg(*[
+                F.avg(v).alias(f"m{i}") for i, v in enumerate(vals)
+            ])
+            .collect()
+        )
+        new = list(cents)
+        for r in rows:  # empty clusters keep their old centroid
+            new[r["__c"]] = [
+                float(r[f"m{i}"]) for i in range(len(fields))
+            ]
+        cents = new
+    return df.withColumn("ClusterID", assign(cents).cast("int"))
 
 
 def ppl_base(
@@ -533,6 +607,53 @@ def ppl_query(
             fld, alias = em.group(1), em.group(2) or em.group(1)
             df = df.withColumn("__x", F.explode(F.col(fld)))
             df = df.drop(fld).withColumnRenamed("__x", alias)
+        elif kw == "kmeans":
+            opts = dict(re.findall(
+                r"(\w+)\s*=\s*'?([\w.,+-]+)'?", rest
+            ))
+            if opts.get(
+                "distance_type", "EUCLIDEAN"
+            ).upper() != "EUCLIDEAN":
+                raise NotImplementedError(
+                    f"kmeans distance_type "
+                    f"'{opts['distance_type']}'"
+                )
+            if "fields" not in opts:
+                raise ValueError(
+                    "kmeans needs fields=a[,b...] (explicit for "
+                    "deterministic clustering)"
+                )
+            df = _kmeans_assign(
+                df,
+                [c.strip() for c in opts["fields"].split(",")],
+                int(opts.get("centroids", 4)),
+                int(opts.get("iterations", 1)),
+            )
+        elif kw == "ad":
+            from ..operators.anomaly import anomaly_detector
+
+            opts = dict(re.findall(
+                r"(\w+)\s*=\s*'?([\w.+-]+)'?", rest
+            ))
+            if "field" not in opts or "time_field" not in opts:
+                raise ValueError(
+                    "ad needs field= and time_field= (batch anomaly "
+                    "grading requires a deterministic order)"
+                )
+            df = anomaly_detector(
+                df,
+                keys=[opts["field"]],
+                identification_keys=(
+                    [opts["category_field"]]
+                    if "category_field" in opts else None
+                ),
+                order_by=[opts["time_field"]],
+                sample_size=int(opts.get("sample_size", 256)),
+                output_after=int(opts.get("output_after", 32)),
+                threshold=float(opts.get("threshold", 3.0)),
+                verbose=opts.get("verbose", "false").lower()
+                == "true",
+            )
         elif kw == "flatten":
             fld = rest.strip()
             sub = [

@@ -359,3 +359,78 @@ def test_ppl_expand_flatten(spark, ppl_env):
     pd.testing.assert_frame_equal(
         got.astype({"half": "int64", "k": "int64"}), want
     )
+
+
+def test_ppl_kmeans(spark, ppl_env):
+    """kmeans: deterministic seeds (k smallest distinct tuples) + N
+    Lloyd iterations, replayed in pure numpy; ClusterID appended;
+    non-euclidean distance raises; missing fields= raises."""
+    import numpy as np
+
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | kmeans centroids=3 iterations=2 fields=n_chars "
+        "| fields path, n_chars, ClusterID",
+    ).toPandas().sort_values("path").reset_index(drop=True)
+
+    x = aug.sort_values("path").n_chars.to_numpy(dtype=float)
+    seeds = np.sort(np.unique(x))[:3]
+    cents = seeds.copy()
+    for _ in range(2):
+        d = np.abs(x[:, None] - cents[None, :])
+        a = d.argmin(axis=1)  # argmin ties -> lowest index
+        for j in range(3):
+            if (a == j).any():
+                cents[j] = x[a == j].mean()
+    d = np.abs(x[:, None] - cents[None, :])
+    want = d.argmin(axis=1)
+    assert got.ClusterID.to_numpy().tolist() == want.tolist()
+    assert got.ClusterID.nunique() > 1
+    with pytest.raises(NotImplementedError, match="distance_type"):
+        ppl_query(
+            spark, idx,
+            "source=docs | kmeans centroids=2 fields=n_chars "
+            "distance_type='COSINE'",
+        )
+    with pytest.raises(ValueError, match="fields="):
+        ppl_query(spark, idx, "source=docs | kmeans centroids=2")
+
+
+def test_ppl_ad(spark, ppl_env):
+    """ad: routes through operators/anomaly.anomaly_detector —
+    per-category trailing z-grade replayed in pandas (verbose=true
+    keeps every anomalous row)."""
+    import numpy as np
+
+    idx, cpath, aug = ppl_env
+    got = ppl_query(
+        spark, idx,
+        "source=docs | ad field=n_chars category_field=lang "
+        "time_field=path sample_size=8 output_after=2 threshold=1.0 "
+        "verbose=true | fields path, lang, grade",
+    ).toPandas().sort_values("path").reset_index(drop=True)
+
+    rows = []
+    for lang, g in aug.sort_values("path").groupby("lang"):
+        v = g.n_chars.to_numpy(dtype=float)
+        for i in range(len(v)):
+            lo = max(0, i - 8)
+            win = v[lo:i]
+            if len(win) < 2:
+                continue
+            sd = win.std(ddof=1)
+            if not sd > 0:
+                continue
+            z = abs(v[i] - win.mean()) / sd
+            grade = min(1.0, max(0.0, z / 1.0 - 1.0))
+            if grade > 0 and i + 1 > 2:
+                rows.append((g.path.iloc[i], lang, grade))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["path", "lang", "grade"])
+    want = want.sort_values("path").reset_index(drop=True)
+    assert got.path.tolist() == want.path.tolist() and len(got) > 0
+    assert got.grade.tolist() == pytest.approx(want.grade.tolist())
+    with pytest.raises(ValueError, match="time_field"):
+        ppl_query(spark, idx, "source=docs | ad field=n_chars")
