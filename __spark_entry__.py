@@ -7162,6 +7162,85 @@ def dsl_moving_avg(spark, sf_dir):
     return out
 
 
+def dsl_ks_correlation(spark, sf_dir):
+    """ml-commons sibling pipeline pair (index/aggs.py::
+    sibling_bucket_metric): `bucket_count_ks_test` (one-sample K-S of
+    the bucket-count distribution against uniform fractions — D per
+    alternative + Kolmogorov-series/one-sided-exponential p-values,
+    all window+fold algebra on the bucket frame) and
+    `bucket_correlation` (Pearson r between key-ordered counts and an
+    integer ramp 1..nb). The bucket count nb is probed first (one
+    tiny agg) so the fractions vector matches the frame; the oracle
+    derives the same cdf/ramp from row_number over its own bucket
+    replay."""
+    import math
+
+    from data_prepper_spark.index.dsl import search as dsl_search
+    from data_prepper_spark.index.query import attach_doc_values
+
+    cpath, idx = _docs_index(spark, sf_dir)
+    attach_doc_values(spark, idx, cpath, cols=("n_chars",))
+    probe = dsl_search(
+        spark, idx,
+        {"query": {"match": {"content": "data merge"}},
+         "aggs": {"hist": {"histogram": {
+             "field": "n_chars", "interval": 100,
+         }}}},
+        corpus_path=cpath,
+    )
+    nb = probe.aggregations["hist"].count()
+    res = dsl_search(
+        spark, idx,
+        {
+            "query": {"match": {"content": "data merge"}},
+            "aggs": {
+                "hist": {"histogram": {
+                    "field": "n_chars", "interval": 100,
+                }},
+                "ks": {"bucket_count_ks_test": {
+                    "buckets_path": "hist>_count",
+                    "fractions": [1.0 / nb] * nb,
+                    "alternative": [
+                        "two_sided", "less", "greater",
+                    ],
+                }},
+                "corr": {"bucket_correlation": {
+                    "buckets_path": "hist>_count",
+                    "expectations": [float(i + 1) for i in range(nb)],
+                }},
+            },
+        },
+        corpus_path=cpath,
+    )
+    ks = res.aggregations["ks"]
+    parts = [
+        ks.select(
+            F.lit("ks_d").alias("scope"),
+            F.col("alternative").alias("key"),
+            F.round(F.col("d_stat"), 6).alias("val"),
+        ),
+        ks.select(
+            F.lit("ks_p").alias("scope"),
+            F.col("alternative").alias("key"),
+            F.round(F.col("p_value"), 6).alias("val"),
+        ),
+        res.aggregations["corr"].select(
+            F.lit("corr").alias("scope"),
+            F.lit("").alias("key"),
+            F.round(F.col("value"), 6).alias("val"),
+        ),
+        res.aggregations["hist"].select(
+            F.lit("count").alias("scope"),
+            F.col("key").cast("long").cast("string").alias("key"),
+            F.col("doc_count").cast("double").alias("val"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -7721,6 +7800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-6 additions (never driver-checked) --
         "pit_search_isolation": pit_search_isolation,
         "dsl_moving_avg": dsl_moving_avg,
+        "dsl_ks_correlation": dsl_ks_correlation,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
@@ -9399,6 +9479,60 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
     sql["pit_search_isolation"] = _bm25_indexed_sql(
         where="WHERE doc_id % 10 = 0"
     )
+    sql["dsl_ks_correlation"] = f"""
+WITH mtok AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({tokenize_sql('text')}) AS term FROM documents
+  ) WHERE term IN ('data', 'merge')
+),
+hist AS (
+  SELECT CAST(floor(d.n_chars / 100.0) * 100 AS BIGINT) AS k,
+         count(*)::DOUBLE AS cnt
+  FROM documents d JOIN mtok USING (doc_id)
+  GROUP BY 1
+),
+nbt AS (SELECT count(*)::DOUBLE AS nb, sum(cnt) AS n FROM hist),
+seq AS (
+  SELECT k, cnt,
+    row_number() OVER (ORDER BY k) AS rn,
+    sum(cnt) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS ccnt
+  FROM hist
+),
+dd AS (
+  SELECT s.rn, s.cnt, s.ccnt / b.n AS ecdf,
+    sum(1.0 / b.nb) OVER (ORDER BY s.rn ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cdf,
+    b.n AS n
+  FROM seq s CROSS JOIN nbt b
+),
+kstat AS (
+  SELECT max(abs(ecdf - cdf)) AS d_two,
+         max(cdf - ecdf) AS d_less,
+         max(ecdf - cdf) AS d_greater,
+         max(n) AS n
+  FROM dd
+),
+kp AS (
+  SELECT d_two, d_less, d_greater,
+    least(1.0, greatest(0.0, 2 * list_sum(list_transform(
+      generate_series(1, 100),
+      j -> power(-1.0, j - 1)
+           * exp(-2.0 * j * j * n * d_two * d_two))))) AS p_two,
+    exp(-2.0 * n * d_less * d_less) AS p_less,
+    exp(-2.0 * n * d_greater * d_greater) AS p_greater
+  FROM kstat
+),
+crow AS (SELECT corr(cnt, rn * 1.0) AS r FROM seq)
+SELECT 'ks_d' AS scope, 'two_sided' AS key, round(d_two, 6) AS val FROM kp
+UNION ALL SELECT 'ks_d', 'less', round(d_less, 6) FROM kp
+UNION ALL SELECT 'ks_d', 'greater', round(d_greater, 6) FROM kp
+UNION ALL SELECT 'ks_p', 'two_sided', round(p_two, 6) FROM kp
+UNION ALL SELECT 'ks_p', 'less', round(p_less, 6) FROM kp
+UNION ALL SELECT 'ks_p', 'greater', round(p_greater, 6) FROM kp
+UNION ALL SELECT 'corr', '', round(r, 6) FROM crow
+UNION ALL SELECT 'count', CAST(k AS VARCHAR), cnt FROM hist
+"""
     sql["dsl_moving_avg"] = f"""
 WITH mtok AS (
   SELECT DISTINCT doc_id FROM (

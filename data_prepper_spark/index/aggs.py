@@ -679,6 +679,125 @@ def sibling_bucket_metric(
             F.sum(v).alias("sum_v"),
             F.avg(v).alias("avg_v"),
         )
+    if kind == "bucket_count_ks_test":
+        # the ml-commons sibling: one-sample Kolmogorov-Smirnov of
+        # the bucket-count distribution against expected `fractions`
+        # (one per bucket, KEY order — the parent must be an ordered
+        # bucket agg). Mechanism-equivalent documented form: the
+        # empirical CDF is the cumulative count share; D statistics
+        # per `alternative` (two_sided = max |ecdf-cdf|, less =
+        # max(cdf-ecdf), greater = max(ecdf-cdf)); p-values are the
+        # textbook asymptotics — one-sided exp(-2nD²), two-sided the
+        # Kolmogorov series 2Σ(-1)^{j-1}exp(-2j²nD²) truncated at
+        # j=100 and clamped to [0,1]. All window + fold algebra over
+        # the bucket frame; n = total count.
+        fracs = [float(x) for x in (conf or {})["fractions"]]
+        alts = list((conf or {}).get(
+            "alternative", ["two_sided"]
+        ))
+        cdf_vals = []
+        acc = 0.0
+        for fr in fracs:
+            acc += fr
+            cdf_vals.append(acc)
+        wk = Window.partitionBy("query_id").orderBy(F.asc("key"))
+        x = v.cast("double")
+        tot = F.sum(x).over(
+            wk.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        ecdf = F.sum(x).over(
+            wk.rowsBetween(Window.unboundedPreceding, 0)
+        ) / tot
+        expc = F.element_at(
+            F.array(*[F.lit(c) for c in cdf_vals]),
+            F.row_number().over(wk),
+        )
+        rows = buckets.select(
+            "query_id",
+            (ecdf - expc).alias("dplus"),
+            tot.alias("n_tot"),
+        )
+        stat = rows.groupBy("query_id").agg(
+            F.max(F.abs(F.col("dplus"))).alias("d_two"),
+            F.max(-F.col("dplus")).alias("d_less"),
+            F.max(F.col("dplus")).alias("d_greater"),
+            F.first("n_tot").alias("n_tot"),
+        )
+        n_ = F.col("n_tot")
+
+        def _p(alt):
+            d = F.col({
+                "two_sided": "d_two", "less": "d_less",
+                "greater": "d_greater",
+            }[alt])
+            d = F.greatest(d, F.lit(0.0))
+            if alt == "two_sided":
+                series = F.aggregate(
+                    F.sequence(F.lit(1), F.lit(100)),
+                    F.lit(0.0),
+                    lambda a, j: a
+                    + F.pow(F.lit(-1.0), (j - 1).cast("double"))
+                    * F.exp(
+                        F.lit(-2.0) * j.cast("double")
+                        * j.cast("double") * n_ * d * d
+                    ),
+                )
+                return F.least(
+                    F.lit(1.0),
+                    F.greatest(F.lit(0.0), 2.0 * series),
+                )
+            return F.exp(F.lit(-2.0) * n_ * d * d)
+
+        parts = [
+            stat.select(
+                "query_id", F.lit(alt).alias("alternative"),
+                F.col({
+                    "two_sided": "d_two", "less": "d_less",
+                    "greater": "d_greater",
+                }[alt]).alias("d_stat"),
+                _p(alt).alias("p_value"),
+            )
+            for alt in alts
+        ]
+        out = parts[0]
+        for pt in parts[1:]:
+            out = out.unionByName(pt)
+        return out
+    if kind == "bucket_correlation":
+        # ml-commons count_correlation sibling: Pearson r between
+        # the key-ordered bucket values and the provided
+        # `expectations` curve (documented simplified indicator
+        # form). One window for the index, one groupBy corr.
+        exps = [
+            float(x)
+            for x in (conf or {}).get(
+                "expectations",
+                ((conf or {}).get("function", {})
+                 .get("count_correlation", {})
+                 .get("indicator", {})
+                 .get("expectations", [])),
+            )
+        ]
+        if not exps:
+            raise ValueError(
+                "bucket_correlation needs expectations "
+                "(or function.count_correlation.indicator."
+                "expectations)"
+            )
+        wk = Window.partitionBy("query_id").orderBy(F.asc("key"))
+        expc = F.element_at(
+            F.array(*[F.lit(e) for e in exps]),
+            F.row_number().over(wk),
+        )
+        rows = buckets.select(
+            "query_id", v.cast("double").alias("x"),
+            expc.alias("e"),
+        )
+        return rows.groupBy("query_id").agg(
+            F.corr("x", "e").alias("value")
+        )
     fn = {
         "avg_bucket": F.avg,
         "sum_bucket": F.sum,

@@ -1407,6 +1407,7 @@ def search(
     _SIBLING_PIPES = {
         "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
         "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
+        "bucket_count_ks_test", "bucket_correlation",
     }
     sibling_specs = {
         name: aspec for name, aspec in agg_body.items()

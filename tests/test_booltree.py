@@ -3072,3 +3072,87 @@ def test_moving_avg_models(spark, dv_index, dv_corpus):
         }
         with pytest.raises(NotImplementedError):
             search(spark, dv_index, body_bad, corpus_path=dv_corpus)
+
+
+def test_ks_test_and_bucket_correlation(spark, dv_index, dv_corpus):
+    """bucket_count_ks_test + bucket_correlation siblings (the
+    ml-commons pipeline pair) over a histogram parent — D statistics,
+    Kolmogorov p-values, and Pearson r replayed in numpy on the
+    collected bucket counts."""
+    import math
+
+    import numpy as np
+
+    hist_body = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {"hist": {
+            "histogram": {"field": "n_chars", "interval": 2000},
+        }},
+    }
+    base = search(spark, dv_index, hist_body, corpus_path=dv_corpus)
+    counts = [
+        float(r.doc_count)
+        for r in base.aggregations["hist"].orderBy("key").collect()
+    ]
+    nb = len(counts)
+    assert nb >= 4
+    fracs = [1.0 / nb] * nb  # uniform expectation
+    expect_curve = list(np.linspace(1.0, 2.0, nb))
+
+    body = {
+        "query": {"match": {"content": "gunaba"}},
+        "aggs": {
+            "hist": {"histogram": {
+                "field": "n_chars", "interval": 2000,
+            }},
+            "ks": {"bucket_count_ks_test": {
+                "buckets_path": "hist>_count",
+                "fractions": fracs,
+                "alternative": ["two_sided", "less", "greater"],
+            }},
+            "corr": {"bucket_correlation": {
+                "buckets_path": "hist>_count",
+                "function": {"count_correlation": {"indicator": {
+                    "expectations": expect_curve,
+                }}},
+            }},
+        },
+    }
+    res = search(spark, dv_index, body, corpus_path=dv_corpus)
+    ks = {
+        r.alternative: (r.d_stat, r.p_value)
+        for r in res.aggregations["ks"].collect()
+    }
+    n = sum(counts)
+    ecdf = np.cumsum(counts) / n
+    cdf = np.cumsum(fracs)
+    d_two = float(np.max(np.abs(ecdf - cdf)))
+    d_less = float(np.max(cdf - ecdf))
+    d_greater = float(np.max(ecdf - cdf))
+    assert ks["two_sided"][0] == pytest.approx(d_two)
+    assert ks["less"][0] == pytest.approx(d_less)
+    assert ks["greater"][0] == pytest.approx(d_greater)
+    series = sum(
+        (-1) ** (j - 1) * math.exp(-2 * j * j * n * d_two * d_two)
+        for j in range(1, 101)
+    )
+    assert ks["two_sided"][1] == pytest.approx(
+        min(1.0, max(0.0, 2 * series))
+    )
+    assert ks["less"][1] == pytest.approx(
+        math.exp(-2 * n * d_less * d_less)
+    )
+    r = res.aggregations["corr"].collect()[0].value
+    assert r == pytest.approx(
+        float(np.corrcoef(counts, expect_curve)[0, 1])
+    )
+    # missing expectations raise
+    bad = dict(body)
+    bad["aggs"] = {
+        "hist": body["aggs"]["hist"],
+        "corr": {"bucket_correlation": {
+            "buckets_path": "hist>_count",
+        }},
+    }
+    with pytest.raises(ValueError, match="expectations"):
+        search(spark, dv_index, bad, corpus_path=dv_corpus)
