@@ -90,6 +90,8 @@ Supported commands (the documented subset; anything else raises):
   fields are dropped. ``fields=`` is required (the plugin's
   all-numeric default would make results depend on upstream column
   sets).
+- ``describe <index>`` — the doc view's schema as rows
+  (column_name, data_type); where/fields/sort/head compose after it.
 - ``ad field=<num> time_field=<col> [category_field=<col>]
   [sample_size=N] [output_after=N] [threshold=X] [verbose=true]`` —
   the PPL anomaly-detection command routed through the engine's
@@ -309,6 +311,35 @@ def ppl_query(
     if not cmds:
         raise ValueError("empty PPL query")
     head = cmds[0]
+    dm = re.match(r"^describe\s+\w+\s*$", head, re.IGNORECASE)
+    if dm:
+        # PPL describe: the doc view's schema as rows (column_name,
+        # data_type) — metadata only, later piped commands (where /
+        # fields / sort / head) apply to the schema table
+        base = ppl_base(
+            spark, index_dir, corpus_path, with_content=False
+        )
+        df = spark.createDataFrame(
+            list(base.dtypes), "column_name string, data_type string"
+        )
+        for cmd in cmds[1:]:
+            kw, _, rest = cmd.partition(" ")
+            kw, rest = kw.lower(), rest.strip()
+            if kw == "where":
+                df = df.filter(F.expr(rest))
+            elif kw == "fields":
+                df = df.select(*[
+                    c.strip() for c in rest.split(",") if c.strip()
+                ])
+            elif kw == "sort":
+                df = df.orderBy(rest.lstrip("+").strip())
+            elif kw == "head":
+                df = df.limit(int(rest or 10))
+            else:
+                raise NotImplementedError(
+                    f"PPL command '{kw}' after describe"
+                )
+        return df
     m = re.match(
         r"^(?:search\s+)?source\s*=\s*(\w+)\s*(.*)$", head, re.IGNORECASE
     )

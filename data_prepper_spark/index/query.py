@@ -1881,6 +1881,49 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def search_shards(spark: SparkSession, index_dir: str) -> DataFrame:
+    """`_search_shards` analog. This engine's unit of query routing
+    is the postings BUCKET partition (`postings/bucket=N/` — query
+    terms hash to buckets and scans prune to exactly those
+    directories, the same role OpenSearch shards play for routed
+    searches). One metadata-only listing per bucket: parquet file
+    count + bytes, plus the dictionary's term count per bucket so a
+    user can see routing balance (the dictionary job is
+    vocabulary-thin). No postings bytes are read."""
+    from .. import fsio
+
+    stats = load_stats(index_dir)
+    post = os.path.join(index_dir, "postings")
+    rows = []
+    for d in sorted(fsio.listdir(post)):
+        base = fsio.basename(d.rstrip("/"))
+        if not base.startswith("bucket="):
+            continue
+        files = [
+            p for p in fsio.listdir(d)
+            if fsio.basename(p).endswith(".parquet")
+        ]
+        rows.append((
+            int(base.split("=", 1)[1]),
+            len(files),
+            int(fsio.du(d)),
+        ))
+    layout = spark.createDataFrame(
+        rows, "bucket int, files long, bytes long"
+    )
+    terms_per = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n_terms"))
+    )
+    return (
+        layout.join(terms_per, "bucket", "left")
+        .withColumn("n_terms", F.coalesce("n_terms", F.lit(0)))
+        .withColumn("n_buckets", F.lit(int(stats["n_buckets"])))
+        .orderBy("bucket")
+    )
+
+
 def suggest(
     spark: SparkSession,
     index_dir: str,

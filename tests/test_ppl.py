@@ -434,3 +434,21 @@ def test_ppl_ad(spark, ppl_env):
     assert got.grade.tolist() == pytest.approx(want.grade.tolist())
     with pytest.raises(ValueError, match="time_field"):
         ppl_query(spark, idx, "source=docs | ad field=n_chars")
+
+
+def test_ppl_describe(spark, ppl_env):
+    """describe: schema rows of the doc view; piped where/sort/head
+    compose on the metadata table."""
+    idx, cpath, aug = ppl_env
+    got = ppl_query(spark, idx, "describe docs").toPandas()
+    cols = dict(zip(got.column_name, got.data_type))
+    assert {"doc_id", "repo", "path", "commit"} <= set(cols)
+    assert cols.get("lang") == "string"
+    assert cols.get("n_chars") == "bigint"
+    filtered = ppl_query(
+        spark, idx,
+        "describe docs | where data_type = 'string' "
+        "| sort column_name | head 2",
+    ).toPandas()
+    want = sorted(k for k, v in cols.items() if v == "string")[:2]
+    assert filtered.column_name.tolist() == want

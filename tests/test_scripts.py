@@ -120,3 +120,64 @@ def test_unknown_id_in_search_fails_loudly(spark, env):
                 "script": {"id": "never_put"},
             }},
         })
+
+
+def test_search_shards_layout(spark, env):
+    """_search_shards analog: one row per postings bucket partition
+    with file count/bytes + per-bucket dictionary term counts; term
+    counts sum to the dictionary size, bucket ids match the physical
+    dirs, n_buckets echoes stats.json."""
+    import os
+
+    from data_prepper_spark.index.query import load_stats, search_shards
+
+    idx, _ = env
+    got = search_shards(spark, idx).toPandas()
+    stats = load_stats(idx)
+    phys = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("bucket=")
+    )
+    assert got.bucket.tolist() == phys
+    assert (got.files >= 1).all() and (got["bytes"] > 0).all()
+    n_terms_total = spark.read.parquet(
+        os.path.join(idx, "terms")
+    ).count()
+    assert int(got.n_terms.sum()) == n_terms_total
+    assert (got.n_buckets == stats["n_buckets"]).all()
+
+
+def test_profile_section(spark, env):
+    """body {"profile": true}: DSLResult.profile carries the compiled
+    post-rewrite query tree (OpenSearch profile query-section shape),
+    the Catalyst physical plan for hits, per-aggregation plans, and
+    the measured driver compile time; absent without the flag."""
+    idx, cpath = env
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"content": "gunaba"}}],
+            "filter": [{"range": {"n_chars": {"gte": 0}}}],
+        }},
+        "aggs": {"hist": {"histogram": {
+            "field": "n_chars", "interval": 5000,
+        }}},
+        "profile": True,
+    }
+    res = search(spark, idx, body, corpus_path=cpath)
+    prof = res.profile
+    assert prof is not None and prof["compile_ms"] > 0
+    (qt,) = prof["query"]
+    assert qt["type"] == "bool"
+    kinds = sorted(c["type"] for c in qt["children"])
+    assert kinds == ["match", "range"]
+    assert all(
+        isinstance(c["description"], str) for c in qt["children"]
+    )
+    assert "== Physical Plan ==" in prof["hits_plan"]
+    assert "hist" in prof["aggregation_plans"]
+    assert prof["aggregation_plans"]["hist"].strip()
+    # no flag -> no profile
+    assert search(
+        spark, idx, {"query": {"match": {"content": "gunaba"}}}
+    ).profile is None
