@@ -210,7 +210,11 @@ def test_snapshot_restore_distributed(spark, index_dir, queries_pdf,
 
     repo = str(tmp_path / "snaprepo_dist")
     man_d = snapshot_index(index_dir, repo, "sd", spark=spark)
-    man_l = snapshot_index(index_dir, repo, "sl")  # driver loop
+    # driver loop, incremental OFF so both are full copies and the
+    # size maps are comparable
+    man_l = snapshot_index(
+        index_dir, repo, "sl", incremental=False
+    )
     assert man_d["files"] == man_l["files"]
     verify_snapshot(repo, "sd")
 
@@ -224,3 +228,75 @@ def test_snapshot_restore_distributed(spark, index_dir, queries_pdf,
         ["query_id", "rank"]).reset_index(drop=True)
     assert (a.doc_id == b.doc_id).all()
     assert (a.score == b.score).all()
+
+
+def test_incremental_snapshot_reuse_and_gc(spark, index_dir,
+                                           queries_pdf, tmp_path):
+    """Incremental snapshots: a second snapshot of the same index
+    copies ZERO parquet bytes (every data file referenced from the
+    first), restore resolves references and answers queries
+    identically, delete refuses while referenced, and a lineage that
+    gains one new parquet file copies ONLY that file."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_prepper_spark.index.query import topk
+    from data_prepper_spark.index.snapshot import (
+        delete_snapshot,
+        restore_index,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    repo = str(tmp_path / "increpo")
+    m1 = snapshot_index(index_dir, repo, "s1")
+    assert m1["reused"] == {} and m1["bytes_copied"] > 0
+
+    m2 = snapshot_index(index_dir, repo, "s2")
+    assert m2["n_files"] == m1["n_files"]
+    # every parquet referenced, nothing parquet-sized copied
+    assert all(r.endswith(".parquet") for r in m2["reused"])
+    assert not any(r.endswith(".parquet") for r in m2["files"])
+    assert m2["bytes_reused"] > 0
+    assert m2["bytes_copied"] < m1["bytes_copied"]
+    assert all(ref["from"] == "s1" for ref in m2["reused"].values())
+    verify_snapshot(repo, "s2")
+
+    restored = str(tmp_path / "restored2")
+    restore_index(repo, "s2", restored)
+    qdf = spark.createDataFrame(queries_pdf.head(5))
+    a = topk(spark, index_dir, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = topk(spark, restored, qdf, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert (a.doc_id == b.doc_id).all() and (a.score == b.score).all()
+
+    # holders outlive referrers
+    with _pytest.raises(RuntimeError, match="referenced"):
+        delete_snapshot(repo, "s1")
+
+    # a lineage gaining one parquet file copies only that file
+    extra_dir = os.path.join(restored, "extra")
+    os.makedirs(extra_dir)
+    pd.DataFrame({"x": [1, 2]}).to_parquet(
+        os.path.join(extra_dir, "part-new.parquet")
+    )
+    m3 = snapshot_index(restored, repo, "s3")
+    new_parquets = [
+        r for r in m3["files"] if r.endswith(".parquet")
+    ]
+    assert new_parquets == ["extra/part-new.parquet"]
+    assert len(m3["reused"]) == len(m2["reused"])
+    verify_snapshot(repo, "s3")
+
+    # third-generation references point at the ORIGINAL holder (s1),
+    # never forming chains through s2
+    assert {ref["from"] for ref in m3["reused"].values()} == {"s1"}
+
+    delete_snapshot(repo, "s3")
+    delete_snapshot(repo, "s2")
+    delete_snapshot(repo, "s1")  # now unreferenced
+    with _pytest.raises(RuntimeError, match="no completed snapshot"):
+        delete_snapshot(repo, "s1")
