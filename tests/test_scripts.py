@@ -181,3 +181,69 @@ def test_profile_section(spark, env):
     assert search(
         spark, idx, {"query": {"match": {"content": "gunaba"}}}
     ).profile is None
+
+
+def test_rollover_lifecycle(spark, env, tmp_path):
+    """_rollover analog (index/rollover.py): conditions evaluate
+    against the write generation (built index stats.json OR summed
+    delta-tree stats), dry_run reports without mutating, a met
+    condition atomically appends the next generation + moves the
+    write pointer, duplicates and filtered aliases refuse."""
+    import json
+    import os
+
+    from data_prepper_spark.index.aliases import get_aliases, put_alias
+    from data_prepper_spark.index.rollover import (
+        _count_docs,
+        rollover,
+        write_target,
+    )
+
+    idx, _ = env
+    reg = str(tmp_path / "aliases.json")
+    put_alias(reg, "logs", [idx])
+    n = json.load(open(os.path.join(idx, "stats.json")))["n_docs"]
+    gen2 = str(tmp_path / "gen2")
+
+    # not met -> no-op
+    st = rollover(reg, "logs", gen2, max_docs=n + 1)
+    assert st["rolled_over"] is False
+    assert write_target(reg, "logs") == idx
+
+    # met but dry_run -> reported, not applied
+    st = rollover(reg, "logs", gen2, max_docs=n, dry_run=True)
+    assert st["rolled_over"] is False
+    assert st["conditions"][f"[max_docs: {n}]"] is True
+    assert write_target(reg, "logs") == idx
+
+    # met -> rolls, registry updated atomically
+    st = rollover(reg, "logs", gen2, max_docs=n)
+    assert st["rolled_over"] is True and st["new_index"] == gen2
+    assert get_aliases(reg)["logs"]["index"] == [idx, gen2]
+    assert write_target(reg, "logs") == gen2
+
+    # fresh write generation counts 0 docs -> size/docs not met
+    st = rollover(reg, "logs", str(tmp_path / "gen3"), max_docs=1,
+                  max_size_bytes=1)
+    assert st["rolled_over"] is False
+
+    # delta-tree generation: per-delta stats sum
+    droot = str(tmp_path / "droot")
+    for i, nd in enumerate((3, 2)):
+        os.makedirs(os.path.join(droot, f"delta={i}"))
+        with open(os.path.join(droot, f"delta={i}", "stats.json"),
+                  "w") as f:
+            json.dump({"n_docs": nd, "avgdl": 1.0}, f)
+    assert _count_docs(droot) == 5
+
+    # duplicate generation refuses
+    with pytest.raises(ValueError, match="already a generation"):
+        rollover(reg, "logs", gen2, max_docs=0)
+    # filtered alias refuses
+    put_alias(reg, "tenant", idx,
+              filter={"term": {"content": "x"}})
+    with pytest.raises(NotImplementedError, match="filtered"):
+        rollover(reg, "tenant", gen2, max_docs=0)
+    # no conditions refuses
+    with pytest.raises(ValueError, match="condition"):
+        rollover(reg, "logs", str(tmp_path / "gen4"))
