@@ -7241,6 +7241,39 @@ def dsl_ks_correlation(spark, sf_dir):
     return out
 
 
+def c4_quality_filter(spark, sf_dir):
+    """C4-style cleaning (datapipe/textstats.py::c4_filters — the
+    published Raffel-et-al heuristics as one narrow map of native
+    array lambdas): line structure is synthesized deterministically
+    from the single-line documents table (every ' a ' becomes '.\\n',
+    so most lines end in terminal punctuation and the tail line
+    doesn't), then the line filter (terminal punctuation + >=3 words
+    + banned word 'customer') and doc flags (banned phrase
+    'spark group', curly brace) apply. Per-doc audit columns; rows
+    are never dropped (callers filter on c4_keep — the DLQ-friendly
+    shape). Oracle replays the whole construction in SQL."""
+    from data_prepper_spark.datapipe.textstats import c4_filters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " a ", ".\n").alias("text"),
+        F.col("text").alias("raw"),
+    )
+    out = c4_filters(
+        docs, "text",
+        banned_line_words=("customer",),
+        banned_doc_words=("spark group",),
+    )
+    return out.select(
+        "doc_id",
+        F.col("c4_n_lines").cast("long").alias("n_lines"),
+        F.col("c4_n_lines_kept").cast("long").alias("n_kept"),
+        F.length("c4_text").cast("long").alias("kept_chars"),
+        F.col("c4_has_banned").alias("has_banned"),
+        F.col("c4_keep").alias("keep"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -7801,6 +7834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_search_isolation": pit_search_isolation,
         "dsl_moving_avg": dsl_moving_avg,
         "dsl_ks_correlation": dsl_ks_correlation,
+        "c4_quality_filter": c4_quality_filter,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
@@ -9479,6 +9513,42 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
     sql["pit_search_isolation"] = _bm25_indexed_sql(
         where="WHERE doc_id % 10 = 0"
     )
+    sql["c4_quality_filter"] = """
+WITH t AS (
+  SELECT doc_id, text AS raw,
+         regexp_replace(text, ' a ', chr(46) || chr(10), 'g') AS tx
+  FROM documents
+),
+l AS (
+  SELECT doc_id, raw, tx,
+         unnest(string_split(tx, chr(10))) AS line
+  FROM t
+),
+lk AS (
+  SELECT doc_id, line,
+    CASE WHEN right(trim(line), 1) IN ('.', '!', '?', '"')
+         AND len(regexp_split_to_array(trim(line), '\\s+')) >= 3
+         AND NOT contains(lower(trim(line)), 'customer')
+    THEN 1 ELSE 0 END AS ok
+  FROM l
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(ok) AS n_kept,
+         coalesce(sum(CASE WHEN ok = 1 THEN len(line) END), 0)
+           + greatest(sum(ok) - 1, 0) AS kept_chars
+  FROM lk GROUP BY 1
+)
+SELECT a.doc_id,
+       a.n_lines::BIGINT AS n_lines,
+       a.n_kept::BIGINT AS n_kept,
+       a.kept_chars::BIGINT AS kept_chars,
+       contains(lower(t.tx), 'spark group') AS has_banned,
+       (a.n_kept >= 3 AND NOT contains(lower(t.tx), 'spark group')
+        AND NOT contains(t.tx, '{')) AS keep
+FROM agg a JOIN t USING (doc_id)
+"""
     sql["dsl_ks_correlation"] = f"""
 WITH mtok AS (
   SELECT DISTINCT doc_id FROM (

@@ -72,6 +72,67 @@ def quality_score(df: DataFrame, text_col: str, dest: str = "quality") -> DataFr
     return df.withColumn(dest, F.round(score, 6))
 
 
+def c4_filters(
+    df: DataFrame,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+    banned_line_words: tuple = ("javascript",),
+    banned_doc_words: tuple = ("lorem ipsum",),
+) -> DataFrame:
+    """The C4 line/document cleaning rules (Raffel et al. 2020 — the
+    published heuristics every from-scratch pretraining pipeline
+    reimplements), as ONE narrow map over native array lambdas — no
+    UDF, no shuffle, scales as a pure scan transform:
+
+    line level (a line survives iff):
+      - it ends in terminal punctuation (. ! ? or closing quote)
+      - it has >= min_words_per_line whitespace words
+      - it contains none of banned_line_words (case-insensitive)
+    doc level:
+      - c4_has_banned: any banned_doc_word present (lorem ipsum)
+      - c4_has_brace: contains '{' (the published code filter)
+      - c4_keep: >= min_lines surviving lines AND neither flag
+
+    Adds c4_text (surviving lines rejoined), c4_n_lines,
+    c4_n_lines_kept, c4_has_banned, c4_has_brace, c4_keep. The
+    filtering itself never drops rows — callers filter on c4_keep so
+    the audit trail (what was dropped and why) stays queryable, the
+    shape a 100-TB cleaning job needs for its DLQ/metrics."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def line_ok(l):
+        t = F.trim(l)
+        last = F.substring(t, -1, 1)
+        cond = last.isin(".", "!", "?", '"', "”")
+        cond = cond & (
+            F.size(F.split(t, r"\s+")) >= min_words_per_line
+        )
+        low = F.lower(t)
+        for w in banned_line_words:
+            cond = cond & ~low.contains(w)
+        return cond
+
+    kept = F.filter(lines, line_ok)
+    low_doc = F.lower(c)
+    has_banned = F.lit(False)
+    for w in banned_doc_words:
+        has_banned = has_banned | low_doc.contains(w)
+    has_brace = c.contains("{")
+    return (
+        df.withColumn("c4_text", F.array_join(kept, "\n"))
+        .withColumn("c4_n_lines", F.size(lines))
+        .withColumn("c4_n_lines_kept", F.size(kept))
+        .withColumn("c4_has_banned", has_banned)
+        .withColumn("c4_has_brace", has_brace)
+        .withColumn(
+            "c4_keep",
+            (F.size(kept) >= min_lines) & ~has_banned & ~has_brace,
+        )
+    )
+
+
 # GPT-2-style pretokenizer regex (BPE-ish word/punct/space classes),
 # expressible in both Spark (Java regex) and DuckDB (RE2)
 BPE_REGEX = r"'[a-z]+|[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+|\s+"

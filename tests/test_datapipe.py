@@ -609,3 +609,56 @@ def test_real_media_feature_extraction(spark):
     assert abs(f2[3] - 0.5 / np.sqrt(2)) < 0.01  # sine RMS ~ a/sqrt2
     # video + malformed image: deterministic fake, never an exception
     assert len(out[3]["feature"]) == 16 and len(out[4]["feature"]) == 16
+
+
+def test_c4_filters(spark):
+    """C4 cleaning rules: terminal-punctuation + min-words +
+    banned-word line filters, lorem-ipsum / curly-brace doc flags,
+    keep gate — replayed in pure Python per doc."""
+    from data_prepper_spark.datapipe.textstats import c4_filters
+
+    docs = [
+        (1, "Good first line here.\nAnother fine line!\n"
+            "Is this a question?\nno punct line\nshort."),
+        (2, "This uses javascript here.\nBut this line is fine.\n"
+            "And another good one.\nPlus a fourth keeper."),
+        (3, "Only one good line survives here.\ntiny.\nnope"),
+        (4, "Contains lorem ipsum filler text.\nGood line one here.\n"
+            "Good line two here.\nGood line three here."),
+        (5, "Has a curly { brace.\nGood line one here.\n"
+            "Good line two here.\nGood line three here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in c4_filters(df, "text").collect()
+    }
+
+    def ref(text):
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln.strip()[-1:] in ".!?\"”"
+            and len(ln.strip().split()) >= 3
+            and "javascript" not in ln.strip().lower()
+        ]
+        has_banned = "lorem ipsum" in text.lower()
+        has_brace = "{" in text
+        return (
+            "\n".join(kept), len(lines), len(kept),
+            has_banned, has_brace,
+            len(kept) >= 3 and not has_banned and not has_brace,
+        )
+
+    for did, text in docs:
+        r = got[did]
+        w = ref(text)
+        assert (
+            r.c4_text, r.c4_n_lines, r.c4_n_lines_kept,
+            r.c4_has_banned, r.c4_has_brace, r.c4_keep,
+        ) == w, did
+    assert got[1].c4_keep and got[2].c4_keep
+    assert not got[3].c4_keep  # too few surviving lines
+    assert not got[4].c4_keep  # lorem ipsum
+    assert not got[5].c4_keep  # brace
+    assert got[2].c4_n_lines_kept == 3  # javascript line dropped
