@@ -7274,6 +7274,26 @@ def c4_quality_filter(spark, sf_dir):
     )
 
 
+def ngram_logprob_score(spark, sf_dir):
+    """KenLM-style quality proxy (datapipe/textstats.py::ngram_model
+    + ngram_logprob): the add-one-smoothed char-trigram typicality
+    model trains on the even-doc_id half of the documents table (one
+    explode+groupBy; model cardinality bounded by |charset|^3, so it
+    broadcasts), then EVERY document scores by its mean trigram log
+    probability (explode -> broadcast join -> one grouped mean).
+    Oracle replays model + scoring in SQL."""
+    from data_prepper_spark.datapipe.textstats import (
+        ngram_logprob,
+        ngram_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = ngram_model(docs.where(F.col("doc_id") % 2 == 0), "text")
+    return ngram_logprob(docs, "text", model).select(
+        "doc_id", F.round(F.col("ngram_logprob"), 6).alias("lp")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -7835,6 +7855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_moving_avg": dsl_moving_avg,
         "dsl_ks_correlation": dsl_ks_correlation,
         "c4_quality_filter": c4_quality_filter,
+        "ngram_logprob_score": ngram_logprob_score,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
@@ -9513,6 +9534,35 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 5
     sql["pit_search_isolation"] = _bm25_indexed_sql(
         where="WHERE doc_id % 10 = 0"
     )
+    sql["ngram_logprob_score"] = """
+WITH ref AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+grams AS (
+  SELECT substring(text, i, 3) AS gram
+  FROM ref, LATERAL (
+    SELECT unnest(generate_series(1, len(text) - 2)) AS i
+  ) s
+  WHERE len(text) >= 3
+),
+model AS (SELECT gram, count(*)::DOUBLE AS c FROM grams GROUP BY 1),
+st AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM model),
+cand AS (
+  SELECT d.doc_id, substring(d.text, i, 3) AS gram
+  FROM documents d, LATERAL (
+    SELECT unnest(generate_series(1, len(d.text) - 2)) AS i
+  ) s
+  WHERE len(d.text) >= 3
+),
+sc AS (
+  SELECT c2.doc_id,
+         avg(ln((coalesce(m.c, 0) + 1) / (st.n + st.v))) AS lp
+  FROM cand c2
+  LEFT JOIN model m USING (gram)
+  CROSS JOIN st
+  GROUP BY 1
+)
+SELECT d.doc_id, round(sc.lp, 6) AS lp
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
     sql["c4_quality_filter"] = """
 WITH t AS (
   SELECT doc_id, text AS raw,

@@ -72,6 +72,86 @@ def quality_score(df: DataFrame, text_col: str, dest: str = "quality") -> DataFr
     return df.withColumn(dest, F.round(score, 6))
 
 
+def ngram_model(
+    df: DataFrame, text_col: str, n: int = 3
+) -> DataFrame:
+    """Character n-gram counts over a reference corpus — the training
+    half of the KenLM-style quality scorer (pretraining pipelines
+    score candidate documents by how typical their character
+    statistics are of a trusted corpus; the model here is the
+    add-one-smoothed n-gram TYPICALITY distribution, documented in
+    ngram_logprob). One explode + groupBy; the model's cardinality is
+    bounded by |charset|^n, not by corpus size, so it broadcasts."""
+    grams = F.when(
+        F.length(F.col(text_col)) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def ngram_logprob(
+    df: DataFrame,
+    text_col: str,
+    model: DataFrame,
+    n: int = 3,
+    dest: str = "ngram_logprob",
+) -> DataFrame:
+    """Score each document by its mean character-n-gram log
+    probability under `model` (ngram_model output) — the cheap
+    perplexity proxy pretraining pipelines use for quality filtering
+    when no LM is available. Documented formula (add-one-smoothed
+    typicality, NOT a conditional backoff chain — monotone-equivalent
+    for filtering and exactly replayable in SQL):
+
+        logP(gram) = ln((count(gram) + 1) / (N + V))
+        score(doc) = mean over the doc's n-grams of logP
+
+    with N = total gram occurrences and V = distinct grams in the
+    model; unseen grams get ln(1/(N+V)). Docs shorter than n chars
+    score NULL. Shape: explode -> broadcast model join (bounded by
+    |charset|^n) -> one groupBy(doc) mean — scales as a scan +
+    bounded-key join."""
+    stats = model.agg(
+        F.sum("c").cast("double").alias("N"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    grams = F.when(
+        F.length(F.col(text_col)) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = [c for c in df.columns]
+    exploded = df.select(*cols, F.explode(grams).alias("gram"))
+    scored = (
+        exploded.join(F.broadcast(model), "gram", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1.0)
+                / (F.col("N") + F.col("V"))
+            ),
+        )
+        .groupBy(*cols)
+        .agg(F.avg("__lp").alias(dest))
+    )
+    # docs with no grams (len < n) dropped by the explode: restore
+    # them with NULL scores (audit-friendly — rows never vanish)
+    short = df.join(
+        scored.select(*cols), cols, "left_anti"
+    ).withColumn(dest, F.lit(None).cast("double"))
+    return scored.unionByName(short)
+
+
 def c4_filters(
     df: DataFrame,
     text_col: str,

@@ -662,3 +662,52 @@ def test_c4_filters(spark):
     assert not got[4].c4_keep  # lorem ipsum
     assert not got[5].c4_keep  # brace
     assert got[2].c4_n_lines_kept == 3  # javascript line dropped
+
+
+def test_ngram_logprob(spark):
+    """KenLM-style quality proxy: add-one-smoothed char-trigram
+    typicality, replayed in pure Python (model from one corpus,
+    scores incl. unseen-gram smoothing and sub-n NULLs)."""
+    import math
+    from collections import Counter
+
+    from data_prepper_spark.datapipe.textstats import (
+        ngram_logprob,
+        ngram_model,
+    )
+
+    ref = ["the quick brown fox", "the lazy dog sleeps"]
+    cand = [
+        (1, "the quick dog"),     # typical
+        (2, "zzqxj vvkww qqpzx"),  # atypical -> lower score
+        (3, "ab"),                # shorter than n -> NULL
+    ]
+    rdf = spark.createDataFrame(
+        [(t,) for t in ref], "text string"
+    )
+    model = ngram_model(rdf, "text", n=3)
+    got = {
+        r.doc_id: r.ngram_logprob
+        for r in ngram_logprob(
+            spark.createDataFrame(cand, "doc_id long, text string"),
+            "text", model, n=3,
+        ).collect()
+    }
+
+    cnt = Counter()
+    for t in ref:
+        for i in range(len(t) - 2):
+            cnt[t[i:i + 3]] += 1
+    N, V = sum(cnt.values()), len(cnt)
+
+    def score(t):
+        lps = [
+            math.log((cnt.get(t[i:i + 3], 0) + 1) / (N + V))
+            for i in range(len(t) - 2)
+        ]
+        return sum(lps) / len(lps)
+
+    assert got[1] == pytest.approx(score(cand[0][1]))
+    assert got[2] == pytest.approx(score(cand[1][1]))
+    assert got[3] is None
+    assert got[1] > got[2]  # typical text scores higher
