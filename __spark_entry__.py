@@ -7294,6 +7294,23 @@ def ngram_logprob_score(spark, sf_dir):
     )
 
 
+def dedup_canonical_keep(spark, sf_dir):
+    """Quality-aware dedup survivor selection (datapipe/dedup.py::
+    canonical_keep): MinHash pair graph -> connected components ->
+    keep the LONGEST member of each cluster (n_chars as the quality
+    column, ties -> lowest id) — the real 'which duplicate survives'
+    policy of a training-data pipeline, as one join + one
+    cluster-frame window. Oracle extends the recursive-CTE
+    reachability with the same ranked window."""
+    from data_prepper_spark.datapipe.dedup import canonical_keep
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return canonical_keep(
+        clusters.drop("is_canonical"), docs, "n_chars"
+    ).select("doc_id", "cluster", "n_chars", "keep")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return bm25_topk_df(spark, SF001)
@@ -7856,6 +7873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_ks_correlation": dsl_ks_correlation,
         "c4_quality_filter": c4_quality_filter,
         "ngram_logprob_score": ngram_logprob_score,
+        "dedup_canonical_keep": dedup_canonical_keep,
         # -- round-5 continuation (never driver-checked) --
         "dsl_explain_tree": dsl_explain_tree,
         "dsl_terms_set": dsl_terms_set,
@@ -9519,6 +9537,31 @@ reach(id, lbl) AS (
 )
 SELECT id AS doc_id, min(lbl) AS cluster, (min(lbl) = id) AS is_canonical
 FROM reach GROUP BY id
+"""
+
+    sql["dedup_canonical_keep"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({sql["minhash_dedup"]})
+),
+edges AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT x AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.x, r.lbl FROM edges e JOIN reach r ON r.id = e.y
+),
+clus AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.doc_id, c.cluster, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.doc_id) AS r
+  FROM clus c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster, n_chars, (r = 1) AS keep FROM ranked
 """
 
     sql["winnow_fingerprint_dups"] = f"""

@@ -803,3 +803,28 @@ def paragraph_dedup(
         )
         .select("id", "text", "n_paragraphs", "n_removed")
     )
+
+
+def canonical_keep(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Quality-aware survivor selection — the step after clustering
+    in a production dedup pipeline: instead of keeping the min-id
+    member, keep the BEST member of each near-dup cluster by a
+    quality column (length, quality_score, ngram_logprob, ...),
+    ties -> lowest id so reruns are stable. One join + one window
+    ranked inside cluster frames (cluster sizes are near-dup group
+    sizes — bounded, never corpus-scale partitions). Rows keep their
+    cluster and a `keep` flag; nothing is dropped (callers filter —
+    the audit-trail shape)."""
+    j = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return j.withColumn("keep", F.row_number().over(w) == 1)

@@ -711,3 +711,26 @@ def test_ngram_logprob(spark):
     assert got[2] == pytest.approx(score(cand[1][1]))
     assert got[3] is None
     assert got[1] > got[2]  # typical text scores higher
+
+
+def test_canonical_keep(spark):
+    """canonical_keep: per-cluster argmax on the quality column,
+    ties -> lowest id; exactly one keeper per cluster."""
+    from data_prepper_spark.datapipe.dedup import canonical_keep
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 7), (6, 1)],
+        "doc_id long, q long",
+    )
+    got = {
+        r.doc_id: r.keep
+        for r in canonical_keep(clusters, docs, "q").collect()
+    }
+    # cluster 1: q tie 30 between 2 and 3 -> lowest id 2 wins
+    # cluster 4: q tie 7 between 4 and 5 -> 4 wins; singleton 6 kept
+    assert got == {1: False, 2: True, 3: False,
+                   4: True, 5: False, 6: True}
