@@ -393,6 +393,19 @@ def _map_filter(name: str, attrs: dict) -> list[dict]:
             "map": attrs.get("dictionary", {}),
         }
         return [{"translate": cfg}]
+    if name == "geoip":
+        # logstash geoip { source database target fields } -> the
+        # engine's geoip processor (hand-rolled mmdb reader)
+        cfg = {"source": _field(attrs["source"])}
+        if "database" in attrs:
+            cfg["database_path"] = attrs["database"]
+        if "target" in attrs:
+            cfg["target"] = _field(attrs["target"])
+        if "fields" in attrs:
+            cfg["include_fields"] = [
+                _field(f) for f in _attr_values(attrs, "fields")[0]
+            ]
+        return [{"geoip": cfg}]
     if name == "truncate":
         return [{"truncate": {
             "source_keys": [_field(f) for f in

@@ -282,3 +282,30 @@ output {{
     hits = topk_with_docs(spark, str(idx_root / "index"), q, k=5).collect()
     assert len(hits) == 5
     assert all(h["repo"] == "access" for h in hits)
+
+
+def test_geoip_filter_converts():
+    from data_prepper_spark.logstash import convert
+
+    out = convert(
+        """
+input { http { } }
+filter {
+  geoip {
+    source => "[client][ip]"
+    database => "/data/GeoLite2-City.mmdb"
+    target => "geo"
+    fields => ["country_name", "city_name", "latitude"]
+  }
+}
+output { stdout { } }
+"""
+    )
+    procs = next(iter(out.values()))["processor"]
+    g = procs[0]["geoip"]
+    assert g["source"] == "/client/ip"
+    assert g["database_path"] == "/data/GeoLite2-City.mmdb"
+    assert g["target"] == "geo"
+    assert g["include_fields"] == [
+        "country_name", "city_name", "latitude",
+    ]
