@@ -334,6 +334,11 @@ def _parse(node: dict, dv_cols: set, texts: list,
         # literal, so the point-in-polygon test unrolls its edges
         # into a fixed native-Column expression (no UDF)
         ((field, conf),) = spec.items()
+        if not isinstance(conf, dict) or "shape" not in conf:
+            raise ValueError(
+                f"geo_shape '{field}' needs a literal shape object "
+                "(indexed-shape references are not supported)"
+            )
         return _IR(
             "geo", field=field,
             spec={

@@ -56,6 +56,11 @@ NAMES = [
     "dsl_rate_ttest",
     "dsl_geo_line",
     "dsl_knn_filtered",
+    # session-6: the n-gram scorer must be scan -> BROADCAST model
+    # join -> one hash aggregate (no sort-merge on the gram key);
+    # C4 cleaning must stay a single narrow map (no exchange)
+    "ngram_logprob_score",
+    "c4_quality_filter",
 ]
 
 KEEP = re.compile(
