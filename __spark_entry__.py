@@ -7289,7 +7289,7 @@ def ngram_logprob_score(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     model = ngram_model(docs.where(F.col("doc_id") % 2 == 0), "text")
-    return ngram_logprob(docs, "text", model).select(
+    return ngram_logprob(docs, "text", model, id_col="doc_id").select(
         "doc_id", F.round(F.col("ngram_logprob"), 6).alias("lp")
     )
 

@@ -102,6 +102,7 @@ def ngram_logprob(
     model: DataFrame,
     n: int = 3,
     dest: str = "ngram_logprob",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Score each document by its mean character-n-gram log
     probability under `model` (ngram_model output) — the cheap
@@ -116,8 +117,11 @@ def ngram_logprob(
     with N = total gram occurrences and V = distinct grams in the
     model; unseen grams get ln(1/(N+V)). Docs shorter than n chars
     score NULL. Shape: explode -> broadcast model join (bounded by
-    |charset|^n) -> one groupBy(doc) mean — scales as a scan +
-    bounded-key join."""
+    |charset|^n) -> one groupBy mean. Pass `id_col` so the grouped
+    mean shuffles ONLY (id, logprob) rows and the full-width doc
+    joins back afterward (AQE's choice) — without it the group keys
+    are every column, which drags the text itself through the
+    exchange (fine for small frames, wrong at 100 TB)."""
     stats = model.agg(
         F.sum("c").cast("double").alias("N"),
         F.count(F.lit(1)).cast("double").alias("V"),
@@ -129,21 +133,32 @@ def ngram_logprob(
             f" i -> substring({text_col}, i, {n}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    cols = [c for c in df.columns]
-    exploded = df.select(*cols, F.explode(grams).alias("gram"))
-    scored = (
-        exploded.join(F.broadcast(model), "gram", "left")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__lp",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1.0)
-                / (F.col("N") + F.col("V"))
-            ),
+
+    def _score(src: DataFrame, keys: list[str]) -> DataFrame:
+        exploded = src.select(*keys, F.explode(grams).alias("gram"))
+        return (
+            exploded.join(F.broadcast(model), "gram", "left")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "__lp",
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                     + 1.0)
+                    / (F.col("N") + F.col("V"))
+                ),
+            )
+            .groupBy(*keys)
+            .agg(F.avg("__lp").alias(dest))
         )
-        .groupBy(*cols)
-        .agg(F.avg("__lp").alias(dest))
-    )
+
+    if id_col is not None:
+        # skinny shuffle: (id, gram) explode, per-id mean, join back
+        return df.join(
+            _score(df.select(id_col, text_col), [id_col]),
+            id_col, "left",
+        )
+    cols = list(df.columns)
+    scored = _score(df, cols)
     # docs with no grams (len < n) dropped by the explode: restore
     # them with NULL scores (audit-friendly — rows never vanish)
     short = df.join(

@@ -711,6 +711,16 @@ def test_ngram_logprob(spark):
     assert got[2] == pytest.approx(score(cand[1][1]))
     assert got[3] is None
     assert got[1] > got[2]  # typical text scores higher
+    # id_col path (skinny shuffle + join-back) agrees exactly
+    got2 = {
+        r.doc_id: r.ngram_logprob
+        for r in ngram_logprob(
+            spark.createDataFrame(cand, "doc_id long, text string"),
+            "text", model, n=3, id_col="doc_id",
+        ).collect()
+    }
+    assert got2[3] is None
+    assert got2[1] == got[1] and got2[2] == got[2]
 
 
 def test_canonical_keep(spark):
