@@ -51,6 +51,12 @@ Supported commands (the documented subset; anything else raises):
   a side table (the PPL lookup command): LEFT join on the key
   columns, the lookup side broadcast when small (AQE's decision —
   the translate/enrich operator's shape).
+- ``join [type=left|inner|semi|anti] on <k1> [, k2]
+  '<parquet_path>'`` — the PPL join command (documented subset:
+  equi-joins on named key columns against a parquet right side;
+  semi/anti keep only the left columns — the filter-by-other-table
+  idioms). Same declarative join, Catalyst/AQE pick the physical
+  strategy.
 - ``parse <field> '<regex>'`` — extract named groups as columns
   (regexp_extract per group — the PPL parse command).
 - ``grok <field> '<pattern>'`` — route through the grok processor's
@@ -504,6 +510,27 @@ def ppl_query(
                 .filter(F.col("_r") <= n)
                 .drop("_r")
             )
+        elif kw == "join":
+            jm = re.match(
+                r"^(?:type\s*=\s*(\w+)\s+)?on\s+([\w,\s]+?)\s+"
+                r"'([^']+)'\s*$",
+                rest, re.IGNORECASE,
+            )
+            if not jm:
+                raise ValueError(f"join clause '{rest}'")
+            how = (jm.group(1) or "inner").lower()
+            how = {
+                "left": "left", "inner": "inner",
+                "semi": "left_semi", "anti": "left_anti",
+            }.get(how)
+            if how is None:
+                raise ValueError(
+                    f"join type '{jm.group(1)}' "
+                    "(left|inner|semi|anti)"
+                )
+            keys = [c.strip() for c in jm.group(2).split(",")]
+            side = spark.read.parquet(jm.group(3))
+            df = df.join(side, keys, how)
         elif kw == "lookup":
             lm = re.match(
                 r"^'([^']+)'\s+([\w,\s]+)$", rest

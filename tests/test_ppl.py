@@ -452,3 +452,45 @@ def test_ppl_describe(spark, ppl_env):
     ).toPandas()
     want = sorted(k for k, v in cols.items() if v == "string")[:2]
     assert filtered.column_name.tolist() == want
+
+
+def test_ppl_join(spark, ppl_env, tmp_path):
+    """join command: typed equi-joins against a parquet right side —
+    inner narrows, left keeps, semi/anti filter without widening."""
+    idx, cpath, aug = ppl_env
+    side = pd.DataFrame({
+        "lang": ["python", "java"],
+        "family": ["dynamic", "jvm"],
+    })
+    spath = str(tmp_path / "jside.parquet")
+    side.to_parquet(spath)
+    base = f"source=docs | join TYPE on lang '{spath}' "
+    inner = ppl_query(
+        spark, idx, base.replace("TYPE", "type=inner")
+        + "| stats count() as c",
+    ).toPandas().c.iloc[0]
+    want_inner = int(aug.lang.isin(side.lang).sum())
+    assert inner == want_inner
+    left = ppl_query(
+        spark, idx, base.replace("TYPE", "type=left")
+        + "| stats count() as c, count(family) as cf",
+    ).toPandas()
+    assert left.c.iloc[0] == len(aug)
+    assert left.cf.iloc[0] == want_inner
+    semi = ppl_query(
+        spark, idx, base.replace("TYPE", "type=semi")
+        + "| stats count() as c",
+    ).toPandas()
+    assert semi.c.iloc[0] == want_inner
+    anti = ppl_query(
+        spark, idx, base.replace("TYPE", "type=anti")
+        + "| stats count() as c",
+    ).toPandas()
+    assert anti.c.iloc[0] == len(aug) - want_inner
+    # semi/anti never widen
+    cols = ppl_query(
+        spark, idx, base.replace("TYPE", "type=semi") + "| head 1",
+    ).columns
+    assert "family" not in cols
+    with pytest.raises(ValueError, match="join type"):
+        ppl_query(spark, idx, base.replace("TYPE", "type=cross"))
