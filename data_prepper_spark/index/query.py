@@ -1881,6 +1881,34 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def cat_indices(
+    spark: SparkSession, index_dirs: dict[str, str] | list[str]
+) -> DataFrame:
+    """`_cat/indices` across an index family (rollover generations,
+    per-lang routed indexes, alias members): one row per index with
+    the `index_stats` columns plus on-disk bytes. Accepts
+    {name: dir} or a dir list (names = basenames). Per-index cost is
+    index_stats' dictionary-/docs-table-sized jobs + one du."""
+    from .. import fsio
+
+    if not isinstance(index_dirs, dict):
+        index_dirs = {
+            fsio.basename(d.rstrip("/")): d for d in index_dirs
+        }
+    out = None
+    for name, d in sorted(index_dirs.items()):
+        row = index_stats(spark, d).select(
+            F.lit(name).alias("index"),
+            "n_docs", "n_terms", "total_postings", "total_tokens",
+            "avgdl",
+            F.lit(int(fsio.du(d))).alias("bytes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("cat_indices needs at least one index")
+    return out
+
+
 def search_shards(spark: SparkSession, index_dir: str) -> DataFrame:
     """`_search_shards` analog. This engine's unit of query routing
     is the postings BUCKET partition (`postings/bucket=N/` — query

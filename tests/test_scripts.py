@@ -247,3 +247,22 @@ def test_rollover_lifecycle(spark, env, tmp_path):
     # no conditions refuses
     with pytest.raises(ValueError, match="condition"):
         rollover(reg, "logs", str(tmp_path / "gen4"))
+
+
+def test_cat_indices(spark, env, index_dir):
+    """_cat/indices facade: one stats+bytes row per index; named
+    dict and dir-list forms agree."""
+    from data_prepper_spark.index.query import cat_indices, index_stats
+
+    idx, _ = env
+    got = cat_indices(spark, {"main": idx}).collect()
+    assert len(got) == 1
+    row = got[0]
+    ref = index_stats(spark, idx).collect()[0]
+    assert row["index"] == "main"
+    assert row.n_docs == ref.n_docs and row.n_terms == ref.n_terms
+    assert row["bytes"] > 0
+    aslist = cat_indices(spark, [idx]).collect()[0]
+    assert aslist.n_docs == row.n_docs
+    with pytest.raises(ValueError, match="at least one"):
+        cat_indices(spark, [])
