@@ -103,3 +103,81 @@ def test_config_application_and_build(spark, tmp_path):
     assert "the" not in terms and "of" not in terms
     assert "table" in terms  # stemmed plural shares one term
     assert "tables" not in terms
+
+
+def test_lifecycle_cycles(tmp_path):
+    """Lifecycle executor: rollover on max_docs, snapshot generations
+    snapshot_after rollovers behind (incremental, once each),
+    retention deletes oldest beyond N only when snapshotted; write
+    generation protected; cycles are idempotent."""
+    import shutil
+
+    from data_prepper_spark.index.aliases import get_aliases, put_alias
+    from data_prepper_spark.index.lifecycle import apply_lifecycle
+    from data_prepper_spark.index.rollover import write_target
+
+    base = str(tmp_path / "fam")
+    repo = str(tmp_path / "snaprepo")
+    reg = str(tmp_path / "aliases.json")
+
+    def make_gen(name, n_docs):
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "stats.json"), "w") as f:
+            json.dump({"n_docs": n_docs, "avgdl": 1.0}, f)
+        pd.DataFrame({"x": list(range(n_docs))}).to_parquet(
+            os.path.join(d, "part-data.parquet")
+        )
+        return d
+
+    g0 = make_gen("logs-gen0", 10)
+    put_alias(reg, "logs", [g0])
+
+    def cycle():
+        return apply_lifecycle(
+            reg, "logs", base,
+            rollover_max_docs=5,
+            snapshot_repo=repo,
+            snapshot_after=1,
+            retain_generations=2,
+        )
+
+    # cycle 1: g0 full -> rollover to gen1; nothing behind yet to
+    # snapshot (the new write gen is 0 behind, g0 is 1 behind ->
+    # snapshotted)
+    log = cycle()
+    acts = [e["action"] for e in log]
+    assert acts == ["rollover", "snapshot"]
+    assert write_target(reg, "logs").endswith("logs-gen1")
+    assert os.path.exists(
+        os.path.join(repo, "logs-gen0", "SNAPSHOT.json")
+    )
+
+    # cycle 2: gen1 empty -> no rollover; g0 already snapshotted ->
+    # idempotent no-op
+    assert cycle() == []
+
+    # fill gen1 (the rollover registered it but never materialized
+    # it — ingest does that) -> cycle rolls to gen2, snapshots gen1,
+    # then retention drops g0
+    make_gen("logs-gen1", 7)
+    log = cycle()
+    acts = [e["action"] for e in log]
+    assert acts == ["rollover", "snapshot", "delete"]
+    assert log[2]["index"] == g0
+    assert not os.path.exists(g0)
+    gens = get_aliases(reg)["logs"]["index"]
+    assert len(gens) == 2 and gens[0].endswith("logs-gen1")
+
+    # retention never destroys an unsnapshotted generation: wipe the
+    # repo and force retention pressure
+    shutil.rmtree(repo)
+    make_gen("logs-gen2", 9)
+    with pytest.raises(RuntimeError, match="refuses to delete"):
+        apply_lifecycle(
+            reg, "logs", base,
+            rollover_max_docs=5,
+            snapshot_repo=repo,
+            snapshot_after=99,  # suppress snapshotting this cycle
+            retain_generations=2,
+        )
