@@ -62,6 +62,37 @@ def put_alias(
     _store(registry_path, reg)
 
 
+def update_aliases(registry_path: str, actions: list[dict]) -> None:
+    """`POST _aliases {"actions": [...]}` — the batch form, and the
+    reason the API exists: ALL actions commit in ONE atomic registry
+    store, so a reader never observes the half-moved state of an
+    alias swap ({remove: old, add: new} is the standard zero-downtime
+    cutover). Each action is {"add": {...put_alias kwargs...}} or
+    {"remove": {"alias": name}}; any invalid action aborts the whole
+    batch (nothing is applied)."""
+    reg = _load(registry_path)
+    for act in actions:
+        ((kind, spec),) = act.items()
+        if kind == "add":
+            entry = {"index": spec["index"]}
+            if spec.get("filter") is not None:
+                if isinstance(spec["index"], list):
+                    raise NotImplementedError(
+                        "filtered multi-index aliases"
+                    )
+                entry["filter"] = spec["filter"]
+            reg[spec["alias"]] = entry
+        elif kind == "remove":
+            if spec["alias"] not in reg:
+                raise ValueError(
+                    f"unknown alias {spec['alias']!r} in remove"
+                )
+            del reg[spec["alias"]]
+        else:
+            raise NotImplementedError(f"alias action '{kind}'")
+    _store(registry_path, reg)
+
+
 def delete_alias(registry_path: str, name: str) -> None:
     reg = _load(registry_path)
     if name in reg:

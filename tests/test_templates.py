@@ -181,3 +181,35 @@ def test_lifecycle_cycles(tmp_path):
             snapshot_after=99,  # suppress snapshotting this cycle
             retain_generations=2,
         )
+
+
+def test_update_aliases_atomic_batch(tmp_path):
+    """_aliases batch: the add+remove swap commits atomically; an
+    invalid action aborts the WHOLE batch (nothing applied)."""
+    from data_prepper_spark.index.aliases import (
+        get_aliases,
+        put_alias,
+        update_aliases,
+    )
+
+    reg = str(tmp_path / "aliases.json")
+    put_alias(reg, "live", "/idx/old")
+    update_aliases(reg, [
+        {"remove": {"alias": "live"}},
+        {"add": {"alias": "live", "index": "/idx/new"}},
+        {"add": {"alias": "old-ro", "index": "/idx/old",
+                 "filter": {"term": {"lang": "en"}}}},
+    ])
+    got = get_aliases(reg)
+    assert got["live"]["index"] == "/idx/new"
+    assert got["old-ro"]["filter"] == {"term": {"lang": "en"}}
+
+    # a bad action anywhere aborts everything
+    with pytest.raises(ValueError, match="unknown alias"):
+        update_aliases(reg, [
+            {"remove": {"alias": "live"}},
+            {"remove": {"alias": "never-existed"}},
+        ])
+    assert "live" in get_aliases(reg)  # the first remove did NOT land
+    with pytest.raises(NotImplementedError, match="alias action"):
+        update_aliases(reg, [{"rename": {"alias": "x"}}])
