@@ -65,6 +65,7 @@ def apply_lifecycle(
     snapshot_repo: str | None = None,
     snapshot_after: int = 1,
     retain_generations: int | None = None,
+    force_merge: bool = False,
     spark=None,
 ) -> list[dict]:
     """One lifecycle cycle for `alias`; returns the action log
@@ -101,6 +102,58 @@ def apply_lifecycle(
     gens = _gens(entry)
     write = write_target(registry_path, alias)
     widx = gens.index(write)
+    if force_merge:
+        # the ISM force_merge action for DELTA-TREE generations
+        # (streaming/bulk ingest leaves a delta tree; cooled
+        # generations merge to one index so query fan-in is O(1) and
+        # snapshots reference one immutable file set). Ordering:
+        # merge fully -> atomic registry swap -> delete the tree; a
+        # crash before the swap leaves the sources authoritative, a
+        # crash after leaves only an orphan dir. Refused while a
+        # live PIT pins the tree (frozen views must not break).
+        if spark is None:
+            raise ValueError("force_merge needs spark")
+        from ..streaming.pipeline import compact_deltas
+        from .pit import live_pits
+
+        for i, g in enumerate(list(gens)):
+            if i == widx:
+                continue
+            is_delta_root = not fsio.exists(
+                os.path.join(g, "stats.json")
+            ) and any(
+                fsio.basename(p.rstrip("/")).startswith("delta=")
+                for p in (fsio.listdir(g) if fsio.exists(g) else [])
+            )
+            if not is_delta_root:
+                continue
+            if live_pits(g):
+                raise RuntimeError(
+                    f"force_merge refuses {g}: live point-in-time "
+                    "readers pin its deltas"
+                )
+            merged = g.rstrip("/") + "__merged"
+            fsio.rmtree(merged)
+            compact_deltas(spark, g, merged)
+            reg = _load(registry_path)
+            e2 = reg[alias]
+            glist = _gens(e2)
+            e2["index"] = [
+                merged if x == g else x for x in glist
+            ]
+            if e2.get("write_index") == g:
+                e2["write_index"] = merged
+            reg[alias] = e2
+            _store(registry_path, reg)
+            fsio.rmtree(g)
+            log.append({
+                "action": "force_merge", "index": g,
+                "merged": merged,
+            })
+        entry = _load(registry_path)[alias]
+        gens = _gens(entry)
+        write = write_target(registry_path, alias)
+        widx = gens.index(write)
     if snapshot_repo is not None:
         for i, g in enumerate(gens):
             behind = widx - i

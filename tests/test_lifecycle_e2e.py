@@ -107,3 +107,74 @@ def test_full_lifecycle_story(spark, halves, tmp_path):
     assert sorted(
         (r.query_id, r.rank, r.doc_id) for r in hits2
     ) == sorted((r.query_id, r.rank, r.doc_id) for r in hits)
+
+
+def test_force_merge_delta_generation(spark, tmp_path):
+    """lifecycle force_merge: a cooled delta-tree generation (bulk
+    ingest) compacts to ONE index, the alias swaps atomically, and
+    the merged generation answers the same query; a live PIT on the
+    tree blocks the merge."""
+    import json as _json
+
+    from data_prepper_spark.index.pit import close_pit, open_pit
+    from data_prepper_spark.index.query import topk, topk_deltas
+    from data_prepper_spark.sources.bulk_api import bulk_apply
+
+    root = str(tmp_path / "gen-delta")
+
+    def _apply(tag, lines):
+        spool = str(tmp_path / f"sp_{tag}" / "bulk")
+        os.makedirs(spool, exist_ok=True)
+        with open(os.path.join(spool, "0.ndjson"), "w") as f:
+            for ln in lines:
+                f.write(_json.dumps(ln) + "\n")
+        bulk_apply(spark, str(tmp_path / f"sp_{tag}"), root)
+
+    _apply("a", [
+        {"op": "index", "index": "logs", "id": "1",
+         "content": "alpha bravo charlie", "doc_json": None},
+    ])
+    _apply("b", [
+        {"op": "index", "index": "logs", "id": "2",
+         "content": "alpha delta echo", "doc_json": None},
+    ])
+    areg = str(tmp_path / "aliases.json")
+    gen1 = str(tmp_path / "gen-live")
+    os.makedirs(gen1)
+    put_alias(areg, "logs", [root, gen1])
+    # write pointer on gen1 so the delta root is "cooled"
+    from data_prepper_spark.index.aliases import _load, _store
+
+    reg = _load(areg)
+    reg["logs"]["write_index"] = gen1
+    _store(areg, reg)
+
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id long, query string"
+    )
+    before = sorted(
+        (r.rank, r.doc_id, round(r.score, 9))
+        for r in topk_deltas(spark, root, q, k=10).collect()
+    )
+
+    # a live PIT blocks the merge
+    pit = open_pit(root)
+    with pytest.raises(RuntimeError, match="point-in-time"):
+        apply_lifecycle(areg, "logs", str(tmp_path),
+                        force_merge=True, spark=spark)
+    close_pit(root, pit)
+
+    log = apply_lifecycle(areg, "logs", str(tmp_path),
+                          force_merge=True, spark=spark)
+    assert [e["action"] for e in log] == ["force_merge"]
+    merged = log[0]["merged"]
+    assert not os.path.exists(root)
+    assert get_aliases(areg)["logs"]["index"] == [merged, gen1]
+    after = sorted(
+        (r.rank, r.doc_id, round(r.score, 9))
+        for r in topk(spark, merged, q, k=10).collect()
+    )
+    assert after == before and len(after) == 2
+    # idempotent: nothing left to merge
+    assert apply_lifecycle(areg, "logs", str(tmp_path),
+                           force_merge=True, spark=spark) == []
